@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read scan — the read semantics the reference's output defines
+  * (SURVEY.md §2.5, implied by `main.rs:163-276`):
+  *
+  *   R1 scan all data files of the current snapshot
+  *   R2 anti-join positional deletes on (file_path, pos),
+  *      gated by data_seq <= delete_seq
+  *   R3 anti-join equality deletes on the identifier columns,
+  *      gated by data_seq < delete_seq
+  *
+  * Physical provenance comes from the parquet metadata columns
+  * `_metadata.file_path` / `_metadata.row_index` (Spark >= 3.5), so no
+  * custom source is needed; both delete applications are `left_anti`
+  * hash joins, and the delete sides are tiny relative to data (deletes
+  * are O(delete rows), data O(table)) so Catalyst broadcasts them — the
+  * shape that scales: the 100 TB data side never shuffles.
+  */
+object Mor {
+
+  /** Data scan with provenance columns `_file` (path relative to the
+    * table dir, matching manifest/pos-delete paths) and `_pos` (row index
+    * within the file) plus the file's commit sequence number.
+    */
+  def scanWithProvenance(spark: SparkSession, root: String, ns: String,
+      table: String): DataFrame = {
+    val dataFiles = TableIO.filesOf(root, ns, table, "data")
+    require(dataFiles.nonEmpty, s"no data files in $ns.$table")
+    val df = spark.read
+      .schema(graft.sources.FixSchemaGen.dataSchema)
+      .parquet(dataFiles.map(_._1): _*)
+      .select(col("*"),
+        // file name is unique within a table, so `data/<name>` equals the
+        // manifest-relative path the delete files carry.
+        concat(lit("data/"),
+          element_at(split(col("_metadata.file_path"), "/"), -1)).as("_file"),
+        col("_metadata.row_index").as("_pos"))
+    // Attach each file's sequence number (tiny manifest join, broadcast).
+    import spark.implicits._
+    val seqDf = dataFiles.map { case (abs, seq) =>
+      ("data/" + abs.split('/').last, seq)
+    }.toDF("_file", "_seq")
+    df.join(broadcast(seqDf), Seq("_file"), "left")
+  }
+
+  private def readDeletes(spark: SparkSession, root: String, ns: String,
+      table: String, content: String): Option[DataFrame] = {
+    val files = TableIO.filesOf(root, ns, table, content)
+    if (files.isEmpty) None
+    else {
+      // All files of one content type share a commit seq in this engine
+      // (one snapshot per phase); take the max to be conservative.
+      val seq = files.map(_._2).max
+      Some(spark.read.parquet(files.map(_._1): _*).withColumn("_dseq", lit(seq)))
+    }
+  }
+
+  /** The merged view: data minus positional minus equality deletes. */
+  def read(spark: SparkSession, root: String, ns: String,
+      table: String): DataFrame = {
+    var df = scanWithProvenance(spark, root, ns, table)
+
+    // R2: positional deletes apply to files committed at or before the
+    // delete's sequence (Iceberg v2: data_seq <= delete_seq).
+    readDeletes(spark, root, ns, table, "pos_delete").foreach { pd =>
+      df = df.join(pd,
+        df("_file") === pd("file_path") && df("_pos") === pd("pos") &&
+          df("_seq") <= pd("_dseq"),
+        "left_anti")
+    }
+
+    // R3: equality deletes remove rows whose identifier columns match a
+    // delete row with a STRICTLY higher sequence (Iceberg v2 semantics).
+    readDeletes(spark, root, ns, table, "eq_delete").foreach { ed =>
+      df = df.join(ed,
+        df("foo") === ed("foo") && df("bar") === ed("bar") &&
+          df("_seq") < ed("_dseq"),
+        "left_anti")
+    }
+
+    df.select("foo", "bar", "baz")
+  }
+
+  /** R4: the merged count — what `print_summary` predicts arithmetically
+    * (`main.rs:334-345`); this engine computes the true value.
+    */
+  def mergedCount(spark: SparkSession, root: String, ns: String,
+      table: String): Long = read(spark, root, ns, table).count()
+}

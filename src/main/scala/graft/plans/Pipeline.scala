@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.{FixSchemaGen, GenConfig}
+
+/** The reference's `prepare` pipeline (`main.rs:347-377`) re-expressed on
+  * Spark: three phases, one snapshot commit per phase.
+  *
+  *   phase 1  data files        (`generate_data`,              `main.rs:117-161`)
+  *   phase 2  positional deletes (`generate_pos_delete_data`,  `main.rs:163-216`)
+  *   phase 3  equality deletes  (`generate_equality_delete_data`, `main.rs:218-276`)
+  *
+  * Unlike the reference (strictly sequential per-file loop over a tokio
+  * runtime, `main.rs:128`), each file's rows are produced by a
+  * distributed `spark.range` projection; the per-file loop here only
+  * controls deterministic file naming, which the reference's
+  * `DefaultFileNameGenerator` contract requires (`main.rs:141-142`). For
+  * bulk scale-out one would write `FixSchemaGen.allData` in a single job
+  * with `maxRecordsPerFile` and take file order from the manifest.
+  */
+object Pipeline {
+
+  /** `cleanup` subcommand (`main.rs:379-398`), made idempotent. */
+  def cleanup(root: String, cfg: GenConfig): Unit = {
+    TableIO.dropTable(root, cfg.namespace, cfg.tableName)
+    TableIO.dropNamespace(root, cfg.namespace)
+  }
+
+  /** Full `prepare` (`main.rs:347-377`). Returns the final snapshot version. */
+  def prepare(spark: SparkSession, root: String, cfg: GenConfig): Long = {
+    val (ns, t) = (cfg.namespace, cfg.tableName)
+    TableIO.createNamespace(root, ns) // D1 (idempotent; reference is not)
+    TableIO.createTableIfNotExists(root, ns, t, FixSchemaGen.dataSchema) // D2
+
+    // Phase 1: data files, one fast_append commit (`main.rs:125-158`).
+    val rpf = cfg.data.rowsPerFile
+    val dataEntries = (0 until cfg.data.fileCount).map { i =>
+      TableIO.writeExactFile(spark, root, ns, t, FixSchemaGen.dataFilePath(i),
+        FixSchemaGen.dataFile(spark, i, rpf), "data", seq = 1L,
+        recordCount = rpf)
+    }
+    TableIO.commit(root, ns, t, dataEntries)
+
+    // Phase 2: sorted positional deletes (`main.rs:163-216`): the sorted
+    // global delete set split into files of <= pos.rowsPerFile rows
+    // (the SortPositionDeleteWriter `cache_num` cap, `main.rs:196`).
+    val posAll = FixSchemaGen.posDeletes(spark, cfg)
+    val pRpf = cfg.posDelete.rowsPerFile
+    val pTotal = cfg.actualPosDeletes
+    val pFiles = if (pTotal == 0 || pRpf == 0) 0 else ((pTotal + pRpf - 1) / pRpf).toInt
+    val posEntries = (0 until pFiles).map { i =>
+      val lo = i * pRpf
+      val hi = math.min((i + 1) * pRpf, pTotal)
+      // file_path encodes the global row number g = fileIdx*dataRpf + pos,
+      // so the slice [lo, hi) of the sorted set is a pure filter on g.
+      val slice = posAll.filter(
+        org.apache.spark.sql.functions.expr(
+          s"cast(regexp_extract(file_path, '([0-9]+)\\\\.parquet$$', 1) as bigint) * ${cfg.data.rowsPerFile} + pos >= $lo " +
+          s"and cast(regexp_extract(file_path, '([0-9]+)\\\\.parquet$$', 1) as bigint) * ${cfg.data.rowsPerFile} + pos < $hi"))
+        .orderBy("file_path", "pos")
+      TableIO.writeExactFile(spark, root, ns, t,
+        FixSchemaGen.posDeleteFilePath(i), slice, "pos_delete", seq = 2L,
+        recordCount = hi - lo)
+    }
+    if (posEntries.nonEmpty) TableIO.commit(root, ns, t, posEntries)
+
+    // Phase 3: equality deletes projected to (foo, bar) (`main.rs:218-276`).
+    val eTotal = cfg.actualEqDeletes
+    val eRpf = cfg.eqDelete.rowsPerFile
+    val eFiles = if (eTotal == 0 || eRpf == 0) 0 else ((eTotal + eRpf - 1) / eRpf).toInt
+    val start = cfg.actualPosDeletes
+    val eqEntries = (0 until eFiles).map { i =>
+      val lo = start + i * eRpf
+      val hi = math.min(start + (i + 1) * eRpf, start + eTotal)
+      val slice = FixSchemaGen.eqDeletes(spark, cfg)
+        .filter(org.apache.spark.sql.functions.col("bar").between(lo, hi - 1))
+      TableIO.writeExactFile(spark, root, ns, t,
+        FixSchemaGen.eqDeleteFilePath(i), slice, "eq_delete", seq = 3L,
+        recordCount = hi - lo)
+    }
+    if (eqEntries.nonEmpty) TableIO.commit(root, ns, t, eqEntries)
+
+    TableIO.currentVersion(root, ns, t)
+  }
+}

@@ -1,0 +1,187 @@
+package graft.plans
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** One entry of a snapshot manifest — the Spark-side analogue of the
+  * Iceberg `DataFile` metadata the reference's writers return on `close()`
+  * (`main.rs:151-159`). `content` is one of data | pos_delete | eq_delete
+  * (Iceberg v2 content types); `seq` is the snapshot sequence number that
+  * gates equality-delete application (R3, SURVEY.md §2.5).
+  */
+final case class ManifestEntry(
+    path: String, // relative to the table location
+    content: String,
+    seq: Long,
+    recordCount: Long
+)
+
+/** Filesystem-backed emulation of the reference's catalog + commit
+  * protocol (`main.rs:278-299, 353-368, 125-158`): namespaces are
+  * directories, a table is a directory with data/delete parquet files plus
+  * a versioned manifest, and a commit atomically publishes a new manifest
+  * version — the moral equivalent of Iceberg's snapshot commit
+  * (`Transaction::fast_append().apply().commit()`, `main.rs:155-158`).
+  *
+  * Layout:
+  * {{{
+  *   <root>/<namespace>/<table>/
+  *     schema.json           table schema (DDL-time, D2)
+  *     version-hint.text     current manifest version (atomic pointer)
+  *     manifest/v<N>.json    one JSON line per ManifestEntry
+  *     data/part-*.parquet
+  *     deletes/{pos_delete,equality_delete}-*.parquet
+  * }}}
+  *
+  * Commits are O(#files) metadata writes only — no data rewrite — which is
+  * the property that makes the protocol viable at 100 TB.
+  */
+object TableIO {
+
+  def tableDir(root: String, ns: String, table: String): Path =
+    Paths.get(root, ns, table)
+
+  /** D1 (`main.rs:353-355`) — made idempotent; the reference errors on
+    * re-run (no existence check), a quirk we fix (SURVEY.md §7 risk list).
+    */
+  def createNamespace(root: String, ns: String): Unit =
+    Files.createDirectories(Paths.get(root, ns))
+
+  def namespaceExists(root: String, ns: String): Boolean =
+    Files.isDirectory(Paths.get(root, ns))
+
+  def tableExists(root: String, ns: String, table: String): Boolean =
+    Files.isRegularFile(tableDir(root, ns, table).resolve("schema.json"))
+
+  /** D2 (`main.rs:356-368`): create-if-not-exists with the generator's
+    * schema; writes schema.json + empty v0 manifest.
+    */
+  def createTableIfNotExists(root: String, ns: String, table: String,
+      schema: StructType): Unit = {
+    if (!tableExists(root, ns, table)) {
+      val dir = tableDir(root, ns, table)
+      Files.createDirectories(dir.resolve("data"))
+      Files.createDirectories(dir.resolve("deletes"))
+      Files.createDirectories(dir.resolve("manifest"))
+      Files.writeString(dir.resolve("schema.json"), schema.json)
+      atomicWrite(dir.resolve("manifest/v0.json"), "")
+      atomicWrite(dir.resolve("version-hint.text"), "0")
+    }
+  }
+
+  /** D3 (`main.rs:387-393`): drop table — recursive delete. */
+  def dropTable(root: String, ns: String, table: String): Unit =
+    deleteRecursively(tableDir(root, ns, table))
+
+  /** D4 (`main.rs:395`): drop namespace. */
+  def dropNamespace(root: String, ns: String): Unit =
+    deleteRecursively(Paths.get(root, ns))
+
+  def currentVersion(root: String, ns: String, table: String): Long = {
+    val hint = tableDir(root, ns, table).resolve("version-hint.text")
+    if (Files.isRegularFile(hint)) Files.readString(hint).trim.toLong else 0L
+  }
+
+  /** K6 (`main.rs:125-158`): one atomic append commit = write new full
+    * manifest v(N+1), then flip the version pointer. Readers racing a
+    * commit see either vN or v(N+1), never a partial manifest (both
+    * writes go through temp-file + ATOMIC_MOVE).
+    */
+  def commit(root: String, ns: String, table: String,
+      newEntries: Seq[ManifestEntry]): Long = {
+    val dir = tableDir(root, ns, table)
+    val v = currentVersion(root, ns, table)
+    val all = readManifest(root, ns, table) ++ newEntries
+    val body = all.map(entryToJson).mkString("\n")
+    atomicWrite(dir.resolve(s"manifest/v${v + 1}.json"), body)
+    atomicWrite(dir.resolve("version-hint.text"), (v + 1).toString)
+    v + 1
+  }
+
+  def readManifest(root: String, ns: String, table: String): Seq[ManifestEntry] = {
+    val dir = tableDir(root, ns, table)
+    val v = currentVersion(root, ns, table)
+    val f = dir.resolve(s"manifest/v$v.json")
+    if (!Files.isRegularFile(f)) Seq.empty
+    else Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map(entryFromJson)
+  }
+
+  /** Next sequence number = snapshot ordinal (the reference commits one
+    * snapshot per phase: data=1, pos-deletes=2, eq-deletes=3;
+    * `main.rs:157-158, 212-213, 272-273`).
+    */
+  def nextSeq(root: String, ns: String, table: String): Long =
+    readManifest(root, ns, table).map(_.seq).maxOption.getOrElse(0L) + 1L
+
+  /** Write `df` as EXACTLY one parquet file at `relPath` under the table
+    * location — the per-file writer (K1/K2, `main.rs:137-151`): the
+    * reference writes one RecordBatch per named file. Returns the entry
+    * (not yet committed). `recordCount` avoids a recount job when the
+    * caller (the generator) already knows it.
+    */
+  def writeExactFile(spark: SparkSession, root: String, ns: String,
+      table: String, relPath: String, df: DataFrame, content: String,
+      seq: Long, recordCount: Long = -1L): ManifestEntry = {
+    val dir = tableDir(root, ns, table)
+    val target = dir.resolve(relPath)
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempDirectory(dir, ".stage")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
+      val part = Files.list(tmp.resolve("out")).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.headOption
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      val n = if (recordCount >= 0) recordCount
+        else spark.read.parquet(target.toString).count()
+      ManifestEntry(relPath, content, seq, n)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** Absolute paths of the current snapshot's files of one content type. */
+  def filesOf(root: String, ns: String, table: String,
+      content: String): Seq[(String, Long)] = {
+    val dir = tableDir(root, ns, table)
+    readManifest(root, ns, table).filter(_.content == content)
+      .map(e => (dir.resolve(e.path).toString, e.seq))
+  }
+
+  /** The manifest as a DataFrame for metadata queries (file counts,
+    * record counts per snapshot — what Iceberg exposes as the `files`
+    * metadata table).
+    */
+  def manifestDf(spark: SparkSession, root: String, ns: String,
+      table: String): DataFrame = {
+    import spark.implicits._
+    readManifest(root, ns, table).toDF()
+  }
+
+  // --- tiny JSON codec for manifest lines (fixed shape, no deps) ---
+  private def entryToJson(e: ManifestEntry): String =
+    s"""{"path":"${e.path}","content":"${e.content}","seq":${e.seq},"record_count":${e.recordCount}}"""
+
+  private val entryRe =
+    """\{"path":"([^"]*)","content":"([^"]*)","seq":(\d+),"record_count":(\d+)\}""".r
+
+  private def entryFromJson(line: String): ManifestEntry = line.trim match {
+    case entryRe(p, c, s, n) => ManifestEntry(p, c, s.toLong, n.toLong)
+    case other => throw new IllegalArgumentException(s"bad manifest line: $other")
+  }
+
+  private def atomicWrite(target: Path, body: String): Unit = {
+    val tmp = Files.createTempFile(target.getParent, ".tmp", ".json")
+    Files.writeString(tmp, body)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+}

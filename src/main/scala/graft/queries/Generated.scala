@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.plans.{GeneratedTables, Mor, TableIO}
+import graft.sources.GenConfig
+
+/** Oracle-checked queries over the generated Iceberg-style table: these
+  * exercise the full reference pipeline (write path K1-K6 + read path
+  * R1-R4, SURVEY.md §2). The DuckDB oracles are closed-form `range()`
+  * reconstructions of the same content — every generated value is a pure
+  * function of the global row number (`fix_schema_generator.rs:81-108`),
+  * so the oracle needs no access to our files and the comparison is a
+  * true end-to-end check of write + MOR-read.
+  */
+object Generated {
+  private val cfg = GenConfig.reference
+  private val N = cfg.data.totalRows          // 5000
+  private val P = cfg.actualPosDeletes        // 2000
+  private val E = cfg.actualEqDeletes         // 2000
+  private val RPF = cfg.data.rowsPerFile      // 1000
+
+  private def root(spark: SparkSession, sfDir: String): String =
+    GeneratedTables.ensure(spark, sfDir, cfg)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2-S6 + K1-K3: the committed data files, read back.
+    "gen_data" -> ((s, dir) => {
+      val r = root(s, dir)
+      Mor.scanWithProvenance(s, r, cfg.namespace, cfg.tableName)
+        .select("foo", "bar", "baz").orderBy("bar")
+    }),
+    // C3 + K4: committed positional-delete files (sorted by path, pos).
+    "gen_pos_delete" -> ((s, dir) => {
+      val r = root(s, dir)
+      val files = TableIO.filesOf(r, cfg.namespace, cfg.tableName, "pos_delete")
+      s.read.parquet(files.map(_._1): _*).orderBy("file_path", "pos")
+    }),
+    // C4 + K5: committed equality-delete files (projected to foo, bar).
+    "gen_eq_delete" -> ((s, dir) => {
+      val r = root(s, dir)
+      val files = TableIO.filesOf(r, cfg.namespace, cfg.tableName, "eq_delete")
+      s.read.parquet(files.map(_._1): _*).orderBy("bar")
+    }),
+    // R1-R3: the MOR merged view — surviving rows [P+E, N).
+    "mor_read" -> ((s, dir) => {
+      val r = root(s, dir)
+      Mor.read(s, r, cfg.namespace, cfg.tableName).orderBy("bar")
+    }),
+    // R4: merged count == N - P - E (`main.rs:334-345`).
+    "mor_summary" -> ((s, dir) => {
+      val r = root(s, dir)
+      Mor.read(s, r, cfg.namespace, cfg.tableName)
+        .agg(count(lit(1)).as("surviving"))
+    }),
+    // K3/K6 metadata: per-content file counts + record counts from the
+    // committed manifest (what Iceberg's `files` metadata table reports).
+    "gen_manifest" -> ((s, dir) => {
+      val r = root(s, dir)
+      TableIO.manifestDf(s, r, cfg.namespace, cfg.tableName)
+        .groupBy("content")
+        .agg(count(lit(1)).as("n_files"), sum("recordCount").as("n_rows"))
+        .orderBy("content")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "gen_data" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+         |FROM range(0, $N) t(g) ORDER BY bar""".stripMargin,
+    "gen_pos_delete" ->
+      s"""SELECT printf('data/part-%05d.parquet', CAST(g // $RPF AS INTEGER)) AS file_path,
+         |       CAST(g % $RPF AS BIGINT) AS pos
+         |FROM range(0, $P) t(g) ORDER BY file_path, pos""".stripMargin,
+    "gen_eq_delete" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar
+         |FROM range($P, ${P + E}) t(g) ORDER BY bar""".stripMargin,
+    "mor_read" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+         |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
+    "mor_summary" ->
+      s"SELECT count(*) AS surviving FROM range(${P + E}, $N)",
+    "gen_manifest" ->
+      s"""SELECT content, CAST(n_files AS BIGINT) AS n_files, CAST(n_rows AS BIGINT) AS n_rows
+         |FROM (VALUES ('data', ${cfg.data.fileCount}, $N),
+         |             ('eq_delete', ${cfg.eqDelete.fileCount}, $E),
+         |             ('pos_delete', ${cfg.posDelete.fileCount}, $P))
+         |  AS t(content, n_files, n_rows)
+         |ORDER BY content""".stripMargin
+  )
+}

@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** The relational operator surface (SURVEY.md §2.6 parity plan) over the
+  * driver's TPC-H-ish testdata: scans, filters/projections, joins
+  * (broadcast / shuffle / semi / anti), aggregations, rollup/cube,
+  * windows, sorts/limits, set ops, scalar/date/JSON functions.
+  *
+  * Scale notes: dimension joins are explicitly `broadcast()`; aggregates
+  * are Catalyst two-phase hash aggregates (map-side partial combine);
+  * every filter/projection is expressed declaratively so pushdown and
+  * column pruning reach the parquet scans.
+  */
+object Relational {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- aggregation -----------------------------------------------------
+    // TPC-H Q1-shaped: two-phase hash aggregate over the fact table.
+    "q1_agg" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_distinct" -> ((s, dir) => {
+      rd(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))
+    }),
+
+    // --- filter + projection (pushdown / pruning) ------------------------
+    "q_filter_proj" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    }),
+
+    // --- joins -----------------------------------------------------------
+    // Fact x small dim: explicitly broadcast (no shuffle of lineitem).
+    "q_join_broadcast" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val part = rd(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // Star join through three dims to the fact table.
+    "q_join_multi" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      val c = rd(s, dir, "customer")
+      val n = rd(s, dir, "nation")
+      val r = rd(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("r_name")
+    }),
+
+    // Semi join (EXISTS).
+    "q_semi_join" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      val big = rd(s, dir, "lineitem").filter(col("l_quantity") > 49)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Anti join (NOT EXISTS) — same shape as the MOR delete application.
+    "q_anti_join" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+      val o = rd(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // --- grouping sets ---------------------------------------------------
+    "q_rollup" -> ((s, dir) => {
+      // SQL form: Dataset-level lineage tags trip DetectAmbiguousSelfJoin
+      // on rollup-after-join; the SQL path builds the identical plan.
+      Seq("orders", "customer", "nation", "region")
+        .foreach(t => rd(s, dir, t).createOrReplaceTempView(t))
+      s.sql(
+        """SELECT COALESCE(r_name, 'ALL') AS region,
+          |  COALESCE(n_name, 'ALL') AS nation,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY region, nation""".stripMargin)
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"))
+        .orderBy("status", "priority")
+    }),
+
+    // Pivot-style conditional aggregation.
+    "q_pivot" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      def cnt(status: String) =
+        sum(when(col("o_orderstatus") === status, 1).otherwise(0))
+          .cast("long")
+      o.groupBy("o_orderpriority")
+        .agg(cnt("F").as("n_f"), cnt("O").as("n_o"), cnt("P").as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // --- windows ---------------------------------------------------------
+    // Top-5 orders per market segment (rank window, deterministic ties).
+    "q_window_topk" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      val c = rd(s, dir, "customer")
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    // Running sum per user (frame window; exact decimal arithmetic).
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      rdEvents(s, dir)
+        .filter(col("user_id") % 100 === 0)
+        .withColumn("running_value",
+          sum(dec(col("value"), 4)).over(w).cast("double"))
+        .select("user_id", "event_id", "event_type", "running_value")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Navigation window: lag/lead over each customer's order history.
+    "q_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      rd(s, dir, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // --- sort / limit ----------------------------------------------------
+    "q_sort_limit" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .limit(100)
+    }),
+
+    // --- set operations --------------------------------------------------
+    "q_set_union" -> ((s, dir) => {
+      val a = rd(s, dir, "orders").select(col("o_custkey").as("k"))
+      val b = rd(s, dir, "customer").filter(col("c_acctbal") > 1000)
+        .select(col("c_custkey").as("k"))
+      a.union(b).distinct().orderBy("k")
+    }),
+
+    "q_set_intersect" -> ((s, dir) => {
+      val a = rd(s, dir, "customer").select(col("c_custkey").as("k"))
+      val b = rd(s, dir, "orders").select(col("o_custkey").as("k"))
+      a.intersect(b).orderBy("k")
+    }),
+
+    "q_set_except" -> ((s, dir) => {
+      val a = rd(s, dir, "customer").select(col("c_custkey").as("k"))
+      val b = rd(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("k"))
+      a.except(b).orderBy("k")
+    }),
+
+    // --- scalar functions ------------------------------------------------
+    "q_scalar_fns" -> ((s, dir) => {
+      rd(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_up"),
+          lower(col("p_type")).as("type_lo"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 10).as("name_10"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          abs(col("p_size") - 25).as("size_dist"),
+          dec(col("p_retailprice")).cast("double").as("price2"))
+        .orderBy("p_partkey")
+        .limit(500)
+    }),
+
+    // --- date functions --------------------------------------------------
+    "q_date_agg" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("y", "m")
+    }),
+
+    // --- JSON ------------------------------------------------------------
+    "q_json" -> ((s, dir) => {
+      rdEvents(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          dec(col("value"), 4).as("v"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sum_value"))
+        .orderBy("k")
+    }),
+
+    // --- time-bucketed aggregation (batch form of a tumbling window) -----
+    "q_events_window" -> ((s, dir) => {
+      rdEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"), 4)).cast("double").as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+    }),
+
+    // --- ordered string aggregation --------------------------------------
+    "q_listagg" -> ((s, dir) => {
+      val su = rd(s, dir, "supplier")
+      val n = rd(s, dir, "nation")
+      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(concat_ws(",", array_sort(collect_list(col("s_name"))))
+          .as("suppliers"),
+          count(lit(1)).as("n_supp"))
+        .orderBy("n_name")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        |FROM lineitem""".stripMargin,
+
+    "q_filter_proj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value
+        |FROM events WHERE user_id % 100 = 0
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT o_custkey AS k FROM orders
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+        |ORDER BY k""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |ORDER BY k""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+        |ORDER BY k""".stripMargin,
+
+    "q_scalar_fns" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_up, lower(p_type) AS type_lo,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  substring(p_name, 1, 10) AS name_10,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  abs(p_size - 25) AS size_dist,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price2
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+
+    "q_date_agg" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+
+    "q_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+        |  count(*) AS n_supp
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

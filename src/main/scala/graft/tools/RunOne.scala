@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev helper: run one named query (or a comma list) and dump results +
+  * oracle SQL, for fast iteration with tools/check_oracle.py.
+  * Args: <sfDir> <outDir> <name>[,<name>...] [--explain]
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, names, rest @ _*) = args
+    val explain = rest.contains("--explain")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    val wanted = names.split(',').toSet
+    val sel = graft.SparkEntry.queries.filter(kv => wanted(kv._1))
+    sel.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      if (explain) df.explain("formatted")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(f"[runone] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's t2 correctness gate: load each
+Verify-dumped parquet result, run the paired oracle SQL in DuckDB over the
+same testdata tables, and compare (columns sorted by name, rows sorted,
+values compared exactly; floats compared bit-exactly unless --tol).
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def cmp_cell(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        return a == b
+    except Exception:
+        return str(a) == str(b)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            exp = con.execute(sql).fetchdf()
+            g, e = norm(got), norm(exp)
+            if list(g.columns) != list(e.columns):
+                print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
+                n_fail += 1
+                continue
+            if len(g) != len(e):
+                print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+                n_fail += 1
+                continue
+            bad = None
+            for col in g.columns:
+                gv, ev = list(g[col]), list(e[col])
+                for i, (a, b) in enumerate(zip(gv, ev)):
+                    if not cmp_cell(a, b):
+                        bad = (col, i, a, b)
+                        break
+                if bad:
+                    break
+            if bad:
+                print(f"FAIL {name}: col={bad[0]} row={bad[1]}: got {bad[2]!r} exp {bad[3]!r}")
+                n_fail += 1
+            else:
+                # dtype check (schema-level match)
+                gd = con.execute(f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+                print(f"PASS {name} ({len(g)} rows)")
+                n_pass += 1
+        except Exception as ex:
+            print(f"ERROR {name}: {ex}")
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
