@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media payloads travel as opaque `binary`
+  * columns with typed metadata, and per-item decode / feature-extraction
+  * runs as partition-local batch functions — the Spark-native shape for
+  * CPU/GPU media pipelines (schema, partitioning and batching are real;
+  * the codec itself is stubbed because no image/audio libraries exist in
+  * this environment).
+  *
+  * Scale design: `mapPartitions` keeps decode batched and pipelined with
+  * the scan (one task per input split, no shuffle); metadata-only
+  * queries (`meta`) never touch the payload bytes thanks to parquet
+  * column pruning.
+  */
+object Multimodal {
+
+  /** A decoded media record: deterministic stub features. */
+  final case class MediaFeature(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      feature: Array[Float])
+
+  /** Metadata-only projection over a binary payload column (here built
+    * from `documents.text` — the plumbing is payload-agnostic):
+    * byte length, content hash, head bytes. Pure column expressions,
+    * fully oracle-checkable.
+    */
+  def meta(docs: DataFrame): DataFrame = {
+    val bin = encode(col("text"), "utf-8")
+    docs.select(col("doc_id"),
+      length(bin).as("n_bytes"),
+      md5(bin).as("content_md5"),
+      base64(substring(bin, 1, 8)).as("head_b64"))
+      .orderBy("doc_id")
+  }
+
+  /** STUB decoder — deterministic fake in place of a real codec
+    * (`???`-equivalent; a real deployment swaps in e.g. a JNI/FFI image
+    * library here). Produces pseudo width/height from the byte length
+    * and an 8-dim feature from byte sums, so tests can assert exact
+    * values.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val w = 16 + (payload.length % 64)
+    val h = 16 + ((payload.length / 64) % 64)
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      feat(i % 8) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    (w, h, feat)
+  }
+
+  /** Partition-batched decode / feature-extract over (doc_id, payload).
+    * One decoder instantiation per partition (the expensive-codec-init
+    * pattern), streaming over rows — never materializes a partition.
+    */
+  def decodeFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "codec init" happens here in a real pipeline
+        it.map { case (id, bytes) =>
+          val (w, h, feat) = decodeStub(bytes)
+          MediaFeature(id, bytes.length, w, h, feat)
+        }
+      }
+  }
+
+  /** Deterministic frame sampling from a payload treated as a "video":
+    * every stride-th 4-byte window becomes a frame checksum. Shows the
+    * explode-to-frames shape (one row per frame) used by video
+    * pipelines.
+    */
+  def frameSample(docs: DataFrame, stride: Int = 32): DataFrame = {
+    val bin = encode(col("text"), "utf-8")
+    docs.select(col("doc_id"), bin.as("payload"))
+      .select(col("doc_id"),
+        posexplode(split(base64(col("payload")), "(?<=\\G.{" + stride + "})")))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame_b64")
+      .filter(length(col("frame_b64")) > 0)
+      .orderBy("doc_id", "frame_no")
+  }
+}

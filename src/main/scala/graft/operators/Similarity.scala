@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>). Two paths:
+  *
+  *  - `bruteTopK`: exact top-k cosine against a query vector — a single
+  *    scan + codegen'd dot product + top-k sort. At 100 TB this is one
+  *    map stage plus a tiny TakeOrdered; it parallelizes perfectly and
+  *    is the correctness baseline.
+  *  - `lshTopK`: sign-LSH bucketed search — candidates restricted to the
+  *    query's bucket (signs of the first 8 dimensions as fixed
+  *    hyperplanes). At scale the bucket column is a partition/cluster
+  *    key, so a query touches 1/256th of the data. Deterministic (no
+  *    RNG) so the oracle can replay it exactly.
+  */
+object Similarity {
+
+  /** Sign-LSH bucket id: bit i of the bucket is [embedding[i+1] > 0]. */
+  private def bucketCol(emb: org.apache.spark.sql.Column) =
+    (0 until 8).map { i =>
+      when(element_at(emb, i + 1) > 0f, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Exact top-k by cosine against the embedding of `queryId`.
+    * The 1-row query side is broadcast — no shuffle of the corpus.
+    */
+  def bruteTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 20): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Bucketed ANN: search only the query's sign-LSH bucket. */
+  def lshTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val withBucket = emb.withColumn("bucket", bucketCol(col("embedding")))
+    val q = withBucket.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("bucket"))
+    withBucket.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

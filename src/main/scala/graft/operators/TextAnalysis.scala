@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+
+/** Text-analysis operators for a training-data pipeline: corpus stats,
+  * tokenization counts, quality scoring, marker-based language ID, and
+  * rolling-hash document fingerprints. All pure column expressions —
+  * codegen'd, no UDFs, linear scans that scale horizontally.
+  */
+object TextAnalysis {
+
+  /** Per-language corpus statistics. */
+  def stats(docs: DataFrame): DataFrame =
+    docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("total_chars"),
+      min("n_chars").as("min_chars"),
+      max("n_chars").as("max_chars"),
+      countDistinct("source").as("n_sources"))
+      .orderBy("lang")
+
+  /** Token counts per document: whitespace tokens + a BPE-ish regex
+    * tokenizer (letter runs | digit runs | single punctuation).
+    */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+        .as("n_bpe_tokens"),
+      col("n_chars"))
+      .orderBy("doc_id")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality signals per document: length, alpha ratio, stopword ratio,
+    * mean token length. Ratios are single int/int divisions — identical
+    * IEEE doubles in Spark and DuckDB.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val nTok = size(words)
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val stop = size(filter(words,
+      w => stopwords.map(s => w === s).reduce(_ || _)))
+    docs.select(col("doc_id"),
+      nTok.as("n_tokens"),
+      (alpha.cast("double") / col("n_chars")).as("alpha_ratio"),
+      (stop.cast("double") / nTok).as("stopword_ratio"),
+      ((col("n_chars") - nTok + 1).cast("double") / nTok).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "\\bthe\\b", "de" -> "\\bder\\b", "es" -> "\\bel\\b",
+    "fr" -> "\\ble\\b", "zh" -> "\\bde\\b")
+
+  /** Marker-word language ID heuristic: count distinctive stopwords per
+    * language, predict the max (fixed precedence on ties, 'und' when no
+    * marker hits). A real pipeline would use an n-gram model; the
+    * machinery (per-language scoring + argmax) is the same.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val counts = markers.map { case (l, re) =>
+      regexp_count(col("text"), lit(re)).as(s"c_$l")
+    }
+    val withCounts = docs.select((col("doc_id") +: col("lang") +: counts): _*)
+    val langs = markers.map(_._1)
+    def cAll(l: String): Column = col(s"c_$l")
+    // argmax with deterministic precedence = declaration order
+    val pred = langs.foldRight(lit("und")) { (l, els) =>
+      when(cAll(l) > 0 &&
+        langs.filter(_ != l).map(o => cAll(l) >= cAll(o)).reduce(_ && _),
+        lit(l)).otherwise(els)
+    }
+    withCounts.select(col("doc_id"), col("lang"), pred.as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash fingerprint of the normalized text (portable modular
+    * arithmetic — see TextHash.rollingHash).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextHash.rollingHash(Dedup.normalize(col("text"))).as("fp"))
+      .orderBy("doc_id")
+}

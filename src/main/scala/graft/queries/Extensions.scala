@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Util._
+
+/** North-star extension operators (SURVEY.md §2.7): dedup, similarity
+  * search, text analysis, multimodal columns — each with a DuckDB oracle
+  * that replays the identical deterministic algorithm (shared md5 /
+  * modular rolling-hash / fixed LSH planes, no RNG anywhere).
+  */
+object Extensions {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(rd(s, dir, "documents"))),
+    "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprint(rd(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(rd(s, dir, "documents"))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(rd(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(rd(s, dir, "documents"))),
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosine(rd(s, dir, "embeddings"))),
+    "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rd(s, dir, "embeddings"))),
+    "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"))),
+    "text_stats" -> ((s, dir) => TextAnalysis.stats(rd(s, dir, "documents"))),
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokens(rd(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(rd(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) => TextAnalysis.langId(rd(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(rd(s, dir, "documents"))),
+    "multimodal_meta" -> ((s, dir) => Multimodal.meta(rd(s, dir, "documents")))
+  )
+
+  // ---- shared DuckDB fragments ------------------------------------------
+
+  /** DuckDB twin of Dedup.normalize. */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB twin of TextHash.rollingHash applied to expression `e`. */
+  private def rollSql(e: String): String =
+    s"""(CASE WHEN length($e) = 0 THEN 0 ELSE
+       | list_reduce(list_transform(string_split($e, ''),
+       |   c -> CAST(unicode(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)
+       | END)""".stripMargin
+
+  /** DuckDB 4-gram shingle list from a words list `w`. */
+  private val shinglesSql =
+    "[array_to_string(w[i:i+3], ' ') for i in range(1, len(w) - 2)]"
+
+  /** DuckDB cosine between DOUBLE[] columns `a` and `b` with the same
+    * operation order as VectorOps (left-to-right product sum, then
+    * sqrt-norm division).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) /
+       | (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) *
+       |  sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))))""".stripMargin
+
+  private val minhashSigCols = graft.functions.TextHash.minhashSeeds
+    .zipWithIndex.map { case ((a, b), j) =>
+      s"min((h * $a + $b) % 1000000007) AS s$j"
+    }.mkString(", ")
+
+  private val bandsSql = (0 until 4).map { bnd =>
+    val key = (0 until 4).map(r => s"s${bnd * 4 + r}").mkString(" || ':' || ")
+    s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
+  }.mkString(" UNION ALL ")
+
+  private val simhashBitsSql = (0 until 32).map { i =>
+    s"(CASE WHEN 2 * list_sum(list_transform(hs, v -> (v >> $i) % 2)) > len(hs) THEN ${1L << i} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val lshBucketSql = (0 until 8).map { i =>
+    s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val langCmp: Seq[(String, String)] = Seq(
+    "en" -> "\\bthe\\b", "de" -> "\\bder\\b", "es" -> "\\bel\\b",
+    "fr" -> "\\ble\\b", "zh" -> "\\bde\\b")
+
+  private val langCountsSql = langCmp.map { case (l, re) =>
+    s"len(regexp_extract_all(text, '$re')) AS c_$l"
+  }.mkString(", ")
+
+  private val langCaseSql = {
+    val langs = langCmp.map(_._1)
+    langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"c_$l >= c_$o").mkString(" AND ")
+      s"WHEN c_$l > 0 AND $geAll THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "dedup_fingerprint" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+         |FROM f GROUP BY fp ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+         |       FROM t WHERE len(w) >= 4),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, sa.sz AS size_a, sb.sz AS size_b
+         |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+         |       JOIN sz sb ON p.doc_b = sb.doc_id
+         |WHERE shared / (sa.sz + sb.sz - shared) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+         |        FROM t WHERE len(w) >= 4),
+         |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |wh AS (SELECT doc_id, list_transform(w, x -> ${rollSql("x")}) AS hs FROM t),
+         |sim AS (SELECT doc_id, $simhashBitsSql AS sim FROM wh)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |FROM e, q WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |             $lshBucketSql AS bucket FROM embeddings),
+         |q AS (SELECT v AS qv, bucket FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH q AS (SELECT doc_id, n_chars,
+        |    string_split_regex(trim(text), '\s+') AS w,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','of','and','to','in','is'], x))) AS stop
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CAST(alpha AS DOUBLE) / n_chars AS alpha_ratio,
+        |  CAST(stop AS DOUBLE) / len(w) AS stopword_ratio,
+        |  CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w) AS mean_token_len
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH c AS (SELECT doc_id, lang, $langCountsSql FROM documents)
+         |SELECT doc_id, lang, $langCaseSql AS predicted
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${rollSql(normSql)} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  to_base64(encode(substring(text, 1, 8))) AS head_b64
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -9,7 +9,8 @@ object Registry {
   private def families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Generated.queries, Generated.oracleSql),
-      (Relational.queries, Relational.oracleSql)
+      (Relational.queries, Relational.oracleSql),
+      (Extensions.queries, Extensions.oracleSql)
     )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

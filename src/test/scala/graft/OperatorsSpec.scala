@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{HashExprs, TextHash, VectorOps}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unit tests for the extension operators (dedup / similarity / text /
+  * multimodal) on small crafted inputs with hand-computed expectations.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("n_chars", length($"text"))
+
+  test("polyHash matches the reference fold (base 31 mod 1e9+7)") {
+    // independently computed: fold of 'hello world' == 204910434
+    assert(HashExprs.polyHash(UTF8String.fromString("hello world")) == 204910434L)
+    val got = Seq("hello world").toDF("s")
+      .select(TextHash.rollingHash($"s")).head().getLong(0)
+    assert(got == 204910434L)
+    // empty string hashes to the fold seed
+    assert(HashExprs.polyHash(UTF8String.fromString("")) == 0L)
+  }
+
+  test("shingles produces word n-grams; short docs produce none") {
+    val got = Seq("a b c d e").toDF("t")
+      .select(TextHash.shingles(split($"t", " "), 4)).head().getSeq[String](0)
+    assert(got == Seq("a b c d", "b c d e"))
+    val short = Seq("a b c").toDF("t")
+      .select(TextHash.shingles(split($"t", " "), 4)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup keeps min doc_id per text") {
+    val d = docs((1L, "x y"), (2L, "x y"), (3L, "z"))
+    val got = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("fingerprint dedup unifies case/punctuation variants") {
+    val d = docs((1L, "Hello, World!"), (2L, "hello   world"), (3L, "bye"))
+    val got = Dedup.fingerprint(d).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 3L)) // 1 and 2 collapse
+  }
+
+  test("ngram jaccard finds an edited near-duplicate") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val edited = base.replace("w30", "x30")
+    val d = docs((10L, base), (20L, edited), (30L, "other doc entirely " * 5))
+    val got = Dedup.ngramJaccard(d, n = 4, tau = 0.8).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
+    val r = got.head
+    // 27 shingles each; only the final shingle contains the edited last
+    // word, so 26 are shared -> J = 26/28 = 0.93
+    assert(r.getLong(2) == 26L && r.getLong(3) == 27L && r.getLong(4) == 27L)
+  }
+
+  test("minhash LSH catches identical docs and skips disjoint ones") {
+    val base = (1 to 40).map(i => s"t$i").mkString(" ")
+    val other = (1 to 40).map(i => s"u$i").mkString(" ")
+    val d = docs((1L, base), (2L, base), (3L, other))
+    val got = Dedup.minhashLsh(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash distance 0 for identical docs") {
+    val base = (1 to 40).map(i => s"t$i").mkString(" ")
+    val d = docs((1L, base), (2L, base))
+    val got = Dedup.simhashPairs(d, maxDist = 0).collect()
+    assert(got.length == 1 && got.head.getInt(2) == 0)
+  }
+
+  test("dot product and cosine are exact") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    assert(df.select(VectorOps.dot($"a", $"b")).head().getDouble(0) == 32.0)
+    val cos = df.select(VectorOps.cosine($"a", $"a")).head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
+  test("embedding cosine pairs: duplicate vector found, orthogonal not") {
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingCosine(e, tau = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force top-k: nearest is the duplicate of the query vector") {
+    val e = Seq(
+      (0L, Array(1f, 1f, 0f), 0), (1L, Array(1f, 1f, 0f), 0),
+      (2L, Array(1f, 0f, 0f), 1), (3L, Array(-1f, -1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.bruteTopK(e, queryId = 0L, k = 2).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.head.getDouble(2) == 1.0)
+  }
+
+  test("langId predicts marker languages with fixed tie precedence") {
+    val d = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "der hund und der baum", "de"),
+      (3L, "no markers here", "xx"))
+      .toDF("doc_id", "text", "lang").withColumn("n_chars", length($"text"))
+    val got = TextAnalysis.langId(d).collect().map(_.getString(2))
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("multimodal decode stub is deterministic and batched") {
+    val d = docs((1L, "abcd"), (2L, "efgh ijkl"))
+    val got = Multimodal.decodeFeatures(spark, d).collect().sortBy(_.doc_id)
+    assert(got.length == 2)
+    assert(got(0).n_bytes == 4 && got(0).width == 16 + 4)
+    val (w, h, feat) = Multimodal.decodeStub("abcd".getBytes("UTF-8"))
+    assert(got(0).width == w && got(0).height == h)
+    assert(got(0).feature.sameElements(feat))
+  }
+
+  test("frame sampling explodes payload into ordered frames") {
+    val d = docs((1L, "x" * 100))
+    val got = Multimodal.frameSample(d, stride = 32).collect()
+    assert(got.length > 1)
+    assert(got.map(_.getInt(1)).toSeq == got.indices)
+  }
+}
