@@ -89,4 +89,60 @@ object Mor {
     */
   def mergedCount(spark: SparkSession, root: String, ns: String,
       table: String): Long = read(spark, root, ns, table).count()
+
+  /** Snapshot time travel: the MOR view as of manifest version
+    * `asOfVersion` — deletes committed after that snapshot are ignored
+    * (Iceberg `VERSION AS OF` semantics; the reference's three commits
+    * make versions 1/2/3 observable states of the same table).
+    */
+  def readAt(spark: SparkSession, root: String, ns: String, table: String,
+      asOfVersion: Long): DataFrame = {
+    val dir = TableIO.tableDir(root, ns, table)
+    val entries = TableIO.readManifestAt(root, ns, table, asOfVersion)
+    def files(content: String) =
+      entries.filter(_.content == content)
+        .map(e => (dir.resolve(e.path).toString, e.seq))
+    val dataFiles = files("data")
+    require(dataFiles.nonEmpty, s"no data files at version $asOfVersion")
+    var df = spark.read
+      .schema(graft.sources.FixSchemaGen.dataSchema)
+      .parquet(dataFiles.map(_._1): _*)
+      .select(col("*"),
+        concat(lit("data/"),
+          element_at(split(col("_metadata.file_path"), "/"), -1)).as("_file"),
+        col("_metadata.row_index").as("_pos"))
+    val pos = files("pos_delete")
+    if (pos.nonEmpty) {
+      val pd = spark.read.parquet(pos.map(_._1): _*)
+      df = df.join(pd,
+        df("_file") === pd("file_path") && df("_pos") === pd("pos"), "left_anti")
+    }
+    val eq = files("eq_delete")
+    if (eq.nonEmpty) {
+      val ed = spark.read.parquet(eq.map(_._1): _*)
+      df = df.join(ed, Seq("foo", "bar"), "left_anti")
+    }
+    df.select("foo", "bar", "baz")
+  }
+
+  /** Incremental read: rows appended between two snapshot versions
+    * (Iceberg incremental scan). With the reference workload only
+    * version 1 appends data, so (0, 1] is the whole table and (1, 3]
+    * is empty — general tables see per-commit increments.
+    */
+  def readIncremental(spark: SparkSession, root: String, ns: String,
+      table: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    val dir = TableIO.tableDir(root, ns, table)
+    val before = TableIO.readManifestAt(root, ns, table, fromVersion)
+      .filter(_.content == "data").map(_.path).toSet
+    val added = TableIO.readManifestAt(root, ns, table, toVersion)
+      .filter(e => e.content == "data" && !before.contains(e.path))
+    if (added.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.sources.FixSchemaGen.dataSchema)
+    } else {
+      spark.read.schema(graft.sources.FixSchemaGen.dataSchema)
+        .parquet(added.map(e => dir.resolve(e.path).toString): _*)
+    }
+  }
 }

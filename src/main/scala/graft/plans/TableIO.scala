@@ -100,10 +100,14 @@ object TableIO {
     v + 1
   }
 
-  def readManifest(root: String, ns: String, table: String): Seq[ManifestEntry] = {
+  def readManifest(root: String, ns: String, table: String): Seq[ManifestEntry] =
+    readManifestAt(root, ns, table, currentVersion(root, ns, table))
+
+  /** The manifest as of a specific snapshot version (time travel). */
+  def readManifestAt(root: String, ns: String, table: String,
+      version: Long): Seq[ManifestEntry] = {
     val dir = tableDir(root, ns, table)
-    val v = currentVersion(root, ns, table)
-    val f = dir.resolve(s"manifest/v$v.json")
+    val f = dir.resolve(s"manifest/v$version.json")
     if (!Files.isRegularFile(f)) Seq.empty
     else Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map(entryFromJson)
   }

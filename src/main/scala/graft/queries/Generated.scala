@@ -53,6 +53,26 @@ object Generated {
       Mor.read(s, r, cfg.namespace, cfg.tableName)
         .agg(count(lit(1)).as("surviving"))
     }),
+    // Snapshot time travel: the MOR view as of each of the three commits
+    // (v1 data-only: N rows; v2 +pos-deletes: N-P; v3 +eq-deletes: N-P-E).
+    "gen_timetravel" -> ((s, dir) => {
+      val r = root(s, dir)
+      (1L to 3L).map { v =>
+        Mor.readAt(s, r, cfg.namespace, cfg.tableName, v)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(v.toInt).as("version"), col("n_rows"))
+      }.reduce(_ union _).orderBy("version")
+    }),
+    // Incremental scan between snapshots: only commit 1 appends data.
+    "gen_incremental" -> ((s, dir) => {
+      val r = root(s, dir)
+      Seq((0L, 1L), (1L, 3L)).map { case (from, to) =>
+        Mor.readIncremental(s, r, cfg.namespace, cfg.tableName, from, to)
+          .agg(count(lit(1)).as("n_added"))
+          .select(lit(from.toInt).as("from_v"), lit(to.toInt).as("to_v"),
+            col("n_added"))
+      }.reduce(_ union _).orderBy("from_v")
+    }),
     // K3/K6 metadata: per-content file counts + record counts from the
     // committed manifest (what Iceberg's `files` metadata table reports).
     "gen_manifest" -> ((s, dir) => {
@@ -80,6 +100,15 @@ object Generated {
          |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
     "mor_summary" ->
       s"SELECT count(*) AS surviving FROM range(${P + E}, $N)",
+    "gen_timetravel" ->
+      s"""SELECT CAST(version AS INTEGER) AS version, CAST(n_rows AS BIGINT) AS n_rows
+         |FROM (VALUES (1, $N), (2, ${N - P}), (3, ${N - P - E})) AS t(version, n_rows)
+         |ORDER BY version""".stripMargin,
+    "gen_incremental" ->
+      s"""SELECT CAST(from_v AS INTEGER) AS from_v, CAST(to_v AS INTEGER) AS to_v,
+         |       CAST(n_added AS BIGINT) AS n_added
+         |FROM (VALUES (0, 1, $N), (1, 3, 0)) AS t(from_v, to_v, n_added)
+         |ORDER BY from_v""".stripMargin,
     "gen_manifest" ->
       s"""SELECT content, CAST(n_files AS BIGINT) AS n_files, CAST(n_rows AS BIGINT) AS n_rows
          |FROM (VALUES ('data', ${cfg.data.fileCount}, $N),

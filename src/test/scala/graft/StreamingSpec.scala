@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Event, SessionOut}
+
+/** Structured Streaming specs: the incremental windowed aggregation must
+  * agree with its batch twin on the same bounded input, and the stateful
+  * sessionizer must split on time gaps across micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("streaming windowed agg equals the batch aggregation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = EventsStream.runWindowedOverParquet(spark, sfDir, "ws_spec")
+      .orderBy("bucket", "event_type")
+      .collect()
+    val batch = graft.queries.Util.rdEvents(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy("bucket", "event_type")
+      .collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("sessionize splits on gaps and accumulates state") {
+    val m = 60L * 1000000L // one minute in micros
+    val events = Seq(
+      Event(1, 10, 0 * m, 1.0), Event(2, 10, 1 * m, 2.0),
+      Event(3, 10, 45 * m, 4.0), // 44-min gap -> closes session 1
+      Event(4, 20, 0 * m, 8.0)).toDS()
+    val out = EventsStream.sessionize(events, gapMicros = 30 * m).collect()
+    // only the closed session is emitted; open sessions stay in state
+    assert(out.toSeq == Seq(SessionOut(10, 2, 3.0)))
+  }
+}
