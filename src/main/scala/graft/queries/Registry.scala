@@ -10,6 +10,7 @@ object Registry {
     Seq(
       (Generated.queries, Generated.oracleSql),
       (Relational.queries, Relational.oracleSql),
+      (SqlSurface.queries, SqlSurface.oracleSql),
       (Extensions.queries, Extensions.oracleSql)
     )
 

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import Util._
+
+/** SQL-expressed operator surface: correlated/IN subqueries, CTEs,
+  * grouping sets, array and null-handling functions. These run through
+  * `spark.sql` over temp views — the same Catalyst plans the DataFrame
+  * API produces, exercising the engine's SQL front door.
+  */
+object SqlSurface {
+
+  private def views(s: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(t => rd(s, dir, t).createOrReplaceTempView(t))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Correlated scalar subquery per outer row.
+    "q_subquery_scalar" -> ((s, dir) => {
+      views(s, dir, "customer", "orders")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+          |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin)
+    }),
+
+    // IN subquery (planned as a semi join).
+    "q_in_subquery" -> ((s, dir) => {
+      views(s, dir, "lineitem", "part")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n
+          |FROM lineitem
+          |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // CTE + having (TPC-H Q15 shape: top revenue suppliers).
+    "q_cte" -> ((s, dir) => {
+      views(s, dir, "lineitem", "supplier")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+          |      AS total_revenue
+          |  FROM lineitem GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue > (SELECT 0.8 * max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // Explicit GROUPING SETS with grouping_id disambiguation.
+    "q_grouping_sets" -> ((s, dir) => {
+      views(s, dir, "orders")
+      s.sql(
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          |  COALESCE(o_orderpriority, 'ALL') AS priority,
+          |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+          |  count(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
+    // Array functions over the embedding column (size, indexing,
+    // min/max — float-exact in both engines).
+    "q_array_fns" -> ((s, dir) => {
+      views(s, dir, "embeddings")
+      s.sql(
+        """SELECT vec_id,
+          |  size(embedding) AS dim,
+          |  CAST(element_at(embedding, 1) AS DOUBLE) AS first_elem,
+          |  CAST(array_max(embedding) AS DOUBLE) AS max_elem,
+          |  CAST(array_min(embedding) AS DOUBLE) AS min_elem
+          |FROM embeddings ORDER BY vec_id LIMIT 500""".stripMargin)
+    }),
+
+    // Null-handling scalar functions.
+    "q_null_fns" -> ((s, dir) => {
+      views(s, dir, "orders")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  count(nullif(o_orderstatus, 'O')) AS n_not_open,
+          |  count(*) - count(nullif(o_orderstatus, 'O')) AS n_open,
+          |  CAST(sum(CASE WHEN coalesce(nullif(o_orderstatus, 'F'), 'x') = 'x'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_subquery_scalar" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_cte" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue > (SELECT 0.8 * max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_array_fns" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+        |  CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+        |  CAST(list_min(embedding) AS DOUBLE) AS min_elem
+        |FROM embeddings ORDER BY vec_id LIMIT 500""".stripMargin,
+
+    "q_null_fns" ->
+      """SELECT o_orderpriority,
+        |  count(nullif(o_orderstatus, 'O')) AS n_not_open,
+        |  count(*) - count(nullif(o_orderstatus, 'O')) AS n_open,
+        |  CAST(sum(CASE WHEN coalesce(nullif(o_orderstatus, 'F'), 'x') = 'x'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}
