@@ -30,7 +30,7 @@ object Mor {
     val dataFiles = TableIO.filesOf(root, ns, table, "data")
     require(dataFiles.nonEmpty, s"no data files in $ns.$table")
     val df = spark.read
-      .schema(graft.sources.FixSchemaGen.dataSchema)
+      .schema(TableIO.readSchema(root, ns, table))
       .parquet(dataFiles.map(_._1): _*)
       .select(col("*"),
         // file name is unique within a table, so `data/<name>` equals the
@@ -74,14 +74,17 @@ object Mor {
 
     // R3: equality deletes remove rows whose identifier columns match a
     // delete row with a STRICTLY higher sequence (Iceberg v2 semantics).
+    // The delete files' own columns ARE the identifier set (the Iceberg
+    // equality_ids contract), so the join keys come from their schema.
     readDeletes(spark, root, ns, table, "eq_delete").foreach { ed =>
-      df = df.join(ed,
-        df("foo") === ed("foo") && df("bar") === ed("bar") &&
-          df("_seq") < ed("_dseq"),
-        "left_anti")
+      val keys = ed.columns.filterNot(_ == "_dseq")
+      val cond = keys.map(k => df(k) === ed(k)).reduce(_ && _) &&
+        df("_seq") < ed("_dseq")
+      df = df.join(ed, cond, "left_anti")
     }
 
-    df.select("foo", "bar", "baz")
+    val cols = TableIO.readSchema(root, ns, table).fieldNames
+    df.select(cols.head, cols.tail: _*)
   }
 
   /** R4: the merged count — what `print_summary` predicts arithmetically
@@ -105,7 +108,7 @@ object Mor {
     val dataFiles = files("data")
     require(dataFiles.nonEmpty, s"no data files at version $asOfVersion")
     var df = spark.read
-      .schema(graft.sources.FixSchemaGen.dataSchema)
+      .schema(TableIO.readSchema(root, ns, table))
       .parquet(dataFiles.map(_._1): _*)
       .select(col("*"),
         concat(lit("data/"),
@@ -120,9 +123,10 @@ object Mor {
     val eq = files("eq_delete")
     if (eq.nonEmpty) {
       val ed = spark.read.parquet(eq.map(_._1): _*)
-      df = df.join(ed, Seq("foo", "bar"), "left_anti")
+      df = df.join(ed, ed.columns.toSeq, "left_anti")
     }
-    df.select("foo", "bar", "baz")
+    val cols = TableIO.readSchema(root, ns, table).fieldNames
+    df.select(cols.head, cols.tail: _*)
   }
 
   /** Incremental read: rows appended between two snapshot versions
@@ -137,11 +141,12 @@ object Mor {
       .filter(_.content == "data").map(_.path).toSet
     val added = TableIO.readManifestAt(root, ns, table, toVersion)
       .filter(e => e.content == "data" && !before.contains(e.path))
+    val schema = TableIO.readSchema(root, ns, table)
     if (added.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        graft.sources.FixSchemaGen.dataSchema)
+        schema)
     } else {
-      spark.read.schema(graft.sources.FixSchemaGen.dataSchema)
+      spark.read.schema(schema)
         .parquet(added.map(e => dir.resolve(e.path).toString): _*)
     }
   }

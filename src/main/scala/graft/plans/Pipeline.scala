@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.{FixSchemaGen, GenConfig}
+import graft.sources.{DataGenerator, FixSchemaGen, FixSchemaGenerator, GenConfig}
 
 /** The reference's `prepare` pipeline (`main.rs:347-377`) re-expressed on
   * Spark: three phases, one snapshot commit per phase.
@@ -27,16 +27,17 @@ object Pipeline {
   }
 
   /** Full `prepare` (`main.rs:347-377`). Returns the final snapshot version. */
-  def prepare(spark: SparkSession, root: String, cfg: GenConfig): Long = {
+  def prepare(spark: SparkSession, root: String, cfg: GenConfig,
+      gen: DataGenerator = FixSchemaGenerator): Long = {
     val (ns, t) = (cfg.namespace, cfg.tableName)
     TableIO.createNamespace(root, ns) // D1 (idempotent; reference is not)
-    TableIO.createTableIfNotExists(root, ns, t, FixSchemaGen.dataSchema) // D2
+    TableIO.createTableIfNotExists(root, ns, t, gen.schema) // D2
 
     // Phase 1: data files, one fast_append commit (`main.rs:125-158`).
     val rpf = cfg.data.rowsPerFile
     val dataEntries = (0 until cfg.data.fileCount).map { i =>
       TableIO.writeExactFile(spark, root, ns, t, FixSchemaGen.dataFilePath(i),
-        FixSchemaGen.dataFile(spark, i, rpf), "data", seq = 1L,
+        gen.dataFile(spark, i, rpf), "data", seq = 1L,
         recordCount = rpf)
     }
     TableIO.commit(root, ns, t, dataEntries)
@@ -44,7 +45,7 @@ object Pipeline {
     // Phase 2: sorted positional deletes (`main.rs:163-216`): the sorted
     // global delete set split into files of <= pos.rowsPerFile rows
     // (the SortPositionDeleteWriter `cache_num` cap, `main.rs:196`).
-    val posAll = FixSchemaGen.posDeletes(spark, cfg)
+    val posAll = gen.posDeletes(spark, cfg)
     val pRpf = cfg.posDelete.rowsPerFile
     val pTotal = cfg.actualPosDeletes
     val pFiles = if (pTotal == 0 || pRpf == 0) 0 else ((pTotal + pRpf - 1) / pRpf).toInt
@@ -72,8 +73,7 @@ object Pipeline {
     val eqEntries = (0 until eFiles).map { i =>
       val lo = start + i * eRpf
       val hi = math.min(start + (i + 1) * eRpf, start + eTotal)
-      val slice = FixSchemaGen.eqDeletes(spark, cfg)
-        .filter(org.apache.spark.sql.functions.col("bar").between(lo, hi - 1))
+      val slice = gen.eqDeleteKeys(spark, lo, hi)
       TableIO.writeExactFile(spark, root, ns, t,
         FixSchemaGen.eqDeleteFilePath(i), slice, "eq_delete", seq = 3L,
         recordCount = hi - lo)

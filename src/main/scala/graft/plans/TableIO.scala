@@ -79,6 +79,13 @@ object TableIO {
   def dropNamespace(root: String, ns: String): Unit =
     deleteRecursively(Paths.get(root, ns))
 
+  /** The table schema persisted at DDL time (D2). */
+  def readSchema(root: String, ns: String, table: String): StructType = {
+    val f = tableDir(root, ns, table).resolve("schema.json")
+    org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+      .asInstanceOf[StructType]
+  }
+
   def currentVersion(root: String, ns: String, table: String): Long = {
     val hint = tableDir(root, ns, table).resolve("version-hint.text")
     if (Files.isRegularFile(hint)) Files.readString(hint).trim.toLong else 0L

@@ -25,7 +25,20 @@ object Extensions {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(rd(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(rd(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(rd(s, dir, "documents"))),
-    "multimodal_meta" -> ((s, dir) => Multimodal.meta(rd(s, dir, "documents")))
+    "multimodal_meta" -> ((s, dir) => Multimodal.meta(rd(s, dir, "documents"))),
+    // Per-label embedding aggregate (IVF-centroid building block):
+    // exact decimal per-dimension sums published as double + counts.
+    "q_centroid" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      rd(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "e")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(col("e").cast("double").cast("decimal(28,10)"))
+            .cast("double").as("sum_e"))
+        .orderBy("label", "pos")
+    })
   )
 
   // ---- shared DuckDB fragments ------------------------------------------
@@ -191,6 +204,12 @@ object Extensions {
     "text_fingerprint" ->
       s"""SELECT doc_id, ${rollSql(normSql)} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_centroid" ->
+      """SELECT label, CAST(i AS INTEGER) AS pos, count(*) AS n,
+        |  CAST(sum(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sum_e
+        |FROM embeddings, range(0, 8) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,
