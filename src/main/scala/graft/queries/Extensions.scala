@@ -38,6 +38,28 @@ object Extensions {
           sum(col("e").cast("double").cast("decimal(28,10)"))
             .cast("double").as("sum_e"))
         .orderBy("label", "pos")
+    }),
+    // As-of join: for each click, the user's most recent purchase value
+    // (ordered by event_id — unique, so deterministic in both engines).
+    "q_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = rdEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "value")
+      graft.operators.AsofJoin.join(clicks, purchases,
+        "user_id", "event_id", "value")
+        .orderBy("event_id")
+    }),
+    // Higher-order array functions over embeddings (exact int/bool out).
+    "q_hof" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      rd(s, dir, "embeddings").select(col("vec_id"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+        size(filter(col("embedding"), x => abs(x) > 0.1f)).as("n_big"),
+        exists(col("embedding"), x => x > 0.3f).as("any_gt03"))
+        .orderBy("vec_id")
     })
   )
 
@@ -204,6 +226,23 @@ object Extensions {
     "text_fingerprint" ->
       s"""SELECT doc_id, ${rollSql(normSql)} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_asof" ->
+      """SELECT a.user_id, a.event_id, b.value AS asof_value,
+        |  b.event_id AS asof_event_id
+        |FROM (SELECT user_id, event_id FROM events WHERE event_type = 'click') a
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, event_id, value FROM events
+        |   WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND a.event_id >= b.event_id
+        |ORDER BY a.event_id""".stripMargin,
+
+    "q_hof" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  CAST(len(list_filter(embedding, x -> abs(x) > CAST(0.1 AS FLOAT))) AS INTEGER) AS n_big,
+        |  len(list_filter(embedding, x -> x > CAST(0.3 AS FLOAT))) > 0 AS any_gt03
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_centroid" ->
       """SELECT label, CAST(i AS INTEGER) AS pos, count(*) AS n,
