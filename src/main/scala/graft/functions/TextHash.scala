@@ -42,6 +42,13 @@ object TextHash {
         i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Rolling-hashed shingles (array<bigint>): hashing each n-gram inside
+    * the array transform avoids materializing / pairwise-comparing big
+    * string arrays downstream — dedup on longs is a hash aggregate.
+    */
+  def shingleHashes(words: Column, n: Int): Column =
+    HashFunctions.shingleHashes(words, n)
+
   /** 32-bit SimHash from an array of word hashes: bit i is set iff
     * sum over words of (bit_i(h) ? 1 : -1) > 0. Expressed with
     * higher-order functions only, so the oracle can mirror it.

@@ -135,8 +135,9 @@ object Extensions {
 
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
-         |       FROM t WHERE len(w) >= 4),
+         |shs AS (SELECT doc_id, unnest($shinglesSql) AS sh_str
+         |        FROM t WHERE len(w) >= 4),
+         |sh AS (SELECT DISTINCT doc_id, ${rollSql("sh_str")} AS sh FROM shs),
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
          |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -10,9 +10,10 @@ object RunOne {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, names, rest @ _*) = args
     val explain = rest.contains("--explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
