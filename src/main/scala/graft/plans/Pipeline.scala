@@ -34,11 +34,20 @@ object Pipeline {
     TableIO.createTableIfNotExists(root, ns, t, gen.schema) // D2
 
     // Phase 1: data files, one fast_append commit (`main.rs:125-158`).
+    // Files are independent, so the per-file write jobs run concurrently
+    // (the reference writes strictly sequentially, `main.rs:128`).
     val rpf = cfg.data.rowsPerFile
-    val dataEntries = (0 until cfg.data.fileCount).map { i =>
-      TableIO.writeExactFile(spark, root, ns, t, FixSchemaGen.dataFilePath(i),
-        gen.dataFile(spark, i, rpf), "data", seq = 1L,
-        recordCount = rpf)
+    val dataEntries = {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence((0 until cfg.data.fileCount).toVector.map { i =>
+          Future(TableIO.writeExactFile(spark, root, ns, t,
+            FixSchemaGen.dataFilePath(i), gen.dataFile(spark, i, rpf),
+            "data", seq = 1L, recordCount = rpf))
+        }),
+        Duration.Inf)
     }
     TableIO.commit(root, ns, t, dataEntries)
 
@@ -81,5 +90,54 @@ object Pipeline {
     if (eqEntries.nonEmpty) TableIO.commit(root, ns, t, eqEntries)
 
     TableIO.currentVersion(root, ns, t)
+  }
+
+  /** The 100 TB write path for phase 1: ONE Spark job materializes every
+    * data file — `allData` is shuffled once on the file index
+    * (`repartition(col)` co-locates each file's rows in one task),
+    * sorted within partitions so file contents are byte-identical to the
+    * per-file path, and written with `partitionBy`. The driver then only
+    * renames O(#files) outputs into the reference naming scheme and
+    * commits the manifest. Per-file jobs cost O(files) scheduling
+    * round-trips; this path costs one.
+    */
+  def prepareBulkData(spark: SparkSession, root: String, cfg: GenConfig,
+      gen: DataGenerator = FixSchemaGenerator): Long = {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val (ns, t) = (cfg.namespace, cfg.tableName)
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, t, gen.schema)
+
+    val rpf = cfg.data.rowsPerFile
+    val dir = TableIO.tableDir(root, ns, t)
+    val stage = Files.createTempDirectory(dir, ".bulk")
+    try {
+      // The general contract: dataFile(i) rows belong to file i. Tag and
+      // union keeps that mapping explicitly with a literal per branch.
+      val tagged = (0 until cfg.data.fileCount).map { i =>
+        gen.dataFile(spark, i, rpf).withColumn("_file", lit(i))
+      }.reduce(_ unionByName _)
+      tagged
+        .repartition(col("_file"))
+        .sortWithinPartitions(gen.schema.fieldNames.head)
+        .write.partitionBy("_file").mode("overwrite")
+        .parquet(stage.resolve("out").toString)
+      val entries = (0 until cfg.data.fileCount).map { i =>
+        val pdir = stage.resolve(s"out/_file=$i")
+        val parts = Files.list(pdir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        require(parts.size == 1, s"expected one part for file $i, got ${parts.size}")
+        val target = dir.resolve(FixSchemaGen.dataFilePath(i))
+        Files.createDirectories(target.getParent)
+        Files.move(parts.head, target, StandardCopyOption.REPLACE_EXISTING)
+        ManifestEntry(FixSchemaGen.dataFilePath(i), "data", 1L, rpf)
+      }
+      TableIO.commit(root, ns, t, entries)
+    } finally {
+      Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
   }
 }

@@ -76,6 +76,49 @@ object SqlSurface {
           |FROM embeddings ORDER BY vec_id LIMIT 500""".stripMargin)
     }),
 
+    // Exact interpolated percentiles (integer-valued doubles, so the
+    // interpolation arithmetic is exact in both engines).
+    "q_percentile" -> ((s, dir) => {
+      views(s, dir, "lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile(l_quantity, 0.25) AS p25,
+          |  percentile(l_quantity, 0.5) AS p50,
+          |  percentile(l_quantity, 0.75) AS p75
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // JSON -> map functions.
+    "q_map_fns" -> ((s, dir) => {
+      rdEvents(s, dir).createOrReplaceTempView("events")
+      s.sql(
+        """SELECT k, count(*) AS n FROM (
+          |  SELECT element_at(map_keys(from_json(props, 'map<string,int>')), 1) AS k
+          |  FROM events)
+          |GROUP BY k ORDER BY k""".stripMargin)
+    }),
+
+    // UNION ALL (bag semantics, vs the distinct set ops family).
+    "q_union_all" -> ((s, dir) => {
+      views(s, dir, "orders")
+      s.sql(
+        """SELECT status, count(*) AS n FROM (
+          |  SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 300000
+          |  UNION ALL
+          |  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+          |GROUP BY status ORDER BY status""".stripMargin)
+    }),
+
+    // Regexp extraction and matching.
+    "q_regexp" -> ((s, dir) => {
+      views(s, dir, "part")
+      s.sql(
+        """SELECT p_partkey,
+          |  regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+          |  p_name RLIKE '^[a-z]+' AS starts_alpha
+          |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin)
+    }),
+
     // Null-handling scalar functions.
     "q_null_fns" -> ((s, dir) => {
       views(s, dir, "orders")
@@ -129,6 +172,31 @@ object SqlSurface {
         |  CAST(list_max(embedding) AS DOUBLE) AS max_elem,
         |  CAST(list_min(embedding) AS DOUBLE) AS min_elem
         |FROM embeddings ORDER BY vec_id LIMIT 500""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_map_fns" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT json_keys(props)[1] AS k FROM events)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT status, count(*) AS n FROM (
+        |  SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 300000
+        |  UNION ALL
+        |  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_regexp" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+        |  regexp_matches(p_name, '^[a-z]+') AS starts_alpha
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
 
     "q_null_fns" ->
       """SELECT o_orderpriority,
