@@ -107,6 +107,19 @@ object TableIO {
     v + 1
   }
 
+  /** Commit a snapshot whose manifest REPLACES the previous content
+    * entirely (compaction): the new version lists only `entries`.
+    */
+  def commitReplacing(root: String, ns: String, table: String,
+      entries: Seq[ManifestEntry]): Long = {
+    val dir = tableDir(root, ns, table)
+    val v = currentVersion(root, ns, table)
+    atomicWrite(dir.resolve(s"manifest/v${v + 1}.json"),
+      entries.map(entryToJson).mkString("\n"))
+    atomicWrite(dir.resolve("version-hint.text"), (v + 1).toString)
+    v + 1
+  }
+
   def readManifest(root: String, ns: String, table: String): Seq[ManifestEntry] =
     readManifestAt(root, ns, table, currentVersion(root, ns, table))
 

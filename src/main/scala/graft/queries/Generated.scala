@@ -73,6 +73,21 @@ object Generated {
             col("n_added"))
       }.reduce(_ union _).orderBy("from_v")
     }),
+    // Compaction (MOR -> copy-on-write rewrite): after rewrite the
+    // manifest holds only data files and the merged view is unchanged.
+    "gen_compaction" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_compact")
+      val r = GeneratedTables.ensure(s, dir, c2)
+      if (TableIO.currentVersion(r, c2.namespace, c2.tableName) == 3L) {
+        graft.plans.Maintenance.compact(s, r, c2.namespace, c2.tableName)
+      }
+      val m = TableIO.manifestDf(s, r, c2.namespace, c2.tableName)
+      val surviving = Mor.read(s, r, c2.namespace, c2.tableName)
+        .agg(count(lit(1)).as("surviving"))
+      val deletes = m.filter(col("content") =!= "data")
+        .agg(count(lit(1)).as("n_delete_files"))
+      surviving.crossJoin(deletes)
+    }),
     // K3/K6 metadata: per-content file counts + record counts from the
     // committed manifest (what Iceberg's `files` metadata table reports).
     "gen_manifest" -> ((s, dir) => {
@@ -109,6 +124,9 @@ object Generated {
          |       CAST(n_added AS BIGINT) AS n_added
          |FROM (VALUES (0, 1, $N), (1, 3, 0)) AS t(from_v, to_v, n_added)
          |ORDER BY from_v""".stripMargin,
+    "gen_compaction" ->
+      s"""SELECT CAST(${N - P - E} AS BIGINT) AS surviving,
+         |       CAST(0 AS BIGINT) AS n_delete_files""".stripMargin,
     "gen_manifest" ->
       s"""SELECT content, CAST(n_files AS BIGINT) AS n_files, CAST(n_rows AS BIGINT) AS n_rows
          |FROM (VALUES ('data', ${cfg.data.fileCount}, $N),
