@@ -35,12 +35,24 @@ object Maintenance {
       val parts = Files.list(stage.resolve("out")).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
       val seq = TableIO.nextSeq(root, ns, table)
-      val entries = parts.zipWithIndex.map { case (p, i) =>
+      val moved = parts.zipWithIndex.map { case (p, i) =>
         val rel = f"data/compacted-v${v + 1}%d-$i%05d.parquet"
         val target = dir.resolve(rel)
         Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
-        val n = spark.read.parquet(target.toString).count()
-        ManifestEntry(rel, "data", seq, n)
+        rel
+      }
+      // per-file record counts in ONE metadata-only job (count(*) over
+      // grouped _metadata.file_name reads just parquet footers), instead
+      // of one count job per output file.
+      import org.apache.spark.sql.functions._
+      val counts = spark.read
+        .parquet(moved.map(r => dir.resolve(r).toString): _*)
+        .groupBy(col("_metadata.file_name").as("fn"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val entries = moved.map { rel =>
+        ManifestEntry(rel, "data", seq,
+          counts.getOrElse(rel.split('/').last, 0L))
       }
       TableIO.commitReplacing(root, ns, table, entries)
     } finally {

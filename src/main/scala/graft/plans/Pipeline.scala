@@ -50,24 +50,37 @@ object Pipeline {
         Duration.Inf)
     }
     TableIO.commit(root, ns, t, dataEntries)
+    prepareDeletes(spark, root, cfg, gen)
+  }
+
+  /** Phases 2 + 3 (delete generation) against an already-committed data
+    * snapshot — also used standalone after `prepareBulkData`.
+    */
+  def prepareDeletes(spark: SparkSession, root: String, cfg: GenConfig,
+      gen: DataGenerator = FixSchemaGenerator): Long = {
+    val (ns, t) = (cfg.namespace, cfg.tableName)
 
     // Phase 2: sorted positional deletes (`main.rs:163-216`): the sorted
     // global delete set split into files of <= pos.rowsPerFile rows
     // (the SortPositionDeleteWriter `cache_num` cap, `main.rs:196`).
-    val posAll = gen.posDeletes(spark, cfg)
+    // Each file's slice [lo, hi) of the global delete set is generated
+    // directly from its range — file_path/pos are pure functions of the
+    // global row number g (file g/rpf, pos g%rpf), already emitted in
+    // sorted (file_path, pos) order — so no filter/sort over the full
+    // set is ever computed (a re-filter per slice is O(files * total)).
     val pRpf = cfg.posDelete.rowsPerFile
     val pTotal = cfg.actualPosDeletes
     val pFiles = if (pTotal == 0 || pRpf == 0) 0 else ((pTotal + pRpf - 1) / pRpf).toInt
     val posEntries = (0 until pFiles).map { i =>
       val lo = i * pRpf
       val hi = math.min((i + 1) * pRpf, pTotal)
-      // file_path encodes the global row number g = fileIdx*dataRpf + pos,
-      // so the slice [lo, hi) of the sorted set is a pure filter on g.
-      val slice = posAll.filter(
-        org.apache.spark.sql.functions.expr(
-          s"cast(regexp_extract(file_path, '([0-9]+)\\\\.parquet$$', 1) as bigint) * ${cfg.data.rowsPerFile} + pos >= $lo " +
-          s"and cast(regexp_extract(file_path, '([0-9]+)\\\\.parquet$$', 1) as bigint) * ${cfg.data.rowsPerFile} + pos < $hi"))
-        .orderBy("file_path", "pos")
+      val slice = {
+        import org.apache.spark.sql.functions._
+        spark.range(lo, hi).select(
+          format_string("data/part-%05d.parquet",
+            (col("id") / cfg.data.rowsPerFile).cast("int")).as("file_path"),
+          (col("id") % cfg.data.rowsPerFile).as("pos"))
+      }
       TableIO.writeExactFile(spark, root, ns, t,
         FixSchemaGen.posDeleteFilePath(i), slice, "pos_delete", seq = 2L,
         recordCount = hi - lo)

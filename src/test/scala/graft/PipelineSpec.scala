@@ -130,3 +130,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(c == GenConfig.reference.copy(namespace = "my_ns", tableName = "my_t"))
   }
 }
+
+/** The two positional-delete strategies (broadcast bitmap vs anti-join)
+  * must produce identical merged views.
+  */
+class DeleteStrategySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("bitmap and anti-join pos-delete application agree") {
+    val root = Files.createTempDirectory("graft-strat-").toString
+    val cfg = GenConfig("ns", "t", FileConfig(40, 3),
+      FileConfig(30, 2), FileConfig(25, 1))
+    Pipeline.prepare(spark, root, cfg)
+    val viaBitmap = Mor.read(spark, root, "ns", "t")
+      .orderBy("bar").collect().map(_.toSeq)
+    val viaJoin = Mor.read(spark, root, "ns", "t", bitmapThreshold = 0L)
+      .orderBy("bar").collect().map(_.toSeq)
+    assert(viaBitmap.length == cfg.expectedSurvivingRows)
+    assert(viaBitmap.sameElements(viaJoin))
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+/** Salted join must be result-identical to the plain join on skewed
+  * data (one key holding 90% of rows).
+  */
+class SkewJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted inner join equals plain join on skewed keys") {
+    val left = spark.range(0, 10000)
+      .select((when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")))
+        .as("k"), col("id").as("v"))
+    val right = Seq((1L, "hot"), (20L, "cold"), (30L, "cold2"))
+      .toDF("k", "name")
+    val plain = left.join(right, Seq("k"), "inner")
+      .select("k", "v", "name").collect().map(_.toSeq).sortBy(_.toString)
+    val salted = SkewJoin.saltedInner(left, right, "k", factor = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.length == plain.length && salted.sameElements(plain))
+  }
+}

@@ -13,6 +13,6 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java $ADDOPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx${SPARK_DRIVER_MEM:-48g} \
+  -Xms${SPARK_DRIVER_MEM:-16g} -Xmx${SPARK_DRIVER_MEM:-16g} \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$cls" "$@"
