@@ -60,6 +60,35 @@ object EventsStream {
       }
   }
 
+  /** Streaming ingestion into a graft table: every micro-batch becomes
+    * one data file + one snapshot commit (the Iceberg streaming-ingest
+    * pattern — exactly-once per batch via the atomic manifest flip; a
+    * replayed batch id could be deduplicated against the manifest in a
+    * production sink). Returns the number of commits made.
+    */
+  def streamIntoTable(spark: SparkSession, source: DataFrame, root: String,
+      ns: String, table: String): Long = {
+    import graft.plans.TableIO
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, table, source.schema)
+    var commits = 0L
+    val q = source.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val seq = TableIO.nextSeq(root, ns, table)
+          val entry = TableIO.writeExactFile(spark, root, ns, table,
+            f"data/stream-$batchId%05d.parquet", batch, "data", seq)
+          TableIO.commit(root, ns, table, Seq(entry))
+          commits += 1
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    commits
+  }
+
   /** Run the windowed aggregation over the events parquet as a bounded
     * stream (one file per micro-batch) into an in-memory sink; returns
     * the final table. Used by tests and as the demo entry point — the

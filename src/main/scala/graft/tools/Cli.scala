@@ -66,6 +66,21 @@ object Cli {
       case "cleanup" =>
         Pipeline.cleanup(root, cfg)
         println(s"dropped ${cfg.namespace}.${cfg.tableName} and namespace")
+      case "ingest" =>
+        // stream the events table into a graft table, one snapshot per
+        // micro-batch, then report the committed state.
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.001")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$sfDir/events.*")
+        val commits = graft.streaming.EventsStream.streamIntoTable(
+          spark, src, root, cfg.namespace, "events_ingested")
+        val n = Mor.read(spark, root, cfg.namespace, "events_ingested").count()
+        println(s"ingested $n rows in $commits snapshot commit(s) " +
+          s"-> ${cfg.namespace}.events_ingested @ $root")
       case other =>
         System.err.println(s"unknown subcommand: $other"); sys.exit(2)
     }

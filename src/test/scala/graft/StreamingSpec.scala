@@ -41,3 +41,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(SessionOut(10, 2, 3.0)))
   }
 }
+
+/** Streaming ingestion: micro-batches become snapshot commits; the
+  * catalog registrar exposes the result to spark.sql.
+  */
+class StreamIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streamIntoTable commits one snapshot per micro-batch") {
+    import graft.plans.{Catalog, Mor, TableIO}
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-").toString
+    val sfDir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$sfDir/events.*")
+    val commits = EventsStream.streamIntoTable(spark, src, root, "ns", "ev")
+    assert(commits >= 1)
+    val n = Mor.read(spark, root, "ns", "ev").count()
+    assert(n == 1000L) // all sf0.001 events ingested
+    assert(TableIO.currentVersion(root, "ns", "ev") == commits)
+    // catalog integration: query the ingested table through spark.sql
+    val names = Catalog.registerAll(spark, root)
+    assert(names.contains("ns_ev"))
+    assert(spark.sql("SELECT count(*) AS n FROM ns_ev").head().getLong(0) == 1000L)
+  }
+}
