@@ -74,6 +74,31 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: a real implementation rescales pixel buffers; the stub
+    * transforms the decoded metadata deterministically (aspect-preserving
+    * fit into a target box) so the dataflow — decode -> resize ->
+    * feature — is testable end to end.
+    */
+  def resizeStub(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+    (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+  }
+
+  /** Decode + resize pipeline over (doc_id, payload): the two-stage
+    * mapPartitions shape (decode batch, then transform) used by media
+    * preprocessing at scale.
+    */
+  def decodeAndResize(spark: SparkSession, docs: DataFrame,
+      maxSide: Int = 32): Dataset[MediaFeature] = {
+    import spark.implicits._
+    decodeFeatures(spark, docs).mapPartitions { it =>
+      it.map { f =>
+        val (w, h) = resizeStub(f.width, f.height, maxSide)
+        f.copy(width = w, height = h)
+      }
+    }
+  }
+
   /** Deterministic frame sampling from a payload treated as a "video":
     * every stride-th 4-byte window becomes a frame checksum. Shows the
     * explode-to-frames shape (one row per frame) used by video

@@ -121,6 +121,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0).feature.sameElements(feat))
   }
 
+  test("decode+resize pipeline bounds dimensions, preserves features") {
+    val d = docs((1L, "x" * 200))
+    val resized = Multimodal.decodeAndResize(spark, d, maxSide = 20)
+      .collect().head
+    assert(math.max(resized.width, resized.height) <= 20)
+    val raw = Multimodal.decodeFeatures(spark, d).collect().head
+    assert(resized.feature.sameElements(raw.feature))
+    val (w, h) = Multimodal.resizeStub(raw.width, raw.height, 20)
+    assert(resized.width == w && resized.height == h)
+  }
+
   test("frame sampling explodes payload into ordered frames") {
     val d = docs((1L, "x" * 100))
     val got = Multimodal.frameSample(d, stride = 32).collect()
