@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   *      gated by data_seq < delete_seq
   *
   * Physical provenance comes from the parquet metadata columns
-  * `_metadata.file_path` / `_metadata.row_index` (Spark >= 3.5), so no
-  * custom source is needed; both delete applications are `left_anti`
-  * hash joins, and the delete sides are tiny relative to data (deletes
-  * are O(delete rows), data O(table)) so Catalyst broadcasts them — the
-  * shape that scales: the 100 TB data side never shuffles.
+  * `_metadata.file_name` / `_metadata.row_index` (Spark >= 3.5), so no
+  * custom source is needed. Positional deletes apply as broadcast
+  * per-file bitmaps (deletion vectors — a scan filter; anti-join
+  * fallback above a threshold); equality deletes as a shuffle-hash
+  * `left_anti` join. The shape that scales: the 100 TB data side never
+  * shuffles for positional deletes and only key-shuffles for equality
+  * deletes.
   */
 object Mor {
 

@@ -14,9 +14,8 @@ import graft.sources.{DataGenerator, FixSchemaGen, FixSchemaGenerator, GenConfig
   * runtime, `main.rs:128`), each file's rows are produced by a
   * distributed `spark.range` projection; the per-file loop here only
   * controls deterministic file naming, which the reference's
-  * `DefaultFileNameGenerator` contract requires (`main.rs:141-142`). For
-  * bulk scale-out one would write `FixSchemaGen.allData` in a single job
-  * with `maxRecordsPerFile` and take file order from the manifest.
+  * `DefaultFileNameGenerator` contract requires (`main.rs:141-142`);
+  * `prepareBulkData` below is the single-job variant for scale.
   */
 object Pipeline {
 
