@@ -39,6 +39,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF ANN: inverted lists keyed by cluster id (here the `label`
+    * column — in production the assignment comes from an offline
+    * trainer), centroid per cluster = exact per-dimension mean. A query
+    * probes only its nearest centroid's list — the coarse-quantizer
+    * structure that cuts a 100 TB search to one inverted list.
+    *
+    * All arithmetic is engine-portable: centroid means come from exact
+    * DECIMAL sums; the query->centroid distances accumulate squared
+    * diffs in DECIMAL (double summation order differs across engines);
+    * argmin ties break on cluster id.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-(cluster, dim) exact means
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy("label", "pos")
+      .agg((sum(col("e").cast("double").cast("decimal(28,10)"))
+        .cast("double") / count(lit(1))).as("c"))
+    // the query vector, one row per dimension
+    val qdims = emb.filter(col("vec_id") === queryId)
+      .select(posexplode(col("embedding")).as(Seq("pos", "qe")))
+    // squared distance query -> each centroid (decimal-exact sum)
+    val dists = centroids.join(broadcast(qdims), "pos")
+      .groupBy("label")
+      .agg(sum(((col("c") - col("qe")) * (col("c") - col("qe")))
+        .cast("decimal(28,12)")).as("dist"))
+    val nearest = dists
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("dist").asc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("label"))
+    // probe only the nearest cluster's inverted list
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    emb.join(broadcast(nearest), "label")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Bucketed ANN: search only the query's sign-LSH bucket. */
   def lshTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
     val withBucket = emb.withColumn("bucket", bucketCol(col("embedding")))

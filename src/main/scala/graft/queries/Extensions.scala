@@ -20,6 +20,7 @@ object Extensions {
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosine(rd(s, dir, "embeddings"))),
     "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rd(s, dir, "embeddings"))),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"))),
+    "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"))),
     "text_stats" -> ((s, dir) => TextAnalysis.stats(rd(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokens(rd(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(rd(s, dir, "documents"))),
@@ -190,6 +191,46 @@ object Extensions {
          |q AS (SELECT v AS qv, bucket FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS sim
          |FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT label, i AS pos,
+         |    CAST(sum(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+         |      / count(*) AS c
+         |  FROM embeddings, range(0, 64) t(i) GROUP BY label, i),
+         |qdims AS (
+         |  SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS qe
+         |  FROM embeddings, range(0, 64) t(i) WHERE vec_id = 0),
+         |dists AS (
+         |  SELECT label, sum(CAST((c - qe) * (c - qe) AS DECIMAL(28,12))) AS dist
+         |  FROM cent JOIN qdims USING (pos) GROUP BY label),
+         |nearest AS (SELECT label FROM dists ORDER BY dist ASC, label ASC LIMIT 1),
+         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |FROM e JOIN nearest USING (label), q
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT label, i AS pos,
+         |    CAST(sum(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+         |      / count(*) AS c
+         |  FROM embeddings, range(0, 64) t(i) GROUP BY label, i),
+         |qdims AS (
+         |  SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS qe
+         |  FROM embeddings, range(0, 64) t(i) WHERE vec_id = 0),
+         |dists AS (
+         |  SELECT label, sum(CAST((c - qe) * (c - qe) AS DECIMAL(28,12))) AS dist
+         |  FROM cent JOIN qdims USING (pos) GROUP BY label),
+         |nearest AS (SELECT label FROM dists ORDER BY dist ASC, label ASC LIMIT 1),
+         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |FROM e JOIN nearest USING (label), q
+         |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "text_stats" ->
