@@ -51,7 +51,6 @@ object Similarity {
     * argmin ties break on cluster id.
     */
   def ivfTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // per-(cluster, dim) exact means
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
@@ -66,10 +65,10 @@ object Similarity {
       .groupBy("label")
       .agg(sum(((col("c") - col("qe")) * (col("c") - col("qe")))
         .cast("decimal(28,12)")).as("dist"))
+    // argmin over #labels rows: TakeOrdered, not an unpartitioned window
     val nearest = dists
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("dist").asc, col("label").asc)))
-      .filter(col("rn") === 1)
+      .orderBy(col("dist").asc, col("label").asc)
+      .limit(1)
       .select(col("label"))
     // probe only the nearest cluster's inverted list
     val q = emb.filter(col("vec_id") === queryId)

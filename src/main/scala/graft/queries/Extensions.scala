@@ -108,6 +108,14 @@ object Extensions {
     s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** DuckDB twin of Dedup.embeddingCosine's 16x4-bit sign-LSH bands. */
+  private val embBandsSql = (0 until 16).map { bnd =>
+    val key = (0 until 4).map { i =>
+      s"(CASE WHEN embedding[${bnd * 4 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"SELECT vec_id, $bnd AS band, $key AS bkey FROM embeddings"
+  }.mkString(" UNION ALL ")
+
   private val langCmp: Seq[(String, String)] = Seq(
     "en" -> "\\bthe\\b", "de" -> "\\bder\\b", "es" -> "\\bel\\b",
     "fr" -> "\\ble\\b", "zh" -> "\\bde\\b")
@@ -138,7 +146,9 @@ object Extensions {
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |shs AS (SELECT doc_id, unnest($shinglesSql) AS sh_str
          |        FROM t WHERE len(w) >= 4),
-         |sh AS (SELECT DISTINCT doc_id, ${rollSql("sh_str")} AS sh FROM shs),
+         |sh0 AS (SELECT DISTINCT doc_id, ${rollSql("sh_str")} AS sh FROM shs),
+         |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 256),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
          |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -172,10 +182,14 @@ object Extensions {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.v", "b.v")} >= 0.4
+      s"""WITH bands AS ($embBandsSql),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_a, vec_b
+         |FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b
+         |WHERE ${cosSql("x.v", "y.v")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "ann_topk" ->
@@ -191,26 +205,6 @@ object Extensions {
          |q AS (SELECT v AS qv, bucket FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS sim
          |FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> 0
-         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
-
-    "ann_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT label, i AS pos,
-         |    CAST(sum(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
-         |      / count(*) AS c
-         |  FROM embeddings, range(0, 64) t(i) GROUP BY label, i),
-         |qdims AS (
-         |  SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS qe
-         |  FROM embeddings, range(0, 64) t(i) WHERE vec_id = 0),
-         |dists AS (
-         |  SELECT label, sum(CAST((c - qe) * (c - qe) AS DECIMAL(28,12))) AS dist
-         |  FROM cent JOIN qdims USING (pos) GROUP BY label),
-         |nearest AS (SELECT label FROM dists ORDER BY dist ASC, label ASC LIMIT 1),
-         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-         |SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS sim
-         |FROM e JOIN nearest USING (label), q
-         |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "ann_ivf" ->

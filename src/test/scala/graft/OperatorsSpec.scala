@@ -101,6 +101,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head.getDouble(2) == 1.0)
   }
 
+  test("near-dup plans are banded equi-joins, never all-pairs") {
+    // VERDICT r1 finding 1/2: simhash + embedding near-dup shipped
+    // BroadcastNestedLoopJoin over n² pairs. Candidates must come from
+    // band-key equi-joins so the plan scales linearly with the corpus.
+    val d = docs((1 to 10).map(i =>
+      (i.toLong, (1 to 12).map(j => s"w$i$j").mkString(" "))): _*)
+    val e = (1 to 10).map(i => (i.toLong, Array.fill(64)(0.1f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val plans = Seq(
+      "simhash" -> Dedup.simhashPairs(d),
+      "embedding" -> Dedup.embeddingCosine(e),
+      "ngram_jaccard" -> Dedup.ngramJaccard(d))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains BroadcastNestedLoopJoin")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains CartesianProduct")
+    }
+  }
+
   test("langId predicts marker languages with fixed tie precedence") {
     val d = Seq(
       (1L, "the cat sat on the mat", "en"),
