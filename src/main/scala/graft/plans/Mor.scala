@@ -2,11 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.BitmapFunctions.bitmapContains
 
 /** Merge-on-read scan — the read semantics the reference's output defines
   * (SURVEY.md §2.5, implied by `main.rs:163-276`):
   *
-  *   R1 scan all data files of the current snapshot
+  *   R1 scan all data files of the chosen snapshot
   *   R2 anti-join positional deletes on (file_path, pos),
   *      gated by data_seq <= delete_seq
   *   R3 anti-join equality deletes on the identifier columns,
@@ -14,22 +15,48 @@ import org.apache.spark.sql.functions._
   *
   * Physical provenance comes from the parquet metadata columns
   * `_metadata.file_name` / `_metadata.row_index` (Spark >= 3.5), so no
-  * custom source is needed. Positional deletes apply as broadcast
-  * per-file bitmaps (deletion vectors — a scan filter; anti-join
-  * fallback above a threshold); equality deletes as a shuffle-hash
-  * `left_anti` join. The shape that scales: the 100 TB data side never
-  * shuffles for positional deletes and only key-shuffles for equality
-  * deletes.
+  * custom source is needed.
+  *
+  * Positional deletes apply as per-file deletion vectors (the
+  * Iceberg/Delta DV design): bitmaps are built distributedly — one
+  * shuffle of the (small) delete side on its target file — then
+  * broadcast-joined to the scan and probed by a native codegen
+  * expression, so the 100 TB data side never shuffles and the per-row
+  * filter stays inside whole-stage codegen. Equality deletes apply as a
+  * shuffle-hash `left_anti` join. Every delete row carries its OWN
+  * file's commit sequence (`_dseq`), so multi-snapshot tables gate
+  * correctly (r1 collapsed to the max seq per content type, which could
+  * delete data committed after an older delete snapshot).
   */
 object Mor {
+
+  /** Files of one content type (absolute path, seq) at a manifest
+    * version — `None` means the current snapshot.
+    */
+  private def filesAt(root: String, ns: String, table: String,
+      content: String, version: Option[Long]): Seq[(String, Long)] = {
+    val dir = TableIO.tableDir(root, ns, table)
+    val entries = version match {
+      case Some(v) => TableIO.readManifestAt(root, ns, table, v)
+      case None => TableIO.readManifest(root, ns, table)
+    }
+    entries.filter(_.content == content)
+      .map(e => (dir.resolve(e.path).toString, e.seq))
+  }
+
+  private def manifestAt(root: String, ns: String, table: String,
+      version: Option[Long]): Seq[ManifestEntry] = version match {
+    case Some(v) => TableIO.readManifestAt(root, ns, table, v)
+    case None => TableIO.readManifest(root, ns, table)
+  }
 
   /** Data scan with provenance columns `_file` (path relative to the
     * table dir, matching manifest/pos-delete paths) and `_pos` (row index
     * within the file) plus the file's commit sequence number.
     */
   def scanWithProvenance(spark: SparkSession, root: String, ns: String,
-      table: String): DataFrame = {
-    val dataFiles = TableIO.filesOf(root, ns, table, "data")
+      table: String, version: Option[Long] = None): DataFrame = {
+    val dataFiles = filesAt(root, ns, table, "data", version)
     require(dataFiles.nonEmpty, s"no data files in $ns.$table")
     // `_metadata.file_name` is a direct metadata field: per-row path
     // string surgery (split/element_at over file_path) measured 100x
@@ -51,47 +78,76 @@ object Mor {
     df.join(broadcast(seqDf), Seq("_fname"), "left")
   }
 
-  private def readDeletes(spark: SparkSession, root: String, ns: String,
-      table: String, content: String): Option[DataFrame] = {
-    val files = TableIO.filesOf(root, ns, table, content)
+  /** Delete files of one content type, each row tagged with its OWN
+    * file's commit sequence as `_dseq` (via `_metadata.file_name`, same
+    * broadcast-join shape as the data side).
+    */
+  private def readDeletes(spark: SparkSession,
+      files: Seq[(String, Long)]): Option[DataFrame] = {
     if (files.isEmpty) None
     else {
-      // All files of one content type share a commit seq in this engine
-      // (one snapshot per phase); take the max to be conservative.
-      val seq = files.map(_._2).max
-      Some(spark.read.parquet(files.map(_._1): _*).withColumn("_dseq", lit(seq)))
+      import spark.implicits._
+      val seqDf = files.map { case (abs, seq) =>
+        (abs.split('/').last, seq)
+      }.toDF("_dfname", "_dseq")
+      Some(spark.read.parquet(files.map(_._1): _*)
+        .withColumn("_dfname", col("_metadata.file_name"))
+        .join(broadcast(seqDf), Seq("_dfname"))
+        .drop("_dfname"))
     }
   }
 
-  /** Max positional-delete rows handled via broadcast bitmaps. Above
-    * this (or when any file's bitmap would exceed ~int positions) the
-    * reader falls back to the anti-join. At petabyte scale the same
-    * bitmap technique applies but bitmaps are joined to tasks per file
-    * instead of broadcast wholesale (the Iceberg/Delta deletion-vector
-    * design); the broadcast variant is right up to tens of millions of
-    * deletes (a 1M-row file's bitmap is 125 KB).
+  /** Max positional-delete rows handled via deletion vectors. Above this
+    * — or when any data file's row count exceeds Int range (positions
+    * are row indexes, so the manifest's recordCount bounds them with no
+    * extra job; ADVICE r1: pos.toInt must never wrap), or when the
+    * worst-case broadcast size exceeds [[MaxBitmapBroadcastBytes]] — the
+    * reader falls back to the anti-join. Bitmap memory is ~maxPos/8
+    * bytes per file (a 1M-row file's vector is 125 KB).
     */
   val BitmapDeleteThreshold = 50000000L
 
-  /** The merged view: data minus positional minus equality deletes.
-    * `bitmapThreshold` caps the broadcast-bitmap strategy for positional
-    * deletes (0 forces the anti-join fallback).
+  /** Cap on the summed worst-case deletion-vector size (sum of data
+    * recordCount/8). Beyond it the broadcast would strain the driver —
+    * the anti-join path takes over (at that scale a shuffle join of DVs
+    * to files is the design; not needed for this engine's workloads).
     */
-  def read(spark: SparkSession, root: String, ns: String,
-      table: String, bitmapThreshold: Long = BitmapDeleteThreshold): DataFrame = {
-    var df = scanWithProvenance(spark, root, ns, table)
+  val MaxBitmapBroadcastBytes: Long = 256L << 20
+
+  /** The merged view: data minus positional minus equality deletes.
+    * `bitmapThreshold` caps the deletion-vector strategy for positional
+    * deletes (0 forces the anti-join fallback). `asOfVersion` time
+    * travels: the scan, the deletes, and the seq gates all come from
+    * that snapshot's manifest (Iceberg `VERSION AS OF`).
+    */
+  def read(spark: SparkSession, root: String, ns: String, table: String,
+      bitmapThreshold: Long = BitmapDeleteThreshold,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    var df = scanWithProvenance(spark, root, ns, table, asOfVersion)
+    val manifest = manifestAt(root, ns, table, asOfVersion)
 
     // R2: positional deletes apply to files committed at or before the
-    // delete's sequence (Iceberg v2: data_seq <= delete_seq). Applied as
-    // broadcast per-file bitmaps (a filter on the scan — no join, no
-    // sort, no shuffle of the data side): deletes are (file, pos) with
-    // pos bounded by file length, exactly a deletion vector.
-    val posTotal = TableIO.readManifest(root, ns, table)
-      .filter(_.content == "pos_delete").map(_.recordCount).sum
-    if (posTotal > 0 && posTotal <= bitmapThreshold) {
-      df = applyPosDeleteBitmaps(spark, root, ns, table, df)
-    } else if (posTotal > 0) {
-      readDeletes(spark, root, ns, table, "pos_delete").foreach { pd =>
+    // delete's sequence (Iceberg v2: data_seq <= delete_seq).
+    val posFiles = filesAt(root, ns, table, "pos_delete", asOfVersion)
+    val posTotal = manifest.filter(_.content == "pos_delete")
+      .map(_.recordCount).sum
+    if (posTotal > 0) {
+      val pd = readDeletes(spark, posFiles).get
+      // Positions are row indexes within a data file, so the manifest's
+      // recordCounts bound them — the Int-wrap guard (ADVICE r1) and the
+      // broadcast-size cap are pure metadata checks, no extra job.
+      val dataEntries = manifest.filter(_.content == "data")
+      val useBitmap = posTotal <= bitmapThreshold &&
+        dataEntries.forall(e =>
+          e.recordCount >= 0 && e.recordCount <= Int.MaxValue.toLong) &&
+        dataEntries.map(_.recordCount / 8 + 8).sum <= MaxBitmapBroadcastBytes
+      if (useBitmap) {
+        val dv = buildDeletionVectors(spark, pd,
+          dataEntries.map(e => (e.path.split('/').last, e.seq)))
+        df = df.join(broadcast(dv), Seq("_fname"), "left")
+          .filter(col("_dv").isNull || !bitmapContains(col("_dv"), col("_pos")))
+          .drop("_dv")
+      } else {
         df = df.join(pd,
           df("_file") === pd("file_path") && df("_pos") === pd("pos") &&
             df("_seq") <= pd("_dseq"),
@@ -103,67 +159,59 @@ object Mor {
     // delete row with a STRICTLY higher sequence (Iceberg v2 semantics).
     // The delete files' own columns ARE the identifier set (the Iceberg
     // equality_ids contract), so the join keys come from their schema.
-    readDeletes(spark, root, ns, table, "eq_delete").foreach { ed0 =>
-      // shuffle_hash: the delete side is much smaller than the data side
-      // but can exceed the broadcast threshold; hashing it avoids the
-      // sort-merge path's full sort of the data side.
-      val ed = ed0.hint("shuffle_hash")
-      val keys = ed0.columns.filterNot(_ == "_dseq")
-      val cond = keys.map(k => df(k) === ed(k)).reduce(_ && _) &&
-        df("_seq") < ed("_dseq")
-      df = df.join(ed, cond, "left_anti")
-    }
+    readDeletes(spark, filesAt(root, ns, table, "eq_delete", asOfVersion))
+      .foreach { ed0 =>
+        // shuffle_hash: the delete side is much smaller than the data side
+        // but can exceed the broadcast threshold; hashing it avoids the
+        // sort-merge path's full sort of the data side.
+        val ed = ed0.hint("shuffle_hash")
+        val keys = ed0.columns.filterNot(_ == "_dseq")
+        val cond = keys.map(k => df(k) === ed(k)).reduce(_ && _) &&
+          df("_seq") < ed("_dseq")
+        df = df.join(ed, cond, "left_anti")
+      }
 
     val cols = TableIO.readSchema(root, ns, table).fieldNames
     df.select(cols.head, cols.tail: _*)
   }
 
-  /** Build per-file delete bitmaps from the positional-delete files and
-    * apply them as a broadcast filter, honoring the sequence gate
-    * (a file's deletes count only if data_seq <= delete_seq; gated
-    * per file at build time using the manifest).
+  /** Per-file deletion vectors, built distributedly — no driver-side
+    * merge (r1 collected partial bitmaps and merged them on the driver,
+    * a bottleneck and an OOM risk at scale). Build shape, all codegen'd
+    * until the final #files-row assembly:
+    *
+    *   1. seq-gate each delete row against its TARGET file's data seq
+    *      (broadcast manifest join; rows for files absent from the
+    *      manifest drop out, matching r1's eligible-set behavior);
+    *   2. partial-aggregate 64-bit bitmap words per (file, pos>>6) with
+    *      bit_or — map-side combine compresses dense delete runs 64x
+    *      before the only shuffle;
+    *   3. assemble each file's word list into its vector (one row per
+    *      data file — small enough to broadcast under the caps).
     */
-  private def applyPosDeleteBitmaps(spark: SparkSession, root: String,
-      ns: String, table: String, df: DataFrame): DataFrame = {
+  private def buildDeletionVectors(spark: SparkSession, posDeletes: DataFrame,
+      dataSeqs: Seq[(String, Long)]): DataFrame = {
     import spark.implicits._
-    val posFiles = TableIO.filesOf(root, ns, table, "pos_delete")
-    if (posFiles.isEmpty) return df
-    val deleteSeq = posFiles.map(_._2).max
-    // files whose data sequence permits these deletes (here always all;
-    // general tables may append data after the delete snapshot)
-    val eligible = TableIO.readManifest(root, ns, table)
-      .filter(e => e.content == "data" && e.seq <= deleteSeq)
-      .map(_.path.split('/').last).toSet
-    // distributed partial bitmaps -> merged on the driver -> broadcast
-    val partials = spark.read.parquet(posFiles.map(_._1): _*)
-      .select($"file_path", $"pos").as[(String, Long)]
-      .mapPartitions { it =>
-        val acc = scala.collection.mutable.Map[String, java.util.BitSet]()
-        it.foreach { case (f, p) =>
-          acc.getOrElseUpdate(f, new java.util.BitSet()).set(p.toInt)
-        }
-        acc.iterator.map { case (f, bs) => (f, bs.toLongArray) }
-      }.collect()
-    val merged = scala.collection.mutable.Map[String, java.util.BitSet]()
-    partials.foreach { case (f, words) =>
-      val name = f.split('/').last
-      if (eligible(name)) {
-        val bs = java.util.BitSet.valueOf(words)
-        merged.get(name) match {
-          case Some(m) => m.or(bs)
-          case None => merged(name) = bs
-        }
+    val seqDf = dataSeqs.toDF("_fname", "_dataseq")
+    posDeletes
+      .select(substring_index(col("file_path"), "/", -1).as("_fname"),
+        col("pos"), col("_dseq"))
+      .join(broadcast(seqDf), Seq("_fname"))
+      .filter(col("_dataseq") <= col("_dseq"))
+      .groupBy(col("_fname"), shiftright(col("pos"), 6).as("_w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 AS int)))").as("_word"))
+      .groupBy("_fname")
+      .agg(collect_list(struct(col("_w"), col("_word"))).as("_ws"))
+      .as[(String, Seq[(Long, Long)])]
+      .map { case (f, ws) =>
+        val maxW = ws.iterator.map(_._1).max
+        require(maxW < (1L << 25),
+          s"deletion-vector word index $maxW out of range for $f")
+        val arr = new Array[Long](maxW.toInt + 1)
+        ws.foreach { case (w, word) => arr(w.toInt) = word }
+        (f, arr)
       }
-    }
-    val bcast = spark.sparkContext.broadcast(merged.toMap)
-    val keep = udf { (name: String, pos: Long) =>
-      bcast.value.get(name) match {
-        case Some(bs) => !bs.get(pos.toInt)
-        case None => true
-      }
-    }
-    df.filter(keep(org.apache.spark.sql.functions.col("_fname"),
-      org.apache.spark.sql.functions.col("_pos")))
+      .toDF("_fname", "_dv")
   }
 
   /** R4: the merged count — what `print_summary` predicts arithmetically
@@ -174,38 +222,13 @@ object Mor {
 
   /** Snapshot time travel: the MOR view as of manifest version
     * `asOfVersion` — deletes committed after that snapshot are ignored
-    * (Iceberg `VERSION AS OF` semantics; the reference's three commits
-    * make versions 1/2/3 observable states of the same table).
+    * (Iceberg `VERSION AS OF`). Same gated logic as `read` (r1 shipped a
+    * separate ungated implementation: data appended after a delete
+    * snapshot would have been wrongly deleted when time-traveled).
     */
   def readAt(spark: SparkSession, root: String, ns: String, table: String,
-      asOfVersion: Long): DataFrame = {
-    val dir = TableIO.tableDir(root, ns, table)
-    val entries = TableIO.readManifestAt(root, ns, table, asOfVersion)
-    def files(content: String) =
-      entries.filter(_.content == content)
-        .map(e => (dir.resolve(e.path).toString, e.seq))
-    val dataFiles = files("data")
-    require(dataFiles.nonEmpty, s"no data files at version $asOfVersion")
-    var df = spark.read
-      .schema(TableIO.readSchema(root, ns, table))
-      .parquet(dataFiles.map(_._1): _*)
-      .select(col("*"),
-        concat(lit("data/"), col("_metadata.file_name")).as("_file"),
-        col("_metadata.row_index").as("_pos"))
-    val pos = files("pos_delete")
-    if (pos.nonEmpty) {
-      val pd = spark.read.parquet(pos.map(_._1): _*)
-      df = df.join(pd,
-        df("_file") === pd("file_path") && df("_pos") === pd("pos"), "left_anti")
-    }
-    val eq = files("eq_delete")
-    if (eq.nonEmpty) {
-      val ed = spark.read.parquet(eq.map(_._1): _*)
-      df = df.join(ed, ed.columns.toSeq, "left_anti")
-    }
-    val cols = TableIO.readSchema(root, ns, table).fieldNames
-    df.select(cols.head, cols.tail: _*)
-  }
+      asOfVersion: Long): DataFrame =
+    read(spark, root, ns, table, BitmapDeleteThreshold, Some(asOfVersion))
 
   /** Incremental read: rows appended between two snapshot versions
     * (Iceberg incremental scan). With the reference workload only

@@ -28,6 +28,9 @@ object DebugMor {
       Mor.scanWithProvenance(spark, root, "ns", "big").count())
     time("full MOR")(Mor.read(spark, root, "ns", "big").count())
     time("full MOR again")(Mor.read(spark, root, "ns", "big").count())
+    time("MOR via anti-join (threshold=0)")(
+      Mor.read(spark, root, "ns", "big", bitmapThreshold = 0L).count())
+    time("MOR bitmap path again")(Mor.read(spark, root, "ns", "big").count())
     spark.stop()
   }
 }
