@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,13 +8,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // q_map_fns outputs map columns; allow them in the checksum hash
+      .config("spark.sql.legacy.allowHashOnMapType", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // deterministic order for stable round-over-round comparison
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // checksum over every output column — count() let Catalyst prune
+      // unreferenced projections, timing a row-count scan instead of the
+      // operator being advertised (r1 verdict finding 4); bit_xor cannot
+      // overflow under ANSI (sum of hashes does) and stays order-free
+      try {
+        val df = fn(spark, sfDir)
+        df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
