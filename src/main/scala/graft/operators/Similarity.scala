@@ -82,6 +82,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with a TRAINED coarse quantizer: deterministic k-means over the
+    * corpus (seeded by the `kClusters` lowest vec_ids, a fixed number of
+    * Lloyd iterations — no RNG, so the oracle replays it exactly), then
+    * probe the `nprobe` nearest lists. This is the real IVF shape: the
+    * E-step is a broadcast of k×dims centroid rows against the exploded
+    * corpus (linear in n×k, map-side), the M-step one key shuffle per
+    * iteration, and the search touches only nprobe/k of the data.
+    *
+    * Engine-portable arithmetic throughout: squared distances accumulate
+    * per-term DECIMAL(28,12) casts (exact, order-free sums); centroid
+    * means are DECIMAL(28,10) sums published as DOUBLE; argmin ties
+    * break on cluster id.
+    */
+  def ivfTrainedTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+      kClusters: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("pos"), col("e").cast("double").as("e"))
+    // deterministic seeds: the kClusters lowest vec_ids
+    var cent = dims.filter(col("vec_id") < kClusters)
+      .select(col("vec_id").as("cid"), col("pos"), col("e").as("c"))
+    for (_ <- 1 to iters) {
+      val a = assignClusters(dims, cent)
+      cent = dims.join(a, "vec_id")
+        .groupBy("cid", "pos")
+        .agg((sum(col("e").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("c"))
+    }
+    val assigned = assignClusters(dims, cent)
+    val qd = dims.filter(col("vec_id") === queryId)
+      .select(col("pos"), col("e").as("qe"))
+    val probes = cent.join(broadcast(qd), "pos")
+      .groupBy("cid")
+      .agg(sum(((col("c") - col("qe")) * (col("c") - col("qe")))
+        .cast("decimal(28,12)")).as("dist"))
+      .orderBy(col("dist").asc, col("cid").asc).limit(nprobe)
+      .select("cid")
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    emb.join(assigned, "vec_id").join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cid"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** k-means E-step: nearest centroid per vector (decimal-exact squared
+    * distance, ties on cid). Centroids are k×dims rows — broadcast.
+    */
+  private def assignClusters(dims: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dims.join(broadcast(cent), "pos")
+      .groupBy("vec_id", "cid")
+      .agg(sum(((col("e") - col("c")) * (col("e") - col("c")))
+        .cast("decimal(28,12)")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid")
+  }
+
   /** Bucketed ANN: search only the query's sign-LSH bucket. */
   def lshTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
     val withBucket = emb.withColumn("bucket", bucketCol(col("embedding")))

@@ -21,6 +21,8 @@ object Extensions {
     "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rd(s, dir, "embeddings"))),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"))),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"))),
+    "ann_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTrainedTopK(rd(s, dir, "embeddings"))),
     "text_stats" -> ((s, dir) => TextAnalysis.stats(rd(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokens(rd(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(rd(s, dir, "documents"))),
@@ -115,6 +117,29 @@ object Extensions {
     }.mkString(" + ")
     s"SELECT vec_id, $bnd AS band, $key AS bkey FROM embeddings"
   }.mkString(" UNION ALL ")
+
+  /** DuckDB k-means E-step: nearest centroid per vector from centroid
+    * CTE `c`, decimal-exact distances, ties on cid — the twin of
+    * Similarity.assignClusters.
+    */
+  private def assignSql(c: String): String =
+    s"""SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist ASC, cid ASC) AS rn
+       |  FROM (SELECT d.vec_id, c.cid,
+       |          sum(CAST((d.e - c.c) * (d.e - c.c) AS DECIMAL(28,12))) AS dist
+       |        FROM dims d JOIN $c c ON d.pos = c.pos
+       |        GROUP BY d.vec_id, c.cid))
+       |WHERE rn = 1""".stripMargin
+
+  /** DuckDB k-means M-step: decimal-exact per-dimension means of the
+    * members assigned by CTE `a`.
+    */
+  private def updateSql(a: String): String =
+    s"""SELECT cid, pos,
+       |  CAST(sum(CAST(e AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+       |FROM dims JOIN $a USING (vec_id) GROUP BY cid, pos""".stripMargin
 
   private val langCmp: Seq[(String, String)] = Seq(
     "en" -> "\\bthe\\b", "de" -> "\\bder\\b", "es" -> "\\bel\\b",
@@ -224,6 +249,30 @@ object Extensions {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS sim
          |FROM e JOIN nearest USING (label), q
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "ann_ivf_trained" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS e
+         |  FROM embeddings, range(0, 64) t(i)),
+         |c0 AS (SELECT vec_id AS cid, pos, e AS c FROM dims WHERE vec_id < 8),
+         |a1 AS (${assignSql("c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |a3 AS (${assignSql("c2")}),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid,
+         |      sum(CAST((c.c - q.e) * (c.c - q.e) AS DECIMAL(28,12))) AS dist
+         |    FROM c2 c JOIN dims q ON c.pos = q.pos AND q.vec_id = 0
+         |    GROUP BY c.cid)
+         |  ORDER BY dist ASC, cid ASC LIMIT 2),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, a3.cid, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |FROM e JOIN a3 USING (vec_id) JOIN probes USING (cid), q
          |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
 
