@@ -32,10 +32,13 @@ object Multimodal {
     */
   def meta(docs: DataFrame): DataFrame = {
     val bin = encode(col("text"), "utf-8")
+    // head: slice CHARACTERS then encode — byte-slicing the utf-8
+    // payload diverges from the oracle on multibyte heads (DuckDB 1.0
+    // has no BLOB substring, so chars are the portable unit)
     docs.select(col("doc_id"),
       length(bin).as("n_bytes"),
       md5(bin).as("content_md5"),
-      base64(substring(bin, 1, 8)).as("head_b64"))
+      base64(encode(substring(col("text"), 1, 8), "utf-8")).as("head_b64"))
       .orderBy("doc_id")
   }
 
@@ -57,6 +60,30 @@ object Multimodal {
     (w, h, feat)
   }
 
+  /** REAL decoder for formats the JVM ships codecs for (PNG, BMP, GIF,
+    * JPEG via javax.imageio): actual pixel dimensions if the payload
+    * parses as an image, None otherwise. Pure-JVM — no native libs.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      Option(img).map(i => (i.getWidth, i.getHeight))
+    } catch { case _: Exception => None }
+
+  /** Decode one payload: real image dimensions when javax.imageio can
+    * parse the bytes, the deterministic stub otherwise (text payloads,
+    * unsupported codecs). Features always come from the byte stub — a
+    * real pipeline swaps in model embeddings here.
+    */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val (sw, sh, feat) = decodeStub(payload)
+    decodeImage(payload) match {
+      case Some((w, h)) => (w, h, feat)
+      case None => (sw, sh, feat)
+    }
+  }
+
   /** Partition-batched decode / feature-extract over (doc_id, payload).
     * One decoder instantiation per partition (the expensive-codec-init
     * pattern), streaming over rows — never materializes a partition.
@@ -68,7 +95,7 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition "codec init" happens here in a real pipeline
         it.map { case (id, bytes) =>
-          val (w, h, feat) = decodeStub(bytes)
+          val (w, h, feat) = decode(bytes)
           MediaFeature(id, bytes.length, w, h, feat)
         }
       }

@@ -29,6 +29,18 @@ object Extensions {
     "text_langid" -> ((s, dir) => TextAnalysis.langId(rd(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(rd(s, dir, "documents"))),
     "multimodal_meta" -> ((s, dir) => Multimodal.meta(rd(s, dir, "documents"))),
+    // Decode -> resize over the documents payloads through the real
+    // mapPartitions pipeline; integer outputs (dims, byte count) keep
+    // the oracle hash float-free. Text payloads never parse as images,
+    // so the deterministic stub dims apply — byte arithmetic DuckDB
+    // replays exactly.
+    "multimodal_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.decodeAndResize(s, rd(s, dir, "documents"))
+        .toDF().select(col("doc_id"), col("n_bytes"),
+          col("width"), col("height"))
+        .orderBy("doc_id")
+    }),
     // Per-label embedding aggregate (IVF-centroid building block):
     // exact decimal per-dimension sums published as double + counts.
     "q_centroid" -> ((s, dir) => {
@@ -340,6 +352,18 @@ object Extensions {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS content_md5,
         |  to_base64(encode(substring(text, 1, 8))) AS head_b64
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT doc_id, n, 16 + n % 64 AS w0, 16 + (n // 64) % 64 AS h0
+        |      FROM s),
+        |r AS (SELECT doc_id, n, w0, h0,
+        |        least(1.0, 32.0 / greatest(w0, h0)) AS scale FROM d)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+        |  CAST(greatest(1, CAST(trunc(w0 * scale) AS INTEGER)) AS INTEGER) AS width,
+        |  CAST(greatest(1, CAST(trunc(h0 * scale) AS INTEGER)) AS INTEGER) AS height
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

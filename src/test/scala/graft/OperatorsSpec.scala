@@ -153,6 +153,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(resized.width == w && resized.height == h)
   }
 
+  test("decode reads real PNG dimensions via javax.imageio, stub otherwise") {
+    val img = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(5, 5, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(Multimodal.decodeImage(png).contains((37, 23)))
+    val (w, h, feat) = Multimodal.decode(png)
+    assert((w, h) == (37, 23) && feat.length == 8)
+    // non-image bytes fall back to the deterministic stub
+    val txt = "just some text".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(txt).isEmpty)
+    val (dw, dh, df) = Multimodal.decode(txt)
+    val (sw, sh, sf) = Multimodal.decodeStub(txt)
+    assert((dw, dh) == (sw, sh) && df.sameElements(sf))
+  }
+
   test("frame sampling explodes payload into ordered frames") {
     val d = docs((1L, "x" * 100))
     val got = Multimodal.frameSample(d, stride = 32).collect()
