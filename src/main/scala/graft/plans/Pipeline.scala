@@ -126,12 +126,10 @@ object Pipeline {
     val dir = TableIO.tableDir(root, ns, t)
     val stage = Files.createTempDirectory(dir, ".bulk")
     try {
-      // The general contract: dataFile(i) rows belong to file i. Tag and
-      // union keeps that mapping explicitly with a literal per branch.
-      val tagged = (0 until cfg.data.fileCount).map { i =>
-        gen.dataFile(spark, i, rpf).withColumn("_file", lit(i))
-      }.reduce(_ unionByName _)
-      tagged
+      // One range, `_file` derived arithmetically (generators override
+      // taggedData; the trait default unions per-file branches, which at
+      // 100k files makes the PLAN the bottleneck — r1 verdict finding 7).
+      gen.taggedData(spark, cfg.data.fileCount, rpf)
         .repartition(col("_file"))
         .sortWithinPartitions(gen.schema.fieldNames.head)
         .write.partitionBy("_file").mode("overwrite")

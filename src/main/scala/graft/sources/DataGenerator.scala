@@ -37,6 +37,19 @@ trait DataGenerator {
     * cursor walk (`fix_schema_generator.rs:138-172`).
     */
   def eqDeleteKeys(spark: SparkSession, globalLo: Long, globalHi: Long): DataFrame
+
+  /** Every file's rows in ONE DataFrame, tagged with the owning file
+    * index as `_file` — the input of the single-job bulk write. The
+    * default unions per-file batches, which is generic but costs
+    * O(fileCount) plan nodes; pure-function generators override it with
+    * a single `range` derivation (`_file = id / rowsPerFile`) so a
+    * 100k-file config doesn't pay a 100k-node plan.
+    */
+  def taggedData(spark: SparkSession, fileCount: Int,
+      rowsPerFile: Long): DataFrame =
+    (0 until fileCount).map { i =>
+      dataFile(spark, i, rowsPerFile).withColumn("_file", lit(i))
+    }.reduce(_ unionByName _)
 }
 
 /** The reference's fixed-schema generator as a DataGenerator instance. */
@@ -51,6 +64,9 @@ object FixSchemaGenerator extends DataGenerator {
     spark.range(lo, hi).select(
       col("id").cast(StringType).as("foo"),
       col("id").cast(IntegerType).as("bar"))
+  override def taggedData(spark: SparkSession, fileCount: Int,
+      rowsPerFile: Long): DataFrame =
+    FixSchemaGen.taggedData(spark, fileCount, rowsPerFile)
 }
 
 /** A second generator proving the trait is schema-polymorphic (the
@@ -94,4 +110,9 @@ object WideSchemaGenerator extends DataGenerator {
 
   def eqDeleteKeys(spark: SparkSession, lo: Long, hi: Long): DataFrame =
     spark.range(lo, hi).select(col("id"))
+
+  override def taggedData(spark: SparkSession, fileCount: Int,
+      rowsPerFile: Long): DataFrame =
+    project(spark.range(0L, fileCount * rowsPerFile).toDF())
+      .withColumn("_file", expr(s"CAST(id DIV $rowsPerFile AS INT)"))
 }

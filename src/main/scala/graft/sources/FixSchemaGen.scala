@@ -64,6 +64,17 @@ object FixSchemaGen {
   def allData(spark: SparkSession, cfg: GenConfig): DataFrame =
     project(spark.range(0L, cfg.data.totalRows).toDF())
 
+  /** All files' rows tagged with their file index, from ONE range —
+    * `_file = id / rowsPerFile` (no per-file union branches).
+    */
+  def taggedData(spark: SparkSession, fileCount: Int,
+      rowsPerFile: Long): DataFrame =
+    spark.range(0L, fileCount * rowsPerFile).select(
+      col("id").cast(StringType).as("foo"),
+      col("id").cast(IntegerType).as("bar"),
+      lit(true).as("baz"),
+      expr(s"CAST(id DIV $rowsPerFile AS INT)").as("_file"))
+
   /** Positional deletes: the first `min(P, N)` physical rows of the table
     * in file order (`fix_schema_generator.rs:114-132`). Declarative form
     * of the row cursor (C2/C3): file = g / rowsPerFile, pos = g % rowsPerFile,
