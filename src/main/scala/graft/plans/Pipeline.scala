@@ -114,7 +114,8 @@ object Pipeline {
     * round-trips; this path costs one.
     */
   def prepareBulkData(spark: SparkSession, root: String, cfg: GenConfig,
-      gen: DataGenerator = FixSchemaGenerator): Long = {
+      gen: DataGenerator = FixSchemaGenerator,
+      props: WriterProps = WriterProps()): Long = {
     import org.apache.spark.sql.functions._
     import java.nio.file.{Files, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -133,6 +134,9 @@ object Pipeline {
         .repartition(col("_file"))
         .sortWithinPartitions(gen.schema.fieldNames.head)
         .write.partitionBy("_file").mode("overwrite")
+        .option("compression", props.compression)
+        .option("parquet.block.size", props.rowGroupBytes.toString)
+        .option("parquet.page.size", props.pageBytes.toString)
         .parquet(stage.resolve("out").toString)
       val entries = (0 until cfg.data.fileCount).map { i =>
         val pdir = stage.resolve(s"out/_file=$i")

@@ -38,6 +38,19 @@ final case class ManifestEntry(
   * Commits are O(#files) metadata writes only — no data rewrite — which is
   * the property that makes the protocol viable at 100 TB.
   */
+/** Parquet writer properties — the Spark analogue of the reference's
+  * `WriterProperties::default()` (`main.rs:138`): compression codec,
+  * row-group (block) size, page size. Defaults mirror Spark's own
+  * (snappy, 128 MB groups, 1 MB pages). At 100 TB these knobs set the
+  * scan-parallelism granularity: one row group is the minimum splittable
+  * read unit, so files targeting ~128 MB-1 GB with 128 MB groups keep
+  * every executor core fed without tiny-file metadata pressure.
+  */
+final case class WriterProps(
+    compression: String = "snappy",
+    rowGroupBytes: Long = 128L << 20,
+    pageBytes: Long = 1L << 20)
+
 object TableIO {
 
   def tableDir(root: String, ns: String, table: String): Path =
@@ -147,13 +160,18 @@ object TableIO {
     */
   def writeExactFile(spark: SparkSession, root: String, ns: String,
       table: String, relPath: String, df: DataFrame, content: String,
-      seq: Long, recordCount: Long = -1L): ManifestEntry = {
+      seq: Long, recordCount: Long = -1L,
+      props: WriterProps = WriterProps()): ManifestEntry = {
     val dir = tableDir(root, ns, table)
     val target = dir.resolve(relPath)
     Files.createDirectories(target.getParent)
     val tmp = Files.createTempDirectory(dir, ".stage")
     try {
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("out").toString)
+      df.coalesce(1).write.mode("overwrite")
+        .option("compression", props.compression)
+        .option("parquet.block.size", props.rowGroupBytes.toString)
+        .option("parquet.page.size", props.pageBytes.toString)
+        .parquet(tmp.resolve("out").toString)
       val part = Files.list(tmp.resolve("out")).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("part-") &&
           p.getFileName.toString.endsWith(".parquet"))

@@ -150,3 +150,56 @@ class DeleteStrategySpec extends AnyFunSuite {
     assert(viaBitmap.sameElements(viaJoin))
   }
 }
+
+/** Writer properties (the reference's WriterProperties surface): codec
+  * and row-group size must actually reach the parquet files.
+  */
+class WriterPropsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def footer(p: java.nio.file.Path) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(new HPath(p.toString),
+      spark.sparkContext.hadoopConfiguration)
+    val r = ParquetFileReader.open(in)
+    try r.getFooter finally r.close()
+  }
+
+  test("compression codec and row-group size reach the files") {
+    import graft.plans.WriterProps
+    import graft.sources.FixSchemaGenerator
+    val root = Files.createTempDirectory("graft-props-").toString
+    TableIO.createNamespace(root, "ns")
+    TableIO.createTableIfNotExists(root, "ns", "t", FixSchemaGen.dataSchema)
+    val df = FixSchemaGenerator.dataFile(spark, 0, 50000)
+
+    val gz = TableIO.writeExactFile(spark, root, "ns", "t",
+      "data/gz.parquet", df, "data", 1L, 50000,
+      WriterProps(compression = "gzip"))
+    val un = TableIO.writeExactFile(spark, root, "ns", "t",
+      "data/un.parquet", df, "data", 1L, 50000,
+      WriterProps(compression = "uncompressed"))
+    val dir = TableIO.tableDir(root, "ns", "t")
+    val gzBytes = Files.size(dir.resolve("data/gz.parquet"))
+    val unBytes = Files.size(dir.resolve("data/un.parquet"))
+    assert(gzBytes < unBytes, s"gzip $gzBytes !< uncompressed $unBytes")
+    val codecs = footer(dir.resolve("data/gz.parquet")).getBlocks.get(0)
+      .getColumns.get(0).getCodec.toString
+    assert(codecs == "GZIP")
+
+    // a 64 KB row-group cap must split 50k rows into multiple groups
+    TableIO.writeExactFile(spark, root, "ns", "t",
+      "data/small-rg.parquet", df, "data", 1L, 50000,
+      WriterProps(rowGroupBytes = 64L << 10, pageBytes = 16L << 10))
+    val nGroups = footer(dir.resolve("data/small-rg.parquet")).getBlocks.size()
+    assert(nGroups > 1, s"expected multiple row groups, got $nGroups")
+
+    // contents identical regardless of writer properties
+    val a = spark.read.parquet(dir.resolve("data/gz.parquet").toString)
+    val b = spark.read.parquet(dir.resolve("data/un.parquet").toString)
+    assert(a.orderBy("bar").collect().sameElements(b.orderBy("bar").collect()))
+    assert(gz.recordCount == un.recordCount)
+  }
+}
