@@ -143,7 +143,7 @@ object Mor {
         dataEntries.map(_.recordCount / 8 + 8).sum <= MaxBitmapBroadcastBytes
       if (useBitmap) {
         val dv = buildDeletionVectors(spark, pd,
-          dataEntries.map(e => (e.path.split('/').last, e.seq)))
+          dataEntries.map(e => (e.path, e.path.split('/').last, e.seq)))
         df = df.join(broadcast(dv), Seq("_fname"), "left")
           .filter(col("_dv").isNull || !bitmapContains(col("_dv"), col("_pos")))
           .drop("_dv")
@@ -190,13 +190,16 @@ object Mor {
     *      data file — small enough to broadcast under the caps).
     */
   private def buildDeletionVectors(spark: SparkSession, posDeletes: DataFrame,
-      dataSeqs: Seq[(String, Long)]): DataFrame = {
+      dataFiles: Seq[(String, String, Long)]): DataFrame = {
     import spark.implicits._
-    val seqDf = dataSeqs.toDF("_fname", "_dataseq")
+    // keyed on the delete rows' file_path AS WRITTEN (the manifest
+    //-relative path): per-row path surgery (substring_index) on the
+    // delete side measured ~5x the whole build — the broadcast manifest
+    // row maps path -> file_name instead, computed once on the driver
+    val seqDf = dataFiles.toDF("file_path", "_fname", "_dataseq")
     posDeletes
-      .select(substring_index(col("file_path"), "/", -1).as("_fname"),
-        col("pos"), col("_dseq"))
-      .join(broadcast(seqDf), Seq("_fname"))
+      .select(col("file_path"), col("pos"), col("_dseq"))
+      .join(broadcast(seqDf), Seq("file_path"))
       .filter(col("_dataseq") <= col("_dseq"))
       .groupBy(col("_fname"), shiftright(col("pos"), 6).as("_w"))
       .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 AS int)))").as("_word"))
