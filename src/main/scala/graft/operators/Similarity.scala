@@ -145,6 +145,41 @@ object Similarity {
       .select("vec_id", "cid")
   }
 
+  /** kNN self-join: each vector's top-k nearest neighbors, with
+    * candidates from the same 16x4-bit sign-LSH banding the embedding
+    * dedup uses — never all-pairs. Rank is a window partitioned by the
+    * left vector (no global sort), so the whole pipeline is band
+    * shuffles + one key-partitioned window: linear in corpus +
+    * candidates at any scale. Deterministic (fixed hyperplanes, ties on
+    * vec_b) — the oracle replays it.
+    */
+  def knnJoin(emb: DataFrame, k: Int = 3, bands: Int = 16, r: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = (0 until bands).map { bnd =>
+      (0 until r).map { i =>
+        when(try_element_at(col("embedding"), lit(bnd * r + i + 1)) > 0f,
+          1L << i).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val bandDf = emb.select(col("vec_id"),
+      posexplode(array(keyCols: _*)).as(Seq("band", "key")))
+    val cand = bandDf.toDF("vec_a", "band", "key")
+      .join(bandDf.toDF("vec_b", "band", "key"), Seq("band", "key"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.toDF("vec_a", "emb_a"), "vec_a")
+      .join(e.toDF("vec_b", "emb_b"), "vec_b")
+      .withColumn("cos", VectorOps.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b").asc)))
+      .filter(col("rank") <= k)
+      .select(col("vec_a"), col("rank"), col("vec_b"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy("vec_a", "rank")
+  }
+
   /** Bucketed ANN: search only the query's sign-LSH bucket. */
   def lshTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
     val withBucket = emb.withColumn("bucket", bucketCol(col("embedding")))

@@ -85,4 +85,47 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       TextHash.rollingHash(Dedup.normalize(col("text"))).as("fp"))
       .orderBy("doc_id")
+
+  /** PII patterns redacted before training: emails, URLs, long digit
+    * runs (phone/account numbers). Shared RE2-compatible regexes so the
+    * oracle replays the identical rewrite.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongNumRe = "[0-9]{4,}"
+
+  /** PII redaction: mask emails/URLs/long numbers, report match counts
+    * and the redacted text's md5 (hash, not text, keeps the output
+    * narrow). Pure codegen'd regex expressions — a linear scan.
+    */
+  def redact(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      LongNumRe, "<NUM>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(UrlRe)).as("n_urls"),
+      regexp_count(col("text"), lit(LongNumRe)).as("n_longnums"),
+      md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition signal (the Gopher-style quality filter): per-document
+    * word-3-gram frequencies — the max repeat count and distinct/total
+    * shingle counts expose boilerplate and looping text. Two key-local
+    * shuffles on (doc_id[, shingle]); integer outputs keep the oracle
+    * hash exact. Documents shorter than `n` words have no shingles and
+    * drop out (same rule as the Jaccard dedup family).
+    */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextHash.shingleHashes(split(col("text"), " "), n)).as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max("c").as("max_rep"),
+        count(lit(1)).as("n_distinct"),
+        sum("c").as("n_total"))
+      .orderBy("doc_id")
 }

@@ -23,6 +23,10 @@ object Extensions {
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"))),
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedTopK(rd(s, dir, "embeddings"))),
+    "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rd(s, dir, "embeddings"))),
+    "text_redact" -> ((s, dir) => TextAnalysis.redact(rd(s, dir, "documents"))),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(rd(s, dir, "documents"))),
     "text_stats" -> ((s, dir) => TextAnalysis.stats(rd(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokens(rd(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(rd(s, dir, "documents"))),
@@ -287,6 +291,46 @@ object Extensions {
          |FROM e JOIN a3 USING (vec_id) JOIN probes USING (cid), q
          |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "ann_knn_join" ->
+      s"""WITH bands AS ($embBandsSql),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.vec_id <> b.vec_id),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |j AS (SELECT vec_a, vec_b, ${cosSql("x.v", "y.v")} AS cos
+         |      FROM cand JOIN e x ON x.vec_id = vec_a
+         |                JOIN e y ON y.vec_id = vec_b),
+         |rk AS (SELECT vec_a, vec_b, cos,
+         |         row_number() OVER (PARTITION BY vec_a
+         |           ORDER BY cos DESC, vec_b ASC) AS rank FROM j)
+         |SELECT vec_a, CAST(rank AS INTEGER) AS rank, vec_b,
+         |  round(cos, 6) AS sim
+         |FROM rk WHERE rank <= 3 ORDER BY vec_a, rank""".stripMargin,
+
+    "text_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlRe}')) AS INTEGER) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.LongNumRe}')) AS INTEGER) AS n_longnums,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.UrlRe}', '<URL>', 'g'),
+         |    '${TextAnalysis.LongNumRe}', '<NUM>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |shs AS (SELECT doc_id,
+         |          unnest([array_to_string(w[i:i+2], ' ')
+         |                  for i in range(1, len(w) - 1)]) AS sh_str
+         |        FROM t WHERE len(w) >= 3),
+         |h AS (SELECT doc_id, ${rollSql("sh_str")} AS sh FROM shs),
+         |c AS (SELECT doc_id, sh, count(*) AS c FROM h GROUP BY doc_id, sh)
+         |SELECT doc_id, max(c) AS max_rep, count(*) AS n_distinct,
+         |  CAST(sum(c) AS BIGINT) AS n_total
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
