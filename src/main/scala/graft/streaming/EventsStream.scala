@@ -60,6 +60,20 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact-dedup over a document stream: suppress
+    * re-occurrences of a content fingerprint across micro-batches
+    * (`dropDuplicatesWithinWatermark`). The watermark bounds the
+    * dedup state — fingerprints older than `horizon` are evicted, so
+    * state stays proportional to the horizon's traffic, not the
+    * stream's lifetime; that is the property that keeps continuous
+    * ingest dedup viable at corpus scale. Input needs (ts: timestamp,
+    * text) plus any payload columns.
+    */
+  def streamingDedup(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("fp", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming ingestion into a graft table: every micro-batch becomes
     * one data file + one snapshot commit (the Iceberg streaming-ingest
     * pattern — exactly-once per batch via the atomic manifest flip; a

@@ -30,6 +30,24 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming dedup suppresses duplicate fingerprints across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    val ts = (m: Long) => new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val deduped = EventsStream.streamingDedup(
+      src.toDF().toDF("ts", "text"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_spec").start()
+    src.addData((ts(0), "alpha"), (ts(1), "beta"), (ts(1), "alpha"))
+    q.processAllAvailable()
+    src.addData((ts(2), "alpha"), (ts(3), "gamma")) // alpha within horizon
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("dedup_spec").collect().map(_.getString(1)).sorted
+    assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
   test("sessionize splits on gaps and accumulates state") {
     val m = 60L * 1000000L // one minute in micros
     val events = Seq(
