@@ -71,6 +71,18 @@ object Extensions {
         "user_id", "event_id", "value")
         .orderBy("event_id")
     }),
+    // Range join: purchases within 60s before each click, any user —
+    // bucketed equi-join shape (see RangeJoin), never a nested loop.
+    "q_range_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = rdEvents(s, dir).withColumn("t", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "t")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("t", "value")
+      graft.operators.RangeJoin.aggregateInRange(
+        clicks, purchases, "event_id", 60000000L, "value")
+    }),
     // Higher-order array functions over embeddings (exact int/bool out).
     "q_hof" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -377,6 +389,16 @@ object Extensions {
         |   WHERE event_type = 'purchase') b
         |  ON a.user_id = b.user_id AND a.event_id >= b.event_id
         |ORDER BY a.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |              epoch_us(ts::TIMESTAMP) AS t, value FROM events),
+        |c AS (SELECT event_id, t FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT t, value FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, count(*) AS n_matches,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM c JOIN p ON p.t BETWEEN c.t - 60000000 AND c.t
+        |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
 
     "q_hof" ->
       """SELECT vec_id,

@@ -109,10 +109,16 @@ class OperatorsSpec extends AnyFunSuite {
       (i.toLong, (1 to 12).map(j => s"w$i$j").mkString(" "))): _*)
     val e = (1 to 10).map(i => (i.toLong, Array.fill(64)(0.1f), i % 3))
       .toDF("vec_id", "embedding", "label")
+    val times = (1 to 10).map(i => (i.toLong, i * 1000000L, i * 1.0))
+      .toDF("event_id", "t", "value")
     val plans = Seq(
       "simhash" -> Dedup.simhashPairs(d),
       "embedding" -> Dedup.embeddingCosine(e),
-      "ngram_jaccard" -> Dedup.ngramJaccard(d))
+      "ngram_jaccard" -> Dedup.ngramJaccard(d),
+      "knn_join" -> Similarity.knnJoin(e),
+      "range_join" -> graft.operators.RangeJoin.aggregateInRange(
+        times, times.select(col("t"), col("value")), "event_id",
+        2000000L, "value"))
     plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
