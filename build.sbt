@@ -26,9 +26,15 @@ val jdk17AddOpens = Seq(
 // Fixed-size heap: this VM faults fresh pages at ~300MB/s, so a growing
 // heap causes multi-second young-GC pauses (pages faulted during
 // evacuation). Xms==Xmx keeps G1 reusing already-faulted pages.
+// 1g code cache: Spark compiles a fresh codegen class per query stage;
+// the JDK default 240MB cache fills after ~50 queries in one JVM, the
+// JIT then stops compiling and hot loops run INTERPRETED — measured
+// 30-100x stalls on arithmetic-heavy queries (r3: ann_knn_join 159s in
+// BENCH_r02 vs 3.3s with this flag).
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -13,6 +13,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed session warm-up: JVM/JIT/codegen/scheduler spin-up was
+    // previously absorbed by whichever query ran first alphabetically
+    // (~6s charged to ann_ivf in r1/r2 benches)
+    spark.range(1000000).selectExpr("bit_xor(xxhash64(id))").collect()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     // deterministic order for stable round-over-round comparison
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -24,6 +29,10 @@ object Bench {
         val df = fn(spark, sfDir)
         df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
       } catch { case e: Throwable =>
+        // a failure must be machine-visible in the JSON, not just on
+        // stderr — otherwise a time-to-exception reads as a real timing
+        // in round-over-round compares (ADVICE r2)
+        failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -31,7 +40,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,10 +30,14 @@ object Dedup {
       .orderBy("doc_id")
 
   /** Fingerprint dedup: md5 of normalized text (md5 is identical across
-    * engines, unlike xxhash64/murmur).
+    * engines, unlike xxhash64/murmur). The scan is spread across cores
+    * first: the corpus arrives as few (locally: one) parquet splits, and
+    * the normalize regexes + md5 are the dominant per-row cost — without
+    * the repartition they run in one task.
     */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), md5(normalize(col("text"))).as("fp"))
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), md5(normalize(col("text"))).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "fp", "n_copies")
@@ -56,7 +60,9 @@ object Dedup {
     // Shingles are rolling-hashed to longs inside the array transform and
     // deduplicated with a hash aggregate: array_distinct over string
     // arrays is O(k^2) string comparisons per doc (measured 9x slower).
-    val sh0 = docs.select(col("doc_id"),
+    // repartition: shingle hashing is the per-row hot loop and the few
+    // parquet splits would otherwise serialize it on one core
+    val sh0 = docs.repartition(col("doc_id")).select(col("doc_id"),
       explode(TextHash.shingleHashes(split(col("text"), " "), n)).as("sh"))
       .distinct()
     // df-cap: the aggregate and the join share the `sh` hash partitioning,
@@ -84,7 +90,8 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int = 4): DataFrame = {
     // No distinct needed: min over the shingle multiset equals min over
     // the set, so duplicates cannot change any signature component.
-    val sh = docs.select(col("doc_id"),
+    // repartition spreads the shingle+rehash hot loop across cores.
+    val sh = docs.repartition(col("doc_id")).select(col("doc_id"),
       explode(TextHash.shingleHashes(split(col("text"), " "), n)).as("h"))
     val mins = TextHash.minhashSeeds.zipWithIndex.map { case ((a, b), j) =>
       min(TextHash.rehash(col("h"), a, b)).as(s"s$j")
@@ -127,7 +134,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 1): DataFrame = {
     require(maxDist < 4, "4x8-bit banding is only exhaustive for maxDist < 4")
-    val withSim = docs.select(col("doc_id"),
+    val withSim = docs.repartition(col("doc_id")).select(col("doc_id"),
       TextHash.simhash32(graft.functions.HashFunctions.wordHashes(
         split(col("text"), " "))).as("sim"))
     val bands = withSim.select(col("doc_id"), col("sim"),
@@ -166,22 +173,25 @@ object Dedup {
           1L << i).otherwise(0L)
       }.reduce(_ + _)
     }
-    val bandDf = emb.select(col("vec_id"),
+    // The embeddings (and precomputed norms) ride along on the band rows
+    // so the cosine is fused into the band self-join's output projection
+    // and the tau filter runs BEFORE any pair dedup — the distinct then
+    // shuffles only true near-dup pairs, not every candidate. The
+    // repartition spreads the join+cosine across cores (a single-file
+    // scan is one partition locally; at scale the input arrives
+    // pre-split).
+    val bandDf = emb.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"),
       posexplode(array(keyCols: _*)).as(Seq("band", "key")))
-    val cand = bandDf.toDF("vec_a", "band", "key")
-      .join(bandDf.toDF("vec_b", "band", "key"), Seq("band", "key"))
+    bandDf.toDF("vec_a", "emb_a", "norm_a", "band", "key")
+      .repartition(col("band"), col("key"))
+      .join(bandDf.toDF("vec_b", "emb_b", "norm_b", "band", "key"),
+        Seq("band", "key"))
       .filter(col("vec_a") < col("vec_b"))
+      .filter(VectorOps.cosinePre(
+        VectorOps.dot(col("emb_a"), col("emb_b")),
+        col("norm_a"), col("norm_b")) >= tau)
       .select("vec_a", "vec_b").distinct()
-    val e = emb.select(col("vec_id"), col("embedding"),
-      VectorOps.norm(col("embedding")).as("nrm"))
-    cand
-      .join(e.toDF("vec_a", "emb_a", "norm_a"), "vec_a")
-      .join(e.toDF("vec_b", "emb_b", "norm_b"), "vec_b")
-      .withColumn("cosine",
-        VectorOps.cosinePre(VectorOps.dot(col("emb_a"), col("emb_b")),
-          col("norm_a"), col("norm_b")))
-      .filter(col("cosine") >= tau)
-      .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
 }

@@ -64,6 +64,11 @@ object Multimodal {
     * JPEG via javax.imageio): actual pixel dimensions if the payload
     * parses as an image, None otherwise. Pure-JVM — no native libs.
     */
+  // JVM-global: ImageIO's default disk cache creates a FileCache temp
+  // file per read() call — per ROW in the mapPartitions hot path
+  // (ADVICE r2). Object init runs once per executor JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
     try {
       val img = javax.imageio.ImageIO.read(

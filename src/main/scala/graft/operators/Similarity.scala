@@ -45,26 +45,33 @@ object Similarity {
     * probes only its nearest centroid's list — the coarse-quantizer
     * structure that cuts a 100 TB search to one inverted list.
     *
-    * All arithmetic is engine-portable: centroid means come from exact
-    * DECIMAL sums; the query->centroid distances accumulate squared
-    * diffs in DECIMAL (double summation order differs across engines);
-    * argmin ties break on cluster id.
+    * All arithmetic is engine-portable AND primitive: sums accumulate
+    * scaled-long fixed-point values (`floor(x * 1e7)` / `1e12` as
+    * BIGINT — exact, order-independent, identical across engines,
+    * unlike double sums whose order differs). Long sums stay in
+    * whole-stage codegen with primitive arithmetic; the DECIMAL variant
+    * this replaces allocated a BigDecimal per row — observed 100x the
+    * cost and the single hot task in every bench stall (r3).
+    * Argmin ties break on cluster id.
     */
   def ivfTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    // per-(cluster, dim) exact means
+    // per-(cluster, dim) fixed-point means; repartition spreads the
+    // partial aggregation across cores (single-file scan is one
+    // partition locally) and already co-locates the (label, pos) groups
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .repartition(col("pos"))
       .groupBy("label", "pos")
-      .agg((sum(col("e").cast("double").cast("decimal(28,10)"))
-        .cast("double") / count(lit(1))).as("c"))
+      .agg((sum(floor(col("e").cast("double") * lit(1e7))).cast("double")
+        / lit(1e7) / count(lit(1))).as("c"))
     // the query vector, one row per dimension
     val qdims = emb.filter(col("vec_id") === queryId)
       .select(posexplode(col("embedding")).as(Seq("pos", "qe")))
-    // squared distance query -> each centroid (decimal-exact sum)
+    // squared distance query -> each centroid (fixed-point long sum)
     val dists = centroids.join(broadcast(qdims), "pos")
       .groupBy("label")
-      .agg(sum(((col("c") - col("qe")) * (col("c") - col("qe")))
-        .cast("decimal(28,12)")).as("dist"))
+      .agg(sum(floor((col("c") - col("qe")) * (col("c") - col("qe"))
+        * lit(1e12))).as("dist"))
     // argmin over #labels rows: TakeOrdered, not an unpartitioned window
     val nearest = dists
       .orderBy(col("dist").asc, col("label").asc)
@@ -90,16 +97,21 @@ object Similarity {
     * corpus (linear in n×k, map-side), the M-step one key shuffle per
     * iteration, and the search touches only nprobe/k of the data.
     *
-    * Engine-portable arithmetic throughout: squared distances accumulate
-    * per-term DECIMAL(28,12) casts (exact, order-free sums); centroid
-    * means are DECIMAL(28,10) sums published as DOUBLE; argmin ties
-    * break on cluster id.
+    * Engine-portable arithmetic throughout: squared distances and
+    * centroid sums accumulate scaled-long fixed-point values (exact,
+    * order-free, primitive — see [[ivfTopK]]); argmin ties break on
+    * cluster id.
     */
   def ivfTrainedTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
       kClusters: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    // repartition by vec_id: spreads every E-step's broadcast join +
+    // decimal distance aggregation across cores (single-file scan = one
+    // partition locally), and the shuffle output is reused by each
+    // iteration's identical sub-plan (ReusedExchange)
     val dims = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "e")))
       .select(col("vec_id"), col("pos"), col("e").cast("double").as("e"))
+      .repartition(col("vec_id"))
     // deterministic seeds: the kClusters lowest vec_ids
     var cent = dims.filter(col("vec_id") < kClusters)
       .select(col("vec_id").as("cid"), col("pos"), col("e").as("c"))
@@ -107,7 +119,7 @@ object Similarity {
       val a = assignClusters(dims, cent)
       cent = dims.join(a, "vec_id")
         .groupBy("cid", "pos")
-        .agg((sum(col("e").cast("decimal(28,10)")).cast("double") /
+        .agg((sum(floor(col("e") * lit(1e7))).cast("double") / lit(1e7) /
           count(lit(1))).as("c"))
     }
     val assigned = assignClusters(dims, cent)
@@ -115,8 +127,8 @@ object Similarity {
       .select(col("pos"), col("e").as("qe"))
     val probes = cent.join(broadcast(qd), "pos")
       .groupBy("cid")
-      .agg(sum(((col("c") - col("qe")) * (col("c") - col("qe")))
-        .cast("decimal(28,12)")).as("dist"))
+      .agg(sum(floor((col("c") - col("qe")) * (col("c") - col("qe"))
+        * lit(1e12))).as("dist"))
       .orderBy(col("dist").asc, col("cid").asc).limit(nprobe)
       .select("cid")
     val q = emb.filter(col("vec_id") === queryId)
@@ -130,28 +142,35 @@ object Similarity {
       .limit(k)
   }
 
-  /** k-means E-step: nearest centroid per vector (decimal-exact squared
-    * distance, ties on cid). Centroids are k×dims rows — broadcast.
+  /** k-means E-step: nearest centroid per vector (fixed-point-exact
+    * squared distance, ties on cid). Centroids are k×dims rows —
+    * broadcast.
+    * Argmin = `min(struct(dist, cid))` (lexicographic struct ordering),
+    * a second aggregation instead of a window: the per-(vec_id,cid)
+    * partials and the per-vec_id argmin collapse into one shuffle, and
+    * the values are identical to the sort-based form.
     */
   private def assignClusters(dims: DataFrame, cent: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     dims.join(broadcast(cent), "pos")
       .groupBy("vec_id", "cid")
-      .agg(sum(((col("e") - col("c")) * (col("e") - col("c")))
-        .cast("decimal(28,12)")).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cid")
+      .agg(sum(floor((col("e") - col("c")) * (col("e") - col("c"))
+        * lit(1e12))).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"))
   }
 
   /** kNN self-join: each vector's top-k nearest neighbors, with
     * candidates from the same 16x4-bit sign-LSH banding the embedding
-    * dedup uses — never all-pairs. Rank is a window partitioned by the
-    * left vector (no global sort), so the whole pipeline is band
-    * shuffles + one key-partitioned window: linear in corpus +
-    * candidates at any scale. Deterministic (fixed hyperplanes, ties on
-    * vec_b) — the oracle replays it.
+    * dedup uses — never an unkeyed all-pairs join. The embeddings ride
+    * along on the (small) band rows so the cosine is fused into the
+    * band self-join's output projection; pairs seen in several bands
+    * are then collapsed by a groupBy (cos is a pure function of the
+    * pair, so max == the value) — no re-join of the corpus per
+    * candidate and no wide rows through the distinct. The rank window
+    * is partitioned by the left vector (Spark 4 pushes the k-limit
+    * into WindowGroupLimit pre-shuffle), so the whole pipeline is two
+    * narrow-row key shuffles at any scale. Deterministic (fixed
+    * hyperplanes, ties on vec_b) — the oracle replays it.
     */
   def knnJoin(emb: DataFrame, k: Int = 3, bands: Int = 16, r: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -161,17 +180,18 @@ object Similarity {
           1L << i).otherwise(0L)
       }.reduce(_ + _)
     }
-    val bandDf = emb.select(col("vec_id"),
+    val bandDf = emb.select(col("vec_id"), col("embedding"),
       posexplode(array(keyCols: _*)).as(Seq("band", "key")))
-    val cand = bandDf.toDF("vec_a", "band", "key")
-      .join(bandDf.toDF("vec_b", "band", "key"), Seq("band", "key"))
+    // spread the probe side across cores: a single-file scan is one
+    // partition, and everything up to the first exchange (join, cosine,
+    // partial agg) would otherwise run in one task
+    val cand = bandDf.toDF("vec_a", "emb_a", "band", "key")
+      .repartition(col("band"), col("key"))
+      .join(bandDf.toDF("vec_b", "emb_b", "band", "key"), Seq("band", "key"))
       .filter(col("vec_a") =!= col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    val e = emb.select(col("vec_id"), col("embedding"))
-    cand
-      .join(e.toDF("vec_a", "emb_a"), "vec_a")
-      .join(e.toDF("vec_b", "emb_b"), "vec_b")
-      .withColumn("cos", VectorOps.cosine(col("emb_a"), col("emb_b")))
+      .select(col("vec_a"), col("vec_b"),
+        VectorOps.cosine(col("emb_a"), col("emb_b")).as("cos"))
+    cand.groupBy("vec_a", "vec_b").agg(max("cos").as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b").asc)))
       .filter(col("rank") <= k)

@@ -50,6 +50,22 @@ object Mor {
     case None => TableIO.readManifest(root, ns, table)
   }
 
+  /** (basename, seq) pairs for a file list. The read path keys seq
+    * attachment and deletion vectors on `_metadata.file_name` (cheap,
+    * unlike per-row path surgery), which is only sound while basenames
+    * are unique across the snapshot's directories — a duplicate would
+    * duplicate join rows and could attach a newer file's seq to an older
+    * delete (ADVICE r2). Generators emit unique names; this guard turns
+    * a silent wrong answer into a loud error if that ever changes.
+    */
+  private def basenameSeqs(files: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val bn = files.map { case (abs, seq) => (abs.split('/').last, seq) }
+    require(bn.map(_._1).distinct.size == bn.size,
+      s"duplicate file basenames across directories break _fname keying: " +
+        bn.groupBy(_._1).filter(_._2.size > 1).keys.mkString(", "))
+    bn
+  }
+
   /** Data scan with provenance columns `_file` (path relative to the
     * table dir, matching manifest/pos-delete paths) and `_pos` (row index
     * within the file) plus the file's commit sequence number.
@@ -72,9 +88,7 @@ object Mor {
         col("_metadata.row_index").as("_pos"))
     // Attach each file's sequence number (tiny manifest join, broadcast).
     import spark.implicits._
-    val seqDf = dataFiles.map { case (abs, seq) =>
-      (abs.split('/').last, seq)
-    }.toDF("_fname", "_seq")
+    val seqDf = basenameSeqs(dataFiles).toDF("_fname", "_seq")
     df.join(broadcast(seqDf), Seq("_fname"), "left")
   }
 
@@ -87,9 +101,7 @@ object Mor {
     if (files.isEmpty) None
     else {
       import spark.implicits._
-      val seqDf = files.map { case (abs, seq) =>
-        (abs.split('/').last, seq)
-      }.toDF("_dfname", "_dseq")
+      val seqDf = basenameSeqs(files).toDF("_dfname", "_dseq")
       Some(spark.read.parquet(files.map(_._1): _*)
         .withColumn("_dfname", col("_metadata.file_name"))
         .join(broadcast(seqDf), Seq("_dfname"))
@@ -142,6 +154,7 @@ object Mor {
           e.recordCount >= 0 && e.recordCount <= Int.MaxValue.toLong) &&
         dataEntries.map(_.recordCount / 8 + 8).sum <= MaxBitmapBroadcastBytes
       if (useBitmap) {
+        basenameSeqs(dataEntries.map(e => (e.path, e.seq))) // uniqueness guard
         val dv = buildDeletionVectors(spark, pd,
           dataEntries.map(e => (e.path, e.path.split('/').last, e.seq)))
         df = df.join(broadcast(dv), Seq("_fname"), "left")

@@ -147,8 +147,8 @@ object Extensions {
   }.mkString(" UNION ALL ")
 
   /** DuckDB k-means E-step: nearest centroid per vector from centroid
-    * CTE `c`, decimal-exact distances, ties on cid — the twin of
-    * Similarity.assignClusters.
+    * CTE `c`, fixed-point-exact distances (scaled-long, the twin of
+    * Similarity.assignClusters), ties on cid.
     */
   private def assignSql(c: String): String =
     s"""SELECT vec_id, cid FROM (
@@ -156,17 +156,18 @@ object Extensions {
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY dist ASC, cid ASC) AS rn
        |  FROM (SELECT d.vec_id, c.cid,
-       |          sum(CAST((d.e - c.c) * (d.e - c.c) AS DECIMAL(28,12))) AS dist
+       |          sum(CAST(floor((d.e - c.c) * (d.e - c.c) * 1000000000000.0) AS BIGINT)) AS dist
        |        FROM dims d JOIN $c c ON d.pos = c.pos
        |        GROUP BY d.vec_id, c.cid))
        |WHERE rn = 1""".stripMargin
 
-  /** DuckDB k-means M-step: decimal-exact per-dimension means of the
-    * members assigned by CTE `a`.
+  /** DuckDB k-means M-step: fixed-point-exact per-dimension means of
+    * the members assigned by CTE `a`.
     */
   private def updateSql(a: String): String =
     s"""SELECT cid, pos,
-       |  CAST(sum(CAST(e AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+       |  CAST(sum(CAST(floor(e * 10000000.0) AS BIGINT)) AS DOUBLE) / 10000000.0
+       |    / count(*) AS c
        |FROM dims JOIN $a USING (vec_id) GROUP BY cid, pos""".stripMargin
 
   private val langCmp: Seq[(String, String)] = Seq(
@@ -263,14 +264,15 @@ object Extensions {
     "ann_ivf" ->
       s"""WITH cent AS (
          |  SELECT label, i AS pos,
-         |    CAST(sum(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
-         |      / count(*) AS c
+         |    CAST(sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+         |      / 10000000.0 / count(*) AS c
          |  FROM embeddings, range(0, 64) t(i) GROUP BY label, i),
          |qdims AS (
          |  SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS qe
          |  FROM embeddings, range(0, 64) t(i) WHERE vec_id = 0),
          |dists AS (
-         |  SELECT label, sum(CAST((c - qe) * (c - qe) AS DECIMAL(28,12))) AS dist
+         |  SELECT label,
+         |    sum(CAST(floor((c - qe) * (c - qe) * 1000000000000.0) AS BIGINT)) AS dist
          |  FROM cent JOIN qdims USING (pos) GROUP BY label),
          |nearest AS (SELECT label FROM dists ORDER BY dist ASC, label ASC LIMIT 1),
          |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -293,7 +295,7 @@ object Extensions {
          |probes AS (
          |  SELECT cid FROM (
          |    SELECT c.cid,
-         |      sum(CAST((c.c - q.e) * (c.c - q.e) AS DECIMAL(28,12))) AS dist
+         |      sum(CAST(floor((c.c - q.e) * (c.c - q.e) * 1000000000000.0) AS BIGINT)) AS dist
          |    FROM c2 c JOIN dims q ON c.pos = q.pos AND q.vec_id = 0
          |    GROUP BY c.cid)
          |  ORDER BY dist ASC, cid ASC LIMIT 2),
