@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond dedup/similarity: test-set decontamination, weighted
+  * sampling, sequence packing, deterministic global shuffle, corpus
+  * n-gram statistics, embedding quantization, and duplicate-cluster
+  * resolution.
+  *
+  * Scale design: every operator is keyed dataflow — hash-partitioned
+  * shuffles, windows partitioned by a sharding key, no driver-side
+  * state, no all-pairs joins. All randomness is replaced by the
+  * engine-portable rolling hash ([[TextHash.rollingHash]]) so results
+  * are deterministic and the DuckDB oracle replays them exactly.
+  */
+object PipelineOps {
+
+  /** Salted portable hash of a document id: rollingHash(prefix || id).
+    * Different prefixes give independent hash streams (sampling vs
+    * sharding vs packing must not correlate).
+    */
+  private def idHash(prefix: String) =
+    TextHash.rollingHash(concat(lit(prefix), col("doc_id").cast("string")))
+
+  /** Test-set decontamination: training documents sharing >= `minShared`
+    * distinct word n-grams with any held-out evaluation document. The
+    * held-out set is a deterministic 5% hash split (in production it is
+    * the real eval suite). Shape: shingle both sides, df-cap the
+    * ubiquitous shingles (a boilerplate phrase shared by k docs would
+    * contribute k^2 join rows on one key), equi-join on the shingle
+    * hash, count per (train, test) pair — linear in corpus + shared
+    * shingles, never all-pairs.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 4, minShared: Int = 3,
+      dfCap: Int = 256): DataFrame = {
+    val base = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        (pmod(idHash("t"), lit(20)) === 0).as("is_test"),
+        explode(TextHash.shingleHashes(split(col("text"), " "), n)).as("sh"))
+      .distinct()
+    val rare = base.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("sh")
+    val capped = base.join(rare, "sh")
+    val train = capped.filter(!col("is_test"))
+      .select(col("doc_id").as("train_doc"), col("sh"))
+    val test = capped.filter(col("is_test"))
+      .select(col("doc_id").as("test_doc"), col("sh"))
+    train.join(test, "sh")
+      .groupBy("train_doc", "test_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("train_doc", "test_doc")
+  }
+
+  /** Deterministic per-source weighted sampling (domain mixing): each
+    * source gets a keep-rate in [20, 90)% derived from its name, each
+    * document an independent hash draw in [0, 100). A pure filter —
+    * no shuffle, fully pushdown-friendly, linear at any scale.
+    */
+  def sampleBySource(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        (pmod(TextHash.rollingHash(col("source")), lit(70)) + 20).as("rate"),
+        pmod(idHash("s"), lit(100)).as("draw"))
+      .filter(col("draw") < col("rate"))
+      .select("doc_id", "source", "rate")
+      .orderBy("doc_id")
+
+  /** Sequence packing: assign documents to fixed-character-budget bins
+    * (the proxy for token-budget packing of training sequences) with a
+    * next-fit running sum. Windows are partitioned by (lang, shard) —
+    * the shard key bounds any one window's data so the sort never
+    * concentrates a language's whole corpus on one task at 100 TB.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 4096,
+      shards: Int = 16): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        pmod(idHash("p"), lit(shards)).as("shard"))
+      .withColumn("cum", sum("n_chars").over(w))
+      // bin = floor(chars-before-this-doc / budget): next-fit by the
+      // running sum; floor(double) is exact here (sums << 2^53)
+      .withColumn("bin", floor((col("cum") - col("n_chars")) /
+        lit(budget.toDouble)))
+      .groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      .orderBy("lang", "shard", "bin")
+  }
+
+  /** Deterministic global shuffle for training-data ordering: a salted
+    * hash maps each document to a shard and a position within it.
+    * Per-shard windows keep the sort distributed (no global orderBy of
+    * the corpus); readers consume shards in index order for a stable
+    * full permutation.
+    */
+  def shuffleShards(docs: DataFrame, shards: Int = 32): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("key"), col("doc_id"))
+    docs.select(col("doc_id"), idHash("x").as("key"))
+      .withColumn("shard", pmod(col("key"), lit(shards)))
+      .withColumn("pos", row_number().over(w))
+      .select("shard", "pos", "doc_id")
+      .orderBy("shard", "pos")
+  }
+
+  /** Corpus-level most-frequent word n-grams (boilerplate detection,
+    * contamination screening). N-grams are built with per-document
+    * `lead` windows over exploded words — codegen'd window columns, no
+    * interpreted array lambdas — and counted with a standard two-phase
+    * hash aggregate (partial map-side combine absorbs hot keys).
+    */
+  def topNgrams(docs: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(w))
+      .withColumn("w2", lead("w", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(concat_ws(" ", col("w"), col("w1"), col("w2")).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max |component|, components mapped to floor(e / scale *
+    * 127). Emits per-vector summary stats (scale, sum/min/max of the
+    * quantized values) — integer outputs the oracle hashes exactly.
+    * Two key shuffles on vec_id, linear at any scale.
+    */
+  def quantize(emb: DataFrame): DataFrame = {
+    val dims = emb.repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("e").cast("double").as("e"))
+    val scales = dims.groupBy("vec_id").agg(max(abs(col("e"))).as("amax"))
+    dims.join(scales, "vec_id")
+      .select(col("vec_id"), col("amax"),
+        when(col("amax") === 0d, lit(0L))
+          .otherwise(floor(col("e") / col("amax") * 127d)).as("q"))
+      .groupBy("vec_id")
+      .agg(max("amax").as("scale"), sum("q").as("q_sum"),
+        min("q").as("q_min"), max("q").as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  /** Duplicate-cluster resolution: connected components over the
+    * MinHash-LSH near-dup pair graph by min-label propagation, a fixed
+    * `iters` rounds (deterministic, oracle-replayable; components here
+    * are tiny — duplicate groups — so a small fixed hop count
+    * converges). Each round is one groupBy on the edge key: linear in
+    * edges, the standard large-graph CC shape.
+    */
+  def dedupClusters(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs)
+    // undirected: both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lab", col("doc_id"))
+    for (_ <- 1 to iters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("lab").as("nlab"))
+      labels = labels.join(viaNeighbor, "doc_id")
+        .select(col("doc_id"), least(col("lab"), col("nlab")).as("lab"))
+    }
+    labels.select(col("doc_id"), col("lab").as("cluster"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, PipelineOps, Similarity, TextAnalysis}
 import Util._
 
 /** North-star extension operators (SURVEY.md §2.7): dedup, similarity
@@ -24,6 +24,15 @@ object Extensions {
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedTopK(rd(s, dir, "embeddings"))),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rd(s, dir, "embeddings"))),
+    "pipe_decontaminate" -> ((s, dir) =>
+      PipelineOps.decontaminate(rd(s, dir, "documents"))),
+    "pipe_sample" -> ((s, dir) => PipelineOps.sampleBySource(rd(s, dir, "documents"))),
+    "pipe_pack" -> ((s, dir) => PipelineOps.packSequences(rd(s, dir, "documents"))),
+    "pipe_shuffle" -> ((s, dir) => PipelineOps.shuffleShards(rd(s, dir, "documents"))),
+    "text_topk_ngrams" -> ((s, dir) => PipelineOps.topNgrams(rd(s, dir, "documents"))),
+    "emb_quantize" -> ((s, dir) => PipelineOps.quantize(rd(s, dir, "embeddings"))),
+    "dedup_clusters" -> ((s, dir) =>
+      PipelineOps.dedupClusters(rd(s, dir, "documents"))),
     "text_redact" -> ((s, dir) => TextAnalysis.redact(rd(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(rd(s, dir, "documents"))),
@@ -322,6 +331,103 @@ object Extensions {
          |SELECT vec_a, CAST(rank AS INTEGER) AS rank, vec_b,
          |  round(cos, 6) AS sim
          |FROM rk WHERE rank <= 3 ORDER BY vec_a, rank""".stripMargin,
+
+    "pipe_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |shs AS (SELECT doc_id, unnest($shinglesSql) AS sh_str
+         |        FROM t WHERE len(w) >= 4),
+         |sh0 AS (SELECT DISTINCT doc_id, ${rollSql("sh_str")} AS sh FROM shs),
+         |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 256),
+         |cap AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+         |lab AS (SELECT DISTINCT doc_id,
+         |          (${rollSql("'t' || CAST(doc_id AS VARCHAR)")} % 20 = 0) AS is_test
+         |        FROM cap),
+         |tr AS (SELECT c.doc_id AS train_doc, sh
+         |       FROM cap c JOIN lab USING (doc_id) WHERE NOT is_test),
+         |te AS (SELECT c.doc_id AS test_doc, sh
+         |       FROM cap c JOIN lab USING (doc_id) WHERE is_test)
+         |SELECT train_doc, test_doc, count(*) AS n_shared
+         |FROM tr JOIN te USING (sh)
+         |GROUP BY train_doc, test_doc HAVING count(*) >= 3
+         |ORDER BY train_doc, test_doc""".stripMargin,
+
+    "pipe_sample" ->
+      s"""SELECT doc_id, source,
+         |  (${rollSql("source")} % 70) + 20 AS rate
+         |FROM documents
+         |WHERE (${rollSql("'s' || CAST(doc_id AS VARCHAR)")} % 100)
+         |    < (${rollSql("source")} % 70) + 20
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipe_pack" ->
+      s"""WITH s AS (SELECT doc_id, lang, n_chars,
+         |      ${rollSql("'p' || CAST(doc_id AS VARCHAR)")} % 16 AS shard
+         |    FROM documents),
+         |c AS (SELECT *, sum(n_chars) OVER (PARTITION BY lang, shard
+         |        ORDER BY doc_id) AS cum FROM s)
+         |SELECT lang, shard,
+         |  CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM c GROUP BY lang, shard, bin
+         |ORDER BY lang, shard, bin""".stripMargin,
+
+    "pipe_shuffle" ->
+      s"""WITH s AS (SELECT doc_id,
+         |      ${rollSql("'x' || CAST(doc_id AS VARCHAR)")} AS key
+         |    FROM documents)
+         |SELECT key % 32 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY key % 32
+         |    ORDER BY key, doc_id) AS INTEGER) AS pos,
+         |  doc_id
+         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "text_topk_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT unnest([array_to_string(w[i:i+2], ' ')
+        |                     for i in range(1, len(w) - 1)]) AS ngram
+        |      FROM t WHERE len(w) >= 3)
+        |SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+        |ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH dims AS (SELECT vec_id, CAST(embedding[i + 1] AS DOUBLE) AS e
+        |              FROM embeddings, range(0, 64) t(i)),
+        |sc AS (SELECT vec_id, max(abs(e)) AS amax FROM dims GROUP BY vec_id),
+        |q AS (SELECT d.vec_id, amax,
+        |        CASE WHEN amax = 0 THEN 0
+        |             ELSE CAST(floor(e / amax * 127.0) AS BIGINT) END AS q
+        |      FROM dims d JOIN sc USING (vec_id))
+        |SELECT vec_id, max(amax) AS scale, CAST(sum(q) AS BIGINT) AS q_sum,
+        |  min(q) AS q_min, max(q) AS q_max
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+         |        FROM t WHERE len(w) >= 4),
+         |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.bkey = b.bkey
+         |           AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS lab FROM edges),
+         |n1 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
+         |       FROM edges e JOIN l0 l ON l.doc_id = e.dst GROUP BY e.src),
+         |l1 AS (SELECT l0.doc_id, least(l0.lab, n1.nlab) AS lab
+         |       FROM l0 JOIN n1 USING (doc_id)),
+         |n2 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
+         |       FROM edges e JOIN l1 l ON l.doc_id = e.dst GROUP BY e.src),
+         |l2 AS (SELECT l1.doc_id, least(l1.lab, n2.nlab) AS lab
+         |       FROM l1 JOIN n2 USING (doc_id)),
+         |n3 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
+         |       FROM edges e JOIN l2 l ON l.doc_id = e.dst GROUP BY e.src),
+         |l3 AS (SELECT l2.doc_id, least(l2.lab, n3.nlab) AS lab
+         |       FROM l2 JOIN n3 USING (doc_id))
+         |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin,
 
     "text_redact" ->
       s"""SELECT doc_id,

@@ -183,4 +183,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length > 1)
     assert(got.map(_.getInt(1)).toSeq == got.indices)
   }
+
+  test("banded embedding dedup: subset of exact pairs, recall >= 0.9") {
+    // The DuckDB oracle replays the identical banding, so it verifies
+    // implementation equivalence, not recall — missed true pairs are
+    // invisible to it (ADVICE r2). This pins recall against an exact
+    // all-pairs computation on the real sf0.001 embeddings.
+    val tau = 0.4
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      (ia, va) = vecs(i); (ib, vb) = vecs(j)
+      if cos(va, vb) >= tau
+    } yield if (ia < ib) (ia, ib) else (ib, ia)).toSet
+    val banded = Dedup.embeddingCosine(emb, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact),
+      s"banded produced non-pairs: ${banded.diff(exact).take(5)}")
+    assert(exact.nonEmpty)
+    val recall = banded.size.toDouble / exact.size
+    assert(recall >= 0.9, f"sign-LSH banding recall $recall%.3f < 0.9")
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, PipelineOps}
+
+/** Invariant tests for the corpus-preparation operators on the sf0.001
+  * test tables (real inputs, properties checked in-process — the exact
+  * values are covered by the DuckDB oracle at sf0.01).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("shuffleShards emits a complete permutation with dense positions") {
+    val got = PipelineOps.shuffleShards(docs).cache()
+    assert(got.count() == docs.count())
+    assert(got.select("doc_id").distinct().count() == docs.count())
+    // positions are 1..count(shard) within every shard, no gaps
+    val bad = got.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter($"mx" =!= $"n" || $"mn" =!= 1)
+    assert(bad.count() == 0)
+    got.unpersist()
+  }
+
+  test("packSequences bins respect the running-sum budget shape") {
+    val budget = 600L
+    val bins = PipelineOps.packSequences(docs, budget = budget).cache()
+    // every document lands in exactly one bin
+    assert(bins.agg(sum("n_docs")).head().getLong(0) == docs.count())
+    // a bin only overflows the budget via its last (single spanning)
+    // doc: chars < budget + max doc length
+    val maxDoc = docs.agg(max("n_chars")).head().getLong(0)
+    val over = bins.filter($"chars" >= budget + maxDoc)
+    assert(over.count() == 0)
+    bins.unpersist()
+  }
+
+  test("sampleBySource keeps rates in [20, 90) and is a strict filter") {
+    val s = PipelineOps.sampleBySource(docs).cache()
+    assert(s.count() > 0 && s.count() < docs.count())
+    assert(s.filter($"rate" < 20 || $"rate" >= 90).count() == 0)
+    // deterministic: same result twice
+    val again = PipelineOps.sampleBySource(docs)
+    assert(s.exceptAll(again).count() == 0 && again.exceptAll(s).count() == 0)
+    s.unpersist()
+  }
+
+  test("decontaminate only flags train docs against test docs") {
+    val d = PipelineOps.decontaminate(docs, minShared = 1).collect()
+    // the 5% test split: rollingHash('t'||id) % 20 == 0
+    val isTest = docs.select($"doc_id",
+        (pmod(graft.functions.TextHash.rollingHash(
+          concat(lit("t"), $"doc_id".cast("string"))), lit(20)) === 0).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    d.foreach { r =>
+      assert(!isTest(r.getLong(0)), s"train side contained a test doc: $r")
+      assert(isTest(r.getLong(1)), s"test side contained a train doc: $r")
+    }
+  }
+
+  test("quantize bounds the int8 range and scale is the abs-max") {
+    val q = PipelineOps.quantize(emb).cache()
+    assert(q.count() == emb.count())
+    // floor(e/amax*127) for e in [-amax, amax] lies in [-127, 127]
+    assert(q.filter($"q_min" < -127 || $"q_max" > 127).count() == 0)
+    assert(q.filter($"scale" < 0).count() == 0)
+    q.unpersist()
+  }
+
+  test("dedupClusters labels close over the near-dup pair graph") {
+    val pairs = Dedup.minhashLsh(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lab = PipelineOps.dedupClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every endpoint is labeled, labels are component-min <= doc_id,
+    // and (3 iterations having converged for these tiny groups) both
+    // endpoints of every edge share a label
+    pairs.foreach { case (a, b) =>
+      assert(lab.contains(a) && lab.contains(b))
+      assert(lab(a) <= a && lab(b) <= b)
+      assert(lab(a) == lab(b), s"edge ($a,$b) spans clusters")
+    }
+  }
+
+  test("topNgrams counts the corpus-dominant trigram") {
+    val top = PipelineOps.topNgrams(docs, k = 5).collect()
+    assert(top.length == 5)
+    // counts are non-increasing with deterministic tie-break
+    val ns = top.map(_.getLong(1)).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+}
