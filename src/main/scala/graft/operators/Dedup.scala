@@ -104,7 +104,12 @@ object Dedup {
     * near-dup path for 100 TB: cost is O(corpus) signatures + one
     * shuffle per band on the band key — never all-pairs.
     */
-  def minhashLsh(docs: DataFrame, n: Int = 4): DataFrame = {
+  def minhashLsh(docs: DataFrame, n: Int = 4): DataFrame =
+    minhashPairs(docs, n).orderBy("doc_a", "doc_b")
+
+  /** The unsorted LSH candidate pairs — consumers that post-process
+    * (cluster resolution) skip the presentation sort. */
+  def minhashPairs(docs: DataFrame, n: Int = 4): DataFrame = {
     val sig = minhashSignatures(docs, n)
     // Single pass over the signatures: explode each row into its 4 band
     // keys (a union of per-band selects would recompute the whole
@@ -119,7 +124,6 @@ object Dedup {
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup pairs: 32-bit fingerprint from word hashes; pairs

@@ -153,7 +153,11 @@ object PipelineOps {
     * edges, the standard large-graph CC shape.
     */
   def dedupClusters(docs: DataFrame, iters: Int = 3): DataFrame = {
-    val pairs = Dedup.minhashLsh(docs)
+    // Cached: the propagation loop references the edge set 2 per round
+    // (plus once for the node list); without the cache each reference
+    // re-evaluates the whole MinHash signature+band pipeline. Edges are
+    // near-dup pairs — tiny relative to the corpus at any scale.
+    val pairs = Dedup.minhashPairs(docs).cache()
     // undirected: both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
