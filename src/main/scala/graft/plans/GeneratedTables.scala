@@ -23,4 +23,14 @@ object GeneratedTables {
       Pipeline.prepare(spark, root, cfg)
       root
     })
+
+  /** Memoize a custom table-build sequence (evolution scenarios etc.)
+    * under its own catalog root.
+    */
+  def ensureCustom(key: String)(build: String => Unit): String =
+    roots.getOrElseUpdate("custom#" + key, {
+      val root = Files.createTempDirectory("graft-catalog-").toString
+      build(root)
+      root
+    })
 }

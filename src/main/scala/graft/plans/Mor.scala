@@ -30,17 +30,31 @@ import graft.functions.BitmapFunctions.bitmapContains
   */
 object Mor {
 
+  /** A range predicate `column BETWEEN lo AND hi` used for manifest-level
+    * FILE SKIPPING: data files whose recorded bounds cannot intersect the
+    * range are dropped from the scan before Spark ever opens them — the
+    * Iceberg lower/upper-bounds pruning that dominates at 100 TB (the
+    * fastest file read is the one that never happens). Purely an
+    * optimization: files without bounds for the column are kept, and the
+    * caller still applies the row-level filter (bounds are
+    * file-granular).
+    */
+  final case class Prune(column: String, lo: Long, hi: Long)
+
   /** Files of one content type (absolute path, seq) at a manifest
-    * version — `None` means the current snapshot.
+    * version — `None` means the current snapshot. Data files are
+    * additionally bounds-pruned when `prune` is given.
     */
   private def filesAt(root: String, ns: String, table: String,
-      content: String, version: Option[Long]): Seq[(String, Long)] = {
+      content: String, version: Option[Long],
+      prune: Option[Prune] = None): Seq[(String, Long)] = {
     val dir = TableIO.tableDir(root, ns, table)
     val entries = version match {
       case Some(v) => TableIO.readManifestAt(root, ns, table, v)
       case None => TableIO.readManifest(root, ns, table)
     }
     entries.filter(_.content == content)
+      .filter(e => prune.forall(p => e.mayContain(p.column, p.lo, p.hi)))
       .map(e => (dir.resolve(e.path).toString, e.seq))
   }
 
@@ -71,9 +85,10 @@ object Mor {
     * within the file) plus the file's commit sequence number.
     */
   def scanWithProvenance(spark: SparkSession, root: String, ns: String,
-      table: String, version: Option[Long] = None): DataFrame = {
-    val dataFiles = filesAt(root, ns, table, "data", version)
-    require(dataFiles.nonEmpty, s"no data files in $ns.$table")
+      table: String, version: Option[Long] = None,
+      prune: Option[Prune] = None): DataFrame = {
+    val dataFiles = filesAt(root, ns, table, "data", version, prune)
+    require(dataFiles.nonEmpty, s"no data files in $ns.$table (after pruning)")
     // `_metadata.file_name` is a direct metadata field: per-row path
     // string surgery (split/element_at over file_path) measured 100x
     // slower than the plain scan on 10M rows.
@@ -134,8 +149,9 @@ object Mor {
     */
   def read(spark: SparkSession, root: String, ns: String, table: String,
       bitmapThreshold: Long = BitmapDeleteThreshold,
-      asOfVersion: Option[Long] = None): DataFrame = {
-    var df = scanWithProvenance(spark, root, ns, table, asOfVersion)
+      asOfVersion: Option[Long] = None,
+      prune: Option[Prune] = None): DataFrame = {
+    var df = scanWithProvenance(spark, root, ns, table, asOfVersion, prune)
     val manifest = manifestAt(root, ns, table, asOfVersion)
 
     // R2: positional deletes apply to files committed at or before the
@@ -147,8 +163,10 @@ object Mor {
       val pd = readDeletes(spark, posFiles).get
       // Positions are row indexes within a data file, so the manifest's
       // recordCounts bound them — the Int-wrap guard (ADVICE r1) and the
-      // broadcast-size cap are pure metadata checks, no extra job.
+      // broadcast-size cap are pure metadata checks, no extra job. Under
+      // file skipping only surviving files need deletion vectors.
       val dataEntries = manifest.filter(_.content == "data")
+        .filter(e => prune.forall(p => e.mayContain(p.column, p.lo, p.hi)))
       val useBitmap = posTotal <= bitmapThreshold &&
         dataEntries.forall(e =>
           e.recordCount >= 0 && e.recordCount <= Int.MaxValue.toLong) &&

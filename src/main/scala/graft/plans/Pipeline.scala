@@ -44,7 +44,8 @@ object Pipeline {
         Future.sequence((0 until cfg.data.fileCount).toVector.map { i =>
           Future(TableIO.writeExactFile(spark, root, ns, t,
             FixSchemaGen.dataFilePath(i), gen.dataFile(spark, i, rpf),
-            "data", seq = 1L, recordCount = rpf))
+            "data", seq = 1L, recordCount = rpf,
+            bounds = gen.fileBounds(i, rpf)))
         }),
         Duration.Inf)
     }
@@ -146,7 +147,8 @@ object Pipeline {
         val target = dir.resolve(FixSchemaGen.dataFilePath(i))
         Files.createDirectories(target.getParent)
         Files.move(parts.head, target, StandardCopyOption.REPLACE_EXISTING)
-        ManifestEntry(FixSchemaGen.dataFilePath(i), "data", 1L, rpf)
+        ManifestEntry(FixSchemaGen.dataFilePath(i), "data", 1L, rpf,
+          gen.fileBounds(i, rpf))
       }
       TableIO.commit(root, ns, t, entries)
     } finally {

@@ -10,13 +10,25 @@ import org.apache.spark.sql.types.StructType
   * (`main.rs:151-159`). `content` is one of data | pos_delete | eq_delete
   * (Iceberg v2 content types); `seq` is the snapshot sequence number that
   * gates equality-delete application (R3, SURVEY.md §2.5).
+  *
+  * `bounds` are per-column [min, max] value ranges (Iceberg
+  * `lower_bounds`/`upper_bounds`) enabling scan-time FILE SKIPPING —
+  * the metadata-only pruning that matters most at 100 TB, where
+  * skipping a file beats any scan speed. Long-typed columns only (the
+  * key/sequence columns queries range over); a column absent from the
+  * map is never pruned on (unknown = keep, the Iceberg rule).
   */
 final case class ManifestEntry(
     path: String, // relative to the table location
     content: String,
     seq: Long,
-    recordCount: Long
-)
+    recordCount: Long,
+    bounds: Map[String, (Long, Long)] = Map.empty
+) {
+  /** Can this file contain rows with `column` in [qlo, qhi]? */
+  def mayContain(column: String, qlo: Long, qhi: Long): Boolean =
+    bounds.get(column).forall { case (lo, hi) => hi >= qlo && lo <= qhi }
+}
 
 /** Filesystem-backed emulation of the reference's catalog + commit
   * protocol (`main.rs:278-299, 353-368, 125-158`): namespaces are
@@ -99,6 +111,25 @@ object TableIO {
       .asInstanceOf[StructType]
   }
 
+  /** Schema evolution, add-column form (Iceberg `UpdateSchema.addColumn`):
+    * atomically publishes the widened schema; existing data files are
+    * NEVER rewritten — the scan supplies the evolved schema and parquet
+    * fills columns absent from old footers with null (schema-on-read,
+    * exactly Iceberg's read-path rule for added fields). The new column
+    * must be nullable for that reason. O(1) metadata, any table size.
+    */
+  def addColumn(root: String, ns: String, table: String,
+      field: org.apache.spark.sql.types.StructField): StructType = {
+    require(field.nullable,
+      s"added column ${field.name} must be nullable: old files have no values")
+    val cur = readSchema(root, ns, table)
+    require(!cur.fieldNames.contains(field.name),
+      s"column ${field.name} already exists")
+    val evolved = StructType(cur.fields :+ field)
+    atomicWrite(tableDir(root, ns, table).resolve("schema.json"), evolved.json)
+    evolved
+  }
+
   def currentVersion(root: String, ns: String, table: String): Long = {
     val hint = tableDir(root, ns, table).resolve("version-hint.text")
     if (Files.isRegularFile(hint)) Files.readString(hint).trim.toLong else 0L
@@ -158,10 +189,28 @@ object TableIO {
     * (not yet committed). `recordCount` avoids a recount job when the
     * caller (the generator) already knows it.
     */
+  /** Exact per-column [min, max] of long-typed columns — for callers
+    * that can't derive bounds in closed form (one small agg job; a
+    * production writer reads them from the parquet footer metrics it
+    * just wrote, as Iceberg does — no extra job).
+    */
+  def longBounds(df: DataFrame, cols: Seq[String]): Map[String, (Long, Long)] =
+    if (cols.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
+      val aggs = cols.flatMap(c => Seq(
+        fmin(col(c).cast("long")).as(s"lo_$c"), fmax(col(c).cast("long")).as(s"hi_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> (r.getLong(2 * i), r.getLong(2 * i + 1))
+      }.toMap
+    }
+
   def writeExactFile(spark: SparkSession, root: String, ns: String,
       table: String, relPath: String, df: DataFrame, content: String,
       seq: Long, recordCount: Long = -1L,
-      props: WriterProps = WriterProps()): ManifestEntry = {
+      props: WriterProps = WriterProps(),
+      bounds: Map[String, (Long, Long)] = Map.empty): ManifestEntry = {
     val dir = tableDir(root, ns, table)
     val target = dir.resolve(relPath)
     Files.createDirectories(target.getParent)
@@ -180,7 +229,7 @@ object TableIO {
       Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
       val n = if (recordCount >= 0) recordCount
         else spark.read.parquet(target.toString).count()
-      ManifestEntry(relPath, content, seq, n)
+      ManifestEntry(relPath, content, seq, n, bounds)
     } finally deleteRecursively(tmp)
   }
 
@@ -203,14 +252,28 @@ object TableIO {
   }
 
   // --- tiny JSON codec for manifest lines (fixed shape, no deps) ---
-  private def entryToJson(e: ManifestEntry): String =
-    s"""{"path":"${e.path}","content":"${e.content}","seq":${e.seq},"record_count":${e.recordCount}}"""
+  private def entryToJson(e: ManifestEntry): String = {
+    val base = s""""path":"${e.path}","content":"${e.content}",""" +
+      s""""seq":${e.seq},"record_count":${e.recordCount}"""
+    val b = if (e.bounds.isEmpty) "" else
+      e.bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s""""$c":[$lo,$hi]"""
+      }.mkString(""","bounds":{""", ",", "}")
+    s"{$base$b}"
+  }
 
   private val entryRe =
-    """\{"path":"([^"]*)","content":"([^"]*)","seq":(\d+),"record_count":(\d+)\}""".r
+    """\{"path":"([^"]*)","content":"([^"]*)","seq":(\d+),"record_count":(\d+)(?:,"bounds":\{([^}]*)\})?\}""".r
+  private val boundRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
 
   private def entryFromJson(line: String): ManifestEntry = line.trim match {
-    case entryRe(p, c, s, n) => ManifestEntry(p, c, s.toLong, n.toLong)
+    case entryRe(p, c, s, n, b) =>
+      val bounds = Option(b).map { body =>
+        boundRe.findAllMatchIn(body).map { m =>
+          m.group(1) -> (m.group(2).toLong, m.group(3).toLong)
+        }.toMap
+      }.getOrElse(Map.empty[String, (Long, Long)])
+      ManifestEntry(p, c, s.toLong, n.toLong, bounds)
     case other => throw new IllegalArgumentException(s"bad manifest line: $other")
   }
 

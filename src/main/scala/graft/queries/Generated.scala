@@ -53,6 +53,44 @@ object Generated {
       Mor.read(s, r, cfg.namespace, cfg.tableName)
         .agg(count(lit(1)).as("surviving"))
     }),
+    // Schema evolution (Iceberg add-column): widen the schema, append a
+    // file WITH the new column; old files are never rewritten — the
+    // evolved-schema scan fills their `qux` with null (schema-on-read).
+    // The appended file's seq (4) also exercises the strict eq-delete
+    // gate: deletes at seq 3 cannot touch rows committed after them.
+    "gen_schema_evolution" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField}
+      val c2 = cfg.copy(tableName = "t1_evolve")
+      val r = GeneratedTables.ensureCustom(dir + "#evolve") { root =>
+        graft.plans.Pipeline.prepare(s, root, c2)
+        TableIO.addColumn(root, c2.namespace, c2.tableName,
+          StructField("qux", LongType, nullable = true))
+        val rpf = c2.data.rowsPerFile
+        val df6 = s.range(5L * rpf, 6L * rpf).select(
+          col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"),
+          lit(true).as("baz"),
+          (col("id") * 2).as("qux"))
+        val seq = TableIO.nextSeq(root, c2.namespace, c2.tableName)
+        val e = TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
+          graft.sources.FixSchemaGen.dataFilePath(5), df6, "data", seq,
+          recordCount = rpf, bounds = Map("bar" -> (5L * rpf, 6L * rpf - 1)))
+        TableIO.commit(root, c2.namespace, c2.tableName, Seq(e))
+      }
+      Mor.read(s, r, c2.namespace, c2.tableName).orderBy("bar")
+    }),
+    // Manifest-bounds file skipping: a bar-range MOR read prunes data
+    // files whose [min,max] cannot intersect before Spark opens them
+    // (Iceberg lower/upper-bounds pruning; FileSkipSpec asserts the
+    // scan touches 2 of the 5 files). The row-level filter still
+    // applies — bounds are file-granular.
+    "gen_pruned_scan" -> ((s, dir) => {
+      val r = root(s, dir)
+      Mor.read(s, r, cfg.namespace, cfg.tableName,
+          prune = Some(Mor.Prune("bar", 3500L, 4700L)))
+        .filter(col("bar").between(3500, 4700))
+        .select("foo", "bar", "baz").orderBy("bar")
+    }),
     // Snapshot time travel: the MOR view as of each of the three commits
     // (v1 data-only: N rows; v2 +pos-deletes: N-P; v3 +eq-deletes: N-P-E).
     "gen_timetravel" -> ((s, dir) => {
@@ -115,6 +153,21 @@ object Generated {
          |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
     "mor_summary" ->
       s"SELECT count(*) AS surviving FROM range(${P + E}, $N)",
+    // evolution: survivors of the original 5 files (qux null) + the
+    // appended post-evolution file (qux = 2g, untouched by deletes)
+    "gen_schema_evolution" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar,
+         |  true AS baz, CAST(NULL AS BIGINT) AS qux
+         |FROM range(${P + E}, $N) t(g)
+         |UNION ALL
+         |SELECT CAST(g AS VARCHAR), CAST(g AS INTEGER), true, g * 2
+         |FROM range($N, ${N + RPF}) t(g)
+         |ORDER BY bar""".stripMargin,
+    // pruned scan == surviving rows [P+E, N) restricted to the bar range
+    "gen_pruned_scan" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+         |FROM range(${P + E}, $N) t(g)
+         |WHERE g BETWEEN 3500 AND 4700 ORDER BY bar""".stripMargin,
     "gen_timetravel" ->
       s"""SELECT CAST(version AS INTEGER) AS version, CAST(n_rows AS BIGINT) AS n_rows
          |FROM (VALUES (1, $N), (2, ${N - P}), (3, ${N - P - E})) AS t(version, n_rows)

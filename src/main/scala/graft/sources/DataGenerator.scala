@@ -50,6 +50,14 @@ trait DataGenerator {
     (0 until fileCount).map { i =>
       dataFile(spark, i, rowsPerFile).withColumn("_file", lit(i))
     }.reduce(_ unionByName _)
+
+  /** Closed-form per-column [min, max] of the i-th data file's long-keyed
+    * columns — written into the manifest as Iceberg-style bounds for
+    * scan-time file skipping. Pure-function generators know these without
+    * a job; default none (files without bounds are never pruned).
+    */
+  def fileBounds(fileNth: Int, rowsPerFile: Long): Map[String, (Long, Long)] =
+    Map.empty
 }
 
 /** The reference's fixed-schema generator as a DataGenerator instance. */
@@ -67,6 +75,10 @@ object FixSchemaGenerator extends DataGenerator {
   override def taggedData(spark: SparkSession, fileCount: Int,
       rowsPerFile: Long): DataFrame =
     FixSchemaGen.taggedData(spark, fileCount, rowsPerFile)
+  // bar == global row number: file i spans [i*rpf, (i+1)*rpf - 1]
+  override def fileBounds(fileNth: Int,
+      rowsPerFile: Long): Map[String, (Long, Long)] =
+    Map("bar" -> (fileNth * rowsPerFile, (fileNth + 1) * rowsPerFile - 1))
 }
 
 /** A second generator proving the trait is schema-polymorphic (the

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{GeneratedTables, Mor, TableIO}
+import graft.sources.GenConfig
+
+/** Manifest-bounds file skipping (Iceberg lower/upper-bounds pruning):
+  * a range predicate on a bounds-tracked column drops files at the
+  * METADATA level — Spark never opens them.
+  */
+class FileSkipSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val cfg = GenConfig.reference // 5 files x 1000 rows, bar == g
+
+  test("manifest entries carry closed-form bar bounds") {
+    val root = GeneratedTables.ensure(spark, "fileskip", cfg)
+    val entries = TableIO.readManifest(root, cfg.namespace, cfg.tableName)
+      .filter(_.content == "data")
+    assert(entries.size == 5)
+    entries.foreach { e =>
+      val i = entries.indexOf(e)
+      assert(e.bounds.get("bar").contains((i * 1000L, i * 1000L + 999L)),
+        s"entry $e lacks expected bar bounds")
+    }
+  }
+
+  test("bar-range scan opens only the intersecting files") {
+    val root = GeneratedTables.ensure(spark, "fileskip", cfg)
+    val pruned = Mor.read(spark, root, cfg.namespace, cfg.tableName,
+      prune = Some(Mor.Prune("bar", 3500L, 4700L)))
+    // bounds [3000,3999] and [4000,4999] intersect; 3 data files
+    // skipped (inputFiles also lists the delete-side scans)
+    val dataScanned = pruned.inputFiles.filter(_.contains("/data/"))
+    assert(dataScanned.length == 2,
+      s"expected 2 scanned data files, got ${dataScanned.mkString(", ")}")
+    // pruning is a superset guarantee; with the row filter the result
+    // equals the unpruned read (deletes still applied: survivors >= 4000)
+    val full = Mor.read(spark, root, cfg.namespace, cfg.tableName)
+      .filter(col("bar").between(3500, 4700))
+    val got = pruned.filter(col("bar").between(3500, 4700))
+    assert(got.count() == 701 && full.count() == 701)
+    assert(got.exceptAll(full).count() == 0 && full.exceptAll(got).count() == 0)
+  }
+
+  test("bounds survive the manifest JSON round-trip, absent stays open") {
+    val e = graft.plans.ManifestEntry("data/x.parquet", "data", 1L, 10L,
+      Map("bar" -> (5L, 9L), "neg" -> (-7L, -2L)))
+    assert(e.mayContain("bar", 9, 20) && !e.mayContain("bar", 10, 20))
+    assert(e.mayContain("neg", -3, 0) && !e.mayContain("neg", -1, 0))
+    // a column with no recorded bounds can never prune the file
+    assert(e.mayContain("other", 100, 200))
+  }
+}
