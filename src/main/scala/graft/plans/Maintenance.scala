@@ -21,8 +21,16 @@ object Maintenance {
     *
     * Returns the new snapshot version.
     */
+  /** `clusterBy` additionally RANGE-clusters the rewrite on a long-typed
+    * column (Iceberg sort-order rewrite / the poor man's Z-order for one
+    * dimension): each output file holds a contiguous, non-overlapping
+    * key range, recorded as manifest bounds — so a later
+    * `Mor.Prune(key, lo, hi)` scan skips every file outside the range.
+    * Clustering is WHY bounds prune well: after an unordered write each
+    * file's [min,max] spans the whole domain and nothing can be skipped.
+    */
   def compact(spark: SparkSession, root: String, ns: String, table: String,
-      targetFileCount: Int = 0): Long = {
+      targetFileCount: Int = 0, clusterBy: Option[String] = None): Long = {
     val dir = TableIO.tableDir(root, ns, table)
     val merged = Mor.read(spark, root, ns, table)
     val v = TableIO.currentVersion(root, ns, table)
@@ -30,8 +38,13 @@ object Maintenance {
       else math.max(1, TableIO.filesOf(root, ns, table, "data").size / 2)
     val stage = Files.createTempDirectory(dir, ".compact")
     try {
-      merged.repartition(nFiles)
-        .write.mode("overwrite").parquet(stage.resolve("out").toString)
+      import org.apache.spark.sql.functions._
+      val arranged = clusterBy match {
+        case Some(k) =>
+          merged.repartitionByRange(nFiles, col(k)).sortWithinPartitions(k)
+        case None => merged.repartition(nFiles)
+      }
+      arranged.write.mode("overwrite").parquet(stage.resolve("out").toString)
       val parts = Files.list(stage.resolve("out")).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
       val seq = TableIO.nextSeq(root, ns, table)
@@ -41,18 +54,29 @@ object Maintenance {
         Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
         rel
       }
-      // per-file record counts in ONE metadata-only job (count(*) over
-      // grouped _metadata.file_name reads just parquet footers), instead
-      // of one count job per output file.
-      import org.apache.spark.sql.functions._
-      val counts = spark.read
+      // per-file record counts (+ cluster-key bounds) in ONE
+      // metadata/stats job over grouped _metadata.file_name, instead of
+      // one job per output file.
+      val scanned = spark.read
         .parquet(moved.map(r => dir.resolve(r).toString): _*)
-        .groupBy(col("_metadata.file_name").as("fn"))
-        .count().collect()
-        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val statsDf = clusterBy match {
+        case Some(k) => scanned
+          .groupBy(col("_metadata.file_name").as("fn"))
+          .agg(count(lit(1)).as("n"),
+            min(col(k).cast("long")).as("lo"), max(col(k).cast("long")).as("hi"))
+        case None => scanned
+          .groupBy(col("_metadata.file_name").as("fn"))
+          .agg(count(lit(1)).as("n"),
+            lit(null).cast("long").as("lo"), lit(null).cast("long").as("hi"))
+      }
+      val stats = statsDf.collect().map { r =>
+        r.getString(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))
+      }.toMap
       val entries = moved.map { rel =>
-        ManifestEntry(rel, "data", seq,
-          counts.getOrElse(rel.split('/').last, 0L))
+        val (n, b) = stats.getOrElse(rel.split('/').last, (0L, None))
+        ManifestEntry(rel, "data", seq, n,
+          clusterBy.zip(b).map { case (k, lohi) => k -> lohi }.toMap)
       }
       TableIO.commitReplacing(root, ns, table, entries)
     } finally {

@@ -79,6 +79,22 @@ object Generated {
       }
       Mor.read(s, r, c2.namespace, c2.tableName).orderBy("bar")
     }),
+    // Clustered (sort-order) compaction: range-cluster the rewrite on
+    // `bar` so each output file holds a contiguous key range recorded
+    // as manifest bounds — the clustering that makes bounds-pruning
+    // effective (ClusteringSpec asserts the pruned scan skips files).
+    "gen_clustered" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_cluster")
+      val r = GeneratedTables.ensure(s, dir, c2)
+      if (TableIO.currentVersion(r, c2.namespace, c2.tableName) == 3L) {
+        graft.plans.Maintenance.compact(s, r, c2.namespace, c2.tableName,
+          targetFileCount = 4, clusterBy = Some("bar"))
+      }
+      Mor.read(s, r, c2.namespace, c2.tableName,
+          prune = Some(Mor.Prune("bar", 4600L, 4700L)))
+        .filter(col("bar").between(4600, 4700))
+        .select("foo", "bar", "baz").orderBy("bar")
+    }),
     // Manifest-bounds file skipping: a bar-range MOR read prunes data
     // files whose [min,max] cannot intersect before Spark opens them
     // (Iceberg lower/upper-bounds pruning; FileSkipSpec asserts the
@@ -163,6 +179,10 @@ object Generated {
          |SELECT CAST(g AS VARCHAR), CAST(g AS INTEGER), true, g * 2
          |FROM range($N, ${N + RPF}) t(g)
          |ORDER BY bar""".stripMargin,
+    // clustered pruned scan == the bar range within the survivors
+    "gen_clustered" ->
+      """SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+        |FROM range(4600, 4701) t(g) ORDER BY bar""".stripMargin,
     // pruned scan == surviving rows [P+E, N) restricted to the bar range
     "gen_pruned_scan" ->
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz

@@ -43,6 +43,30 @@ class FileSkipSpec extends AnyFunSuite {
     assert(got.exceptAll(full).count() == 0 && full.exceptAll(got).count() == 0)
   }
 
+  test("clustered compaction yields non-overlapping bounds that prune") {
+    val c2 = cfg.copy(tableName = "cluster_spec")
+    val root = GeneratedTables.ensure(spark, "fileskip-cluster", c2)
+    graft.plans.Maintenance.compact(spark, root, c2.namespace, c2.tableName,
+      targetFileCount = 4, clusterBy = Some("bar"))
+    val entries = TableIO.readManifest(root, c2.namespace, c2.tableName)
+      .filter(_.content == "data").filter(_.recordCount > 0)
+    val bs = entries.flatMap(_.bounds.get("bar")).sortBy(_._1)
+    assert(bs.size == entries.size, "every non-empty file has bar bounds")
+    // survivors are 4000..4999; ranges tile without overlap
+    assert(bs.head._1 == 4000L && bs.last._2 == 4999L)
+    bs.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $bs")
+      case _ =>
+    }
+    // a narrow range scan touches a strict subset of the files
+    val pruned = Mor.read(spark, root, c2.namespace, c2.tableName,
+      prune = Some(Mor.Prune("bar", 4600L, 4700L)))
+    val scanned = pruned.inputFiles.count(_.contains("/data/"))
+    assert(scanned <= 2 && scanned < entries.size,
+      s"expected pruning, scanned $scanned of ${entries.size}")
+    assert(pruned.filter(col("bar").between(4600, 4700)).count() == 101)
+  }
+
   test("bounds survive the manifest JSON round-trip, absent stays open") {
     val e = graft.plans.ManifestEntry("data/x.parquet", "data", 1L, 10L,
       Map("bar" -> (5L, 9L), "neg" -> (-7L, -2L)))
