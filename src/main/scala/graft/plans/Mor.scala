@@ -88,7 +88,19 @@ object Mor {
       table: String, version: Option[Long] = None,
       prune: Option[Prune] = None): DataFrame = {
     val dataFiles = filesAt(root, ns, table, "data", version, prune)
-    require(dataFiles.nonEmpty, s"no data files in $ns.$table (after pruning)")
+    require(prune.nonEmpty || dataFiles.nonEmpty,
+      s"no data files in $ns.$table")
+    if (dataFiles.isEmpty) {
+      // every file pruned: an empty relation with the scan's schema —
+      // a query range outside all bounds is a result, not an error
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val schema = StructType(TableIO.readSchema(root, ns, table).fields ++
+        Seq(StructField("_file", org.apache.spark.sql.types.StringType),
+          StructField("_fname", org.apache.spark.sql.types.StringType),
+          StructField("_pos", LongType), StructField("_seq", LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     // `_metadata.file_name` is a direct metadata field: per-row path
     // string surgery (split/element_at over file_path) measured 100x
     // slower than the plain scan on 10M rows.

@@ -81,7 +81,7 @@ object EventsStream {
     * production sink). Returns the number of commits made.
     */
   def streamIntoTable(spark: SparkSession, source: DataFrame, root: String,
-      ns: String, table: String): Long = {
+      ns: String, table: String, statsCols: Seq[String] = Nil): Long = {
     import graft.plans.TableIO
     TableIO.createNamespace(root, ns)
     TableIO.createTableIfNotExists(root, ns, table, source.schema)
@@ -91,8 +91,12 @@ object EventsStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val seq = TableIO.nextSeq(root, ns, table)
+          // per-batch manifest bounds on the requested columns, so a
+          // reader can bounds-prune the streamed files like any others
+          // (streaming appends are naturally time/key-clustered)
           val entry = TableIO.writeExactFile(spark, root, ns, table,
-            f"data/stream-$batchId%05d.parquet", batch, "data", seq)
+            f"data/stream-$batchId%05d.parquet", batch, "data", seq,
+            bounds = TableIO.longBounds(batch, statsCols))
           TableIO.commit(root, ns, table, Seq(entry))
           commits += 1
         }

@@ -43,4 +43,33 @@ class MorPropertySpec extends AnyFunSuite {
       prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("bounds pruning is result-transparent for random query ranges") {
+    import org.apache.spark.sql.functions.col
+    // one moderately-sized table, many random [lo, hi] probes: the
+    // pruned read + row filter must equal the full read + row filter
+    // (pruning is a superset guarantee, never a semantics change)
+    val cfg = GenConfig("ns", "prune_prop",
+      FileConfig(50L, 4), FileConfig(60L, 1), FileConfig(40L, 1))
+    val root = Files.createTempDirectory("graft-prop-").toString
+    Pipeline.prepare(spark, root, cfg)
+    val ranges: Gen[(Long, Long)] = for {
+      a <- Gen.choose(-50L, 250L)
+      b <- Gen.choose(-50L, 250L)
+    } yield (math.min(a, b), math.max(a, b))
+    val prop = Prop.forAll(ranges) { case (lo, hi) =>
+      val pruned = Mor.read(spark, root, "ns", "prune_prop",
+          prune = Some(Mor.Prune("bar", lo, hi)))
+        .filter(col("bar").between(lo, hi))
+      val full = Mor.read(spark, root, "ns", "prune_prop")
+        .filter(col("bar").between(lo, hi))
+      pruned.count() == full.count() &&
+        pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12)
+        .withInitialSeed(Seed(7L)),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
 }
