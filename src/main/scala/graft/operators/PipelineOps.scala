@@ -145,6 +145,25 @@ object PipelineOps {
       .orderBy("vec_id")
   }
 
+  /** The composed corpus filter a training-data pipeline actually runs —
+    * language gate, quality gate, near-dup survivorship, deterministic
+    * downsample — chained over the individual operators by doc_id
+    * equi-joins (co-partitioned key shuffles at scale; each stage is
+    * the already-verified operator, so the composition is too).
+    */
+  def filterCompose(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.8)
+      .select("doc_id", "n_tokens")
+    val survivors = Dedup.fingerprint(docs).select("doc_id")
+    docs.filter(col("lang") === "en")
+      .join(q, "doc_id")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .filter(pmod(idHash("c"), lit(100)) < 50)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-cluster resolution: connected components over the
     * MinHash-LSH near-dup pair graph by min-label propagation, a fixed
     * `iters` rounds (deterministic, oracle-replayable; components here

@@ -33,6 +33,8 @@ object Extensions {
     "emb_quantize" -> ((s, dir) => PipelineOps.quantize(rd(s, dir, "embeddings"))),
     "dedup_clusters" -> ((s, dir) =>
       PipelineOps.dedupClusters(rd(s, dir, "documents"))),
+    "pipe_filter_compose" -> ((s, dir) =>
+      PipelineOps.filterCompose(rd(s, dir, "documents"))),
     "text_redact" -> ((s, dir) => TextAnalysis.redact(rd(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(rd(s, dir, "documents"))),
@@ -350,6 +352,21 @@ object Extensions {
          |FROM tr JOIN te USING (sh)
          |GROUP BY train_doc, test_doc HAVING count(*) >= 3
          |ORDER BY train_doc, test_doc""".stripMargin,
+
+    "pipe_filter_compose" ->
+      s"""WITH q AS (SELECT doc_id, n_chars,
+         |    string_split_regex(trim(text), '\\s+') AS w,
+         |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha
+         |  FROM documents),
+         |ql AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens
+         |       FROM q WHERE len(w) >= 20 AND CAST(alpha AS DOUBLE) / n_chars >= 0.8),
+         |f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp)
+         |SELECT d.doc_id, d.source, ql.n_tokens
+         |FROM documents d JOIN ql USING (doc_id) JOIN surv USING (doc_id)
+         |WHERE d.lang = 'en'
+         |  AND (${rollSql("'c' || CAST(doc_id AS VARCHAR)")} % 100) < 50
+         |ORDER BY doc_id""".stripMargin,
 
     "pipe_sample" ->
       s"""SELECT doc_id, source,
