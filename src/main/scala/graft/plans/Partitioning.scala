@@ -1,0 +1,178 @@
+package graft.plans
+
+import java.nio.file.{Files, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style partition spec: a transform over a source column that
+  * routes rows to files at write time and prunes files at scan time
+  * (Iceberg's hidden partitioning — queries never mention the partition
+  * field; the reference's substrate supports the same specs through
+  * iceberg-rust's `PartitionSpec`). Transforms:
+  *
+  *   - `identity`  partition value = the column value
+  *   - `truncate`  value = floorDiv(column, width)   (width = `param`)
+  *   - `bucket`    value = polyHash(str(column)) % n (n = `param`)
+  *
+  * Bucketing uses the engine-portable polynomial rolling hash (NOT
+  * murmur3 as real Iceberg does) so the DuckDB oracle can replay bucket
+  * membership exactly; the transform contract — same value, same
+  * bucket, uniform spread — is identical.
+  *
+  * The partition value is recorded in each file's manifest `bounds` under
+  * [[fieldName]] as a degenerate [v, v] range, so the existing
+  * bounds-pruning scan path ([[Mor.Prune]]) doubles as the partition
+  * pruner — one metadata mechanism for both value ranges and partitions,
+  * which is exactly how Iceberg evaluates partition predicates (partition
+  * tuples are per-file metadata consulted before any file is opened). At
+  * 100 TB this is the difference between touching 1/n-th of the corpus
+  * and all of it.
+  */
+final case class PartitionSpec(transform: String, column: String, param: Int = 0) {
+  require(Set("identity", "truncate", "bucket")(transform),
+    s"unknown transform $transform")
+  require(transform == "identity" || param > 0,
+    s"$transform requires a positive param")
+
+  /** Manifest/metadata name of the derived partition field. */
+  def fieldName: String = transform match {
+    case "identity" => s"p_$column"
+    case "truncate" => s"p_trunc${param}_$column"
+    case "bucket"   => s"p_bucket${param}_$column"
+  }
+
+  /** The transform as a Spark column expression (codegen'd end to end). */
+  def sparkValue(c: Column): Column = transform match {
+    case "identity" => c.cast("long")
+    case "truncate" => floor(c.cast("long") / lit(param.toLong)).cast("long")
+    case "bucket" =>
+      pmod(graft.functions.HashFunctions.polyHash(c.cast("string")),
+        lit(param.toLong))
+  }
+
+  /** Driver-side twin of [[sparkValue]] for planning prunes from a key
+    * literal (must agree bit-for-bit with the executor-side expression —
+    * bucket reuses the very same polyHash implementation).
+    */
+  def valueOf(key: Long): Long = transform match {
+    case "identity" => key
+    case "truncate" => Math.floorDiv(key, param.toLong)
+    case "bucket" =>
+      val h = graft.functions.HashExprs.polyHash(
+        UTF8String.fromString(key.toString))
+      ((h % param) + param) % param
+  }
+
+  /** The file-skipping predicate for `column BETWEEN lo AND hi`, or None
+    * when the transform cannot prune a multi-key range (hash buckets
+    * scatter adjacent keys; only point lookups prune).
+    */
+  def pruneForRange(lo: Long, hi: Long): Option[Mor.Prune] = transform match {
+    case "bucket" if lo != hi => None
+    case _ => Some(Mor.Prune(fieldName, valueOf(lo), valueOf(hi)))
+  }
+
+  /** Prune to exactly one partition value (e.g. "scan bucket k"). */
+  def pruneForValue(v: Long): Mor.Prune = Mor.Prune(fieldName, v, v)
+}
+
+object Partitioning {
+
+  /** Persist the table's partition spec (DDL-time metadata, next to
+    * schema.json — Iceberg keeps specs in table metadata the same way).
+    */
+  def writeSpec(root: String, ns: String, table: String,
+      spec: PartitionSpec): Unit =
+    Files.writeString(
+      TableIO.tableDir(root, ns, table).resolve("partition-spec.json"),
+      s"""{"transform":"${spec.transform}","column":"${spec.column}","param":${spec.param}}""")
+
+  private val specRe =
+    """\{"transform":"([^"]*)","column":"([^"]*)","param":(\d+)\}""".r
+
+  def readSpec(root: String, ns: String, table: String): Option[PartitionSpec] = {
+    val f = TableIO.tableDir(root, ns, table).resolve("partition-spec.json")
+    if (!Files.isRegularFile(f)) None
+    else Files.readString(f).trim match {
+      case specRe(t, c, p) => Some(PartitionSpec(t, c, p.toInt))
+      case other => throw new IllegalArgumentException(s"bad spec: $other")
+    }
+  }
+
+  /** Write `df` partitioned by `spec` as one snapshot's data files: ONE
+    * distributed job (shuffle on the partition value, then a
+    * directory-partitioned write), then O(#partitions) driver-side
+    * renames into the manifest naming scheme. Each file's manifest entry
+    * records its partition value (and, for order-preserving transforms,
+    * the implied source-column range) as bounds — the scan never opens a
+    * file outside the queried partitions. Returns the committed entries.
+    *
+    * Scale shape: data moves once through one hash shuffle (the same
+    * cost Iceberg/Hive pay to cluster writes); metadata work is
+    * per-partition, not per-row. Per-partition row counts come from one
+    * small aggregate over the shuffle-side columns only (a production
+    * writer lifts them from the write committer's task stats instead).
+    */
+  def writePartitioned(spark: SparkSession, root: String, ns: String,
+      table: String, df: DataFrame, spec: PartitionSpec, seq: Long,
+      props: WriterProps = WriterProps()): Seq[ManifestEntry] = {
+    val dir = TableIO.tableDir(root, ns, table)
+    Files.createDirectories(dir.resolve("data"))
+    val staged = df.withColumn("_pv", spec.sparkValue(col(spec.column)))
+    val counts = staged.groupBy("_pv").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tmp = Files.createTempDirectory(dir, ".stage")
+    try {
+      staged
+        .repartition(col("_pv")) // all rows of a value in one task = one file
+        .write.partitionBy("_pv").mode("overwrite")
+        .option("compression", props.compression)
+        .option("parquet.block.size", props.rowGroupBytes.toString)
+        .option("parquet.page.size", props.pageBytes.toString)
+        .parquet(tmp.resolve("out").toString)
+      val entries = Files.list(tmp.resolve("out")).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_pv="))
+        .toSeq.sortBy(_.getFileName.toString)
+        .map { pdir =>
+          val v = pdir.getFileName.toString.stripPrefix("_pv=").toLong
+          val parts = Files.list(pdir).iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .toSeq
+          require(parts.size == 1,
+            s"expected one file for partition $v, got ${parts.size}")
+          val rel = s"data/part-p$v.parquet"
+          Files.move(parts.head, dir.resolve(rel),
+            StandardCopyOption.REPLACE_EXISTING)
+          val keyBounds: Map[String, (Long, Long)] = spec.transform match {
+            case "identity" => Map(spec.column -> (v, v))
+            case "truncate" =>
+              Map(spec.column ->
+                (v * spec.param, v * spec.param + spec.param - 1))
+            case _ => Map.empty
+          }
+          ManifestEntry(rel, "data", seq, counts(v),
+            keyBounds + (spec.fieldName -> (v, v)))
+        }
+      entries
+    } finally {
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+
+  /** DDL + partitioned write + commit in one step: the partitioned-table
+    * analogue of the pipeline's phase-1 append.
+    */
+  def preparePartitioned(spark: SparkSession, root: String, ns: String,
+      table: String, df: DataFrame, spec: PartitionSpec): Long = {
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, table, df.schema)
+    writeSpec(root, ns, table, spec)
+    val entries = writePartitioned(spark, root, ns, table, df, spec,
+      seq = TableIO.nextSeq(root, ns, table))
+    TableIO.commit(root, ns, table, entries)
+  }
+}

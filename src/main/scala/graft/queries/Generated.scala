@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.plans.{GeneratedTables, Mor, TableIO}
+import graft.plans.{GeneratedTables, Mor, PartitionSpec, Partitioning, TableIO}
 import graft.sources.GenConfig
 
 /** Oracle-checked queries over the generated Iceberg-style table: these
@@ -142,6 +142,30 @@ object Generated {
         .agg(count(lit(1)).as("n_delete_files"))
       surviving.crossJoin(deletes)
     }),
+    // Hidden partitioning (Iceberg PartitionSpec): the same N rows
+    // written through a bucket(4, bar) spec — one shuffle-partitioned
+    // write job, partition values recorded per file in the manifest —
+    // then a one-bucket scan that file-skips the other buckets before
+    // Spark opens them (PartitioningSpec asserts 1 of 4 files read).
+    // The row filter replays the bucket transform, so the oracle checks
+    // BOTH routing (rows landed in the right file) and pruning (no
+    // surviving row was lost with 3/4 of the files skipped).
+    "gen_partitioned_scan" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_part")
+      val spec = PartitionSpec("bucket", "bar", 4)
+      val r = GeneratedTables.ensureCustom(dir + "#part") { root =>
+        val df = s.range(0, N).select(
+          col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"),
+          lit(true).as("baz"))
+        Partitioning.preparePartitioned(s, root, c2.namespace, c2.tableName,
+          df, spec)
+      }
+      Mor.read(s, r, c2.namespace, c2.tableName,
+          prune = Some(spec.pruneForValue(1L)))
+        .filter(spec.sparkValue(col("bar")) === 1L)
+        .select("foo", "bar", "baz").orderBy("bar")
+    }),
     // K3/K6 metadata: per-content file counts + record counts from the
     // committed manifest (what Iceberg's `files` metadata table reports).
     "gen_manifest" -> ((s, dir) => {
@@ -200,6 +224,14 @@ object Generated {
     "gen_compaction" ->
       s"""SELECT CAST(${N - P - E} AS BIGINT) AS surviving,
          |       CAST(0 AS BIGINT) AS n_delete_files""".stripMargin,
+    // bucket(4, bar) membership replayed with the portable rolling hash
+    "gen_partitioned_scan" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+         |FROM range(0, $N) t(g)
+         |WHERE list_reduce(list_transform(string_split(CAST(g AS VARCHAR), ''),
+         |    c -> CAST(unicode(c) AS BIGINT)),
+         |    (a, b) -> (a * 31 + b) % 1000000007) % 4 = 1
+         |ORDER BY bar""".stripMargin,
     "gen_manifest" ->
       s"""SELECT content, CAST(n_files AS BIGINT) AS n_files, CAST(n_rows AS BIGINT) AS n_rows
          |FROM (VALUES ('data', ${cfg.data.fileCount}, $N),

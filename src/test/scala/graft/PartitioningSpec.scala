@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{Mor, PartitionSpec, Partitioning, TableIO}
+
+/** Hidden partitioning: transform routing at write time, file skipping
+  * at scan time, driver/executor transform agreement.
+  */
+class PartitioningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshTable(spec: PartitionSpec, n: Long = 5000L): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    val df = spark.range(0, n).select(
+      col("id").cast("string").as("foo"),
+      col("id").cast("int").as("bar"),
+      lit(true).as("baz"))
+    Partitioning.preparePartitioned(spark, root, "ns", "t", df, spec)
+    root
+  }
+
+  test("bucket write routes every row to its transform's file") {
+    val spec = PartitionSpec("bucket", "bar", 4)
+    val root = freshTable(spec)
+    val entries = TableIO.readManifest(root, "ns", "t")
+    assert(entries.size == 4 && entries.map(_.recordCount).sum == 5000L)
+    // each file holds exactly the rows whose computed bucket matches its
+    // recorded partition value
+    entries.foreach { e =>
+      val pv = e.bounds(spec.fieldName)._1
+      assert(e.bounds(spec.fieldName) == (pv, pv))
+      val rows = spark.read.parquet(
+        TableIO.tableDir(root, "ns", "t").resolve(e.path).toString)
+      val offBucket = rows
+        .filter(spec.sparkValue(col("bar")) =!= pv).count()
+      assert(offBucket == 0L, s"file ${e.path} holds foreign-bucket rows")
+      assert(rows.count() == e.recordCount)
+    }
+  }
+
+  test("partition prune opens exactly one of four bucket files") {
+    val spec = PartitionSpec("bucket", "bar", 4)
+    val root = freshTable(spec)
+    val pruned = Mor.read(spark, root, "ns", "t",
+      prune = Some(spec.pruneForValue(2L)))
+    val dataScanned = pruned.inputFiles.filter(_.contains("/data/"))
+    assert(dataScanned.length == 1, s"scanned: ${dataScanned.mkString(",")}")
+    // pruned scan == the bucket's rows exactly
+    assert(pruned.filter(spec.sparkValue(col("bar")) =!= 2L).count() == 0L)
+    val expected = spark.range(0, 5000).select(col("id").cast("int").as("bar"))
+      .filter(spec.sparkValue(col("bar")) === 2L).count()
+    assert(pruned.count() == expected)
+  }
+
+  test("driver-side valueOf agrees with the executor expression") {
+    val spec = PartitionSpec("bucket", "bar", 7)
+    val got = spark.range(0, 2000)
+      .select(col("id"), spec.sparkValue(col("id")).as("pv")).collect()
+    got.foreach { r =>
+      assert(spec.valueOf(r.getLong(0)) == r.getLong(1),
+        s"mismatch at key ${r.getLong(0)}")
+    }
+  }
+
+  test("truncate spec prunes a key range and implies key bounds") {
+    val spec = PartitionSpec("truncate", "bar", 1000)
+    val root = freshTable(spec)
+    val entries = TableIO.readManifest(root, "ns", "t")
+    assert(entries.size == 5)
+    entries.foreach { e =>
+      val pv = e.bounds(spec.fieldName)._1
+      assert(e.bounds("bar") == (pv * 1000L, pv * 1000L + 999L))
+    }
+    val pr = spec.pruneForRange(1500L, 2500L)
+    assert(pr.contains(Mor.Prune(spec.fieldName, 1L, 2L)))
+    val pruned = Mor.read(spark, root, "ns", "t", prune = pr)
+    assert(pruned.inputFiles.count(_.contains("/data/")) == 2)
+    assert(pruned.filter(col("bar").between(1500, 2500)).count() == 1001L)
+  }
+
+  test("bucket transform cannot prune a multi-key range") {
+    assert(PartitionSpec("bucket", "bar", 4).pruneForRange(1L, 2L).isEmpty)
+    assert(PartitionSpec("bucket", "bar", 4).pruneForRange(5L, 5L).nonEmpty)
+  }
+
+  test("identity spec round-trips through partition-spec.json") {
+    val spec = PartitionSpec("identity", "bar")
+    val root = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    val df = spark.range(0, 40).select(
+      col("id").cast("string").as("foo"),
+      (col("id") % 4).cast("int").as("bar"),
+      lit(true).as("baz"))
+    Partitioning.preparePartitioned(spark, root, "ns", "t", df, spec)
+    assert(Partitioning.readSpec(root, "ns", "t").contains(spec))
+    val entries = TableIO.readManifest(root, "ns", "t")
+    assert(entries.size == 4 && entries.forall(_.recordCount == 10L))
+  }
+}
