@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+import graft.sources.FormatRoundtrip
+
+/** Source-format parity queries: each aggregates a table AFTER a
+  * CSV/JSON write+read round-trip while the oracle aggregates the
+  * original parquet — a hash match proves the text formats preserve
+  * every value bit-for-bit (SURVEY.md §2.6 sources/sinks).
+  */
+object Formats {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // orders through headered CSV: longs, doubles (decimal-summed for
+    // order-independence), millisecond timestamps, quoted strings.
+    "src_csv_roundtrip" -> ((s, dir) =>
+      FormatRoundtrip.csvOrders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          date_format(min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("min_date"),
+          date_format(max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("max_date"))
+        .orderBy("o_orderstatus")),
+    // documents through JSON lines: free text with newlines/quotes/
+    // unicode; the summed rolling hash of the text makes any corrupted
+    // character anywhere in the corpus visible in one bigint.
+    "src_json_roundtrip" -> ((s, dir) =>
+      FormatRoundtrip.jsonDocuments(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          sum(TextHash.rollingHash(col("text"))).as("sum_hash"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("lang"))
+  )
+
+  /** DuckDB twin of TextHash.rollingHash applied to expression `e`. */
+  private def rollSql(e: String): String =
+    s"""(CASE WHEN length($e) = 0 THEN 0 ELSE
+       | list_reduce(list_transform(string_split($e, ''),
+       |   c -> CAST(unicode(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)
+       | END)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "src_json_roundtrip" ->
+      s"""SELECT lang, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(${rollSql("text")}) AS BIGINT) AS sum_hash,
+         |  CAST(sum(length(text)) AS BIGINT) AS sum_len
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

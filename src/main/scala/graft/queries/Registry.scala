@@ -11,7 +11,8 @@ object Registry {
       (Generated.queries, Generated.oracleSql),
       (Relational.queries, Relational.oracleSql),
       (SqlSurface.queries, SqlSurface.oracleSql),
-      (Extensions.queries, Extensions.oracleSql)
+      (Extensions.queries, Extensions.oracleSql),
+      (Formats.queries, Formats.oracleSql)
     )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

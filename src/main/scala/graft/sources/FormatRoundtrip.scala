@@ -1,0 +1,50 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CSV / JSON source-format parity (SURVEY.md §2.6 sources & sinks
+  * beyond parquet): write a table out in the text format, read it back
+  * with the original schema, and hand the result to a query. The oracle
+  * runs the same query over the untouched parquet, so a hash match
+  * proves the format round-trip is LOSSLESS for every value the table
+  * holds — types (longs, doubles, timestamps), quoting/escaping
+  * (commas, quotes, newlines, unicode in free text), and nulls.
+  *
+  * Scale shape: the writers/readers are Spark's own distributed text
+  * sources — per-partition split files, schema supplied explicitly (no
+  * inference pass over 100 TB), pushdown-friendly. The round-trip
+  * directory is memoized per (format, sf dir) so a query re-run reuses
+  * the one write job.
+  */
+object FormatRoundtrip {
+  private val cache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** `orders` through CSV: headered, default quoting; timestamps carry
+    * sub-second precision through the default ISO format.
+    */
+  def csvOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val out = cache.getOrElseUpdate("csv#" + sfDir, {
+      val dir = Files.createTempDirectory("graft-csv-").toString
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .write.mode("overwrite").option("header", "true").csv(s"$dir/orders")
+      dir
+    })
+    spark.read.schema(schema).option("header", "true").csv(s"$out/orders")
+  }
+
+  /** `documents` through JSON lines: free text with newlines, quotes and
+    * unicode must survive the escape/unescape cycle.
+    */
+  def jsonDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val out = cache.getOrElseUpdate("json#" + sfDir, {
+      val dir = Files.createTempDirectory("graft-json-").toString
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .write.mode("overwrite").json(s"$dir/documents")
+      dir
+    })
+    spark.read.schema(schema).json(s"$out/documents")
+  }
+}
