@@ -247,6 +247,23 @@ object Relational {
         .orderBy("bucket", "event_type")
     }),
 
+    // Session windows (gap-based, the batch twin of the streaming
+    // sessionizer): Spark's native session_window merges a user's
+    // events closer than the gap; the oracle replays it with
+    // lag + cumulative-sum session ids — the same semantics spelled
+    // out relationally.
+    "q_session_window" -> ((s, dir) => {
+      rdEvents(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"), 4)).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // --- ordered string aggregation --------------------------------------
     "q_listagg" -> ((s, dir) => {
       val su = rd(s, dir, "supplier")
@@ -406,6 +423,23 @@ object Relational {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH d AS (SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts::TIMESTAMP) -
+        |      lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+        |      >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM d)
+        |SELECT user_id,
+        |  strftime(min(ts)::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_listagg" ->
       """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers,

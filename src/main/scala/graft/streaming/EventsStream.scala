@@ -60,6 +60,54 @@ object EventsStream {
       }
   }
 
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+
+  /** Event-time sessionization with WATERMARK-DRIVEN session closure:
+    * unlike [[sessionize]] (which only closes a session when the same
+    * user's NEXT event arrives with a gap), an idle user's session is
+    * emitted when the stream's watermark passes lastEvent + gap — the
+    * `GroupStateTimeout.EventTimeTimeout` pattern. This is the shape a
+    * production clickstream needs: sessions end because time passed,
+    * not because the user came back. State is per-user and removed on
+    * timeout, so it stays bounded by the number of users active inside
+    * one gap window regardless of stream lifetime.
+    */
+  def sessionizeEventTime(events: Dataset[TimedEvent], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.toDF().withWatermark("ts", watermarkDelay).as[TimedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new events: the
+            // session is definitively over (no on-time event can extend
+            // it), emit and evict.
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.nEvents, st.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(
+              SessionState(0L, 0.0, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime // state timestamps in ms on this path
+              if (st.nEvents > 0 && t - st.lastTs > gapMs) {
+                out += SessionOut(user, st.nEvents, st.total)
+                st = SessionState(0L, 0.0, Long.MinValue)
+              }
+              st = SessionState(st.nEvents + 1, st.total + e.value, t)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTs + gapMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming exact-dedup over a document stream: suppress
     * re-occurrences of a content fingerprint across micro-batches
     * (`dropDuplicatesWithinWatermark`). The watermark bounds the

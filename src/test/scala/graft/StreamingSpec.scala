@@ -48,6 +48,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("event-time timeout closes idle sessions when the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventsStream.TimedEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    val ts = (m: Long) => new java.sql.Timestamp(base + m * 60000L)
+    val src = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = EventsStream.sessionizeEventTime(
+      src.toDF().toDF("user_id", "ts", "value").as[TimedEvent],
+      gapMs = 30L * 60000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("et_sessions").start()
+    // user 10 is active, then goes idle forever
+    src.addData((10L, ts(0), 1.0), (10L, ts(1), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("et_sessions").isEmpty) // session still open
+    // a LATER event from another user advances the watermark past
+    // user 10's lastTs + gap; the no-data batch then fires the timeout
+    src.addData((20L, ts(100), 8.0))
+    q.processAllAvailable()
+    val afterTimeout = spark.table("et_sessions").as[SessionOut].collect()
+    assert(afterTimeout.toSeq == Seq(SessionOut(10, 2, 3.0)))
+    q.stop()
+  }
+
   test("sessionize splits on gaps and accumulates state") {
     val m = 60L * 1000000L // one minute in micros
     val events = Seq(
