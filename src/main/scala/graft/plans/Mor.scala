@@ -202,8 +202,16 @@ object Mor {
     // delete row with a STRICTLY higher sequence (Iceberg v2 semantics).
     // The delete files' own columns ARE the identifier set (the Iceberg
     // equality_ids contract), so the join keys come from their schema.
-    readDeletes(spark, filesAt(root, ns, table, "eq_delete", asOfVersion))
-      .foreach { ed0 =>
+    // Different snapshots may delete on DIFFERENT identifier sets (the
+    // pipeline's (foo,bar) deletes vs an upsert's key-only deletes), so
+    // files are grouped by their column set — driver-side footer reads,
+    // O(#delete files) metadata — and each set anti-joins separately;
+    // a single mixed-schema scan would silently drop columns.
+    filesAt(root, ns, table, "eq_delete", asOfVersion)
+      .groupBy(f => spark.read.parquet(f._1).schema.fieldNames.toSeq)
+      .toSeq.sortBy(_._1.mkString(","))
+      .foreach { case (_, files) =>
+        val ed0 = readDeletes(spark, files).get
         // shuffle_hash: the delete side is much smaller than the data side
         // but can exceed the broadcast threshold; hashing it avoids the
         // sort-merge path's full sort of the data side.

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.plans.{GeneratedTables, Mor, PartitionSpec, Partitioning, TableIO}
+import graft.plans.{GeneratedTables, Mor, PartitionSpec, Partitioning, Pipeline, TableIO, Upsert}
 import graft.sources.GenConfig
 
 /** Oracle-checked queries over the generated Iceberg-style table: these
@@ -142,6 +142,25 @@ object Generated {
         .agg(count(lit(1)).as("n_delete_files"))
       surviving.crossJoin(deletes)
     }),
+    // MERGE-shaped upsert on the identifier column: one commit pairs a
+    // key-only equality-delete file with the replacement data file at
+    // the same sequence; the strict eq-delete gate keeps the incoming
+    // rows and kills every older row with those keys. Exercises
+    // mixed-identifier-set deletes too — the pipeline's (foo,bar)
+    // deletes and the upsert's (bar) deletes coexist in one table.
+    "gen_upsert" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_upsert")
+      val r = GeneratedTables.ensureCustom(dir + "#upsert") { root =>
+        Pipeline.prepare(s, root, c2)
+        val up = s.range(4500, 5500).select(
+          concat(lit("u"), col("id").cast("string")).as("foo"),
+          col("id").cast("int").as("bar"),
+          lit(false).as("baz"))
+        Upsert.upsert(s, root, c2.namespace, c2.tableName, up,
+          keyCols = Seq("bar"), statsCols = Seq("bar"))
+      }
+      Mor.read(s, r, c2.namespace, c2.tableName).orderBy("bar")
+    }),
     // Hidden partitioning (Iceberg PartitionSpec): the same N rows
     // written through a bucket(4, bar) spec — one shuffle-partitioned
     // write job, partition values recorded per file in the manifest —
@@ -224,6 +243,14 @@ object Generated {
     "gen_compaction" ->
       s"""SELECT CAST(${N - P - E} AS BIGINT) AS surviving,
          |       CAST(0 AS BIGINT) AS n_delete_files""".stripMargin,
+    // survivors [4000,4500) untouched; [4500,5500) replaced by the upsert
+    "gen_upsert" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+         |FROM range(${P + E}, 4500) t(g)
+         |UNION ALL
+         |SELECT 'u' || CAST(g AS VARCHAR), CAST(g AS INTEGER), false
+         |FROM range(4500, 5500) t(g)
+         |ORDER BY bar""".stripMargin,
     // bucket(4, bar) membership replayed with the portable rolling hash
     "gen_partitioned_scan" ->
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
