@@ -21,16 +21,26 @@ object Maintenance {
     *
     * Returns the new snapshot version.
     */
-  /** `clusterBy` additionally RANGE-clusters the rewrite on a long-typed
-    * column (Iceberg sort-order rewrite / the poor man's Z-order for one
-    * dimension): each output file holds a contiguous, non-overlapping
-    * key range, recorded as manifest bounds — so a later
-    * `Mor.Prune(key, lo, hi)` scan skips every file outside the range.
-    * Clustering is WHY bounds prune well: after an unordered write each
-    * file's [min,max] spans the whole domain and nothing can be skipped.
+  /** `clusterBy` additionally clusters the rewrite on long-typed
+    * columns (Iceberg sort-order / z-order rewrite): each output file
+    * holds a tight range of the cluster key, recorded as manifest bounds
+    * per column — so a later `Mor.Prune` scan skips every file outside
+    * the queried range. Clustering is WHY bounds prune well: after an
+    * unordered write each file's [min,max] spans the whole domain and
+    * nothing can be skipped.
+    *
+    * One column range-clusters lexicographically. With `zorder = true`
+    * and 2+ columns, files are clustered by the Morton interleave
+    * ([[graft.functions.ZOrder.zvalue]]) instead: every dimension's
+    * bounds stay tight simultaneously, so a predicate on ANY clustered
+    * column (or several at once) prunes — lexicographic sort only ever
+    * prunes well on the leading column. This is the Iceberg/Delta
+    * z-order rewrite, and at 100 TB it is what keeps multi-dimension
+    * slice queries from scanning the world.
     */
   def compact(spark: SparkSession, root: String, ns: String, table: String,
-      targetFileCount: Int = 0, clusterBy: Option[String] = None): Long = {
+      targetFileCount: Int = 0, clusterBy: Seq[String] = Nil,
+      zorder: Boolean = false): Long = {
     val dir = TableIO.tableDir(root, ns, table)
     val merged = Mor.read(spark, root, ns, table)
     val v = TableIO.currentVersion(root, ns, table)
@@ -39,11 +49,18 @@ object Maintenance {
     val stage = Files.createTempDirectory(dir, ".compact")
     try {
       import org.apache.spark.sql.functions._
-      val arranged = clusterBy match {
-        case Some(k) =>
-          merged.repartitionByRange(nFiles, col(k)).sortWithinPartitions(k)
-        case None => merged.repartition(nFiles)
-      }
+      val arranged =
+        if (clusterBy.isEmpty) merged.repartition(nFiles)
+        else if (zorder && clusterBy.size >= 2) {
+          val z = graft.functions.ZOrder.zvalue(clusterBy.map(col))
+          merged.withColumn("_z", z)
+            .repartitionByRange(nFiles, col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        } else {
+          merged.repartitionByRange(nFiles, clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
+        }
       arranged.write.mode("overwrite").parquet(stage.resolve("out").toString)
       val parts = Files.list(stage.resolve("out")).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
@@ -54,29 +71,28 @@ object Maintenance {
         Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
         rel
       }
-      // per-file record counts (+ cluster-key bounds) in ONE
+      // per-file record counts (+ per-column cluster-key bounds) in ONE
       // metadata/stats job over grouped _metadata.file_name, instead of
       // one job per output file.
       val scanned = spark.read
         .parquet(moved.map(r => dir.resolve(r).toString): _*)
-      val statsDf = clusterBy match {
-        case Some(k) => scanned
-          .groupBy(col("_metadata.file_name").as("fn"))
-          .agg(count(lit(1)).as("n"),
-            min(col(k).cast("long")).as("lo"), max(col(k).cast("long")).as("hi"))
-        case None => scanned
-          .groupBy(col("_metadata.file_name").as("fn"))
-          .agg(count(lit(1)).as("n"),
-            lit(null).cast("long").as("lo"), lit(null).cast("long").as("hi"))
-      }
-      val stats = statsDf.collect().map { r =>
-        r.getString(0) -> (r.getLong(1),
-          if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))
-      }.toMap
+      val aggs = count(lit(1)).as("n") +: clusterBy.flatMap(k => Seq(
+        min(col(k).cast("long")).as(s"lo_$k"),
+        max(col(k).cast("long")).as(s"hi_$k")))
+      val stats = scanned
+        .groupBy(col("_metadata.file_name").as("fn"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          // row layout: fn, n, lo_k1, hi_k1, lo_k2, hi_k2, ...
+          val bounds = clusterBy.zipWithIndex.map { case (k, j) =>
+            k -> (r.getLong(2 * j + 2), r.getLong(2 * j + 3))
+          }.toMap
+          r.getString(0) -> (r.getLong(1), bounds)
+        }.toMap
       val entries = moved.map { rel =>
-        val (n, b) = stats.getOrElse(rel.split('/').last, (0L, None))
-        ManifestEntry(rel, "data", seq, n,
-          clusterBy.zip(b).map { case (k, lohi) => k -> lohi }.toMap)
+        val (n, b) = stats.getOrElse(rel.split('/').last,
+          (0L, Map.empty[String, (Long, Long)]))
+        ManifestEntry(rel, "data", seq, n, b)
       }
       TableIO.commitReplacing(root, ns, table, entries)
     } finally {

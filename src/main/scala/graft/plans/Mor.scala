@@ -43,18 +43,21 @@ object Mor {
 
   /** Files of one content type (absolute path, seq) at a manifest
     * version — `None` means the current snapshot. Data files are
-    * additionally bounds-pruned when `prune` is given.
+    * additionally bounds-pruned when `prunes` are given (a CONJUNCTION:
+    * a file survives only if its bounds can intersect every predicate —
+    * with z-order-clustered files that skips on each dimension
+    * independently).
     */
   private def filesAt(root: String, ns: String, table: String,
       content: String, version: Option[Long],
-      prune: Option[Prune] = None): Seq[(String, Long)] = {
+      prunes: Seq[Prune] = Nil): Seq[(String, Long)] = {
     val dir = TableIO.tableDir(root, ns, table)
     val entries = version match {
       case Some(v) => TableIO.readManifestAt(root, ns, table, v)
       case None => TableIO.readManifest(root, ns, table)
     }
     entries.filter(_.content == content)
-      .filter(e => prune.forall(p => e.mayContain(p.column, p.lo, p.hi)))
+      .filter(e => prunes.forall(p => e.mayContain(p.column, p.lo, p.hi)))
       .map(e => (dir.resolve(e.path).toString, e.seq))
   }
 
@@ -86,7 +89,7 @@ object Mor {
     */
   def scanWithProvenance(spark: SparkSession, root: String, ns: String,
       table: String, version: Option[Long] = None,
-      prune: Option[Prune] = None): DataFrame = {
+      prune: Seq[Prune] = Nil): DataFrame = {
     val dataFiles = filesAt(root, ns, table, "data", version, prune)
     require(prune.nonEmpty || dataFiles.nonEmpty,
       s"no data files in $ns.$table")
@@ -162,7 +165,7 @@ object Mor {
   def read(spark: SparkSession, root: String, ns: String, table: String,
       bitmapThreshold: Long = BitmapDeleteThreshold,
       asOfVersion: Option[Long] = None,
-      prune: Option[Prune] = None): DataFrame = {
+      prune: Seq[Prune] = Nil): DataFrame = {
     var df = scanWithProvenance(spark, root, ns, table, asOfVersion, prune)
     val manifest = manifestAt(root, ns, table, asOfVersion)
 
@@ -179,6 +182,7 @@ object Mor {
       // file skipping only surviving files need deletion vectors.
       val dataEntries = manifest.filter(_.content == "data")
         .filter(e => prune.forall(p => e.mayContain(p.column, p.lo, p.hi)))
+        // (conjunction over all prune predicates, matching filesAt)
       val useBitmap = posTotal <= bitmapThreshold &&
         dataEntries.forall(e =>
           e.recordCount >= 0 && e.recordCount <= Int.MaxValue.toLong) &&

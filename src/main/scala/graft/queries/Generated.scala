@@ -88,10 +88,10 @@ object Generated {
       val r = GeneratedTables.ensure(s, dir, c2)
       if (TableIO.currentVersion(r, c2.namespace, c2.tableName) == 3L) {
         graft.plans.Maintenance.compact(s, r, c2.namespace, c2.tableName,
-          targetFileCount = 4, clusterBy = Some("bar"))
+          targetFileCount = 4, clusterBy = Seq("bar"))
       }
       Mor.read(s, r, c2.namespace, c2.tableName,
-          prune = Some(Mor.Prune("bar", 4600L, 4700L)))
+          prune = Seq(Mor.Prune("bar", 4600L, 4700L)))
         .filter(col("bar").between(4600, 4700))
         .select("foo", "bar", "baz").orderBy("bar")
     }),
@@ -103,7 +103,7 @@ object Generated {
     "gen_pruned_scan" -> ((s, dir) => {
       val r = root(s, dir)
       Mor.read(s, r, cfg.namespace, cfg.tableName,
-          prune = Some(Mor.Prune("bar", 3500L, 4700L)))
+          prune = Seq(Mor.Prune("bar", 3500L, 4700L)))
         .filter(col("bar").between(3500, 4700))
         .select("foo", "bar", "baz").orderBy("bar")
     }),
@@ -141,6 +141,33 @@ object Generated {
       val deletes = m.filter(col("content") =!= "data")
         .agg(count(lit(1)).as("n_delete_files"))
       surviving.crossJoin(deletes)
+    }),
+    // Z-order clustering: an events-derived managed table rewritten by
+    // the Morton interleave of (user_id, t_hour), bounds recorded on
+    // BOTH columns — a two-dimensional slice query then file-skips on
+    // each dimension at once (ZOrderSpec asserts the skip counts;
+    // lexicographic clustering can only ever prune the leading column).
+    "gen_zorder_scan" -> ((s, dir) => {
+      val r = GeneratedTables.ensureCustom(dir + "#zorder") { root =>
+        val ev = Util.rdEvents(s, dir).select(
+          col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("t_hour"))
+        TableIO.createNamespace(root, "gen_ns")
+        TableIO.createTableIfNotExists(root, "gen_ns", "ev_z", ev.schema)
+        val e = TableIO.writeExactFile(s, root, "gen_ns", "ev_z",
+          "data/part-00000.parquet", ev, "data", seq = 1L)
+        TableIO.commit(root, "gen_ns", "ev_z", Seq(e))
+        graft.plans.Maintenance.compact(s, root, "gen_ns", "ev_z",
+          targetFileCount = 16, clusterBy = Seq("user_id", "t_hour"),
+          zorder = true)
+      }
+      val h0 = 473352L // 2024-01-01T00:00 in hours since epoch
+      Mor.read(s, r, "gen_ns", "ev_z",
+          prune = Seq(Mor.Prune("user_id", 100L, 160L),
+            Mor.Prune("t_hour", h0 + 8, h0 + 16)))
+        .filter(col("user_id").between(100, 160) &&
+          col("t_hour").between(h0 + 8, h0 + 16))
+        .orderBy("event_id")
     }),
     // MERGE-shaped upsert on the identifier column: one commit pairs a
     // key-only equality-delete file with the replacement data file at
@@ -181,7 +208,7 @@ object Generated {
           df, spec)
       }
       Mor.read(s, r, c2.namespace, c2.tableName,
-          prune = Some(spec.pruneForValue(1L)))
+          prune = Seq(spec.pruneForValue(1L)))
         .filter(spec.sparkValue(col("bar")) === 1L)
         .select("foo", "bar", "baz").orderBy("bar")
     }),
@@ -243,6 +270,14 @@ object Generated {
     "gen_compaction" ->
       s"""SELECT CAST(${N - P - E} AS BIGINT) AS surviving,
          |       CAST(0 AS BIGINT) AS n_delete_files""".stripMargin,
+    "gen_zorder_scan" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch_us(ts::TIMESTAMP) // 3600000000 AS BIGINT) AS t_hour
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 160
+        |  AND epoch_us(ts::TIMESTAMP) // 3600000000
+        |      BETWEEN 473360 AND 473368
+        |ORDER BY event_id""".stripMargin,
     // survivors [4000,4500) untouched; [4500,5500) replaced by the upsert
     "gen_upsert" ->
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz

@@ -28,7 +28,7 @@ class FileSkipSpec extends AnyFunSuite {
   test("bar-range scan opens only the intersecting files") {
     val root = GeneratedTables.ensure(spark, "fileskip", cfg)
     val pruned = Mor.read(spark, root, cfg.namespace, cfg.tableName,
-      prune = Some(Mor.Prune("bar", 3500L, 4700L)))
+      prune = Seq(Mor.Prune("bar", 3500L, 4700L)))
     // bounds [3000,3999] and [4000,4999] intersect; 3 data files
     // skipped (inputFiles also lists the delete-side scans)
     val dataScanned = pruned.inputFiles.filter(_.contains("/data/"))
@@ -47,7 +47,7 @@ class FileSkipSpec extends AnyFunSuite {
     val c2 = cfg.copy(tableName = "cluster_spec")
     val root = GeneratedTables.ensure(spark, "fileskip-cluster", c2)
     graft.plans.Maintenance.compact(spark, root, c2.namespace, c2.tableName,
-      targetFileCount = 4, clusterBy = Some("bar"))
+      targetFileCount = 4, clusterBy = Seq("bar"))
     val entries = TableIO.readManifest(root, c2.namespace, c2.tableName)
       .filter(_.content == "data").filter(_.recordCount > 0)
     val bs = entries.flatMap(_.bounds.get("bar")).sortBy(_._1)
@@ -60,7 +60,7 @@ class FileSkipSpec extends AnyFunSuite {
     }
     // a narrow range scan touches a strict subset of the files
     val pruned = Mor.read(spark, root, c2.namespace, c2.tableName,
-      prune = Some(Mor.Prune("bar", 4600L, 4700L)))
+      prune = Seq(Mor.Prune("bar", 4600L, 4700L)))
     val scanned = pruned.inputFiles.count(_.contains("/data/"))
     assert(scanned <= 2 && scanned < entries.size,
       s"expected pruning, scanned $scanned of ${entries.size}")

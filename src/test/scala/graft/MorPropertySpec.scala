@@ -59,7 +59,7 @@ class MorPropertySpec extends AnyFunSuite {
     } yield (math.min(a, b), math.max(a, b))
     val prop = Prop.forAll(ranges) { case (lo, hi) =>
       val pruned = Mor.read(spark, root, "ns", "prune_prop",
-          prune = Some(Mor.Prune("bar", lo, hi)))
+          prune = Seq(Mor.Prune("bar", lo, hi)))
         .filter(col("bar").between(lo, hi))
       val full = Mor.read(spark, root, "ns", "prune_prop")
         .filter(col("bar").between(lo, hi))

@@ -43,7 +43,7 @@ class PartitioningSpec extends AnyFunSuite {
     val spec = PartitionSpec("bucket", "bar", 4)
     val root = freshTable(spec)
     val pruned = Mor.read(spark, root, "ns", "t",
-      prune = Some(spec.pruneForValue(2L)))
+      prune = Seq(spec.pruneForValue(2L)))
     val dataScanned = pruned.inputFiles.filter(_.contains("/data/"))
     assert(dataScanned.length == 1, s"scanned: ${dataScanned.mkString(",")}")
     // pruned scan == the bucket's rows exactly
@@ -74,7 +74,7 @@ class PartitioningSpec extends AnyFunSuite {
     }
     val pr = spec.pruneForRange(1500L, 2500L)
     assert(pr.contains(Mor.Prune(spec.fieldName, 1L, 2L)))
-    val pruned = Mor.read(spark, root, "ns", "t", prune = pr)
+    val pruned = Mor.read(spark, root, "ns", "t", prune = pr.toSeq)
     assert(pruned.inputFiles.count(_.contains("/data/")) == 2)
     assert(pruned.filter(col("bar").between(1500, 2500)).count() == 1001L)
   }
