@@ -142,6 +142,22 @@ object Generated {
         .agg(count(lit(1)).as("n_delete_files"))
       surviving.crossJoin(deletes)
     }),
+    // Planner-integrated pruning: the scan goes through GraftFileIndex,
+    // so the ORDINARY filter below is what skips files — Catalyst
+    // pushes it into the manifest-backed listFiles, no prune argument
+    // anywhere (AutoPruneSpec asserts the numFiles metric).
+    "gen_auto_prune" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_auto")
+      val r = GeneratedTables.ensureCustom(dir + "#auto") { root =>
+        Pipeline.prepare(s, root, c2)
+        // compact to data-only files clustered on bar (tight bounds)
+        graft.plans.Maintenance.compact(s, root, c2.namespace, c2.tableName,
+          targetFileCount = 4, clusterBy = Seq("bar"))
+      }
+      graft.plans.GraftFileIndex.scan(s, r, c2.namespace, c2.tableName)
+        .filter(col("bar").between(4100, 4400))
+        .select("foo", "bar", "baz").orderBy("bar")
+    }),
     // Z-order clustering: an events-derived managed table rewritten by
     // the Morton interleave of (user_id, t_hour), bounds recorded on
     // BOTH columns — a two-dimensional slice query then file-skips on
@@ -270,6 +286,10 @@ object Generated {
     "gen_compaction" ->
       s"""SELECT CAST(${N - P - E} AS BIGINT) AS surviving,
          |       CAST(0 AS BIGINT) AS n_delete_files""".stripMargin,
+    // survivors [4000,5000) restricted to the filter range
+    "gen_auto_prune" ->
+      """SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+        |FROM range(4100, 4401) t(g) ORDER BY bar""".stripMargin,
     "gen_zorder_scan" ->
       """SELECT event_id, user_id,
         |  CAST(epoch_us(ts::TIMESTAMP) // 3600000000 AS BIGINT) AS t_hour
