@@ -119,6 +119,19 @@ object SqlSurface {
           |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin)
     }),
 
+    // Native expressions surfaced as SQL functions (GraftFunctions /
+    // GraftSparkExtensions): the SQL text plans the same codegen'd
+    // PolyHash/ShingleHashes expressions the DataFrame API uses.
+    "q_sql_native_hash" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      rd(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT doc_id,
+          |  graft_polyhash(text) AS h,
+          |  size(graft_shingle_hashes(split(text, ' '), 4)) AS n_shingles
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    }),
+
     // Null-handling scalar functions.
     "q_null_fns" -> ((s, dir) => {
       views(s, dir, "orders")
@@ -204,6 +217,17 @@ object SqlSurface {
         |  count(*) - count(nullif(o_orderstatus, 'O')) AS n_open,
         |  CAST(sum(CASE WHEN coalesce(nullif(o_orderstatus, 'F'), 'x') = 'x'
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_f
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sql_native_hash" ->
+      """SELECT doc_id,
+        |  (CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_reduce(list_transform(string_split(text, ''),
+        |      c -> CAST(unicode(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) END) AS h,
+        |  CAST(CASE WHEN len(string_split(text, ' ')) >= 4
+        |    THEN len(string_split(text, ' ')) - 3 ELSE 0 END AS INTEGER)
+        |    AS n_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, HashFunctions}
+
+/** SQL-registered native functions must plan the same expressions as
+  * the DataFrame API — one implementation, two surfaces.
+  */
+class SqlFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("SQL and DataFrame surfaces agree on every exposed function") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("the quick brown fox jumps over the lazy dog", 1L),
+        ("a b", 2L), ("", 3L))
+      .toDF("text", "id").createOrReplaceTempView("fn_docs")
+    val viaSql = spark.sql(
+      """SELECT id, graft_polyhash(text) AS h,
+        |  graft_word_hashes(split(text, ' ')) AS wh,
+        |  graft_simhash32(graft_word_hashes(split(text, ' '))) AS sh,
+        |  graft_shingle_hashes(split(text, ' '), 3) AS sh3
+        |FROM fn_docs ORDER BY id""".stripMargin).collect()
+    val viaDf = spark.table("fn_docs")
+      .select(col("id"), HashFunctions.polyHash(col("text")).as("h"),
+        HashFunctions.wordHashes(split(col("text"), " ")).as("wh"),
+        HashFunctions.simhash32(
+          HashFunctions.wordHashes(split(col("text"), " "))).as("sh"),
+        HashFunctions.shingleHashes(split(col("text"), " "), 3).as("sh3"))
+      .orderBy("id").collect()
+    viaSql.zip(viaDf).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("the SQL surface is Catalyst-native: foldable and codegen'd") {
+    GraftFunctions.register(spark)
+    // a literal argument CONSTANT-FOLDS at plan time ('x' -> 120) —
+    // only a real Catalyst expression gets that treatment; a UDF stays
+    // opaque to the optimizer
+    val folded = spark.sql("SELECT graft_polyhash('x') AS h")
+      .queryExecution.executedPlan.toString
+    assert(folded.contains("120 AS h"), folded)
+    // over a real operator (Range), the projection runs inside
+    // whole-stage codegen (the starred `*(n)` stage prefix)
+    val plan = spark.sql(
+      "SELECT graft_polyhash(CAST(id AS STRING)) AS h FROM range(10)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") || plan.contains("WholeStageCodegen"),
+      plan)
+  }
+
+  test("extensions entry point injects the same registry") {
+    // the injection list and the live-register list must stay in sync
+    assert(GraftFunctions.all.map(_._1).distinct.size ==
+      GraftFunctions.all.size)
+    assert(GraftFunctions.all.map(_._1).forall(_.startsWith("graft_")))
+  }
+}
