@@ -62,9 +62,12 @@ object Dedup {
     // arrays is O(k^2) string comparisons per doc (measured 9x slower).
     // repartition: shingle hashing is the per-row hot loop and the few
     // parquet splits would otherwise serialize it on one core
+    // per-document shingle dedup is per-row: array_distinct before the
+    // explode (a global .distinct() here shuffled #docs x #shingles
+    // rows — the 2M-doc smoke measured ~7 min of that in decontaminate)
     val sh0 = docs.repartition(col("doc_id")).select(col("doc_id"),
-      explode(TextHash.shingleHashes(split(col("text"), " "), n)).as("sh"))
-      .distinct()
+      explode(array_distinct(
+        TextHash.shingleHashes(split(col("text"), " "), n))).as("sh"))
     // df-cap: the aggregate and the join share the `sh` hash partitioning,
     // so capping costs no extra shuffle of the shingle set.
     val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))

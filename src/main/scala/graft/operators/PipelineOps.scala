@@ -37,11 +37,16 @@ object PipelineOps {
     */
   def decontaminate(docs: DataFrame, n: Int = 4, minShared: Int = 3,
       dfCap: Int = 256): DataFrame = {
+    // "distinct shingles per document" is a PER-ROW dedup: array_distinct
+    // on the hashed longs before exploding — the equivalent global
+    // .distinct() after the explode shuffled #docs x #shingles rows
+    // (54M rows / 7 min at the 2M-doc scale smoke; this shape is
+    // shuffle-free and took decontaminate to ~11s there).
     val base = docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         (pmod(idHash("t"), lit(20)) === 0).as("is_test"),
-        explode(TextHash.shingleHashes(split(col("text"), " "), n)).as("sh"))
-      .distinct()
+        explode(array_distinct(
+          TextHash.shingleHashes(split(col("text"), " "), n))).as("sh"))
     val rare = base.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("sh")
     val capped = base.join(rare, "sh")

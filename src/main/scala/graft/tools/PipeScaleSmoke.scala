@@ -1,0 +1,58 @@
+package graft.tools
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, PipelineOps}
+
+/** Scale smoke for the corpus-preparation family: synthesize a
+  * multi-million-document corpus (materialized to parquet so generation
+  * cost never pollutes operator timings), then run each pipe_* operator
+  * and print wall times — evidence the keyed-dataflow shapes hold well
+  * past the 500-doc correctness corpus. Args: [docsMillions] (default 2).
+  */
+object PipeScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val m = if (args.nonEmpty) args(0).toDouble else 2.0
+    val nDocs = (m * 1e6).toLong
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pipescale] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    val dir = Files.createTempDirectory("graft-pipescale-").toString
+    timed(f"synthesize ${nDocs / 1000000}%dM docs (30 words each)") {
+      // ~30-word documents from a 5k-word vocabulary; zipf-ish reuse via
+      // modular arithmetic keeps shingle/ngram keys realistically skewed
+      spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 30).map(j =>
+          concat(lit("w"), pmod(col("id") * 31 + lit(j * 7), lit(5000)))): _*)
+          .as("text"),
+        element_at(array(lit("en"), lit("de"), lit("fr")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents")
+    }
+    val docs = spark.read.parquet(s"$dir/documents")
+    val n = timed("decontaminate")(PipelineOps.decontaminate(docs).count())
+    println(s"[pipescale] contaminated pairs: $n")
+    timed("sampleBySource")(PipelineOps.sampleBySource(docs).count())
+    timed("packSequences")(PipelineOps.packSequences(docs).count())
+    timed("shuffleShards")(PipelineOps.shuffleShards(docs).count())
+    timed("topNgrams")(PipelineOps.topNgrams(docs).collect())
+    timed("filterCompose")(PipelineOps.filterCompose(docs).count())
+    timed("fingerprint dedup")(Dedup.fingerprint(docs).count())
+    println("[pipescale] OK")
+    spark.stop()
+  }
+}
