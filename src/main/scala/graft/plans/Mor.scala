@@ -288,6 +288,14 @@ object Mor {
       asOfVersion: Long): DataFrame =
     read(spark, root, ns, table, BitmapDeleteThreshold, Some(asOfVersion))
 
+  /** Read the table at a named ref (branch or tag) — `VERSION AS OF
+    * 'ref'` / Iceberg branch reads. The ref resolves to a snapshot
+    * version; the fully gated read path then applies as usual.
+    */
+  def readRef(spark: SparkSession, root: String, ns: String, table: String,
+      ref: String): DataFrame =
+    readAt(spark, root, ns, table, TableIO.resolveRef(root, ns, table, ref))
+
   /** Incremental read: rows appended between two snapshot versions
     * (Iceberg incremental scan). With the reference workload only
     * version 1 appends data, so (0, 1] is the whole table and (1, 3]

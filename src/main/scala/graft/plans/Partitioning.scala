@@ -87,19 +87,42 @@ object Partitioning {
       spec: PartitionSpec): Unit =
     Files.writeString(
       TableIO.tableDir(root, ns, table).resolve("partition-spec.json"),
-      s"""{"transform":"${spec.transform}","column":"${spec.column}","param":${spec.param}}""")
+      specJson(spec))
+
+  /** Partition evolution (Iceberg `UpdatePartitionSpec`): append the new
+    * ACTIVE spec to the spec history — O(1) metadata, no file is
+    * rewritten. Files already written keep the partition values of the
+    * spec they were written under (recorded in their manifest bounds);
+    * because an absent bounds key never prunes, every spec's files are
+    * pruned by exactly their own spec's predicates — Iceberg's per-spec
+    * partition-pruning rule falls out of the existing metadata shape.
+    */
+  def evolveSpec(root: String, ns: String, table: String,
+      newSpec: PartitionSpec): Unit = {
+    val f = TableIO.tableDir(root, ns, table).resolve("partition-spec.json")
+    val prior = if (Files.isRegularFile(f)) Files.readString(f) + "\n" else ""
+    Files.writeString(f, prior + specJson(newSpec))
+  }
+
+  private def specJson(spec: PartitionSpec): String =
+    s"""{"transform":"${spec.transform}","column":"${spec.column}","param":${spec.param}}"""
 
   private val specRe =
     """\{"transform":"([^"]*)","column":"([^"]*)","param":(\d+)\}""".r
 
-  def readSpec(root: String, ns: String, table: String): Option[PartitionSpec] = {
+  /** Full spec history, oldest first (the active spec is the last). */
+  def readSpecs(root: String, ns: String, table: String): Seq[PartitionSpec] = {
     val f = TableIO.tableDir(root, ns, table).resolve("partition-spec.json")
-    if (!Files.isRegularFile(f)) None
-    else Files.readString(f).trim match {
-      case specRe(t, c, p) => Some(PartitionSpec(t, c, p.toInt))
+    if (!Files.isRegularFile(f)) Seq.empty
+    else Files.readAllLines(f).asScala.filter(_.nonEmpty).map(_.trim match {
+      case specRe(t, c, p) => PartitionSpec(t, c, p.toInt)
       case other => throw new IllegalArgumentException(s"bad spec: $other")
-    }
+    }).toSeq
   }
+
+  /** The active (most recently evolved) spec. */
+  def readSpec(root: String, ns: String, table: String): Option[PartitionSpec] =
+    readSpecs(root, ns, table).lastOption
 
   /** Write `df` partitioned by `spec` as one snapshot's data files: ONE
     * distributed job (shuffle on the partition value, then a
@@ -143,7 +166,9 @@ object Partitioning {
             .toSeq
           require(parts.size == 1,
             s"expected one file for partition $v, got ${parts.size}")
-          val rel = s"data/part-p$v.parquet"
+          // seq in the name keeps appends under evolved specs (or later
+          // snapshots) from colliding with earlier partition files
+          val rel = s"data/part-s$seq-p$v.parquet"
           Files.move(parts.head, dir.resolve(rel),
             StandardCopyOption.REPLACE_EXISTING)
           val keyBounds: Map[String, (Long, Long)] = spec.transform match {
@@ -171,6 +196,14 @@ object Partitioning {
     TableIO.createNamespace(root, ns)
     TableIO.createTableIfNotExists(root, ns, table, df.schema)
     writeSpec(root, ns, table, spec)
+    appendPartitioned(spark, root, ns, table, df)
+  }
+
+  /** Append one snapshot of data routed by the table's ACTIVE spec. */
+  def appendPartitioned(spark: SparkSession, root: String, ns: String,
+      table: String, df: DataFrame): Long = {
+    val spec = readSpec(root, ns, table).getOrElse(
+      throw new IllegalStateException(s"$ns.$table has no partition spec"))
     val entries = writePartitioned(spark, root, ns, table, df, spec,
       seq = TableIO.nextSeq(root, ns, table))
     TableIO.commit(root, ns, table, entries)

@@ -251,6 +251,95 @@ object TableIO {
     readManifest(root, ns, table).toDF()
   }
 
+  /** The `snapshots` metadata table: one row per committed version with
+    * the operation kind and added/total file and record counts — the
+    * Iceberg `table.snapshots` surface. Derived entirely from the
+    * versioned manifests (deterministic: no wall-clock timestamps), so
+    * it is oracle-replayable. `overwrite` = some previous file left the
+    * manifest (compaction, rollback); `append` otherwise.
+    */
+  def snapshotsDf(spark: SparkSession, root: String, ns: String,
+      table: String): DataFrame = {
+    val rows = (1L to currentVersion(root, ns, table)).map { v =>
+      val prev = readManifestAt(root, ns, table, v - 1)
+      val cur = readManifestAt(root, ns, table, v)
+      val prevKeys = prev.map(e => (e.path, e.content)).toSet
+      val curKeys = cur.map(e => (e.path, e.content)).toSet
+      val added = cur.filterNot(e => prevKeys((e.path, e.content)))
+      val op = if (prevKeys.exists(!curKeys(_))) "overwrite" else "append"
+      (v.toInt, op, added.size.toLong, added.map(_.recordCount).sum,
+        cur.size.toLong, cur.filter(_.content == "data").map(_.recordCount).sum)
+    }
+    import spark.implicits._
+    rows.toDF("version", "operation", "added_files", "added_records",
+      "total_files", "total_data_records")
+  }
+
+  // --- named refs (Iceberg branches and tags) -------------------------
+  // refs.json holds one line per ref: a name pointing at a snapshot
+  // version. Tags are immutable once created; branches may be advanced.
+  // Metadata-only (O(#refs) bytes), any table size.
+
+  private def refsFile(root: String, ns: String, table: String): Path =
+    tableDir(root, ns, table).resolve("refs.json")
+
+  def readRefs(root: String, ns: String, table: String): Map[String, (String, Long)] = {
+    val f = refsFile(root, ns, table)
+    if (!Files.isRegularFile(f)) Map.empty
+    else Files.readAllLines(f).asScala.filter(_.nonEmpty).map { line =>
+      line.trim match {
+        case refRe(n, t, v) => n -> (t, v.toLong)
+        case other => throw new IllegalArgumentException(s"bad ref line: $other")
+      }
+    }.toMap
+  }
+
+  /** Create a tag or branch at `version`. Re-pointing an existing tag is
+    * rejected (Iceberg tags are immutable); a branch is re-pointed in
+    * place (fast-forward / rewind are both just pointer moves here).
+    */
+  def setRef(root: String, ns: String, table: String, name: String,
+      refType: String, version: Long): Unit = {
+    require(refType == "tag" || refType == "branch", s"bad ref type $refType")
+    require(version >= 0 && version <= currentVersion(root, ns, table),
+      s"ref $name points at unknown version $version")
+    val refs = readRefs(root, ns, table)
+    refs.get(name).foreach { case (t, v) =>
+      require(t == "branch" && refType == "branch",
+        s"ref $name already exists as a $t at v$v and cannot be re-pointed")
+    }
+    writeRefs(root, ns, table, refs + (name -> (refType, version)))
+  }
+
+  def dropRef(root: String, ns: String, table: String, name: String): Unit =
+    writeRefs(root, ns, table, readRefs(root, ns, table) - name)
+
+  /** The snapshot version a ref points at. */
+  def resolveRef(root: String, ns: String, table: String, name: String): Long =
+    readRefs(root, ns, table).getOrElse(name,
+      throw new NoSuchElementException(s"no ref $name on $ns.$table"))._2
+
+  /** Roll the table back to snapshot `toVersion` by publishing a NEW
+    * version whose manifest equals the old one (Iceberg
+    * `rollback_to_snapshot`): history is preserved — every prior
+    * manifest stays readable by version or tag — and the operation is
+    * O(manifest) metadata, never a data rewrite.
+    */
+  def rollback(root: String, ns: String, table: String, toVersion: Long): Long = {
+    require(toVersion <= currentVersion(root, ns, table),
+      s"cannot roll back to unknown version $toVersion")
+    commitReplacing(root, ns, table, readManifestAt(root, ns, table, toVersion))
+  }
+
+  private val refRe = """\{"name":"([^"]*)","type":"([^"]*)","version":(\d+)\}""".r
+
+  private def writeRefs(root: String, ns: String, table: String,
+      refs: Map[String, (String, Long)]): Unit =
+    atomicWrite(refsFile(root, ns, table),
+      refs.toSeq.sortBy(_._1).map { case (n, (t, v)) =>
+        s"""{"name":"$n","type":"$t","version":$v}"""
+      }.mkString("\n"))
+
   // --- tiny JSON codec for manifest lines (fixed shape, no deps) ---
   private def entryToJson(e: ManifestEntry): String = {
     val base = s""""path":"${e.path}","content":"${e.content}",""" +

@@ -236,6 +236,68 @@ object Generated {
         .groupBy("content")
         .agg(count(lit(1)).as("n_files"), sum("recordCount").as("n_rows"))
         .orderBy("content")
+    }),
+    // Partition evolution (Iceberg UpdatePartitionSpec): half the rows
+    // written under truncate(1000, bar), the spec evolved, the other
+    // half under bucket(4, bar) — no file rewritten. Point lookups carry
+    // BOTH specs' prunes; each file is pruned by its own spec's recorded
+    // partition values (absent key = keep), so every lookup opens exactly
+    // one truncate file + one bucket file regardless of which half holds
+    // the row (PartitionEvolutionSpec asserts the 2-file scans).
+    "gen_partition_evolution" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_pevolve")
+      val spec1 = PartitionSpec("truncate", "bar", 1000)
+      val spec2 = PartitionSpec("bucket", "bar", 4)
+      val r = GeneratedTables.ensureCustom(dir + "#pevolve") { root =>
+        def half(lo: Long, hi: Long) = s.range(lo, hi).select(
+          col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"), lit(true).as("baz"))
+        Partitioning.preparePartitioned(s, root, c2.namespace, c2.tableName,
+          half(0, N / 2), spec1)
+        Partitioning.evolveSpec(root, c2.namespace, c2.tableName, spec2)
+        Partitioning.appendPartitioned(s, root, c2.namespace, c2.tableName,
+          half(N / 2, N))
+      }
+      Seq(42L, 1234L, 2600L, 4999L).map { k =>
+        Mor.read(s, r, c2.namespace, c2.tableName,
+            prune = Seq(Mor.Prune("bar", k, k),
+              spec2.pruneForValue(spec2.valueOf(k))))
+          .filter(col("bar") === k)
+      }.reduce(_ union _).select("foo", "bar", "baz").orderBy("bar")
+    }),
+    // The `snapshots` metadata table (Iceberg `table.snapshots`): one row
+    // per commit with operation kind + added/total file and record
+    // counts, derived purely from the versioned manifests — the commit
+    // history as data.
+    "gen_snapshots" -> ((s, dir) => {
+      val r = root(s, dir)
+      TableIO.snapshotsDf(s, r, cfg.namespace, cfg.tableName)
+        .orderBy("version")
+    }),
+    // Refs + rollback (Iceberg branches/tags + rollback_to_snapshot): a
+    // tag pins the data-only snapshot; rollback publishes a NEW version
+    // (v4) whose manifest equals v1 — so the current read sees all N rows
+    // again, the tag still resolves, v3 stays readable (history is
+    // preserved), and the version counter advanced. All metadata-only.
+    "gen_rollback" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_rollback")
+      val r = GeneratedTables.ensureCustom(dir + "#rollback") { root =>
+        Pipeline.prepare(s, root, c2)
+        TableIO.setRef(root, c2.namespace, c2.tableName, "after_data", "tag", 1L)
+        TableIO.rollback(root, c2.namespace, c2.tableName, 1L)
+      }
+      val (ns, t) = (c2.namespace, c2.tableName)
+      Seq(
+        "current" -> Mor.read(s, r, ns, t),
+        "tag_after_data" -> Mor.readRef(s, r, ns, t, "after_data"),
+        "v3" -> Mor.readAt(s, r, ns, t, 3L)
+      ).map { case (label, df) =>
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(label).as("ref"), col("n_rows"))
+      }.reduce(_ union _)
+        .union(s.range(1).select(lit("n_versions").as("ref"),
+          lit(TableIO.currentVersion(r, ns, t)).as("n_rows")))
+        .orderBy("ref")
     })
   )
 
@@ -320,6 +382,33 @@ object Generated {
          |             ('eq_delete', ${cfg.eqDelete.fileCount}, $E),
          |             ('pos_delete', ${cfg.posDelete.fileCount}, $P))
          |  AS t(content, n_files, n_rows)
-         |ORDER BY content""".stripMargin
+         |ORDER BY content""".stripMargin,
+    // four point lookups spanning both specs' halves
+    "gen_partition_evolution" ->
+      """SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+        |FROM (VALUES (42), (1234), (2600), (4999)) t(g)
+        |ORDER BY bar""".stripMargin,
+    // commit history: v1 appends 5 data files, v2 2 pos-delete files,
+    // v3 2 eq-delete files; data records stay N throughout (deletes are
+    // separate content, merged only at read time)
+    "gen_snapshots" ->
+      s"""SELECT CAST(version AS INTEGER) AS version, operation,
+         |  CAST(af AS BIGINT) AS added_files, CAST(ar AS BIGINT) AS added_records,
+         |  CAST(tf AS BIGINT) AS total_files, CAST(tr AS BIGINT) AS total_data_records
+         |FROM (VALUES (1, 'append', ${cfg.data.fileCount}, $N, ${cfg.data.fileCount}, $N),
+         |             (2, 'append', ${cfg.posDelete.fileCount}, $P,
+         |              ${cfg.data.fileCount + cfg.posDelete.fileCount}, $N),
+         |             (3, 'append', ${cfg.eqDelete.fileCount}, $E,
+         |              ${cfg.data.fileCount + cfg.posDelete.fileCount + cfg.eqDelete.fileCount}, $N))
+         |  AS t(version, operation, af, ar, tf, tr)
+         |ORDER BY version""".stripMargin,
+    // rollback to v1 restores all N rows; the tag at v1 reads the same;
+    // v3 (fully deleted view) stays readable; 4 versions exist
+    "gen_rollback" ->
+      s"""SELECT ref, CAST(n AS BIGINT) AS n_rows
+         |FROM (VALUES ('current', $N), ('n_versions', 4),
+         |             ('tag_after_data', $N), ('v3', ${N - P - E}))
+         |  AS t(ref, n)
+         |ORDER BY ref""".stripMargin
   )
 }
