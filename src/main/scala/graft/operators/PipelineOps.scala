@@ -150,6 +150,53 @@ object PipelineOps {
       .orderBy("vec_id")
   }
 
+  /** Fixed-size character chunking with overlap (the context-window
+    * splitter ahead of embedding/indexing): chunk i of a document covers
+    * chars [i*stride, i*stride + size), stride = size - overlap, with
+    * enough chunks that the last one reaches the end of the text. One
+    * per-row explode — no shuffle, no state, linear at any corpus size
+    * (chunk count is derived arithmetically per row, so the plan is the
+    * same whether a document has 1 chunk or 10k).
+    */
+  def chunkDocuments(docs: DataFrame, size: Int = 400,
+      overlap: Int = 64): DataFrame = {
+    val stride = size - overlap
+    require(stride > 0, "overlap must be smaller than size")
+    docs
+      .select(col("doc_id"), col("text"),
+        // ceil((len - overlap) / stride), at least 1; the numerator is
+        // always positive (>= stride - 1 - overlap > 0 for our params)
+        greatest(expr(
+          s"int((length(text) - $overlap + ${stride - 1}) div $stride)"),
+          lit(1)).as("n_chunks"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("chunk_start"),
+        col("text").substr(col("chunk_id") * stride + 1, lit(size)).as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Deterministic mixture weighting (epoch repetition for domain
+    * mixing): each source gets a weight w in [0.5, 2.5) hundredths-
+    * encoded from its name; each document is emitted floor(w) times
+    * plus one more when its hash draw falls under frac(w) — so a
+    * source's expected multiplicity is exactly w without any RNG.
+    * Pure per-row arithmetic + explode: no shuffle, linear, and the
+    * upsampling factor is bounded by ceil(max weight).
+    */
+  def mixtureRepeat(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        (pmod(TextHash.rollingHash(col("source")), lit(200)) + 50).as("w100"),
+        pmod(idHash("m"), lit(100)).as("draw"))
+      .withColumn("reps",
+        expr("w100 div 100") +
+          when(col("draw") < col("w100") % 100, 1L).otherwise(0L))
+      .filter(col("reps") > 0)
+      .select(col("doc_id"), col("source"), col("w100"),
+        explode(sequence(lit(1L), col("reps"))).as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+
   /** The composed corpus filter a training-data pipeline actually runs —
     * language gate, quality gate, near-dup survivorship, deterministic
     * downsample — chained over the individual operators by doc_id

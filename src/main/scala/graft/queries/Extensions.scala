@@ -29,6 +29,8 @@ object Extensions {
     "pipe_sample" -> ((s, dir) => PipelineOps.sampleBySource(rd(s, dir, "documents"))),
     "pipe_pack" -> ((s, dir) => PipelineOps.packSequences(rd(s, dir, "documents"))),
     "pipe_shuffle" -> ((s, dir) => PipelineOps.shuffleShards(rd(s, dir, "documents"))),
+    "pipe_chunk" -> ((s, dir) => PipelineOps.chunkDocuments(rd(s, dir, "documents"))),
+    "pipe_mix" -> ((s, dir) => PipelineOps.mixtureRepeat(rd(s, dir, "documents"))),
     "text_topk_ngrams" -> ((s, dir) => PipelineOps.topNgrams(rd(s, dir, "documents"))),
     "emb_quantize" -> ((s, dir) => PipelineOps.quantize(rd(s, dir, "embeddings"))),
     "dedup_clusters" -> ((s, dir) =>
@@ -375,6 +377,31 @@ object Extensions {
          |WHERE (${rollSql("'s' || CAST(doc_id AS VARCHAR)")} % 100)
          |    < (${rollSql("source")} % 70) + 20
          |ORDER BY doc_id""".stripMargin,
+
+    // chunking: unnest(range(...)) replays the per-row chunk count
+    // (numerator always positive, so integer // == the engine's div)
+    "pipe_chunk" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    greatest((length(text) - 64 + 335) // 336, 1) AS n_chunks
+        |  FROM documents),
+        |e AS (SELECT doc_id, text,
+        |    CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_id FROM n)
+        |SELECT doc_id, chunk_id, chunk_id * 336 AS chunk_start,
+        |  substring(text, chunk_id * 336 + 1, 400) AS chunk
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pipe_mix" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |    (${rollSql("source")} % 200) + 50 AS w100,
+         |    ${rollSql("'m' || CAST(doc_id AS VARCHAR)")} % 100 AS draw
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, w100,
+         |    (w100 // 100) + CASE WHEN draw < w100 % 100 THEN 1 ELSE 0 END AS reps
+         |  FROM s)
+         |SELECT doc_id, source, CAST(w100 AS BIGINT) AS w100,
+         |  CAST(unnest(range(1, reps + 1)) AS BIGINT) AS copy_id
+         |FROM r WHERE reps > 0
+         |ORDER BY doc_id, copy_id""".stripMargin,
 
     "pipe_pack" ->
       s"""WITH s AS (SELECT doc_id, lang, n_chars,

@@ -108,6 +108,33 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream interval join: attribute each click to the same
+    * user's purchases within `windowSec` seconds AFTER the click (the
+    * streaming twin of the batch `q_range_join` shape). Both sides are
+    * watermarked and the join condition carries the event-time range, so
+    * Spark bounds each side's buffered state to watermark + window —
+    * the state-cleanup contract that keeps an infinite stream's join
+    * state finite. Inputs need (user_id, ts: timestamp, event_id |
+    * value).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      watermarkDelay: String = "30 seconds",
+      windowSec: Long = 60): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("click_id"), col("user_id"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming exact-dedup over a document stream: suppress
     * re-occurrences of a content fingerprint across micro-batches
     * (`dropDuplicatesWithinWatermark`). The watermark bounds the

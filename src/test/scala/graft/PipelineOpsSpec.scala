@@ -28,6 +28,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("chunkDocuments covers every char; overlap and sizes are exact") {
+    val size = 100
+    val overlap = 20
+    val stride = size - overlap
+    val chunks = PipelineOps.chunkDocuments(docs, size, overlap).cache()
+    val withLen = chunks.join(docs.select(col("doc_id"),
+      length(col("text")).as("len")), "doc_id")
+    // every non-final chunk is exactly `size` chars; chunk ids are dense
+    // from 0; starts are chunk_id * stride
+    assert(chunks.filter($"chunk_start" =!= $"chunk_id" * stride).count() == 0)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("chunk_id").as("mx"), min("chunk_id").as("mn"))
+    assert(perDoc.filter($"mx" =!= $"n" - 1 || $"mn" =!= 0).count() == 0)
+    // the final chunk reaches the end of the document; short chunks only
+    // at the end
+    val bad = withLen.filter(
+      ($"chunk_start" + length($"chunk") =!= least($"chunk_start" + size, $"len")) ||
+      (length($"chunk") < size && $"chunk_start" + length($"chunk") =!= $"len"))
+    assert(bad.count() == 0)
+    // chunk lengths minus the double-counted overlaps reassemble the
+    // exact text length — chunks cover everything, nothing twice
+    val total = chunks.groupBy("doc_id").agg(
+      (sum(length($"chunk")) - (count(lit(1)) - 1) * overlap).as("covered"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      .filter($"covered" =!= $"len")
+    assert(total.count() == 0)
+    chunks.unpersist()
+  }
+
+  test("mixtureRepeat multiplicity equals floor(w) + bernoulli(frac w)") {
+    val mixed = PipelineOps.mixtureRepeat(docs).cache()
+    // every emitted doc has dense copy ids 1..reps
+    val per = mixed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("copy_id").as("mx"), min("copy_id").as("mn"),
+        max("w100").as("w"))
+    assert(per.filter($"mx" =!= $"n" || $"mn" =!= 1).count() == 0)
+    // multiplicity bounded by floor(w/100) + 1, and >= floor(w/100)
+    assert(per.filter($"n" > $"w" / 100 + 1 || $"n" < ($"w" / 100).cast("long"))
+      .count() == 0)
+    // sources with w >= 100 keep every document at least once; expected
+    // corpus expansion is within a loose band of mean(w)/100
+    val nDocs = docs.count().toDouble
+    val ratio = mixed.count() / nDocs
+    assert(ratio > 0.5 && ratio < 2.5, s"expansion ratio $ratio")
+    mixed.unpersist()
+  }
+
   test("packSequences bins respect the running-sum budget shape") {
     val budget = 600L
     val bins = PipelineOps.packSequences(docs, budget = budget).cache()

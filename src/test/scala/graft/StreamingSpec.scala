@@ -30,6 +30,32 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val joined = EventsStream.clickPurchaseJoin(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "value"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_spec").start()
+    // user 1: click at t=0, purchases at t=30 (in window) and t=90 (out);
+    // user 2: purchase at t=10 with no click — never emitted
+    clicks.addData((1L, ts(0), 100L))
+    purchases.addData((1L, ts(30), 5.0), (1L, ts(90), 7.0), (2L, ts(10), 9.0))
+    q.processAllAvailable()
+    // second click catches the t=90 purchase arriving earlier — late
+    // cross-batch matches still join while inside the watermark
+    clicks.addData((1L, ts(80), 101L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sorted.toSeq
+    assert(rows == Seq((100L, 1L, 5.0), (101L, 1L, 7.0)))
+  }
+
   test("streaming dedup suppresses duplicate fingerprints across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
