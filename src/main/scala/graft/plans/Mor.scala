@@ -165,7 +165,8 @@ object Mor {
   def read(spark: SparkSession, root: String, ns: String, table: String,
       bitmapThreshold: Long = BitmapDeleteThreshold,
       asOfVersion: Option[Long] = None,
-      prune: Seq[Prune] = Nil): DataFrame = {
+      prune: Seq[Prune] = Nil,
+      keepProvenance: Boolean = false): DataFrame = {
     var df = scanWithProvenance(spark, root, ns, table, asOfVersion, prune)
     val manifest = manifestAt(root, ns, table, asOfVersion)
 
@@ -227,7 +228,9 @@ object Mor {
       }
 
     val cols = TableIO.readSchema(root, ns, table).fieldNames
-    df.select(cols.head, cols.tail: _*)
+    if (keepProvenance)
+      df.select((cols.toSeq ++ Seq("_file", "_pos", "_seq")).map(col): _*)
+    else df.select(cols.head, cols.tail: _*)
   }
 
   /** Per-file deletion vectors, built distributedly — no driver-side
@@ -287,6 +290,90 @@ object Mor {
   def readAt(spark: SparkSession, root: String, ns: String, table: String,
       asOfVersion: Long): DataFrame =
     read(spark, root, ns, table, BitmapDeleteThreshold, Some(asOfVersion))
+
+  /** CDC changelog scan (Iceberg's changelog / Delta CDF): row-level
+    * changes between two snapshot versions, one pass per commit.
+    * Per version v in (from, to]:
+    *
+    *   - data files ADDED at v emit their rows as `insert` — a plain
+    *     scan of just those files (the append fast path: no join at all
+    *     for append-only traffic, the overwhelmingly common case);
+    *   - delete files ADDED at v emit `delete` rows: ONLY the new
+    *     delete files are applied (seq-gated, per identifier set)
+    *     against the view as of v-1 — rows already dead at v-1 can't
+    *     re-emit, and a row hit by both a new pos- and eq-delete
+    *     dedupes on its physical identity (_file, _pos);
+    *   - snapshots that REMOVE files (compaction rewrites, rollbacks)
+    *     produce no change rows — the Iceberg changelog rule: a rewrite
+    *     changes no logical row, and a rollback's changes were already
+    *     reported when the rolled-back commits happened.
+    *
+    * Scale shape: inserts are pure incremental scans; deletes join the
+    * (small) new-delete side against one prior snapshot — never a diff
+    * of two full snapshots.
+    */
+  def readChanges(spark: SparkSession, root: String, ns: String,
+      table: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    val dir = TableIO.tableDir(root, ns, table)
+    val schema = TableIO.readSchema(root, ns, table)
+    val schemaCols = schema.fieldNames.toSeq
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val prev = TableIO.readManifestAt(root, ns, table, v - 1)
+      val cur = TableIO.readManifestAt(root, ns, table, v)
+      val prevKeys = prev.map(e => (e.path, e.content)).toSet
+      val curKeys = cur.map(e => (e.path, e.content)).toSet
+      if (prevKeys.exists(!curKeys(_))) Seq.empty[DataFrame] // replace/rollback
+      else {
+        val added = cur.filterNot(e => prevKeys((e.path, e.content)))
+        val addedData = added.filter(_.content == "data")
+        val inserts =
+          if (addedData.isEmpty) None
+          else Some(spark.read.schema(schema)
+            .parquet(addedData.map(e => dir.resolve(e.path).toString): _*)
+            .select(schemaCols.map(col): _*)
+            .withColumn("_change_type", lit("insert")))
+        val addedPos = added.filter(_.content == "pos_delete")
+          .map(e => (dir.resolve(e.path).toString, e.seq))
+        val addedEq = added.filter(_.content == "eq_delete")
+          .map(e => (dir.resolve(e.path).toString, e.seq))
+        val deletes =
+          if (addedPos.isEmpty && addedEq.isEmpty) None
+          else Some {
+            val alive = read(spark, root, ns, table,
+              asOfVersion = Some(v - 1), keepProvenance = true)
+            var cands = Seq.empty[DataFrame]
+            readDeletes(spark, addedPos).foreach { pd =>
+              cands :+= alive.join(pd,
+                alive("_file") === pd("file_path") &&
+                  alive("_pos") === pd("pos") &&
+                  alive("_seq") <= pd("_dseq"), "left_semi")
+            }
+            addedEq.groupBy(f => spark.read.parquet(f._1).schema.fieldNames.toSeq)
+              .toSeq.sortBy(_._1.mkString(","))
+              .foreach { case (_, files) =>
+                val ed0 = readDeletes(spark, files).get
+                val ed = ed0.hint("shuffle_hash")
+                val keys = ed0.columns.filterNot(_ == "_dseq")
+                val cond = keys.map(k => alive(k) === ed(k)).reduce(_ && _) &&
+                  alive("_seq") < ed("_dseq")
+                cands :+= alive.join(ed, cond, "left_semi")
+              }
+            cands.reduce(_ union _).dropDuplicates("_file", "_pos")
+              .select(schemaCols.map(col): _*)
+              .withColumn("_change_type", lit("delete"))
+          }
+        (inserts.toSeq ++ deletes.toSeq)
+          .map(_.withColumn("_change_version", lit(v.toInt)))
+      }
+    }
+    if (parts.isEmpty) {
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_change_version", IntegerType, nullable = false))))
+    } else parts.reduce(_ union _)
+  }
 
   /** Read the table at a named ref (branch or tag) — `VERSION AS OF
     * 'ref'` / Iceberg branch reads. The ref resolves to a snapshot

@@ -274,6 +274,18 @@ object Generated {
       TableIO.snapshotsDf(s, r, cfg.namespace, cfg.tableName)
         .orderBy("version")
     }),
+    // CDC changelog scan (Iceberg changelog / Delta CDF): per-commit
+    // row-level changes — v1 inserts all N rows, v2's pos-deletes kill
+    // the first P physical rows, v3's eq-deletes the next E keys. The
+    // checksum (count + sum of bar) pins the exact row sets, not just
+    // the cardinalities.
+    "gen_changes" -> ((s, dir) => {
+      val r = root(s, dir)
+      Mor.readChanges(s, r, cfg.namespace, cfg.tableName, 0L, 3L)
+        .groupBy("_change_version", "_change_type")
+        .agg(count(lit(1)).as("n_rows"), sum("bar").as("sum_bar"))
+        .orderBy("_change_version", "_change_type")
+    }),
     // Refs + rollback (Iceberg branches/tags + rollback_to_snapshot): a
     // tag pins the data-only snapshot; rollback publishes a NEW version
     // (v4) whose manifest equals v1 — so the current read sees all N rows
@@ -402,6 +414,19 @@ object Generated {
          |              ${cfg.data.fileCount + cfg.posDelete.fileCount + cfg.eqDelete.fileCount}, $N))
          |  AS t(version, operation, af, ar, tf, tr)
          |ORDER BY version""".stripMargin,
+    // v1 inserts [0,N); v2 pos-deletes [0,P); v3 eq-deletes [P,P+E)
+    "gen_changes" ->
+      s"""SELECT * FROM (
+         |  SELECT 1 AS _change_version, 'insert' AS _change_type,
+         |    count(*) AS n_rows, CAST(sum(g) AS BIGINT) AS sum_bar
+         |  FROM range(0, $N) t(g)
+         |  UNION ALL
+         |  SELECT 2, 'delete', count(*), CAST(sum(g) AS BIGINT)
+         |  FROM range(0, $P) t(g)
+         |  UNION ALL
+         |  SELECT 3, 'delete', count(*), CAST(sum(g) AS BIGINT)
+         |  FROM range($P, ${P + E}) t(g))
+         |ORDER BY _change_version""".stripMargin,
     // rollback to v1 restores all N rows; the tag at v1 reads the same;
     // v3 (fully deleted view) stays readable; 4 versions exist
     "gen_rollback" ->

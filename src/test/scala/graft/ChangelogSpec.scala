@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{Mor, Pipeline, TableIO}
+import graft.sources.{FixSchemaGen, GenConfig}
+
+/** CDC changelog scan: per-commit inserts/deletes, no re-emission of
+  * already-dead rows, physical dedupe when one row is hit by several
+  * new delete files, and silence on rewrite/rollback snapshots.
+  */
+class ChangelogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val cfgRef = GenConfig.reference
+  private val N = cfgRef.data.totalRows
+  private val P = cfgRef.actualPosDeletes
+  private val E = cfgRef.actualEqDeletes
+
+  test("changelog replays the reference pipeline's three commits") {
+    val cfg = cfgRef.copy(tableName = "changes_spec")
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-").toString
+    Pipeline.prepare(spark, root, cfg)
+    val (ns, t) = (cfg.namespace, cfg.tableName)
+
+    val byStep = Mor.readChanges(spark, root, ns, t, 0L, 3L)
+      .groupBy("_change_version", "_change_type").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byStep == Map((1, "insert") -> N, (2, "delete") -> P,
+      (3, "delete") -> E))
+
+    // an append AFTER the deletes emits only inserts; a rollback emits
+    // nothing (its effects were already reported when they happened)
+    val rpf = cfg.data.rowsPerFile
+    val df6 = spark.range(5L * rpf, 6L * rpf).select(
+      col("id").cast("string").as("foo"), col("id").cast("int").as("bar"),
+      lit(true).as("baz"))
+    TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root, ns, t,
+      FixSchemaGen.dataFilePath(5), df6, "data",
+      TableIO.nextSeq(root, ns, t), recordCount = rpf)))
+    val step4 = Mor.readChanges(spark, root, ns, t, 3L, 4L)
+    assert(step4.filter(col("_change_type") === "insert").count() == rpf)
+    assert(step4.filter(col("_change_type") === "delete").count() == 0)
+
+    TableIO.rollback(root, ns, t, 1L)
+    assert(Mor.readChanges(spark, root, ns, t, 4L, 5L).count() == 0)
+  }
+
+  test("a row hit by a new pos- AND eq-delete in one commit emits once") {
+    val cfg = cfgRef.copy(tableName = "cdc_dedupe")
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc2-").toString
+    val (ns, t) = (cfg.namespace, cfg.tableName)
+    import spark.implicits._
+    val data = spark.range(0, 10).select(
+      col("id").cast("string").as("foo"), col("id").cast("int").as("bar"),
+      lit(true).as("baz"))
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, t, data.schema)
+    TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root, ns, t,
+      "data/part-00000.parquet", data, "data", 1L, recordCount = 10)))
+    // one commit carrying BOTH delete kinds aimed at row 0 (plus a
+    // distinct eq-only kill of row 3)
+    val pos = Seq(("data/part-00000.parquet", 0L)).toDF("file_path", "pos")
+    val eq = Seq(("0", 0), ("3", 3)).toDF("foo", "bar")
+    TableIO.commit(root, ns, t, Seq(
+      TableIO.writeExactFile(spark, root, ns, t,
+        "deletes/pos_delete-0.parquet", pos, "pos_delete", 2L, recordCount = 1),
+      TableIO.writeExactFile(spark, root, ns, t,
+        "deletes/equality_delete-0.parquet", eq, "eq_delete", 2L,
+        recordCount = 2)))
+
+    val changes = Mor.readChanges(spark, root, ns, t, 1L, 2L)
+      .filter(col("_change_type") === "delete")
+    assert(changes.count() == 2) // rows 0 and 3, row 0 exactly once
+    assert(changes.select("bar").as[Int].collect().sorted.toSeq == Seq(0, 3))
+    // and the live view agrees
+    assert(Mor.read(spark, root, ns, t).count() == 8)
+  }
+}
