@@ -101,6 +101,56 @@ object Maintenance {
     }
   }
 
+  /** Rewrite position-delete files (Iceberg
+    * `rewrite_position_delete_files`): consolidate the accumulated
+    * small pos-delete files and purge dead rows — rows whose target
+    * file left the manifest (dangling after compaction of other
+    * partitions), rows that can never apply (target data committed
+    * after the delete), and duplicate (file, pos) targets (the highest
+    * delete seq subsumes the rest, since the gate is data_seq <=
+    * delete_seq against a fixed target file).
+    *
+    * Sequence preservation is the correctness crux: rewritten rows are
+    * grouped by their ORIGINAL delete sequence and each group's file is
+    * committed at that seq — writing them at the rewrite commit's seq
+    * would wrongly delete data files committed between the original
+    * delete and the rewrite. Old manifests/files stay untouched, so
+    * time travel is unaffected.
+    *
+    * Scale shape: one broadcast manifest join + one (file,pos) hash
+    * aggregate over the delete side only — the data side is never read.
+    * Returns the new snapshot version.
+    */
+  def rewritePositionDeletes(spark: SparkSession, root: String, ns: String,
+      table: String): Long = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val manifest = TableIO.readManifest(root, ns, table)
+    val posEntries = manifest.filter(_.content == "pos_delete")
+    if (posEntries.isEmpty) return TableIO.currentVersion(root, ns, table)
+    val dir = TableIO.tableDir(root, ns, table)
+    val pd = Mor.readDeletes(spark,
+      posEntries.map(e => (dir.resolve(e.path).toString, e.seq))).get
+    val dataSeqs = manifest.filter(_.content == "data")
+      .map(e => (e.path, e.seq)).toDF("file_path", "_dataseq")
+    val live = pd.join(broadcast(dataSeqs), Seq("file_path"))
+      .filter(col("_dataseq") <= col("_dseq"))
+      .groupBy("file_path", "pos").agg(max("_dseq").as("_dseq"))
+      .cache()
+    try {
+      val seqs = live.select("_dseq").distinct().as[Long].collect().sorted
+      val newV = TableIO.currentVersion(root, ns, table) + 1
+      val newEntries = seqs.map { sq =>
+        val rows = live.filter(col("_dseq") === sq)
+          .select("file_path", "pos").orderBy("file_path", "pos")
+        TableIO.writeExactFile(spark, root, ns, table,
+          s"deletes/pos_rewrite-v$newV-s$sq.parquet", rows, "pos_delete", sq)
+      }
+      TableIO.commitReplacing(root, ns, table,
+        manifest.filterNot(_.content == "pos_delete") ++ newEntries)
+    } finally live.unpersist()
+  }
+
   /** Expire snapshots older than `keepFromVersion`: delete their
     * manifest files and any data/delete file no longer referenced by a
     * surviving manifest (Iceberg `expire_snapshots` + orphan cleanup).

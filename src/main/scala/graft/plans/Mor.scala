@@ -126,7 +126,7 @@ object Mor {
     * file's commit sequence as `_dseq` (via `_metadata.file_name`, same
     * broadcast-join shape as the data side).
     */
-  private def readDeletes(spark: SparkSession,
+  private[plans] def readDeletes(spark: SparkSession,
       files: Seq[(String, Long)]): Option[DataFrame] = {
     if (files.isEmpty) None
     else {

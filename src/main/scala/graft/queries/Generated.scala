@@ -274,6 +274,41 @@ object Generated {
       TableIO.snapshotsDf(s, r, cfg.namespace, cfg.tableName)
         .orderBy("version")
     }),
+    // Position-delete rewrite (Iceberg rewrite_position_delete_files):
+    // after a post-delete append (seq 4) and a late pos-delete (seq 5),
+    // the 3 pos-delete files consolidate into one per ORIGINAL delete
+    // seq (seq preservation is the gate-correctness crux — a rewrite
+    // at the new commit's seq would delete the seq-4 append). The MOR
+    // view must be byte-identical before/after (MaintenanceSpec); here
+    // the oracle pins survivors + consolidated file/row counts.
+    "gen_rewrite_deletes" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_rwdel")
+      val r = GeneratedTables.ensureCustom(dir + "#rwdel") { root =>
+        Pipeline.prepare(s, root, c2)
+        val (ns, t) = (c2.namespace, c2.tableName)
+        val rpf = c2.data.rowsPerFile
+        val df6 = s.range(5L * rpf, 6L * rpf).select(
+          col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"), lit(true).as("baz"))
+        TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(s, root, ns, t,
+          graft.sources.FixSchemaGen.dataFilePath(5), df6, "data",
+          TableIO.nextSeq(root, ns, t), recordCount = rpf)))
+        val lateDel = s.range(0, 100).select(
+          lit(graft.sources.FixSchemaGen.dataFilePath(5)).as("file_path"),
+          col("id").as("pos"))
+        TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(s, root, ns, t,
+          "deletes/pos_delete-late.parquet", lateDel, "pos_delete",
+          TableIO.nextSeq(root, ns, t), recordCount = 100)))
+        graft.plans.Maintenance.rewritePositionDeletes(s, root, ns, t)
+      }
+      val m = TableIO.manifestDf(s, r, c2.namespace, c2.tableName)
+        .filter(col("content") === "pos_delete")
+        .agg(count(lit(1)).as("n_pos_files"),
+          sum("recordCount").as("n_pos_rows"))
+      Mor.read(s, r, c2.namespace, c2.tableName)
+        .agg(count(lit(1)).as("surviving"))
+        .crossJoin(m)
+    }),
     // CDC changelog scan (Iceberg changelog / Delta CDF): per-commit
     // row-level changes — v1 inserts all N rows, v2's pos-deletes kill
     // the first P physical rows, v3's eq-deletes the next E keys. The
@@ -414,6 +449,12 @@ object Generated {
          |              ${cfg.data.fileCount + cfg.posDelete.fileCount + cfg.eqDelete.fileCount}, $N))
          |  AS t(version, operation, af, ar, tf, tr)
          |ORDER BY version""".stripMargin,
+    // survivors = (N-P-E) + (RPF appended - 100 late-deleted);
+    // 2 consolidated pos files (one per original seq) holding P + 100
+    "gen_rewrite_deletes" ->
+      s"""SELECT CAST(${N - P - E + RPF - 100} AS BIGINT) AS surviving,
+         |       CAST(2 AS BIGINT) AS n_pos_files,
+         |       CAST(${P + 100} AS BIGINT) AS n_pos_rows""".stripMargin,
     // v1 inserts [0,N); v2 pos-deletes [0,P); v3 eq-deletes [P,P+E)
     "gen_changes" ->
       s"""SELECT * FROM (

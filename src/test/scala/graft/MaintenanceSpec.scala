@@ -33,6 +33,55 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Mor.readAt(spark, root, "ns", "t", 3L).count() == 100L)
   }
 
+  test("rewritePositionDeletes consolidates, dedupes, and preserves gates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (root, cfg) = prepared() // 200 rows, 50 pos-deletes, 50 eq-deletes
+    val (ns, t) = ("ns", "t")
+    // post-delete append (seq 4): rows [200, 250)
+    val df5 = spark.range(200, 250).select(
+      col("id").cast("string").as("foo"), col("id").cast("int").as("bar"),
+      lit(true).as("baz"))
+    TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root, ns, t,
+      graft.sources.FixSchemaGen.dataFilePath(4), df5, "data",
+      TableIO.nextSeq(root, ns, t), recordCount = 50)))
+    // late pos-delete (seq 5): first 10 rows of the appended file PLUS
+    // 5 duplicate targets already deleted at seq 2
+    val late = spark.range(0, 10).select(
+        lit(graft.sources.FixSchemaGen.dataFilePath(4)).as("file_path"),
+        col("id").as("pos"))
+      .union(spark.range(0, 5).select(
+        lit(graft.sources.FixSchemaGen.dataFilePath(0)).as("file_path"),
+        col("id").as("pos")))
+    TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root, ns, t,
+      "deletes/pos_delete-late.parquet", late, "pos_delete",
+      TableIO.nextSeq(root, ns, t), recordCount = 15)))
+
+    val before = Mor.read(spark, root, ns, t).orderBy("bar").collect().map(_.toSeq)
+    assert(before.length == 100 + 40) // (200-50-50) + (50-10)
+    val v = Maintenance.rewritePositionDeletes(spark, root, ns, t)
+    assert(v == 6L && TableIO.currentVersion(root, ns, t) == 6L)
+
+    // merged view byte-identical; duplicate targets collapsed (65 -> 60
+    // rows: the 5 re-deleted positions keep only their max seq); one
+    // consolidated file per original seq, committed at that seq
+    val after = Mor.read(spark, root, ns, t).orderBy("bar").collect().map(_.toSeq)
+    assert(after.sameElements(before))
+    val pos = TableIO.readManifest(root, ns, t).filter(_.content == "pos_delete")
+    assert(pos.map(_.seq).sorted == Seq(2L, 5L))
+    assert(pos.map(_.recordCount).sum == 60L)
+    assert(pos.find(_.seq == 5L).get.recordCount == 15L) // 10 new + 5 dup moved up
+    // time travel behind the rewrite unchanged
+    assert(Mor.readAt(spark, root, ns, t, 3L).count() == 100L)
+
+    // after compaction every pos-delete row is dangling: rewrite purges
+    // them all and the manifest carries zero pos-delete files
+    Maintenance.compact(spark, root, ns, t)
+    assert(Maintenance.rewritePositionDeletes(spark, root, ns, t) ==
+      TableIO.currentVersion(root, ns, t))
+    assert(TableIO.readManifest(root, ns, t).forall(_.content == "data"))
+  }
+
   test("expireSnapshots removes dead files, keeps the live view") {
     val (root, _) = prepared()
     Maintenance.compact(spark, root, "ns", "t")
