@@ -41,6 +41,16 @@ object Mor {
     */
   final case class Prune(column: String, lo: Long, hi: Long)
 
+  /** A point predicate `column = value` pruned via per-file BLOOM
+    * filters: skips files whose bloom proves the value absent. This is
+    * the pruner for high-cardinality scattered columns where [min,max]
+    * bounds span the whole domain and never skip anything (hashed ids,
+    * content fingerprints). Files without a bloom for the column are
+    * kept; the caller still applies the row filter (false positives
+    * admit a file, never a wrong row).
+    */
+  final case class PruneEq(column: String, value: String)
+
   /** Files of one content type (absolute path, seq) at a manifest
     * version — `None` means the current snapshot. Data files are
     * additionally bounds-pruned when `prunes` are given (a CONJUNCTION:
@@ -50,7 +60,8 @@ object Mor {
     */
   private def filesAt(root: String, ns: String, table: String,
       content: String, version: Option[Long],
-      prunes: Seq[Prune] = Nil): Seq[(String, Long)] = {
+      prunes: Seq[Prune] = Nil,
+      pruneEqs: Seq[PruneEq] = Nil): Seq[(String, Long)] = {
     val dir = TableIO.tableDir(root, ns, table)
     val entries = version match {
       case Some(v) => TableIO.readManifestAt(root, ns, table, v)
@@ -58,6 +69,7 @@ object Mor {
     }
     entries.filter(_.content == content)
       .filter(e => prunes.forall(p => e.mayContain(p.column, p.lo, p.hi)))
+      .filter(e => pruneEqs.forall(p => e.mayContainEq(p.column, p.value)))
       .map(e => (dir.resolve(e.path).toString, e.seq))
   }
 
@@ -89,9 +101,10 @@ object Mor {
     */
   def scanWithProvenance(spark: SparkSession, root: String, ns: String,
       table: String, version: Option[Long] = None,
-      prune: Seq[Prune] = Nil): DataFrame = {
-    val dataFiles = filesAt(root, ns, table, "data", version, prune)
-    require(prune.nonEmpty || dataFiles.nonEmpty,
+      prune: Seq[Prune] = Nil,
+      pruneEq: Seq[PruneEq] = Nil): DataFrame = {
+    val dataFiles = filesAt(root, ns, table, "data", version, prune, pruneEq)
+    require(prune.nonEmpty || pruneEq.nonEmpty || dataFiles.nonEmpty,
       s"no data files in $ns.$table")
     if (dataFiles.isEmpty) {
       // every file pruned: an empty relation with the scan's schema —
@@ -166,8 +179,10 @@ object Mor {
       bitmapThreshold: Long = BitmapDeleteThreshold,
       asOfVersion: Option[Long] = None,
       prune: Seq[Prune] = Nil,
-      keepProvenance: Boolean = false): DataFrame = {
-    var df = scanWithProvenance(spark, root, ns, table, asOfVersion, prune)
+      keepProvenance: Boolean = false,
+      pruneEq: Seq[PruneEq] = Nil): DataFrame = {
+    var df = scanWithProvenance(spark, root, ns, table, asOfVersion, prune,
+      pruneEq)
     val manifest = manifestAt(root, ns, table, asOfVersion)
 
     // R2: positional deletes apply to files committed at or before the
@@ -183,6 +198,7 @@ object Mor {
       // file skipping only surviving files need deletion vectors.
       val dataEntries = manifest.filter(_.content == "data")
         .filter(e => prune.forall(p => e.mayContain(p.column, p.lo, p.hi)))
+        .filter(e => pruneEq.forall(p => e.mayContainEq(p.column, p.value)))
         // (conjunction over all prune predicates, matching filesAt)
       val useBitmap = posTotal <= bitmapThreshold &&
         dataEntries.forall(e =>

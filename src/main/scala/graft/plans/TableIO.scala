@@ -23,11 +23,72 @@ final case class ManifestEntry(
     content: String,
     seq: Long,
     recordCount: Long,
-    bounds: Map[String, (Long, Long)] = Map.empty
+    bounds: Map[String, (Long, Long)] = Map.empty,
+    blooms: Map[String, Vector[Long]] = Map.empty
 ) {
   /** Can this file contain rows with `column` in [qlo, qhi]? */
   def mayContain(column: String, qlo: Long, qhi: Long): Boolean =
     bounds.get(column).forall { case (lo, hi) => hi >= qlo && lo <= qhi }
+
+  /** Can this file contain a row with `column` == `value`? Probes the
+    * column's Bloom filter (all k salted-hash bits must be set); a file
+    * without a bloom for the column is always kept — same unknown-=-keep
+    * rule as range bounds. Blooms prune POINT lookups on columns whose
+    * values scatter across files (high-cardinality strings, hashed
+    * keys), exactly where [min,max] bounds span the whole domain and
+    * can never skip anything — the parquet/Iceberg bloom use case.
+    */
+  def mayContainEq(column: String, value: String): Boolean =
+    blooms.get(column).forall(words => Bloom.mightContain(words, value))
+}
+
+/** Fixed-shape Bloom filter over the engine-portable polyHash: k salted
+  * hashes into an m-bit array stored as 64-bit words (m = 64 *
+  * words.length, a power of two). Deterministic, so scan-time skipping
+  * is replayable by the oracle and by specs.
+  */
+object Bloom {
+  val K = 3
+
+  /** The k salted bit positions of `value` in an m-bit filter.
+    * polyHash is already non-negative (mod 1e9+7).
+    */
+  def bitsFor(m: Int, value: String): Seq[Int] =
+    (0 until K).map { i =>
+      val h = graft.functions.HashExprs.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"b$i|$value"))
+      (h % m).toInt
+    }
+
+  def mightContain(words: Vector[Long], value: String): Boolean =
+    bitsFor(words.length * 64, value)
+      .forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
+
+  /** Word count targeting ~10 bits/row, power-of-two, >= 1024 bits. */
+  def wordsFor(nRows: Long): Int = {
+    var bits = 1024L
+    while (bits < nRows * 10 && bits < (1L << 24)) bits <<= 1
+    (bits / 64).toInt
+  }
+
+  def build(values: Iterator[String], nWords: Int): Vector[Long] = {
+    val arr = new Array[Long](nWords)
+    values.foreach { v =>
+      bitsFor(nWords * 64, v).foreach(b => arr(b >> 6) |= 1L << (b & 63))
+    }
+    arr.toVector
+  }
+
+  def toBase64(words: Vector[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def fromBase64(s: String): Vector[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+    Vector.fill(bb.remaining() / 8)(bb.getLong)
+  }
 }
 
 /** Filesystem-backed emulation of the reference's catalog + commit
@@ -206,11 +267,37 @@ object TableIO {
       }.toMap
     }
 
+  /** Per-column Bloom filters over `df` for point-lookup file skipping:
+    * one distributed job per column computing the DISTINCT bit
+    * positions (a tiny result, <= m rows), set into the word array on
+    * the driver. A production writer folds this into the write pass
+    * itself (parquet footer blooms do exactly that); here it is one
+    * extra scan of the filtered columns only.
+    */
+  def bloomsOf(df: DataFrame, cols: Seq[String],
+      nRows: Long): Map[String, Vector[Long]] = {
+    if (cols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions._
+    val nWords = Bloom.wordsFor(nRows)
+    val m = nWords * 64
+    cols.map { c =>
+      val bits = df.select(explode(array((0 until Bloom.K).map(i =>
+          pmod(graft.functions.HashFunctions.polyHash(
+            concat(lit(s"b$i|"), col(c).cast("string"))), lit(m.toLong))): _*))
+          .as("b"))
+        .distinct().collect().map(_.getLong(0).toInt)
+      val arr = new Array[Long](nWords)
+      bits.foreach(b => arr(b >> 6) |= 1L << (b & 63))
+      c -> arr.toVector
+    }.toMap
+  }
+
   def writeExactFile(spark: SparkSession, root: String, ns: String,
       table: String, relPath: String, df: DataFrame, content: String,
       seq: Long, recordCount: Long = -1L,
       props: WriterProps = WriterProps(),
-      bounds: Map[String, (Long, Long)] = Map.empty): ManifestEntry = {
+      bounds: Map[String, (Long, Long)] = Map.empty,
+      blooms: Map[String, Vector[Long]] = Map.empty): ManifestEntry = {
     val dir = tableDir(root, ns, table)
     val target = dir.resolve(relPath)
     Files.createDirectories(target.getParent)
@@ -229,7 +316,7 @@ object TableIO {
       Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
       val n = if (recordCount >= 0) recordCount
         else spark.read.parquet(target.toString).count()
-      ManifestEntry(relPath, content, seq, n, bounds)
+      ManifestEntry(relPath, content, seq, n, bounds, blooms)
     } finally deleteRecursively(tmp)
   }
 
@@ -348,21 +435,31 @@ object TableIO {
       e.bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s""""$c":[$lo,$hi]"""
       }.mkString(""","bounds":{""", ",", "}")
-    s"{$base$b}"
+    val bl = if (e.blooms.isEmpty) "" else
+      e.blooms.toSeq.sortBy(_._1).map { case (c, words) =>
+        s""""$c":"${Bloom.toBase64(words)}""""
+      }.mkString(""","blooms":{""", ",", "}")
+    s"{$base$b$bl}"
   }
 
   private val entryRe =
-    """\{"path":"([^"]*)","content":"([^"]*)","seq":(\d+),"record_count":(\d+)(?:,"bounds":\{([^}]*)\})?\}""".r
+    """\{"path":"([^"]*)","content":"([^"]*)","seq":(\d+),"record_count":(\d+)(?:,"bounds":\{([^}]*)\})?(?:,"blooms":\{([^}]*)\})?\}""".r
   private val boundRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+  private val bloomRe = """"([^"]+)":"([^"]*)"""".r
 
   private def entryFromJson(line: String): ManifestEntry = line.trim match {
-    case entryRe(p, c, s, n, b) =>
+    case entryRe(p, c, s, n, b, bl) =>
       val bounds = Option(b).map { body =>
         boundRe.findAllMatchIn(body).map { m =>
           m.group(1) -> (m.group(2).toLong, m.group(3).toLong)
         }.toMap
       }.getOrElse(Map.empty[String, (Long, Long)])
-      ManifestEntry(p, c, s.toLong, n.toLong, bounds)
+      val blooms = Option(bl).map { body =>
+        bloomRe.findAllMatchIn(body).map { m =>
+          m.group(1) -> Bloom.fromBase64(m.group(2))
+        }.toMap
+      }.getOrElse(Map.empty[String, Vector[Long]])
+      ManifestEntry(p, c, s.toLong, n.toLong, bounds, blooms)
     case other => throw new IllegalArgumentException(s"bad manifest line: $other")
   }
 

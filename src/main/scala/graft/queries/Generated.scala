@@ -274,6 +274,33 @@ object Generated {
       TableIO.snapshotsDf(s, r, cfg.namespace, cfg.tableName)
         .orderBy("version")
     }),
+    // Bloom-filter file skipping: 8 files whose manifest entries carry
+    // per-file Blooms on `foo` and NO range bounds — point lookups
+    // prune on the bloom probe alone (the high-cardinality case where
+    // [min,max] spans the domain and can never skip; BloomSkipSpec
+    // asserts the scanned-file counts and the no-false-negative rule).
+    "gen_bloom_scan" -> ((s, dir) => {
+      val (ns2, t2) = ("gen_ns", "t_bloom")
+      val r = GeneratedTables.ensureCustom(dir + "#bloom") { root =>
+        def fileDf(i: Int) = s.range(i * 1000L, (i + 1) * 1000L).select(
+          col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"), lit(true).as("baz"))
+        TableIO.createNamespace(root, ns2)
+        TableIO.createTableIfNotExists(root, ns2, t2, fileDf(0).schema)
+        val entries = (0 until 8).map { i =>
+          val df = fileDf(i)
+          TableIO.writeExactFile(s, root, ns2, t2,
+            f"data/part-$i%05d.parquet", df, "data", 1L,
+            recordCount = 1000L,
+            blooms = TableIO.bloomsOf(df, Seq("foo"), 1000L))
+        }
+        TableIO.commit(root, ns2, t2, entries)
+      }
+      Seq("1234", "6789").map { v =>
+        Mor.read(s, r, ns2, t2, pruneEq = Seq(Mor.PruneEq("foo", v)))
+          .filter(col("foo") === v)
+      }.reduce(_ union _).orderBy("bar")
+    }),
     // Position-delete rewrite (Iceberg rewrite_position_delete_files):
     // after a post-delete append (seq 4) and a late pos-delete (seq 5),
     // the 3 pos-delete files consolidate into one per ORIGINAL delete
@@ -449,6 +476,10 @@ object Generated {
          |              ${cfg.data.fileCount + cfg.posDelete.fileCount + cfg.eqDelete.fileCount}, $N))
          |  AS t(version, operation, af, ar, tf, tr)
          |ORDER BY version""".stripMargin,
+    // the two point-lookup rows
+    "gen_bloom_scan" ->
+      """SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+        |FROM (VALUES (1234), (6789)) t(g) ORDER BY bar""".stripMargin,
     // survivors = (N-P-E) + (RPF appended - 100 late-deleted);
     // 2 consolidated pos files (one per original seq) holding P + 100
     "gen_rewrite_deletes" ->
