@@ -159,6 +159,87 @@ object Similarity {
       .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"))
   }
 
+  /** Product-quantization ANN (IVF-PQ's compression half): the 64-dim
+    * embedding splits into 8 subspaces of 8 dims; each subspace trains
+    * its own deterministic k-means codebook (16 codes, seeded by the
+    * lowest vec_ids, one Lloyd iteration — no RNG, oracle-replayable),
+    * and every vector is ENCODED as its 8 nearest code ids — 8 small
+    * ints instead of 64 floats, the 16-32x memory compression that
+    * lets a 100 TB corpus's index live in RAM. Search is asymmetric
+    * distance computation (ADC): the query precomputes its distance to
+    * every code per subspace (a 128-row broadcast table), each vector's
+    * approximate distance is the sum of its codes' table entries (one
+    * join + sum over the tiny codes relation — the full embeddings are
+    * never touched), and only the `rerank` shortlist is re-scored
+    * exactly. Fixed-point long arithmetic throughout (see [[ivfTopK]])
+    * keeps every distance exact, order-free, and engine-portable.
+    */
+  def pqTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+      subDims: Int = 8, kCodes: Int = 16, iters: Int = 1,
+      rerank: Int = 80): DataFrame = {
+    val raw = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("pos"), col("e").cast("double").as("e"))
+    // unit-normalize first: squared L2 on unit vectors is monotone with
+    // cosine, so the ADC ranking targets the same metric the exact
+    // re-rank (and the brute baseline) uses. The norm accumulates
+    // fixed-point longs (exact, order-free) — only the final sqrt and
+    // division are floating point, identically evaluated by the oracle.
+    val norms = raw.groupBy("vec_id")
+      .agg((sqrt(sum(floor(col("e") * lit(1e7)) * floor(col("e") * lit(1e7)))
+        .cast("double")) / lit(1e7)).as("nrm"))
+    val dims = raw.join(norms, "vec_id")
+      .select(col("vec_id"),
+        expr(s"CAST(pos div $subDims AS INT)").as("sub"),
+        expr(s"CAST(pos % $subDims AS INT)").as("spos"),
+        when(col("nrm") === 0d, 0d).otherwise(col("e") / col("nrm")).as("e"))
+      .repartition(col("vec_id"))
+    // per-subspace codebooks, seeded by the kCodes lowest vec_ids
+    var cb = dims.filter(col("vec_id") < kCodes)
+      .select(col("sub"), col("vec_id").as("cid"), col("spos"), col("e").as("c"))
+    for (_ <- 1 to iters) {
+      val a = pqAssign(dims, cb)
+      cb = dims.join(a, Seq("vec_id", "sub"))
+        .groupBy("sub", "cid", "spos")
+        .agg((sum(floor(col("e") * lit(1e7))).cast("double") / lit(1e7) /
+          count(lit(1))).as("c"))
+    }
+    val codes = pqAssign(dims, cb) // the PQ encoding: (vec_id, sub) -> cid
+    // ADC table: query-subvector distance to every code (k x subs rows)
+    val qd = dims.filter(col("vec_id") === queryId)
+      .select(col("sub"), col("spos"), col("e").as("qe"))
+    val adc = cb.join(broadcast(qd), Seq("sub", "spos"))
+      .groupBy("sub", "cid")
+      .agg(sum(floor((col("c") - col("qe")) * (col("c") - col("qe"))
+        * lit(1e12))).as("d"))
+    val shortlist = codes.join(broadcast(adc), Seq("sub", "cid"))
+      .groupBy("vec_id").agg(sum("d").as("adist"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("adist").asc, col("vec_id").asc).limit(rerank)
+      .select("vec_id")
+    // exact re-rank of the shortlist only
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Per-subspace E-step: nearest code per (vector, subspace) —
+    * fixed-point-exact squared distance, ties on cid, argmin via
+    * `min(struct)` (one shuffle, same as [[assignClusters]]).
+    */
+  private def pqAssign(dims: DataFrame, cb: DataFrame): DataFrame =
+    dims.join(broadcast(cb), Seq("sub", "spos"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum(floor((col("e") - col("c")) * (col("e") - col("c"))
+        * lit(1e12))).as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"))
+
   /** kNN self-join: each vector's top-k nearest neighbors, with
     * candidates from the same 16x4-bit sign-LSH banding the embedding
     * dedup uses — never an unkeyed all-pairs join. The embeddings ride

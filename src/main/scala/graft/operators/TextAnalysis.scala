@@ -119,6 +119,29 @@ object TextAnalysis {
     * hash exact. Documents shorter than `n` words have no shingles and
     * drop out (same rule as the Jaccard dedup family).
     */
+  /** Corpus-frequency rarity scoring: per-document counts of distinct
+    * words, rare words (document frequency <= `rareDf`), and the summed
+    * df of the document's vocabulary — the integer skeleton of a
+    * perplexity-style quality signal (a rare-word-heavy document is
+    * either specialist content or garbage; both deserve a second look
+    * in corpus curation). Two key shuffles — per-doc distinct words,
+    * then the corpus df aggregate joined back — with map-side partial
+    * aggregation absorbing hot words; linear at corpus scale. Integer
+    * outputs keep the oracle hash float-free.
+    */
+  def rarity(docs: DataFrame, rareDf: Int = 2): DataFrame = {
+    val words = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+    val dfs = words.groupBy("w").agg(count(lit(1)).as("df"))
+    words.join(dfs, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_words"),
+        sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"),
+        sum("df").as("sum_df"))
+      .orderBy("doc_id")
+  }
+
   def repetition(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"),
         explode(TextHash.shingleHashes(split(col("text"), " "), n)).as("sh"))

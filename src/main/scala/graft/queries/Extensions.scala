@@ -24,6 +24,7 @@ object Extensions {
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedTopK(rd(s, dir, "embeddings"))),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rd(s, dir, "embeddings"))),
+    "ann_pq" -> ((s, dir) => Similarity.pqTopK(rd(s, dir, "embeddings"))),
     "pipe_decontaminate" -> ((s, dir) =>
       PipelineOps.decontaminate(rd(s, dir, "documents"))),
     "pipe_sample" -> ((s, dir) => PipelineOps.sampleBySource(rd(s, dir, "documents"))),
@@ -40,6 +41,7 @@ object Extensions {
     "text_redact" -> ((s, dir) => TextAnalysis.redact(rd(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(rd(s, dir, "documents"))),
+    "text_rarity" -> ((s, dir) => TextAnalysis.rarity(rd(s, dir, "documents"))),
     "text_stats" -> ((s, dir) => TextAnalysis.stats(rd(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokens(rd(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(rd(s, dir, "documents"))),
@@ -163,6 +165,20 @@ object Extensions {
     * CTE `c`, fixed-point-exact distances (scaled-long, the twin of
     * Similarity.assignClusters), ties on cid.
     */
+  /** DuckDB PQ E-step: nearest code per (vector, subspace) from
+    * codebook CTE `c` (fixed-point-exact distance, ties on cid).
+    */
+  private def pqAssignSql(c: String): String =
+    s"""SELECT vec_id, sub, cid FROM (
+       |  SELECT vec_id, sub, cid,
+       |    row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist ASC, cid ASC) AS rn
+       |  FROM (SELECT d.vec_id, d.sub, c.cid,
+       |          sum(CAST(floor((d.e - c.c) * (d.e - c.c) * 1000000000000.0) AS BIGINT)) AS dist
+       |        FROM dims d JOIN $c c ON d.sub = c.sub AND d.spos = c.spos
+       |        GROUP BY d.vec_id, d.sub, c.cid))
+       |WHERE rn = 1""".stripMargin
+
   private def assignSql(c: String): String =
     s"""SELECT vec_id, cid FROM (
        |  SELECT vec_id, cid,
@@ -317,6 +333,52 @@ object Extensions {
          |SELECT e.vec_id, a3.cid, round(${cosSql("e.v", "qv")}, 6) AS sim
          |FROM e JOIN a3 USING (vec_id) JOIN probes USING (cid), q
          |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // PQ: per-subspace seeded k-means (1 Lloyd iteration), encode,
+    // ADC shortlist, exact re-rank — all fixed-point long arithmetic
+    "ann_pq" ->
+      s"""WITH raw AS (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+         |         CAST(embedding[i + 1] AS DOUBLE) AS e
+         |  FROM embeddings, range(0, 64) t(i)),
+         |norms AS (
+         |  SELECT vec_id,
+         |    sqrt(CAST(sum(CAST(floor(e * 10000000.0) AS BIGINT)
+         |      * CAST(floor(e * 10000000.0) AS BIGINT)) AS DOUBLE)) / 10000000.0 AS nrm
+         |  FROM raw GROUP BY vec_id),
+         |dims AS (
+         |  SELECT vec_id, CAST(pos // 8 AS INTEGER) AS sub,
+         |         CAST(pos % 8 AS INTEGER) AS spos,
+         |         CASE WHEN nrm = 0 THEN 0 ELSE e / nrm END AS e
+         |  FROM raw JOIN norms USING (vec_id)),
+         |cb0 AS (SELECT sub, vec_id AS cid, spos, e AS c
+         |        FROM dims WHERE vec_id < 16),
+         |a1 AS (${pqAssignSql("cb0")}),
+         |cb1 AS (
+         |  SELECT d.sub, a.cid, d.spos,
+         |    CAST(sum(CAST(floor(d.e * 10000000.0) AS BIGINT)) AS DOUBLE)
+         |      / 10000000.0 / count(*) AS c
+         |  FROM dims d JOIN a1 a ON d.vec_id = a.vec_id AND d.sub = a.sub
+         |  GROUP BY d.sub, a.cid, d.spos),
+         |codes AS (${pqAssignSql("cb1")}),
+         |qd AS (SELECT sub, spos, e AS qe FROM dims WHERE vec_id = 0),
+         |adc AS (
+         |  SELECT c.sub, c.cid,
+         |    sum(CAST(floor((c.c - q.qe) * (c.c - q.qe) * 1000000000000.0) AS BIGINT)) AS d
+         |  FROM cb1 c JOIN qd q ON c.sub = q.sub AND c.spos = q.spos
+         |  GROUP BY c.sub, c.cid),
+         |short AS (
+         |  SELECT vec_id FROM (
+         |    SELECT co.vec_id, sum(a.d) AS adist
+         |    FROM codes co JOIN adc a ON co.sub = a.sub AND co.cid = a.cid
+         |    WHERE co.vec_id <> 0
+         |    GROUP BY co.vec_id)
+         |  ORDER BY adist ASC, vec_id ASC LIMIT 80),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |FROM e JOIN short USING (vec_id), q
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "ann_knn_join" ->
@@ -495,6 +557,17 @@ object Extensions {
          |SELECT doc_id, max(c) AS max_rep, count(*) AS n_distinct,
          |  CAST(sum(c) AS BIGINT) AS n_total
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_rarity" ->
+      """WITH words AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |dfs AS (SELECT w, count(*) AS df FROM words GROUP BY w)
+        |SELECT doc_id, count(*) AS n_distinct_words,
+        |  CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(sum(df) AS BIGINT) AS sum_df
+        |FROM words JOIN dfs USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,

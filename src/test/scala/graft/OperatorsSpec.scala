@@ -101,6 +101,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head.getDouble(2) == 1.0)
   }
 
+  test("PQ ANN recall vs exact top-k on the test embeddings") {
+    // The oracle replays the identical PQ pipeline, so it verifies
+    // implementation equivalence, not search quality — this pins the
+    // ADC shortlist against the exact answer independently.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteTopK(emb, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopK(emb, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & pq).size / 10.0
+    assert(recall >= 0.8, s"PQ recall $recall vs exact top-10")
+  }
+
   test("near-dup plans are banded equi-joins, never all-pairs") {
     // VERDICT r1 finding 1/2: simhash + embedding near-dup shipped
     // BroadcastNestedLoopJoin over n² pairs. Candidates must come from
