@@ -151,6 +151,32 @@ object Maintenance {
     } finally live.unpersist()
   }
 
+  /** Remove ORPHAN files: parquet files under data/ and deletes/ that
+    * no manifest version references — debris from crashed writes or
+    * interrupted compactions (Iceberg `remove_orphan_files`). Distinct
+    * from [[expireSnapshots]], which removes files an EXPIRED manifest
+    * referenced; an orphan was never committed at all, so no read at
+    * any version can see it and deletion is always safe. Pure metadata
+    * + directory listing — O(#files), no data read. Returns the
+    * removed relative paths.
+    */
+  def removeOrphanFiles(root: String, ns: String, table: String): Seq[String] = {
+    val dir = TableIO.tableDir(root, ns, table)
+    val referenced = (0L to TableIO.currentVersion(root, ns, table))
+      .flatMap(v => TableIO.readManifestAt(root, ns, table, v))
+      .map(_.path).toSet
+    val candidates = Seq("data", "deletes").flatMap { sub =>
+      val d = dir.resolve(sub)
+      if (!Files.isDirectory(d)) Nil
+      else Files.walk(d).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .map(p => dir.relativize(p).toString).toSeq
+    }
+    val orphans = candidates.filterNot(referenced).sorted
+    orphans.foreach(rel => Files.deleteIfExists(dir.resolve(rel)))
+    orphans
+  }
+
   /** Expire snapshots older than `keepFromVersion`: delete their
     * manifest files and any data/delete file no longer referenced by a
     * surviving manifest (Iceberg `expire_snapshots` + orphan cleanup).

@@ -82,6 +82,26 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(TableIO.readManifest(root, ns, t).forall(_.content == "data"))
   }
 
+  test("removeOrphanFiles deletes only never-committed debris") {
+    val (root, _) = prepared()
+    val dir = TableIO.tableDir(root, "ns", "t")
+    // orphan debris: a stray data file and a stray delete file
+    Files.write(dir.resolve("data/part-99999.parquet"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("deletes/pos_delete-stray.parquet"), Array[Byte](4))
+    val nBefore = Mor.read(spark, root, "ns", "t").count()
+
+    val removed = Maintenance.removeOrphanFiles(root, "ns", "t")
+    assert(removed == Seq("data/part-99999.parquet",
+      "deletes/pos_delete-stray.parquet"))
+    assert(!Files.exists(dir.resolve("data/part-99999.parquet")))
+    // every referenced file (current AND historical) survives; reads and
+    // time travel are untouched
+    assert(Mor.read(spark, root, "ns", "t").count() == nBefore)
+    assert(Mor.readAt(spark, root, "ns", "t", 1L).count() == 200L)
+    // idempotent: second pass removes nothing
+    assert(Maintenance.removeOrphanFiles(root, "ns", "t").isEmpty)
+  }
+
   test("expireSnapshots removes dead files, keeps the live view") {
     val (root, _) = prepared()
     Maintenance.compact(spark, root, "ns", "t")
