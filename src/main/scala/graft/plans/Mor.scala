@@ -102,10 +102,17 @@ object Mor {
   def scanWithProvenance(spark: SparkSession, root: String, ns: String,
       table: String, version: Option[Long] = None,
       prune: Seq[Prune] = Nil,
-      pruneEq: Seq[PruneEq] = Nil): DataFrame = {
-    val dataFiles = filesAt(root, ns, table, "data", version, prune, pruneEq)
-    require(prune.nonEmpty || pruneEq.nonEmpty || dataFiles.nonEmpty,
-      s"no data files in $ns.$table")
+      pruneEq: Seq[PruneEq] = Nil,
+      onlyPaths: Option[Set[String]] = None): DataFrame = {
+    val dataFiles0 = filesAt(root, ns, table, "data", version, prune, pruneEq)
+    val dir = TableIO.tableDir(root, ns, table)
+    val dataFiles = onlyPaths match {
+      case Some(keep) => dataFiles0.filter { case (abs, _) =>
+        keep.contains(dir.relativize(java.nio.file.Paths.get(abs)).toString) }
+      case None => dataFiles0
+    }
+    require(prune.nonEmpty || pruneEq.nonEmpty || onlyPaths.nonEmpty ||
+      dataFiles.nonEmpty, s"no data files in $ns.$table")
     if (dataFiles.isEmpty) {
       // every file pruned: an empty relation with the scan's schema —
       // a query range outside all bounds is a result, not an error
@@ -180,9 +187,10 @@ object Mor {
       asOfVersion: Option[Long] = None,
       prune: Seq[Prune] = Nil,
       keepProvenance: Boolean = false,
-      pruneEq: Seq[PruneEq] = Nil): DataFrame = {
+      pruneEq: Seq[PruneEq] = Nil,
+      onlyPaths: Option[Set[String]] = None): DataFrame = {
     var df = scanWithProvenance(spark, root, ns, table, asOfVersion, prune,
-      pruneEq)
+      pruneEq, onlyPaths)
     val manifest = manifestAt(root, ns, table, asOfVersion)
 
     // R2: positional deletes apply to files committed at or before the
@@ -199,6 +207,7 @@ object Mor {
       val dataEntries = manifest.filter(_.content == "data")
         .filter(e => prune.forall(p => e.mayContain(p.column, p.lo, p.hi)))
         .filter(e => pruneEq.forall(p => e.mayContainEq(p.column, p.value)))
+        .filter(e => onlyPaths.forall(_.contains(e.path)))
         // (conjunction over all prune predicates, matching filesAt)
       val useBitmap = posTotal <= bitmapThreshold &&
         dataEntries.forall(e =>
@@ -355,8 +364,20 @@ object Mor {
         val deletes =
           if (addedPos.isEmpty && addedEq.isEmpty) None
           else Some {
+            // pos-deletes NAME their target files, so a pos-only commit
+            // restricts the prior-snapshot scan to exactly those files —
+            // at corpus scale a commit deleting rows in a handful of
+            // files must not scan the world. Eq-deletes match by value
+            // and can land anywhere, so any eq file forces the full
+            // prior view.
+            val targetPaths =
+              if (addedEq.nonEmpty) None
+              else Some(spark.read.parquet(addedPos.map(_._1): _*)
+                .select("file_path").distinct()
+                .collect().map(_.getString(0)).toSet)
             val alive = read(spark, root, ns, table,
-              asOfVersion = Some(v - 1), keepProvenance = true)
+              asOfVersion = Some(v - 1), keepProvenance = true,
+              onlyPaths = targetPaths)
             var cands = Seq.empty[DataFrame]
             readDeletes(spark, addedPos).foreach { pd =>
               cands :+= alive.join(pd,

@@ -41,6 +41,28 @@ object ScaleSmoke {
     val n = timed("MOR merged count")(
       Mor.mergedCount(spark, root, "ns", "big"))
     println(s"[scale] surviving rows: $n (expected ${cfg.expectedSurvivingRows})")
+    // CDC changelog across all three commits: inserts are a plain scan
+    // of the added files; deletes resolve the new delete files against
+    // the prior snapshot
+    val ch = timed("CDC changelog counts (v0 -> v3)")(
+      Mor.readChanges(spark, root, "ns", "big", 0L, 3L)
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    println(s"[scale] changes: $ch")
+    assert(ch("insert") == cfg.data.totalRows &&
+      ch("delete") == cfg.actualPosDeletes + cfg.actualEqDeletes)
+    // consolidate the pos-delete files; merged view must be unchanged
+    timed(s"rewrite position deletes (${cfg.actualPosDeletes / 1000000}M rows)")(
+      Maintenance.rewritePositionDeletes(spark, root, "ns", "big"))
+    val nAfterRw = timed("MOR count after delete rewrite")(
+      Mor.mergedCount(spark, root, "ns", "big"))
+    assert(nAfterRw == n)
+    // per-file bloom construction cost at a realistic file size
+    val bloom = timed("bloom build over a 1M-key column")(
+      graft.plans.TableIO.bloomsOf(
+        spark.range(1000000).selectExpr("CAST(id AS STRING) AS k"),
+        Seq("k"), 1000000L))
+    assert(graft.plans.Bloom.mightContain(bloom("k"), "424242"))
     timed("compaction")(Maintenance.compact(spark, root, "ns", "big"))
     val n2 = timed("post-compaction count")(
       Mor.mergedCount(spark, root, "ns", "big"))
