@@ -274,6 +274,37 @@ object Generated {
       TableIO.snapshotsDf(s, r, cfg.namespace, cfg.tableName)
         .orderBy("version")
     }),
+    // DELETE WHERE (Iceberg delete-by-filter): on a 5-file table, the
+    // range [1500, 3200] drops the fully-covered file as pure metadata
+    // (no read, no delete rows), pos-deletes exactly the matching rows
+    // of the two boundary files (only those scanned), and never touches
+    // the rest. survivors 5000-1701; 4 data files; 701 delete rows.
+    "gen_delete_where" -> ((s, dir) => {
+      val (ns2, t2) = ("gen_ns", "t_delwhere")
+      val r = GeneratedTables.ensureCustom(dir + "#delwhere") { root =>
+        def fileDf(i: Int) = s.range(i * 1000L, (i + 1) * 1000L).select(
+          col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"), lit(true).as("baz"))
+        TableIO.createNamespace(root, ns2)
+        TableIO.createTableIfNotExists(root, ns2, t2, fileDf(0).schema)
+        val entries = (0 until 5).map { i =>
+          TableIO.writeExactFile(s, root, ns2, t2,
+            f"data/part-$i%05d.parquet", fileDf(i), "data", 1L,
+            recordCount = 1000L,
+            bounds = Map("bar" -> (i * 1000L, i * 1000L + 999L)))
+        }
+        TableIO.commit(root, ns2, t2, entries)
+        graft.plans.Dml.deleteWhere(s, root, ns2, t2, "bar", 1500L, 3200L)
+      }
+      val m = TableIO.manifestDf(s, r, ns2, t2)
+      val files = m.filter(col("content") === "data")
+        .agg(count(lit(1)).as("n_data_files"))
+      val delRows = m.filter(col("content") === "pos_delete")
+        .agg(coalesce(sum("recordCount"), lit(0L)).as("n_pos_rows"))
+      Mor.read(s, r, ns2, t2).agg(count(lit(1)).as("surviving"),
+          sum("bar").as("sum_bar"))
+        .crossJoin(files).crossJoin(delRows)
+    }),
     // Bloom-filter file skipping: 8 files whose manifest entries carry
     // per-file Blooms on `foo` and NO range bounds — point lookups
     // prune on the bloom probe alone (the high-cardinality case where
@@ -476,6 +507,12 @@ object Generated {
          |              ${cfg.data.fileCount + cfg.posDelete.fileCount + cfg.eqDelete.fileCount}, $N))
          |  AS t(version, operation, af, ar, tf, tr)
          |ORDER BY version""".stripMargin,
+    // complement of the deleted range; 1 of 5 files metadata-dropped,
+    // 701 boundary rows pos-deleted
+    "gen_delete_where" ->
+      """SELECT count(*) AS surviving, CAST(sum(g) AS BIGINT) AS sum_bar,
+        |  CAST(4 AS BIGINT) AS n_data_files, CAST(701 AS BIGINT) AS n_pos_rows
+        |FROM range(0, 5000) t(g) WHERE g < 1500 OR g > 3200""".stripMargin,
     // the two point-lookup rows
     "gen_bloom_scan" ->
       """SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
