@@ -52,6 +52,11 @@ object PipeScaleSmoke {
     timed("topNgrams")(PipelineOps.topNgrams(docs).collect())
     timed("filterCompose")(PipelineOps.filterCompose(docs).count())
     timed("fingerprint dedup")(Dedup.fingerprint(docs).count())
+    val nc = timed("chunkDocuments")(PipelineOps.chunkDocuments(docs).count())
+    println(s"[pipescale] chunks: $nc")
+    val nm = timed("mixtureRepeat")(PipelineOps.mixtureRepeat(docs).count())
+    println(f"[pipescale] mixture expansion: ${nm.toDouble / nDocs}%.3fx")
+    timed("rarity")(graft.operators.TextAnalysis.rarity(docs).count())
     println("[pipescale] OK")
     spark.stop()
   }
