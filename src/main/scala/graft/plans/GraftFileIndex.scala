@@ -81,11 +81,43 @@ final class GraftFileIndex(
     }
   }
 
+  /** Point-equality constraints usable by per-file BLOOM probes —
+    * string or integral literals, matched against the bloom's string
+    * encoding (bloomsOf hashes `CAST(col AS STRING)`). Bounds can't
+    * help an equality on a scattered high-cardinality column; blooms
+    * exist exactly for that case.
+    */
+  private def eqConstraintsOf(e: Expression): Seq[(String, String)] = {
+    def strLit(x: Expression): Option[String] = x match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(v.toString)
+      case Literal(v: Int, _) => Some(v.toString)
+      case Literal(v: Long, _) => Some(v.toString)
+      case _ => None
+    }
+    def attr(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case Cast(a: AttributeReference, _, _, _) => Some(a.name)
+      case _ => None
+    }
+    e match {
+      case And(l, r) => eqConstraintsOf(l) ++ eqConstraintsOf(r)
+      case EqualTo(a, v) if attr(a).isDefined && strLit(v).isDefined =>
+        Seq((attr(a).get, strLit(v).get))
+      case EqualTo(v, a) if attr(a).isDefined && strLit(v).isDefined =>
+        Seq((attr(a).get, strLit(v).get))
+      case _ => Nil
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val cs = dataFilters.flatMap(constraintsOf)
+    val eqs = dataFilters.flatMap(eqConstraintsOf)
     val kept = statuses.collect {
-      case (e, st) if cs.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) } =>
+      case (e, st)
+          if cs.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) } &&
+            eqs.forall { case (c, v) => e.mayContainEq(c, v) } =>
         st
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))

@@ -64,6 +64,26 @@ class BloomSkipSpec extends AnyFunSuite {
       s"bloom admits $avgAdmitted of $nFiles on average — too weak")
   }
 
+  test("planner-integrated: ordinary filter probes blooms via GraftFileIndex") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.plans.GraftFileIndex.scan(spark, root, "ns", "t")
+      .filter(col("foo") === "4242")
+    // an ORDINARY equality filter — no PruneEq anywhere — skips files
+    // through the pushed-down predicate's bloom probe (numFiles metric;
+    // df.inputFiles bypasses listFiles and always reports every file)
+    assert(df.collect().length == 1)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scanned = plan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+    assert(scanned == admitted("4242").length && scanned < nFiles,
+      s"scanned $scanned, bloom admits ${admitted("4242").length}")
+  }
+
   test("bloom codec round-trips through the manifest json") {
     val e = TableIO.readManifest(root, "ns", "t").head
     assert(e.blooms.contains("foo") && e.blooms("foo").exists(_ != 0L))
