@@ -28,13 +28,20 @@ object Pipeline {
   /** Full `prepare` (`main.rs:347-377`). Returns the final snapshot version. */
   def prepare(spark: SparkSession, root: String, cfg: GenConfig,
       gen: DataGenerator = FixSchemaGenerator): Long = {
+    prepareData(spark, root, cfg, gen)
+    prepareDeletes(spark, root, cfg, gen)
+  }
+
+  /** DDL + phase 1 only (data files, one fast_append commit,
+    * `main.rs:125-158`). Files are independent, so the per-file write
+    * jobs run concurrently (the reference writes strictly sequentially,
+    * `main.rs:128`).
+    */
+  def prepareData(spark: SparkSession, root: String, cfg: GenConfig,
+      gen: DataGenerator = FixSchemaGenerator): Long = {
     val (ns, t) = (cfg.namespace, cfg.tableName)
     TableIO.createNamespace(root, ns) // D1 (idempotent; reference is not)
     TableIO.createTableIfNotExists(root, ns, t, gen.schema) // D2
-
-    // Phase 1: data files, one fast_append commit (`main.rs:125-158`).
-    // Files are independent, so the per-file write jobs run concurrently
-    // (the reference writes strictly sequentially, `main.rs:128`).
     val rpf = cfg.data.rowsPerFile
     val dataEntries = {
       import scala.concurrent.{Await, Future, ExecutionContext}
@@ -50,7 +57,6 @@ object Pipeline {
         Duration.Inf)
     }
     TableIO.commit(root, ns, t, dataEntries)
-    prepareDeletes(spark, root, cfg, gen)
   }
 
   /** Phases 2 + 3 (delete generation) against an already-committed data

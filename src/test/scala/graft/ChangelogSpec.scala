@@ -46,6 +46,39 @@ class ChangelogSpec extends AnyFunSuite {
     assert(Mor.readChanges(spark, root, ns, t, 4L, 5L).count() == 0)
   }
 
+  test("change feed: checkpointed offsets, at-least-once on failure") {
+    import graft.plans.ChangeFeed
+    val cfg = cfgRef.copy(tableName = "feed_spec")
+    val root = java.nio.file.Files.createTempDirectory("graft-feed-").toString
+    val (ns, t) = (cfg.namespace, cfg.tableName)
+    val ckpt = java.nio.file.Paths.get(root, "feed.offset")
+    // phase 1 only: data commit
+    Pipeline.prepareData(spark, root, cfg)
+    val seen = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def drain(): Unit = {
+      ChangeFeed.processAvailable(spark, root, ns, t, ckpt) { df =>
+        seen ++= df.groupBy("_change_type").count().collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+      }
+    }
+    drain()
+    assert(seen.toSeq == Seq(("insert", N)))
+    // nothing new: callback must not fire
+    seen.clear(); drain()
+    assert(seen.isEmpty && ChangeFeed.offsetOf(ckpt) == 1L)
+    // the delete phases arrive; a FAILING callback must not advance
+    Pipeline.prepareDeletes(spark, root, cfg)
+    intercept[RuntimeException] {
+      ChangeFeed.processAvailable(spark, root, ns, t, ckpt) { _ =>
+        throw new RuntimeException("sink down")
+      }
+    }
+    assert(ChangeFeed.offsetOf(ckpt) == 1L) // unchanged -> replay
+    drain()
+    assert(seen.sortBy(_._1).toSeq == Seq(("delete", P + E)))
+    assert(ChangeFeed.offsetOf(ckpt) == 3L)
+  }
+
   test("a row hit by a new pos- AND eq-delete in one commit emits once") {
     val cfg = cfgRef.copy(tableName = "cdc_dedupe")
     val root = java.nio.file.Files.createTempDirectory("graft-cdc2-").toString
