@@ -101,6 +101,61 @@ object Maintenance {
     }
   }
 
+  /** Binpack compaction (Iceberg `rewrite_data_files` with the binpack
+    * strategy): merge only files SMALLER than `smallBytes`, leaving
+    * right-sized files untouched — the incremental maintenance a
+    * streaming-ingest table needs (every micro-batch commit makes one
+    * small file; rewriting the whole table per cleanup is how
+    * maintenance costs explode at scale).
+    *
+    * Sequence preservation is the crux: files are grouped BY their
+    * commit seq and each group's merged file keeps that seq, so
+    * equality-delete gating (data_seq < delete_seq) is unchanged —
+    * merging across seqs would resurrect rows an upsert's deletes had
+    * killed. The group's pos-deletes are applied during the rewrite
+    * (their rows vanish; the dangling delete rows are purged by the
+    * [[rewritePositionDeletes]] pass this triggers); eq-deletes
+    * re-apply at read time with the same gate, now matching nothing.
+    * Bounds merge as per-column unions; blooms OR together when every
+    * member has one (both sound supersets). Returns the new version.
+    */
+  def compactSmall(spark: SparkSession, root: String, ns: String,
+      table: String, smallBytes: Long = 4L << 20,
+      minGroup: Int = 2): Long = {
+    val dir = TableIO.tableDir(root, ns, table)
+    val manifest = TableIO.readManifest(root, ns, table)
+    val small = manifest.filter(e => e.content == "data" &&
+      Files.size(dir.resolve(e.path)) < smallBytes)
+    val groups = small.groupBy(_.seq).filter(_._2.size >= minGroup)
+    if (groups.isEmpty) return TableIO.currentVersion(root, ns, table)
+    val v = TableIO.currentVersion(root, ns, table)
+    val newEntries = groups.toSeq.sortBy(_._1).map { case (seq, files) =>
+      val merged = Mor.read(spark, root, ns, table,
+        onlyPaths = Some(files.map(_.path).toSet))
+      val bounds = files.flatMap(_.bounds.keys).distinct.sorted.flatMap { c =>
+        val bs = files.flatMap(_.bounds.get(c))
+        if (bs.size < files.size) None // a member lacks it: no sound union
+        else Some(c -> (bs.map(_._1).min, bs.map(_._2).max))
+      }.toMap
+      val blooms = files.head.blooms.keys.toSeq.sorted.flatMap { c =>
+        val ws = files.map(_.blooms.get(c))
+        if (ws.exists(w => w.isEmpty || w.get.length != ws.head.get.length))
+          None
+        else Some(c -> ws.map(_.get).reduce((a, b) =>
+          a.zip(b).map { case (x, y) => x | y }))
+      }.toMap
+      TableIO.writeExactFile(spark, root, ns, table,
+        f"data/binpack-v${v + 1}%d-s$seq%d.parquet", merged, "data", seq,
+        bounds = bounds, blooms = blooms)
+    }
+    val replaced = groups.values.flatten.map(_.path).toSet
+    TableIO.commitReplacing(root, ns, table,
+      manifest.filterNot(e => e.content == "data" && replaced(e.path)) ++
+        newEntries)
+    // purge the now-dangling pos-delete rows of the rewritten files
+    rewritePositionDeletes(spark, root, ns, table)
+  }
+
   /** Rewrite position-delete files (Iceberg
     * `rewrite_position_delete_files`): consolidate the accumulated
     * small pos-delete files and purge dead rows — rows whose target

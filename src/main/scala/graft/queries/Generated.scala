@@ -274,6 +274,40 @@ object Generated {
       TableIO.snapshotsDf(s, r, cfg.namespace, cfg.tableName)
         .orderBy("version")
     }),
+    // Binpack compaction: after the 3-phase pipeline plus a 2-file
+    // append at seq 4, compactSmall merges the small files WITHIN each
+    // commit seq (5 seq-1 files -> 1, 2 seq-4 files -> 1) — never
+    // across seqs, so eq-delete gating is unchanged; the group's
+    // pos-deletes are applied during rewrite and their dangling rows
+    // purged. Surviving rows identical before/after (MaintenanceSpec).
+    "gen_binpack" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_binpack")
+      val r = GeneratedTables.ensureCustom(dir + "#binpack") { root =>
+        Pipeline.prepare(s, root, c2)
+        val (ns, t) = (c2.namespace, c2.tableName)
+        val rpf = c2.data.rowsPerFile
+        val seq = TableIO.nextSeq(root, ns, t)
+        val es = (5 to 6).map { i =>
+          val df = s.range(i * rpf, (i + 1) * rpf).select(
+            col("id").cast("string").as("foo"),
+            col("id").cast("int").as("bar"), lit(true).as("baz"))
+          TableIO.writeExactFile(s, root, ns, t,
+            graft.sources.FixSchemaGen.dataFilePath(i), df, "data", seq,
+            recordCount = rpf)
+        }
+        TableIO.commit(root, ns, t, es)
+        graft.plans.Maintenance.compactSmall(s, root, ns, t)
+      }
+      val m = TableIO.manifestDf(s, r, c2.namespace, c2.tableName)
+      val dataM = m.filter(col("content") === "data")
+        .agg(count(lit(1)).as("n_data_files"), min("seq").as("min_seq"),
+          max("seq").as("max_seq"))
+      val posM = m.filter(col("content") === "pos_delete")
+        .agg(coalesce(sum("recordCount"), lit(0L)).as("n_pos_rows"))
+      Mor.read(s, r, c2.namespace, c2.tableName)
+        .agg(count(lit(1)).as("surviving"), sum("bar").as("sum_bar"))
+        .crossJoin(dataM).crossJoin(posM)
+    }),
     // DELETE WHERE (Iceberg delete-by-filter): on a 5-file table, the
     // range [1500, 3200] drops the fully-covered file as pure metadata
     // (no read, no delete rows), pos-deletes exactly the matching rows
@@ -507,6 +541,13 @@ object Generated {
          |              ${cfg.data.fileCount + cfg.posDelete.fileCount + cfg.eqDelete.fileCount}, $N))
          |  AS t(version, operation, af, ar, tf, tr)
          |ORDER BY version""".stripMargin,
+    // survivors [4000,7000); 2 merged files keeping seqs {1,4}; all
+    // pos-delete rows applied+purged during the rewrite
+    "gen_binpack" ->
+      """SELECT count(*) AS surviving, CAST(sum(g) AS BIGINT) AS sum_bar,
+        |  CAST(2 AS BIGINT) AS n_data_files, CAST(1 AS BIGINT) AS min_seq,
+        |  CAST(4 AS BIGINT) AS max_seq, CAST(0 AS BIGINT) AS n_pos_rows
+        |FROM range(4000, 7000) t(g)""".stripMargin,
     // complement of the deleted range; 1 of 5 files metadata-dropped,
     // 701 boundary rows pos-deleted
     "gen_delete_where" ->

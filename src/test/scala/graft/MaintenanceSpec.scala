@@ -82,6 +82,41 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(TableIO.readManifest(root, ns, t).forall(_.content == "data"))
   }
 
+  test("compactSmall merges within seq groups; gating and view unchanged") {
+    import org.apache.spark.sql.functions._
+    val (root, cfg) = prepared() // 4 files x 50 rows seq1; 50 pos, 50 eq
+    val (ns, t) = ("ns", "t")
+    // a later small append at its own seq
+    val seq4 = TableIO.nextSeq(root, ns, t)
+    val extra = (4 to 5).map { i =>
+      val df = spark.range(i * 50L, (i + 1) * 50L).select(
+        col("id").cast("string").as("foo"), col("id").cast("int").as("bar"),
+        lit(true).as("baz"))
+      TableIO.writeExactFile(spark, root, ns, t,
+        graft.sources.FixSchemaGen.dataFilePath(i), df, "data", seq4,
+        recordCount = 50L)
+    }
+    TableIO.commit(root, ns, t, extra)
+
+    val before = Mor.read(spark, root, ns, t).orderBy("bar").collect().map(_.toSeq)
+    assert(before.length == 100 + 100) // (200-50-50) + 100 appended
+    Maintenance.compactSmall(spark, root, ns, t)
+
+    val m = TableIO.readManifest(root, ns, t)
+    val dataE = m.filter(_.content == "data")
+    // one merged file per seq group, seqs preserved; pos-deletes purged
+    assert(dataE.size == 2 && dataE.map(_.seq).sorted == Seq(1L, seq4))
+    assert(m.count(_.content == "pos_delete") == 0)
+    assert(m.count(_.content == "eq_delete") == 1) // still present, gate intact
+    val after = Mor.read(spark, root, ns, t).orderBy("bar").collect().map(_.toSeq)
+    assert(after.sameElements(before))
+    // history: pre-binpack versions still read correctly
+    assert(Mor.readAt(spark, root, ns, t, 3L).count() == 100L)
+    // idempotent: a second pass has nothing to merge
+    val v = TableIO.currentVersion(root, ns, t)
+    assert(Maintenance.compactSmall(spark, root, ns, t) == v)
+  }
+
   test("removeOrphanFiles deletes only never-committed debris") {
     val (root, _) = prepared()
     val dir = TableIO.tableDir(root, "ns", "t")
