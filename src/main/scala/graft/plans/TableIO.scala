@@ -338,6 +338,22 @@ object TableIO {
     readManifest(root, ns, table).toDF()
   }
 
+  /** The `files` metadata table (Iceberg `table.files`): one row per
+    * live file with its content type, commit seq, record count, and the
+    * recorded [lo, hi] bounds of `boundCol` (null when absent) — file-
+    * skipping metadata as a queryable relation, the surface engineers
+    * use to see WHY a query pruned (or didn't).
+    */
+  def filesMetaDf(spark: SparkSession, root: String, ns: String,
+      table: String, boundCol: String): DataFrame = {
+    import spark.implicits._
+    readManifest(root, ns, table).map { e =>
+      val b = e.bounds.get(boundCol)
+      (e.path, e.content, e.seq, e.recordCount,
+        b.map(_._1), b.map(_._2))
+    }.toDF("path", "content", "seq", "record_count", "lo", "hi")
+  }
+
   /** The `snapshots` metadata table: one row per committed version with
     * the operation kind and added/total file and record counts — the
     * Iceberg `table.snapshots` surface. Derived entirely from the

@@ -265,6 +265,15 @@ object Generated {
           .filter(col("bar") === k)
       }.reduce(_ union _).select("foo", "bar", "baz").orderBy("bar")
     }),
+    // The `files` metadata table (Iceberg `table.files`): per-file
+    // content/seq/rows plus the recorded bar bounds — the queryable
+    // surface that explains pruning decisions. Delete files carry no
+    // bounds (null columns).
+    "gen_files_meta" -> ((s, dir) => {
+      val r = root(s, dir)
+      TableIO.filesMetaDf(s, r, cfg.namespace, cfg.tableName, "bar")
+        .orderBy("path")
+    }),
     // The `snapshots` metadata table (Iceberg `table.snapshots`): one row
     // per commit with operation kind + added/total file and record
     // counts, derived purely from the versioned manifests — the commit
@@ -527,6 +536,26 @@ object Generated {
       """SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
         |FROM (VALUES (42), (1234), (2600), (4999)) t(g)
         |ORDER BY bar""".stripMargin,
+    // per-file metadata rows: data files carry bar bounds, delete
+    // files don't (null)
+    "gen_files_meta" -> {
+      val dataRows = (0 until cfg.data.fileCount).map { i =>
+        val lo = i * RPF; val hi = (i + 1) * RPF - 1
+        s"('data/part-0000$i.parquet', 'data', 1, $RPF, $lo, $hi)"
+      }
+      val posRows = (0 until cfg.posDelete.fileCount).map { i =>
+        s"('deletes/pos_delete-0000$i.parquet', 'pos_delete', 2, ${cfg.posDelete.rowsPerFile}, NULL, NULL)"
+      }
+      val eqRows = (0 until cfg.eqDelete.fileCount).map { i =>
+        s"('deletes/equality_delete-0000$i.parquet', 'eq_delete', 3, ${cfg.eqDelete.rowsPerFile}, NULL, NULL)"
+      }
+      s"""SELECT path, content, CAST(seq AS BIGINT) AS seq,
+         |  CAST(rc AS BIGINT) AS record_count,
+         |  CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi
+         |FROM (VALUES ${(dataRows ++ posRows ++ eqRows).mkString(",\n")})
+         |  t(path, content, seq, rc, lo, hi)
+         |ORDER BY path""".stripMargin
+    },
     // commit history: v1 appends 5 data files, v2 2 pos-delete files,
     // v3 2 eq-delete files; data records stay N throughout (deletes are
     // separate content, merged only at read time)
