@@ -150,6 +150,8 @@ object GraftFileIndex {
     val entries = TableIO.readManifest(root, ns, table)
       .filter(_.content == "data")
     val schema = TableIO.readSchema(root, ns, table)
+    if (schema.fields.exists(_.metadata.contains(TableIO.FieldIdKey)))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val index = new GraftFileIndex(spark, dir, entries, schema)
     val relation = HadoopFsRelation(
       location = index,

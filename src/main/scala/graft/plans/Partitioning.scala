@@ -143,7 +143,9 @@ object Partitioning {
       props: WriterProps = WriterProps()): Seq[ManifestEntry] = {
     val dir = TableIO.tableDir(root, ns, table)
     Files.createDirectories(dir.resolve("data"))
-    val staged = df.withColumn("_pv", spec.sparkValue(col(spec.column)))
+    val aligned = TableIO.alignFieldIds(df,
+      TableIO.readSchema(root, ns, table))
+    val staged = aligned.withColumn("_pv", spec.sparkValue(col(spec.column)))
     val counts = staged.groupBy("_pv").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val tmp = Files.createTempDirectory(dir, ".stage")

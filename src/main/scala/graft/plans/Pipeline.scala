@@ -137,7 +137,8 @@ object Pipeline {
       // One range, `_file` derived arithmetically (generators override
       // taggedData; the trait default unions per-file branches, which at
       // 100k files makes the PLAN the bottleneck — r1 verdict finding 7).
-      gen.taggedData(spark, cfg.data.fileCount, rpf)
+      TableIO.alignFieldIds(gen.taggedData(spark, cfg.data.fileCount, rpf),
+          TableIO.readSchema(root, ns, t))
         .repartition(col("_file"))
         .sortWithinPartitions(gen.schema.fieldNames.head)
         .write.partitionBy("_file").mode("overwrite")

@@ -141,8 +141,54 @@ object TableIO {
   def tableExists(root: String, ns: String, table: String): Boolean =
     Files.isRegularFile(tableDir(root, ns, table).resolve("schema.json"))
 
+  /** Parquet field-id metadata key (Spark's native key: with
+    * `fieldId.write.enabled` the ids embed in written footers, with
+    * `fieldId.read.enabled` scans match columns BY ID instead of by
+    * name — the Iceberg column-resolution mechanism that makes
+    * rename/drop safe without rewriting a single file).
+    */
+  val FieldIdKey = "parquet.field.id"
+
+  /** Assign sequential field ids (1-based, Iceberg-style — the
+    * reference's schema uses exactly ids 1..3,
+    * `fix_schema_generator.rs:37-41`) to fields lacking one.
+    */
+  def withFieldIds(schema: StructType): StructType = {
+    var next = schema.fields.flatMap(f =>
+      if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+      else None).maxOption.getOrElse(0L)
+    StructType(schema.fields.map { f =>
+      if (f.metadata.contains(FieldIdKey)) f
+      else {
+        next += 1
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, next).build())
+      }
+    })
+  }
+
+  /** Attach the table schema's field ids to matching `df` columns so
+    * the written file embeds them. No-op when nothing needs attaching.
+    */
+  def alignFieldIds(df: DataFrame, tableSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val needs = df.schema.fields.exists(f =>
+      !f.metadata.contains(FieldIdKey) &&
+        tableSchema.find(_.name == f.name)
+          .exists(_.metadata.contains(FieldIdKey)))
+    if (!needs) df
+    else df.select(df.schema.fields.map { f =>
+      tableSchema.find(_.name == f.name) match {
+        case Some(tf) if tf.metadata.contains(FieldIdKey) =>
+          col(f.name).as(f.name, tf.metadata)
+        case _ => col(f.name)
+      }
+    }: _*)
+  }
+
   /** D2 (`main.rs:356-368`): create-if-not-exists with the generator's
-    * schema; writes schema.json + empty v0 manifest.
+    * schema; writes schema.json (field ids assigned) + empty v0
+    * manifest.
     */
   def createTableIfNotExists(root: String, ns: String, table: String,
       schema: StructType): Unit = {
@@ -151,11 +197,34 @@ object TableIO {
       Files.createDirectories(dir.resolve("data"))
       Files.createDirectories(dir.resolve("deletes"))
       Files.createDirectories(dir.resolve("manifest"))
-      Files.writeString(dir.resolve("schema.json"), schema.json)
+      val withIds = withFieldIds(schema)
+      Files.writeString(dir.resolve("schema.json"), withIds.json)
+      writeLastFieldId(root, ns, table, maxFieldId(withIds))
       atomicWrite(dir.resolve("manifest/v0.json"), "")
       atomicWrite(dir.resolve("version-hint.text"), "0")
     }
   }
+
+  private def maxFieldId(schema: StructType): Long =
+    schema.fields.flatMap(f =>
+      if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+      else None).maxOption.getOrElse(0L)
+
+  /** Monotone field-id high-water mark (Iceberg `last-column-id`):
+    * survives drops, so a re-added column name can never reuse a
+    * dropped column's id and resurrect its values.
+    */
+  def lastFieldId(root: String, ns: String, table: String): Long = {
+    val f = tableDir(root, ns, table).resolve("last-field-id.text")
+    val persisted =
+      if (Files.isRegularFile(f)) Files.readString(f).trim.toLong else 0L
+    math.max(persisted, maxFieldId(readSchema(root, ns, table)))
+  }
+
+  private def writeLastFieldId(root: String, ns: String, table: String,
+      v: Long): Unit =
+    atomicWrite(tableDir(root, ns, table).resolve("last-field-id.text"),
+      v.toString)
 
   /** D3 (`main.rs:387-393`): drop table — recursive delete. */
   def dropTable(root: String, ns: String, table: String): Unit =
@@ -186,7 +255,55 @@ object TableIO {
     val cur = readSchema(root, ns, table)
     require(!cur.fieldNames.contains(field.name),
       s"column ${field.name} already exists")
-    val evolved = StructType(cur.fields :+ field)
+    // a fresh id ABOVE the monotone high-water mark — re-adding a
+    // dropped name never reuses its id and resurrects old values
+    // (Iceberg id semantics via last-column-id)
+    val id = lastFieldId(root, ns, table) + 1
+    val tagged = field.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(field.metadata).putLong(FieldIdKey, id).build())
+    val evolved = StructType(cur.fields :+ tagged)
+    atomicWrite(tableDir(root, ns, table).resolve("schema.json"), evolved.json)
+    writeLastFieldId(root, ns, table, id)
+    evolved
+  }
+
+  /** Rename a column WITHOUT rewriting any file: the schema keeps the
+    * field id, and id-based parquet resolution surfaces old files'
+    * values under the new name (Iceberg `UpdateSchema.renameColumn`).
+    * Renaming a column that live equality-delete files use as an
+    * identifier is rejected — their application joins by name.
+    */
+  def renameColumn(spark: SparkSession, root: String, ns: String,
+      table: String, oldName: String, newName: String): StructType = {
+    val cur = readSchema(root, ns, table)
+    require(cur.fieldNames.contains(oldName), s"no column $oldName")
+    require(!cur.fieldNames.contains(newName), s"column $newName exists")
+    require(cur.fields.forall(_.metadata.contains(FieldIdKey)),
+      s"$ns.$table predates field ids; rename requires id-based resolution")
+    val eqRefs = filesOf(root, ns, table, "eq_delete").map(_._1)
+      .flatMap(p => spark.read.parquet(p).schema.fieldNames)
+    require(!eqRefs.contains(oldName),
+      s"column $oldName is an identifier of live equality-delete files")
+    val evolved = StructType(cur.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    atomicWrite(tableDir(root, ns, table).resolve("schema.json"), evolved.json)
+    evolved
+  }
+
+  /** Drop a column without rewriting files (old files' extra column is
+    * simply not projected). Same identifier guard as rename.
+    */
+  def dropColumn(spark: SparkSession, root: String, ns: String,
+      table: String, name: String): StructType = {
+    val cur = readSchema(root, ns, table)
+    require(cur.fieldNames.contains(name), s"no column $name")
+    require(cur.fields.length > 1, "cannot drop the last column")
+    val eqRefs = filesOf(root, ns, table, "eq_delete").map(_._1)
+      .flatMap(p => spark.read.parquet(p).schema.fieldNames)
+    require(!eqRefs.contains(name),
+      s"column $name is an identifier of live equality-delete files")
+    val evolved = StructType(cur.fields.filterNot(_.name == name))
     atomicWrite(tableDir(root, ns, table).resolve("schema.json"), evolved.json)
     evolved
   }
@@ -302,8 +419,14 @@ object TableIO {
     val target = dir.resolve(relPath)
     Files.createDirectories(target.getParent)
     val tmp = Files.createTempDirectory(dir, ".stage")
+    // data files embed the table's field ids (id-based resolution);
+    // delete files read by name/position and stay as given
+    val out =
+      if (content == "data" && tableExists(root, ns, table))
+        alignFieldIds(df, readSchema(root, ns, table))
+      else df
     try {
-      df.coalesce(1).write.mode("overwrite")
+      out.coalesce(1).write.mode("overwrite")
         .option("compression", props.compression)
         .option("parquet.block.size", props.rowGroupBytes.toString)
         .option("parquet.page.size", props.pageBytes.toString)

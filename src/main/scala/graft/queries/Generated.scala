@@ -283,6 +283,33 @@ object Generated {
       TableIO.snapshotsDf(s, r, cfg.namespace, cfg.tableName)
         .orderBy("version")
     }),
+    // Column rename via parquet FIELD IDS (Iceberg column resolution):
+    // a file written as `foo` is read as `label` after the rename with
+    // its VALUES intact — id-based matching, no rewrite; a post-rename
+    // file writes `label` directly. If resolution silently fell back
+    // to by-name, the old file's label would be all null and the hash
+    // would diverge.
+    "gen_rename" -> ((s, dir) => {
+      val (ns2, t2) = ("gen_ns", "t_rename")
+      val r = GeneratedTables.ensureCustom(dir + "#rename") { root =>
+        val df1 = s.range(0, 1000).select(
+          col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"), lit(true).as("baz"))
+        TableIO.createNamespace(root, ns2)
+        TableIO.createTableIfNotExists(root, ns2, t2, df1.schema)
+        TableIO.commit(root, ns2, t2, Seq(TableIO.writeExactFile(s, root,
+          ns2, t2, "data/part-00000.parquet", df1, "data", 1L,
+          recordCount = 1000L)))
+        TableIO.renameColumn(s, root, ns2, t2, "foo", "label")
+        val df2 = s.range(1000, 2000).select(
+          col("id").cast("string").as("label"),
+          col("id").cast("int").as("bar"), lit(true).as("baz"))
+        TableIO.commit(root, ns2, t2, Seq(TableIO.writeExactFile(s, root,
+          ns2, t2, "data/part-00001.parquet", df2, "data", 2L,
+          recordCount = 1000L)))
+      }
+      Mor.read(s, r, ns2, t2).orderBy("bar")
+    }),
     // Binpack compaction: after the 3-phase pipeline plus a 2-file
     // append at seq 4, compactSmall merges the small files WITHIN each
     // commit seq (5 seq-1 files -> 1, 2 seq-4 files -> 1) — never
@@ -570,6 +597,10 @@ object Generated {
          |              ${cfg.data.fileCount + cfg.posDelete.fileCount + cfg.eqDelete.fileCount}, $N))
          |  AS t(version, operation, af, ar, tf, tr)
          |ORDER BY version""".stripMargin,
+    // both files' rows under the evolved column name, values intact
+    "gen_rename" ->
+      """SELECT CAST(g AS VARCHAR) AS label, CAST(g AS INTEGER) AS bar, true AS baz
+        |FROM range(0, 2000) t(g) ORDER BY bar""".stripMargin,
     // survivors [4000,7000); 2 merged files keeping seqs {1,4}; all
     // pos-delete rows applied+purged during the rewrite
     "gen_binpack" ->
