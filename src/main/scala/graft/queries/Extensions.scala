@@ -38,6 +38,23 @@ object Extensions {
       PipelineOps.dedupClusters(rd(s, dir, "documents"))),
     "pipe_filter_compose" -> ((s, dir) =>
       PipelineOps.filterCompose(rd(s, dir, "documents"))),
+    // the training-data pipeline landing in a GOVERNED table: the
+    // composed corpus filter's output committed through a bucket
+    // partition spec, then read back with one-bucket file pruning —
+    // the two halves of the engine (corpus ops + table layer) joined
+    "pipe_corpus_table" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spec = graft.plans.PartitionSpec("bucket", "doc_id", 4)
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#corpus") { root =>
+        val filtered = PipelineOps.filterCompose(rd(s, dir, "documents"))
+        graft.plans.Partitioning.preparePartitioned(s, root, "gen_ns",
+          "corpus", filtered, spec)
+      }
+      graft.plans.Mor.read(s, r, "gen_ns", "corpus",
+          prune = Seq(spec.pruneForValue(2L)))
+        .filter(spec.sparkValue(col("doc_id")) === 2L)
+        .orderBy("doc_id")
+    }),
     "text_redact" -> ((s, dir) => TextAnalysis.redact(rd(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(rd(s, dir, "documents"))),
@@ -114,6 +131,24 @@ object Extensions {
   /** DuckDB twin of Dedup.normalize. */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** The composed corpus filter (language → quality → dedup-survivor →
+    * deterministic downsample) as a reusable fragment — no trailing
+    * ORDER BY so callers can wrap it in a CTE.
+    */
+  private lazy val filterComposeSql: String =
+    s"""WITH q AS (SELECT doc_id, n_chars,
+       |    string_split_regex(trim(text), '\\s+') AS w,
+       |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha
+       |  FROM documents),
+       |ql AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens
+       |       FROM q WHERE len(w) >= 20 AND CAST(alpha AS DOUBLE) / n_chars >= 0.8),
+       |f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+       |surv AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp)
+       |SELECT d.doc_id, d.source, ql.n_tokens
+       |FROM documents d JOIN ql USING (doc_id) JOIN surv USING (doc_id)
+       |WHERE d.lang = 'en'
+       |  AND (${rollSql("'c' || CAST(doc_id AS VARCHAR)")} % 100) < 50""".stripMargin
 
   /** DuckDB twin of TextHash.rollingHash applied to expression `e`. */
   private def rollSql(e: String): String =
@@ -418,18 +453,16 @@ object Extensions {
          |ORDER BY train_doc, test_doc""".stripMargin,
 
     "pipe_filter_compose" ->
-      s"""WITH q AS (SELECT doc_id, n_chars,
-         |    string_split_regex(trim(text), '\\s+') AS w,
-         |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha
-         |  FROM documents),
-         |ql AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens
-         |       FROM q WHERE len(w) >= 20 AND CAST(alpha AS DOUBLE) / n_chars >= 0.8),
-         |f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
-         |surv AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp)
-         |SELECT d.doc_id, d.source, ql.n_tokens
-         |FROM documents d JOIN ql USING (doc_id) JOIN surv USING (doc_id)
-         |WHERE d.lang = 'en'
-         |  AND (${rollSql("'c' || CAST(doc_id AS VARCHAR)")} % 100) < 50
+      s"""$filterComposeSql
+         |ORDER BY doc_id""".stripMargin,
+
+    // the filter chain's output committed through a bucket(4, doc_id)
+    // partition spec and read back with one-bucket pruning: the oracle
+    // replays the chain plus the bucket transform
+    "pipe_corpus_table" ->
+      s"""WITH base AS ($filterComposeSql)
+         |SELECT doc_id, source, n_tokens FROM base
+         |WHERE ${rollSql("CAST(doc_id AS VARCHAR)")} % 4 = 2
          |ORDER BY doc_id""".stripMargin,
 
     "pipe_sample" ->
