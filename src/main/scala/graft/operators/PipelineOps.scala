@@ -216,6 +216,31 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic HyperLogLog sketch registers over a key column:
+    * bucket = portable hash mod 2^p, register = max over the bucket of
+    * (1 + trailing-zero count of the remaining hash bits). The
+    * registers ARE the sketch — integer, mergeable with a plain
+    * per-bucket max (the property that makes HLL the distributed
+    * approx-distinct structure: partial maxes combine map-side, one
+    * tiny shuffle of <= 2^p rows regardless of input size), and
+    * bit-replayable by the oracle, unlike builtin HLL implementations
+    * whose register layout is engine-private. Trailing-zero count via
+    * log2(h & -h) — exact in IEEE for powers of two, identical across
+    * engines.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    df.select(graft.functions.HashFunctions.polyHash(
+        col(keyCol).cast("string")).as("h"))
+      .select(pmod(col("h"), lit(m.toLong)).as("bucket"),
+        expr(s"h div $m").as("h2"))
+      .select(col("bucket"),
+        when(col("h2") === 0L, lit(31))
+          .otherwise(expr("CAST(log2(h2 & -h2) AS INT) + 1")).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("register"))
+      .orderBy("bucket")
+  }
+
   /** Duplicate-cluster resolution: connected components over the
     * MinHash-LSH near-dup pair graph by min-label propagation, a fixed
     * `iters` rounds (deterministic, oracle-replayable; components here

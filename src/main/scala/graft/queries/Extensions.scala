@@ -34,6 +34,8 @@ object Extensions {
     "pipe_mix" -> ((s, dir) => PipelineOps.mixtureRepeat(rd(s, dir, "documents"))),
     "text_topk_ngrams" -> ((s, dir) => PipelineOps.topNgrams(rd(s, dir, "documents"))),
     "emb_quantize" -> ((s, dir) => PipelineOps.quantize(rd(s, dir, "embeddings"))),
+    "q_hll_sketch" -> ((s, dir) =>
+      PipelineOps.hllRegisters(rd(s, dir, "lineitem"), "l_partkey")),
     "dedup_clusters" -> ((s, dir) =>
       PipelineOps.dedupClusters(rd(s, dir, "documents"))),
     "pipe_filter_compose" -> ((s, dir) =>
@@ -464,6 +466,17 @@ object Extensions {
          |SELECT doc_id, source, n_tokens FROM base
          |WHERE ${rollSql("CAST(doc_id AS VARCHAR)")} % 4 = 2
          |ORDER BY doc_id""".stripMargin,
+
+    // HLL registers: per-bucket max trailing-zero rank of the portable
+    // hash — integer sketch state, bit-replayable
+    "q_hll_sketch" ->
+      s"""WITH h AS (SELECT ${rollSql("CAST(l_partkey AS VARCHAR)")} AS h
+         |           FROM lineitem),
+         |r AS (SELECT h % 256 AS bucket, h // 256 AS h2 FROM h)
+         |SELECT bucket,
+         |  max(CASE WHEN h2 = 0 THEN 31
+         |           ELSE CAST(log2(h2 & (-h2)) AS INT) + 1 END) AS register
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "pipe_sample" ->
       s"""SELECT doc_id, source,

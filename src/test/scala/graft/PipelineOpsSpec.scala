@@ -28,6 +28,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("HLL registers estimate distinct counts within tolerance") {
+    // the oracle proves register equivalence; this pins estimation
+    // quality independently (standard HLL with linear-counting
+    // small-range correction)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exact = li.select("l_orderkey").distinct().count().toDouble
+    val regs = PipelineOps.hllRegisters(li, "l_orderkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val m = 256
+    val sum = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b.toLong, 0))).sum
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val raw = alpha * m * m / sum
+    val zeros = m - regs.size
+    val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    val err = math.abs(est - exact) / exact
+    assert(err < 0.15, s"HLL est $est vs exact $exact (err $err)")
+  }
+
   test("chunkDocuments covers every char; overlap and sizes are exact") {
     val size = 100
     val overlap = 20
