@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Dml {
 
+  /** TRUNCATE TABLE: publish an empty snapshot — O(1) metadata, no
+    * file touched; prior versions stay readable (time travel), so
+    * truncate is also instantly rollback-able.
+    */
+  def truncate(root: String, ns: String, table: String): Long =
+    TableIO.commitReplacing(root, ns, table, Nil)
+
   /** Delete all rows with `column` in [lo, hi]. Returns the new
     * snapshot version (or the current one when nothing matched).
     */

@@ -111,8 +111,13 @@ object Mor {
         keep.contains(dir.relativize(java.nio.file.Paths.get(abs)).toString) }
       case None => dataFiles0
     }
+    // a pruned-to-nothing scan or a legitimately empty snapshot
+    // (post-TRUNCATE) reads as empty; only a never-committed table is
+    // an error
     require(prune.nonEmpty || pruneEq.nonEmpty || onlyPaths.nonEmpty ||
-      dataFiles.nonEmpty, s"no data files in $ns.$table")
+      dataFiles.nonEmpty ||
+      version.getOrElse(TableIO.currentVersion(root, ns, table)) > 0,
+      s"no data files in $ns.$table")
     if (dataFiles.isEmpty) {
       // every file pruned: an empty relation with the scan's schema —
       // a query range outside all bounds is a result, not an error

@@ -157,7 +157,7 @@ object EventsStream {
     */
   def streamIntoTable(spark: SparkSession, source: DataFrame, root: String,
       ns: String, table: String, statsCols: Seq[String] = Nil): Long = {
-    import graft.plans.TableIO
+    import graft.plans.{Partitioning, TableIO}
     TableIO.createNamespace(root, ns)
     TableIO.createTableIfNotExists(root, ns, table, source.schema)
     var commits = 0L
@@ -165,14 +165,22 @@ object EventsStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val seq = TableIO.nextSeq(root, ns, table)
-          // per-batch manifest bounds on the requested columns, so a
-          // reader can bounds-prune the streamed files like any others
-          // (streaming appends are naturally time/key-clustered)
-          val entry = TableIO.writeExactFile(spark, root, ns, table,
-            f"data/stream-$batchId%05d.parquet", batch, "data", seq,
-            bounds = TableIO.longBounds(batch, statsCols))
-          TableIO.commit(root, ns, table, Seq(entry))
+          // a table with a partition spec routes every micro-batch
+          // through the partitioned writer: one file per partition
+          // value per batch, partition values in the manifest — the
+          // streamed files prune exactly like batch-written ones
+          if (Partitioning.readSpec(root, ns, table).isDefined) {
+            Partitioning.appendPartitioned(spark, root, ns, table, batch)
+          } else {
+            val seq = TableIO.nextSeq(root, ns, table)
+            // per-batch manifest bounds on the requested columns, so a
+            // reader can bounds-prune the streamed files like any others
+            // (streaming appends are naturally time/key-clustered)
+            val entry = TableIO.writeExactFile(spark, root, ns, table,
+              f"data/stream-$batchId%05d.parquet", batch, "data", seq,
+              bounds = TableIO.longBounds(batch, statsCols))
+            TableIO.commit(root, ns, table, Seq(entry))
+          }
           commits += 1
         }
       }

@@ -54,4 +54,15 @@ class DmlSpec extends AnyFunSuite {
     // no-op range commits nothing
     assert(Dml.deleteWhere(spark, root, "ns", "t", "bar", 90000L, 99000L) == 2L)
   }
+
+  test("truncate publishes an empty snapshot; history stays readable") {
+    val root = freshTable()
+    val v = Dml.truncate(root, "ns", "t")
+    assert(v == 2L)
+    assert(Mor.read(spark, root, "ns", "t").count() == 0L)
+    assert(Mor.readAt(spark, root, "ns", "t", 1L).count() == 5000L)
+    // rollback undoes the truncate as pure metadata
+    TableIO.rollback(root, "ns", "t", 1L)
+    assert(Mor.read(spark, root, "ns", "t").count() == 5000L)
+  }
 }

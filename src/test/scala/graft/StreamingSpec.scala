@@ -136,4 +136,32 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(names.contains("ns_ev"))
     assert(spark.sql("SELECT count(*) AS n FROM ns_ev").head().getLong(0) == 1000L)
   }
+
+  test("streaming ingest into a partitioned table prunes like batch writes") {
+    import graft.plans.{Mor, PartitionSpec, Partitioning, TableIO}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-pingest-").toString
+    val spec = PartitionSpec("bucket", "k", 4)
+    val src = MemoryStream[(Long, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String)], sqlCtx)
+    val df = src.toDF().toDF("k", "v")
+    // declare the spec before ingest starts
+    TableIO.createNamespace(root, "ns")
+    TableIO.createTableIfNotExists(root, "ns", "pv", df.schema)
+    Partitioning.writeSpec(root, "ns", "pv", spec)
+    src.addData((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    val commits = EventsStream.streamIntoTable(spark, df, root, "ns", "pv")
+    assert(commits == 1L)
+    // every file carries its partition value; a one-bucket read skips
+    // the others exactly like a batch-partitioned table
+    val m = TableIO.readManifest(root, "ns", "pv")
+    assert(m.forall(_.bounds.contains(spec.fieldName)))
+    val b = spec.valueOf(3L)
+    val pruned = Mor.read(spark, root, "ns", "pv",
+      prune = Seq(spec.pruneForValue(b)))
+    assert(pruned.inputFiles.count(_.contains("/data/")) < m.size)
+    assert(pruned.filter(org.apache.spark.sql.functions.col("k") === 3L)
+      .count() == 1L)
+  }
 }
