@@ -177,24 +177,36 @@ object Similarity {
   def pqTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
       subDims: Int = 8, kCodes: Int = 16, iters: Int = 1,
       rerank: Int = 80): DataFrame = {
+    val dims = pqNormalizedDims(emb, subDims)
+    val cb = pqTrain(dims, kCodes, iters)
+    val codes = pqAssign(dims, cb) // the PQ encoding: (vec_id, sub) -> cid
+    pqSearch(emb, dims, cb, codes, queryId, k, rerank)
+  }
+
+  /** Unit-normalized subvector dimensions: squared L2 on unit vectors
+    * is monotone with cosine, so the ADC ranking targets the same
+    * metric the exact re-rank (and the brute baseline) uses. The norm
+    * accumulates fixed-point longs (exact, order-free) — only the
+    * final sqrt and division are floating point, identically evaluated
+    * by the oracle.
+    */
+  private def pqNormalizedDims(emb: DataFrame, subDims: Int): DataFrame = {
     val raw = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "e")))
       .select(col("vec_id"), col("pos"), col("e").cast("double").as("e"))
-    // unit-normalize first: squared L2 on unit vectors is monotone with
-    // cosine, so the ADC ranking targets the same metric the exact
-    // re-rank (and the brute baseline) uses. The norm accumulates
-    // fixed-point longs (exact, order-free) — only the final sqrt and
-    // division are floating point, identically evaluated by the oracle.
     val norms = raw.groupBy("vec_id")
       .agg((sqrt(sum(floor(col("e") * lit(1e7)) * floor(col("e") * lit(1e7)))
         .cast("double")) / lit(1e7)).as("nrm"))
-    val dims = raw.join(norms, "vec_id")
+    raw.join(norms, "vec_id")
       .select(col("vec_id"),
         expr(s"CAST(pos div $subDims AS INT)").as("sub"),
         expr(s"CAST(pos % $subDims AS INT)").as("spos"),
         when(col("nrm") === 0d, 0d).otherwise(col("e") / col("nrm")).as("e"))
       .repartition(col("vec_id"))
-    // per-subspace codebooks, seeded by the kCodes lowest vec_ids
+  }
+
+  /** Per-subspace codebooks, seeded by the kCodes lowest vec_ids. */
+  private def pqTrain(dims: DataFrame, kCodes: Int, iters: Int): DataFrame = {
     var cb = dims.filter(col("vec_id") < kCodes)
       .select(col("sub"), col("vec_id").as("cid"), col("spos"), col("e").as("c"))
     for (_ <- 1 to iters) {
@@ -204,7 +216,12 @@ object Similarity {
         .agg((sum(floor(col("e") * lit(1e7))).cast("double") / lit(1e7) /
           count(lit(1))).as("c"))
     }
-    val codes = pqAssign(dims, cb) // the PQ encoding: (vec_id, sub) -> cid
+    cb
+  }
+
+  /** ADC shortlist + exact re-rank against given codebook/codes. */
+  private def pqSearch(emb: DataFrame, dims: DataFrame, cb: DataFrame,
+      codes: DataFrame, queryId: Long, k: Int, rerank: Int): DataFrame = {
     // ADC table: query-subvector distance to every code (k x subs rows)
     val qd = dims.filter(col("vec_id") === queryId)
       .select(col("sub"), col("spos"), col("e").as("qe"))
@@ -226,6 +243,40 @@ object Similarity {
         round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Persist the trained PQ index (codebook + codes) as committed
+    * tables — train ONCE, search many: the search side never touches
+    * the corpus embeddings except to re-rank its shortlist, so query
+    * cost is driven by the tiny codes relation, and the index tables
+    * version/travel/compact like any other data. Returns the catalog
+    * root tables (ns.pq_codebook, ns.pq_codes).
+    */
+  def buildPqIndex(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      root: String, ns: String, subDims: Int = 8, kCodes: Int = 16,
+      iters: Int = 1): Unit = {
+    import graft.plans.TableIO
+    val dims = pqNormalizedDims(emb, subDims)
+    val cb = pqTrain(dims, kCodes, iters)
+    val codes = pqAssign(dims, cb)
+    TableIO.createNamespace(root, ns)
+    Seq(("pq_codebook", cb), ("pq_codes", codes)).foreach { case (t, df) =>
+      TableIO.createTableIfNotExists(root, ns, t, df.schema)
+      TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root,
+        ns, t, "data/part-00000.parquet", df, "data", 1L)))
+    }
+  }
+
+  /** Search against a persisted PQ index: identical results to
+    * [[pqTopK]] (same algorithm, materialized intermediates).
+    */
+  def pqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, root: String, ns: String, queryId: Long = 0L,
+      k: Int = 10, subDims: Int = 8, rerank: Int = 80): DataFrame = {
+    val cb = graft.plans.Mor.read(spark, root, ns, "pq_codebook")
+    val codes = graft.plans.Mor.read(spark, root, ns, "pq_codes")
+    val dims = pqNormalizedDims(emb.filter(col("vec_id") === queryId), subDims)
+    pqSearch(emb, dims, cb, codes, queryId, k, rerank)
   }
 
   /** Per-subspace E-step: nearest code per (vector, subspace) —

@@ -25,6 +25,14 @@ object Extensions {
       Similarity.ivfTrainedTopK(rd(s, dir, "embeddings"))),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rd(s, dir, "embeddings"))),
     "ann_pq" -> ((s, dir) => Similarity.pqTopK(rd(s, dir, "embeddings"))),
+    // the same search against a PERSISTED index (codebook + codes as
+    // committed tables): train once, search many — identical results
+    "ann_pq_indexed" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#pqindex") { root =>
+        Similarity.buildPqIndex(s, rd(s, dir, "embeddings"), root, "ann")
+      }
+      Similarity.pqSearchIndexed(s, rd(s, dir, "embeddings"), r, "ann")
+    }),
     "pipe_decontaminate" -> ((s, dir) =>
       PipelineOps.decontaminate(rd(s, dir, "documents"))),
     "pipe_sample" -> ((s, dir) => PipelineOps.sampleBySource(rd(s, dir, "documents"))),
@@ -202,6 +210,54 @@ object Extensions {
     * CTE `c`, fixed-point-exact distances (scaled-long, the twin of
     * Similarity.assignClusters), ties on cid.
     */
+  /** The full PQ pipeline's oracle (train + encode + ADC + re-rank) —
+    * shared by ann_pq and ann_pq_indexed, which run the identical
+    * algorithm (the latter via materialized index tables).
+    */
+  private lazy val annPqSql: String =
+    s"""WITH raw AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+       |         CAST(embedding[i + 1] AS DOUBLE) AS e
+       |  FROM embeddings, range(0, 64) t(i)),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(sum(CAST(floor(e * 10000000.0) AS BIGINT)
+       |      * CAST(floor(e * 10000000.0) AS BIGINT)) AS DOUBLE)) / 10000000.0 AS nrm
+       |  FROM raw GROUP BY vec_id),
+       |dims AS (
+       |  SELECT vec_id, CAST(pos // 8 AS INTEGER) AS sub,
+       |         CAST(pos % 8 AS INTEGER) AS spos,
+       |         CASE WHEN nrm = 0 THEN 0 ELSE e / nrm END AS e
+       |  FROM raw JOIN norms USING (vec_id)),
+       |cb0 AS (SELECT sub, vec_id AS cid, spos, e AS c
+       |        FROM dims WHERE vec_id < 16),
+       |a1 AS (${pqAssignSql("cb0")}),
+       |cb1 AS (
+       |  SELECT d.sub, a.cid, d.spos,
+       |    CAST(sum(CAST(floor(d.e * 10000000.0) AS BIGINT)) AS DOUBLE)
+       |      / 10000000.0 / count(*) AS c
+       |  FROM dims d JOIN a1 a ON d.vec_id = a.vec_id AND d.sub = a.sub
+       |  GROUP BY d.sub, a.cid, d.spos),
+       |codes AS (${pqAssignSql("cb1")}),
+       |qd AS (SELECT sub, spos, e AS qe FROM dims WHERE vec_id = 0),
+       |adc AS (
+       |  SELECT c.sub, c.cid,
+       |    sum(CAST(floor((c.c - q.qe) * (c.c - q.qe) * 1000000000000.0) AS BIGINT)) AS d
+       |  FROM cb1 c JOIN qd q ON c.sub = q.sub AND c.spos = q.spos
+       |  GROUP BY c.sub, c.cid),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT co.vec_id, sum(a.d) AS adist
+       |    FROM codes co JOIN adc a ON co.sub = a.sub AND co.cid = a.cid
+       |    WHERE co.vec_id <> 0
+       |    GROUP BY co.vec_id)
+       |  ORDER BY adist ASC, vec_id ASC LIMIT 80),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+       |FROM e JOIN short USING (vec_id), q
+       |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
   /** DuckDB PQ E-step: nearest code per (vector, subspace) from
     * codebook CTE `c` (fixed-point-exact distance, ties on cid).
     */
@@ -374,49 +430,9 @@ object Extensions {
 
     // PQ: per-subspace seeded k-means (1 Lloyd iteration), encode,
     // ADC shortlist, exact re-rank — all fixed-point long arithmetic
-    "ann_pq" ->
-      s"""WITH raw AS (
-         |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
-         |         CAST(embedding[i + 1] AS DOUBLE) AS e
-         |  FROM embeddings, range(0, 64) t(i)),
-         |norms AS (
-         |  SELECT vec_id,
-         |    sqrt(CAST(sum(CAST(floor(e * 10000000.0) AS BIGINT)
-         |      * CAST(floor(e * 10000000.0) AS BIGINT)) AS DOUBLE)) / 10000000.0 AS nrm
-         |  FROM raw GROUP BY vec_id),
-         |dims AS (
-         |  SELECT vec_id, CAST(pos // 8 AS INTEGER) AS sub,
-         |         CAST(pos % 8 AS INTEGER) AS spos,
-         |         CASE WHEN nrm = 0 THEN 0 ELSE e / nrm END AS e
-         |  FROM raw JOIN norms USING (vec_id)),
-         |cb0 AS (SELECT sub, vec_id AS cid, spos, e AS c
-         |        FROM dims WHERE vec_id < 16),
-         |a1 AS (${pqAssignSql("cb0")}),
-         |cb1 AS (
-         |  SELECT d.sub, a.cid, d.spos,
-         |    CAST(sum(CAST(floor(d.e * 10000000.0) AS BIGINT)) AS DOUBLE)
-         |      / 10000000.0 / count(*) AS c
-         |  FROM dims d JOIN a1 a ON d.vec_id = a.vec_id AND d.sub = a.sub
-         |  GROUP BY d.sub, a.cid, d.spos),
-         |codes AS (${pqAssignSql("cb1")}),
-         |qd AS (SELECT sub, spos, e AS qe FROM dims WHERE vec_id = 0),
-         |adc AS (
-         |  SELECT c.sub, c.cid,
-         |    sum(CAST(floor((c.c - q.qe) * (c.c - q.qe) * 1000000000000.0) AS BIGINT)) AS d
-         |  FROM cb1 c JOIN qd q ON c.sub = q.sub AND c.spos = q.spos
-         |  GROUP BY c.sub, c.cid),
-         |short AS (
-         |  SELECT vec_id FROM (
-         |    SELECT co.vec_id, sum(a.d) AS adist
-         |    FROM codes co JOIN adc a ON co.sub = a.sub AND co.cid = a.cid
-         |    WHERE co.vec_id <> 0
-         |    GROUP BY co.vec_id)
-         |  ORDER BY adist ASC, vec_id ASC LIMIT 80),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-         |SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
-         |FROM e JOIN short USING (vec_id), q
-         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "ann_pq" -> annPqSql,
+    // identical algorithm over materialized index tables
+    "ann_pq_indexed" -> annPqSql,
 
     "ann_knn_join" ->
       s"""WITH bands AS ($embBandsSql),
