@@ -23,8 +23,11 @@ class GeneratorSpec extends AnyFunSuite {
     Pipeline.prepare(spark, root, cfg, WideSchemaGenerator)
 
     // schema round-trips through schema.json with exotic types
+    // (names/types/nullability; DDL additionally assigns field ids)
     val schema = TableIO.readSchema(root, "ns", "wide")
-    assert(schema == WideSchemaGenerator.schema)
+    assert(schema.map(f => (f.name, f.dataType, f.nullable)) ==
+      WideSchemaGenerator.schema.map(f => (f.name, f.dataType, f.nullable)))
+    assert(schema.fields.forall(_.metadata.contains(TableIO.FieldIdKey)))
 
     // MOR: 200 - 40 - 60 = 100 surviving rows = ids [100, 200)
     val rows = Mor.read(spark, root, "ns", "wide").orderBy("id").collect()
