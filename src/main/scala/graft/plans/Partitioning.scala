@@ -190,6 +190,28 @@ object Partitioning {
     }
   }
 
+  /** The `partitions` metadata table (Iceberg `table.partitions`): one
+    * row per (partition field, value) with live file and record counts,
+    * derived from the per-file partition values the manifest records as
+    * degenerate bounds. Covers every spec in the table's history (after
+    * evolution a file reports under the spec it was written with).
+    * Driver-side over manifest metadata only — O(#files), never data.
+    */
+  def partitionsDf(spark: SparkSession, root: String, ns: String,
+      table: String): DataFrame = {
+    import spark.implicits._
+    val fields = readSpecs(root, ns, table).map(_.fieldName).distinct
+    TableIO.readManifest(root, ns, table)
+      .filter(_.content == "data")
+      .flatMap { e =>
+        fields.flatMap(f => e.bounds.get(f).map(b => (f, b._1, e.recordCount)))
+      }
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((f, v), rs) => (f, v, rs.size.toLong, rs.map(_._3).sum) }
+      .sortBy(r => (r._1, r._2))
+      .toDF("partition_field", "value", "n_files", "n_rows")
+  }
+
   /** DDL + partitioned write + commit in one step: the partitioned-table
     * analogue of the pipeline's phase-1 append.
     */

@@ -501,6 +501,20 @@ object TableIO {
       "total_files", "total_data_records")
   }
 
+  /** The `refs` metadata table (Iceberg `table.refs`): one row per named
+    * ref — every branch/tag from refs.json plus the implicit `main`
+    * branch at the current version. Metadata-only, O(#refs).
+    */
+  def refsDf(spark: SparkSession, root: String, ns: String,
+      table: String): DataFrame = {
+    import spark.implicits._
+    val named = readRefs(root, ns, table).toSeq
+      .map { case (n, (t, v)) => (n, t, v) }
+    (("main", "branch", currentVersion(root, ns, table)) +: named)
+      .sortBy(_._1)
+      .toDF("name", "type", "version")
+  }
+
   // --- named refs (Iceberg branches and tags) -------------------------
   // refs.json holds one line per ref: a name pointing at a snapshot
   // version. Tags are immutable once created; branches may be advanced.

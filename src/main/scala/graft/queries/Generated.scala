@@ -473,6 +473,38 @@ object Generated {
         .union(s.range(1).select(lit("n_versions").as("ref"),
           lit(TableIO.currentVersion(r, ns, t)).as("n_rows")))
         .orderBy("ref")
+    }),
+    // The `refs` metadata table (Iceberg `table.refs`): every named
+    // branch/tag plus the implicit main branch at the current version —
+    // over the rollback scenario's table (tag pinned at v1, main at the
+    // rollback-published v4).
+    "gen_refs_meta" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_rollback")
+      val r = GeneratedTables.ensureCustom(dir + "#rollback") { root =>
+        Pipeline.prepare(s, root, c2)
+        TableIO.setRef(root, c2.namespace, c2.tableName, "after_data", "tag", 1L)
+        TableIO.rollback(root, c2.namespace, c2.tableName, 1L)
+      }
+      TableIO.refsDf(s, r, c2.namespace, c2.tableName)
+    }),
+    // The `partitions` metadata table (Iceberg `table.partitions`): per
+    // (partition field, value) live file + record counts from manifest
+    // metadata only. The oracle replays the bucket transform over the
+    // whole domain, so the per-bucket row counts check the write-time
+    // routing census end to end.
+    "gen_partitions_meta" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_part")
+      val spec = PartitionSpec("bucket", "bar", 4)
+      val r = GeneratedTables.ensureCustom(dir + "#part") { root =>
+        val df = s.range(0, N).select(
+          col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"),
+          lit(true).as("baz"))
+        Partitioning.preparePartitioned(s, root, c2.namespace, c2.tableName,
+          df, spec)
+      }
+      Partitioning.partitionsDf(s, r, c2.namespace, c2.tableName)
+        .orderBy("partition_field", "value")
     })
   )
 
@@ -644,6 +676,22 @@ object Generated {
          |FROM (VALUES ('current', $N), ('n_versions', 4),
          |             ('tag_after_data', $N), ('v3', ${N - P - E}))
          |  AS t(ref, n)
-         |ORDER BY ref""".stripMargin
+         |ORDER BY ref""".stripMargin,
+    // the pinned tag + the implicit main branch after rollback published v4
+    "gen_refs_meta" ->
+      """SELECT name, type, CAST(v AS BIGINT) AS version
+        |FROM (VALUES ('after_data', 'tag', 1), ('main', 'branch', 4))
+        |  t(name, type, v)
+        |ORDER BY name""".stripMargin,
+    // bucket(4, bar) census replayed with the portable rolling hash:
+    // one file per bucket, per-bucket row counts over the full domain
+    "gen_partitions_meta" ->
+      s"""SELECT 'p_bucket4_bar' AS partition_field, CAST(b AS BIGINT) AS value,
+         |  CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows
+         |FROM (SELECT list_reduce(list_transform(string_split(CAST(g AS VARCHAR), ''),
+         |    c -> CAST(unicode(c) AS BIGINT)),
+         |    (a, b) -> (a * 31 + b) % 1000000007) % 4 AS b
+         |  FROM range(0, $N) t(g))
+         |GROUP BY b ORDER BY partition_field, value""".stripMargin
   )
 }

@@ -132,6 +132,78 @@ object SqlSurface {
           |FROM documents ORDER BY doc_id""".stripMargin)
     }),
 
+    // UNPIVOT (wide -> long relational reshape): the four lineitem
+    // measures melted into (measure, value) rows, re-aggregated. The
+    // SQL-standard UNPIVOT clause parses in both engines; decimal sums
+    // keep the fold order-independent.
+    "q_unpivot" -> ((s, dir) => {
+      views(s, dir, "lineitem")
+      s.sql(
+        """SELECT measure, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM lineitem
+          |  UNPIVOT (value FOR measure IN
+          |    (l_quantity, l_extendedprice, l_discount, l_tax))
+          |GROUP BY measure ORDER BY measure""".stripMargin)
+    }),
+
+    // EXISTS / NOT EXISTS correlated predicates (planned as semi/anti
+    // joins — no per-row subquery execution).
+    "q_exists_subquery" -> ((s, dir) => {
+      views(s, dir, "customer", "orders")
+      s.sql(
+        """SELECT c_custkey, c_name
+          |FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // LATERAL correlated subquery: per-customer aggregate computed by a
+    // lateral derived table (decorrelated by Catalyst into a join, not
+    // executed per row).
+    "q_lateral_join" -> ((s, dir) => {
+      views(s, dir, "customer", "orders")
+      s.sql(
+        """SELECT c_custkey, t.n_orders, t.best
+          |FROM customer,
+          |  LATERAL (SELECT count(*) AS n_orders,
+          |             CAST(max(o_totalprice) AS DOUBLE) AS best
+          |           FROM orders WHERE o_custkey = c_custkey) t
+          |WHERE t.n_orders > 0
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // RANGE-framed window: value-based frame bounds (all orders within
+    // 50000 below the current price), partitioned so the sort shards.
+    "q_window_range_frame" -> ((s, dir) => {
+      views(s, dir, "orders")
+      s.sql(
+        """SELECT o_orderkey, o_orderpriority,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+          |    PARTITION BY o_orderpriority ORDER BY o_totalprice
+          |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    AS nearby_total
+          |FROM orders ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Distribution window functions: ntile / percent_rank / cume_dist
+    // over a unique total order per partition.
+    "q_window_ntile" -> ((s, dir) => {
+      views(s, dir, "orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |  ntile(4) OVER w AS quartile,
+          |  percent_rank() OVER w AS pr,
+          |  cume_dist() OVER w AS cd
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderstatus
+          |             ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Null-handling scalar functions.
     "q_null_fns" -> ((s, dir) => {
       views(s, dir, "orders")
@@ -210,6 +282,50 @@ object SqlSurface {
         |  regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
         |  regexp_matches(p_name, '^[a-z]+') AS starts_alpha
         |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT measure, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM lineitem
+        |  UNPIVOT (value FOR measure IN
+        |    (l_quantity, l_extendedprice, l_discount, l_tax))
+        |GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_lateral_join" ->
+      """SELECT c_custkey, t.n_orders, t.best
+        |FROM customer,
+        |  LATERAL (SELECT count(*) AS n_orders,
+        |             CAST(max(o_totalprice) AS DOUBLE) AS best
+        |           FROM orders WHERE o_custkey = c_custkey) t
+        |WHERE t.n_orders > 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS nearby_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_null_fns" ->
       """SELECT o_orderpriority,
