@@ -110,6 +110,44 @@ object PipelineOps {
       .orderBy("shard", "pos")
   }
 
+  /** Passage-level duplication census (the CCNet/RefinedWeb line-dedup
+    * signal, adapted to the corpus's unpunctuated text): documents split
+    * into non-overlapping `width`-word passages, passages fingerprinted,
+    * and each document scored by how many of its passages also occur
+    * elsewhere in the corpus — the per-document boilerplate/copy ratio
+    * that drives drop-or-trim decisions. Shape: one explode + one
+    * fingerprint-count shuffle + one join back on the fingerprint —
+    * linear at any corpus size, no all-pairs anything.
+    */
+  def passageDupStats(docs: DataFrame, width: Int = 3): DataFrame = {
+    val words = split(col("text"), " ")
+    val nPass = ceil(size(words) / lit(width.toDouble)).cast("int")
+    val fps = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nPass - 1),
+          i => md5(concat_ws(" ",
+            slice(words, i * width + 1, lit(width)))))).as("fp"))
+    val counts = fps.groupBy("fp").agg(count(lit(1)).as("n"))
+    fps.join(counts, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/valid/test assignment: an independent salted
+    * hash draw per document (80/10/10), reported as a per-(split, lang)
+    * census. A pure projection + one aggregation — the assignment
+    * itself never shuffles and is reproducible at any scale.
+    */
+  def trainValTest(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), pmod(idHash("v"), lit(100)).as("b"))
+      .withColumn("split",
+        when(col("b") < 80, "train")
+          .when(col("b") < 90, "valid").otherwise("test"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+
   /** Corpus-level most-frequent word n-grams (boilerplate detection,
     * contamination screening). N-grams are built with per-document
     * `lead` windows over exploded words — codegen'd window columns, no

@@ -332,6 +332,38 @@ object Similarity {
       .orderBy("vec_a", "rank")
   }
 
+  /** Radius (epsilon-neighborhood) search: every corpus vector within
+    * cosine >= tau of each query vector, for a SET of queries — the
+    * batched range-search a dedup audit or a retrieval-quality probe
+    * runs. Candidates come from the same 16x4-bit sign-LSH banding the
+    * kNN join uses; the tiny query band rows broadcast to the corpus
+    * scan, so the corpus is never shuffled before the tau filter and
+    * only true matches reach the pair-dedup. Deterministic (fixed axis
+    * hyperplanes) — the oracle replays the identical banding.
+    */
+  def rangeSearch(emb: DataFrame, nQueries: Int = 5, tau: Double = 0.25,
+      bands: Int = 16, r: Int = 4): DataFrame = {
+    val keyCols = (0 until bands).map { bnd =>
+      (0 until r).map { i =>
+        when(try_element_at(col("embedding"), lit(bnd * r + i + 1)) > 0f,
+          1L << i).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val bandDf = emb.select(col("vec_id"), col("embedding"),
+      posexplode(array(keyCols: _*)).as(Seq("band", "key")))
+    val qb = bandDf.filter(col("vec_id") < nQueries)
+      .toDF("q_id", "q_emb", "band", "key")
+    bandDf.toDF("n_id", "n_emb", "band", "key")
+      .join(broadcast(qb), Seq("band", "key"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        VectorOps.cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy("q_id", "n_id").agg(max("cos").as("cos"))
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("sim"))
+      .orderBy("q_id", "n_id")
+  }
+
   /** Bucketed ANN: search only the query's sign-LSH bucket. */
   def lshTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
     val withBucket = emb.withColumn("bucket", bucketCol(col("embedding")))

@@ -11,6 +11,9 @@ import Util._
   */
 object Extensions {
 
+  /** Fixed BM25 probe query (terms present in the synthetic corpus). */
+  private val bm25Terms = Seq("spark", "hash", "join")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(rd(s, dir, "documents"))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprint(rd(s, dir, "documents"))),
@@ -33,12 +36,18 @@ object Extensions {
       }
       Similarity.pqSearchIndexed(s, rd(s, dir, "embeddings"), r, "ann")
     }),
+    "ann_range" -> ((s, dir) => Similarity.rangeSearch(rd(s, dir, "embeddings"))),
+    "text_bm25" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(rd(s, dir, "documents"), bm25Terms)),
     "pipe_decontaminate" -> ((s, dir) =>
       PipelineOps.decontaminate(rd(s, dir, "documents"))),
     "pipe_sample" -> ((s, dir) => PipelineOps.sampleBySource(rd(s, dir, "documents"))),
     "pipe_pack" -> ((s, dir) => PipelineOps.packSequences(rd(s, dir, "documents"))),
     "pipe_shuffle" -> ((s, dir) => PipelineOps.shuffleShards(rd(s, dir, "documents"))),
     "pipe_chunk" -> ((s, dir) => PipelineOps.chunkDocuments(rd(s, dir, "documents"))),
+    "pipe_split" -> ((s, dir) => PipelineOps.trainValTest(rd(s, dir, "documents"))),
+    "dedup_passages" -> ((s, dir) =>
+      PipelineOps.passageDupStats(rd(s, dir, "documents"))),
     "pipe_mix" -> ((s, dir) => PipelineOps.mixtureRepeat(rd(s, dir, "documents"))),
     "text_topk_ngrams" -> ((s, dir) => PipelineOps.topNgrams(rd(s, dir, "documents"))),
     "emb_quantize" -> ((s, dir) => PipelineOps.quantize(rd(s, dir, "embeddings"))),
@@ -451,6 +460,40 @@ object Extensions {
          |  round(cos, 6) AS sim
          |FROM rk WHERE rank <= 3 ORDER BY vec_a, rank""".stripMargin,
 
+    "ann_range" ->
+      s"""WITH bands AS ($embBandsSql),
+         |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |         WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT q_id, n_id, round(${cosSql("x.v", "y.v")}, 6) AS sim
+         |FROM cand JOIN e x ON x.vec_id = q_id JOIN e y ON y.vec_id = n_id
+         |WHERE ${cosSql("x.v", "y.v")} >= 0.25
+         |ORDER BY q_id, n_id""".stripMargin,
+
+    // BM25 with the classic ln idf; per-term contributions floored to
+    // scaled longs so the per-doc sum is order-independent (the same
+    // fixed-point discipline as the ANN family)
+    "text_bm25" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |           FROM documents),
+         |q AS (SELECT unnest([${bm25Terms.map("'" + _ + "'").mkString(", ")}]) AS term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM w JOIN q USING (term) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+         |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |s AS (SELECT tf.doc_id,
+         |        CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |          * (tf * 2.2)
+         |          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |          * 10000000.0) AS BIGINT) AS s_fp
+         |      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), c)
+         |SELECT doc_id, CAST(sum(s_fp) AS DOUBLE) / 10000000.0 AS score
+         |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
     "pipe_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |shs AS (SELECT doc_id, unnest($shinglesSql) AS sh_str
@@ -504,6 +547,29 @@ object Extensions {
 
     // chunking: unnest(range(...)) replays the per-row chunk count
     // (numerator always positive, so integer // == the engine's div)
+    // non-overlapping 3-word passages, md5-fingerprinted; per-doc count
+    // of passages that occur anywhere else in the corpus
+    "dedup_passages" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |f AS (SELECT doc_id,
+        |        md5(array_to_string(w[(i*3+1):(i*3+3)], ' ')) AS fp
+        |      FROM t, unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT))) r(i)),
+        |c AS (SELECT fp, count(*) AS n FROM f GROUP BY fp)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |FROM f JOIN c USING (fp)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // salted 80/10/10 hash assignment, reported per (split, lang)
+    "pipe_split" ->
+      s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+         |    ELSE 'test' END AS split,
+         |  lang, count(*) AS n
+         |FROM (SELECT lang,
+         |    ${rollSql("'v' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |  FROM documents)
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
     "pipe_chunk" ->
       """WITH n AS (SELECT doc_id, text,
         |    greatest((length(text) - 64 + 335) // 336, 1) AS n_chunks
