@@ -34,10 +34,18 @@ object Retrieval {
     // postings restricted to the query's terms BEFORE any shuffle
     val tf = words.filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val consts = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    score(tf, dl, consts, k, k1, b)
+  }
+
+  /** The scoring join shared by the scan path and the indexed path:
+    * identical arithmetic, so both produce identical rankings.
+    */
+  private def score(tf: DataFrame, dl: DataFrame, consts: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(consts))
@@ -52,5 +60,46 @@ object Retrieval {
       .select(col("doc_id"), (col("s_fp").cast("double") / lit(1e7)).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Persist the inverted index as committed tables — tokenize ONCE,
+    * search many: `bm25_postings(doc_id, term, tf)`,
+    * `bm25_doclen(doc_id, dl)`, `bm25_stats(n_docs, avgdl)`. A search
+    * then touches only the query terms' postings (a pushed-down filter
+    * on the postings scan — at scale, term-partitioned files make it a
+    * partition-pruned read), never the corpus text. The index tables
+    * version/travel/compact like any other data, the same
+    * train-once/search-many split the persisted PQ index uses.
+    */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      root: String, ns: String): Unit = {
+    import graft.plans.TableIO
+    val words = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    TableIO.createNamespace(root, ns)
+    Seq(("bm25_postings", tf), ("bm25_doclen", dl), ("bm25_stats", stats))
+      .foreach { case (t, df) =>
+        TableIO.createTableIfNotExists(root, ns, t, df.schema)
+        TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root,
+          ns, t, "data/part-00000.parquet", df, "data", 1L)))
+      }
+  }
+
+  /** Search against the persisted index: identical results to
+    * [[bm25TopK]] (same scoring arithmetic over materialized postings).
+    */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession,
+      root: String, ns: String, queryTerms: Seq[String],
+      k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.plans.Mor
+    val tf = Mor.read(spark, root, ns, "bm25_postings")
+      .filter(col("term").isin(queryTerms: _*))
+    val dl = Mor.read(spark, root, ns, "bm25_doclen")
+    val consts = Mor.read(spark, root, ns, "bm25_stats")
+    score(tf, dl, consts, k, k1, b)
   }
 }

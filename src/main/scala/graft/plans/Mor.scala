@@ -347,6 +347,45 @@ object Mor {
     * (small) new-delete side against one prior snapshot — never a diff
     * of two full snapshots.
     */
+  /** COUNT(*) answered from manifest metadata alone — no data file is
+    * opened (Iceberg answers `SELECT count(*)` the same way: aggregate
+    * pushdown into the manifest record counts). Valid when the snapshot
+    * carries no equality deletes AND every pos-delete row references a
+    * live data file exactly once — both guaranteed by this engine's
+    * writers (and restored by `rewritePositionDeletes`, which purges
+    * dangling and duplicate targets after compactions). Returns None
+    * when eq-deletes are present: their matches are data-dependent, so
+    * the caller must fall back to the MOR scan. At 100 TB this is the
+    * difference between O(#files) metadata and a full-corpus scan.
+    */
+  def countFromMetadata(root: String, ns: String, table: String,
+      version: Option[Long] = None): Option[Long] = {
+    val entries = version
+      .map(v => TableIO.readManifestAt(root, ns, table, v))
+      .getOrElse(TableIO.readManifest(root, ns, table))
+    if (entries.exists(_.content == "eq_delete")) None
+    else Some(entries.filter(_.content == "data").map(_.recordCount).sum -
+      entries.filter(_.content == "pos_delete").map(_.recordCount).sum)
+  }
+
+  /** MIN/MAX of a column answered from the manifest's per-file bounds —
+    * the other half of aggregate pushdown into metadata. Valid only
+    * when the snapshot carries NO deletes at all (any delete might
+    * remove exactly the extreme row) and every data file records bounds
+    * for the column; returns None otherwise and the caller scans.
+    */
+  def minMaxFromMetadata(root: String, ns: String, table: String,
+      column: String, version: Option[Long] = None): Option[(Long, Long)] = {
+    val entries = version
+      .map(v => TableIO.readManifestAt(root, ns, table, v))
+      .getOrElse(TableIO.readManifest(root, ns, table))
+    val data = entries.filter(_.content == "data")
+    if (entries.size != data.size || data.isEmpty ||
+        !data.forall(_.bounds.contains(column))) None
+    else Some((data.map(_.bounds(column)._1).min,
+      data.map(_.bounds(column)._2).max))
+  }
+
   def readChanges(spark: SparkSession, root: String, ns: String,
       table: String, fromVersion: Long, toVersion: Long): DataFrame = {
     val dir = TableIO.tableDir(root, ns, table)

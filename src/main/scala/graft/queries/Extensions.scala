@@ -14,6 +14,28 @@ object Extensions {
   /** Fixed BM25 probe query (terms present in the synthetic corpus). */
   private val bm25Terms = Seq("spark", "hash", "join")
 
+  /** BM25 oracle, shared by the scan and indexed paths (identical
+    * scoring arithmetic over the same postings).
+    */
+  private lazy val bm25Sql =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |           FROM documents),
+       |q AS (SELECT unnest([${bm25Terms.map("'" + _ + "'").mkString(", ")}]) AS term),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM w JOIN q USING (term) GROUP BY doc_id, term),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+       |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |s AS (SELECT tf.doc_id,
+       |        CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |          * (tf * 2.2)
+       |          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |          * 10000000.0) AS BIGINT) AS s_fp
+       |      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), c)
+       |SELECT doc_id, CAST(sum(s_fp) AS DOUBLE) / 10000000.0 AS score
+       |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(rd(s, dir, "documents"))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprint(rd(s, dir, "documents"))),
@@ -39,6 +61,16 @@ object Extensions {
     "ann_range" -> ((s, dir) => Similarity.rangeSearch(rd(s, dir, "embeddings"))),
     "text_bm25" -> ((s, dir) =>
       graft.operators.Retrieval.bm25TopK(rd(s, dir, "documents"), bm25Terms)),
+    // the same search against a PERSISTED inverted index (postings +
+    // doc lengths + stats as committed tables): tokenize once, search
+    // many — identical results, shared oracle
+    "text_bm25_indexed" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#bm25index") { root =>
+        graft.operators.Retrieval.buildIndex(s, rd(s, dir, "documents"),
+          root, "idx")
+      }
+      graft.operators.Retrieval.searchIndexed(s, r, "idx", bm25Terms)
+    }),
     "pipe_decontaminate" -> ((s, dir) =>
       PipelineOps.decontaminate(rd(s, dir, "documents"))),
     "pipe_sample" -> ((s, dir) => PipelineOps.sampleBySource(rd(s, dir, "documents"))),
@@ -475,24 +507,9 @@ object Extensions {
     // BM25 with the classic ln idf; per-term contributions floored to
     // scaled longs so the per-doc sum is order-independent (the same
     // fixed-point discipline as the ANN family)
-    "text_bm25" ->
-      s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-         |           FROM documents),
-         |q AS (SELECT unnest([${bm25Terms.map("'" + _ + "'").mkString(", ")}]) AS term),
-         |tf AS (SELECT doc_id, term, count(*) AS tf
-         |       FROM w JOIN q USING (term) GROUP BY doc_id, term),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
-         |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-         |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |s AS (SELECT tf.doc_id,
-         |        CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         |          * (tf * 2.2)
-         |          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-         |          * 10000000.0) AS BIGINT) AS s_fp
-         |      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), c)
-         |SELECT doc_id, CAST(sum(s_fp) AS DOUBLE) / 10000000.0 AS score
-         |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "text_bm25" -> bm25Sql,
+    // identical arithmetic over the materialized inverted index
+    "text_bm25_indexed" -> bm25Sql,
 
     "pipe_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -505,6 +505,56 @@ object Generated {
       }
       Partitioning.partitionsDf(s, r, c2.namespace, c2.tableName)
         .orderBy("partition_field", "value")
+    }),
+    // Metadata-only COUNT(*) (Iceberg aggregate pushdown): v1 and v2
+    // answer from manifest record counts without opening a data file
+    // (pos-delete counts subtract exactly); v3 has eq-deletes, whose
+    // matches are data-dependent — countFromMetadata refuses and the
+    // MOR scan answers. MetaCountSpec proves the no-scan property by
+    // deleting the physical files and counting anyway.
+    "gen_count_meta" -> ((s, dir) => {
+      import s.implicits._
+      val r = root(s, dir)
+      val (ns, t) = (cfg.namespace, cfg.tableName)
+      val v3meta = Mor.countFromMetadata(r, ns, t, Some(3L))
+      Seq(
+        ("v1_meta", Mor.countFromMetadata(r, ns, t, Some(1L)).get, true),
+        ("v2_meta", Mor.countFromMetadata(r, ns, t, Some(2L)).get, true),
+        ("v3_scan", v3meta.getOrElse(Mor.readAt(s, r, ns, t, 3L).count()),
+          v3meta.isDefined))
+        .toDF("phase", "n_rows", "from_metadata")
+        .orderBy("phase")
+    }),
+    // MIN/MAX from manifest bounds (the other half of aggregate
+    // pushdown): v1 (no deletes) answers from metadata; the current
+    // snapshot has deletes, so the pushdown refuses — any delete might
+    // have removed the extreme row.
+    "gen_minmax_meta" -> ((s, dir) => {
+      import s.implicits._
+      val r = root(s, dir)
+      val (ns, t) = (cfg.namespace, cfg.tableName)
+      val mm1 = Mor.minMaxFromMetadata(r, ns, t, "bar", Some(1L))
+      val cur = Mor.minMaxFromMetadata(r, ns, t, "bar")
+      Seq(
+        ("cur_refused", cur.map(_._1).getOrElse(-1L), cur.isDefined),
+        ("v1_max", mm1.get._2, true),
+        ("v1_min", mm1.get._1, true))
+        .toDF("stat", "value", "from_metadata").orderBy("stat")
+    }),
+    // Incremental view maintenance: a committed aggregate table kept in
+    // sync by folding the CDC changelog one snapshot per batch (insert
+    // = +1, delete = -1) — O(changed keys) per refresh, never a base
+    // rescan. The final state must equal a from-scratch aggregation of
+    // the surviving rows; the oracle computes that closed form.
+    "gen_ivm" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_ivm")
+      val r = GeneratedTables.ensureCustom(dir + "#ivm") { root =>
+        Pipeline.prepare(s, root, c2)
+        graft.plans.Ivm.catchUp(s, root, c2.namespace, c2.tableName,
+          "agg_t1_ivm", java.nio.file.Paths.get(root, "ivm.ckpt"),
+          pmod(col("bar"), lit(5)), "bar")
+      }
+      Mor.read(s, r, c2.namespace, "agg_t1_ivm").orderBy("k")
     })
   )
 
@@ -692,6 +742,23 @@ object Generated {
          |    c -> CAST(unicode(c) AS BIGINT)),
          |    (a, b) -> (a * 31 + b) % 1000000007) % 4 AS b
          |  FROM range(0, $N) t(g))
-         |GROUP BY b ORDER BY partition_field, value""".stripMargin
+         |GROUP BY b ORDER BY partition_field, value""".stripMargin,
+    // v1: N data rows; v2: minus P pos-deletes (both pure metadata);
+    // v3: eq-deletes force the scan -> N - P - E
+    "gen_count_meta" ->
+      s"""SELECT phase, CAST(n AS BIGINT) AS n_rows, m AS from_metadata
+         |FROM (VALUES ('v1_meta', $N, true), ('v2_meta', ${N - P}, true),
+         |             ('v3_scan', ${N - P - E}, false)) t(phase, n, m)
+         |ORDER BY phase""".stripMargin,
+    // v1 bounds union = [0, N); current snapshot refuses (has deletes)
+    "gen_minmax_meta" ->
+      s"""SELECT stat, CAST(v AS BIGINT) AS value, m AS from_metadata
+         |FROM (VALUES ('cur_refused', -1, false), ('v1_max', ${N - 1}, true),
+         |             ('v1_min', 0, true)) t(stat, v, m)
+         |ORDER BY stat""".stripMargin,
+    // incremental state == from-scratch aggregation of the survivors
+    "gen_ivm" ->
+      s"""SELECT g % 5 AS k, count(*) AS n, CAST(sum(g) AS BIGINT) AS sum_v
+         |FROM range(${P + E}, $N) t(g) GROUP BY k ORDER BY k""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{Ivm, Mor, Pipeline, TableIO}
+import graft.sources.{FileConfig, GenConfig}
+
+/** Metadata-only counts and incremental view maintenance. */
+class IvmMetaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("countFromMetadata answers without touching any data file") {
+    val root = Files.createTempDirectory("graft-meta-").toString
+    val cfg = GenConfig("ns", "t", FileConfig(50, 4),
+      FileConfig(50, 1), FileConfig(0, 0))
+    Pipeline.prepare(spark, root, cfg)
+    assert(Mor.countFromMetadata(root, "ns", "t") === Some(150L)) // 200 - 50
+    assert(Mor.countFromMetadata(root, "ns", "t", Some(1L)) === Some(200L))
+    // the brutal proof of "no scan": remove the physical data files;
+    // the metadata count still answers (a real scan would throw)
+    TableIO.filesOf(root, "ns", "t", "data")
+      .foreach { case (p, _) => Files.delete(Paths.get(p)) }
+    assert(Mor.countFromMetadata(root, "ns", "t") === Some(150L))
+  }
+
+  test("countFromMetadata refuses when equality deletes are present") {
+    val root = Files.createTempDirectory("graft-meta-").toString
+    val cfg = GenConfig("ns", "t", FileConfig(50, 4),
+      FileConfig(50, 1), FileConfig(50, 1))
+    Pipeline.prepare(spark, root, cfg)
+    assert(Mor.countFromMetadata(root, "ns", "t").isEmpty)
+    // the data-only prefix of history still answers from metadata
+    assert(Mor.countFromMetadata(root, "ns", "t", Some(2L)) === Some(150L))
+  }
+
+  test("ivm state folds one snapshot per batch and matches recompute") {
+    val root = Files.createTempDirectory("graft-ivm-").toString
+    val cfg = GenConfig("ns", "t", FileConfig(100, 3),
+      FileConfig(100, 1), FileConfig(100, 1))
+    Pipeline.prepare(spark, root, cfg)
+    val ckpt = Paths.get(root, "ivm.ckpt")
+    Ivm.catchUp(spark, root, "ns", "t", "agg", ckpt,
+      pmod(col("bar"), lit(7)), "bar")
+    // one state commit per base snapshot, offset at the base head
+    assert(TableIO.currentVersion(root, "ns", "agg") == 3L)
+    assert(graft.plans.ChangeFeed.offsetOf(ckpt) == 3L)
+    def stateRows() = Mor.read(spark, root, "ns", "agg").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Mor.read(spark, root, "ns", "t")
+      .groupBy(pmod(col("bar"), lit(7)).cast("long").as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("bar").cast("long")).as("sum_v"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stateRows() == expected)
+    // idempotent when nothing new committed
+    Ivm.catchUp(spark, root, "ns", "t", "agg", ckpt,
+      pmod(col("bar"), lit(7)), "bar")
+    assert(TableIO.currentVersion(root, "ns", "agg") == 3L)
+    // a new base append folds incrementally (state v4, counts grow)
+    val extra = spark.range(1000, 1100).select(
+      col("id").cast("string").as("foo"),
+      col("id").cast("int").as("bar"), lit(true).as("baz"))
+    val seq = TableIO.nextSeq(root, "ns", "t")
+    TableIO.commit(root, "ns", "t", Seq(TableIO.writeExactFile(spark, root,
+      "ns", "t", "data/part-00099.parquet", extra, "data", seq,
+      recordCount = 100L)))
+    Ivm.catchUp(spark, root, "ns", "t", "agg", ckpt,
+      pmod(col("bar"), lit(7)), "bar")
+    assert(TableIO.currentVersion(root, "ns", "agg") == 4L)
+    assert(stateRows().map(_._2).sum == 200L) // 300 - 100 - 100 + 100
+  }
+}
