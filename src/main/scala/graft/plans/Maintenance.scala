@@ -243,16 +243,22 @@ object Maintenance {
     val dir = TableIO.tableDir(root, ns, table)
     val current = TableIO.currentVersion(root, ns, table)
     require(keepFromVersion <= current, s"keepFrom $keepFromVersion > $current")
-    val live = (keepFromVersion to current)
+    // named refs pin their snapshots: a branch/tag older than the
+    // retention horizon survives expiry with every file it references
+    // (Iceberg's expire_snapshots never removes a ref's snapshot —
+    // otherwise creating a tag and expiring would corrupt the ref)
+    val pinned = TableIO.readRefs(root, ns, table).values.map(_._2).toSet
+    val keepVersions = (keepFromVersion to current).toSet ++ pinned
+    val live = keepVersions.toSeq
       .flatMap(v => TableIO.readManifestAt(root, ns, table, v))
       .map(_.path).toSet
-    val dead = (0L until keepFromVersion)
+    val dead = (0L until keepFromVersion).filterNot(keepVersions)
       .flatMap(v => TableIO.readManifestAt(root, ns, table, v))
       .map(_.path).toSet -- live
     dead.toSeq.sorted.foreach { rel =>
       Files.deleteIfExists(dir.resolve(rel))
     }
-    (0L until keepFromVersion).foreach { v =>
+    (0L until keepFromVersion).filterNot(keepVersions).foreach { v =>
       Files.deleteIfExists(dir.resolve(s"manifest/v$v.json"))
     }
     dead.toSeq.sorted

@@ -308,36 +308,98 @@ object TableIO {
     evolved
   }
 
+  /** Current snapshot version. The hint file is a fast path only: a
+    * committer that lost a publish race may flip the hint backwards a
+    * moment after the winner, so the directory's highest published
+    * manifest is authoritative (Iceberg's HadoopTableOperations makes
+    * the same choice).
+    */
   def currentVersion(root: String, ns: String, table: String): Long = {
-    val hint = tableDir(root, ns, table).resolve("version-hint.text")
-    if (Files.isRegularFile(hint)) Files.readString(hint).trim.toLong else 0L
+    val dir = tableDir(root, ns, table)
+    val hint = dir.resolve("version-hint.text")
+    val hinted =
+      if (Files.isRegularFile(hint)) Files.readString(hint).trim.toLong else 0L
+    val mdir = dir.resolve("manifest")
+    val published =
+      if (!Files.isDirectory(mdir)) 0L
+      else {
+        val s = Files.list(mdir)
+        try s.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case manifestVRe(v) => v.toLong }
+          .foldLeft(0L)(math.max)
+        finally s.close()
+      }
+    math.max(hinted, published)
+  }
+
+  private val manifestVRe = """v(\d+)\.json""".r
+
+  /** Publish `body` as version `v`'s manifest iff no other committer
+    * got there first: temp file + move WITHOUT replace is the
+    * compare-and-swap (the filesystem twin of Iceberg's atomic
+    * metadata-pointer swap; a REST catalog does this server-side).
+    */
+  private def tryPublish(dir: Path, v: Long, body: String): Boolean = {
+    val tmp = Files.createTempFile(dir.resolve("manifest"), ".tmp", ".json")
+    Files.writeString(tmp, body)
+    // hard-link, not move: move-without-replace is check-then-act (a
+    // racing committer can slip between the existence check and the
+    // rename), while link(2) fails atomically if the target exists —
+    // and the target appears only as a fully-written file
+    try { Files.createLink(dir.resolve(s"manifest/v$v.json"), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
   }
 
   /** K6 (`main.rs:125-158`): one atomic append commit = write new full
     * manifest v(N+1), then flip the version pointer. Readers racing a
-    * commit see either vN or v(N+1), never a partial manifest (both
-    * writes go through temp-file + ATOMIC_MOVE).
+    * commit see either vN or v(N+1), never a partial manifest.
+    *
+    * Optimistic concurrency: losing a publish race re-reads the new
+    * base manifest and retries — a fast-append conflicts with nothing
+    * (it only adds files), so the retry always converges; two racing
+    * appends BOTH land, as consecutive versions. Without the CAS the
+    * second writer would silently overwrite the first's snapshot (lost
+    * update) — on a 1000-executor cluster with concurrent writers this
+    * is the difference between a table format and a directory of files.
     */
   def commit(root: String, ns: String, table: String,
       newEntries: Seq[ManifestEntry]): Long = {
     val dir = tableDir(root, ns, table)
-    val v = currentVersion(root, ns, table)
-    val all = readManifest(root, ns, table) ++ newEntries
-    val body = all.map(entryToJson).mkString("\n")
-    atomicWrite(dir.resolve(s"manifest/v${v + 1}.json"), body)
-    atomicWrite(dir.resolve("version-hint.text"), (v + 1).toString)
-    v + 1
+    var attempts = 0
+    while (attempts < 1000) {
+      val v = currentVersion(root, ns, table)
+      val all = readManifest(root, ns, table) ++ newEntries
+      if (tryPublish(dir, v + 1, all.map(entryToJson).mkString("\n"))) {
+        atomicWrite(dir.resolve("version-hint.text"), (v + 1).toString)
+        return v + 1
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit to $ns.$table lost ${attempts} publish races — aborting")
   }
 
   /** Commit a snapshot whose manifest REPLACES the previous content
-    * entirely (compaction): the new version lists only `entries`.
+    * entirely (compaction/rewrite). Unlike a fast-append this CANNOT
+    * blindly retry: the replacement was computed FROM a base snapshot,
+    * and a concurrent commit means that base is stale (Iceberg fails
+    * rewrites on conflicting updates the same way). The caller re-plans
+    * against the new head if it still wants the rewrite.
     */
   def commitReplacing(root: String, ns: String, table: String,
-      entries: Seq[ManifestEntry]): Long = {
+      entries: Seq[ManifestEntry],
+      expectedVersion: Option[Long] = None): Long = {
     val dir = tableDir(root, ns, table)
     val v = currentVersion(root, ns, table)
-    atomicWrite(dir.resolve(s"manifest/v${v + 1}.json"),
-      entries.map(entryToJson).mkString("\n"))
+    expectedVersion.filter(_ != v).foreach { e =>
+      throw new java.util.ConcurrentModificationException(
+        s"$ns.$table is at v$v but the rewrite was planned from v$e — re-plan")
+    }
+    if (!tryPublish(dir, v + 1, entries.map(entryToJson).mkString("\n")))
+      throw new java.util.ConcurrentModificationException(
+        s"$ns.$table advanced past v$v during a replacing commit — re-plan")
     atomicWrite(dir.resolve("version-hint.text"), (v + 1).toString)
     v + 1
   }

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{Maintenance, ManifestEntry, Mor, Pipeline, TableIO}
+import graft.sources.{FileConfig, GenConfig}
+import org.apache.spark.sql.types._
+
+/** Optimistic-concurrency commit protocol + ref-protected expiry. */
+class CommitProtocolSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("foo", StringType, nullable = false),
+    StructField("bar", IntegerType, nullable = false)))
+
+  private def newTable(): String = {
+    val root = Files.createTempDirectory("graft-race-").toString
+    TableIO.createNamespace(root, "ns")
+    TableIO.createTableIfNotExists(root, "ns", "t", schema)
+    root
+  }
+
+  test("concurrent fast-appends all land as consecutive versions") {
+    val root = newTable()
+    val threads = 4; val per = 10
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        try {
+          (0 until per).foreach { i =>
+            TableIO.commit(root, "ns", "t", Seq(ManifestEntry(
+              s"data/part-t$t-$i.parquet", "data", 1L, 10L)))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"commit threw: ${errs.peek()}")
+    // every append landed exactly once, each as its own snapshot
+    assert(TableIO.currentVersion(root, "ns", "t") == threads * per)
+    val paths = TableIO.readManifest(root, "ns", "t").map(_.path)
+    assert(paths.size == threads * per && paths.distinct.size == paths.size)
+  }
+
+  test("a lost publish race retries against the interloper's manifest") {
+    val root = newTable()
+    TableIO.commit(root, "ns", "t",
+      Seq(ManifestEntry("data/a.parquet", "data", 1L, 10L)))
+    // simulate a racing committer that published v2 between our read
+    // and our publish: pre-create v2 (the interloper's snapshot)
+    val dir = TableIO.tableDir(root, "ns", "t")
+    Files.copy(dir.resolve("manifest/v1.json"), dir.resolve("manifest/v2.json"))
+    val v = TableIO.commit(root, "ns", "t",
+      Seq(ManifestEntry("data/b.parquet", "data", 2L, 10L)))
+    assert(v == 3L) // landed AFTER the interloper, not over it
+    val paths = TableIO.readManifest(root, "ns", "t").map(_.path).toSet
+    assert(paths == Set("data/a.parquet", "data/b.parquet"))
+  }
+
+  test("replacing commit refuses when the base snapshot moved") {
+    val root = newTable()
+    TableIO.commit(root, "ns", "t",
+      Seq(ManifestEntry("data/a.parquet", "data", 1L, 10L)))
+    val dir = TableIO.tableDir(root, "ns", "t")
+    // the rewrite was planned from v1; an interloper publishes v2
+    // before the rewrite commits
+    Files.copy(dir.resolve("manifest/v1.json"), dir.resolve("manifest/v2.json"))
+    intercept[java.util.ConcurrentModificationException] {
+      TableIO.commitReplacing(root, "ns", "t",
+        Seq(ManifestEntry("data/rewrite.parquet", "data", 1L, 15L)),
+        expectedVersion = Some(1L))
+    }
+  }
+
+  test("expiry never removes a snapshot a ref pins") {
+    val root = Files.createTempDirectory("graft-expire-").toString
+    val cfg = GenConfig("ns", "t", FileConfig(50, 4),
+      FileConfig(50, 1), FileConfig(50, 1))
+    Pipeline.prepare(spark, root, cfg) // v1 data, v2 pos, v3 eq
+    TableIO.setRef(root, "ns", "t", "audit", "tag", 1L)
+    val removed = Maintenance.expireSnapshots(root, "ns", "t", 3L)
+    // v2's manifest is gone (time travel below the horizon)...
+    assert(TableIO.readManifestAt(root, "ns", "t", 2L).isEmpty)
+    // ...but the tagged v1 still reads in full, every file intact
+    assert(Mor.readRef(spark, root, "ns", "t", "audit").count() == 200L)
+    // and nothing the tag references was deleted
+    val tagged = TableIO.readManifestAt(root, "ns", "t", 1L).map(_.path).toSet
+    assert(removed.toSet.intersect(tagged).isEmpty)
+  }
+}
