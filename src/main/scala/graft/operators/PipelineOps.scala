@@ -235,6 +235,30 @@ object PipelineOps {
         explode(sequence(lit(1L), col("reps"))).as("copy_id"))
       .orderBy("doc_id", "copy_id")
 
+  /** Data-quality audit (the Deequ/Great-Expectations shape): declared
+    * expectations evaluated corpus-wide in ONE aggregation pass — each
+    * rule is a conditional count over the same scan, so auditing ten
+    * rules costs the same scan as auditing one. Emits (rule, violations,
+    * n_rows); a pipeline gates promotion on violations == 0. All rules
+    * here are engine-portable predicates.
+    */
+  def qualityAudit(docs: DataFrame): DataFrame = {
+    val n = count(lit(1))
+    def viol(pred: org.apache.spark.sql.Column) =
+      sum(when(pred, 1L).otherwise(0L))
+    docs.agg(
+      n.as("n_rows"),
+      viol(col("doc_id").isNull).as("null_id"),
+      viol(col("text").isNull || length(col("text")) === 0).as("empty_text"),
+      viol(length(col("text")) =!= col("n_chars")).as("bad_n_chars"),
+      viol(!col("lang").isin("en", "de", "fr", "es", "zh")).as("bad_lang"),
+      viol(col("n_chars") > 100000L).as("oversized"),
+      (n - countDistinct(col("doc_id"))).as("dup_ids"))
+      .select(lit("documents").as("dataset"), col("n_rows"),
+        col("null_id"), col("empty_text"), col("bad_n_chars"),
+        col("bad_lang"), col("oversized"), col("dup_ids"))
+  }
+
   /** The composed corpus filter a training-data pipeline actually runs —
     * language gate, quality gate, near-dup survivorship, deterministic
     * downsample — chained over the individual operators by doc_id

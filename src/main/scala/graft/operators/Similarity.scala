@@ -142,6 +142,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Full-corpus k-means clustering census: the deterministic seeded
+    * k-means the trained IVF uses, reported as per-cluster membership
+    * counts — the topic-balancing / domain-mixing signal a training-
+    * data pipeline derives from embedding clusters. Per iteration: one
+    * broadcast E-step (k x dims centroid rows against the exploded
+    * corpus) + one key-shuffle M-step — linear in n x k at any corpus
+    * size, and the oracle replays the identical fixed-point training.
+    */
+  def kmeansCensus(emb: DataFrame, kClusters: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("pos"), col("e").cast("double").as("e"))
+      .repartition(col("vec_id"))
+    var cent = dims.filter(col("vec_id") < kClusters)
+      .select(col("vec_id").as("cid"), col("pos"), col("e").as("c"))
+    for (_ <- 1 to iters) {
+      val a = assignClusters(dims, cent)
+      cent = dims.join(a, "vec_id")
+        .groupBy("cid", "pos")
+        .agg((sum(floor(col("e") * lit(1e7))).cast("double") / lit(1e7) /
+          count(lit(1))).as("c"))
+    }
+    assignClusters(dims, cent)
+      .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cid")
+  }
+
   /** k-means E-step: nearest centroid per vector (fixed-point-exact
     * squared distance, ties on cid). Centroids are k×dims rows —
     * broadcast.

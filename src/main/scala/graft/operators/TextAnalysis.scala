@@ -119,6 +119,38 @@ object TextAnalysis {
     * hash exact. Documents shorter than `n` words have no shingles and
     * drop out (same rule as the Jaccard dedup family).
     */
+  /** Bigram language-model scoring (the CCNet/KenLM-style perplexity
+    * filter with the corpus itself as the LM): per document, the mean
+    * log-probability of its word bigrams under corpus-wide MLE bigram
+    * statistics `P(w2|w1) = c(w1,w2) / c(w1)` — fluent text scores
+    * near the corpus average, word salad scores far below. Shapes:
+    * bigrams from a per-document lead window (key-partitioned, never a
+    * global sort), two count aggregates, one join back — linear at
+    * corpus scale with map-side combine absorbing hot bigrams.
+    * Per-bigram log-probs floor to scaled longs before the per-doc sum
+    * (order-independent, engine-replayable — the BM25 discipline).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val words = docs.repartition(col("doc_id")).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+    val bi = words.withColumn("w2", lead("w1", 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        floor(log(col("c12").cast("double") / col("c1")) * lit(1e7))
+          .cast("long").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("lp_fp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp_fp").cast("double") / lit(1e7) / col("n_bigrams"), 6)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-frequency rarity scoring: per-document counts of distinct
     * words, rare words (document frequency <= `rareDf`), and the summed
     * df of the document's vocabulary — the integer skeleton of a

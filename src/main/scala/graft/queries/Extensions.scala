@@ -59,6 +59,7 @@ object Extensions {
       Similarity.pqSearchIndexed(s, rd(s, dir, "embeddings"), r, "ann")
     }),
     "ann_range" -> ((s, dir) => Similarity.rangeSearch(rd(s, dir, "embeddings"))),
+    "emb_kmeans" -> ((s, dir) => Similarity.kmeansCensus(rd(s, dir, "embeddings"))),
     "text_bm25" -> ((s, dir) =>
       graft.operators.Retrieval.bm25TopK(rd(s, dir, "documents"), bm25Terms)),
     // the same search against a PERSISTED inverted index (postings +
@@ -78,6 +79,7 @@ object Extensions {
     "pipe_shuffle" -> ((s, dir) => PipelineOps.shuffleShards(rd(s, dir, "documents"))),
     "pipe_chunk" -> ((s, dir) => PipelineOps.chunkDocuments(rd(s, dir, "documents"))),
     "pipe_split" -> ((s, dir) => PipelineOps.trainValTest(rd(s, dir, "documents"))),
+    "pipe_validate" -> ((s, dir) => PipelineOps.qualityAudit(rd(s, dir, "documents"))),
     "dedup_passages" -> ((s, dir) =>
       PipelineOps.passageDupStats(rd(s, dir, "documents"))),
     "pipe_mix" -> ((s, dir) => PipelineOps.mixtureRepeat(rd(s, dir, "documents"))),
@@ -110,6 +112,7 @@ object Extensions {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(rd(s, dir, "documents"))),
     "text_rarity" -> ((s, dir) => TextAnalysis.rarity(rd(s, dir, "documents"))),
+    "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(rd(s, dir, "documents"))),
     "text_stats" -> ((s, dir) => TextAnalysis.stats(rd(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokens(rd(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(rd(s, dir, "documents"))),
@@ -469,6 +472,21 @@ object Extensions {
          |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
 
+    // the trained-IVF k-means replayed in full; census of the final
+    // assignment
+    "emb_kmeans" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS e
+         |  FROM embeddings, range(0, 64) t(i)),
+         |c0 AS (SELECT vec_id AS cid, pos, e AS c FROM dims WHERE vec_id < 8),
+         |a1 AS (${assignSql("c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |a3 AS (${assignSql("c2")})
+         |SELECT cid, count(*) AS n_vectors
+         |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin,
+
     // PQ: per-subspace seeded k-means (1 Lloyd iteration), encode,
     // ADC shortlist, exact re-rank — all fixed-point long arithmetic
     "ann_pq" -> annPqSql,
@@ -577,6 +595,22 @@ object Extensions {
         |FROM f JOIN c USING (fp)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // one-pass expectations audit: every rule a conditional count over
+    // the same scan
+    "pipe_validate" ->
+      """SELECT 'documents' AS dataset, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_id,
+        |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS empty_text,
+        |  CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bad_n_chars,
+        |  CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+        |  CAST(sum(CASE WHEN n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oversized,
+        |  count(*) - count(DISTINCT doc_id) AS dup_ids
+        |FROM documents""".stripMargin,
     // salted 80/10/10 hash assignment, reported per (split, lang)
     "pipe_split" ->
       s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
@@ -702,6 +736,22 @@ object Extensions {
          |SELECT doc_id, max(c) AS max_rep, count(*) AS n_distinct,
          |  CAST(sum(c) AS BIGINT) AS n_total
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // corpus-as-LM bigram scoring: MLE P(w2|w1), per-bigram log-probs
+    // floored to scaled longs before the per-doc mean
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+        |       FROM t, unnest(range(0, len(w) - 1)) r(i)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(ln(CAST(c12 AS DOUBLE) / c1) * 10000000.0)
+        |          AS BIGINT) AS lp
+        |      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / 10000000.0 / count(*), 6) AS avg_logp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_rarity" ->
       """WITH words AS (SELECT doc_id,

@@ -177,14 +177,17 @@ object SqlSurface {
     }),
 
     // RANGE-framed window: value-based frame bounds (all orders within
-    // 50000 below the current price), partitioned so the sort shards.
+    // 5000 below the current price), partitioned so the sort shards.
+    // Frame width is deliberately narrow: Spark's sliding frame is not
+    // invertible (it re-accumulates entrants per row), so cost scales
+    // with rows x frame cardinality.
     "q_window_range_frame" -> ((s, dir) => {
       views(s, dir, "orders")
       s.sql(
         """SELECT o_orderkey, o_orderpriority,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
           |    PARTITION BY o_orderpriority ORDER BY o_totalprice
-          |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS DOUBLE)
           |    AS nearby_total
           |FROM orders ORDER BY o_orderkey""".stripMargin)
     }),
@@ -202,6 +205,95 @@ object SqlSurface {
           |WINDOW w AS (PARTITION BY o_orderstatus
           |             ORDER BY o_totalprice, o_orderkey)
           |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // FULL OUTER join census: customers without orders and orders
+    // whose customer is outside the slice both survive with nulls.
+    "q_outer_join" -> ((s, dir) => {
+      views(s, dir, "customer", "orders")
+      s.sql(
+        """SELECT
+          |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS customers_without_orders,
+          |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS orders_without_customer,
+          |  count(*) AS n_rows
+          |FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 100) c
+          |FULL OUTER JOIN
+          |  (SELECT o_custkey, o_orderkey FROM orders) o
+          |  ON c_custkey = o_custkey""".stripMargin)
+    }),
+
+    // Big-big equi-join forced onto the sort-merge path (MERGE hint):
+    // neither side broadcasts; both shuffle on the key and stream the
+    // merge — the join shape two 100 TB fact tables must take.
+    "q_join_sortmerge" -> ((s, dir) => {
+      views(s, dir, "lineitem", "orders")
+      s.sql(
+        """SELECT /*+ MERGE(lineitem) */ o_orderstatus,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // ANSI-safe parsing: TRY_CAST yields NULL on malformed input
+    // instead of failing the job.
+    "q_try_cast" -> ((s, dir) => {
+      views(s, dir, "part")
+      s.sql(
+        """SELECT p_partkey,
+          |  TRY_CAST(substring(p_type, 1, 2) AS INTEGER) AS numeric_prefix,
+          |  TRY_CAST(CAST(p_size AS STRING) AS INTEGER) AS size_roundtrip
+          |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin)
+    }),
+
+    // Per-group z-score outliers. The group moments come from exact
+    // order-independent sums (decimal for the mean; fixed-point longs
+    // for the sum of squares — floor(x*x*100) of identically-computed
+    // doubles, the ANN family's discipline); the
+    // mean/variance/sqrt arithmetic after that is scalar double math
+    // replayed identically by the oracle. One scan for moments, one
+    // broadcast-joined scan for the filter — no window, no sort of the
+    // fact table. (Threshold 1.7: the synthetic prices are uniform, so
+    // the classic z>3 tail is empty; 1.7 selects the real top tail.)
+    "q_zscore_outliers" -> ((s, dir) => {
+      views(s, dir, "lineitem")
+      s.sql(
+        """WITH s AS (SELECT l_returnflag, count(*) AS n,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+          |    CAST(sum(CAST(floor(l_extendedprice * l_extendedprice * 100)
+          |      AS BIGINT)) AS DOUBLE) / 100 AS sq
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_orderkey, l_linenumber, l_returnflag,
+          |  round((l_extendedprice - sm / n)
+          |    / sqrt(sq / n - (sm / n) * (sm / n)), 6) AS z
+          |FROM lineitem JOIN s USING (l_returnflag)
+          |WHERE (l_extendedprice - sm / n)
+          |    / sqrt(sq / n - (sm / n) * (sm / n)) > 1.7
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
+    // Time-series gap fill: a generated calendar dimension left-joined
+    // to daily order counts — missing days surface as 0 and a forward
+    // fill (last_value IGNORE NULLS) carries the last observed count.
+    // The window is over the bounded calendar year (366 rows), never
+    // the fact table; the fact side is one pushdown-filtered aggregate.
+    "q_gap_fill" -> ((s, dir) => {
+      views(s, dir, "orders")
+      s.sql(
+        """WITH daily AS (
+          |  SELECT date_trunc('DAY', o_orderdate) AS d, count(*) AS n
+          |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+          |cal AS (SELECT explode(sequence(to_timestamp('1996-01-01'),
+          |    to_timestamp('1996-12-31'), interval 1 day)) AS d)
+          |SELECT CAST(cal.d AS DATE) AS day,
+          |  coalesce(n, 0) AS n,
+          |  coalesce(last_value(n, true) OVER (ORDER BY cal.d
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS carried
+          |FROM cal LEFT JOIN daily ON cal.d = daily.d
+          |ORDER BY day""".stripMargin)
     }),
 
     // Null-handling scalar functions.
@@ -313,7 +405,7 @@ object SqlSurface {
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_orderpriority ORDER BY o_totalprice
-        |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS nearby_total
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
@@ -326,6 +418,59 @@ object SqlSurface {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS customers_without_orders,
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS orders_without_customer,
+        |  count(*) AS n_rows
+        |FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 100) c
+        |FULL OUTER JOIN
+        |  (SELECT o_custkey, o_orderkey FROM orders) o
+        |  ON c_custkey = o_custkey""".stripMargin,
+
+    "q_join_sortmerge" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_try_cast" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(substring(p_type, 1, 2) AS INTEGER) AS numeric_prefix,
+        |  TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+
+    "q_zscore_outliers" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+        |    CAST(sum(CAST(floor(l_extendedprice * l_extendedprice * 100)
+        |      AS BIGINT)) AS DOUBLE) / 100 AS sq
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  round((l_extendedprice - sm / n)
+        |    / sqrt(sq / n - (sm / n) * (sm / n)), 6) AS z
+        |FROM lineitem JOIN s USING (l_returnflag)
+        |WHERE (l_extendedprice - sm / n)
+        |    / sqrt(sq / n - (sm / n) * (sm / n)) > 1.7
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS d, count(*) AS n
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        |cal AS (SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+        |    TIMESTAMP '1996-12-31', INTERVAL 1 DAY)) AS d)
+        |SELECT CAST(cal.d AS DATE) AS day,
+        |  coalesce(n, 0) AS n,
+        |  coalesce(last_value(n IGNORE NULLS) OVER (ORDER BY cal.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS carried
+        |FROM cal LEFT JOIN daily ON cal.d = daily.d
+        |ORDER BY day""".stripMargin,
 
     "q_null_fns" ->
       """SELECT o_orderpriority,

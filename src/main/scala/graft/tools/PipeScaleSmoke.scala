@@ -57,6 +57,10 @@ object PipeScaleSmoke {
     val nm = timed("mixtureRepeat")(PipelineOps.mixtureRepeat(docs).count())
     println(f"[pipescale] mixture expansion: ${nm.toDouble / nDocs}%.3fx")
     timed("rarity")(graft.operators.TextAnalysis.rarity(docs).count())
+    timed("bm25TopK")(graft.operators.Retrieval
+      .bm25TopK(docs, Seq("w100", "w2500", "w4999")).collect())
+    timed("passageDupStats")(PipelineOps.passageDupStats(docs).count())
+    timed("trainValTest")(PipelineOps.trainValTest(docs).collect())
     println("[pipescale] OK")
     spark.stop()
   }

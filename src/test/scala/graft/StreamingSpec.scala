@@ -137,6 +137,33 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM ns_ev").head().getLong(0) == 1000L)
   }
 
+  test("a streaming-materialized aggregate folds each ingest commit") {
+    // streaming ingest -> committed snapshots -> Ivm folds the change
+    // feed: the streaming-materialized-view loop, end to end
+    import graft.plans.{Ivm, Mor, TableIO}
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-").toString
+    val sfDir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$sfDir/events.*")
+    val commits = EventsStream.streamIntoTable(spark, src, root, "ns", "ev")
+    val ckpt = java.nio.file.Paths.get(root, "mv.ckpt")
+    Ivm.catchUp(spark, root, "ns", "ev", "ev_agg", ckpt,
+      pmod(col("user_id"), lit(8)), "user_id")
+    // one state snapshot per ingest commit; offset at the head
+    assert(TableIO.currentVersion(root, "ns", "ev_agg") == commits)
+    val got = Mor.read(spark, root, "ns", "ev_agg").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Mor.read(spark, root, "ns", "ev")
+      .groupBy(pmod(col("user_id"), lit(8)).cast("long").as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id").cast("long")).as("s"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("streaming ingest into a partitioned table prunes like batch writes") {
     import graft.plans.{Mor, PartitionSpec, Partitioning, TableIO}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
