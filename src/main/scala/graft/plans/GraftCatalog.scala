@@ -1,0 +1,326 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark DataSourceV2 `TableCatalog` over the governed manifest tables —
+  * the SQL front door: register once
+  * (`spark.sql.catalog.<name> = graft.plans.GraftCatalog`,
+  * `spark.sql.catalog.<name>.root = <catalog root>`) and plain SQL
+  * works end to end:
+  *
+  * {{{
+  *   CREATE NAMESPACE g.ns;
+  *   CREATE TABLE g.ns.t (foo STRING, bar INT, baz BOOLEAN);
+  *   INSERT INTO g.ns.t SELECT ...;     -- snapshot commit per INSERT
+  *   SELECT ... FROM g.ns.t WHERE ...;  -- manifest-pruned scan
+  *   SHOW TABLES IN g.ns; DROP TABLE g.ns.t;
+  * }}}
+  *
+  * This is the reference's catalog surface (`main.rs:278-299` builds a
+  * RestCatalog; D5 in SURVEY §2.3) re-expressed through Spark's own
+  * catalog plugin API instead of a private client. Reads route through
+  * [[GraftFileIndex]] when the snapshot is delete-free (full file
+  * skipping + vectorized parquet) and through the gated [[Mor]] read
+  * when deletes exist — the same split Iceberg's Spark integration
+  * makes. Writes use the V1 fallback (`V1Write`): the analyzer-adjusted
+  * DataFrame lands as one data file + one optimistic-concurrency
+  * snapshot commit per INSERT; `INSERT OVERWRITE` publishes a replacing
+  * snapshot. Both paths are the already-verified TableIO/Mor machinery,
+  * so SQL and library callers see identical semantics.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      Files.createTempDirectory("graft-sql-catalog-").toString)
+  }
+
+  override def name(): String = catalogName
+
+  private def ns1(namespace: Array[String]): String = {
+    if (namespace.length != 1)
+      throw new NoSuchNamespaceException(namespace)
+    namespace(0)
+  }
+
+  // --- tables ---------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = ns1(namespace)
+    if (!TableIO.namespaceExists(root, ns))
+      throw new NoSuchNamespaceException(namespace)
+    val dir = Paths.get(root, ns)
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        Files.isRegularFile(p.resolve("schema.json")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      TableIO.tableExists(root, ident.namespace()(0), ident.name)
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(root, ident.namespace()(0), ident.name)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "partition transforms go through graft.plans.Partitioning")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val ns = ns1(ident.namespace)
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, ident.name, schema)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema evolution goes through TableIO.addColumn/renameColumn")
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!tableExists(ident)) false
+    else { TableIO.dropTable(root, ident.namespace()(0), ident.name); true }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("renameTable not supported")
+
+  // --- namespaces ------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Array.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && TableIO.namespaceExists(root, namespace(0))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    TableIO.createNamespace(root, ns1(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val ns = ns1(namespace)
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(s"namespace $ns is not empty")
+    TableIO.dropNamespace(root, ns)
+    true
+  }
+}
+
+/** One governed table exposed through the V2 `Table` API. SQL
+  * `DELETE FROM ... WHERE <single-column range>` routes to the Iceberg
+  * cost model in [[Dml.deleteWhere]] (covered files drop as metadata,
+  * boundary files get targeted pos-deletes); `TRUNCATE TABLE` publishes
+  * the O(1) empty snapshot.
+  */
+private[plans] class GraftSqlTable(root: String, ns: String, t: String)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete with TruncatableTable {
+
+  override def name(): String = s"$ns.$t"
+
+  override def schema(): StructType = TableIO.readSchema(root, ns, t)
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, ns, t, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(root, ns, t)
+
+  /** The conjunction of `fs` as one closed long range on one column,
+    * if exactly expressible (DELETE must be exact, never a superset —
+    * the opposite of pruning's contract).
+    */
+  private def rangeOf(fs: Array[Filter]): Option[(String, Long, Long)] = {
+    def num(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    def one(f: Filter): Option[(String, Long, Long)] = f match {
+      case sources.EqualTo(a, v) => num(v).map(x => (a, x, x))
+      case sources.GreaterThan(a, v) => num(v).map(x => (a, x + 1, Long.MaxValue))
+      case sources.GreaterThanOrEqual(a, v) => num(v).map(x => (a, x, Long.MaxValue))
+      case sources.LessThan(a, v) => num(v).map(x => (a, Long.MinValue, x - 1))
+      case sources.LessThanOrEqual(a, v) => num(v).map(x => (a, Long.MinValue, x))
+      case sources.And(l, r) =>
+        for { (ac, alo, ahi) <- one(l); (bc, blo, bhi) <- one(r)
+          if ac == bc } yield (ac, math.max(alo, blo), math.min(ahi, bhi))
+      case _ => None
+    }
+    fs.toSeq.foldLeft(Option.empty[(String, Long, Long)] -> true) {
+      case ((acc, ok), f) => one(f) match {
+        case Some((c, lo, hi)) if ok => acc match {
+          case None => (Some((c, lo, hi)), true)
+          case Some((c0, lo0, hi0)) if c0 == c =>
+            (Some((c, math.max(lo0, lo), math.min(hi0, hi))), true)
+          case _ => (None, false)
+        }
+        case _ => (None, false)
+      }
+    }._1
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    rangeOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (c, lo, hi) = rangeOf(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE needs a single-column numeric range, got ${filters.mkString(", ")}"))
+    Dml.deleteWhere(SparkSession.active, root, ns, t, c, lo, hi)
+  }
+
+  override def truncateTable(): Boolean = {
+    Dml.truncate(root, ns, t); true
+  }
+}
+
+/** Scan builder: pushed filters drive manifest file skipping (bounds +
+  * blooms via [[GraftFileIndex]]); Spark still evaluates every filter
+  * above the scan (none is reported handled), so pruning can never
+  * change results. Column pruning narrows the parquet read schema.
+  */
+private[plans] class GraftScanBuilder(root: String, ns: String, t: String,
+    tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual: Spark re-applies them — pruning stays a superset
+  }
+
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // an empty projection (e.g. count(*)) keeps one column for the scan
+    required = if (requiredSchema.isEmpty)
+      StructType(tableSchema.fields.take(1))
+    else requiredSchema
+
+  /** sources.Filter -> Column predicate for the shapes the manifest can
+    * use; unsupported shapes prune nothing (they stay residual above).
+    */
+  private def toPredicate(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === v)
+    case sources.GreaterThan(a, v) => Some(col(a) > v)
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case sources.LessThan(a, v) => Some(col(a) < v)
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case sources.And(l, r) =>
+      for (lp <- toPredicate(l); rp <- toPredicate(r)) yield lp && rp
+    case _ => None
+  }
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val req = required
+      val preds = pushed.flatMap(toPredicate)
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = req
+        override def buildScan(): RDD[Row] = {
+          val spark = context.sparkSession
+          val hasDeletes = TableIO.readManifest(root, ns, t)
+            .exists(_.content != "data")
+          val base: DataFrame =
+            if (hasDeletes) Mor.read(spark, root, ns, t)
+            else GraftFileIndex.scan(spark, root, ns, t)
+          val filtered = preds.foldLeft(base)(_.filter(_))
+          filtered.select(req.fieldNames.toIndexedSeq.map(col): _*).rdd
+        }
+      }.asInstanceOf[T]
+    }
+  }
+}
+
+/** Write builder (V1 fallback): the analyzer-adjusted rows land as ONE
+  * data file + one snapshot commit per INSERT; INSERT OVERWRITE
+  * publishes a replacing snapshot. Commits ride the optimistic-
+  * concurrency protocol, so concurrent SQL inserts all land.
+  */
+private[plans] class GraftWriteBuilder(root: String, ns: String, t: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwriteArg: Boolean): Unit = {
+          val spark = data.sparkSession
+          val seq = TableIO.nextSeq(root, ns, t)
+          val entry = TableIO.writeExactFile(spark, root, ns, t,
+            f"data/sql-$seq%05d.parquet", data, "data", seq)
+          if (overwrite || overwriteArg)
+            TableIO.commitReplacing(root, ns, t, Seq(entry))
+          else
+            TableIO.commit(root, ns, t, Seq(entry))
+        }
+      }
+  }
+}

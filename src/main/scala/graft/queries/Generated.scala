@@ -541,6 +541,24 @@ object Generated {
         ("v1_min", mm1.get._1, true))
         .toDF("stat", "value", "from_metadata").orderBy("stat")
     }),
+    // The SQL front door (DataSourceV2 TableCatalog): CREATE TABLE +
+    // INSERT INTO + a filtered SELECT all through spark.sql against
+    // the governed catalog — the write lands as a snapshot commit, the
+    // read routes through the manifest-pruned scan.
+    "gen_sql_catalog" -> ((s, dir) => {
+      GeneratedTables.ensureCustom(dir + "#sqlcat") { root =>
+        s.conf.set("spark.sql.catalog.gsql", "graft.plans.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsql.root", root)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsql.gen_ns")
+        s.sql("CREATE TABLE gsql.gen_ns.tsql (foo STRING, bar INT, baz BOOLEAN)")
+        s.sql(s"""INSERT INTO gsql.gen_ns.tsql
+                 |SELECT CAST(id AS STRING), CAST(id AS INT), true
+                 |FROM range(0, $N)""".stripMargin)
+      }
+      s.sql(
+        """SELECT foo, bar, baz FROM gsql.gen_ns.tsql
+          |WHERE bar >= 1000 ORDER BY bar""".stripMargin)
+    }),
     // Incremental view maintenance: a committed aggregate table kept in
     // sync by folding the CDC changelog one snapshot per batch (insert
     // = +1, delete = -1) — O(changed keys) per refresh, never a base
@@ -756,6 +774,11 @@ object Generated {
          |FROM (VALUES ('cur_refused', -1, false), ('v1_max', ${N - 1}, true),
          |             ('v1_min', 0, true)) t(stat, v, m)
          |ORDER BY stat""".stripMargin,
+    // everything the SQL INSERT wrote, above the filter line
+    "gen_sql_catalog" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar,
+         |  true AS baz
+         |FROM range(1000, $N) t(g) ORDER BY bar""".stripMargin,
     // incremental state == from-scratch aggregation of the survivors
     "gen_ivm" ->
       s"""SELECT g % 5 AS k, count(*) AS n, CAST(sum(g) AS BIGINT) AS sum_v
