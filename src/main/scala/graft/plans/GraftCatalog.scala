@@ -83,8 +83,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       TableIO.tableExists(root, ident.namespace()(0), ident.name)
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: SELECT * FROM cat.ns.`t$snapshots`
+    // (also $files, $refs, $partitions, $manifest)
+    val metaIdx = ident.name.indexOf('$')
+    if (metaIdx > 0) {
+      val base = ident.name.substring(0, metaIdx)
+      val kind = ident.name.substring(metaIdx + 1)
+      val baseIdent = Identifier.of(ident.namespace, base)
+      if (!tableExists(baseIdent)) throw new NoSuchTableException(baseIdent)
+      return new GraftMetaTable(root, ident.namespace()(0), base, kind)
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftSqlTable(root, ident.namespace()(0), ident.name)
+  }
+
+  /** Time travel: SELECT ... FROM cat.ns.t VERSION AS OF <v or ref>. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val (ns, t) = (ident.namespace()(0), ident.name)
+    val v = version.toLongOption.getOrElse(
+      TableIO.resolveRef(root, ns, t, version))
+    require(v <= TableIO.currentVersion(root, ns, t),
+      s"unknown version $version of $ns.$t")
+    new GraftSqlTable(root, ns, t, atVersion = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -100,10 +121,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** ALTER TABLE schema evolution mapped onto the field-id machinery:
+    * ADD COLUMN (nullable adds, schema-on-read null fill for old
+    * files), RENAME COLUMN and DROP COLUMN (id-based resolution — no
+    * file rewritten, identifier columns of live eq-deletes protected).
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution goes through TableIO.addColumn/renameColumn")
+      changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val (ns, t) = (ident.namespace()(0), ident.name)
+    val spark = SparkSession.active
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1, "nested adds not supported")
+        TableIO.addColumn(root, ns, t,
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType, nullable = true))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1, "nested renames not supported")
+        TableIO.renameColumn(spark, root, ns, t, rn.fieldNames()(0), rn.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1, "nested drops not supported")
+        TableIO.dropColumn(spark, root, ns, t, del.fieldNames()(0))
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported change: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false
@@ -163,11 +207,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * boundary files get targeted pos-deletes); `TRUNCATE TABLE` publishes
   * the O(1) empty snapshot.
   */
-private[plans] class GraftSqlTable(root: String, ns: String, t: String)
+private[plans] class GraftSqlTable(root: String, ns: String, t: String,
+    atVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with TruncatableTable {
 
-  override def name(): String = s"$ns.$t"
+  override def name(): String =
+    s"$ns.$t" + atVersion.map(v => s"@v$v").getOrElse("")
 
   override def schema(): StructType = TableIO.readSchema(root, ns, t)
 
@@ -177,10 +223,13 @@ private[plans] class GraftSqlTable(root: String, ns: String, t: String)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, ns, t, schema())
+    new GraftScanBuilder(root, ns, t, schema(), atVersion)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(atVersion.isEmpty,
+      s"cannot write to a historical snapshot of $ns.$t")
     new GraftWriteBuilder(root, ns, t)
+  }
 
   /** The conjunction of `fs` as one closed long range on one column,
     * if exactly expressible (DELETE must be exact, never a superset —
@@ -232,13 +281,54 @@ private[plans] class GraftSqlTable(root: String, ns: String, t: String)
   }
 }
 
+/** Read-only Iceberg-style metadata tables addressed as
+  * `cat.ns.` + "`t$kind`": `$snapshots`, `$files`, `$refs`,
+  * `$partitions`, `$manifest` — each a pure-metadata relation derived
+  * from the versioned manifests, queryable with full SQL.
+  */
+private[plans] class GraftMetaTable(root: String, ns: String, t: String,
+    kind: String) extends Table with SupportsRead {
+
+  private def df(spark: SparkSession): DataFrame = kind match {
+    case "snapshots" => TableIO.snapshotsDf(spark, root, ns, t)
+    case "files" => TableIO.filesMetaDf(spark, root, ns, t, "bar")
+    case "refs" => TableIO.refsDf(spark, root, ns, t)
+    case "partitions" => Partitioning.partitionsDf(spark, root, ns, t)
+    case "manifest" => TableIO.manifestDf(spark, root, ns, t)
+      .select("path", "content", "seq", "recordCount")
+    case other => throw new NoSuchTableException(
+      Identifier.of(Array(ns), s"$t$$$other"))
+  }
+
+  override def name(): String = s"$ns.$t$$$kind"
+
+  override def schema(): StructType = df(SparkSession.active).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () => new V1Scan {
+    override def readSchema(): StructType = schema()
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = df(context.sparkSession).schema
+        override def buildScan(): RDD[Row] = df(context.sparkSession).rdd
+      }.asInstanceOf[T]
+    }
+  }
+}
+
 /** Scan builder: pushed filters drive manifest file skipping (bounds +
   * blooms via [[GraftFileIndex]]); Spark still evaluates every filter
   * above the scan (none is reported handled), so pruning can never
   * change results. Column pruning narrows the parquet read schema.
   */
 private[plans] class GraftScanBuilder(root: String, ns: String, t: String,
-    tableSchema: StructType) extends ScanBuilder
+    tableSchema: StructType,
+    atVersion: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -283,11 +373,14 @@ private[plans] class GraftScanBuilder(root: String, ns: String, t: String,
         override def schema: StructType = req
         override def buildScan(): RDD[Row] = {
           val spark = context.sparkSession
-          val hasDeletes = TableIO.readManifest(root, ns, t)
-            .exists(_.content != "data")
-          val base: DataFrame =
-            if (hasDeletes) Mor.read(spark, root, ns, t)
-            else GraftFileIndex.scan(spark, root, ns, t)
+          val base: DataFrame = atVersion match {
+            case Some(v) => Mor.readAt(spark, root, ns, t, v)
+            case None =>
+              val hasDeletes = TableIO.readManifest(root, ns, t)
+                .exists(_.content != "data")
+              if (hasDeletes) Mor.read(spark, root, ns, t)
+              else GraftFileIndex.scan(spark, root, ns, t)
+          }
           val filtered = preds.foldLeft(base)(_.filter(_))
           filtered.select(req.fieldNames.toIndexedSeq.map(col): _*).rdd
         }

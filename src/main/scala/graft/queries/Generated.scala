@@ -559,6 +559,31 @@ object Generated {
         """SELECT foo, bar, baz FROM gsql.gen_ns.tsql
           |WHERE bar >= 1000 ORDER BY bar""".stripMargin)
     }),
+    // SQL time travel + metadata tables through the catalog plugin:
+    // VERSION AS OF pins historical snapshots; `tt$snapshots` exposes
+    // the commit history as a SQL relation.
+    "gen_sql_timetravel" -> ((s, dir) => {
+      GeneratedTables.ensureCustom(dir + "#sqltt") { root =>
+        s.conf.set("spark.sql.catalog.gsqltt", "graft.plans.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsqltt.root", root)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsqltt.gen_ns")
+        s.sql("CREATE TABLE gsqltt.gen_ns.tt (foo STRING, bar INT, baz BOOLEAN)")
+        s.sql(s"""INSERT INTO gsqltt.gen_ns.tt
+                 |SELECT CAST(id AS STRING), CAST(id AS INT), true
+                 |FROM range(0, $N)""".stripMargin)
+        s.sql(s"""INSERT INTO gsqltt.gen_ns.tt
+                 |SELECT CAST(id AS STRING), CAST(id AS INT), false
+                 |FROM range($N, ${N + 1000})""".stripMargin)
+      }
+      s.sql(
+        """SELECT 'v1' AS snap, count(*) AS n
+          |FROM gsqltt.gen_ns.tt VERSION AS OF 1
+          |UNION ALL SELECT 'v2', count(*)
+          |FROM gsqltt.gen_ns.tt VERSION AS OF 2
+          |UNION ALL SELECT 'snapshots', count(*)
+          |FROM gsqltt.gen_ns.`tt$snapshots`
+          |ORDER BY snap""".stripMargin)
+    }),
     // Incremental view maintenance: a committed aggregate table kept in
     // sync by folding the CDC changelog one snapshot per batch (insert
     // = +1, delete = -1) — O(changed keys) per refresh, never a base
@@ -779,6 +804,12 @@ object Generated {
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar,
          |  true AS baz
          |FROM range(1000, $N) t(g) ORDER BY bar""".stripMargin,
+    // v1 = first INSERT, v2 = both, 2 commit-history rows
+    "gen_sql_timetravel" ->
+      s"""SELECT snap, CAST(n AS BIGINT) AS n
+         |FROM (VALUES ('snapshots', 2), ('v1', $N), ('v2', ${N + 1000}))
+         |  t(snap, n)
+         |ORDER BY snap""".stripMargin,
     // incremental state == from-scratch aggregation of the survivors
     "gen_ivm" ->
       s"""SELECT g % 5 AS k, count(*) AS n, CAST(sum(g) AS BIGINT) AS sum_v

@@ -83,4 +83,73 @@ class CatalogSqlSpec extends AnyFunSuite {
       "SELECT min(bar), max(bar) FROM g.mor_ns.t").head()
     assert(mm.getInt(0) == 100 && mm.getInt(1) == 199)
   }
+
+  test("VERSION AS OF time-travels through SQL, by version and by ref") {
+    root // (relies on the mor_ns.t table built by the previous test)
+    val cfg = GenConfig("tt_ns", "t", FileConfig(50, 4),
+      FileConfig(50, 1), FileConfig(50, 1))
+    Pipeline.prepare(spark, root, cfg)
+    TableIO.setRef(root, "tt_ns", "t", "after_data", "tag", 1L)
+    def n(q: String) = spark.sql(q).head().getLong(0)
+    assert(n("SELECT count(*) FROM g.tt_ns.t VERSION AS OF 1") == 200L)
+    assert(n("SELECT count(*) FROM g.tt_ns.t VERSION AS OF 2") == 150L)
+    assert(n("SELECT count(*) FROM g.tt_ns.t VERSION AS OF 3") == 100L)
+    assert(n("SELECT count(*) FROM g.tt_ns.t VERSION AS OF 'after_data'") == 200L)
+    intercept[Exception] {
+      spark.sql("INSERT INTO g.tt_ns.t VERSION AS OF 1 VALUES ('x', 1, true)")
+    }
+  }
+
+  test("ALTER TABLE add/rename/drop column evolves schema through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ddlns")
+    spark.sql("CREATE TABLE g.ddlns.t (foo STRING, bar INT, baz BOOLEAN)")
+    spark.sql(
+      """INSERT INTO g.ddlns.t
+        |SELECT CAST(id AS STRING), CAST(id AS INT), true FROM range(0, 10)""".stripMargin)
+    spark.sql("ALTER TABLE g.ddlns.t ADD COLUMN qux BIGINT")
+    // old files fill the new column with null (schema-on-read)
+    assert(spark.sql("SELECT count(*) FROM g.ddlns.t WHERE qux IS NULL")
+      .head().getLong(0) == 10L)
+    spark.sql(
+      """INSERT INTO g.ddlns.t
+        |SELECT CAST(id AS STRING), CAST(id AS INT), false, id * 2
+        |FROM range(10, 20)""".stripMargin)
+    assert(spark.sql("SELECT sum(qux) FROM g.ddlns.t").head().getLong(0) ==
+      (10 until 20).map(_ * 2).sum)
+    spark.sql("ALTER TABLE g.ddlns.t RENAME COLUMN foo TO label")
+    // values written under the old name survive the rename (field ids)
+    assert(spark.sql("SELECT count(*) FROM g.ddlns.t WHERE label = '5'")
+      .head().getLong(0) == 1L)
+    spark.sql("ALTER TABLE g.ddlns.t DROP COLUMN baz")
+    assert(!spark.table("g.ddlns.t").columns.contains("baz"))
+  }
+
+  test("CREATE TABLE AS SELECT works against the catalog") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ctasns")
+    spark.sql(
+      """CREATE TABLE g.ctasns.t AS
+        |SELECT CAST(id AS STRING) AS foo, CAST(id AS INT) AS bar
+        |FROM range(0, 25)""".stripMargin)
+    assert(spark.sql("SELECT count(*), sum(bar) FROM g.ctasns.t").head()
+      .toSeq == Seq(25L, 300L))
+  }
+
+  test("metadata tables are queryable through SQL") {
+    root
+    val rows = spark.sql(
+      "SELECT version, operation, added_files FROM g.tt_ns.`t$snapshots` ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1, "append", 4L), (2, "append", 1L),
+      (3, "append", 1L)))
+    val contents = spark.sql(
+      "SELECT content, count(*) AS n FROM g.tt_ns.`t$files` GROUP BY content ORDER BY content")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(contents.toSeq == Seq(("data", 4L), ("eq_delete", 1L),
+      ("pos_delete", 1L)))
+    val refs = spark.sql("SELECT name, type FROM g.tt_ns.`t$refs` ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(refs.toSeq == Seq(("after_data", "tag"), ("main", "branch")))
+  }
 }
