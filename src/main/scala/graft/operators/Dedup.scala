@@ -129,6 +129,26 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Edit-distance near-dup verification: MinHash-LSH candidate pairs
+    * re-verified by EXACT Levenshtein distance on the raw texts — the
+    * high-precision final filter a dedup pipeline runs before dropping
+    * documents (banding is the recall engine; edit distance is the
+    * precision gate). Cost: the O(len^2) DP runs only on the candidate
+    * pairs the bands surface, never corpus-quadratically; the texts
+    * join to candidates on the doc_id key. `levenshtein` is Spark's
+    * codegen'd built-in, value-identical to the oracle's.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 6): DataFrame = {
+    val txt = docs.select(col("doc_id"), col("text"))
+    minhashPairs(docs)
+      .join(txt.toDF("doc_a", "text_a"), "doc_a")
+      .join(txt.toDF("doc_b", "text_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash near-dup pairs: 32-bit fingerprint from word hashes; pairs
     * with hamming distance <= maxDist, found WITHOUT an all-pairs join:
     * the fingerprint is split into 4 disjoint 8-bit bands and candidates

@@ -43,6 +43,8 @@ object Extensions {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(rd(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(rd(s, dir, "documents"))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosine(rd(s, dir, "embeddings"))),
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(rd(s, dir, "documents"))),
     "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rd(s, dir, "embeddings"))),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"))),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"))),
@@ -203,6 +205,17 @@ object Extensions {
        |FROM documents d JOIN ql USING (doc_id) JOIN surv USING (doc_id)
        |WHERE d.lang = 'en'
        |  AND (${rollSql("'c' || CAST(doc_id AS VARCHAR)")} % 100) < 50""".stripMargin
+
+  /** The MinHash signature/banding CTE chain, shared by the LSH pair
+    * oracle and the edit-distance verification oracle.
+    */
+  private lazy val minhashCtesSql =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+       |        FROM t WHERE len(w) >= 4),
+       |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
+       |sig AS (SELECT doc_id, $minhashSigCols FROM h GROUP BY doc_id),
+       |bands AS ($bandsSql)""".stripMargin
 
   /** DuckDB twin of TextHash.rollingHash applied to expression `e`. */
   private def rollSql(e: String): String =
@@ -380,15 +393,23 @@ object Extensions {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
-         |        FROM t WHERE len(w) >= 4),
-         |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
-         |sig AS (SELECT doc_id, $minhashSigCols FROM h GROUP BY doc_id),
-         |bands AS ($bandsSql)
+      s"""WITH $minhashCtesSql
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // MinHash candidates re-verified by exact Levenshtein distance
+    "dedup_edit_distance" ->
+      s"""WITH $minhashCtesSql,
+         |mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM bands a JOIN bands b
+         |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(x.text, y.text) AS INTEGER) AS edit_dist
+         |FROM mh JOIN documents x ON x.doc_id = doc_a
+         |        JOIN documents y ON y.doc_id = doc_b
+         |WHERE levenshtein(x.text, y.text) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->

@@ -249,6 +249,39 @@ object SqlSurface {
           |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin)
     }),
 
+    // Aggregate FILTER clause: per-group conditional aggregates without
+    // CASE scaffolding (one scan, the filters evaluate per aggregate).
+    "q_agg_filter" -> ((s, dir) => {
+      views(s, dir, "orders")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  count(*) AS n,
+          |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+          |    FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS big_total
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (the distinct variants are covered separately).
+    "q_set_ops_all" -> ((s, dir) => {
+      views(s, dir, "orders")
+      s.sql(
+        """SELECT 'except' AS op, status, count(*) AS n FROM (
+          |  SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 250000
+          |  EXCEPT ALL
+          |  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+          |GROUP BY status
+          |UNION ALL
+          |SELECT 'intersect', status, count(*) FROM (
+          |  SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 250000
+          |  INTERSECT ALL
+          |  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+          |GROUP BY status
+          |ORDER BY op, status""".stripMargin)
+    }),
+
     // Per-group z-score outliers. The group moments come from exact
     // order-independent sums (decimal for the mean; fixed-point longs
     // for the sum of squares — floor(x*x*100) of identically-computed
@@ -444,6 +477,29 @@ object SqlSurface {
         |  TRY_CAST(substring(p_type, 1, 2) AS INTEGER) AS numeric_prefix,
         |  TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip
         |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+
+    "q_agg_filter" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS big_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_set_ops_all" ->
+      """SELECT 'except' AS op, status, count(*) AS n FROM (
+        |  SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 250000
+        |  EXCEPT ALL
+        |  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY status
+        |UNION ALL
+        |SELECT 'intersect', status, count(*) FROM (
+        |  SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 250000
+        |  INTERSECT ALL
+        |  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY status
+        |ORDER BY op, status""".stripMargin,
 
     "q_zscore_outliers" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,
