@@ -368,6 +368,31 @@ object Mor {
       entries.filter(_.content == "pos_delete").map(_.recordCount).sum)
   }
 
+  /** MOR read with Iceberg-v3 row lineage: every surviving row carries
+    * its STABLE `_row_id` (the file's committed firstRowId + the row's
+    * physical position). Ids survive positional deletes (positions
+    * don't shift), equality deletes, and appends (monotonic high-water
+    * assignment, never reused) — the identity a downstream incremental
+    * consumer keys on. Files committed before lineage existed surface
+    * `_row_id` as null (unknown, never fabricated). One broadcast of
+    * O(#files) (file, firstRowId) rows on top of the gated read.
+    */
+  def readLineage(spark: SparkSession, root: String, ns: String,
+      table: String, asOfVersion: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val df = read(spark, root, ns, table, asOfVersion = asOfVersion,
+      keepProvenance = true)
+    val ids = manifestAt(root, ns, table, asOfVersion)
+      .filter(_.content == "data")
+      .map(e => (e.path, e.firstRowId.getOrElse(-1L)))
+      .toDF("_file", "_frid")
+    val schemaCols = TableIO.readSchema(root, ns, table).fieldNames.toSeq
+    df.join(broadcast(ids), Seq("_file"), "left")
+      .withColumn("_row_id",
+        when(col("_frid") >= 0, col("_frid") + col("_pos")))
+      .select((schemaCols :+ "_row_id").map(col): _*)
+  }
+
   /** MIN/MAX of a column answered from the manifest's per-file bounds —
     * the other half of aggregate pushdown into metadata. Valid only
     * when the snapshot carries NO deletes at all (any delete might

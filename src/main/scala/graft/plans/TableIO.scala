@@ -24,7 +24,12 @@ final case class ManifestEntry(
     seq: Long,
     recordCount: Long,
     bounds: Map[String, (Long, Long)] = Map.empty,
-    blooms: Map[String, Vector[Long]] = Map.empty
+    blooms: Map[String, Vector[Long]] = Map.empty,
+    // Iceberg v3 row lineage: the stable id of this file's first row;
+    // row N of the file has id firstRowId + N. Assigned at commit time
+    // from the table's monotonic high-water mark; None on delete files
+    // and on manifests written before lineage existed.
+    firstRowId: Option[Long] = None
 ) {
   /** Can this file contain rows with `column` in [qlo, qhi]? */
   def mayContain(column: String, qlo: Long, qhi: Long): Boolean =
@@ -370,8 +375,10 @@ object TableIO {
     var attempts = 0
     while (attempts < 1000) {
       val v = currentVersion(root, ns, table)
-      val all = readManifest(root, ns, table) ++ newEntries
+      val assigned = assignRowIds(root, ns, table, newEntries)
+      val all = readManifest(root, ns, table) ++ assigned
       if (tryPublish(dir, v + 1, all.map(entryToJson).mkString("\n"))) {
+        advanceRowIdMark(root, ns, table, assigned)
         atomicWrite(dir.resolve("version-hint.text"), (v + 1).toString)
         return v + 1
       }
@@ -379,6 +386,49 @@ object TableIO {
     }
     throw new IllegalStateException(
       s"commit to $ns.$table lost ${attempts} publish races — aborting")
+  }
+
+  // --- row lineage (Iceberg v3) ----------------------------------------
+  // Every committed data file gets a `firstRowId` from a monotonic
+  // per-table high-water mark, so row N of the file has the STABLE id
+  // firstRowId + N: unaffected by positional deletes (positions don't
+  // shift) and by appends, and never reused. The mark is
+  // max(next-row-id.text, max over the live manifest) — robust to a
+  // crash between manifest publish and mark write.
+
+  private def rowIdMark(root: String, ns: String, table: String): Long = {
+    val f = tableDir(root, ns, table).resolve("next-row-id.text")
+    val persisted =
+      if (Files.isRegularFile(f)) Files.readString(f).trim.toLong else 0L
+    val live = readManifest(root, ns, table)
+      .flatMap(e => e.firstRowId.map(_ + e.recordCount))
+      .foldLeft(0L)(math.max)
+    math.max(persisted, live)
+  }
+
+  /** Stamp unassigned data entries with consecutive firstRowIds from the
+    * high-water mark (delete files carry no lineage).
+    */
+  private def assignRowIds(root: String, ns: String, table: String,
+      entries: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    var next = rowIdMark(root, ns, table)
+    entries.map { e =>
+      if (e.content != "data" || e.firstRowId.isDefined || e.recordCount < 0) e
+      else {
+        val stamped = e.copy(firstRowId = Some(next))
+        next += e.recordCount
+        stamped
+      }
+    }
+  }
+
+  private def advanceRowIdMark(root: String, ns: String, table: String,
+      assigned: Seq[ManifestEntry]): Unit = {
+    val high = assigned.flatMap(e => e.firstRowId.map(_ + e.recordCount))
+      .foldLeft(0L)(math.max)
+    if (high > 0L)
+      atomicWrite(tableDir(root, ns, table).resolve("next-row-id.text"),
+        high.toString)
   }
 
   /** Commit a snapshot whose manifest REPLACES the previous content
@@ -397,9 +447,15 @@ object TableIO {
       throw new java.util.ConcurrentModificationException(
         s"$ns.$table is at v$v but the rewrite was planned from v$e — re-plan")
     }
-    if (!tryPublish(dir, v + 1, entries.map(entryToJson).mkString("\n")))
+    // rewritten files get FRESH row ids (this emulation does not yet
+    // carry lineage through compaction's row reordering); entries the
+    // caller stamped (e.g. rollback republishing an old manifest) keep
+    // theirs
+    val assigned = assignRowIds(root, ns, table, entries)
+    if (!tryPublish(dir, v + 1, assigned.map(entryToJson).mkString("\n")))
       throw new java.util.ConcurrentModificationException(
         s"$ns.$table advanced past v$v during a replacing commit — re-plan")
+    advanceRowIdMark(root, ns, table, assigned)
     atomicWrite(dir.resolve("version-hint.text"), (v + 1).toString)
     v + 1
   }
@@ -645,7 +701,8 @@ object TableIO {
   // --- tiny JSON codec for manifest lines (fixed shape, no deps) ---
   private def entryToJson(e: ManifestEntry): String = {
     val base = s""""path":"${e.path}","content":"${e.content}",""" +
-      s""""seq":${e.seq},"record_count":${e.recordCount}"""
+      s""""seq":${e.seq},"record_count":${e.recordCount}""" +
+      e.firstRowId.map(r => s""","first_row_id":$r""").getOrElse("")
     val b = if (e.bounds.isEmpty) "" else
       e.bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s""""$c":[$lo,$hi]"""
@@ -658,12 +715,12 @@ object TableIO {
   }
 
   private val entryRe =
-    """\{"path":"([^"]*)","content":"([^"]*)","seq":(\d+),"record_count":(\d+)(?:,"bounds":\{([^}]*)\})?(?:,"blooms":\{([^}]*)\})?\}""".r
+    """\{"path":"([^"]*)","content":"([^"]*)","seq":(\d+),"record_count":(\d+)(?:,"first_row_id":(\d+))?(?:,"bounds":\{([^}]*)\})?(?:,"blooms":\{([^}]*)\})?\}""".r
   private val boundRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
   private val bloomRe = """"([^"]+)":"([^"]*)"""".r
 
   private def entryFromJson(line: String): ManifestEntry = line.trim match {
-    case entryRe(p, c, s, n, b, bl) =>
+    case entryRe(p, c, s, n, frid, b, bl) =>
       val bounds = Option(b).map { body =>
         boundRe.findAllMatchIn(body).map { m =>
           m.group(1) -> (m.group(2).toLong, m.group(3).toLong)
@@ -674,7 +731,8 @@ object TableIO {
           m.group(1) -> Bloom.fromBase64(m.group(2))
         }.toMap
       }.getOrElse(Map.empty[String, Vector[Long]])
-      ManifestEntry(p, c, s.toLong, n.toLong, bounds, blooms)
+      ManifestEntry(p, c, s.toLong, n.toLong, bounds, blooms,
+        Option(frid).map(_.toLong))
     case other => throw new IllegalArgumentException(s"bad manifest line: $other")
   }
 

@@ -559,6 +559,28 @@ object Generated {
         """SELECT foo, bar, baz FROM gsql.gen_ns.tsql
           |WHERE bar >= 1000 ORDER BY bar""".stripMargin)
     }),
+    // Row lineage (Iceberg v3): every surviving row's STABLE _row_id =
+    // its file's commit-assigned firstRowId + physical position. The
+    // appended file's bar values are deliberately misaligned with the
+    // id space (bar 9000.. vs ids 5000..), so the oracle catches any
+    // implementation that derives ids from values instead of lineage;
+    // the base survivors prove ids survive pos- and eq-deletes intact.
+    "gen_row_lineage" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_lineage")
+      val r = GeneratedTables.ensureCustom(dir + "#lineage") { root =>
+        Pipeline.prepare(s, root, c2)
+        val extra = s.range(9000, 10000).select(
+          col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"), lit(false).as("baz"))
+        val seq = TableIO.nextSeq(root, c2.namespace, c2.tableName)
+        TableIO.commit(root, c2.namespace, c2.tableName,
+          Seq(TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
+            graft.sources.FixSchemaGen.dataFilePath(5), extra, "data", seq,
+            recordCount = 1000L)))
+      }
+      Mor.readLineage(s, r, c2.namespace, c2.tableName)
+        .select("bar", "_row_id").orderBy("_row_id")
+    }),
     // SQL time travel + metadata tables through the catalog plugin:
     // VERSION AS OF pins historical snapshots; `tt$snapshots` exposes
     // the commit history as a SQL relation.
@@ -804,6 +826,16 @@ object Generated {
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar,
          |  true AS baz
          |FROM range(1000, $N) t(g) ORDER BY bar""".stripMargin,
+    // base survivors keep _row_id == g (global row number by
+    // construction); the appended file continues the id space at N
+    // while its bar values live at 9000.. — lineage, not values
+    "gen_row_lineage" ->
+      s"""SELECT CAST(g AS INTEGER) AS bar, CAST(g AS BIGINT) AS _row_id
+         |FROM range(${P + E}, $N) t(g)
+         |UNION ALL
+         |SELECT CAST(g + 9000 - $N AS INTEGER), CAST(g AS BIGINT)
+         |FROM range($N, ${N + 1000}) t(g)
+         |ORDER BY _row_id""".stripMargin,
     // v1 = first INSERT, v2 = both, 2 commit-history rows
     "gen_sql_timetravel" ->
       s"""SELECT snap, CAST(n AS BIGINT) AS n

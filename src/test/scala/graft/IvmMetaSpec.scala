@@ -34,6 +34,32 @@ class IvmMetaSpec extends AnyFunSuite {
     assert(Mor.countFromMetadata(root, "ns", "t", Some(2L)) === Some(150L))
   }
 
+  test("row lineage: ids survive deletes and are never reused") {
+    import graft.plans.Dml
+    val root = Files.createTempDirectory("graft-lineage-").toString
+    val cfg = GenConfig("ns", "t", FileConfig(100, 3),
+      FileConfig(0, 0), FileConfig(0, 0))
+    Pipeline.prepare(spark, root, cfg) // 300 rows, ids 0..299 (= bar)
+    Dml.deleteWhere(spark, root, "ns", "t", "bar", 0L, 99L)
+    // survivors keep their ids through the delete (positions unshifted)
+    val after = Mor.readLineage(spark, root, "ns", "t")
+      .collect().map(r => (r.getInt(1), r.getLong(3))).toMap
+    assert(after.size == 200 && after.forall { case (bar, rid) => rid == bar })
+    // truncate empties the LIVE manifest, but the high-water mark
+    // persists: the next append must not reuse ids 0..299
+    Dml.truncate(root, "ns", "t")
+    val extra = spark.range(0, 50).select(
+      col("id").cast("string").as("foo"),
+      col("id").cast("int").as("bar"), lit(true).as("baz"))
+    val seq = TableIO.nextSeq(root, "ns", "t")
+    TableIO.commit(root, "ns", "t", Seq(TableIO.writeExactFile(spark, root,
+      "ns", "t", "data/part-00009.parquet", extra, "data", seq,
+      recordCount = 50L)))
+    val rids = Mor.readLineage(spark, root, "ns", "t")
+      .collect().map(_.getLong(3)).sorted
+    assert(rids.head >= 300L && rids.distinct.length == 50)
+  }
+
   test("ivm state folds one snapshot per batch and matches recompute") {
     val root = Files.createTempDirectory("graft-ivm-").toString
     val cfg = GenConfig("ns", "t", FileConfig(100, 3),
