@@ -412,10 +412,15 @@ object Mor {
   }
 
   def readChanges(spark: SparkSession, root: String, ns: String,
-      table: String, fromVersion: Long, toVersion: Long): DataFrame = {
+      table: String, fromVersion: Long, toVersion: Long,
+      withLineage: Boolean = false): DataFrame = {
+    import spark.implicits._
     val dir = TableIO.tableDir(root, ns, table)
     val schema = TableIO.readSchema(root, ns, table)
-    val schemaCols = schema.fieldNames.toSeq
+    val schemaCols0 = schema.fieldNames.toSeq
+    // with lineage, every change row carries its stable _row_id — the
+    // key an incremental consumer correlates inserts/deletes on
+    val schemaCols = if (withLineage) schemaCols0 :+ "_row_id" else schemaCols0
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
       val prev = TableIO.readManifestAt(root, ns, table, v - 1)
       val cur = TableIO.readManifestAt(root, ns, table, v)
@@ -427,13 +432,24 @@ object Mor {
         val addedData = added.filter(_.content == "data")
         val inserts =
           if (addedData.isEmpty) None
-          else Some({
+          else Some {
             if (schema.fields.exists(_.metadata.contains(TableIO.FieldIdKey)))
               spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-            spark.read.schema(schema)
-            .parquet(addedData.map(e => dir.resolve(e.path).toString): _*)}
-            .select(schemaCols.map(col): _*)
-            .withColumn("_change_type", lit("insert")))
+            val raw = spark.read.schema(schema)
+              .parquet(addedData.map(e => dir.resolve(e.path).toString): _*)
+            val withId = if (!withLineage) raw else {
+              val frids = addedData
+                .map(e => (e.path.split('/').last, e.firstRowId.getOrElse(-1L)))
+                .toDF("_fname", "_frid")
+              raw.withColumn("_fname", col("_metadata.file_name"))
+                .withColumn("_pos", col("_metadata.row_index"))
+                .join(broadcast(frids), Seq("_fname"), "left")
+                .withColumn("_row_id",
+                  when(col("_frid") >= 0, col("_frid") + col("_pos")))
+            }
+            withId.select(schemaCols.map(col): _*)
+              .withColumn("_change_type", lit("insert"))
+          }
         val addedPos = added.filter(_.content == "pos_delete")
           .map(e => (dir.resolve(e.path).toString, e.seq))
         val addedEq = added.filter(_.content == "eq_delete")
@@ -472,8 +488,17 @@ object Mor {
                   alive("_seq") < ed("_dseq")
                 cands :+= alive.join(ed, cond, "left_semi")
               }
-            cands.reduce(_ union _).dropDuplicates("_file", "_pos")
-              .select(schemaCols.map(col): _*)
+            val deduped = cands.reduce(_ union _)
+              .dropDuplicates("_file", "_pos")
+            val withId = if (!withLineage) deduped else {
+              val frids = prev.filter(_.content == "data")
+                .map(e => (e.path, e.firstRowId.getOrElse(-1L)))
+                .toDF("_file", "_frid")
+              deduped.join(broadcast(frids), Seq("_file"), "left")
+                .withColumn("_row_id",
+                  when(col("_frid") >= 0, col("_frid") + col("_pos")))
+            }
+            withId.select(schemaCols.map(col): _*)
               .withColumn("_change_type", lit("delete"))
           }
         (inserts.toSeq ++ deletes.toSeq)
@@ -481,9 +506,11 @@ object Mor {
       }
     }
     if (parts.isEmpty) {
-      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      val lineageField =
+        if (withLineage) Seq(StructField("_row_id", LongType)) else Nil
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(schema.fields ++ Seq(
+        StructType(schema.fields ++ lineageField ++ Seq(
           StructField("_change_type", StringType, nullable = false),
           StructField("_change_version", IntegerType, nullable = false))))
     } else parts.reduce(_ union _)

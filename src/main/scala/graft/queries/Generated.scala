@@ -581,6 +581,30 @@ object Generated {
       Mor.readLineage(s, r, c2.namespace, c2.tableName)
         .select("bar", "_row_id").orderBy("_row_id")
     }),
+    // CDC changelog WITH lineage: every change row carries its stable
+    // _row_id, the key an incremental consumer correlates inserts and
+    // deletes on. The v4 append's sum(_row_id) differs from sum(bar)
+    // (misaligned id/value spaces), so the oracle pins real lineage.
+    "gen_changes_lineage" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_lineage")
+      val r = GeneratedTables.ensureCustom(dir + "#lineage") { root =>
+        Pipeline.prepare(s, root, c2)
+        val extra = s.range(9000, 10000).select(
+          col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"), lit(false).as("baz"))
+        val seq = TableIO.nextSeq(root, c2.namespace, c2.tableName)
+        TableIO.commit(root, c2.namespace, c2.tableName,
+          Seq(TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
+            graft.sources.FixSchemaGen.dataFilePath(5), extra, "data", seq,
+            recordCount = 1000L)))
+      }
+      Mor.readChanges(s, r, c2.namespace, c2.tableName, 0L, 4L,
+          withLineage = true)
+        .groupBy("_change_version", "_change_type")
+        .agg(count(lit(1)).as("n"), sum("_row_id").as("sum_rid"),
+          sum("bar").as("sum_bar"))
+        .orderBy("_change_version", "_change_type")
+    }),
     // SQL time travel + metadata tables through the catalog plugin:
     // VERSION AS OF pins historical snapshots; `tt$snapshots` exposes
     // the commit history as a SQL relation.
@@ -826,6 +850,27 @@ object Generated {
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar,
          |  true AS baz
          |FROM range(1000, $N) t(g) ORDER BY bar""".stripMargin,
+    // per-commit change census with lineage: v4's ids continue at N
+    // while its bar values live at 9000.. (sum_rid != sum_bar)
+    "gen_changes_lineage" ->
+      s"""SELECT * FROM (
+         |  SELECT 1 AS _change_version, 'insert' AS _change_type,
+         |    count(*) AS n, CAST(sum(g) AS BIGINT) AS sum_rid,
+         |    CAST(sum(g) AS BIGINT) AS sum_bar
+         |  FROM range(0, $N) t(g)
+         |  UNION ALL
+         |  SELECT 2, 'delete', count(*), CAST(sum(g) AS BIGINT),
+         |    CAST(sum(g) AS BIGINT)
+         |  FROM range(0, $P) t(g)
+         |  UNION ALL
+         |  SELECT 3, 'delete', count(*), CAST(sum(g) AS BIGINT),
+         |    CAST(sum(g) AS BIGINT)
+         |  FROM range($P, ${P + E}) t(g)
+         |  UNION ALL
+         |  SELECT 4, 'insert', count(*), CAST(sum(g) AS BIGINT),
+         |    CAST(sum(g + 4000) AS BIGINT)
+         |  FROM range($N, ${N + 1000}) t(g))
+         |ORDER BY _change_version, _change_type""".stripMargin,
     // base survivors keep _row_id == g (global row number by
     // construction); the appended file continues the id space at N
     // while its bar values live at 9000.. — lineage, not values
