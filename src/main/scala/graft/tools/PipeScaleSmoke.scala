@@ -52,6 +52,11 @@ object PipeScaleSmoke {
     timed("topNgrams")(PipelineOps.topNgrams(docs).collect())
     timed("filterCompose")(PipelineOps.filterCompose(docs).count())
     timed("fingerprint dedup")(Dedup.fingerprint(docs).count())
+    // same-JVM A/B: the retired two-regex normalize vs the native pass
+    timed("fingerprint dedup (regex normalize)")(
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"), md5(Dedup.normalizeRegex(col("text"))).as("fp"))
+        .groupBy("fp").count().count())
     val nc = timed("chunkDocuments")(PipelineOps.chunkDocuments(docs).count())
     println(s"[pipescale] chunks: $nc")
     val nm = timed("mixtureRepeat")(PipelineOps.mixtureRepeat(docs).count())

@@ -35,6 +35,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("native normalizeText is byte-identical to the regex formulation") {
+    val tricky = Seq(
+      "  Hello,   World!  ", "ALL CAPS 123", "tabs\tand\nnewlines here",
+      "", "   ", "éàü ÄÖÜ mixed Ascii", "a", " x ", "a  b   c",
+      "punct!@#$%^&*()_+-=[]{};':\",./<>?0aZ9", "Íİstanbul",
+      "emoji 😀 inside", "trailing space ", " leading")
+    val df = tricky.toDF("text")
+    val got = df.select(
+        graft.functions.HashFunctions.normalizeText($"text").as("native"),
+        Dedup.normalizeRegex($"text").as("regex"))
+      .collect()
+    got.zip(tricky).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1),
+        s"mismatch for '$in': native='${r.getString(0)}' regex='${r.getString(1)}'")
+    }
+  }
+
   test("exact dedup keeps min doc_id per text") {
     val d = docs((1L, "x y"), (2L, "x y"), (3L, "z"))
     val got = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1)))
