@@ -131,6 +131,68 @@ object Multimodal {
     }
   }
 
+  /** A decoded audio record: real header fields + integer RMS of the
+    * 16-bit PCM samples (fixed-point — no float in results).
+    */
+  final case class AudioFeature(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      rms: Long)
+
+  /** REAL audio decode for formats the JVM ships codecs for (WAV, AIFF,
+    * AU via javax.sound.sampled — the audio twin of [[decodeImage]]):
+    * header fields plus the integer RMS of the 16-bit PCM samples.
+    * None when the payload is not parseable audio. Pure JVM, no native
+    * libraries; RMS accumulates exact long sums of squares (a 16-bit
+    * sample squared is <= 2^30, so hours of audio fit a long).
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        val frames = in.getFrameLength
+        val rms =
+          if (f.getSampleSizeInBits != 16) -1L
+          else {
+            val data = in.readAllBytes()
+            var ss = 0L
+            var n = 0L
+            var i = 0
+            while (i + 1 < data.length) {
+              val v =
+                if (f.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+              ss += v.toLong * v
+              n += 1
+              i += 2
+            }
+            if (n == 0) 0L else math.sqrt(ss.toDouble / n).toLong
+          }
+        Some((f.getSampleRate.toInt, f.getChannels, frames, rms))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Partition-batched audio feature extraction over (doc_id, payload
+    * binary) — the same mapPartitions shape as [[decodeFeatures]]; rows
+    * whose payload is not audio are dropped (a production pipeline
+    * routes them to the image/text branches instead).
+    */
+  def audioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeature] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeAudio(bytes).map { case (sr, ch, nf, rms) =>
+            AudioFeature(id, sr, ch, nf, rms)
+          }
+        }
+      }
+  }
+
   /** Deterministic frame sampling from a payload treated as a "video":
     * every stride-th 4-byte window becomes a frame checksum. Shows the
     * explode-to-frames shape (one row per frame) used by video

@@ -203,6 +203,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "de", "und"))
   }
 
+  test("real WAV payloads decode through javax.sound with exact RMS") {
+    // synthesize a REAL 16-bit PCM WAV (constant-amplitude square wave:
+    // RMS == amplitude exactly, no float tolerance needed)
+    def wav(amp: Short, frames: Int, sr: Float = 8000f): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+      val pcm = new Array[Byte](frames * 2)
+      (0 until frames).foreach { i =>
+        val v: Short = if (i % 2 == 0) amp else (-amp).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, wav(1000, 400)),
+      (2L, wav(250, 800)),
+      (3L, "not audio at all".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val got = Multimodal.audioFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(got.map(_.doc_id).toSeq == Seq(1L, 2L)) // non-audio dropped
+    assert(got(0) == Multimodal.AudioFeature(1L, 8000, 1, 400, 1000L))
+    assert(got(1) == Multimodal.AudioFeature(2L, 8000, 1, 800, 250L))
+  }
+
   test("multimodal decode stub is deterministic and batched") {
     val d = docs((1L, "abcd"), (2L, "efgh ijkl"))
     val got = Multimodal.decodeFeatures(spark, d).collect().sortBy(_.doc_id)
