@@ -36,7 +36,10 @@ object GraftFunctions {
       c => DotF32(c(0), c(1))),
     ("graft_bitmap_contains",
       "graft_bitmap_contains(words, pos) - deletion-vector probe",
-      c => BitmapContains(c(0), c(1)))
+      c => BitmapContains(c(0), c(1))),
+    ("graft_normalize",
+      "graft_normalize(str) - one-pass dedup text normalization",
+      c => NormalizeText(c.head))
   )
 
   /** Install on a live session's function registry. */

@@ -20,14 +20,16 @@ class SqlFunctionsSpec extends AnyFunSuite {
       """SELECT id, graft_polyhash(text) AS h,
         |  graft_word_hashes(split(text, ' ')) AS wh,
         |  graft_simhash32(graft_word_hashes(split(text, ' '))) AS sh,
-        |  graft_shingle_hashes(split(text, ' '), 3) AS sh3
+        |  graft_shingle_hashes(split(text, ' '), 3) AS sh3,
+        |  graft_normalize(upper(text)) AS nrm
         |FROM fn_docs ORDER BY id""".stripMargin).collect()
     val viaDf = spark.table("fn_docs")
       .select(col("id"), HashFunctions.polyHash(col("text")).as("h"),
         HashFunctions.wordHashes(split(col("text"), " ")).as("wh"),
         HashFunctions.simhash32(
           HashFunctions.wordHashes(split(col("text"), " "))).as("sh"),
-        HashFunctions.shingleHashes(split(col("text"), " "), 3).as("sh3"))
+        HashFunctions.shingleHashes(split(col("text"), " "), 3).as("sh3"),
+        HashFunctions.normalizeText(upper(col("text"))).as("nrm"))
       .orderBy("id").collect()
     viaSql.zip(viaDf).foreach { case (a, b) => assert(a == b) }
   }
