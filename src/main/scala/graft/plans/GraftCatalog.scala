@@ -407,8 +407,15 @@ private[plans] class GraftWriteBuilder(root: String, ns: String, t: String)
         override def insert(data: DataFrame, overwriteArg: Boolean): Unit = {
           val spark = data.sparkSession
           val seq = TableIO.nextSeq(root, ns, t)
+          // the file name carries a UUID (as Iceberg's writers do):
+          // two concurrent INSERTs read the same nextSeq, and with a
+          // seq-only name the second writer would overwrite the first
+          // writer's FILE while both manifests reference it — the
+          // commit CAS protects metadata, never data paths (caught by
+          // CatalogSqlSpec's 4-thread race: corrupted parquet footers)
+          val unique = java.util.UUID.randomUUID().toString.take(8)
           val entry = TableIO.writeExactFile(spark, root, ns, t,
-            f"data/sql-$seq%05d.parquet", data, "data", seq)
+            f"data/sql-$seq%05d-$unique.parquet", data, "data", seq)
           if (overwrite || overwriteArg)
             TableIO.commitReplacing(root, ns, t, Seq(entry))
           else

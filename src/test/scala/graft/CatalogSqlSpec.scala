@@ -71,6 +71,32 @@ class CatalogSqlSpec extends AnyFunSuite {
     assert(graft.plans.Mor.readAt(spark, root, "dmlns", "t", 1L).count() == 100L)
   }
 
+  test("concurrent SQL INSERTs all land through the commit CAS") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.racens")
+    spark.sql("CREATE TABLE g.racens.t (foo STRING, bar INT, baz BOOLEAN)")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (0 until 4).map { t =>
+      new Thread(() => {
+        try (0 until 3).foreach { i =>
+          spark.sql(
+            s"""INSERT INTO g.racens.t
+               |SELECT CAST(id AS STRING), CAST(id AS INT), true
+               |FROM range(${(t * 3 + i) * 10}, ${(t * 3 + i) * 10 + 10})"""
+              .stripMargin)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"INSERT threw: ${errs.peek()}")
+    // 12 INSERTs -> 12 snapshots, every row exactly once
+    assert(TableIO.currentVersion(root, "racens", "t") == 12L)
+    val r = spark.sql(
+      "SELECT count(*), count(DISTINCT bar), sum(bar) FROM g.racens.t").head()
+    assert(r.getLong(0) == 120L && r.getLong(1) == 120L &&
+      r.getLong(2) == (0 until 120).sum)
+  }
+
   test("SQL reads apply MOR deletes on tables with delete files") {
     root
     val cfg = GenConfig("mor_ns", "t", FileConfig(50, 4),
