@@ -296,6 +296,8 @@ private[plans] class GraftMetaTable(root: String, ns: String, t: String,
     case "partitions" => Partitioning.partitionsDf(spark, root, ns, t)
     case "manifest" => TableIO.manifestDf(spark, root, ns, t)
       .select("path", "content", "seq", "recordCount")
+    // not metadata — the MOR view plus the stable per-row lineage id
+    case "lineage" => Mor.readLineage(spark, root, ns, t)
     case other => throw new NoSuchTableException(
       Identifier.of(Array(ns), s"$t$$$other"))
   }

@@ -177,5 +177,11 @@ class CatalogSqlSpec extends AnyFunSuite {
     val refs = spark.sql("SELECT name, type FROM g.tt_ns.`t$refs` ORDER BY name")
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(refs.toSeq == Seq(("after_data", "tag"), ("main", "branch")))
+    // row lineage through SQL: survivors of the 3-commit table keep
+    // _row_id == bar (global row number by construction)
+    val lin = spark.sql(
+      "SELECT count(*), sum(CASE WHEN _row_id = bar THEN 1 ELSE 0 END) " +
+        "FROM g.tt_ns.`t$lineage`").head()
+    assert(lin.getLong(0) == 100L && lin.getLong(1) == 100L)
   }
 }
