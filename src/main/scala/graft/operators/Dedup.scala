@@ -139,6 +139,26 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Cross-corpus exact dedup: drop INCOMING documents whose normalized
+    * fingerprint already exists in an EXISTING corpus — the standard
+    * decontamination step when merging a new crawl into a training set
+    * (within-corpus dedup can't catch these: the duplicate lives in the
+    * other dataset). Shape: fingerprint both sides, one left_anti
+    * equi-join on the hash — at 100 TB the existing side's fingerprints
+    * are a bucket-partitioned committed table (built once, like the
+    * BM25/PQ indexes), so each incoming batch joins co-partitioned.
+    * Here the corpus splits into existing/incoming by a deterministic
+    * source-hash gate so the oracle replays the whole flow.
+    */
+  def crossCorpusNew(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    def fp(df: DataFrame) = df.repartition(col("doc_id"))
+      .select(col("doc_id"), md5(normalize(col("text"))).as("fp"))
+    fp(incoming)
+      .join(fp(existing).select("fp").distinct(), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance near-dup verification: MinHash-LSH candidate pairs
     * re-verified by EXACT Levenshtein distance on the raw texts — the
     * high-precision final filter a dedup pipeline runs before dropping

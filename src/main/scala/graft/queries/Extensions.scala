@@ -45,6 +45,15 @@ object Extensions {
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosine(rd(s, dir, "embeddings"))),
     "dedup_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(rd(s, dir, "documents"))),
+    // incoming = even doc_ids, existing = doc_ids % 4 == 0: half the
+    // incoming docs already live in the existing corpus and must drop
+    "dedup_cross_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = rd(s, dir, "documents")
+      Dedup.crossCorpusNew(
+        incoming = d.filter(col("doc_id") % 2 === 0),
+        existing = d.filter(col("doc_id") % 4 === 0))
+    }),
     "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rd(s, dir, "embeddings"))),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"))),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"))),
@@ -369,6 +378,15 @@ object Extensions {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // incoming (even ids) minus anything fingerprint-matching the
+    // existing corpus (ids % 4 == 0) — survivors are ids % 4 == 2
+    "dedup_cross_corpus" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |SELECT doc_id, fp FROM f
+         |WHERE doc_id % 2 = 0
+         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 4 = 0)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_fingerprint" ->
       s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
