@@ -282,6 +282,45 @@ object SqlSurface {
           |ORDER BY op, status""".stripMargin)
     }),
 
+    // Fixed-width histogram: bucket = floor((x - min) / width). The
+    // boundary arithmetic is exact (2-decimal prices, width a power of
+    // ten times an integer), so bucket assignment is engine-identical.
+    "q_histogram" -> ((s, dir) => {
+      views(s, dir, "orders")
+      s.sql(
+        """WITH b AS (SELECT min(o_totalprice) AS lo FROM orders)
+          |SELECT CAST(floor((o_totalprice - lo) / 50000) AS INTEGER)
+          |    AS bucket,
+          |  count(*) AS n,
+          |  CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS lo_val,
+          |  CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS hi_val
+          |FROM orders, b GROUP BY bucket ORDER BY bucket""".stripMargin)
+    }),
+
+    // Out-of-order-arrival census (the batch diagnostic behind
+    // watermark sizing): an event is late if an earlier ARRIVAL of the
+    // same user carries a later timestamp. The synthetic events are
+    // time-ordered, so arrival order is a deterministic hash
+    // permutation of the ids (simulated network reordering) and the
+    // comparison runs on integer epoch-micros — both engines replay
+    // the identical permutation and arithmetic.
+    "q_late_events" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      rdEvents(s, dir).createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_type, count(*) AS n_events,
+          |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+          |FROM (
+          |  SELECT event_type,
+          |    unix_micros(ts) < max(unix_micros(ts)) OVER (
+          |      PARTITION BY user_id
+          |      ORDER BY graft_polyhash(CAST(event_id AS STRING)) % 64,
+          |               event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS late
+          |  FROM events)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // Per-group z-score outliers. The group moments come from exact
     // order-independent sums (decimal for the mean; fixed-point longs
     // for the sum of squares — floor(x*x*100) of identically-computed
@@ -500,6 +539,33 @@ object SqlSurface {
         |  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY status
         |ORDER BY op, status""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS lo FROM orders)
+        |SELECT CAST(floor((o_totalprice - lo) / 50000) AS INTEGER)
+        |    AS bucket,
+        |  count(*) AS n,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS lo_val,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS hi_val
+        |FROM orders, b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_late_events" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |FROM (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000) < max(epoch_ns(ts) // 1000) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY (CASE WHEN length(CAST(event_id AS VARCHAR)) = 0
+        |          THEN 0 ELSE
+        |          list_reduce(list_transform(
+        |            string_split(CAST(event_id AS VARCHAR), ''),
+        |            c -> CAST(unicode(c) AS BIGINT)),
+        |            (a, b) -> (a * 31 + b) % 1000000007) END) % 64,
+        |        event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS late
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_zscore_outliers" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,
