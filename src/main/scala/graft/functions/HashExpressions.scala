@@ -39,15 +39,20 @@ object HashExprs {
     acc
   }
 
-  /** Dedup text normalization in ONE pass: lowercase (ROOT locale, the
-    * UTF8_BINARY `lower()` behavior), keep only [a-z0-9 ], collapse
-    * space runs, trim — byte-identical to the composed
-    * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", ""),
-    * " +", " "))` it replaces, which ran TWO full regex engines per
-    * document on the hottest dedup path.
+  /** Dedup text normalization in ONE pass: lowercase, keep only
+    * [a-z0-9 ], collapse space runs, trim — byte-identical to the
+    * composed `trim(regexp_replace(regexp_replace(lower(s),
+    * "[^a-z0-9 ]", ""), " +", " "))` it replaces, which ran TWO full
+    * regex engines per document on the hottest dedup path.
+    *
+    * Case mapping goes through `UTF8String.toLowerCase` — the very
+    * primitive Spark's `lower()` bottoms out in — so both formulations
+    * share ONE mapping by construction (ADVICE r3: a JVM-default-locale
+    * divergence, e.g. tr/az dotless-ı, could otherwise strip characters
+    * on one path and keep them on the other).
     */
   def normalizeText(s: UTF8String): UTF8String = {
-    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val str = s.toLowerCase.toString
     val n = str.length
     val sb = new java.lang.StringBuilder(n)
     var lastSpace = true // leading spaces never emit (left trim)

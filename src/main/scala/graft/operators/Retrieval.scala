@@ -26,6 +26,16 @@ object Retrieval {
     * floored to scaled longs (`floor(x*1e7)`) before the per-doc sum, so
     * the aggregation is order-independent and engine-portable — the
     * established fixed-point discipline of the ANN family.
+    *
+    * Residual risk (ADVICE r3, accepted): unlike the md5/polyHash
+    * exact-integer paths, `ln` is transcendental and not guaranteed
+    * correctly rounded, so a 1-ulp difference between the JVM's and
+    * another engine's libm could flip `floor` at a boundary and perturb
+    * a score's 7th decimal. Inputs here are small integer ratios whose
+    * logs sit far from floor boundaries at 1e-7 granularity (verified
+    * green against DuckDB every round); an engine-portable deployment
+    * that must be bit-exact should compare `s_fp` within ±1 per term
+    * instead of exactly.
     */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String],
       k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -72,21 +82,29 @@ object Retrieval {
     * train-once/search-many split the persisted PQ index uses.
     */
   def buildIndex(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
-      root: String, ns: String): Unit = {
-    import graft.plans.TableIO
+      root: String, ns: String, termBuckets: Int = 16,
+      docBuckets: Int = 8): Unit = {
+    import graft.plans.{PartitionSpec, Partitioning, TableIO}
     val words = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("term"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    TableIO.createNamespace(root, ns)
-    Seq(("bm25_postings", tf), ("bm25_doclen", dl), ("bm25_stats", stats))
-      .foreach { case (t, df) =>
-        TableIO.createTableIfNotExists(root, ns, t, df.schema)
-        TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root,
-          ns, t, "data/part-00000.parquet", df, "data", 1L)))
-      }
+    // corpus-scale index tables are BUCKET-PARTITIONED committed writes:
+    // one distributed shuffle fans the postings out term-bucket-per-file
+    // (never a one-task single-file write), and each file's manifest
+    // entry records its bucket — so a search's postings read prunes to
+    // exactly its query terms' buckets before any file is opened.
+    Partitioning.preparePartitioned(spark, root, ns, "bm25_postings", tf,
+      PartitionSpec("bucket", "term", termBuckets))
+    Partitioning.preparePartitioned(spark, root, ns, "bm25_doclen", dl,
+      PartitionSpec("bucket", "doc_id", docBuckets))
+    // stats is ONE row — the single-file writer is the right tool here
+    TableIO.createTableIfNotExists(root, ns, "bm25_stats", stats.schema)
+    TableIO.commit(root, ns, "bm25_stats",
+      Seq(TableIO.writeExactFile(spark, root, ns, "bm25_stats",
+        "data/part-00000.parquet", stats, "data", 1L)))
   }
 
   /** Search against the persisted index: identical results to
@@ -95,8 +113,15 @@ object Retrieval {
   def searchIndexed(spark: org.apache.spark.sql.SparkSession,
       root: String, ns: String, queryTerms: Seq[String],
       k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import graft.plans.Mor
-    val tf = Mor.read(spark, root, ns, "bm25_postings")
+    import graft.plans.{Mor, Partitioning}
+    // partition-pruned postings read: each query term names one bucket,
+    // and the scan opens only the UNION of those buckets' files (a
+    // disjunctive PruneIn — indexes written before bucketing took
+    // effect have no spec and read unpruned, still correct)
+    val pruneIn = Partitioning.readSpec(root, ns, "bm25_postings").toSeq
+      .map(sp => Mor.PruneIn(sp.fieldName,
+        queryTerms.map(sp.valueOfString).distinct))
+    val tf = Mor.read(spark, root, ns, "bm25_postings", pruneIn = pruneIn)
       .filter(col("term").isin(queryTerms: _*))
     val dl = Mor.read(spark, root, ns, "bm25_doclen")
     val consts = Mor.read(spark, root, ns, "bm25_stats")

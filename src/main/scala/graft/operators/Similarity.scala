@@ -282,17 +282,23 @@ object Similarity {
     */
   def buildPqIndex(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
       root: String, ns: String, subDims: Int = 8, kCodes: Int = 16,
-      iters: Int = 1): Unit = {
-    import graft.plans.TableIO
+      iters: Int = 1, idBuckets: Int = 8): Unit = {
+    import graft.plans.{PartitionSpec, Partitioning, TableIO}
     val dims = pqNormalizedDims(emb, subDims)
     val cb = pqTrain(dims, kCodes, iters)
     val codes = pqAssign(dims, cb)
     TableIO.createNamespace(root, ns)
-    Seq(("pq_codebook", cb), ("pq_codes", codes)).foreach { case (t, df) =>
-      TableIO.createTableIfNotExists(root, ns, t, df.schema)
-      TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root,
-        ns, t, "data/part-00000.parquet", df, "data", 1L)))
-    }
+    // the codebook is subs x kCodes rows — single-file by design; the
+    // CODES relation is corpus-scale (one row per vector per subspace),
+    // so it lands as a bucket-partitioned distributed write: one
+    // shuffle, one file per id bucket, parallel on write AND on the
+    // search's multi-file scan (a single file reads as one task)
+    TableIO.createTableIfNotExists(root, ns, "pq_codebook", cb.schema)
+    TableIO.commit(root, ns, "pq_codebook",
+      Seq(TableIO.writeExactFile(spark, root, ns, "pq_codebook",
+        "data/part-00000.parquet", cb, "data", 1L)))
+    Partitioning.preparePartitioned(spark, root, ns, "pq_codes", codes,
+      PartitionSpec("bucket", "vec_id", idBuckets))
   }
 
   /** Search against a persisted PQ index: identical results to

@@ -14,12 +14,29 @@ import org.apache.spark.sql.functions._
   * of ONE commit is aggregated into signed deltas (insert = +1,
   * delete = -1 — count and sum are self-maintainable aggregates), the
   * delta is outer-merged with the current state relation, and the new
-  * state commits as the next snapshot of a governed table (so the view
-  * itself time-travels, and a crash between merge and offset write
-  * replays one batch — at-least-once, idempotent because the offset
-  * and state advance together per version).
+  * state commits as the next snapshot of a governed table — so the view
+  * itself time-travels.
+  *
+  * Crash safety: the state commit and the checkpoint advance are two
+  * non-atomic steps, and folding a signed delta twice is NOT
+  * idempotent. The state table's version is therefore the authoritative
+  * offset — exactly one `commitReplacing` per applied batch keeps
+  * `currentVersion(state) == batches applied` as an invariant. On
+  * entry, a checkpoint behind the state version means the previous run
+  * died between commit and advance: the batch is already folded, so we
+  * re-issue only the checkpoint write and skip the fold. Inside the
+  * loop each commit carries `expectedVersion`, so a concurrent or
+  * replayed fold of the same batch fails the CAS instead of
+  * double-applying.
   */
 object Ivm {
+
+  private def writeOffset(checkpoint: Path, offset: Long): Unit = {
+    val tmp = Files.createTempFile(checkpoint.getParent, ".ckpt", ".tmp")
+    Files.writeString(tmp, offset.toString)
+    Files.move(tmp, checkpoint, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Catch the state table up to the base table's current version,
     * strictly one snapshot per batch (the micro-batch CDC cadence).
@@ -36,6 +53,14 @@ object Ivm {
       StructField("sum_v", LongType, nullable = false)))
     TableIO.createTableIfNotExists(root, ns, stateTable, stateSchema)
     var from = ChangeFeed.offsetOf(checkpoint)
+    // Reconcile forward: state version counts batches actually applied.
+    // A checkpoint behind it = crash after commit, before advance — the
+    // fold already happened; only the checkpoint write is re-issued.
+    val applied = TableIO.currentVersion(root, ns, stateTable)
+    if (applied > from) {
+      writeOffset(checkpoint, applied)
+      from = applied
+    }
     val to = TableIO.currentVersion(root, ns, baseTable)
     while (from < to) {
       val changes = Mor.readChanges(spark, root, ns, baseTable, from, from + 1)
@@ -60,11 +85,11 @@ object Ivm {
       val seq = TableIO.nextSeq(root, ns, stateTable)
       val entry = TableIO.writeExactFile(spark, root, ns, stateTable,
         s"data/state-v$seq.parquet", next, "data", seq)
-      TableIO.commitReplacing(root, ns, stateTable, Seq(entry))
-      val tmp = Files.createTempFile(checkpoint.getParent, ".ckpt", ".tmp")
-      Files.writeString(tmp, (from + 1).toString)
-      Files.move(tmp, checkpoint, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      // CAS on the batch count: a replay of this batch (or a concurrent
+      // maintainer) sees version != from and fails instead of refolding
+      TableIO.commitReplacing(root, ns, stateTable, Seq(entry),
+        expectedVersion = Some(from))
+      writeOffset(checkpoint, from + 1)
       from += 1
     }
   }

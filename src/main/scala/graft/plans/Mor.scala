@@ -51,6 +51,15 @@ object Mor {
     */
   final case class PruneEq(column: String, value: String)
 
+  /** A DISJUNCTIVE point-set predicate `column IN (values)` for
+    * bucket-partitioned reads: a file survives if its bounds may contain
+    * ANY of the values. This is how a multi-term index lookup prunes —
+    * each query term hashes to one bucket, and the scan must touch the
+    * union of those buckets (a conjunction of single-value [[Prune]]s
+    * would demand one file to hold them all and prune everything).
+    */
+  final case class PruneIn(column: String, values: Seq[Long])
+
   /** Files of one content type (absolute path, seq) at a manifest
     * version — `None` means the current snapshot. Data files are
     * additionally bounds-pruned when `prunes` are given (a CONJUNCTION:
@@ -61,7 +70,8 @@ object Mor {
   private def filesAt(root: String, ns: String, table: String,
       content: String, version: Option[Long],
       prunes: Seq[Prune] = Nil,
-      pruneEqs: Seq[PruneEq] = Nil): Seq[(String, Long)] = {
+      pruneEqs: Seq[PruneEq] = Nil,
+      pruneIns: Seq[PruneIn] = Nil): Seq[(String, Long)] = {
     val dir = TableIO.tableDir(root, ns, table)
     val entries = version match {
       case Some(v) => TableIO.readManifestAt(root, ns, table, v)
@@ -70,6 +80,8 @@ object Mor {
     entries.filter(_.content == content)
       .filter(e => prunes.forall(p => e.mayContain(p.column, p.lo, p.hi)))
       .filter(e => pruneEqs.forall(p => e.mayContainEq(p.column, p.value)))
+      .filter(e => pruneIns.forall(p =>
+        p.values.exists(v => e.mayContain(p.column, v, v))))
       .map(e => (dir.resolve(e.path).toString, e.seq))
   }
 
@@ -103,8 +115,10 @@ object Mor {
       table: String, version: Option[Long] = None,
       prune: Seq[Prune] = Nil,
       pruneEq: Seq[PruneEq] = Nil,
-      onlyPaths: Option[Set[String]] = None): DataFrame = {
-    val dataFiles0 = filesAt(root, ns, table, "data", version, prune, pruneEq)
+      onlyPaths: Option[Set[String]] = None,
+      pruneIn: Seq[PruneIn] = Nil): DataFrame = {
+    val dataFiles0 =
+      filesAt(root, ns, table, "data", version, prune, pruneEq, pruneIn)
     val dir = TableIO.tableDir(root, ns, table)
     val dataFiles = onlyPaths match {
       case Some(keep) => dataFiles0.filter { case (abs, _) =>
@@ -114,8 +128,8 @@ object Mor {
     // a pruned-to-nothing scan or a legitimately empty snapshot
     // (post-TRUNCATE) reads as empty; only a never-committed table is
     // an error
-    require(prune.nonEmpty || pruneEq.nonEmpty || onlyPaths.nonEmpty ||
-      dataFiles.nonEmpty ||
+    require(prune.nonEmpty || pruneEq.nonEmpty || pruneIn.nonEmpty ||
+      onlyPaths.nonEmpty || dataFiles.nonEmpty ||
       version.getOrElse(TableIO.currentVersion(root, ns, table)) > 0,
       s"no data files in $ns.$table")
     if (dataFiles.isEmpty) {
@@ -198,9 +212,10 @@ object Mor {
       prune: Seq[Prune] = Nil,
       keepProvenance: Boolean = false,
       pruneEq: Seq[PruneEq] = Nil,
-      onlyPaths: Option[Set[String]] = None): DataFrame = {
+      onlyPaths: Option[Set[String]] = None,
+      pruneIn: Seq[PruneIn] = Nil): DataFrame = {
     var df = scanWithProvenance(spark, root, ns, table, asOfVersion, prune,
-      pruneEq, onlyPaths)
+      pruneEq, onlyPaths, pruneIn)
     val manifest = manifestAt(root, ns, table, asOfVersion)
 
     // R2: positional deletes apply to files committed at or before the
@@ -217,6 +232,8 @@ object Mor {
       val dataEntries = manifest.filter(_.content == "data")
         .filter(e => prune.forall(p => e.mayContain(p.column, p.lo, p.hi)))
         .filter(e => pruneEq.forall(p => e.mayContainEq(p.column, p.value)))
+        .filter(e => pruneIn.forall(p =>
+          p.values.exists(v => e.mayContain(p.column, v, v))))
         .filter(e => onlyPaths.forall(_.contains(e.path)))
         // (conjunction over all prune predicates, matching filesAt)
       val useBitmap = posTotal <= bitmapThreshold &&

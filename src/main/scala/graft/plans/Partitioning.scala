@@ -76,6 +76,17 @@ final case class PartitionSpec(transform: String, column: String, param: Int = 0
 
   /** Prune to exactly one partition value (e.g. "scan bucket k"). */
   def pruneForValue(v: Long): Mor.Prune = Mor.Prune(fieldName, v, v)
+
+  /** Bucket value of a STRING key (index terms, fingerprints): the very
+    * same polyHash the executor-side [[sparkValue]] applies after its
+    * cast-to-string, so string-keyed buckets prune bit-for-bit. Only
+    * the bucket transform is defined over strings.
+    */
+  def valueOfString(key: String): Long = {
+    require(transform == "bucket", s"$transform cannot bucket a string key")
+    val h = graft.functions.HashExprs.polyHash(UTF8String.fromString(key))
+    ((h % param) + param) % param
+  }
 }
 
 object Partitioning {

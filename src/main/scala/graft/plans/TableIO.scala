@@ -502,12 +502,17 @@ object TableIO {
       }.toMap
     }
 
-  /** Per-column Bloom filters over `df` for point-lookup file skipping:
-    * one distributed job per column computing the DISTINCT bit
-    * positions (a tiny result, <= m rows), set into the word array on
-    * the driver. A production writer folds this into the write pass
-    * itself (parquet footer blooms do exactly that); here it is one
-    * extra scan of the filtered columns only.
+  /** Per-column Bloom filters over `df` for point-lookup file skipping,
+    * built DISTRIBUTEDLY in one job for all columns: each value's k
+    * salted bit positions are partial-aggregated into 64-bit words with
+    * `bit_or` (the deletion-vector build's shape,
+    * `Mor.buildDeletionVectors`) — map-side combine compresses the bit
+    * stream to at most nWords rows per column BEFORE the only shuffle,
+    * so the driver materializes word rows bounded by the FILTER size
+    * (<= nWords per column, ~2 MB at the 2^24-bit cap), never the
+    * per-row bit positions. A production writer folds this into the
+    * write pass itself (parquet footer blooms do exactly that); here it
+    * is one extra scan of the filtered columns only.
     */
   def bloomsOf(df: DataFrame, cols: Seq[String],
       nRows: Long): Map[String, Vector[Long]] = {
@@ -515,16 +520,22 @@ object TableIO {
     import org.apache.spark.sql.functions._
     val nWords = Bloom.wordsFor(nRows)
     val m = nWords * 64
-    cols.map { c =>
-      val bits = df.select(explode(array((0 until Bloom.K).map(i =>
+    val bits = cols.flatMap { c =>
+      (0 until Bloom.K).map { i =>
+        struct(lit(c).as("_c"),
           pmod(graft.functions.HashFunctions.polyHash(
-            concat(lit(s"b$i|"), col(c).cast("string"))), lit(m.toLong))): _*))
-          .as("b"))
-        .distinct().collect().map(_.getLong(0).toInt)
-      val arr = new Array[Long](nWords)
-      bits.foreach(b => arr(b >> 6) |= 1L << (b & 63))
-      c -> arr.toVector
-    }.toMap
+            concat(lit(s"b$i|"), col(c).cast("string"))), lit(m.toLong))
+            .as("_b"))
+      }
+    }
+    val words = df.select(explode(array(bits: _*)).as("e"))
+      .select(col("e._c").as("_c"), col("e._b").as("_b"))
+      .groupBy(col("_c"), shiftright(col("_b"), 6).as("_w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(_b % 64 AS int)))").as("_word"))
+      .collect()
+    val acc = cols.map(c => c -> new Array[Long](nWords)).toMap
+    words.foreach(r => acc(r.getString(0))(r.getLong(1).toInt) = r.getLong(2))
+    acc.map { case (c, a) => c -> a.toVector }
   }
 
   def writeExactFile(spark: SparkSession, root: String, ns: String,

@@ -546,7 +546,7 @@ object Generated {
     // the governed catalog — the write lands as a snapshot commit, the
     // read routes through the manifest-pruned scan.
     "gen_sql_catalog" -> ((s, dir) => {
-      GeneratedTables.ensureCustom(dir + "#sqlcat") { root =>
+      val sqlRoot = GeneratedTables.ensureCustom(dir + "#sqlcat") { root =>
         s.conf.set("spark.sql.catalog.gsql", "graft.plans.GraftCatalog")
         s.conf.set("spark.sql.catalog.gsql.root", root)
         s.sql("CREATE NAMESPACE IF NOT EXISTS gsql.gen_ns")
@@ -555,6 +555,12 @@ object Generated {
                  |SELECT CAST(id AS STRING), CAST(id AS INT), true
                  |FROM range(0, $N)""".stripMargin)
       }
+      // registration must happen on EVERY run, not only when the
+      // builder fires: ensureCustom skips it when the table dir is
+      // cached from a prior session, and an unregistered catalog fails
+      // the SELECT with unknown-catalog (ADVICE r3)
+      s.conf.set("spark.sql.catalog.gsql", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsql.root", sqlRoot)
       s.sql(
         """SELECT foo, bar, baz FROM gsql.gen_ns.tsql
           |WHERE bar >= 1000 ORDER BY bar""".stripMargin)
@@ -609,7 +615,7 @@ object Generated {
     // VERSION AS OF pins historical snapshots; `tt$snapshots` exposes
     // the commit history as a SQL relation.
     "gen_sql_timetravel" -> ((s, dir) => {
-      GeneratedTables.ensureCustom(dir + "#sqltt") { root =>
+      val ttRoot = GeneratedTables.ensureCustom(dir + "#sqltt") { root =>
         s.conf.set("spark.sql.catalog.gsqltt", "graft.plans.GraftCatalog")
         s.conf.set("spark.sql.catalog.gsqltt.root", root)
         s.sql("CREATE NAMESPACE IF NOT EXISTS gsqltt.gen_ns")
@@ -621,6 +627,9 @@ object Generated {
                  |SELECT CAST(id AS STRING), CAST(id AS INT), false
                  |FROM range($N, ${N + 1000})""".stripMargin)
       }
+      // re-register on every run (cached-dir case), as for gen_sql_catalog
+      s.conf.set("spark.sql.catalog.gsqltt", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsqltt.root", ttRoot)
       s.sql(
         """SELECT 'v1' AS snap, count(*) AS n
           |FROM gsqltt.gen_ns.tt VERSION AS OF 1

@@ -57,12 +57,16 @@ object ScaleSmoke {
     val nAfterRw = timed("MOR count after delete rewrite")(
       Mor.mergedCount(spark, root, "ns", "big"))
     assert(nAfterRw == n)
-    // per-file bloom construction cost at a realistic file size
-    val bloom = timed("bloom build over a 1M-key column")(
+    // per-file bloom construction at a production file size: the build
+    // is distributed bit_or word aggregation, so the driver receives at
+    // most nWords word-rows (~2 MB at the 2^24-bit cap) — never the
+    // ~30M per-row bit positions of a 10M-key column
+    val bloom = timed("bloom build over a 10M-key column (distributed)")(
       graft.plans.TableIO.bloomsOf(
-        spark.range(1000000).selectExpr("CAST(id AS STRING) AS k"),
-        Seq("k"), 1000000L))
+        spark.range(10000000).selectExpr("CAST(id AS STRING) AS k"),
+        Seq("k"), 10000000L))
     assert(graft.plans.Bloom.mightContain(bloom("k"), "424242"))
+    assert(graft.plans.Bloom.mightContain(bloom("k"), "9999999"))
     timed("compaction")(Maintenance.compact(spark, root, "ns", "big"))
     val n2 = timed("post-compaction count")(
       Mor.mergedCount(spark, root, "ns", "big"))

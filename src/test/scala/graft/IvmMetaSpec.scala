@@ -95,5 +95,16 @@ class IvmMetaSpec extends AnyFunSuite {
       pmod(col("bar"), lit(7)), "bar")
     assert(TableIO.currentVersion(root, "ns", "agg") == 4L)
     assert(stateRows().map(_._2).sum == 200L) // 300 - 100 - 100 + 100
+    // crash between state commit and checkpoint advance: the state is
+    // at v4 but the checkpoint still names batch 3. A naive restart
+    // would refold the signed delta (NOT idempotent); the reconciled
+    // restart must skip the fold and only advance the checkpoint.
+    Files.writeString(ckpt, "3")
+    val before = stateRows()
+    Ivm.catchUp(spark, root, "ns", "t", "agg", ckpt,
+      pmod(col("bar"), lit(7)), "bar")
+    assert(TableIO.currentVersion(root, "ns", "agg") == 4L) // no new commit
+    assert(graft.plans.ChangeFeed.offsetOf(ckpt) == 4L)     // advanced
+    assert(stateRows() == before)                           // not refolded
   }
 }
