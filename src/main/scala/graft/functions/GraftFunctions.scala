@@ -56,8 +56,13 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: native SQL functions plus the
+  * row-level DML rule (MERGE INTO / UPDATE / predicate DELETE over
+  * [[graft.plans.GraftCatalog]] tables, executed merge-on-read).
+  */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(e)
+    e.injectResolutionRule(s => new graft.plans.GraftRowLevelSqlRule(s))
+  }
 }

@@ -207,8 +207,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * boundary files get targeted pos-deletes); `TRUNCATE TABLE` publishes
   * the O(1) empty snapshot.
   */
-private[plans] class GraftSqlTable(root: String, ns: String, t: String,
-    atVersion: Option[Long] = None)
+private[plans] class GraftSqlTable(val root: String, val ns: String,
+    val t: String, atVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with TruncatableTable {
 

@@ -653,6 +653,53 @@ object Generated {
           pmod(col("bar"), lit(5)), "bar")
       }
       Mor.read(s, r, c2.namespace, "agg_t1_ivm").orderBy("k")
+    }),
+    // SQL MERGE INTO through the catalog plugin (GraftRowLevelSqlRule):
+    // matched-delete, matched-update, and not-matched-insert branches in
+    // ONE statement, executed merge-on-read — one sorted pos-delete file
+    // + one data file, one snapshot commit, no data file rewritten.
+    "gen_sql_merge" -> ((s, dir) => {
+      val mRoot = GeneratedTables.ensureCustom(dir + "#sqlmerge") { root =>
+        s.conf.set("spark.sql.catalog.gsqlm", "graft.plans.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsqlm.root", root)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlm.gen_ns")
+        s.sql("CREATE TABLE gsqlm.gen_ns.tm (foo STRING, bar INT, baz BOOLEAN)")
+        s.sql(s"""INSERT INTO gsqlm.gen_ns.tm
+                 |SELECT CAST(id AS STRING), CAST(id AS INT), true
+                 |FROM range(0, $N)""".stripMargin)
+        s.sql(s"""MERGE INTO gsqlm.gen_ns.tm t
+                 |USING (SELECT id FROM range(${N / 2}, ${N + 500})) s
+                 |ON t.bar = s.id
+                 |WHEN MATCHED AND s.id % 10 = 0 THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET baz = false
+                 |WHEN NOT MATCHED THEN INSERT (foo, bar, baz)
+                 |  VALUES (concat('m', CAST(id AS STRING)),
+                 |          CAST(id AS INT), true)""".stripMargin)
+      }
+      s.conf.set("spark.sql.catalog.gsqlm", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsqlm.root", mRoot)
+      s.sql("SELECT foo, bar, baz FROM gsqlm.gen_ns.tm ORDER BY bar, foo")
+    }),
+    // SQL UPDATE (arbitrary predicate, expression assignments) plus a
+    // non-range DELETE — both row-level statements the range metadata
+    // path cannot express, both merge-on-read commits.
+    "gen_sql_update" -> ((s, dir) => {
+      val uRoot = GeneratedTables.ensureCustom(dir + "#sqlupd") { root =>
+        s.conf.set("spark.sql.catalog.gsqlu", "graft.plans.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsqlu.root", root)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlu.gen_ns")
+        s.sql("CREATE TABLE gsqlu.gen_ns.tu (foo STRING, bar INT, baz BOOLEAN)")
+        s.sql(s"""INSERT INTO gsqlu.gen_ns.tu
+                 |SELECT CAST(id AS STRING), CAST(id AS INT), true
+                 |FROM range(0, $N)""".stripMargin)
+        s.sql("""UPDATE gsqlu.gen_ns.tu
+                |SET foo = concat('u', foo), baz = false
+                |WHERE bar % 7 = 3""".stripMargin)
+        s.sql("DELETE FROM gsqlu.gen_ns.tu WHERE foo LIKE 'u1%'")
+      }
+      s.conf.set("spark.sql.catalog.gsqlu", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsqlu.root", uRoot)
+      s.sql("SELECT foo, bar, baz FROM gsqlu.gen_ns.tu ORDER BY bar")
     })
   )
 
@@ -859,6 +906,31 @@ object Generated {
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar,
          |  true AS baz
          |FROM range(1000, $N) t(g) ORDER BY bar""".stripMargin,
+    // MERGE closed form: [0,N/2) untouched; [N/2,N) updated to false
+    // except multiples of 10 (deleted); [N,N+500) inserted as 'm<id>'
+    "gen_sql_merge" ->
+      s"""SELECT * FROM (
+         |  SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar,
+         |    true AS baz
+         |  FROM range(0, ${N / 2}) t(g)
+         |  UNION ALL
+         |  SELECT CAST(g AS VARCHAR), CAST(g AS INTEGER), false
+         |  FROM range(${N / 2}, $N) t(g) WHERE g % 10 <> 0
+         |  UNION ALL
+         |  SELECT 'm' || CAST(g AS VARCHAR), CAST(g AS INTEGER), true
+         |  FROM range($N, ${N + 500}) t(g)
+         |) ORDER BY bar, foo""".stripMargin,
+    // UPDATE (bar%7=3 -> 'u'-prefixed foo, baz=false) then DELETE of
+    // the updated rows whose bar starts with digit 1
+    "gen_sql_update" ->
+      s"""SELECT
+         |  CASE WHEN g % 7 = 3 THEN 'u' || CAST(g AS VARCHAR)
+         |       ELSE CAST(g AS VARCHAR) END AS foo,
+         |  CAST(g AS INTEGER) AS bar,
+         |  g % 7 <> 3 AS baz
+         |FROM range(0, $N) t(g)
+         |WHERE NOT (g % 7 = 3 AND CAST(g AS VARCHAR) LIKE '1%')
+         |ORDER BY bar""".stripMargin,
     // per-commit change census with lineage: v4's ids continue at N
     // while its bar values live at 9000.. (sum_rid != sum_bar)
     "gen_changes_lineage" ->

@@ -71,6 +71,58 @@ class CatalogSqlSpec extends AnyFunSuite {
     assert(graft.plans.Mor.readAt(spark, root, "dmlns", "t", 1L).count() == 100L)
   }
 
+  test("MERGE INTO / UPDATE / predicate DELETE execute merge-on-read") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.rlns")
+    spark.sql("CREATE TABLE g.rlns.t (foo STRING, bar INT, baz BOOLEAN)")
+    spark.sql(
+      """INSERT INTO g.rlns.t
+        |SELECT CAST(id AS STRING), CAST(id AS INT), true
+        |FROM range(0, 100)""".stripMargin)
+    // all three WHEN branches in one statement
+    spark.sql(
+      """MERGE INTO g.rlns.t t
+        |USING (SELECT id FROM range(50, 120)) s
+        |ON t.bar = s.id
+        |WHEN MATCHED AND s.id % 10 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET baz = false
+        |WHEN NOT MATCHED THEN INSERT (foo, bar, baz)
+        |  VALUES (concat('m', CAST(s.id AS STRING)), CAST(s.id AS INT), true)
+        |""".stripMargin)
+    // 0..49 untouched (50), 50..99 updated minus the 5 deleted tens
+    // (45, baz=false), 100..119 inserted as 'm<id>' (20)
+    val agg = spark.sql(
+      """SELECT count(*),
+        |  sum(CASE WHEN baz THEN 0 ELSE 1 END),
+        |  sum(CASE WHEN foo LIKE 'm%' THEN 1 ELSE 0 END)
+        |FROM g.rlns.t""".stripMargin).head()
+    assert(agg.getLong(0) == 115L && agg.getLong(1) == 45L &&
+      agg.getLong(2) == 20L)
+    // merge-on-read, not copy-on-write: the statement committed exactly
+    // one pos-delete file + one data file; the original file survives
+    val added = TableIO.readManifest(root, "rlns", "t").filter(_.seq == 2L)
+    assert(added.map(_.content).sorted == Seq("data", "pos_delete"))
+    // UPDATE with an arbitrary predicate and expression assignment
+    spark.sql(
+      "UPDATE g.rlns.t SET foo = concat('u', foo) WHERE bar % 7 = 3 AND baz")
+    assert(spark.sql(
+      "SELECT count(*) FROM g.rlns.t WHERE foo LIKE 'u%'")
+      .head().getLong(0) == 10L) // {3,10,..,45} (7) + {101,108,115} (3)
+    // non-range DELETE routes through the row-level path (the range
+    // metadata path cannot express a LIKE)
+    spark.sql("DELETE FROM g.rlns.t WHERE foo LIKE 'm11%'")
+    assert(spark.sql("SELECT count(*) FROM g.rlns.t").head().getLong(0) ==
+      106L) // 115 - {m110..m119 minus the updated um115} = 115 - 9
+    // SQL MERGE cardinality rule: two source rows hitting one target row
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO g.rlns.t t
+          |USING (SELECT 5 AS id UNION ALL SELECT 5 AS id) s
+          |ON t.bar = s.id
+          |WHEN MATCHED THEN UPDATE SET baz = false""".stripMargin)
+    }
+  }
+
   test("concurrent SQL INSERTs all land through the commit CAS") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.racens")
