@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * snapshot. Both paths are the already-verified TableIO/Mor machinery,
   * so SQL and library callers see identical semantics.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -155,6 +156,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("renameTable not supported")
+
+  // --- procedures ------------------------------------------------------
+  // CALL g.system.create_ref / drop_ref / rollback — the Iceberg-style
+  // maintenance front door (branch/tag DDL was previously API-only).
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace.toSeq != Seq("system"))
+      throw new NoSuchTableException(ident) // procedures live in `system`
+    ident.name match {
+      case "create_ref" => new CreateRefProcedure(root)
+      case "drop_ref" => new DropRefProcedure(root)
+      case "rollback" => new RollbackProcedure(root)
+      case _ => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq != Seq("system")) Array.empty
+    else Array("create_ref", "drop_ref", "rollback")
+      .map(n => Identifier.of(Array("system"), n))
 
   // --- namespaces ------------------------------------------------------
 

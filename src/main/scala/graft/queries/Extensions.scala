@@ -142,6 +142,34 @@ object Extensions {
           col("width"), col("height"))
         .orderBy("doc_id")
     }),
+    // REAL video decode end to end: per doc, synthesize an MJPEG AVI
+    // (JPEG frames in a RIFF container — what a camera hands the
+    // pipeline) with size/frame-count derived from doc_id, then decode
+    // it back through the real chunk-walk + javax.imageio path and emit
+    // one row per frame with the TRUE pixel dimensions. The oracle pins
+    // the closed form of what was encoded, so any container-parse or
+    // frame-decode drift (wrong offsets, padding, dimension swap) fails
+    // the hash. JPEG is lossy in pixels but exact in dimensions.
+    "multimodal_video" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      rd(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val frames = (0 until (id % 3 + 1).toInt).map { f =>
+              new java.awt.image.BufferedImage(
+                (16 + id % 8 + f).toInt, (12 + id % 5 + f).toInt,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+            }
+            val avi = Multimodal.encodeMjpegAvi(frames)
+            Multimodal.decodeVideoFrames(avi).get.zipWithIndex.map {
+              case ((w, h), i) => (id, i, w, h)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_no", "width", "height")
+        .orderBy("doc_id", "frame_no")
+    }),
     // Per-label embedding aggregate (IVF-centroid building block):
     // exact decimal per-dimension sums published as double + counts.
     "q_centroid" -> ((s, dir) => {
@@ -878,6 +906,17 @@ object Extensions {
         |  md5(text) AS content_md5,
         |  to_base64(encode(substring(text, 1, 8))) AS head_b64
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed form of the synthesized AVI: doc_id%3+1 frames, frame f of
+    // doc d is (16+d%8+f) x (12+d%5+f) — the engine must recover these
+    // through the real RIFF walk + JPEG decode
+    "multimodal_video" ->
+      """SELECT doc_id, CAST(g AS INTEGER) AS frame_no,
+        |  CAST(16 + doc_id % 8 + g AS INTEGER) AS width,
+        |  CAST(12 + doc_id % 5 + g AS INTEGER) AS height
+        |FROM documents, range(0, 3) t(g)
+        |WHERE g < doc_id % 3 + 1
+        |ORDER BY doc_id, frame_no""".stripMargin,
 
     "multimodal_decode" ->
       """WITH s AS (

@@ -700,6 +700,38 @@ object Generated {
       s.conf.set("spark.sql.catalog.gsqlu", "graft.plans.GraftCatalog")
       s.conf.set("spark.sql.catalog.gsqlu.root", uRoot)
       s.sql("SELECT foo, bar, baz FROM gsqlu.gen_ns.tu ORDER BY bar")
+    }),
+    // Branch/tag DDL through SQL (CALL procedures, the Iceberg-style
+    // front door): tag the first snapshot, branch the second, then read
+    // the refs metadata table AND time-travel by ref name — pointer
+    // metadata only, any table size.
+    "gen_sql_refs" -> ((s, dir) => {
+      val rRoot = GeneratedTables.ensureCustom(dir + "#sqlrefs") { root =>
+        s.conf.set("spark.sql.catalog.gsqlr", "graft.plans.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsqlr.root", root)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlr.gen_ns")
+        s.sql("CREATE TABLE gsqlr.gen_ns.tr (foo STRING, bar INT, baz BOOLEAN)")
+        s.sql(s"""INSERT INTO gsqlr.gen_ns.tr
+                 |SELECT CAST(id AS STRING), CAST(id AS INT), true
+                 |FROM range(0, $N)""".stripMargin)
+        s.sql(s"""INSERT INTO gsqlr.gen_ns.tr
+                 |SELECT CAST(id AS STRING), CAST(id AS INT), false
+                 |FROM range($N, ${N + 1000})""".stripMargin)
+        s.sql("CALL gsqlr.system.create_ref('gen_ns.tr', 'first', 'tag', 1)")
+        s.sql("CALL gsqlr.system.create_ref('gen_ns.tr', 'dev', 'branch', -1)")
+      }
+      s.conf.set("spark.sql.catalog.gsqlr", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsqlr.root", rRoot)
+      s.sql(
+        """SELECT 'refs' AS part, name AS k, CAST(version AS BIGINT) AS v
+          |FROM gsqlr.gen_ns.`tr$refs`
+          |UNION ALL
+          |SELECT 'count', 'first', count(*)
+          |FROM gsqlr.gen_ns.tr VERSION AS OF 'first'
+          |UNION ALL
+          |SELECT 'count', 'dev', count(*)
+          |FROM gsqlr.gen_ns.tr VERSION AS OF 'dev'
+          |ORDER BY part, k""".stripMargin)
     })
   )
 
@@ -920,6 +952,16 @@ object Generated {
          |  SELECT 'm' || CAST(g AS VARCHAR), CAST(g AS INTEGER), true
          |  FROM range($N, ${N + 500}) t(g)
          |) ORDER BY bar, foo""".stripMargin,
+    // refs closed form: tag 'first'@v1, branch 'dev'@v2, implicit
+    // main@v2; counts through the refs = N and N+1000
+    "gen_sql_refs" ->
+      s"""SELECT * FROM (VALUES
+         |  ('count', 'dev', CAST(${N + 1000} AS BIGINT)),
+         |  ('count', 'first', CAST($N AS BIGINT)),
+         |  ('refs', 'dev', CAST(2 AS BIGINT)),
+         |  ('refs', 'first', CAST(1 AS BIGINT)),
+         |  ('refs', 'main', CAST(2 AS BIGINT))
+         |) t(part, k, v) ORDER BY part, k""".stripMargin,
     // UPDATE (bar%7=3 -> 'u'-prefixed foo, baz=false) then DELETE of
     // the updated rows whose bar starts with digit 1
     "gen_sql_update" ->

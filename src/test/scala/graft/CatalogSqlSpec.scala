@@ -203,6 +203,41 @@ class CatalogSqlSpec extends AnyFunSuite {
     assert(!spark.table("g.ddlns.t").columns.contains("baz"))
   }
 
+  test("CALL procedures: create_ref / drop_ref / rollback through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.procns")
+    spark.sql("CREATE TABLE g.procns.t (foo STRING, bar INT, baz BOOLEAN)")
+    (0 until 2).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO g.procns.t
+           |SELECT CAST(id AS STRING), CAST(id AS INT), true
+           |FROM range(${i * 10}, ${i * 10 + 10})""".stripMargin)
+    }
+    // tag v1, branch at current (-1), both readable via VERSION AS OF
+    val tag = spark.sql(
+      "CALL g.system.create_ref('procns.t', 'v1-release', 'tag', 1)").head()
+    assert(tag.getString(0) == "v1-release" && tag.getLong(2) == 1L)
+    spark.sql("CALL g.system.create_ref('procns.t', 'dev', 'branch', -1)")
+    def n(q: String) = spark.sql(q).head().getLong(0)
+    assert(n("SELECT count(*) FROM g.procns.t VERSION AS OF 'v1-release'") == 10L)
+    assert(n("SELECT count(*) FROM g.procns.t VERSION AS OF 'dev'") == 20L)
+    // tags are immutable (Iceberg rule); branches re-point freely
+    intercept[Exception] {
+      spark.sql("CALL g.system.create_ref('procns.t', 'v1-release', 'tag', 2)")
+    }
+    spark.sql("CALL g.system.create_ref('procns.t', 'dev', 'branch', 1)")
+    assert(n("SELECT count(*) FROM g.procns.t VERSION AS OF 'dev'") == 10L)
+    // rollback publishes a NEW snapshot equal to v1; history survives
+    val rb = spark.sql("CALL g.system.rollback('procns.t', 1)").head()
+    assert(rb.getLong(0) == 1L && rb.getLong(1) == 3L)
+    assert(n("SELECT count(*) FROM g.procns.t") == 10L)
+    assert(n("SELECT count(*) FROM g.procns.t VERSION AS OF 2") == 20L)
+    spark.sql("CALL g.system.drop_ref('procns.t', 'dev')")
+    val refs = spark.sql("SELECT name FROM g.procns.`t$refs`")
+      .collect().map(_.getString(0)).sorted
+    assert(refs.toSeq == Seq("main", "v1-release"))
+  }
+
   test("CREATE TABLE AS SELECT works against the catalog") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ctasns")

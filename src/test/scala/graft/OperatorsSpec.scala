@@ -166,6 +166,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0.0))
   }
 
+  test("mjpeg avi round-trip: real container walk + per-frame jpeg decode") {
+    val frames = Seq((20, 14), (21, 15), (22, 16)).map { case (w, h) =>
+      new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+    }
+    val avi = Multimodal.encodeMjpegAvi(frames)
+    // it IS an AVI on the outside
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    // per-frame true dimensions come back in stream order
+    assert(Multimodal.decodeVideoFrames(avi) ===
+      Some(Seq((20, 14), (21, 15), (22, 16))))
+    // non-video payloads: None (callers fall back to the stub), and a
+    // truncated container never throws
+    assert(Multimodal.decodeVideoFrames("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeVideoFrames(avi.take(40)).isEmpty)
+    // the videoFrames dataset operator explodes to one row per frame
+    val media = Seq((7L, avi), (8L, "junk".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.videoFrames(spark, media).collect()
+      .map(v => (v.doc_id, v.frame_no, v.width, v.height)).sorted
+    assert(got.toSeq == Seq((7L, 0, 20, 14), (7L, 1, 21, 15), (7L, 2, 22, 16)))
+  }
+
   test("persisted bm25 index: bucketed files, search prunes to its buckets") {
     // VERDICT r3 weak #2: the index tables must land as a distributed
     // bucket-partitioned write (not one part-00000), and a search must
