@@ -43,8 +43,22 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // dev-only filter for micro-benchmarking a subset in isolation
+    // (unset — the driver's case — runs the full suite); REPEAT reruns
+    // the filtered suite N times in one warm JVM so steal-prone-host
+    // noise is visible as run-over-run variance
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+    (2 to repeat).foreach { r =>
+      selected.foreach { case (name, fn) =>
+        val t = runOnce(name, fn)
+        System.err.println(f"[bench] warm run ${r - 1}: $name ${t}%.2fs")
+      }
+    }
     // deterministic order for stable round-over-round comparison
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t1 = runOnce(name, fn)
       // This host degrades episodically (documented: single-thread JVM
       // throughput collapses 30-100x for minutes at a time while the

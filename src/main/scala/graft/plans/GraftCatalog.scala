@@ -158,8 +158,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException("renameTable not supported")
 
   // --- procedures ------------------------------------------------------
-  // CALL g.system.create_ref / drop_ref / rollback — the Iceberg-style
-  // maintenance front door (branch/tag DDL was previously API-only).
+  // CALL g.system.create_ref / drop_ref / rollback / expire_snapshots /
+  // remove_orphan_files / rewrite_data_files / rewrite_position_deletes
+  // — the Iceberg-style maintenance front door.
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -169,13 +170,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "create_ref" => new CreateRefProcedure(root)
       case "drop_ref" => new DropRefProcedure(root)
       case "rollback" => new RollbackProcedure(root)
+      case "expire_snapshots" => new ExpireSnapshotsProcedure(root)
+      case "remove_orphan_files" => new RemoveOrphanFilesProcedure(root)
+      case "rewrite_data_files" => new RewriteDataFilesProcedure(root)
+      case "rewrite_position_deletes" =>
+        new RewritePositionDeletesProcedure(root)
       case _ => throw new NoSuchTableException(ident)
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq != Seq("system")) Array.empty
-    else Array("create_ref", "drop_ref", "rollback")
+    else Array("create_ref", "drop_ref", "rollback", "expire_snapshots",
+        "remove_orphan_files", "rewrite_data_files",
+        "rewrite_position_deletes")
       .map(n => Identifier.of(Array("system"), n))
 
   // --- namespaces ------------------------------------------------------

@@ -108,3 +108,77 @@ private[plans] class RollbackProcedure(root: String)
     Seq(new GenericInternalRow(Array[Any](to, now)))
   }
 }
+
+/** `expire_snapshots(table, keep_from_version)`: drop manifests below
+  * the horizon plus every file only they referenced; branch/tag-pinned
+  * snapshots survive ([[Maintenance.expireSnapshots]]). O(metadata).
+  */
+private[plans] class ExpireSnapshotsProcedure(root: String)
+    extends GraftProcedure("expire_snapshots",
+      Seq.empty, StructType(Seq(
+        StructField("deleted_files", LongType),
+        StructField("keep_from_version", LongType)))) {
+  override def parameters: Array[ProcedureParameter] =
+    Array(str("table"), lng("keep_from_version"))
+  override def run(args: InternalRow): Seq[InternalRow] = {
+    val (ns, t) = nsTable(args)
+    val keepFrom = args.getLong(1)
+    val removed = Maintenance.expireSnapshots(root, ns, t, keepFrom)
+    Seq(new GenericInternalRow(Array[Any](removed.size.toLong, keepFrom)))
+  }
+}
+
+/** `remove_orphan_files(table)`: delete data/delete files no manifest
+  * version references (crashed-write debris). Always safe — an orphan
+  * was never committed, so no read at any version can see it.
+  */
+private[plans] class RemoveOrphanFilesProcedure(root: String)
+    extends GraftProcedure("remove_orphan_files",
+      Seq.empty, StructType(Seq(StructField("deleted_files", LongType)))) {
+  override def parameters: Array[ProcedureParameter] =
+    Array(str("table"))
+  override def run(args: InternalRow): Seq[InternalRow] = {
+    val (ns, t) = nsTable(args)
+    val removed = Maintenance.removeOrphanFiles(root, ns, t)
+    Seq(new GenericInternalRow(Array[Any](removed.size.toLong)))
+  }
+}
+
+/** `rewrite_data_files(table, target_file_count)`: full merge-on-read
+  * compaction into `target_file_count` files (0 = halve), committed as
+  * one replacing snapshot ([[Maintenance.compact]]). The one procedure
+  * here that reads data — a distributed MOR scan + repartitioned
+  * write, the Iceberg `rewrite_data_files` action.
+  */
+private[plans] class RewriteDataFilesProcedure(root: String)
+    extends GraftProcedure("rewrite_data_files",
+      Seq.empty, StructType(Seq(
+        StructField("new_version", LongType)))) {
+  override def parameters: Array[ProcedureParameter] =
+    Array(str("table"), lng("target_file_count"))
+  override def run(args: InternalRow): Seq[InternalRow] = {
+    val (ns, t) = nsTable(args)
+    val target = args.getLong(1).toInt
+    val spark = org.apache.spark.sql.SparkSession.active
+    val v = Maintenance.compact(spark, root, ns, t, targetFileCount = target)
+    Seq(new GenericInternalRow(Array[Any](v)))
+  }
+}
+
+/** `rewrite_position_deletes(table)`: fold accumulated pos-delete
+  * files into per-data-file deletion vectors so scans probe one bitmap
+  * instead of N sorted lists ([[Maintenance.rewritePositionDeletes]]).
+  */
+private[plans] class RewritePositionDeletesProcedure(root: String)
+    extends GraftProcedure("rewrite_position_deletes",
+      Seq.empty, StructType(Seq(
+        StructField("new_version", LongType)))) {
+  override def parameters: Array[ProcedureParameter] =
+    Array(str("table"))
+  override def run(args: InternalRow): Seq[InternalRow] = {
+    val (ns, t) = nsTable(args)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val v = Maintenance.rewritePositionDeletes(spark, root, ns, t)
+    Seq(new GenericInternalRow(Array[Any](v)))
+  }
+}

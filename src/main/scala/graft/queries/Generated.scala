@@ -732,6 +732,53 @@ object Generated {
           |SELECT 'count', 'dev', count(*)
           |FROM gsqlr.gen_ns.tr VERSION AS OF 'dev'
           |ORDER BY part, k""".stripMargin)
+    }),
+    // The full SQL maintenance lifecycle (Iceberg's procedure surface):
+    // two INSERT snapshots + a merge-on-read DELETE, then
+    // rewrite_position_deletes (fold pos-delete lists into DVs),
+    // rewrite_data_files (MOR compaction to 2 files — the one
+    // data-reading procedure), expire_snapshots (drop pre-compaction
+    // manifests + every file only they referenced), and
+    // remove_orphan_files (must find nothing: expiry already collected
+    // the dead files). Checked: surviving data is untouched by the
+    // whole chain, exactly 2 data files and 0 delete files remain, and
+    // exactly one live snapshot survives expiry.
+    "gen_sql_maintenance" -> ((s, dir) => {
+      val xRoot = GeneratedTables.ensureCustom(dir + "#sqlmaint") { root =>
+        s.conf.set("spark.sql.catalog.gsqlx", "graft.plans.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsqlx.root", root)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlx.gen_ns")
+        s.sql("CREATE TABLE gsqlx.gen_ns.tx (foo STRING, bar INT, baz BOOLEAN)")
+        s.sql(s"""INSERT INTO gsqlx.gen_ns.tx
+                 |SELECT CAST(id AS STRING), CAST(id AS INT), true
+                 |FROM range(0, ${N / 2})""".stripMargin)
+        s.sql(s"""INSERT INTO gsqlx.gen_ns.tx
+                 |SELECT CAST(id AS STRING), CAST(id AS INT), false
+                 |FROM range(${N / 2}, $N)""".stripMargin)
+        s.sql("DELETE FROM gsqlx.gen_ns.tx WHERE bar % 5 = 2")
+        s.sql("CALL gsqlx.system.rewrite_position_deletes('gen_ns.tx')")
+        s.sql("CALL gsqlx.system.rewrite_data_files('gen_ns.tx', 2)")
+        s.sql("CALL gsqlx.system.expire_snapshots('gen_ns.tx', 5)")
+        s.sql("CALL gsqlx.system.remove_orphan_files('gen_ns.tx')")
+      }
+      s.conf.set("spark.sql.catalog.gsqlx", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsqlx.root", xRoot)
+      s.sql(
+        """SELECT 'data' AS part, 'survivors' AS k, count(*) AS v
+          |FROM gsqlx.gen_ns.tx
+          |UNION ALL
+          |SELECT 'data', 'sum_bar', CAST(sum(bar) AS BIGINT)
+          |FROM gsqlx.gen_ns.tx
+          |UNION ALL
+          |SELECT 'meta', 'data_files', count(*)
+          |FROM gsqlx.gen_ns.`tx$files` WHERE content = 'data'
+          |UNION ALL
+          |SELECT 'meta', 'delete_files', count(*)
+          |FROM gsqlx.gen_ns.`tx$files` WHERE content <> 'data'
+          |UNION ALL
+          |SELECT 'meta', 'live_snapshots', count(*)
+          |FROM gsqlx.gen_ns.`tx$snapshots` WHERE total_files > 0
+          |ORDER BY part, k""".stripMargin)
     })
   )
 
@@ -962,6 +1009,19 @@ object Generated {
          |  ('refs', 'first', CAST(1 AS BIGINT)),
          |  ('refs', 'main', CAST(2 AS BIGINT))
          |) t(part, k, v) ORDER BY part, k""".stripMargin,
+    // maintenance chain: DELETE kills g%5=2; compaction to 2 files
+    // folds the deletes; expiry leaves one live snapshot; orphan scan
+    // finds nothing
+    "gen_sql_maintenance" ->
+      s"""SELECT 'data' AS part, 'survivors' AS k, count(*) AS v
+         |FROM range(0, $N) t(g) WHERE g % 5 <> 2
+         |UNION ALL
+         |SELECT 'data', 'sum_bar', CAST(sum(g) AS BIGINT)
+         |FROM range(0, $N) t(g) WHERE g % 5 <> 2
+         |UNION ALL SELECT 'meta', 'data_files', CAST(2 AS BIGINT)
+         |UNION ALL SELECT 'meta', 'delete_files', CAST(0 AS BIGINT)
+         |UNION ALL SELECT 'meta', 'live_snapshots', CAST(1 AS BIGINT)
+         |ORDER BY part, k""".stripMargin,
     // UPDATE (bar%7=3 -> 'u'-prefixed foo, baz=false) then DELETE of
     // the updated rows whose bar starts with digit 1
     "gen_sql_update" ->

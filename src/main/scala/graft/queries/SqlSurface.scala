@@ -429,6 +429,28 @@ object SqlSurface {
           |ORDER BY day""".stripMargin)
     }),
 
+    // Recursive CTE (SQL:1999 iterative union — Spark 4 executes it as
+    // UnionLoop: each iteration is one distributed filter+project over
+    // the previous step's output, so depth, not data volume, bounds the
+    // iteration count). The hierarchy is the implicit decimal-digit
+    // tree over custkey (parent = floor(k/10)): every customer walks to
+    // its root, ~log10(N) iterations — 7 at 100 TB scale. Each step
+    // shrinks the frontier (only anc >= 10 recurses), the per-depth
+    // census is one hash aggregate at the end.
+    "q_recursive_cte" -> ((s, dir) => {
+      views(s, dir, "customer")
+      s.sql(
+        """WITH RECURSIVE walk(custkey, anc, depth) AS (
+          |  SELECT c_custkey, c_custkey, CAST(0 AS INTEGER) FROM customer
+          |  UNION ALL
+          |  SELECT custkey, CAST(FLOOR(anc / 10.0) AS BIGINT),
+          |         CAST(depth + 1 AS INTEGER)
+          |  FROM walk WHERE anc >= 10)
+          |SELECT depth, count(*) AS n, CAST(sum(custkey) AS BIGINT) AS sum_keys,
+          |  CAST(sum(anc) AS BIGINT) AS sum_anc
+          |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
+
     // Null-handling scalar functions.
     "q_null_fns" -> ((s, dir) => {
       views(s, dir, "orders")
@@ -464,6 +486,17 @@ object SqlSurface {
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
         |WHERE total_revenue > (SELECT 0.8 * max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE walk(custkey, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey, CAST(0 AS INTEGER) FROM customer
+        |  UNION ALL
+        |  SELECT custkey, CAST(FLOOR(anc / 10.0) AS BIGINT),
+        |         CAST(depth + 1 AS INTEGER)
+        |  FROM walk WHERE anc >= 10)
+        |SELECT depth, count(*) AS n, CAST(sum(custkey) AS BIGINT) AS sum_keys,
+        |  CAST(sum(anc) AS BIGINT) AS sum_anc
+        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,

@@ -238,6 +238,43 @@ class CatalogSqlSpec extends AnyFunSuite {
     assert(refs.toSeq == Seq("main", "v1-release"))
   }
 
+  test("CALL procedures: full maintenance lifecycle through SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.maintns")
+    spark.sql("CREATE TABLE g.maintns.t (foo STRING, bar INT, baz BOOLEAN)")
+    (0 until 3).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO g.maintns.t
+           |SELECT CAST(id AS STRING), CAST(id AS INT), true
+           |FROM range(${i * 100}, ${i * 100 + 100})""".stripMargin)
+    }
+    spark.sql("DELETE FROM g.maintns.t WHERE bar % 3 = 1")
+    def n(q: String) = spark.sql(q).head().getLong(0)
+    val survivors = (0 until 300).count(_ % 3 != 1)
+    assert(n("SELECT count(*) FROM g.maintns.t") == survivors)
+    // fold pos-delete lists into DVs, then compact everything to 2 files
+    spark.sql("CALL g.system.rewrite_position_deletes('maintns.t')")
+    spark.sql("CALL g.system.rewrite_data_files('maintns.t', 2)")
+    val files = spark.sql(
+      "SELECT content, count(*) FROM g.maintns.`t$files` GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(files.toSeq == Seq(("data", 2L)), s"got ${files.toSeq}")
+    assert(n("SELECT count(*) FROM g.maintns.t") == survivors)
+    // expiry drops pre-compaction manifests AND the files only they
+    // referenced — physical data dir shrinks to the 2 live files
+    val cur = TableIO.currentVersion(root, "maintns", "t")
+    val deleted = spark.sql(
+      s"CALL g.system.expire_snapshots('maintns.t', $cur)").head().getLong(0)
+    assert(deleted > 0, "expiry should collect the pre-compaction files")
+    val dataDir = TableIO.tableDir(root, "maintns", "t").resolve("data")
+    assert(Files.list(dataDir).count() == 2L)
+    // nothing uncommitted remains -> orphan scan finds zero
+    assert(spark.sql("CALL g.system.remove_orphan_files('maintns.t')")
+      .head().getLong(0) == 0L)
+    // time travel below the horizon is gone, current read unaffected
+    assert(n("SELECT count(*) FROM g.maintns.t") == survivors)
+  }
+
   test("CREATE TABLE AS SELECT works against the catalog") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ctasns")
