@@ -195,62 +195,54 @@ object SqlSurface {
     // The SAME value-range frame computed scale-safely (VERDICT r3 weak
     // #3): Spark's sliding RANGE frame re-accumulates entrants per row
     // (rows x frame-cardinality — the one declared plan whose cost grows
-    // faster than the data). This formulation buckets prices at the
-    // frame width, so a row's frame spans exactly its own and the
-    // previous bucket:
+    // faster than the data). Prefix-sum decomposition instead:
     //
-    //   frame(p) = within_bucket_running(p)        growing window (O(n))
-    //            + prev_bucket_sum                 hash agg #1
-    //            - prev_bucket_prefix(< p - 5000)  hash agg #2 + banded
-    //                                              equi-join on (prio,
-    //                                              bucket-1)
+    //   frame(p) = cum(<= p) - cum(< p - 5000)
     //
-    // Two hash aggregates, one GROWING (invertible) window, equi-joins
-    // only — every stage is linear in rows + distinct prices per bucket,
-    // at any scale. Exact decimal arithmetic, identical oracle.
+    // cum(<= p) is a GROWING range window (accumulate-and-emit, O(n)).
+    // cum(< p - 5000) is a prefix lookup at a value that need not exist
+    // in the data — resolved POSITIONALLY, not by join: union a probe
+    // row (key = p - 5000, contributes 0) with the data rows (key = p,
+    // contribute price), one running-sum window ordered by (key,
+    // probe-first); each probe's running sum is then exactly the prefix
+    // strictly below its bound (ties sort after the probe). One
+    // unique-key equi-join carries the probe result back to its row.
+    // Two sorted window passes + one 1:1 join — linear at any scale and
+    // any frame density, where the sliding frame and the earlier
+    // bucketed-correction variant (fan-out join: rows x distinct prices
+    // per bucket, measured 4.7s vs the frame's 2.6s at sf0.1) are not.
+    // The frame bound p-5000 stays in the ORDER BY column's native
+    // DOUBLE (IEEE-identical to the range frame's own bound); only the
+    // summand is decimal. Identical oracle to q_window_range_frame.
     "q_window_range_bucketed" -> ((s, dir) => {
       views(s, dir, "orders")
       s.sql(
         """WITH t AS (
-          |  -- pd keeps the ORDER BY column's native DOUBLE: the frame
-          |  -- bound p-5000 must be computed in the same IEEE arithmetic
-          |  -- the range frame uses (a decimal bound flips inclusion of
-          |  -- values landing exactly on it); only the SUMMAND is decimal
-          |  SELECT o_orderkey, o_orderpriority AS prio,
-          |    o_totalprice AS pd,
-          |    CAST(o_totalprice AS DECIMAL(18,4)) AS price,
-          |    CAST(floor(o_totalprice / 5000) AS BIGINT) AS bkt
-          |  FROM orders
-          |),
-          |bsum AS (
-          |  SELECT prio, bkt, sum(price) AS bs FROM t GROUP BY prio, bkt
-          |),
-          |vsum AS (
-          |  SELECT prio, bkt, pd, sum(price) AS vs
-          |  FROM t GROUP BY prio, bkt, pd
-          |),
-          |vrun AS (
-          |  SELECT prio, bkt, pd,
-          |    sum(vs) OVER (PARTITION BY prio, bkt ORDER BY pd
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
-          |  FROM vsum
-          |),
-          |corr AS (
-          |  SELECT t.o_orderkey, sum(v.vs) AS c
-          |  FROM t JOIN vsum v
-          |    ON v.prio = t.prio AND v.bkt = t.bkt - 1
-          |   AND v.pd < t.pd - 5000
-          |  GROUP BY t.o_orderkey
-          |)
-          |SELECT t.o_orderkey, t.prio AS o_orderpriority,
-          |  CAST(r.rs + coalesce(b.bs, 0) - coalesce(corr.c, 0) AS DOUBLE)
-          |    AS nearby_total
-          |FROM t
-          |JOIN vrun r
-          |  ON r.prio = t.prio AND r.bkt = t.bkt AND r.pd = t.pd
-          |LEFT JOIN bsum b ON b.prio = t.prio AND b.bkt = t.bkt - 1
-          |LEFT JOIN corr ON corr.o_orderkey = t.o_orderkey
-          |ORDER BY t.o_orderkey""".stripMargin)
+          |  SELECT o_orderkey, o_orderpriority AS prio, o_totalprice AS pd,
+          |    CAST(o_totalprice AS DECIMAL(18,4)) AS price
+          |  FROM orders),
+          |u AS (
+          |  SELECT prio, pd AS k, 0 AS probe,
+          |    price, CAST(NULL AS BIGINT) AS okey
+          |  FROM t
+          |  UNION ALL
+          |  SELECT prio, pd - 5000 AS k, 1 AS probe,
+          |    CAST(0 AS DECIMAL(18,4)), o_orderkey
+          |  FROM t),
+          |below AS (
+          |  SELECT okey,
+          |    sum(price) OVER (PARTITION BY prio ORDER BY k, probe DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_lt
+          |  FROM u),
+          |le AS (
+          |  SELECT o_orderkey, prio, pd,
+          |    sum(price) OVER (PARTITION BY prio ORDER BY pd
+          |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le
+          |  FROM t)
+          |SELECT le.o_orderkey, le.prio AS o_orderpriority,
+          |  CAST(le.cum_le - coalesce(b.cum_lt, 0) AS DOUBLE) AS nearby_total
+          |FROM le JOIN below b ON b.okey = le.o_orderkey
+          |ORDER BY le.o_orderkey""".stripMargin)
     }),
 
     // Distribution window functions: ntile / percent_rank / cume_dist
