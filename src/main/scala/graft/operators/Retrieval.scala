@@ -84,13 +84,10 @@ object Retrieval {
   def buildIndex(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       root: String, ns: String, termBuckets: Int = 16,
       docBuckets: Int = 8): Unit = {
-    import graft.plans.{PartitionSpec, Partitioning, TableIO}
+    import graft.plans.{Mor, PartitionSpec, Partitioning, TableIO}
     val words = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("term"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     // corpus-scale index tables are BUCKET-PARTITIONED committed writes:
     // one distributed shuffle fans the postings out term-bucket-per-file
     // (never a one-task single-file write), and each file's manifest
@@ -98,6 +95,14 @@ object Retrieval {
     // exactly its query terms' buckets before any file is opened.
     Partitioning.preparePartitioned(spark, root, ns, "bm25_postings", tf,
       PartitionSpec("bucket", "term", termBuckets))
+    // doclen and stats derive from the postings JUST COMMITTED (dl =
+    // sum of a doc's term frequencies), so the corpus is tokenized
+    // exactly once, in the postings write job — every later stage reads
+    // the 100x-smaller index table, not the text
+    val postings = Mor.read(spark, root, ns, "bm25_postings")
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     Partitioning.preparePartitioned(spark, root, ns, "bm25_doclen", dl,
       PartitionSpec("bucket", "doc_id", docBuckets))
     // stats is ONE row — the single-file writer is the right tool here

@@ -233,19 +233,38 @@ object Similarity {
       .repartition(col("vec_id"))
   }
 
-  /** Per-subspace codebooks, seeded by the kCodes lowest vec_ids. */
+  /** Per-subspace codebooks, seeded by the kCodes lowest vec_ids.
+    *
+    * Each iteration's codebook is MATERIALIZED to the driver (it is
+    * subs x kCodes x subDims rows — ~1k values by construction, the
+    * k-means-centroid shape that is always collect-sized regardless of
+    * corpus scale). Leaving it lazy nests assign+regroup over `dims`
+    * once per iteration INSIDE the next iteration's plan, so the
+    * corpus-side explode/normalize lineage re-executes a multiplicative
+    * number of times in whatever job finally consumes the codebook
+    * (measured: the persisted-index build ran 3x slower than the sum
+    * of its stages).
+    */
   private def pqTrain(dims: DataFrame, kCodes: Int, iters: Int): DataFrame = {
-    var cb = dims.filter(col("vec_id") < kCodes)
-      .select(col("sub"), col("vec_id").as("cid"), col("spos"), col("e").as("c"))
+    var cb = localizedSmall(dims.filter(col("vec_id") < kCodes)
+      .select(col("sub"), col("vec_id").as("cid"), col("spos"), col("e").as("c")))
     for (_ <- 1 to iters) {
       val a = pqAssign(dims, cb)
-      cb = dims.join(a, Seq("vec_id", "sub"))
+      cb = localizedSmall(dims.join(a, Seq("vec_id", "sub"))
         .groupBy("sub", "cid", "spos")
         .agg((sum(floor(col("e") * lit(1e7))).cast("double") / lit(1e7) /
-          count(lit(1))).as("c"))
+          count(lit(1))).as("c")))
     }
     cb
   }
+
+  /** Collect a provably-small DataFrame (codebooks, centroids) and
+    * rebuild it as a driver-local relation, cutting the corpus-scale
+    * lineage out of every downstream plan that joins against it.
+    */
+  private def localizedSmall(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
 
   /** ADC shortlist + exact re-rank against given codebook/codes. */
   private def pqSearch(emb: DataFrame, dims: DataFrame, cb: DataFrame,

@@ -157,8 +157,6 @@ object Partitioning {
     val aligned = TableIO.alignFieldIds(df,
       TableIO.readSchema(root, ns, table))
     val staged = aligned.withColumn("_pv", spec.sparkValue(col(spec.column)))
-    val counts = staged.groupBy("_pv").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val tmp = Files.createTempDirectory(dir, ".stage")
     try {
       staged
@@ -168,6 +166,15 @@ object Partitioning {
         .option("parquet.block.size", props.rowGroupBytes.toString)
         .option("parquet.page.size", props.pageBytes.toString)
         .parquet(tmp.resolve("out").toString)
+      // per-partition record counts for the manifest come from the files
+      // JUST written (zero data columns scanned — parquet row counts +
+      // the directory partition value), NOT from a second run of the
+      // input DAG: pre-counting re-executed the full upstream lineage,
+      // which for an index build meant re-tokenizing the whole corpus
+      // (cast: partition-dir values are schema-inferred, often INT)
+      val counts = spark.read.parquet(tmp.resolve("out").toString)
+        .groupBy(col("_pv").cast("long").as("_pv")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val entries = Files.list(tmp.resolve("out")).iterator().asScala
         .filter(_.getFileName.toString.startsWith("_pv="))
         .toSeq.sortBy(_.getFileName.toString)
