@@ -151,7 +151,8 @@ object Partitioning {
     */
   def writePartitioned(spark: SparkSession, root: String, ns: String,
       table: String, df: DataFrame, spec: PartitionSpec, seq: Long,
-      props: WriterProps = WriterProps()): Seq[ManifestEntry] = {
+      props: WriterProps = WriterProps(),
+      filePrefix: String = "part"): Seq[ManifestEntry] = {
     val dir = TableIO.tableDir(root, ns, table)
     Files.createDirectories(dir.resolve("data"))
     val aligned = TableIO.alignFieldIds(df,
@@ -188,7 +189,7 @@ object Partitioning {
             s"expected one file for partition $v, got ${parts.size}")
           // seq in the name keeps appends under evolved specs (or later
           // snapshots) from colliding with earlier partition files
-          val rel = s"data/part-s$seq-p$v.parquet"
+          val rel = s"data/$filePrefix-s$seq-p$v.parquet"
           Files.move(parts.head, dir.resolve(rel),
             StandardCopyOption.REPLACE_EXISTING)
           val keyBounds: Map[String, (Long, Long)] = spec.transform match {

@@ -151,9 +151,10 @@ object EventsStream {
 
   /** Streaming ingestion into a graft table: every micro-batch becomes
     * one data file + one snapshot commit (the Iceberg streaming-ingest
-    * pattern — exactly-once per batch via the atomic manifest flip; a
-    * replayed batch id could be deduplicated against the manifest in a
-    * production sink). Returns the number of commits made.
+    * pattern). Demo/utility shape over `foreachBatch`; the production
+    * path is `writeStream.format("graft-table")` —
+    * [[GraftTableSink]] adds exactly-once replay dedup against the
+    * manifest. Returns the number of commits made.
     */
   def streamIntoTable(spark: SparkSession, source: DataFrame, root: String,
       ns: String, table: String, statsCols: Seq[String] = Nil): Long = {

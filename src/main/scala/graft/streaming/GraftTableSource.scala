@@ -1,0 +1,194 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+import graft.plans.{Mor, Partitioning, TableIO}
+
+/** Structured Streaming SOURCE over a governed table — `readStream`
+  * tails the snapshot log (the Iceberg streaming-read surface: each
+  * committed snapshot becomes a micro-batch, the snapshot VERSION is
+  * the stream offset).
+  *
+  * {{{
+  *   spark.readStream.format("graft-table")
+  *     .option("root", root).option("namespace", ns).option("table", t)
+  *     .option("mode", "append" | "cdc")        // default append
+  *     .load()
+  * }}}
+  *
+  * - `append` mode emits the rows each snapshot INSERTED, in the table
+  *   schema. Delete/overwrite commits contribute nothing (documented
+  *   skip — the Iceberg `streaming-skip-delete-snapshots` behavior);
+  *   consumers needing them use `cdc`.
+  * - `cdc` mode emits the full change rows (`_change_type` insert /
+  *   delete, `_change_version`) from [[Mor.readChanges]] — a streaming
+  *   changelog a downstream materialization can fold.
+  *
+  * Scale + delivery: offsets are ONE long; the versioned manifests are
+  * the log (no extra retention machinery — [[
+  * graft.plans.Maintenance.expireSnapshots]] bounds it, and expiring
+  * past an active checkpoint fails the next batch loudly rather than
+  * silently skipping). Batch planning is O(files added in the version
+  * range) manifest metadata; the data read is the ordinary pruned
+  * parquet scan. Exactly-once end-to-end comes from Spark's offset log
+  * + an idempotent sink, the standard streaming contract.
+  */
+class GraftTableStreamProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def parse(parameters: Map[String, String]): (String, String, String, String) = {
+    def req(k: String) = parameters.getOrElse(k,
+      throw new IllegalArgumentException(s"graft-table source requires option '$k'"))
+    val mode = parameters.getOrElse("mode", "append")
+    require(mode == "append" || mode == "cdc", s"mode must be append|cdc, got '$mode'")
+    (req("root"), req("namespace"), req("table"), mode)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (root, ns, t, mode) = parse(parameters)
+    (shortName(), GraftTableSource.schemaFor(root, ns, t, mode))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (root, ns, t, mode) = parse(parameters)
+    new GraftTableSource(sqlContext, root, ns, t, mode)
+  }
+
+  /** `writeStream.format("graft-table")` — every micro-batch lands as
+    * one snapshot commit. Options: `root`/`namespace`/`table`
+    * (required), `streamId` (distinguishes concurrent writers into one
+    * table; default "s0"), `statsColumns` (comma list → per-file
+    * manifest bounds, so streamed files prune like batch-written ones).
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    def req(k: String) = parameters.getOrElse(k,
+      throw new IllegalArgumentException(s"graft-table sink requires option '$k'"))
+    require(outputMode == OutputMode.Append(),
+      s"graft-table sink is append-only (snapshot commits); got $outputMode")
+    new GraftTableSink(req("root"), req("namespace"), req("table"),
+      parameters.getOrElse("streamId", "s0"),
+      parameters.get("statsColumns").toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+  }
+}
+
+object GraftTableSource {
+  private[streaming] def schemaFor(root: String, ns: String, t: String,
+      mode: String): StructType = {
+    val base = TableIO.readSchema(root, ns, t)
+    if (mode == "append") base
+    else StructType(base.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_change_version", IntegerType, nullable = false)))
+  }
+}
+
+class GraftTableSource(sqlContext: SQLContext, root: String, ns: String,
+    t: String, mode: String) extends Source {
+
+  override val schema: StructType = GraftTableSource.schemaFor(root, ns, t, mode)
+
+  /** Current snapshot version; None until the first commit exists. */
+  override def getOffset: Option[Offset] = {
+    val v = TableIO.currentVersion(root, ns, t)
+    if (v <= 0L) None else Some(LongOffset(v))
+  }
+
+  // restart path hands back SerializedOffset(json) — both shapes carry
+  // the version as their json payload
+  private def versionOf(o: Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(0L)
+    val to = versionOf(end)
+    val cur = TableIO.currentVersion(root, ns, t)
+    require(to <= cur,
+      s"stream offset v$to is ahead of $ns.$t (v$cur) — checkpoint from another table?")
+    val changes = Mor.readChanges(sqlContext.sparkSession, root, ns, t, from, to)
+    val batch = if (mode == "cdc") changes
+      else changes.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_change_version")
+    // schema-ordered projection: the engine splices this plan where the
+    // source relation sat and matches attributes positionally
+    Bridge.asStreaming(batch.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftTableSource[$ns.$t, $mode]"
+}
+
+/** Structured Streaming SINK into a governed table: micro-batch →
+  * snapshot commit, EXACTLY-ONCE. The batch id is carved into the
+  * committed data-file names (`stream-<streamId>-b<batchId>…`), so the
+  * replay marker travels INSIDE the atomically-published manifest — the
+  * Iceberg pattern of stamping the snapshot summary with the epoch id,
+  * without a side channel that could diverge from the commit. A
+  * restarted query re-offers the last batch; [[GraftTableSink.addBatch]]
+  * finds its id already in the manifest and drops it.
+  *
+  * Partitioned tables route through the partitioned writer (one file
+  * per partition value per batch, partition values in the manifest), so
+  * streamed data prunes identically to batch-written data.
+  */
+class GraftTableSink(root: String, ns: String, t: String,
+    streamId: String, statsCols: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (batchId <= GraftTableSink.lastBatch(root, ns, t, streamId)) return
+    val spark = data.sparkSession
+    val batch = Bridge.asBatch(data)
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, t, batch.schema)
+    val seq = TableIO.nextSeq(root, ns, t)
+    val tag = GraftTableSink.tag(streamId, batchId)
+    val entries = Partitioning.readSpec(root, ns, t) match {
+      case Some(spec) =>
+        Partitioning.writePartitioned(spark, root, ns, t, batch, spec, seq,
+          filePrefix = tag)
+      case None =>
+        Seq(TableIO.writeExactFile(spark, root, ns, t,
+          s"data/$tag.parquet", batch, "data", seq,
+          bounds = TableIO.longBounds(batch, statsCols)))
+    }
+    // an empty batch still commits its marker file (0 rows): the replay
+    // guard must see every delivered batch id, rows or not
+    TableIO.commit(root, ns, t, entries)
+  }
+
+  override def toString: String = s"GraftTableSink[$ns.$t, $streamId]"
+}
+
+object GraftTableSink {
+  private def tag(streamId: String, batchId: Long) =
+    f"stream-$streamId-b$batchId%05d"
+
+  private val tagRe = """stream-(.+)-b(\d+)""".r
+
+  /** Highest batch id this stream has committed to the table, read from
+    * the manifest (−1 if none) — O(#files) metadata, no data scan.
+    */
+  def lastBatch(root: String, ns: String, t: String,
+      streamId: String): Long = {
+    if (!TableIO.tableExists(root, ns, t)) return -1L
+    TableIO.readManifest(root, ns, t)
+      .flatMap(e => tagRe.findFirstMatchIn(e.path)
+        .filter(_.group(1) == streamId).map(_.group(2).toLong))
+      .foldLeft(-1L)(math.max)
+  }
+}

@@ -23,6 +23,33 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Re-tag a batch DataFrame as a STREAMING one (`isStreaming=true`
+    * LogicalRDD) — what a V1 streaming `Source.getBatch` must return so
+    * MicroBatchExecution can splice it into the incremental plan. The
+    * constructor is `private[sql]` (`internalCreateDataFrame`); every
+    * V1 connector reaches it this way. Lazy: planning happens when the
+    * micro-batch executes, not here.
+    */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+
+  /** The inverse of [[asStreaming]], for a V1 `Sink.addBatch`: the
+    * DataFrame a sink receives is bound to the micro-batch's
+    * IncrementalExecution, so re-planning it (any `df.write`) trips the
+    * "streaming source without writeStream.start()" guard. Dropping to
+    * the already-planned `toRdd` and re-wrapping yields an ordinary
+    * batch DataFrame the table writers accept; the incremental plan
+    * executes once, when the write consumes the RDD.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+
   /** Register a native expression as a SQL function on a live session
     * (`sessionState` is `private[sql]`; extensions normally install at
     * session build via `spark.sql.extensions`).

@@ -1,0 +1,196 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{Partitioning, Pipeline, TableIO}
+import graft.plans.PartitionSpec
+import graft.sources.{FixSchemaGen, GenConfig}
+import graft.streaming.GraftTableSink
+
+/** `readStream.format("graft-table")` — the snapshot log as a stream.
+  * Each committed version is a micro-batch; offsets are snapshot
+  * versions, so a restart from the checkpoint resumes exactly where the
+  * last batch ended.
+  */
+class TableStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val cfgRef = GenConfig.reference
+  private val N = cfgRef.data.totalRows
+  private val P = cfgRef.actualPosDeletes
+  private val E = cfgRef.actualEqDeletes
+
+  private def appendRange(root: String, ns: String, t: String, fileIdx: Int,
+      lo: Long, hi: Long): Unit = {
+    val df = spark.range(lo, hi).select(
+      col("id").cast("string").as("foo"), col("id").cast("int").as("bar"),
+      lit(true).as("baz"))
+    TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root, ns, t,
+      FixSchemaGen.dataFilePath(fileIdx), df, "data",
+      TableIO.nextSeq(root, ns, t), recordCount = hi - lo)))
+  }
+
+  test("append-mode stream tails inserts across commits, skips deletes") {
+    val cfg = cfgRef.copy(tableName = "stream_src_spec")
+    val root = java.nio.file.Files.createTempDirectory("graft-ssrc-").toString
+    val (ns, t) = (cfg.namespace, cfg.tableName)
+    Pipeline.prepare(spark, root, cfg) // v1 insert, v2 pos-del, v3 eq-del
+
+    val stream = spark.readStream.format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", t)
+      .load()
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq == Seq("foo", "bar", "baz"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("tsrc_spec").start()
+    q.processAllAvailable()
+    // v1's inserts arrive; the two delete commits contribute no rows
+    assert(spark.table("tsrc_spec").count() == N)
+
+    // a live append lands as its own micro-batch
+    val rpf = cfg.data.rowsPerFile
+    appendRange(root, ns, t, 5, 5L * rpf, 5L * rpf + 17)
+    q.processAllAvailable()
+    assert(spark.table("tsrc_spec").count() == N + 17)
+    val tail = spark.table("tsrc_spec")
+      .filter(col("bar") >= 5 * rpf).agg(count(lit(1)), min("bar"), max("bar"))
+      .collect().head
+    assert((tail.getLong(0), tail.getInt(1), tail.getInt(2)) ==
+      (17L, 5 * rpf.toInt, 5 * rpf.toInt + 16))
+    q.stop()
+  }
+
+  test("cdc-mode stream emits the changelog; checkpoint restart resumes") {
+    val cfg = cfgRef.copy(tableName = "stream_cdc_spec")
+    val root = java.nio.file.Files.createTempDirectory("graft-scdc-").toString
+    val (ns, t) = (cfg.namespace, cfg.tableName)
+    Pipeline.prepare(spark, root, cfg)
+    val ckpt = s"$root/_ckpt"
+
+    // foreachBatch sink: supports checkpoint recovery, and lets the spec
+    // observe exactly which (version, type) pairs each RUN delivered
+    val seen = scala.collection.mutable.ArrayBuffer[((Int, String), Long)]()
+    def startQuery() = spark.readStream.format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", t)
+      .option("mode", "cdc").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= df.groupBy("_change_version", "_change_type").count()
+          .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+        ()
+      }.start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(seen.toMap == Map((1, "insert") -> N, (2, "delete") -> P,
+      (3, "delete") -> E))
+    q1.stop()
+
+    // restart from the checkpoint: only the NEW commit is delivered
+    val rpf = cfg.data.rowsPerFile
+    appendRange(root, ns, t, 5, 5L * rpf, 5L * rpf + 9)
+    seen.clear()
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    assert(seen.toMap == Map((4, "insert") -> 9L))
+    q2.stop()
+  }
+
+  test("sink commits micro-batches as snapshots; replayed batch id drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tsink-").toString
+    val (ns, t) = ("stream", "sunk")
+
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("k", "v").writeStream.outputMode("append")
+      .format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", t)
+      .option("statsColumns", "k")
+      .option("checkpointLocation", s"$root/_ckpt")
+      .start()
+    src.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    src.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(TableIO.currentVersion(root, ns, t) == 2L) // one commit per batch
+    val rows = graft.plans.Mor.read(spark, root, ns, t)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // per-batch manifest bounds on k landed (streamed files bounds-prune)
+    val manifest = TableIO.readManifest(root, ns, t)
+    assert(manifest.forall(_.bounds.contains("k")))
+
+    // a REPLAYED batch id (crash between sink commit and offset-log
+    // write) must be a no-op: the marker is inside the manifest
+    val replay = Seq((9L, "dup")).toDF("k", "v")
+    new GraftTableSink(root, ns, t, "s0", Nil).addBatch(1L, replay)
+    assert(TableIO.currentVersion(root, ns, t) == 2L)
+    // a genuinely new batch id still lands
+    new GraftTableSink(root, ns, t, "s0", Nil).addBatch(2L, replay)
+    assert(TableIO.currentVersion(root, ns, t) == 3L)
+    assert(graft.plans.Mor.read(spark, root, ns, t).count() == 4L)
+  }
+
+  test("sink routes through the partitioned writer when the table has a spec") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-psink-").toString
+    val (ns, t) = ("stream", "sunk_part")
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, t,
+      Seq((0L, "x")).toDF("k", "v").schema)
+    Partitioning.writeSpec(root, ns, t, PartitionSpec("bucket", "k", 4))
+
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("k", "v").writeStream.outputMode("append")
+      .format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", t)
+      .option("checkpointLocation", s"$root/_ckpt")
+      .start()
+    src.addData((0L until 20L).map(i => (i, s"r$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // one file per live bucket, partition values in the manifest — the
+    // streamed files prune exactly like batch-written ones
+    val entries = TableIO.readManifest(root, ns, t)
+    assert(entries.nonEmpty &&
+      entries.forall(_.bounds.contains(PartitionSpec("bucket", "k", 4).fieldName)))
+    assert(entries.forall(_.path.contains("stream-s0-b")))
+    assert(graft.plans.Mor.read(spark, root, ns, t).count() == 20L)
+  }
+
+  test("table-to-table streaming pipeline: source -> transform -> sink") {
+    val cfg = cfgRef.copy(tableName = "pipe_src")
+    val root = java.nio.file.Files.createTempDirectory("graft-t2t-").toString
+    val (ns, t) = (cfg.namespace, cfg.tableName)
+    Pipeline.prepareData(spark, root, cfg) // insert-only source table
+
+    val q = spark.readStream.format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", t)
+      .load()
+      .filter(col("bar") % 2 === 0)
+      .writeStream.outputMode("append")
+      .format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", "pipe_dst")
+      .option("checkpointLocation", s"$root/_ckpt")
+      .start()
+    q.processAllAvailable()
+    val expected = spark.range(0, N).filter(col("id") % 2 === 0).count()
+    assert(graft.plans.Mor.read(spark, root, ns, "pipe_dst").count() == expected)
+
+    // incremental: a late append to the source flows through
+    val rpf = cfg.data.rowsPerFile
+    appendRange(root, ns, t, 5, 5L * rpf, 5L * rpf + 10)
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.plans.Mor.read(spark, root, ns, "pipe_dst").count() ==
+      expected + 5)
+  }
+}
