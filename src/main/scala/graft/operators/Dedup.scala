@@ -251,4 +251,44 @@ object Dedup {
       .select("vec_a", "vec_b").distinct()
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space with the deterministic
+    * seeded k-means ([[Similarity.kmeansAssign]]), then prune WITHIN
+    * each cluster — a vector is a duplicate if a lower-id member of its
+    * own cluster is within cosine >= tau. Pairwise work is confined to
+    * cluster-mates, which is the published scale argument: k grows with
+    * the corpus so |cluster| stays bounded and the within-cluster join
+    * is (n/k)-quadratic per cluster, linear overall, vs the n-quadratic
+    * all-pairs scan. Cross-cluster near-dups are deliberately missed —
+    * the recall/cost trade the paper makes; the oracle replays the
+    * identical clustering so results stay bit-exact.
+    *
+    * Output: per-cluster census `(cid, n_vectors, n_dups)` — corpus
+    * size and removable-duplicate count per semantic cluster.
+    */
+  def semantic(emb: DataFrame, tau: Double = 0.4, kClusters: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val assigned = Similarity.kmeansAssign(emb, kClusters, iters)
+    // embeddings + norms ride on the cluster rows so the cosine is
+    // computed in the self-join's projection (same fused shape as
+    // embeddingCosine); repartition on cid co-locates cluster-mates
+    val m = emb.join(assigned, "vec_id")
+      .select(col("vec_id"), col("cid"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+      .repartition(col("cid"))
+    val dups = m.toDF("vec_a", "cid", "emb_a", "norm_a")
+      .join(m.toDF("vec_b", "cid", "emb_b", "norm_b"), Seq("cid"))
+      .filter(col("vec_b") < col("vec_a"))
+      .filter(VectorOps.cosinePre(
+        VectorOps.dot(col("emb_a"), col("emb_b")),
+        col("norm_a"), col("norm_b")) >= tau)
+      .select("cid", "vec_a").distinct()
+    m.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+      .join(dups.groupBy("cid").agg(count(lit(1)).as("n_dups")),
+        Seq("cid"), "left")
+      .select(col("cid"), col("n_vectors"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .orderBy("cid")
+  }
 }

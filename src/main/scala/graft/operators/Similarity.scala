@@ -151,6 +151,17 @@ object Similarity {
     * size, and the oracle replays the identical fixed-point training.
     */
   def kmeansCensus(emb: DataFrame, kClusters: Int = 8,
+      iters: Int = 2): DataFrame =
+    kmeansAssign(emb, kClusters, iters)
+      .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cid")
+
+  /** The deterministic seeded k-means assignment `(vec_id, cid)` shared
+    * by the clustering census and semantic dedup: seeds = the
+    * `kClusters` lowest vec_ids, `iters` Lloyd iterations, fixed-point
+    * arithmetic throughout (exact, order-free, oracle-replayable).
+    */
+  def kmeansAssign(emb: DataFrame, kClusters: Int = 8,
       iters: Int = 2): DataFrame = {
     val dims = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "e")))
@@ -166,8 +177,6 @@ object Similarity {
           count(lit(1))).as("c"))
     }
     assignClusters(dims, cent)
-      .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
-      .orderBy("cid")
   }
 
   /** k-means E-step: nearest centroid per vector (fixed-point-exact

@@ -273,6 +273,39 @@ object TableIO {
     evolved
   }
 
+  /** Type promotion (Iceberg v3 `UpdateSchema.updateColumn`): widen a
+    * column's type in metadata only — int→long and float→double, the
+    * promotions whose binary widening every reader performs losslessly.
+    * No file is rewritten: old files keep the narrow physical type and
+    * the evolved-schema scan upcasts at read (Spark 4's parquet reader
+    * reads INT32 as LongType / FLOAT as DoubleType natively, vectorized
+    * path included). The field id is preserved, so promotion composes
+    * with rename/drop resolution. Delete files written before the
+    * promotion still apply: the MOR join coerces their narrow key
+    * column to the widened type (Iceberg's rule — promotion never
+    * invalidates existing deletes).
+    */
+  def widenColumn(root: String, ns: String, table: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): StructType = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, FloatType,
+      DoubleType}
+    val cur = readSchema(root, ns, table)
+    val f = cur.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val legal = (f.dataType, newType) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(legal, s"illegal promotion ${f.dataType.simpleString} -> " +
+      s"${newType.simpleString}: only int->long and float->double widen " +
+      "losslessly without rewriting files")
+    val evolved = StructType(cur.fields.map(x =>
+      if (x.name == name) x.copy(dataType = newType) else x))
+    atomicWrite(tableDir(root, ns, table).resolve("schema.json"), evolved.json)
+    evolved
+  }
+
   /** Rename a column WITHOUT rewriting any file: the schema keeps the
     * field id, and id-based parquet resolution surfaces old files'
     * values under the new name (Iceberg `UpdateSchema.renameColumn`).

@@ -54,6 +54,7 @@ object Extensions {
         incoming = d.filter(col("doc_id") % 2 === 0),
         existing = d.filter(col("doc_id") % 4 === 0))
     }),
+    "dedup_semantic" -> ((s, dir) => Dedup.semantic(rd(s, dir, "embeddings"))),
     "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rd(s, dir, "embeddings"))),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"))),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"))),
@@ -538,6 +539,28 @@ object Extensions {
          |FROM e JOIN a3 USING (vec_id) JOIN probes USING (cid), q
          |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // SemDeDup: the same k-means replay, then within-cluster pairwise
+    // cosine — a vector is a dup if a lower-id cluster-mate is within
+    // tau; census per cluster
+    "dedup_semantic" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS e
+         |  FROM embeddings, range(0, 64) t(i)),
+         |c0 AS (SELECT vec_id AS cid, pos, e AS c FROM dims WHERE vec_id < 8),
+         |a1 AS (${assignSql("c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |a3 AS (${assignSql("c2")}),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT e.vec_id, a3.cid, e.v FROM e JOIN a3 USING (vec_id)),
+         |p AS (SELECT DISTINCT a.cid, a.vec_id
+         |      FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |      WHERE ${cosSql("a.v", "b.v")} >= 0.4)
+         |SELECT m.cid, count(*) AS n_vectors, count(p.vec_id) AS n_dups
+         |FROM m LEFT JOIN p ON m.vec_id = p.vec_id
+         |GROUP BY m.cid ORDER BY m.cid""".stripMargin,
 
     // the trained-IVF k-means replayed in full; census of the final
     // assignment

@@ -79,6 +79,33 @@ object Generated {
       }
       Mor.read(s, r, c2.namespace, c2.tableName).orderBy("bar")
     }),
+    // Type promotion (Iceberg v3): widen bar int->long in metadata only,
+    // then append a file whose bar values exceed Int range — the one
+    // scan upcasts the old INT32 files and reads the new INT64 file
+    // natively. bar is also the eq-delete identifier: the pre-promotion
+    // delete files (bar int32) must still erase their rows from the
+    // widened column (Iceberg: promotion never invalidates deletes).
+    "gen_type_widening" -> ((s, dir) => {
+      import org.apache.spark.sql.types.LongType
+      val c2 = cfg.copy(tableName = "t1_widen")
+      val r = GeneratedTables.ensureCustom(dir + "#widen") { root =>
+        graft.plans.Pipeline.prepare(s, root, c2)
+        TableIO.widenColumn(root, c2.namespace, c2.tableName, "bar", LongType)
+        val rpf = c2.data.rowsPerFile
+        val big = 3000000000L // > Int.MaxValue: unrepresentable pre-widen
+        val df6 = s.range(5L * rpf, 6L * rpf).select(
+          col("id").cast("string").as("foo"),
+          (col("id") + big).as("bar"),
+          lit(true).as("baz"))
+        val seq = TableIO.nextSeq(root, c2.namespace, c2.tableName)
+        val e = TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
+          graft.sources.FixSchemaGen.dataFilePath(5), df6, "data", seq,
+          recordCount = rpf,
+          bounds = Map("bar" -> (5L * rpf + big, 6L * rpf - 1 + big)))
+        TableIO.commit(root, c2.namespace, c2.tableName, Seq(e))
+      }
+      Mor.read(s, r, c2.namespace, c2.tableName).orderBy("bar")
+    }),
     // Clustered (sort-order) compaction: range-cluster the rewrite on
     // `bar` so each output file holds a contiguous key range recorded
     // as manifest bounds — the clustering that makes bounds-pruning
@@ -806,6 +833,14 @@ object Generated {
          |FROM range(${P + E}, $N) t(g)
          |UNION ALL
          |SELECT CAST(g AS VARCHAR), CAST(g AS INTEGER), true, g * 2
+         |FROM range($N, ${N + RPF}) t(g)
+         |ORDER BY bar""".stripMargin,
+    // widening: survivors (bar now BIGINT) + the appended beyond-int file
+    "gen_type_widening" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS BIGINT) AS bar, true AS baz
+         |FROM range(${P + E}, $N) t(g)
+         |UNION ALL
+         |SELECT CAST(g AS VARCHAR), g + 3000000000, true
          |FROM range($N, ${N + RPF}) t(g)
          |ORDER BY bar""".stripMargin,
     // clustered pruned scan == the bar range within the survivors

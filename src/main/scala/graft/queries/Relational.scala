@@ -236,6 +236,28 @@ object Relational {
         .orderBy("k")
     }),
 
+    // --- VARIANT (Spark 4 semi-structured type) --------------------------
+    // Build a nested variant from typed columns (no float formatting —
+    // engine-portable), then navigate it back out with typed
+    // extraction: the open-schema ingestion path Spark 4 adds over
+    // get_json_object string probing. The binary variant encoding is
+    // exercised end to end; the oracle reads the source columns
+    // directly, so a hash match proves the variant round-trip is
+    // lossless. try_variant_get on a missing path must yield null.
+    "q_variant" -> ((s, dir) => {
+      rdEvents(s, dir)
+        .select(col("event_id"),
+          parse_json(to_json(struct(
+            struct(col("event_type").as("type")).as("meta"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))))
+            .as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("variant_get(v, '$.meta.type', 'string')").as("typ"),
+          expr("try_variant_get(v, '$.missing', 'int')").as("absent"))
+        .orderBy("event_id")
+    }),
+
     // --- time-bucketed aggregation (batch form of a tumbling window) -----
     "q_events_window" -> ((s, dir) => {
       rdEvents(s, dir)
@@ -417,6 +439,14 @@ object Relational {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // the variant was built from these source columns, so reading them
+    // straight proves the Spark-side variant round-trip lossless
+    "q_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  event_type AS typ, CAST(NULL AS INTEGER) AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,

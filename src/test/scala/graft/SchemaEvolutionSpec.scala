@@ -53,4 +53,55 @@ class SchemaEvolutionSpec extends AnyFunSuite {
         StructField("qux", LongType, nullable = true))
     }
   }
+
+  test("type promotion widens in metadata only; illegal promotions rejected") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType,
+      StringType}
+    val cfg = GenConfig.reference.copy(tableName = "widen_spec")
+    val root = java.nio.file.Files.createTempDirectory("graft-widen-").toString
+    val (ns, t) = (cfg.namespace, cfg.tableName)
+    Pipeline.prepare(spark, root, cfg)
+    val mtimes = TableIO.filesOf(root, ns, t, "data")
+      .map(f => (f._1, java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f._1))))
+
+    // float->double promotion needs a float column first
+    TableIO.addColumn(root, ns, t,
+      StructField("w", FloatType, nullable = true))
+    TableIO.widenColumn(root, ns, t, "bar", LongType)
+    TableIO.widenColumn(root, ns, t, "w", DoubleType)
+    val sch = TableIO.readSchema(root, ns, t)
+    assert(sch("bar").dataType == LongType)
+    assert(sch("w").dataType == DoubleType)
+    // field id preserved across promotion (rename/drop still resolve)
+    assert(sch("bar").metadata.getLong(TableIO.FieldIdKey) == 2L)
+
+    // the evolved scan upcasts old INT32 files; eq-deletes (bar int32,
+    // seq 3) still erase their keys from the widened column
+    val merged = Mor.read(spark, root, ns, t)
+    assert(merged.schema("bar").dataType == LongType)
+    assert(merged.count() == cfg.expectedSurvivingRows)
+    assert(merged.agg(min(col("bar"))).head.getLong(0) ==
+      (cfg.actualPosDeletes + cfg.actualEqDeletes).toLong)
+
+    // metadata-only: no data file rewritten
+    mtimes.foreach { case (p, mtime) =>
+      assert(java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(p)) == mtime, s"file rewritten: $p")
+    }
+
+    // narrowing and cross-kind promotions are rejected
+    intercept[IllegalArgumentException] {
+      TableIO.widenColumn(root, ns, t, "bar", IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      TableIO.widenColumn(root, ns, t, "foo", DoubleType)
+    }
+    intercept[IllegalArgumentException] {
+      TableIO.widenColumn(root, ns, t, "bar", StringType)
+    }
+    intercept[IllegalArgumentException] {
+      TableIO.widenColumn(root, ns, t, "absent", LongType)
+    }
+  }
 }
