@@ -332,4 +332,28 @@ object PipelineOps {
     labels.select(col("doc_id"), col("lab").as("cluster"))
       .orderBy("doc_id")
   }
+
+  /** Dataset-card census: the per-(source, language) summary a corpus
+    * release publishes — document counts, char/token totals, length
+    * extremes, and each stratum's share of the corpus. One grouped
+    * aggregation plus a broadcast scalar for the share denominator;
+    * shuffle rows = #strata regardless of corpus size.
+    */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"), col("lang"), col("n_chars"),
+      size(split(trim(col("text")), "\\s+")).as("n_tok"))
+    val g = base.groupBy("source", "lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("total_chars"),
+      sum("n_tok").as("total_tokens"),
+      min("n_chars").as("min_chars"),
+      max("n_chars").as("max_chars"))
+    val tot = base.agg(count(lit(1)).as("corpus_docs"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("min_chars"), col("max_chars"),
+        round(col("n_docs").cast("double") / col("corpus_docs"), 6)
+          .as("doc_share"))
+      .orderBy("source", "lang")
+  }
 }

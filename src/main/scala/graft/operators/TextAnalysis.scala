@@ -183,4 +183,48 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct"),
         sum("c").as("n_total"))
       .orderBy("doc_id")
+
+  /** Default probe tokens for [[countMin]] — frequent corpus words plus
+    * one absent key (CM must answer for misses too: overestimate-only,
+    * never a false zero is NOT guaranteed; a miss can collide upward).
+    */
+  val CmProbes: Seq[String] =
+    Seq("join", "scan", "spark", "the", "vector", "zzz_absent")
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) token-frequency
+    * estimation: `depth` salted hash rows x `width` counter buckets.
+    * The sketch is a `groupBy(d, bucket).count` — map-side partial
+    * aggregation collapses any corpus to at most depth x width shuffle
+    * rows, which is the whole point at 100 TB: frequency estimates
+    * whose communication cost is a constant, vs the unbounded
+    * distinct-token shuffle of an exact count. Estimates upper-bound
+    * the truth (collisions only add); probes compare estimate vs exact.
+    * Salted portable polynomial hashes — the oracle replays the sketch
+    * bit-exactly.
+    */
+  def countMin(docs: DataFrame, probes: Seq[String] = CmProbes,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    def buckets(c: Column) = array((0 until depth).map(d =>
+      TextHash.rollingHash(concat(lit(s"cm$d:"), c)) % width): _*)
+    val sketch = toks.select(posexplode(buckets(col("tok"))).as(Seq("d", "b")))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+    val pr = probes.toDF("token")
+    val est = pr.select(col("token"),
+        posexplode(buckets(col("token"))).as(Seq("d", "b")))
+      .join(sketch, Seq("d", "b"), "left")
+      .groupBy("token").agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
+    // exact counts for the probes only: the isin filter pushes into the
+    // scan, so the exact side shuffles a handful of rows
+    val ex = pr.join(
+        toks.filter(col("tok").isin(probes: _*))
+          .groupBy("tok").agg(count(lit(1)).as("n")),
+        pr("token") === col("tok"), "left")
+      .select(col("token"), coalesce(col("n"), lit(0L)).as("n_exact"))
+    ex.join(est, "token")
+      .select("token", "n_exact", "n_est")
+      .orderBy("token")
+  }
 }

@@ -91,6 +91,7 @@ object Extensions {
     "pipe_shuffle" -> ((s, dir) => PipelineOps.shuffleShards(rd(s, dir, "documents"))),
     "pipe_chunk" -> ((s, dir) => PipelineOps.chunkDocuments(rd(s, dir, "documents"))),
     "pipe_split" -> ((s, dir) => PipelineOps.trainValTest(rd(s, dir, "documents"))),
+    "pipe_datacard" -> ((s, dir) => PipelineOps.dataCard(rd(s, dir, "documents"))),
     "pipe_validate" -> ((s, dir) => PipelineOps.qualityAudit(rd(s, dir, "documents"))),
     "dedup_passages" -> ((s, dir) =>
       PipelineOps.passageDupStats(rd(s, dir, "documents"))),
@@ -127,6 +128,7 @@ object Extensions {
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(rd(s, dir, "documents"))),
     "text_stats" -> ((s, dir) => TextAnalysis.stats(rd(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokens(rd(s, dir, "documents"))),
+    "text_countmin" -> ((s, dir) => TextAnalysis.countMin(rd(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(rd(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(rd(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(rd(s, dir, "documents"))),
@@ -261,6 +263,16 @@ object Extensions {
        | list_reduce(list_transform(string_split($e, ''),
        |   c -> CAST(unicode(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)
        | END)""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.countMin's salted sketch rows. */
+  private val cmProbesSql = graft.operators.TextAnalysis.CmProbes
+    .map(t => s"('$t')").mkString(", ")
+  private val cmSketchSql = (0 until 4).map { d =>
+    s"SELECT $d AS d, (${rollSql(s"'cm$d:' || tok")}) % 256 AS b FROM toks"
+  }.mkString(" UNION ALL ")
+  private val cmProbeSql = (0 until 4).map { d =>
+    s"SELECT token, $d AS d, (${rollSql(s"'cm$d:' || token")}) % 256 AS b FROM pr"
+  }.mkString(" UNION ALL ")
 
   /** DuckDB 4-gram shingle list from a words list `w`. */
   private val shinglesSql =
@@ -711,6 +723,21 @@ object Extensions {
          |  FROM documents)
          |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
+    "pipe_datacard" ->
+      """WITH b AS (SELECT source, lang, n_chars,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |g AS (SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |    min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |  FROM b GROUP BY source, lang),
+        |t AS (SELECT count(*) AS corpus_docs FROM b)
+        |SELECT source, lang, n_docs, total_chars, total_tokens, min_chars,
+        |  max_chars,
+        |  round(CAST(n_docs AS DOUBLE) / corpus_docs, 6) AS doc_share
+        |FROM g, t ORDER BY source, lang""".stripMargin,
+
     "pipe_chunk" ->
       """WITH n AS (SELECT doc_id, text,
         |    greatest((length(text) - 64 + 335) // 336, 1) AS n_chunks
@@ -867,6 +894,22 @@ object Extensions {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // count-min sketch replayed bit-exactly: same salted rolling
+    // hashes, same depth x width counters, min over rows per probe
+    "text_countmin" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |             FROM documents),
+         |sk AS (SELECT d, b, count(*) AS c FROM ($cmSketchSql) GROUP BY d, b),
+         |pr AS (SELECT * FROM (VALUES $cmProbesSql) p(token)),
+         |pb AS ($cmProbeSql),
+         |est AS (SELECT token, min(coalesce(c, 0)) AS n_est
+         |        FROM pb LEFT JOIN sk USING (d, b) GROUP BY token),
+         |ex AS (SELECT pr.token, count(t.tok) AS n_exact
+         |       FROM pr LEFT JOIN toks t ON t.tok = pr.token
+         |       GROUP BY pr.token)
+         |SELECT token, n_exact, n_est
+         |FROM ex JOIN est USING (token) ORDER BY token""".stripMargin,
 
     "text_quality" ->
       """WITH q AS (SELECT doc_id, n_chars,

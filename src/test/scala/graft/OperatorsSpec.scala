@@ -84,6 +84,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("count-min estimate upper-bounds the exact count on every probe") {
+    val d = docs(
+      (1L, "a a a b c"), (2L, "a b b zz"), (3L, "c c c c q"))
+    val r = graft.operators.TextAnalysis
+      .countMin(d, probes = Seq("a", "b", "c", "zz", "missing"))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // exact counts are known; estimates may only err upward (collisions
+    // add, never subtract — the CM one-sided guarantee)
+    assert(r("a") ._1 == 4L && r("b")._1 == 3L && r("c")._1 == 5L)
+    assert(r("zz")._1 == 1L && r("missing")._1 == 0L)
+    r.foreach { case (t, (ex, est)) =>
+      assert(est >= ex, s"probe $t: estimate $est below exact $ex") }
+  }
+
   test("simhash distance 0 for identical docs") {
     val base = (1 to 40).map(i => s"t$i").mkString(" ")
     val d = docs((1L, base), (2L, base))
