@@ -333,6 +333,32 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-ranked selection under a per-language token budget: rank
+    * each language's documents (longest first — the stand-in for a
+    * model-based quality score, deterministic tie-break on doc_id) and
+    * keep documents while the running token total stays within budget —
+    * "take the best docs up to N tokens per language", the selection
+    * step between scoring and training-set assembly. One window sort
+    * per language stratum; at 100 TB the same shape runs per
+    * (lang, score-bucket) shard so no single partition holds a whole
+    * language.
+    */
+  def tokenBudget(docs: DataFrame, budgetPerLang: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      size(split(trim(col("text")), "\\s+")).as("n_tok"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum", sum("n_tok").over(w))
+      .filter(col("cum") <= budgetPerLang)
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_selected"),
+        sum("n_tok").as("total_tokens"),
+        max("cum").as("budget_used"))
+      .orderBy("lang")
+  }
+
   /** Dataset-card census: the per-(source, language) summary a corpus
     * release publishes — document counts, char/token totals, length
     * extremes, and each stratum's share of the corpus. One grouped

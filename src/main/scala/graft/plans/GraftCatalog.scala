@@ -125,7 +125,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** ALTER TABLE schema evolution mapped onto the field-id machinery:
     * ADD COLUMN (nullable adds, schema-on-read null fill for old
     * files), RENAME COLUMN and DROP COLUMN (id-based resolution — no
-    * file rewritten, identifier columns of live eq-deletes protected).
+    * file rewritten, identifier columns of live eq-deletes protected),
+    * ALTER COLUMN TYPE (v3 promotion: int->long / float->double,
+    * metadata-only, old files upcast at read).
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -144,6 +146,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested drops not supported")
         TableIO.dropColumn(spark, root, ns, t, del.fieldNames()(0))
+      case up: TableChange.UpdateColumnType =>
+        // ALTER COLUMN ... TYPE — Iceberg v3 promotion, metadata only
+        require(up.fieldNames.length == 1, "nested type updates not supported")
+        TableIO.widenColumn(root, ns, t, up.fieldNames()(0), up.newDataType)
       case other =>
         throw new UnsupportedOperationException(s"unsupported change: $other")
     }

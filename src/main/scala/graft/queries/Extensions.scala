@@ -92,6 +92,7 @@ object Extensions {
     "pipe_chunk" -> ((s, dir) => PipelineOps.chunkDocuments(rd(s, dir, "documents"))),
     "pipe_split" -> ((s, dir) => PipelineOps.trainValTest(rd(s, dir, "documents"))),
     "pipe_datacard" -> ((s, dir) => PipelineOps.dataCard(rd(s, dir, "documents"))),
+    "pipe_token_budget" -> ((s, dir) => PipelineOps.tokenBudget(rd(s, dir, "documents"))),
     "pipe_validate" -> ((s, dir) => PipelineOps.qualityAudit(rd(s, dir, "documents"))),
     "dedup_passages" -> ((s, dir) =>
       PipelineOps.passageDupStats(rd(s, dir, "documents"))),
@@ -737,6 +738,18 @@ object Extensions {
         |  max_chars,
         |  round(CAST(n_docs AS DOUBLE) / corpus_docs, 6) AS doc_share
         |FROM g, t ORDER BY source, lang""".stripMargin,
+
+    "pipe_token_budget" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY n_chars DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s)
+        |SELECT lang, count(*) AS n_selected,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(max(cum) AS BIGINT) AS budget_used
+        |FROM c WHERE cum <= 20000 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipe_chunk" ->
       """WITH n AS (SELECT doc_id, text,

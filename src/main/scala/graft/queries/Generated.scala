@@ -685,6 +685,28 @@ object Generated {
     // matched-delete, matched-update, and not-matched-insert branches in
     // ONE statement, executed merge-on-read — one sorted pos-delete file
     // + one data file, one snapshot commit, no data file rewritten.
+    // SQL type promotion: ALTER COLUMN TYPE through the catalog, then
+    // an INSERT of beyond-int values — the SQL front door over
+    // TableIO.widenColumn (gen_type_widening drives the same rule
+    // through the API).
+    "gen_sql_widen" -> ((s, dir) => {
+      val wRoot = GeneratedTables.ensureCustom(dir + "#sqlwiden") { root =>
+        s.conf.set("spark.sql.catalog.gsqlw", "graft.plans.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsqlw.root", root)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlw.gen_ns")
+        s.sql("CREATE TABLE gsqlw.gen_ns.tw (foo STRING, bar INT)")
+        s.sql(s"""INSERT INTO gsqlw.gen_ns.tw
+                 |SELECT CAST(id AS STRING), CAST(id AS INT)
+                 |FROM range(0, $N)""".stripMargin)
+        s.sql("ALTER TABLE gsqlw.gen_ns.tw ALTER COLUMN bar TYPE BIGINT")
+        s.sql(s"""INSERT INTO gsqlw.gen_ns.tw
+                 |SELECT CAST(id AS STRING), id + 3000000000
+                 |FROM range(0, 100)""".stripMargin)
+      }
+      s.conf.set("spark.sql.catalog.gsqlw", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsqlw.root", wRoot)
+      s.sql("SELECT foo, bar FROM gsqlw.gen_ns.tw ORDER BY bar")
+    }),
     "gen_sql_merge" -> ((s, dir) => {
       val mRoot = GeneratedTables.ensureCustom(dir + "#sqlmerge") { root =>
         s.conf.set("spark.sql.catalog.gsqlm", "graft.plans.GraftCatalog")
@@ -1022,6 +1044,15 @@ object Generated {
          |FROM range(1000, $N) t(g) ORDER BY bar""".stripMargin,
     // MERGE closed form: [0,N/2) untouched; [N/2,N) updated to false
     // except multiples of 10 (deleted); [N,N+500) inserted as 'm<id>'
+    // widened ints + beyond-int inserts, one BIGINT column
+    "gen_sql_widen" ->
+      s"""SELECT * FROM (
+         |  SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS BIGINT) AS bar
+         |  FROM range(0, $N) t(g)
+         |  UNION ALL
+         |  SELECT CAST(g AS VARCHAR), g + 3000000000
+         |  FROM range(0, 100) t(g)
+         |) ORDER BY bar""".stripMargin,
     "gen_sql_merge" ->
       s"""SELECT * FROM (
          |  SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar,

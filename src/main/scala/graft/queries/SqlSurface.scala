@@ -335,6 +335,33 @@ object SqlSurface {
           |ORDER BY op, status""".stripMargin)
     }),
 
+    // Mergeable quantile sketch: fixed-width bucket counts (the
+    // sketch — map-side combine collapses any input to #buckets
+    // shuffle rows), cumulative sums, then each quantile reported as
+    // the upper bound of the first bucket whose cumulative count
+    // crosses q*total. Error is bounded by the bucket width — the
+    // histogram-sketch trade every distributed quantile makes vs an
+    // exact global sort. Same IEEE-double bucket arithmetic as
+    // q_histogram, so the sketch replays engine-identically.
+    "q_quantile_sketch" -> ((s, dir) => {
+      views(s, dir, "orders")
+      s.sql(
+        """WITH h AS (SELECT o_orderpriority AS pri,
+          |    CAST(floor(o_totalprice / 5000) AS BIGINT) AS bucket,
+          |    count(*) AS c
+          |  FROM orders GROUP BY 1, 2),
+          |cw AS (SELECT pri, bucket, c,
+          |    sum(c) OVER (PARTITION BY pri ORDER BY bucket
+          |      ROWS UNBOUNDED PRECEDING) AS cum,
+          |    sum(c) OVER (PARTITION BY pri) AS tot FROM h)
+          |SELECT pri,
+          |  min(CASE WHEN cum >= tot * 0.5 THEN (bucket + 1) * 5000 END) AS p50_ub,
+          |  min(CASE WHEN cum >= tot * 0.95 THEN (bucket + 1) * 5000 END) AS p95_ub,
+          |  min(CASE WHEN cum >= tot * 0.99 THEN (bucket + 1) * 5000 END) AS p99_ub,
+          |  CAST(sum(c) AS BIGINT) AS n
+          |FROM cw GROUP BY pri ORDER BY pri""".stripMargin)
+    }),
+
     // Fixed-width histogram: bucket = floor((x - min) / width). The
     // boundary arithmetic is exact (2-decimal prices, width a power of
     // ten times an integer), so bucket assignment is engine-identical.
@@ -635,6 +662,22 @@ object SqlSurface {
         |  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY status
         |ORDER BY op, status""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """WITH h AS (SELECT o_orderpriority AS pri,
+        |    CAST(floor(o_totalprice / 5000) AS BIGINT) AS bucket,
+        |    count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |cw AS (SELECT pri, bucket, c,
+        |    sum(c) OVER (PARTITION BY pri ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY pri) AS tot FROM h)
+        |SELECT pri,
+        |  CAST(min(CASE WHEN cum >= tot * 0.5 THEN (bucket + 1) * 5000 END) AS BIGINT) AS p50_ub,
+        |  CAST(min(CASE WHEN cum >= tot * 0.95 THEN (bucket + 1) * 5000 END) AS BIGINT) AS p95_ub,
+        |  CAST(min(CASE WHEN cum >= tot * 0.99 THEN (bucket + 1) * 5000 END) AS BIGINT) AS p99_ub,
+        |  CAST(sum(c) AS BIGINT) AS n
+        |FROM cw GROUP BY pri ORDER BY pri""".stripMargin,
 
     "q_histogram" ->
       """WITH b AS (SELECT min(o_totalprice) AS lo FROM orders)

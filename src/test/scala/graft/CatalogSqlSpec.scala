@@ -203,6 +203,31 @@ class CatalogSqlSpec extends AnyFunSuite {
     assert(!spark.table("g.ddlns.t").columns.contains("baz"))
   }
 
+  test("ALTER COLUMN TYPE widens int->long through SQL, old files upcast") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.widens")
+    spark.sql("CREATE TABLE g.widens.t (k STRING, v INT)")
+    spark.sql(
+      """INSERT INTO g.widens.t
+        |SELECT CAST(id AS STRING), CAST(id AS INT) FROM range(0, 10)""".stripMargin)
+    spark.sql("ALTER TABLE g.widens.t ALTER COLUMN v TYPE BIGINT")
+    assert(spark.table("g.widens.t").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // post-promotion insert holds values unrepresentable pre-widen;
+    // the one scan reads old INT32 and new INT64 files together
+    spark.sql(
+      """INSERT INTO g.widens.t
+        |SELECT CAST(id AS STRING), id + 3000000000 FROM range(0, 5)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM g.widens.t WHERE v > 2147483647")
+      .head().getLong(0) == 5L)
+    assert(spark.sql("SELECT sum(v) FROM g.widens.t").head().getLong(0) ==
+      (0L until 10L).sum + (0L until 5L).map(_ + 3000000000L).sum)
+    // narrowing through SQL is rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.widens.t ALTER COLUMN v TYPE INT")
+    }
+  }
+
   test("CALL procedures: create_ref / drop_ref / rollback through SQL") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.procns")
