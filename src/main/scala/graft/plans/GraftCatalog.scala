@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -367,10 +369,12 @@ private[plans] class GraftMetaTable(root: String, ns: String, t: String,
 private[plans] class GraftScanBuilder(root: String, ns: String, t: String,
     tableSchema: StructType,
     atVersion: Option[Long] = None) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var answered: Option[(StructType, Row)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -378,6 +382,63 @@ private[plans] class GraftScanBuilder(root: String, ns: String, t: String,
   }
 
   override def pushedFilters(): Array[Filter] = Array.empty
+
+  /** Aggregate pushdown into table METADATA (the JDBC-style complete
+    * pushdown, answered from the manifest instead of a remote engine):
+    * unfiltered, ungrouped COUNT(*) / MIN / MAX become one
+    * metadata-derived row and the files are never opened. COUNT uses
+    * manifest record counts (exact under pos-deletes, refuses under
+    * eq-deletes); MIN/MAX use per-file bounds (refuse under ANY delete
+    * — the extreme row might be the deleted one). Any unanswerable
+    * aggregate rejects the whole pushdown and the ordinary scan runs.
+    * At 100 TB this is the difference between a catalog query and a
+    * table scan.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answer(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    answered = answer(agg)
+    answered.isDefined
+  }
+
+  private def answer(agg: Aggregation): Option[(StructType, Row)] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    def boundsCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val c = nr.fieldNames()(0)
+        tableSchema.find(_.name == c).map(_.dataType) match {
+          // bounds are stored as longs — only integral columns answer
+          case Some(IntegerType) | Some(LongType) => Some(c)
+          case _ => None
+        }
+      case _ => None
+    }
+    def narrow(c: String, v: Long): Any =
+      if (tableSchema(c).dataType == IntegerType) v.toInt else v
+    val parts = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        Mor.countFromMetadata(root, ns, t, atVersion)
+          .map(n => (StructField("count(*)", LongType, nullable = false),
+            n: Any))
+      case m: Min =>
+        boundsCol(m.column).flatMap(c =>
+          Mor.minMaxFromMetadata(root, ns, t, c, atVersion)
+            .map(b => (StructField(s"min($c)", tableSchema(c).dataType),
+              narrow(c, b._1))))
+      case m: Max =>
+        boundsCol(m.column).flatMap(c =>
+          Mor.minMaxFromMetadata(root, ns, t, c, atVersion)
+            .map(b => (StructField(s"max($c)", tableSchema(c).dataType),
+              narrow(c, b._2))))
+      case _ => None
+    }
+    if (parts.exists(_.isEmpty)) None
+    else Some((StructType(parts.map(_.get._1).toIndexedSeq),
+      Row(parts.map(_.get._2).toIndexedSeq: _*)))
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty projection (e.g. count(*)) keeps one column for the scan
@@ -399,7 +460,24 @@ private[plans] class GraftScanBuilder(root: String, ns: String, t: String,
     case _ => None
   }
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = answered match {
+    case Some((aggSchema, row)) => new V1Scan {
+      // the whole query result, computed from metadata: one row, no
+      // file ever opened
+      override def readSchema(): StructType = aggSchema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = aggSchema
+          override def buildScan(): RDD[Row] =
+            context.sparkSession.sparkContext.parallelize(Seq(row), 1)
+        }.asInstanceOf[T]
+    }
+    case None => buildScanV1()
+  }
+
+  private def buildScanV1(): Scan = new V1Scan {
     override def readSchema(): StructType = required
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -452,8 +530,23 @@ private[plans] class GraftWriteBuilder(root: String, ns: String, t: String)
           // commit CAS protects metadata, never data paths (caught by
           // CatalogSqlSpec's 4-thread race: corrupted parquet footers)
           val unique = java.util.UUID.randomUUID().toString.take(8)
-          val entry = TableIO.writeExactFile(spark, root, ns, t,
+          val entry0 = TableIO.writeExactFile(spark, root, ns, t,
             f"data/sql-$seq%05d-$unique.parquet", data, "data", seq)
+          // column bounds from the file just written — the parquet-
+          // footer-metrics analogue (re-scan the ONE new file, pruned
+          // to its integral columns; never the source query, which
+          // would re-execute the insert's plan). Bounds feed file
+          // skipping and metadata-only MIN/MAX pushdown.
+          val intCols = data.schema.fields.filter(f =>
+            f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.LongType)
+            .map(_.name).toSeq
+          val entry =
+            if (intCols.isEmpty || entry0.recordCount == 0) entry0
+            else entry0.copy(bounds = TableIO.longBounds(
+              spark.read.parquet(
+                TableIO.tableDir(root, ns, t).resolve(entry0.path).toString),
+              intCols))
           if (overwrite || overwriteArg)
             TableIO.commitReplacing(root, ns, t, Seq(entry))
           else

@@ -530,8 +530,11 @@ object TableIO {
       val aggs = cols.flatMap(c => Seq(
         fmin(col(c).cast("long")).as(s"lo_$c"), fmax(col(c).cast("long")).as(s"hi_$c")))
       val r = df.agg(aggs.head, aggs.tail: _*).head()
-      cols.zipWithIndex.map { case (c, i) =>
-        c -> (r.getLong(2 * i), r.getLong(2 * i + 1))
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        // empty input / all-null column: no bounds (absent = never
+        // pruned, never answers min/max pushdown — the safe default)
+        if (r.isNullAt(2 * i)) None
+        else Some(c -> (r.getLong(2 * i), r.getLong(2 * i + 1)))
       }.toMap
     }
 

@@ -203,6 +203,32 @@ class CatalogSqlSpec extends AnyFunSuite {
     assert(!spark.table("g.ddlns.t").columns.contains("baz"))
   }
 
+  test("COUNT/MIN/MAX answered from metadata through SQL — no file scan") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.aggp")
+    spark.sql("CREATE TABLE g.aggp.t (k STRING, v INT)")
+    spark.sql(
+      """INSERT INTO g.aggp.t
+        |SELECT CAST(id AS STRING), CAST(id AS INT) FROM range(0, 1000)""".stripMargin)
+    spark.sql(
+      """INSERT INTO g.aggp.t
+        |SELECT CAST(id AS STRING), CAST(id AS INT)
+        |FROM range(1000, 2000)""".stripMargin)
+    // destroy the physical files: only a metadata-only answer can
+    // succeed from here (the IvmMetaSpec no-scan proof)
+    TableIO.filesOf(root, "aggp", "t", "data").foreach(f =>
+      Files.delete(java.nio.file.Paths.get(f._1)))
+    val row = spark.sql(
+      "SELECT count(*), min(v), max(v) FROM g.aggp.t").head()
+    assert(row.getLong(0) == 2000L)
+    assert(row.getInt(1) == 0 && row.getInt(2) == 1999)
+    // a residual filter disables the pushdown — the ordinary scan runs
+    // and sees the deleted (now 0-length) files as empty, returning 0
+    // where metadata would say 1989: proof the two paths are distinct
+    assert(spark.sql("SELECT count(*) FROM g.aggp.t WHERE v > 10")
+      .head().getLong(0) == 0L)
+  }
+
   test("ALTER COLUMN TYPE widens int->long through SQL, old files upcast") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.widens")
