@@ -193,4 +193,54 @@ class TableStreamSpec extends AnyFunSuite {
     assert(graft.plans.Mor.read(spark, root, ns, "pipe_dst").count() ==
       expected + 5)
   }
+
+  test("CDC replication: target converges to source across upserts/deletes") {
+    import graft.plans.{Dml, Mor, Upsert}
+    import graft.streaming.Replication
+    val root = java.nio.file.Files.createTempDirectory("graft-repl-").toString
+    val ns = "replns"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, "src", schema)
+    TableIO.createTableIfNotExists(root, ns, "dst", schema)
+    def srcRows(lo: Long, hi: Long, tag: String) =
+      spark.range(lo, hi).select(col("id").as("k"),
+        concat(lit(tag), col("id")).as("v"))
+    // v1: initial load
+    TableIO.commit(root, ns, "src", Seq(TableIO.writeExactFile(spark, root,
+      ns, "src", "data/part-0.parquet", srcRows(0, 100, "a"), "data",
+      TableIO.nextSeq(root, ns, "src"))))
+
+    val q = Replication.replicate(spark, root, ns, "src", root, ns, "dst",
+      keyCols = Seq("k"), checkpoint = s"$root/_repl_ckpt")
+    q.processAllAvailable()
+    def content(t: String): Set[(Long, String)] =
+      Mor.read(spark, root, ns, t).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(content("dst") == content("src") && content("dst").size == 100)
+
+    // v2: source-side upsert rewrites keys 40..59 (delete+insert in one
+    // change version) — the replica must not duplicate or lose them
+    Upsert.upsert(spark, root, ns, "src", srcRows(40, 60, "b"), Seq("k"))
+    q.processAllAvailable()
+    assert(content("dst") == content("src"))
+    assert(content("dst").count(_._2.startsWith("b")) == 20)
+
+    // v3: source-side delete of keys 0..9
+    Dml.deleteWhere(spark, root, ns, "src", "k", 0L, 9L)
+    q.processAllAvailable()
+    q.stop()
+    assert(content("dst") == content("src") && content("dst").size == 90)
+
+    // replaying the last batch is content-idempotent: re-apply the same
+    // change rows directly and compare
+    val last = TableIO.currentVersion(root, ns, "src")
+    Replication.applyChanges(spark, root, ns, "dst",
+      Mor.readChanges(spark, root, ns, "src", last - 1, last), Seq("k"))
+    assert(content("dst") == content("src"))
+  }
 }
