@@ -685,6 +685,43 @@ object Generated {
     // matched-delete, matched-update, and not-matched-insert branches in
     // ONE statement, executed merge-on-read — one sorted pos-delete file
     // + one data file, one snapshot commit, no data file rewritten.
+    // Write-audit-publish: stage commits invisibly to main (tag +
+    // history-preserving rollback), audit through the normal read path,
+    // then reject one staging and fast-forward-publish another — every
+    // step a metadata pointer move. Version numbers are deterministic
+    // (v1 load, v2 bad stage, v3 rollback, v4 good stage, v5 rollback,
+    // v6 publish), so the three phase counts are closed-form.
+    "gen_wap" -> ((s, dir) => {
+      import s.implicits._
+      val c2 = cfg.copy(tableName = "t1_wap")
+      val (ns, t) = (c2.namespace, c2.tableName)
+      val rpf = c2.data.rowsPerFile
+      def appendRows(root: String, idx: Int, lo: Long, hi: Long): Unit = {
+        val df = s.range(lo, hi).select(col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"), lit(true).as("baz"))
+        TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(s, root, ns,
+          t, graft.sources.FixSchemaGen.dataFilePath(idx), df, "data",
+          TableIO.nextSeq(root, ns, t), recordCount = hi - lo)))
+      }
+      val r = GeneratedTables.ensureCustom(dir + "#wap") { root =>
+        graft.plans.Pipeline.prepareData(s, root, c2) // v1: N rows
+        // a bad append (wrong row count caught by the audit) — rejected
+        val bad = graft.plans.Wap.stage(root, ns, t) {
+          appendRows(root, 5, N, N + 100)
+        }
+        graft.plans.Wap.reject(root, ns, t, bad)
+        // a good append — audited and published
+        val good = graft.plans.Wap.stage(root, ns, t) {
+          appendRows(root, 6, N, N + rpf)
+        }
+        graft.plans.Wap.publish(root, ns, t, good)
+      }
+      Seq(
+        ("main_after_publish", Mor.read(s, r, ns, t).count()),
+        ("staged_rejected", Mor.readAt(s, r, ns, t, 2L).count()),
+        ("main_during_audit", Mor.readAt(s, r, ns, t, 3L).count()))
+        .toDF("phase", "n_rows").orderBy("phase")
+    }),
     // SQL type promotion: ALTER COLUMN TYPE through the catalog, then
     // an INSERT of beyond-int values — the SQL front door over
     // TableIO.widenColumn (gen_type_widening drives the same rule
@@ -1044,6 +1081,14 @@ object Generated {
          |FROM range(1000, $N) t(g) ORDER BY bar""".stripMargin,
     // MERGE closed form: [0,N/2) untouched; [N/2,N) updated to false
     // except multiples of 10 (deleted); [N,N+500) inserted as 'm<id>'
+    // WAP closed form: main N+RPF after publish; the rejected staging
+    // stays auditable at N+100; main held at N while audits ran
+    "gen_wap" ->
+      s"""SELECT * FROM (VALUES
+         |  ('main_after_publish', CAST(${N + RPF} AS BIGINT)),
+         |  ('main_during_audit', CAST($N AS BIGINT)),
+         |  ('staged_rejected', CAST(${N + 100} AS BIGINT))
+         |) t(phase, n_rows) ORDER BY phase""".stripMargin,
     // widened ints + beyond-int inserts, one BIGINT column
     "gen_sql_widen" ->
       s"""SELECT * FROM (
