@@ -236,6 +236,31 @@ object Relational {
         .orderBy("k")
     }),
 
+    // --- bucketed co-partitioned join (shuffle-free) ---------------------
+    // Both fact tables persisted bucketed on the join key (Spark native
+    // bucketing): the sort-merge join reads bucket i against bucket i
+    // directly — NO exchange on either side (BucketJoinSpec asserts the
+    // plan). At 100 TB this is THE two-fact-table join strategy: the
+    // shuffle happens once at write time and every subsequent join of
+    // any two co-bucketed tables is exchange-free.
+    "q_bucket_join" -> ((s, dir) => {
+      graft.plans.GeneratedTables.ensureCustom(dir + "#buckets") { root =>
+        rd(s, dir, "orders").write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", root + "/bj_orders").saveAsTable("bj_orders")
+        rd(s, dir, "lineitem").write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", root + "/bj_lineitem").saveAsTable("bj_lineitem")
+      }
+      s.table("bj_orders").hint("merge")
+        .join(s.table("bj_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice"), 4)).cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
     // --- VARIANT (Spark 4 semi-structured type) --------------------------
     // Build a nested variant from typed columns (no float formatting —
     // engine-portable), then navigate it back out with typed
@@ -439,6 +464,13 @@ object Relational {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // bucketing changes execution, never results: the plain join
+    "q_bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the variant was built from these source columns, so reading them
     // straight proves the Spark-side variant round-trip lossless
