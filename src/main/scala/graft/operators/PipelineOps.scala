@@ -333,6 +333,31 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic round-robin interleave of corpus sources — the
+    * training-order step after per-source curation: document i of each
+    * source lands at global position `(i-1) * n_sources + source_rank`,
+    * so a training run cycles through sources instead of consuming
+    * them sequentially. Pure arithmetic over per-source row numbers
+    * plus one tiny broadcast of the source ranking — no global sort,
+    * no unpartitioned window (the position IS the sort key; a sink
+    * that needs physical order range-partitions on it).
+    */
+  def interleave(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcRank = docs.select(col("source")).distinct()
+      .withColumn("src_rank",
+        row_number().over(Window.orderBy("source")))
+    val n = srcRank.count()
+    val rn = docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")))
+    rn.join(broadcast(srcRank), "source")
+      .select(col("doc_id"), col("source"),
+        ((col("rn") - 1) * lit(n) + col("src_rank")).as("pos"))
+      .filter(col("pos") <= 100)
+      .orderBy("pos")
+  }
+
   /** Quality-ranked selection under a per-language token budget: rank
     * each language's documents (longest first — the stand-in for a
     * model-based quality score, deterministic tie-break on doc_id) and

@@ -93,6 +93,7 @@ object Extensions {
     "pipe_split" -> ((s, dir) => PipelineOps.trainValTest(rd(s, dir, "documents"))),
     "pipe_datacard" -> ((s, dir) => PipelineOps.dataCard(rd(s, dir, "documents"))),
     "pipe_token_budget" -> ((s, dir) => PipelineOps.tokenBudget(rd(s, dir, "documents"))),
+    "pipe_interleave" -> ((s, dir) => PipelineOps.interleave(rd(s, dir, "documents"))),
     "pipe_validate" -> ((s, dir) => PipelineOps.qualityAudit(rd(s, dir, "documents"))),
     "dedup_passages" -> ((s, dir) =>
       PipelineOps.passageDupStats(rd(s, dir, "documents"))),
@@ -750,6 +751,19 @@ object Extensions {
         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         |  CAST(max(cum) AS BIGINT) AS budget_used
         |FROM c WHERE cum <= 20000 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipe_interleave" ->
+      """WITH sr AS (SELECT source, row_number() OVER (ORDER BY source) AS src_rank
+        |            FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT count(*) AS ns FROM sr),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST((rn - 1) * ns + src_rank AS BIGINT) AS pos
+        |FROM r JOIN sr USING (source), n
+        |WHERE (rn - 1) * ns + src_rank <= 100
+        |ORDER BY pos""".stripMargin,
 
     "pipe_chunk" ->
       """WITH n AS (SELECT doc_id, text,

@@ -236,6 +236,25 @@ object Relational {
         .orderBy("k")
     }),
 
+    // --- salted skew join ------------------------------------------------
+    // Deterministic salting for hot keys: left rows get a stable salt,
+    // the (small) right side replicates once per salt, the join runs on
+    // (key, salt) — identical results, factor-x wider shuffle key space
+    // so no single task holds a hot key's whole block (the explicit
+    // fallback when AQE skew splitting isn't enough at 100 TB).
+    "q_skew_join" -> ((s, dir) => {
+      val left = rd(s, dir, "lineitem").select(
+        col("l_orderkey").as("okey"),
+        dec(col("l_extendedprice"), 4).as("price"))
+      val right = rd(s, dir, "orders").select(
+        col("o_orderkey").as("okey"), col("o_orderstatus"))
+      graft.operators.SkewJoin.saltedInner(left, right, "okey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // --- bucketed co-partitioned join (shuffle-free) ---------------------
     // Both fact tables persisted bucketed on the join key (Spark native
     // bucketing): the sort-merge join reads bucket i against bucket i
@@ -464,6 +483,13 @@ object Relational {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // salting changes execution, never results: the plain join
+    "q_skew_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // bucketing changes execution, never results: the plain join
     "q_bucket_join" ->
