@@ -66,6 +66,14 @@ object PipeScaleSmoke {
       .bm25TopK(docs, Seq("w100", "w2500", "w4999")).collect())
     timed("passageDupStats")(PipelineOps.passageDupStats(docs).count())
     timed("trainValTest")(PipelineOps.trainValTest(docs).collect())
+    // the sketch claims: shuffle bounded by sketch size at any corpus
+    // size (count-min: d x w counter rows; datacard: #strata rows)
+    timed("countMin")(graft.operators.TextAnalysis
+      .countMin(docs, probes = Seq("w100", "w2500", "w4999", "zzz"))
+      .collect())
+    timed("dataCard")(PipelineOps.dataCard(docs).collect())
+    timed("tokenBudget")(PipelineOps.tokenBudget(docs).collect())
+    timed("interleave")(PipelineOps.interleave(docs).collect())
     println("[pipescale] OK")
     spark.stop()
   }
