@@ -229,6 +229,24 @@ class CatalogSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 0L)
   }
 
+  test("manifest statistics auto-broadcast small catalog tables") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.statns")
+    spark.sql("CREATE TABLE g.statns.dim (k BIGINT, name STRING)")
+    spark.sql(
+      """INSERT INTO g.statns.dim
+        |SELECT id, concat('n', id) FROM range(0, 100)""".stripMargin)
+    val fact = spark.range(0, 100000).toDF("k")
+    // no broadcast hint: the planner must pick BHJ from the reported
+    // manifest statistics (without them a DSv2 relation defaults to
+    // defaultSizeInBytes = huge and can never auto-broadcast)
+    val j = fact.join(spark.table("g.statns.dim"), "k")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected stats-driven auto-broadcast in:\n$plan")
+    assert(j.count() == 100)
+  }
+
   test("ALTER COLUMN TYPE widens int->long through SQL, old files upcast") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.widens")
