@@ -25,6 +25,20 @@ object Formats {
           date_format(min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("min_date"),
           date_format(max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("max_date"))
         .orderBy("o_orderstatus")),
+    // lineitem through ORC: the non-parquet columnar path — vectorized
+    // ORC reader, its own type encoders and file statistics.
+    "src_orc_roundtrip" -> ((s, dir) =>
+      FormatRoundtrip.orcLineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_key"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("min_ship"),
+          date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+        .orderBy("l_returnflag")),
     // documents through JSON lines: free text with newlines/quotes/
     // unicode; the summed rolling hash of the text makes any corrupted
     // character anywhere in the corpus visible in one bigint.
@@ -53,6 +67,14 @@ object Formats {
         |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
         |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "src_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+        |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "src_json_roundtrip" ->
       s"""SELECT lang, count(*) AS n,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -34,6 +34,21 @@ object FormatRoundtrip {
     spark.read.schema(schema).option("header", "true").csv(s"$out/orders")
   }
 
+  /** `lineitem` through ORC — the other columnar format Spark ships
+    * natively: doubles, strings, millisecond timestamps through ORC's
+    * own encoders/statistics instead of parquet's.
+    */
+  def orcLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+    val out = cache.getOrElseUpdate("orc#" + sfDir, {
+      val dir = Files.createTempDirectory("graft-orc-").toString
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.mode("overwrite").orc(s"$dir/lineitem")
+      dir
+    })
+    spark.read.schema(schema).orc(s"$out/lineitem")
+  }
+
   /** `documents` through JSON lines: free text with newlines, quotes and
     * unicode must survive the escape/unescape cycle.
     */
