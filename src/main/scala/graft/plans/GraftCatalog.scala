@@ -111,17 +111,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(root, ns, t, atVersion = Some(v))
   }
 
+  /** `PARTITIONED BY (bucket(n, col) | truncate(w, col) | col)` maps
+    * onto the hidden-partitioning spec (Iceberg's SQL DDL shape):
+    * the spec lands in table metadata, INSERTs route through the
+    * partitioned writer (one file per partition value with recorded
+    * partition bounds), and the bounds pruner doubles as the partition
+    * pruner on reads.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "partition transforms go through graft.plans.Partitioning")
+    val spec = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) => Some(toSpec(t))
+      case _ => throw new UnsupportedOperationException(
+        "at most one partition transform per table")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val ns = ns1(ident.namespace)
+    spec.foreach(sp => require(schema.fieldNames.contains(sp.column),
+      s"partition column ${sp.column} not in schema"))
     TableIO.createNamespace(root, ns)
     TableIO.createTableIfNotExists(root, ns, ident.name, schema)
+    spec.foreach(sp => Partitioning.writeSpec(root, ns, ident.name, sp))
     loadTable(ident)
+  }
+
+  /** DSv2 transform -> PartitionSpec, matched generically on the
+    * transform name with arguments in either (lit, col) or (col, lit)
+    * order — `bucket(8, k)`, `truncate(100, k)`, bare `k` (identity).
+    */
+  private def toSpec(t: Transform): PartitionSpec = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+    val refs = t.references().toSeq.flatMap(_.fieldNames())
+    require(refs.length == 1, s"transform ${t.describe()} must reference " +
+      "exactly one top-level column")
+    def litArg: Int = t.arguments().collectFirst {
+      case l: V2Literal[_] => l.value().toString.toInt
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"transform ${t.describe()} needs an integer argument"))
+    t.name() match {
+      case "identity" => PartitionSpec("identity", refs.head)
+      case "bucket" => PartitionSpec("bucket", refs.head, litArg)
+      case "truncate" => PartitionSpec("truncate", refs.head, litArg)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform: $other")
+    }
   }
 
   /** ALTER TABLE schema evolution mapped onto the field-id machinery:
@@ -549,6 +584,21 @@ private[plans] class GraftWriteBuilder(root: String, ns: String, t: String)
         override def insert(data: DataFrame, overwriteArg: Boolean): Unit = {
           val spark = data.sparkSession
           val seq = TableIO.nextSeq(root, ns, t)
+          // a declared partition spec routes the INSERT through the
+          // partitioned writer: one file per partition value, partition
+          // bounds recorded for pruning (same path batch and streaming
+          // writes take)
+          Partitioning.readSpec(root, ns, t) match {
+            case Some(sp) =>
+              val unique0 = java.util.UUID.randomUUID().toString.take(8)
+              val entries = Partitioning.writePartitioned(spark, root, ns,
+                t, data, sp, seq, filePrefix = s"sql-$unique0")
+              if (overwrite || overwriteArg)
+                TableIO.commitReplacing(root, ns, t, entries)
+              else TableIO.commit(root, ns, t, entries)
+              return
+            case None => ()
+          }
           // the file name carries a UUID (as Iceberg's writers do):
           // two concurrent INSERTs read the same nextSeq, and with a
           // seq-only name the second writer would overwrite the first

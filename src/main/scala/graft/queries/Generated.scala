@@ -685,6 +685,25 @@ object Generated {
     // matched-delete, matched-update, and not-matched-insert branches in
     // ONE statement, executed merge-on-read — one sorted pos-delete file
     // + one data file, one snapshot commit, no data file rewritten.
+    // SQL hidden partitioning: CREATE TABLE ... PARTITIONED BY
+    // (bucket(4, bar)) + plain INSERT — the writer routes one file per
+    // bucket with partition bounds recorded; reads prune by them.
+    "gen_sql_partitioned" -> ((s, dir) => {
+      val pRoot = GeneratedTables.ensureCustom(dir + "#sqlpart") { root =>
+        s.conf.set("spark.sql.catalog.gsqlp", "graft.plans.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsqlp.root", root)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlp.gen_ns")
+        s.sql("""CREATE TABLE gsqlp.gen_ns.tp (foo STRING, bar INT)
+                |PARTITIONED BY (bucket(4, bar))""".stripMargin)
+        s.sql(s"""INSERT INTO gsqlp.gen_ns.tp
+                 |SELECT CAST(id AS STRING), CAST(id AS INT)
+                 |FROM range(0, $N)""".stripMargin)
+      }
+      s.conf.set("spark.sql.catalog.gsqlp", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsqlp.root", pRoot)
+      s.sql("""SELECT foo, bar FROM gsqlp.gen_ns.tp
+              |WHERE bar BETWEEN 100 AND 200 ORDER BY bar""".stripMargin)
+    }),
     // Write-audit-publish: stage commits invisibly to main (tag +
     // history-preserving rollback), audit through the normal read path,
     // then reject one staging and fast-forward-publish another — every
@@ -1081,6 +1100,9 @@ object Generated {
          |FROM range(1000, $N) t(g) ORDER BY bar""".stripMargin,
     // MERGE closed form: [0,N/2) untouched; [N/2,N) updated to false
     // except multiples of 10 (deleted); [N,N+500) inserted as 'm<id>'
+    "gen_sql_partitioned" ->
+      """SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar
+        |FROM range(100, 201) t(g) ORDER BY bar""".stripMargin,
     // WAP closed form: main N+RPF after publish; the rejected staging
     // stays auditable at N+100; main held at N while audits ran
     "gen_wap" ->

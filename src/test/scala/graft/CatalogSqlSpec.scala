@@ -229,6 +229,35 @@ class CatalogSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 0L)
   }
 
+  test("PARTITIONED BY bucket DDL routes INSERTs through the partitioned writer") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.pddl")
+    spark.sql(
+      "CREATE TABLE g.pddl.t (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql(
+      """INSERT INTO g.pddl.t
+        |SELECT id, concat('v', id) FROM range(0, 400)""".stripMargin)
+    // one file per bucket, each carrying its partition value in bounds
+    val files = TableIO.filesOf(root, "pddl", "t", "data")
+    assert(files.size == 4, s"expected 4 bucket files, got ${files.size}")
+    assert(spark.sql("SELECT count(*) FROM g.pddl.t WHERE k = 123")
+      .head().getLong(0) == 1L)
+    assert(spark.table("g.pddl.t").count() == 400L)
+    // identity + truncate transforms parse too; unsupported ones refuse
+    spark.sql(
+      "CREATE TABLE g.pddl.ti (d BIGINT, v STRING) PARTITIONED BY (d)")
+    spark.sql(
+      "CREATE TABLE g.pddl.tt (d BIGINT, v STRING) PARTITIONED BY (truncate(100, d))")
+    assert(graft.plans.Partitioning.readSpec(root, "pddl", "ti")
+      .exists(_.transform == "identity"))
+    assert(graft.plans.Partitioning.readSpec(root, "pddl", "tt")
+      .exists(s => s.transform == "truncate" && s.param == 100))
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE g.pddl.ty (ts TIMESTAMP, v STRING) PARTITIONED BY (years(ts))")
+    }
+  }
+
   test("manifest statistics auto-broadcast small catalog tables") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.statns")
