@@ -154,6 +154,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "identity" => PartitionSpec("identity", refs.head)
       case "bucket" => PartitionSpec("bucket", refs.head, litArg)
       case "truncate" => PartitionSpec("truncate", refs.head, litArg)
+      case "days" | "day" => PartitionSpec("day", refs.head)
+      case "hours" | "hour" => PartitionSpec("hour", refs.head)
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform: $other")
     }

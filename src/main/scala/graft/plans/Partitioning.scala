@@ -31,16 +31,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * and all of it.
   */
 final case class PartitionSpec(transform: String, column: String, param: Int = 0) {
-  require(Set("identity", "truncate", "bucket")(transform),
+  require(Set("identity", "truncate", "bucket", "day", "hour")(transform),
     s"unknown transform $transform")
-  require(transform == "identity" || param > 0,
+  require(Set("identity", "day", "hour")(transform) || param > 0,
     s"$transform requires a positive param")
+
+  /** Time transforms are truncation of the column's epoch seconds (a
+    * timestamp cast to long IS epoch seconds in Spark) — day/hour are
+    * Iceberg's most common transforms and order-preserving, so ranges
+    * prune like truncate's.
+    */
+  private def widthSec: Long = transform match {
+    case "day" => 86400L
+    case "hour" => 3600L
+    case _ => 0L
+  }
 
   /** Manifest/metadata name of the derived partition field. */
   def fieldName: String = transform match {
     case "identity" => s"p_$column"
     case "truncate" => s"p_trunc${param}_$column"
     case "bucket"   => s"p_bucket${param}_$column"
+    case "day"      => s"p_day_$column"
+    case "hour"     => s"p_hour_$column"
   }
 
   /** The transform as a Spark column expression (codegen'd end to end). */
@@ -50,11 +63,14 @@ final case class PartitionSpec(transform: String, column: String, param: Int = 0
     case "bucket" =>
       pmod(graft.functions.HashFunctions.polyHash(c.cast("string")),
         lit(param.toLong))
+    case "day" | "hour" =>
+      floor(c.cast("long") / lit(widthSec)).cast("long")
   }
 
   /** Driver-side twin of [[sparkValue]] for planning prunes from a key
     * literal (must agree bit-for-bit with the executor-side expression —
-    * bucket reuses the very same polyHash implementation).
+    * bucket reuses the very same polyHash implementation). Time
+    * transforms take the key in epoch SECONDS.
     */
   def valueOf(key: Long): Long = transform match {
     case "identity" => key
@@ -63,6 +79,7 @@ final case class PartitionSpec(transform: String, column: String, param: Int = 0
       val h = graft.functions.HashExprs.polyHash(
         UTF8String.fromString(key.toString))
       ((h % param) + param) % param
+    case "day" | "hour" => Math.floorDiv(key, widthSec)
   }
 
   /** The file-skipping predicate for `column BETWEEN lo AND hi`, or None
@@ -197,6 +214,10 @@ object Partitioning {
             case "truncate" =>
               Map(spec.column ->
                 (v * spec.param, v * spec.param + spec.param - 1))
+            // time partitions record the column's epoch-second range —
+            // ts-range prunes work exactly like value-range prunes
+            case "day" => Map(spec.column -> (v * 86400L, v * 86400L + 86399L))
+            case "hour" => Map(spec.column -> (v * 3600L, v * 3600L + 3599L))
             case _ => Map.empty
           }
           ManifestEntry(rel, "data", seq, counts(v),

@@ -258,6 +258,27 @@ class CatalogSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("days(ts) partitioning: one file per day, ts-range prunes files") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.tddl")
+    spark.sql(
+      "CREATE TABLE g.tddl.ev (ts TIMESTAMP, v BIGINT) PARTITIONED BY (days(ts))")
+    // 4 days x 100 events (hourly-ish spacing inside each day)
+    spark.sql(
+      """INSERT INTO g.tddl.ev
+        |SELECT timestamp_seconds(86400 * (id % 4) + (id DIV 4) * 864), id
+        |FROM range(0, 400)""".stripMargin)
+    val files = TableIO.filesOf(root, "tddl", "ev", "data")
+    assert(files.size == 4, s"expected 4 day files, got ${files.size}")
+    assert(spark.table("g.tddl.ev").count() == 400L)
+    // epoch-second range prune through the manifest bounds: day 2 only
+    val pruned = graft.plans.Mor.read(spark, root, "tddl", "ev",
+      prune = Seq(graft.plans.Mor.Prune("ts", 2L * 86400, 3L * 86400 - 1)))
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 file after day prune, got ${pruned.inputFiles.length}")
+    assert(pruned.count() == 100L)
+  }
+
   test("manifest statistics auto-broadcast small catalog tables") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.statns")
