@@ -156,6 +156,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "truncate" => PartitionSpec("truncate", refs.head, litArg)
       case "days" | "day" => PartitionSpec("day", refs.head)
       case "hours" | "hour" => PartitionSpec("hour", refs.head)
+      case "months" | "month" => PartitionSpec("month", refs.head)
+      case "years" | "year" => PartitionSpec("year", refs.head)
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform: $other")
     }

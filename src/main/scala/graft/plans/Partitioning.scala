@@ -31,10 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * and all of it.
   */
 final case class PartitionSpec(transform: String, column: String, param: Int = 0) {
-  require(Set("identity", "truncate", "bucket", "day", "hour")(transform),
-    s"unknown transform $transform")
-  require(Set("identity", "day", "hour")(transform) || param > 0,
-    s"$transform requires a positive param")
+  require(Set("identity", "truncate", "bucket", "day", "hour",
+    "month", "year")(transform), s"unknown transform $transform")
+  require(Set("identity", "day", "hour", "month", "year")(transform) ||
+    param > 0, s"$transform requires a positive param")
 
   /** Time transforms are truncation of the column's epoch seconds (a
     * timestamp cast to long IS epoch seconds in Spark) — day/hour are
@@ -54,9 +54,16 @@ final case class PartitionSpec(transform: String, column: String, param: Int = 0
     case "bucket"   => s"p_bucket${param}_$column"
     case "day"      => s"p_day_$column"
     case "hour"     => s"p_hour_$column"
+    case "month"    => s"p_month_$column"
+    case "year"     => s"p_year_$column"
   }
 
-  /** The transform as a Spark column expression (codegen'd end to end). */
+  /** The transform as a Spark column expression (codegen'd end to end).
+    * Calendar transforms (month/year) evaluate in the session timezone,
+    * which the harness pins to UTC — [[valueOf]] mirrors them with
+    * java.time UTC arithmetic, so driver-side prune planning agrees
+    * with executor-side routing.
+    */
   def sparkValue(c: Column): Column = transform match {
     case "identity" => c.cast("long")
     case "truncate" => floor(c.cast("long") / lit(param.toLong)).cast("long")
@@ -65,12 +72,15 @@ final case class PartitionSpec(transform: String, column: String, param: Int = 0
         lit(param.toLong))
     case "day" | "hour" =>
       floor(c.cast("long") / lit(widthSec)).cast("long")
+    case "month" =>
+      (year(c) * lit(12L) + month(c) - lit(1L)).cast("long")
+    case "year" => year(c).cast("long")
   }
 
   /** Driver-side twin of [[sparkValue]] for planning prunes from a key
     * literal (must agree bit-for-bit with the executor-side expression —
-    * bucket reuses the very same polyHash implementation). Time
-    * transforms take the key in epoch SECONDS.
+    * bucket reuses the very same polyHash implementation). Time and
+    * calendar transforms take the key in epoch SECONDS.
     */
   def valueOf(key: Long): Long = transform match {
     case "identity" => key
@@ -80,6 +90,13 @@ final case class PartitionSpec(transform: String, column: String, param: Int = 0
         UTF8String.fromString(key.toString))
       ((h % param) + param) % param
     case "day" | "hour" => Math.floorDiv(key, widthSec)
+    case "month" =>
+      val d = java.time.Instant.ofEpochSecond(key)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      d.getYear * 12L + d.getMonthValue - 1L
+    case "year" =>
+      java.time.Instant.ofEpochSecond(key)
+        .atZone(java.time.ZoneOffset.UTC).getYear.toLong
   }
 
   /** The file-skipping predicate for `column BETWEEN lo AND hi`, or None
@@ -218,6 +235,19 @@ object Partitioning {
             // ts-range prunes work exactly like value-range prunes
             case "day" => Map(spec.column -> (v * 86400L, v * 86400L + 86399L))
             case "hour" => Map(spec.column -> (v * 3600L, v * 3600L + 3599L))
+            case "month" =>
+              val start = java.time.LocalDate
+                .of((v / 12L).toInt, (v % 12L).toInt + 1, 1)
+              Map(spec.column -> (
+                start.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond,
+                start.plusMonths(1).atStartOfDay(java.time.ZoneOffset.UTC)
+                  .toEpochSecond - 1L))
+            case "year" =>
+              val start = java.time.LocalDate.of(v.toInt, 1, 1)
+              Map(spec.column -> (
+                start.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond,
+                start.plusYears(1).atStartOfDay(java.time.ZoneOffset.UTC)
+                  .toEpochSecond - 1L))
             case _ => Map.empty
           }
           ManifestEntry(rel, "data", seq, counts(v),
