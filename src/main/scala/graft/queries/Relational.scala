@@ -236,6 +236,29 @@ object Relational {
         .orderBy("k")
     }),
 
+    // --- dynamic partition pruning ---------------------------------------
+    // The fact side is written hive-partitioned by day; the dim side is
+    // a filtered day list only known at runtime. Catalyst plants a
+    // dynamicpruning subquery in the fact scan's PartitionFilters, so
+    // only the dim's surviving days are ever read (DppSpec asserts the
+    // subquery in the plan). At 100 TB this is the date-dim star-join
+    // pattern: the fact scan reads the qualifying days, not the table.
+    "q_dpp" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#dpp") { root =>
+        rdEvents(s, dir).withColumn("day", to_date(col("ts")))
+          .write.partitionBy("day").parquet(root + "/events_by_day")
+      }
+      val fact = s.read.parquet(r + "/events_by_day")
+      // Tuesdays only (weekday: Monday=0) — selective, data-dependent
+      val dim = fact.select(col("day")).distinct()
+        .filter(weekday(col("day")) === 1)
+      fact.join(broadcast(dim), "day")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"), 4)).cast("double").as("sum_value"))
+        .orderBy("day")
+    }),
+
     // --- salted skew join ------------------------------------------------
     // Deterministic salting for hot keys: left rows get a stable salt,
     // the (small) right side replicates once per salt, the join runs on
@@ -483,6 +506,15 @@ object Relational {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // DPP changes which partitions are READ, never results: Tuesdays
+    // aggregated directly (isodow: Monday=1, so Tuesday=2)
+    "q_dpp" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE isodow(CAST(ts AS DATE)) = 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // salting changes execution, never results: the plain join
     "q_skew_join" ->
