@@ -110,14 +110,41 @@ final class GraftFileIndex(
     }
   }
 
+  /** IN-list constraints (numeric In and its optimized InSet form): a
+    * file survives when ANY listed value intersects its bounds — the
+    * disjunction-of-points analog of the single-range check, and the
+    * shape `WHERE k IN (...)` point-lookup batches take at scale.
+    */
+  private def inConstraintsOf(e: Expression): Seq[(String, Seq[Long])] = {
+    def num(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    e match {
+      case And(l, r) => inConstraintsOf(l) ++ inConstraintsOf(r)
+      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+          vs.forall { case Literal(v, _) => num(v).isDefined; case _ => false } =>
+        Seq((a.name, vs.map { case Literal(v, _) => num(v).get }))
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty &&
+          hset.forall(num(_).isDefined) =>
+        Seq((a.name, hset.toSeq.flatMap(num)))
+      case _ => Nil
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val cs = dataFilters.flatMap(constraintsOf)
     val eqs = dataFilters.flatMap(eqConstraintsOf)
+    val ins = dataFilters.flatMap(inConstraintsOf)
     val kept = statuses.collect {
       case (e, st)
           if cs.forall { case (c, lo, hi) => e.mayContain(c, lo, hi) } &&
-            eqs.forall { case (c, v) => e.mayContainEq(c, v) } =>
+            eqs.forall { case (c, v) => e.mayContainEq(c, v) } &&
+            ins.forall { case (c, vs) =>
+              vs.exists(v => e.mayContain(c, v, v)) } =>
         st
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))

@@ -58,6 +58,20 @@ class AutoPruneSpec extends AnyFunSuite {
     assert(scan.count() == 5000L)
   }
 
+  test("an IN-list prunes to the union of its points' files") {
+    val scan = GraftFileIndex.scan(spark, root, "ns", "t")
+    // 3 values in 2 distinct 1000-wide files (of 5)
+    val q = scan.filter(col("bar").isin(150, 180, 3300))
+    assert(scannedFiles(q) == 2L)
+    assert(q.count() == 3L)
+    // a larger list crosses Spark's InSet conversion threshold (10) —
+    // the InSet form must prune identically
+    val many = (1100 to 1150 by 5).toSeq // 11 values, all in one file
+    val q2 = scan.filter(col("bar").isin(many: _*))
+    assert(scannedFiles(q2) == 1L)
+    assert(q2.count() == many.size.toLong)
+  }
+
   test("non-bounds predicates keep every file (superset rule)") {
     val scan = GraftFileIndex.scan(spark, root, "ns", "t")
     val q = scan.filter(col("foo") === "7") // no bounds on string col
