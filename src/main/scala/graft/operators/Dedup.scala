@@ -139,6 +139,43 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Estimator-quality view of the MinHash sketch: for every LSH
+    * candidate pair, the SIGNATURE-estimated similarity (matching
+    * components of 16 — the only number a 100 TB pipeline can afford,
+    * computed from 16 longs per doc) next to the EXACT shingle-set
+    * overlap (|A∩B|, |A|, |B| — requires re-touching the shingles, paid
+    * here only for the tiny candidate set). E[matches/16] = Jaccard is
+    * the MinHash guarantee; integer outputs keep the oracle exact.
+    */
+  def minhashEstimate(docs: DataFrame, n: Int = 4): DataFrame = {
+    val sig = minhashSignatures(docs, n)
+    val pairs = minhashPairs(docs, n)
+    val sa = sig.toDF("doc_a" +: (0 until 16).map(j => s"a$j"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until 16).map(j => s"b$j"): _*)
+    val sigMatches = (0 until 16).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+    // distinct shingle-hash sets, touched only for candidate pairs
+    val sh = docs.repartition(col("doc_id")).select(col("doc_id"),
+      explode(TextHash.shingleHashes(split(col("text"), " "), n)).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.toDF("doc_a", "h"), "doc_a")
+      .join(sh.toDF("doc_b", "h"), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        sigMatches.cast("int").as("sig_matches"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sig_matches"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        col("n_a"), col("n_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-corpus exact dedup: drop INCOMING documents whose normalized
     * fingerprint already exists in an EXISTING corpus — the standard
     * decontamination step when merging a new crawl into a training set

@@ -55,6 +55,8 @@ object Extensions {
         existing = d.filter(col("doc_id") % 4 === 0))
     }),
     "dedup_semantic" -> ((s, dir) => Dedup.semantic(rd(s, dir, "embeddings"))),
+    "dedup_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashEstimate(rd(s, dir, "documents"))),
     "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rd(s, dir, "embeddings"))),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"))),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"))),
@@ -459,6 +461,34 @@ object Extensions {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // estimator-quality view: signature matches vs exact shingle-set
+    // overlap per candidate pair (E[matches/16] = Jaccard)
+    "dedup_minhash_estimate" ->
+      s"""WITH $minhashCtesSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.doc_id < b.doc_id),
+         |m AS (SELECT doc_a, doc_b, CAST((${(0 until 16).map(j =>
+                  s"CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END")
+                  .mkString(" + ")}) AS INTEGER) AS sig_matches
+         |      FROM cand JOIN sig sa ON sa.doc_id = doc_a
+         |                JOIN sig sb ON sb.doc_id = doc_b),
+         |shd AS (SELECT DISTINCT doc_id, h FROM h),
+         |ix AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |       FROM cand c JOIN shd x ON x.doc_id = c.doc_a
+         |                   JOIN shd y ON y.doc_id = c.doc_b AND y.h = x.h
+         |       GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1)
+         |SELECT m.doc_a, m.doc_b, m.sig_matches,
+         |  CAST(coalesce(ix.n_inter, 0) AS BIGINT) AS n_inter,
+         |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b
+         |FROM m
+         |LEFT JOIN ix ON ix.doc_a = m.doc_a AND ix.doc_b = m.doc_b
+         |JOIN sz za ON za.doc_id = m.doc_a
+         |JOIN sz zb ON zb.doc_id = m.doc_b
+         |ORDER BY m.doc_a, m.doc_b""".stripMargin,
 
     // MinHash candidates re-verified by exact Levenshtein distance
     "dedup_edit_distance" ->

@@ -84,6 +84,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("minhash estimate: identical docs match all 16 components exactly") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs((1L, base), (2L, base), (3L, "totally different words " * 3))
+    val r = graft.operators.Dedup.minhashEstimate(d).collect()
+    val ab = r.find(x => x.getLong(0) == 1L && x.getLong(1) == 2L).get
+    // identical shingle sets: every signature component agrees and the
+    // exact overlap is total
+    assert(ab.getInt(2) == 16)
+    assert(ab.getLong(3) == ab.getLong(4) && ab.getLong(4) == ab.getLong(5))
+  }
+
   test("count-min estimate upper-bounds the exact count on every probe") {
     val d = docs(
       (1L, "a a a b c"), (2L, "a b b zz"), (3L, "c c c c q"))
