@@ -31,4 +31,28 @@ class RegistrySpec extends AnyFunSuite {
           s"orphan oracles: ${(os -- qs).mkString(", ")}")
     }
   }
+
+  test("quantile sketch bounds the exact percentile within one bucket") {
+    // the oracle proves engine equivalence; this pins the ESTIMATOR
+    // property the sketch advertises — p_ub is an upper bound no more
+    // than one bucket width above the exact percentile
+    val spark = SparkTestSession.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val sketch = Registry.queries("q_quantile_sketch")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.functions._
+    // positional (discrete) median — the quantile definition a
+    // cumulative-crossing sketch bounds; interpolated percentile can
+    // legitimately exceed the crossing bucket's upper edge
+    val rows = graft.queries.Util.rd(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    rows.groupBy(_._1).foreach { case (pri, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val p50 = sorted(math.ceil(sorted.length * 0.5).toInt - 1)
+      val ub = sketch(pri).toDouble
+      assert(ub >= p50 && ub - 5000.0 <= p50,
+        s"$pri: p50_ub $ub not within one bucket above positional $p50")
+    }
+  }
 }
