@@ -63,6 +63,31 @@ class PartitioningSpec extends AnyFunSuite {
     }
   }
 
+  test("calendar transforms: driver valueOf agrees with executor on " +
+      "random timestamps incl. leap years and boundaries") {
+    // deterministic pseudo-random epoch seconds across 1968-2106
+    // (negative pre-1970 included), plus exact boundary instants
+    val keys = (0 until 2000).map { i =>
+      ((i.toLong * 2654435761L) % 4300000000L) - 60000000L
+    } ++ Seq(
+      -1L, 0L, 1L,
+      951782399L, 951782400L,   // 2000-02-29 boundary (leap)
+      1709251199L, 1709251200L, // 2024-02-29 -> 03-01 (leap)
+      978307199L, 978307200L)   // 2000-12-31 -> 2001-01-01
+    import spark.implicits._
+    for (t <- Seq("day", "hour", "month", "year")) {
+      val spec = PartitionSpec(t, "ts")
+      val got = keys.toDF("sec")
+        .select(col("sec"),
+          spec.sparkValue(expr("timestamp_seconds(sec)")).as("pv"))
+        .collect()
+      got.foreach { r =>
+        assert(spec.valueOf(r.getLong(0)) == r.getLong(1),
+          s"$t mismatch at epoch ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("truncate spec prunes a key range and implies key bounds") {
     val spec = PartitionSpec("truncate", "bar", 1000)
     val root = freshTable(spec)
