@@ -44,31 +44,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // dev-only filter for micro-benchmarking a subset in isolation
-    // (unset — the driver's case — runs the full suite); REPEAT reruns
-    // the filtered suite N times in one warm JVM so steal-prone-host
-    // noise is visible as run-over-run variance
+    // (unset — the driver's case — runs the full suite). REPEAT runs the
+    // whole suite N times in one warm JVM and records each query's MIN
+    // across runs UNCONDITIONALLY: this host degrades episodically
+    // (documented: single-thread JVM throughput collapses 30-100x for
+    // minutes while the host stays otherwise quiet), and two rounds of
+    // committed bench JSON were steal-poisoned because only >15s
+    // outliers got a rerun. Min-of-N is standard noise-robust
+    // benchmarking; default N=2 so even an env-less driver run gets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-    (2 to repeat).foreach { r =>
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to repeat).foreach { r =>
       selected.foreach { case (name, fn) =>
         val t = runOnce(name, fn)
-        System.err.println(f"[bench] warm run ${r - 1}: $name ${t}%.2fs")
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        System.err.println(f"[bench] run $r/$repeat: $name ${t}%.2fs")
       }
     }
-    // deterministic order for stable round-over-round comparison
+    // safety net for a steal window spanning every repeat of one query:
+    // a min still above threshold gets one more shot, flagged in JSON
     val results = selected.map { case (name, fn) =>
-      val t1 = runOnce(name, fn)
-      // This host degrades episodically (documented: single-thread JVM
-      // throughput collapses 30-100x for minutes at a time while the
-      // host stays otherwise quiet). Min-of-two on outliers is standard
-      // noise-robust benchmarking; the rerun is recorded in the JSON so
-      // round-over-round compares can see it.
-      val t = if (t1 > RerunThresholdSec && !failed.contains(name)) {
+      val t0 = best(name)
+      val t = if (t0 > RerunThresholdSec && !failed.contains(name)) {
         reran += name
-        math.min(t1, runOnce(name, fn))
-      } else t1
+        math.min(t0, runOnce(name, fn))
+      } else t0
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -76,7 +79,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reran":$reranJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reran":$reranJson,"repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -294,33 +294,55 @@ object Dedup {
     * seeded k-means ([[Similarity.kmeansAssign]]), then prune WITHIN
     * each cluster — a vector is a duplicate if a lower-id member of its
     * own cluster is within cosine >= tau. Pairwise work is confined to
-    * cluster-mates, which is the published scale argument: k grows with
-    * the corpus so |cluster| stays bounded and the within-cluster join
-    * is (n/k)-quadratic per cluster, linear overall, vs the n-quadratic
-    * all-pairs scan. Cross-cluster near-dups are deliberately missed —
-    * the recall/cost trade the paper makes; the oracle replays the
-    * identical clustering so results stay bit-exact.
+    * cluster-mates (the published scale argument); cross-cluster
+    * near-dups are deliberately missed — the recall/cost trade the paper
+    * makes. The oracle replays the identical clustering, so results stay
+    * bit-exact.
+    *
+    * A HOT cluster must not become one quadratic task, so the
+    * within-cluster self-join is triangle-blocked: each cluster's
+    * members are sliced `subShards` ways by id hash, and the join runs
+    * per (cid, slice_i, slice_j) block with i <= j — every unordered
+    * pair meets in EXACTLY one block (same-slice blocks see both
+    * orientations; `greatest` + distinct collapses them). Per-task work
+    * is bounded by (|cluster|/subShards)^2 whatever k is, at the cost of
+    * (subShards+1)x row replication — the standard blocked self-join
+    * trade. The pair SET is identical to the unblocked join's, so the
+    * census is unchanged.
     *
     * Output: per-cluster census `(cid, n_vectors, n_dups)` — corpus
     * size and removable-duplicate count per semantic cluster.
     */
   def semantic(emb: DataFrame, tau: Double = 0.4, kClusters: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, subShards: Int = 4): DataFrame = {
     val assigned = Similarity.kmeansAssign(emb, kClusters, iters)
     // embeddings + norms ride on the cluster rows so the cosine is
     // computed in the self-join's projection (same fused shape as
-    // embeddingCosine); repartition on cid co-locates cluster-mates
+    // embeddingCosine)
     val m = emb.join(assigned, "vec_id")
       .select(col("vec_id"), col("cid"), col("embedding"),
-        VectorOps.norm(col("embedding")).as("nrm"))
-      .repartition(col("cid"))
-    val dups = m.toDF("vec_a", "cid", "emb_a", "norm_a")
-      .join(m.toDF("vec_b", "cid", "emb_b", "norm_b"), Seq("cid"))
-      .filter(col("vec_b") < col("vec_a"))
+        VectorOps.norm(col("embedding")).as("nrm"),
+        pmod(col("vec_id"), lit(subShards.toLong)).cast("int").as("sl"))
+    // row in slice s plays the A role for blocks (s, j>=s) and the B
+    // role for blocks (i<=s, s); the join key carries the block id, so
+    // the shuffle spreads a hot cluster over subShards^2-ish tasks
+    val aSide = m.select(col("vec_id").as("vec_a"), col("cid"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"),
+      col("sl").as("_blk_i"),
+      explode(sequence(col("sl"), lit(subShards - 1))).as("_blk_j"))
+    val bSide = m.select(col("vec_id").as("vec_b"), col("cid"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"),
+      explode(sequence(lit(0), col("sl"))).as("_blk_i"),
+      col("sl").as("_blk_j"))
+    val dups = aSide.join(bSide, Seq("cid", "_blk_i", "_blk_j"))
+      .filter(col("vec_a") =!= col("vec_b"))
       .filter(VectorOps.cosinePre(
         VectorOps.dot(col("emb_a"), col("emb_b")),
         col("norm_a"), col("norm_b")) >= tau)
-      .select("cid", "vec_a").distinct()
+      // the HIGHER id of a qualifying pair is the removable duplicate —
+      // same predicate as "exists a lower-id cluster-mate within tau"
+      .select(col("cid"), greatest(col("vec_a"), col("vec_b")).as("vec_dup"))
+      .distinct()
     m.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
       .join(dups.groupBy("cid").agg(count(lit(1)).as("n_dups")),
         Seq("cid"), "left")

@@ -363,19 +363,40 @@ object PipelineOps {
     * model-based quality score, deterministic tie-break on doc_id) and
     * keep documents while the running token total stays within budget —
     * "take the best docs up to N tokens per language", the selection
-    * step between scoring and training-set assembly. One window sort
-    * per language stratum; at 100 TB the same shape runs per
-    * (lang, score-bucket) shard so no single partition holds a whole
-    * language.
+    * step between scoring and training-set assembly.
+    *
+    * The per-language running sum is computed as a two-level distributed
+    * prefix sum so no task ever sorts a whole language (at 100 TB one
+    * language can be most of the corpus): documents are bucketed by a
+    * COARSENED quality score (`floor(n_chars / width)` — monotone in the
+    * sort key, so bucket order respects global order and ties stay
+    * inside one bucket), the only per-row window runs per
+    * (lang, quality-bucket), and each bucket's global offset is a second
+    * window over the per-bucket TOTALS — #langs x #buckets rows, not
+    * corpus rows. `offset + intra-bucket cum` equals the single-window
+    * running sum bit-for-bit; the DuckDB oracle pins the equivalence.
     */
-  def tokenBudget(docs: DataFrame, budgetPerLang: Long = 20000L): DataFrame = {
+  def tokenBudget(docs: DataFrame, budgetPerLang: Long = 20000L,
+      qualityBucketWidth: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = docs.select(col("doc_id"), col("lang"), col("n_chars"),
       size(split(trim(col("text")), "\\s+")).as("n_tok"))
-    val w = Window.partitionBy("lang")
+      .withColumn("qb",
+        floor(col("n_chars") / lit(qualityBucketWidth.toLong)).cast("long"))
+    val wIn = Window.partitionBy("lang", "qb")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored.withColumn("cum", sum("n_tok").over(w))
+    val intra = scored.withColumn("cum_in", sum("n_tok").over(wIn))
+    // tokens in strictly-better buckets = this bucket's global offset;
+    // the frame is the per-(lang, bucket) aggregate, strata-sized
+    val wOff = Window.partitionBy("lang").orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = intra.groupBy("lang", "qb")
+      .agg(sum("n_tok").as("bucket_tok"))
+      .withColumn("offset", coalesce(sum("bucket_tok").over(wOff), lit(0L)))
+      .select("lang", "qb", "offset")
+    intra.join(broadcast(offsets), Seq("lang", "qb"))
+      .withColumn("cum", col("offset") + col("cum_in"))
       .filter(col("cum") <= budgetPerLang)
       .groupBy("lang").agg(
         count(lit(1)).as("n_selected"),

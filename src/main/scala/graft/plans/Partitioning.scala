@@ -59,10 +59,14 @@ final case class PartitionSpec(transform: String, column: String, param: Int = 0
   }
 
   /** The transform as a Spark column expression (codegen'd end to end).
-    * Calendar transforms (month/year) evaluate in the session timezone,
-    * which the harness pins to UTC — [[valueOf]] mirrors them with
-    * java.time UTC arithmetic, so driver-side prune planning agrees
-    * with executor-side routing.
+    * Calendar transforms (month/year) are computed from the column's
+    * epoch seconds via `date_from_unix_date` — a pure-calendar DATE with
+    * no timezone — NOT via `year(ts)`/`month(ts)`, which interpret the
+    * instant in the SESSION timezone: a non-UTC session would route rows
+    * to partitions whose recorded epoch-second bounds (always UTC, see
+    * [[valueOf]]) disagree with the data, and pruning would silently
+    * drop matching rows. This way executor-side routing agrees with
+    * driver-side prune planning bit-for-bit in every session timezone.
     */
   def sparkValue(c: Column): Column = transform match {
     case "identity" => c.cast("long")
@@ -73,9 +77,17 @@ final case class PartitionSpec(transform: String, column: String, param: Int = 0
     case "day" | "hour" =>
       floor(c.cast("long") / lit(widthSec)).cast("long")
     case "month" =>
-      (year(c) * lit(12L) + month(c) - lit(1L)).cast("long")
-    case "year" => year(c).cast("long")
+      val d = utcDate(c)
+      (year(d) * lit(12L) + month(d) - lit(1L)).cast("long")
+    case "year" => year(utcDate(c)).cast("long")
   }
+
+  /** The column's instant as a timezone-free DATE in UTC: epoch seconds,
+    * floor-divided to unix days (floorDiv semantics hold for negative
+    * epochs), then `date_from_unix_date` — no session-timezone path.
+    */
+  private def utcDate(c: Column): Column =
+    date_from_unix_date(floor(c.cast("long") / lit(86400L)).cast("int"))
 
   /** Driver-side twin of [[sparkValue]] for planning prunes from a key
     * literal (must agree bit-for-bit with the executor-side expression —

@@ -140,7 +140,11 @@ class GraftTableSource(sqlContext: SQLContext, root: String, ns: String,
   * Iceberg pattern of stamping the snapshot summary with the epoch id,
   * without a side channel that could diverge from the commit. A
   * restarted query re-offers the last batch; [[GraftTableSink.addBatch]]
-  * finds its id already in the manifest and drops it.
+  * finds its id already in the manifest and drops it. The marker also
+  * carries the streaming QUERY id (stable per checkpoint), so a NEW
+  * query with a fresh checkpoint — whose batch ids restart at 0 —
+  * writing into a pre-populated table fails loudly instead of having
+  * its early batches silently swallowed by the replay guard.
   *
   * Partitioned tables route through the partitioned writer (one file
   * per partition value per batch, partition values in the manifest), so
@@ -150,13 +154,34 @@ class GraftTableSink(root: String, ns: String, t: String,
     streamId: String, statsCols: Seq[String]) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    if (batchId <= GraftTableSink.lastBatch(root, ns, t, streamId)) return
     val spark = data.sparkSession
+    // stable per-checkpoint query id (set by the stream execution thread;
+    // absent when addBatch is driven directly, e.g. from a replay test)
+    val qid = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+    val (last, lastQid) = GraftTableSink.lastBatchInfo(root, ns, t, streamId)
+    if (batchId <= last) {
+      // Spark re-offers at most the LAST committed batch (crash between
+      // sink commit and offset-log write) — and only from the same query
+      // run. Anything else behind the high-water mark is a fresh
+      // checkpoint colliding with a pre-populated table: batch ids
+      // restarted at 0, and silently dropping them would lose data.
+      val sameRun = (qid, lastQid) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => true // legacy marker or direct call — can't distinguish
+      }
+      if (batchId == last && sameRun) return
+      throw new IllegalStateException(
+        s"graft-table sink: batch $batchId is behind $ns.$t's committed " +
+          s"high-water b$last for streamId '$streamId'" +
+          lastQid.fold("")(q => s" (written by query $q)") +
+          " — a fresh checkpoint is writing into a pre-populated table. " +
+          "Resume the original checkpoint, or use a distinct streamId.")
+    }
     val batch = Bridge.asBatch(data)
     TableIO.createNamespace(root, ns)
     TableIO.createTableIfNotExists(root, ns, t, batch.schema)
     val seq = TableIO.nextSeq(root, ns, t)
-    val tag = GraftTableSink.tag(streamId, batchId)
+    val tag = GraftTableSink.tag(streamId, batchId, qid)
     val entries = Partitioning.readSpec(root, ns, t) match {
       case Some(spec) =>
         Partitioning.writePartitioned(spark, root, ns, t, batch, spec, seq,
@@ -175,20 +200,33 @@ class GraftTableSink(root: String, ns: String, t: String,
 }
 
 object GraftTableSink {
-  private def tag(streamId: String, batchId: Long) =
-    f"stream-$streamId-b$batchId%05d"
+  // query id is hyphen-stripped hex so the only '-' in a tag are the
+  // field separators — keeps the batch-id regex unambiguous
+  private def tag(streamId: String, batchId: Long, qid: Option[String]) =
+    f"stream-$streamId-b$batchId%05d" +
+      qid.fold("")(q => s"-q${q.replace("-", "")}")
 
-  private val tagRe = """stream-(.+)-b(\d+)""".r
+  private val tagRe = """stream-(.+)-b(\d+)(?:-q([0-9a-fA-F]+))?""".r
 
   /** Highest batch id this stream has committed to the table, read from
     * the manifest (−1 if none) — O(#files) metadata, no data scan.
     */
   def lastBatch(root: String, ns: String, t: String,
-      streamId: String): Long = {
-    if (!TableIO.tableExists(root, ns, t)) return -1L
+      streamId: String): Long = lastBatchInfo(root, ns, t, streamId)._1
+
+  /** (highest committed batch id, query id that wrote it) for this
+    * stream — the query id is None for pre-query-id markers or when the
+    * table has no commits from this stream.
+    */
+  def lastBatchInfo(root: String, ns: String, t: String,
+      streamId: String): (Long, Option[String]) = {
+    if (!TableIO.tableExists(root, ns, t)) return (-1L, None)
     TableIO.readManifest(root, ns, t)
       .flatMap(e => tagRe.findFirstMatchIn(e.path)
-        .filter(_.group(1) == streamId).map(_.group(2).toLong))
-      .foldLeft(-1L)(math.max)
+        .filter(_.group(1) == streamId)
+        .map(m => (m.group(2).toLong, Option(m.group(3)))))
+      .foldLeft((-1L, Option.empty[String])) { (acc, cur) =>
+        if (cur._1 > acc._1) cur else acc
+      }
   }
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.plans.TableIO
@@ -18,6 +19,18 @@ import graft.plans.TableIO
   * of the same key in one version), plus a data file with the insert
   * rows, both at the same sequence. The strict eq-delete gate
   * (data_seq < delete_seq) keeps the batch's own inserts alive.
+  *
+  * A micro-batch may span SEVERAL source versions (the source committed
+  * more than once between triggers, or a restart is catching up), so a
+  * key can appear at multiple `_change_version`s in one batch —
+  * insert(k)@v then delete(k)@v+1, or two upserts of k. Only the key's
+  * LATEST version decides its fate: each key is collapsed to its
+  * max(`_change_version`) change set before the files are built, and
+  * inserts are taken from that latest set only. Without the collapse a
+  * later delete could not kill a same-batch earlier insert (both land at
+  * the new sequence, which the eq-delete gate protects), and a
+  * double-upsert would insert the key twice — the target would diverge
+  * permanently.
   *
   * Delivery: Spark's offset log gives at-least-once `foreachBatch`
   * invocation; the apply is IDEMPOTENT by construction — replaying a
@@ -40,12 +53,19 @@ object Replication {
     val dataCols = batch.columns
       .filterNot(c => c == "_change_type" || c == "_change_version").toSeq
     val cached = batch.select(
-      (dataCols.map(col) :+ col("_change_type")): _*).cache()
+      (dataCols.map(col) :+ col("_change_type") :+ col("_change_version")): _*)
+      .cache()
     try {
       if (cached.isEmpty) -1L
       else {
         val keys = cached.select(keyCols.map(col): _*).distinct()
-        val ins = cached.filter(col("_change_type") === "insert")
+        // collapse each key to its latest source version: a key-partitioned
+        // window (shuffle bounded by changed rows, per-key groups tiny)
+        val byKey = Window.partitionBy(keyCols.map(col): _*)
+        val ins = cached
+          .withColumn("_latest_v", max(col("_change_version")).over(byKey))
+          .filter(col("_change_version") === col("_latest_v") &&
+            col("_change_type") === "insert")
           .select(dataCols.map(col): _*)
         val seq = TableIO.nextSeq(root, ns, table)
         val delete = TableIO.writeExactFile(spark, root, ns, table,

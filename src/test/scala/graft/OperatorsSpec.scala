@@ -285,6 +285,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup: skewed one-cluster fixture matches brute force " +
+      "and the self-join is triangle-blocked, never per-cluster") {
+    // 120 identical vectors: k-means lands every one in the SAME cluster
+    // — the worst-case hot cluster the blocking exists for
+    val e = (1 to 120).map(i => (i.toLong, Array.fill(16)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val res = Dedup.semantic(e)
+    val got = res.collect()
+    // one populated cluster; every vector except the lowest id has a
+    // lower-id mate at cosine 1 -> 119 removable duplicates
+    assert(got.length == 1)
+    assert((got.head.getAs[Long]("n_vectors"),
+      got.head.getAs[Long]("n_dups")) == (120L, 119L))
+    // the pair join must key on the triangle-block ids: per-task pair
+    // count is then (|cluster|/subShards)^2, not |cluster|^2 — without
+    // them this fixture's whole cluster self-joins in one task
+    val plan = res.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_blk_i") && plan.contains("_blk_j"),
+      "within-cluster self-join lost its block-shard keys")
+  }
+
   test("langId predicts marker languages with fixed tie precedence") {
     val d = Seq(
       (1L, "the cat sat on the mat", "en"),

@@ -88,6 +88,45 @@ class PartitioningSpec extends AnyFunSuite {
     }
   }
 
+  test("calendar transforms route and prune identically in a non-UTC " +
+      "session timezone") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val spec = PartitionSpec("month", "ts")
+      val root = java.nio.file.Files.createTempDirectory("graft-tz-").toString
+      // 2024-03-01T02:00Z is 2024-02-29T21:00 in New York: a session-tz
+      // month() would route it to February while its manifest bounds say
+      // March, and a March prune would silently drop it
+      val secs = Seq(
+        1709258400L, // 2024-03-01 02:00:00 UTC (still Feb 29 in NY)
+        1709164800L, // 2024-02-29 00:00:00 UTC
+        1706745600L, // 2024-02-01 00:00:00 UTC
+        1711929599L, // 2024-03-31 23:59:59 UTC
+        1704067200L) // 2024-01-01 00:00:00 UTC
+      val df = secs.toDF("sec")
+        .select(expr("timestamp_seconds(sec)").as("ts"), col("sec"))
+      Partitioning.preparePartitioned(spark, root, "ns", "t", df, spec)
+      val entries = TableIO.readManifest(root, "ns", "t")
+      assert(entries.size == 3) // Jan, Feb, Mar 2024
+      // every row sits inside its file's recorded epoch-second bounds
+      entries.foreach { e =>
+        val (lo, hi) = e.bounds("ts")
+        val out = spark.read.parquet(
+          TableIO.tableDir(root, "ns", "t").resolve(e.path).toString)
+          .filter(col("sec") < lo || col("sec") > hi).count()
+        assert(out == 0L, s"${e.path} holds rows outside [$lo,$hi]")
+      }
+      // pruning March 2024 opens one file and finds the 02:00Z row
+      val pr = spec.pruneForRange(1709251200L, 1711929599L)
+      val pruned = Mor.read(spark, root, "ns", "t", prune = pr.toSeq)
+      assert(pruned.inputFiles.count(_.contains("/data/")) == 1)
+      assert(pruned.select("sec").as[Long].collect().toSet ==
+        Set(1709258400L, 1711929599L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("truncate spec prunes a key range and implies key bounds") {
     val spec = PartitionSpec("truncate", "bar", 1000)
     val root = freshTable(spec)

@@ -107,6 +107,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     bins.unpersist()
   }
 
+  test("tokenBudget sharded prefix sum matches the single-window form " +
+      "and never sorts a whole language in one partition") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 20000L
+    val got = PipelineOps.tokenBudget(docs, budget)
+    // reference: the naive one-window-per-language running sum
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .filter($"cum" <= budget)
+      .groupBy("lang").agg(count(lit(1)).as("n_selected"),
+        sum("n_tok").as("total_tokens"), max("cum").as("budget_used"))
+    assert(got.collect().toSeq.map(_.toSeq).sortBy(_.head.toString) ==
+      ref.collect().toSeq.map(_.toSeq).sortBy(_.head.toString))
+    // scale shape: the window that ranks DOCUMENTS (orders by n_chars)
+    // must partition by (lang, quality bucket), never lang alone — at
+    // 100 TB a lang-only partition is one task holding a whole language
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = got.queryExecution.optimizedPlan.collect {
+      case lw: LWindow =>
+        (lw.partitionSpec.map(_.toString), lw.orderSpec.map(_.toString))
+    }
+    val docWins = wins.filter(_._2.exists(_.contains("n_chars")))
+    assert(docWins.nonEmpty)
+    docWins.foreach { case (part, _) =>
+      assert(part.size >= 2 && part.exists(_.contains("qb")),
+        s"per-document window partitions by $part — whole-language sort")
+    }
+  }
+
   test("sampleBySource keeps rates in [20, 90) and is a strict filter") {
     val s = PipelineOps.sampleBySource(docs).cache()
     assert(s.count() > 0 && s.count() < docs.count())

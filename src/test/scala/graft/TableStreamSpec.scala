@@ -243,4 +243,94 @@ class TableStreamSpec extends AnyFunSuite {
       Mor.readChanges(spark, root, ns, "src", last - 1, last), Seq("k"))
     assert(content("dst") == content("src"))
   }
+
+  test("replication collapses a multi-version batch: late delete wins, " +
+      "double-upsert lands once") {
+    import graft.plans.Mor
+    import graft.streaming.Replication
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-replv-").toString
+    val ns = "replns"
+    // pre-populate the target: k=1 and k=2 hold stale rows, k=9 is
+    // untouched by the batch and must survive
+    val initial = Seq((1L, "old1"), (2L, "old2"), (9L, "keep"))
+      .toDF("k", "v")
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, "dst", initial.schema)
+    TableIO.commit(root, ns, "dst", Seq(TableIO.writeExactFile(spark, root,
+      ns, "dst", "data/init.parquet", initial, "data",
+      TableIO.nextSeq(root, ns, "dst"))))
+
+    // ONE micro-batch spanning three source versions — the restart
+    // catch-up / multi-commit-per-trigger shape:
+    //   k=1: insert@1 then delete@2          -> must NOT survive
+    //   k=2: upsert@2 then upsert again@3    -> exactly one row, "b3"
+    //   k=3: plain insert@3
+    val batch = Seq(
+      (1L, "a1", "insert", 1), (1L, "a1", "delete", 2),
+      (2L, "old2", "delete", 2), (2L, "b2", "insert", 2),
+      (2L, "b2", "delete", 3), (2L, "b3", "insert", 3),
+      (3L, "c1", "insert", 3)
+    ).toDF("k", "v", "_change_type", "_change_version")
+    Replication.applyChanges(spark, root, ns, "dst", batch, Seq("k"))
+
+    val got = Mor.read(spark, root, ns, "dst").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.size == got.toSet.size, s"duplicate rows: $got")
+    assert(got.toSet == Set((2L, "b3"), (3L, "c1"), (9L, "keep")), got)
+  }
+
+  test("fresh-checkpoint query into a pre-populated table fails loudly, " +
+      "never silently drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fsink-").toString
+    val (ns, t) = ("stream", "fresh_ckpt")
+
+    val src1 = MemoryStream[(Long, String)]
+    val q1 = src1.toDF().toDF("k", "v").writeStream.outputMode("append")
+      .format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", t)
+      .option("checkpointLocation", s"$root/_ckpt1")
+      .start()
+    src1.addData((1L, "a")); q1.processAllAvailable()
+    src1.addData((2L, "b")); q1.processAllAvailable()
+    q1.stop()
+    assert(TableIO.currentVersion(root, ns, t) == 2L)
+
+    // a NEW query with a FRESH checkpoint restarts batch ids at 0; its
+    // batches collide with the committed high-water mark and must fail
+    // loudly (the old guard swallowed them as "replays" — data loss)
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = src2.toDF().toDF("k", "v").writeStream.outputMode("append")
+      .format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", t)
+      .option("checkpointLocation", s"$root/_ckpt2")
+      .start()
+    src2.addData((3L, "c"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        messages(x.getCause))
+    assert(messages(ex).exists(_.contains("behind")), ex.getMessage)
+    q2.stop()
+    assert(TableIO.currentVersion(root, ns, t) == 2L) // nothing half-landed
+
+    // a distinct streamId is the sanctioned way to add a second writer:
+    // same fresh checkpoint situation, lands cleanly
+    val src3 = MemoryStream[(Long, String)]
+    val q3 = src3.toDF().toDF("k", "v").writeStream.outputMode("append")
+      .format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", t)
+      .option("streamId", "s1")
+      .option("checkpointLocation", s"$root/_ckpt3")
+      .start()
+    src3.addData((4L, "d")); q3.processAllAvailable()
+    q3.stop()
+    assert(TableIO.currentVersion(root, ns, t) == 3L)
+    assert(graft.plans.Mor.read(spark, root, ns, t).count() == 3L)
+  }
 }
