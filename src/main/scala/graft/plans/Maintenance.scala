@@ -42,7 +42,12 @@ object Maintenance {
       targetFileCount: Int = 0, clusterBy: Seq[String] = Nil,
       zorder: Boolean = false): Long = {
     val dir = TableIO.tableDir(root, ns, table)
-    val merged = Mor.read(spark, root, ns, table)
+    // lineage read: each surviving row carries its stable _row_id, which
+    // the rewrite MATERIALIZES as a physical column in the compacted
+    // files (Iceberg v3 row-id preservation through rewrites) — normal
+    // reads project the table schema and never see it; lineage reads
+    // prefer it over firstRowId + position
+    val merged = Mor.readLineage(spark, root, ns, table)
     val v = TableIO.currentVersion(root, ns, table)
     val nFiles = if (targetFileCount > 0) targetFileCount
       else math.max(1, TableIO.filesOf(root, ns, table, "data").size / 2)
@@ -130,7 +135,9 @@ object Maintenance {
     if (groups.isEmpty) return TableIO.currentVersion(root, ns, table)
     val v = TableIO.currentVersion(root, ns, table)
     val newEntries = groups.toSeq.sortBy(_._1).map { case (seq, files) =>
-      val merged = Mor.read(spark, root, ns, table,
+      // lineage read for the same reason as compact: the merged file
+      // materializes its rows' preserved _row_ids
+      val merged = Mor.readLineage(spark, root, ns, table,
         onlyPaths = Some(files.map(_.path).toSet))
       val bounds = files.flatMap(_.bounds.keys).distinct.sorted.flatMap { c =>
         val bs = files.flatMap(_.bounds.get(c))

@@ -116,7 +116,8 @@ object Mor {
       prune: Seq[Prune] = Nil,
       pruneEq: Seq[PruneEq] = Nil,
       onlyPaths: Option[Set[String]] = None,
-      pruneIn: Seq[PruneIn] = Nil): DataFrame = {
+      pruneIn: Seq[PruneIn] = Nil,
+      keepFileRowId: Boolean = false): DataFrame = {
     val dataFiles0 =
       filesAt(root, ns, table, "data", version, prune, pruneEq, pruneIn)
     val dir = TableIO.tableDir(root, ns, table)
@@ -136,7 +137,10 @@ object Mor {
       // every file pruned: an empty relation with the scan's schema —
       // a query range outside all bounds is a result, not an error
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val lineage =
+        if (keepFileRowId) Seq(StructField("_row_id", LongType)) else Nil
       val schema = StructType(TableIO.readSchema(root, ns, table).fields ++
+        lineage ++
         Seq(StructField("_file", org.apache.spark.sql.types.StringType),
           StructField("_fname", org.apache.spark.sql.types.StringType),
           StructField("_pos", LongType), StructField("_seq", LongType)))
@@ -146,7 +150,17 @@ object Mor {
     // `_metadata.file_name` is a direct metadata field: per-row path
     // string surgery (split/element_at over file_path) measured 100x
     // slower than the plain scan on 10M rows.
-    val schema = TableIO.readSchema(root, ns, table)
+    val schema0 = TableIO.readSchema(root, ns, table)
+    // lineage reads extend the read schema with the OPTIONAL materialized
+    // `_row_id` column compaction writes (Iceberg v3: a rewritten file
+    // carries its rows' preserved ids physically; files without the
+    // column — every normally-appended file — read it as null and
+    // inherit firstRowId + position instead)
+    val schema =
+      if (!keepFileRowId) schema0
+      else org.apache.spark.sql.types.StructType(schema0.fields :+
+        org.apache.spark.sql.types.StructField("_row_id",
+          org.apache.spark.sql.types.LongType))
     // id-based column resolution (rename/drop survive; old files'
     // values surface under evolved names)
     if (schema.fields.exists(_.metadata.contains(TableIO.FieldIdKey)))
@@ -213,9 +227,10 @@ object Mor {
       keepProvenance: Boolean = false,
       pruneEq: Seq[PruneEq] = Nil,
       onlyPaths: Option[Set[String]] = None,
-      pruneIn: Seq[PruneIn] = Nil): DataFrame = {
+      pruneIn: Seq[PruneIn] = Nil,
+      keepFileRowId: Boolean = false): DataFrame = {
     var df = scanWithProvenance(spark, root, ns, table, asOfVersion, prune,
-      pruneEq, onlyPaths, pruneIn)
+      pruneEq, onlyPaths, pruneIn, keepFileRowId)
     val manifest = manifestAt(root, ns, table, asOfVersion)
 
     // R2: positional deletes apply to files committed at or before the
@@ -280,9 +295,11 @@ object Mor {
       }
 
     val cols = TableIO.readSchema(root, ns, table).fieldNames
+    val lineageCols = if (keepFileRowId) Seq("_row_id") else Nil
     if (keepProvenance)
-      df.select((cols.toSeq ++ Seq("_file", "_pos", "_seq")).map(col): _*)
-    else df.select(cols.head, cols.tail: _*)
+      df.select((cols.toSeq ++ lineageCols ++
+        Seq("_file", "_pos", "_seq")).map(col): _*)
+    else df.select((cols.toSeq ++ lineageCols).map(col): _*)
   }
 
   /** Per-file deletion vectors, built distributedly — no driver-side
@@ -386,27 +403,32 @@ object Mor {
   }
 
   /** MOR read with Iceberg-v3 row lineage: every surviving row carries
-    * its STABLE `_row_id` (the file's committed firstRowId + the row's
-    * physical position). Ids survive positional deletes (positions
-    * don't shift), equality deletes, and appends (monotonic high-water
-    * assignment, never reused) — the identity a downstream incremental
-    * consumer keys on. Files committed before lineage existed surface
-    * `_row_id` as null (unknown, never fabricated). One broadcast of
-    * O(#files) (file, firstRowId) rows on top of the gated read.
+    * its STABLE `_row_id`. For normally-appended files that is the
+    * file's committed firstRowId + the row's physical position; files
+    * rewritten by compaction carry their rows' preserved ids as a
+    * MATERIALIZED `_row_id` parquet column (Iceberg v3 inheritance:
+    * explicit value wins, absent inherits), so ids survive compaction
+    * too. Ids survive positional deletes (positions don't shift),
+    * equality deletes, and appends (monotonic high-water assignment,
+    * never reused) — the identity a downstream incremental consumer
+    * keys on. Files committed before lineage existed surface `_row_id`
+    * as null (unknown, never fabricated). One broadcast of O(#files)
+    * (file, firstRowId) rows on top of the gated read.
     */
   def readLineage(spark: SparkSession, root: String, ns: String,
-      table: String, asOfVersion: Option[Long] = None): DataFrame = {
+      table: String, asOfVersion: Option[Long] = None,
+      onlyPaths: Option[Set[String]] = None): DataFrame = {
     import spark.implicits._
     val df = read(spark, root, ns, table, asOfVersion = asOfVersion,
-      keepProvenance = true)
+      keepProvenance = true, onlyPaths = onlyPaths, keepFileRowId = true)
     val ids = manifestAt(root, ns, table, asOfVersion)
       .filter(_.content == "data")
       .map(e => (e.path, e.firstRowId.getOrElse(-1L)))
       .toDF("_file", "_frid")
     val schemaCols = TableIO.readSchema(root, ns, table).fieldNames.toSeq
     df.join(broadcast(ids), Seq("_file"), "left")
-      .withColumn("_row_id",
-        when(col("_frid") >= 0, col("_frid") + col("_pos")))
+      .withColumn("_row_id", coalesce(col("_row_id"),
+        when(col("_frid") >= 0, col("_frid") + col("_pos"))))
       .select((schemaCols :+ "_row_id").map(col): _*)
   }
 

@@ -480,10 +480,12 @@ object TableIO {
       throw new java.util.ConcurrentModificationException(
         s"$ns.$table is at v$v but the rewrite was planned from v$e — re-plan")
     }
-    // rewritten files get FRESH row ids (this emulation does not yet
-    // carry lineage through compaction's row reordering); entries the
-    // caller stamped (e.g. rollback republishing an old manifest) keep
-    // theirs
+    // rewritten files still get a fresh firstRowId (Iceberg v3 assigns
+    // one to every data file), but it is only the INHERITANCE fallback:
+    // compaction materializes each row's preserved _row_id as a physical
+    // column, which lineage reads prefer (Mor.readLineage's coalesce) —
+    // so ids survive the rewrite's row reordering. Entries the caller
+    // stamped (e.g. rollback republishing an old manifest) keep theirs.
     val assigned = assignRowIds(root, ns, table, entries)
     if (!tryPublish(dir, v + 1, assigned.map(entryToJson).mkString("\n")))
       throw new java.util.ConcurrentModificationException(

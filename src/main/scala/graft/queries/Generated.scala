@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.plans.{GeneratedTables, Mor, PartitionSpec, Partitioning, Pipeline, TableIO, Upsert}
+import graft.plans.{GeneratedTables, Maintenance, Mor, PartitionSpec, Partitioning, Pipeline, TableIO, Upsert}
 import graft.sources.GenConfig
 
 /** Oracle-checked queries over the generated Iceberg-style table: these
@@ -614,6 +614,29 @@ object Generated {
       Mor.readLineage(s, r, c2.namespace, c2.tableName)
         .select("bar", "_row_id").orderBy("_row_id")
     }),
+    // Row lineage THROUGH COMPACTION (Iceberg v3 id preservation across
+    // rewrites): same fixture as gen_row_lineage, but the table is
+    // compacted after the append — the rewrite materializes each row's
+    // preserved _row_id as a physical column, so the lineage read
+    // returns the identical (bar, _row_id) mapping. Same oracle SQL as
+    // gen_row_lineage: ids must be bit-identical to the uncompacted run.
+    "gen_lineage_compact" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_lincompact")
+      val r = GeneratedTables.ensureCustom(dir + "#lincompact") { root =>
+        Pipeline.prepare(s, root, c2)
+        val extra = s.range(9000, 10000).select(
+          col("id").cast("string").as("foo"),
+          col("id").cast("int").as("bar"), lit(false).as("baz"))
+        val seq = TableIO.nextSeq(root, c2.namespace, c2.tableName)
+        TableIO.commit(root, c2.namespace, c2.tableName,
+          Seq(TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
+            graft.sources.FixSchemaGen.dataFilePath(5), extra, "data", seq,
+            recordCount = 1000L)))
+        Maintenance.compact(s, root, c2.namespace, c2.tableName)
+      }
+      Mor.readLineage(s, r, c2.namespace, c2.tableName)
+        .select("bar", "_row_id").orderBy("_row_id")
+    }),
     // CDC changelog WITH lineage: every change row carries its stable
     // _row_id, the key an incremental consumer correlates inserts and
     // deletes on. The v4 append's sum(_row_id) differs from sum(bar)
@@ -1191,6 +1214,14 @@ object Generated {
     // construction); the appended file continues the id space at N
     // while its bar values live at 9000.. — lineage, not values
     "gen_row_lineage" ->
+      s"""SELECT CAST(g AS INTEGER) AS bar, CAST(g AS BIGINT) AS _row_id
+         |FROM range(${P + E}, $N) t(g)
+         |UNION ALL
+         |SELECT CAST(g + 9000 - $N AS INTEGER), CAST(g AS BIGINT)
+         |FROM range($N, ${N + 1000}) t(g)
+         |ORDER BY _row_id""".stripMargin,
+    // identical to gen_row_lineage: compaction must not move a single id
+    "gen_lineage_compact" ->
       s"""SELECT CAST(g AS INTEGER) AS bar, CAST(g AS BIGINT) AS _row_id
          |FROM range(${P + E}, $N) t(g)
          |UNION ALL

@@ -117,6 +117,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.compactSmall(spark, root, ns, t) == v)
   }
 
+  test("row lineage survives compaction and binpack (materialized ids " +
+      "win over firstRowId inheritance)") {
+    import org.apache.spark.sql.functions._
+    val (root, _) = prepared() // 200 rows, 50 pos + 50 eq deletes
+    def lineage(): Map[Int, Long] = Mor.readLineage(spark, root, "ns", "t")
+      .select("bar", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val before = lineage()
+    assert(before.size == 100 && before.values.toSet.size == 100)
+    Maintenance.compact(spark, root, "ns", "t")
+    assert(lineage() == before, "compaction changed row ids")
+    // a post-compaction append continues the id space monotonically —
+    // never reuses an id, even though the compacted entries were
+    // re-stamped with fresh (unused) firstRowIds
+    val highWater = before.values.max
+    val df = spark.range(900, 920).select(
+      col("id").cast("string").as("foo"), col("id").cast("int").as("bar"),
+      lit(true).as("baz"))
+    TableIO.commit(root, "ns", "t", Seq(TableIO.writeExactFile(spark, root,
+      "ns", "t", graft.sources.FixSchemaGen.dataFilePath(7), df, "data",
+      TableIO.nextSeq(root, "ns", "t"), recordCount = 20L)))
+    val appended = lineage()
+    assert(before.forall { case (k, v) => appended(k) == v })
+    val newIds = appended.filterNot(kv => before.contains(kv._1)).values
+    assert(newIds.size == 20 && newIds.forall(_ > highWater))
+    // binpack (small-file merge) preserves ids the same way
+    Maintenance.compactSmall(spark, root, "ns", "t")
+    assert(lineage() == appended, "binpack changed row ids")
+  }
+
   test("removeOrphanFiles deletes only never-committed debris") {
     val (root, _) = prepared()
     val dir = TableIO.tableDir(root, "ns", "t")
