@@ -272,6 +272,32 @@ object Partitioning {
     }
   }
 
+  /** Commit a snapshot replacing ONLY the given partition values of a
+    * partitioned table with `merged`'s rows; every other partition's
+    * files carry over untouched — the surgical rewrite incremental index
+    * maintenance needs (refresh cost proportional to the delta, never a
+    * full-table rewrite). `expected` is the CAS guard: a replay or a
+    * concurrent maintainer fails loudly instead of double-applying.
+    */
+  def replacePartitions(spark: SparkSession, root: String, ns: String,
+      table: String, merged: DataFrame, spec: PartitionSpec,
+      touched: Set[Long], expected: Long): Unit = {
+    val seq = TableIO.nextSeq(root, ns, table)
+    val newEntries =
+      if (merged.isEmpty) Nil
+      else writePartitioned(spark, root, ns, table, merged, spec, seq,
+        filePrefix = "refresh")
+    val offTarget = newEntries.map(_.bounds(spec.fieldName)._1)
+      .filterNot(touched)
+    require(offTarget.isEmpty,
+      s"refresh rows landed outside the replaced partitions: $offTarget")
+    val keep = TableIO.readManifest(root, ns, table).filterNot(e =>
+      e.content == "data" &&
+        e.bounds.get(spec.fieldName).exists(b => touched(b._1)))
+    TableIO.commitReplacing(root, ns, table, keep ++ newEntries,
+      expectedVersion = Some(expected))
+  }
+
   /** The `partitions` metadata table (Iceberg `table.partitions`): one
     * row per (partition field, value) with live file and record counts,
     * derived from the per-file partition values the manifest records as

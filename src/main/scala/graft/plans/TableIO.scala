@@ -159,10 +159,23 @@ object TableIO {
     * `fix_schema_generator.rs:37-41`) to fields lacking one.
     */
   def withFieldIds(schema: StructType): StructType = {
-    var next = schema.fields.flatMap(f =>
+    val existing = schema.fields.flatMap(f =>
+      if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+      else None)
+    // a df derived from another governed table can carry STALE id
+    // metadata on several columns (e.g. `vec_id.as("cid")` inherits
+    // vec_id's id): duplicate ids would corrupt id-based resolution of
+    // every file written under this schema, so a non-unique id set is
+    // discarded and the new table gets fresh consecutive ids
+    val base =
+      if (existing.distinct.length == existing.length) schema
+      else StructType(schema.fields.map(f => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(FieldIdKey).build())))
+    var next = base.fields.flatMap(f =>
       if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
       else None).maxOption.getOrElse(0L)
-    StructType(schema.fields.map { f =>
+    StructType(base.fields.map { f =>
       if (f.metadata.contains(FieldIdKey)) f
       else {
         next += 1
@@ -177,10 +190,16 @@ object TableIO {
     */
   def alignFieldIds(df: DataFrame, tableSchema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val needs = df.schema.fields.exists(f =>
-      !f.metadata.contains(FieldIdKey) &&
-        tableSchema.find(_.name == f.name)
-          .exists(_.metadata.contains(FieldIdKey)))
+    // the TABLE's id always wins: a df column can carry a stale id
+    // inherited from another table's lineage (alias/join), and writing
+    // it through would embed wrong — possibly duplicate — ids
+    def tableId(f: org.apache.spark.sql.types.StructField): Option[Long] =
+      tableSchema.find(_.name == f.name)
+        .filter(_.metadata.contains(FieldIdKey))
+        .map(_.metadata.getLong(FieldIdKey))
+    val needs = df.schema.fields.exists(f => tableId(f).exists(id =>
+      !f.metadata.contains(FieldIdKey) ||
+        f.metadata.getLong(FieldIdKey) != id))
     if (!needs) df
     else df.select(df.schema.fields.map { f =>
       tableSchema.find(_.name == f.name) match {
