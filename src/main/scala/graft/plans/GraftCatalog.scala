@@ -222,6 +222,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "rewrite_data_files" => new RewriteDataFilesProcedure(root)
       case "rewrite_position_deletes" =>
         new RewritePositionDeletesProcedure(root)
+      case "bm25_search" => new Bm25SearchProcedure(root)
+      case "ann_topk" => new AnnTopKProcedure(root)
+      case "dedup_fingerprint" => new DedupFingerprintProcedure(root)
       case _ => throw new NoSuchTableException(ident)
     }
   }
@@ -230,7 +233,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.toSeq != Seq("system")) Array.empty
     else Array("create_ref", "drop_ref", "rollback", "expire_snapshots",
         "remove_orphan_files", "rewrite_data_files",
-        "rewrite_position_deletes")
+        "rewrite_position_deletes", "bm25_search", "ann_topk",
+        "dedup_fingerprint")
       .map(n => Identifier.of(Array("system"), n))
 
   // --- namespaces ------------------------------------------------------

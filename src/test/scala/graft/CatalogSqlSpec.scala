@@ -360,6 +360,56 @@ class CatalogSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL procedures: bm25_search / ann_topk / dedup_fingerprint " +
+      "expose the LLM operator families to SQL") {
+    root
+    import org.apache.spark.sql.functions._
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val emb = spark.read.parquet(embPath)
+
+    // bm25_search over a parquet path == the Scala operator
+    val terms = "the and data"
+    val viaSql = spark.sql(
+      s"CALL g.system.bm25_search('$docsPath', '$terms', 5)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = graft.operators.Retrieval
+      .bm25TopK(docs, terms.split(' ').toSeq, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql == direct && viaSql.size == 5)
+
+    // ann_topk == bruteTopK's (vec_id, sim) projection
+    val annSql = spark.sql(s"CALL g.system.ann_topk('$embPath', 0, 7)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val annDirect = graft.operators.Similarity.bruteTopK(emb, 0L, 7)
+      .select("vec_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(annSql == annDirect && annSql.size == 7)
+
+    // dedup_fingerprint returns the census head by keeper id
+    val fpSql = spark.sql(
+      s"CALL g.system.dedup_fingerprint('$docsPath', 10)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val fpDirect = graft.operators.Dedup.fingerprint(docs).limit(10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(fpSql == fpDirect && fpSql.size == 10)
+
+    // governed-table source: the same corpus committed through the
+    // catalog resolves by 'ns.table' and scores identically
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.procsrc")
+    docs.select("doc_id", "text").limit(200)
+      .createOrReplaceTempView("proc_docs_src")
+    spark.sql("CREATE TABLE g.procsrc.docs AS SELECT * FROM proc_docs_src")
+    val govSql = spark.sql(
+      s"CALL g.system.bm25_search('procsrc.docs', '$terms', 5)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val govDirect = graft.operators.Retrieval
+      .bm25TopK(spark.table("proc_docs_src"), terms.split(' ').toSeq, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(govSql == govDirect)
+  }
+
   test("CALL procedures: create_ref / drop_ref / rollback through SQL") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.procns")
