@@ -86,6 +86,44 @@ object Extensions {
       }
       graft.operators.Retrieval.searchIndexed(s, r, "idx", bm25Terms)
     }),
+    // INCREMENTAL index maintenance under the oracle: the corpus lands
+    // as a governed table in TWO commits — the index is built after the
+    // first and REFRESHED (only touched term buckets rewritten) after
+    // the second — then searched. The oracle scores the full corpus, so
+    // a refresh that missed, doubled, or stale-read anything diverges.
+    "text_bm25_refreshed" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#bm25refresh") { root =>
+        import org.apache.spark.sql.functions.col
+        import graft.plans.TableIO
+        val d = rd(s, dir, "documents")
+        val ns = "corp"
+        val base = d.filter(col("doc_id") % 3 =!= 0)
+        TableIO.createNamespace(root, ns)
+        TableIO.createTableIfNotExists(root, ns, "docs", base.schema)
+        TableIO.commit(root, ns, "docs", Seq(TableIO.writeExactFile(s, root,
+          ns, "docs", "data/d0.parquet", base, "data",
+          TableIO.nextSeq(root, ns, "docs"))))
+        graft.operators.Retrieval.buildIndexFromTable(s, root, ns, "docs",
+          root, "idx")
+        val late = d.filter(col("doc_id") % 3 === 0)
+        TableIO.commit(root, ns, "docs", Seq(TableIO.writeExactFile(s, root,
+          ns, "docs", "data/d1.parquet", late, "data",
+          TableIO.nextSeq(root, ns, "docs"))))
+        graft.operators.Retrieval.refreshIndex(s, root, ns, "docs",
+          root, "idx")
+        ()
+      }
+      graft.operators.Retrieval.searchIndexed(s, r, "idx", bm25Terms)
+    }),
+    // the SQL procedure front door under the oracle: CALL must score
+    // identically to the Scala operator (and to DuckDB)
+    "q_sql_call_bm25" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#callroot")(_ => ())
+      s.conf.set("spark.sql.catalog.gcall", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gcall.root", r)
+      s.sql(s"CALL gcall.system.bm25_search('$dir/documents.parquet', " +
+        s"'${bm25Terms.mkString(" ")}', 15)")
+    }),
     "pipe_decontaminate" -> ((s, dir) =>
       PipelineOps.decontaminate(rd(s, dir, "documents"))),
     "pipe_sample" -> ((s, dir) => PipelineOps.sampleBySource(rd(s, dir, "documents"))),
@@ -662,6 +700,8 @@ object Extensions {
     "text_bm25" -> bm25Sql,
     // identical arithmetic over the materialized inverted index
     "text_bm25_indexed" -> bm25Sql,
+    "text_bm25_refreshed" -> bm25Sql,
+    "q_sql_call_bm25" -> bm25Sql,
 
     "pipe_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
