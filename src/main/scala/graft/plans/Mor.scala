@@ -461,11 +461,20 @@ object Mor {
     // key an incremental consumer correlates inserts/deletes on
     val schemaCols = if (withLineage) schemaCols0 :+ "_row_id" else schemaCols0
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      // A rollback CHANGES content but looks replace-shaped; silently
+      // skipping it (as for content-preserving compaction) would let
+      // every changelog consumer diverge. Fail loudly instead — the
+      // consumer must reconsume or deliberately re-point its offset.
+      if (TableIO.isRollback(root, ns, table, v))
+        throw new IllegalStateException(
+          s"$ns.$table v$v is a rollback: the changelog across it is not " +
+            "append-derivable — reset the consumer (reconsume from " +
+            s"scratch, or re-point its offset past v$v deliberately)")
       val prev = TableIO.readManifestAt(root, ns, table, v - 1)
       val cur = TableIO.readManifestAt(root, ns, table, v)
       val prevKeys = prev.map(e => (e.path, e.content)).toSet
       val curKeys = cur.map(e => (e.path, e.content)).toSet
-      if (prevKeys.exists(!curKeys(_))) Seq.empty[DataFrame] // replace/rollback
+      if (prevKeys.exists(!curKeys(_))) Seq.empty[DataFrame] // replace (compaction)
       else {
         val added = cur.filterNot(e => prevKeys((e.path, e.content)))
         val addedData = added.filter(_.content == "data")

@@ -754,8 +754,25 @@ object TableIO {
   def rollback(root: String, ns: String, table: String, toVersion: Long): Long = {
     require(toVersion <= currentVersion(root, ns, table),
       s"cannot roll back to unknown version $toVersion")
-    commitReplacing(root, ns, table, readManifestAt(root, ns, table, toVersion))
+    val v = commitReplacing(root, ns, table,
+      readManifestAt(root, ns, table, toVersion))
+    // Sidecar marker: a rollback CHANGES logical content, but its
+    // manifest is replace-shaped — indistinguishable from a
+    // content-preserving compaction. Changelog consumers (Ivm,
+    // replication, index refresh) must fail loudly crossing it instead
+    // of silently emitting nothing and diverging ([[Mor.readChanges]]
+    // checks the marker). Written after the manifest publish: a crash
+    // in between leaves the pre-marker behavior (silent skip), never a
+    // false rollback flag on someone else's commit.
+    atomicWrite(tableDir(root, ns, table).resolve(s"manifest/v$v.rollback"), "")
+    v
   }
+
+  /** Whether `version` was published by [[rollback]]. */
+  def isRollback(root: String, ns: String, table: String,
+      version: Long): Boolean =
+    Files.isRegularFile(
+      tableDir(root, ns, table).resolve(s"manifest/v$version.rollback"))
 
   private val refRe = """\{"name":"([^"]*)","type":"([^"]*)","version":(\d+)\}""".r
 

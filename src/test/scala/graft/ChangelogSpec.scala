@@ -7,7 +7,9 @@ import graft.sources.{FixSchemaGen, GenConfig}
 
 /** CDC changelog scan: per-commit inserts/deletes, no re-emission of
   * already-dead rows, physical dedupe when one row is hit by several
-  * new delete files, and silence on rewrite/rollback snapshots.
+  * new delete files, silence on content-preserving rewrite snapshots,
+  * and LOUD failure crossing a rollback (content changed, but not
+  * append-derivably — a silent skip would let consumers diverge).
   */
 class ChangelogSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -29,8 +31,7 @@ class ChangelogSpec extends AnyFunSuite {
     assert(byStep == Map((1, "insert") -> N, (2, "delete") -> P,
       (3, "delete") -> E))
 
-    // an append AFTER the deletes emits only inserts; a rollback emits
-    // nothing (its effects were already reported when they happened)
+    // an append AFTER the deletes emits only inserts
     val rpf = cfg.data.rowsPerFile
     val df6 = spark.range(5L * rpf, 6L * rpf).select(
       col("id").cast("string").as("foo"), col("id").cast("int").as("bar"),
@@ -42,8 +43,22 @@ class ChangelogSpec extends AnyFunSuite {
     assert(step4.filter(col("_change_type") === "insert").count() == rpf)
     assert(step4.filter(col("_change_type") === "delete").count() == 0)
 
+    // a ROLLBACK changes content non-append-derivably: any changelog
+    // range crossing it fails loudly (a silent empty batch would let a
+    // CDC consumer diverge forever); ranges strictly past it work again
     TableIO.rollback(root, ns, t, 1L)
-    assert(Mor.readChanges(spark, root, ns, t, 4L, 5L).count() == 0)
+    val ex = intercept[IllegalStateException] {
+      Mor.readChanges(spark, root, ns, t, 4L, 5L)
+    }
+    assert(ex.getMessage.contains("rollback"))
+    val df7 = spark.range(6L * rpf, 6L * rpf + 7).select(
+      col("id").cast("string").as("foo"), col("id").cast("int").as("bar"),
+      lit(true).as("baz"))
+    TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root, ns, t,
+      FixSchemaGen.dataFilePath(6), df7, "data",
+      TableIO.nextSeq(root, ns, t), recordCount = 7)))
+    val past = Mor.readChanges(spark, root, ns, t, 5L, 6L)
+    assert(past.filter(col("_change_type") === "insert").count() == 7)
   }
 
   test("change feed: checkpointed offsets, at-least-once on failure") {
