@@ -460,6 +460,17 @@ object Mor {
     // with lineage, every change row carries its stable _row_id — the
     // key an incremental consumer correlates inserts/deletes on
     val schemaCols = if (withLineage) schemaCols0 :+ "_row_id" else schemaCols0
+    // The range must name real, still-retained snapshots. readManifestAt
+    // returns empty for a MISSING manifest — right for v0 (the empty
+    // initial table), catastrophic for an expired base: prev would read
+    // as empty and the whole snapshot would be fabricated as inserts,
+    // silently re-emitting every surviving row to a consumer whose
+    // checkpoint fell behind the expireSnapshots horizon. Fail loudly on
+    // both ends instead.
+    val curV = TableIO.currentVersion(root, ns, table)
+    require(0L <= fromVersion && fromVersion <= toVersion && toVersion <= curV,
+      s"changelog range [$fromVersion, $toVersion] outside $ns.$table's " +
+        s"history [0, $curV]")
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
       // A rollback CHANGES content but looks replace-shaped; silently
       // skipping it (as for content-preserving compaction) would let
@@ -470,6 +481,13 @@ object Mor {
           s"$ns.$table v$v is a rollback: the changelog across it is not " +
             "append-derivable — reset the consumer (reconsume from " +
             s"scratch, or re-point its offset past v$v deliberately)")
+      Seq(v - 1, v).filter(_ >= 1L).foreach { w =>
+        if (!TableIO.manifestExists(root, ns, table, w))
+          throw new IllegalStateException(
+            s"$ns.$table v$w was expired (expireSnapshots): the changelog " +
+              s"across it is gone — reset the consumer (reconsume from " +
+              "scratch, or re-point its offset into the retained history)")
+      }
       val prev = TableIO.readManifestAt(root, ns, table, v - 1)
       val cur = TableIO.readManifestAt(root, ns, table, v)
       val prevKeys = prev.map(e => (e.path, e.content)).toSet

@@ -774,6 +774,18 @@ object TableIO {
     Files.isRegularFile(
       tableDir(root, ns, table).resolve(s"manifest/v$version.rollback"))
 
+  /** Whether `version`'s manifest file is still on disk. False for a
+    * committed-then-expired snapshot ([[graft.plans.Maintenance
+    * .expireSnapshots]]); v0 (the empty initial table) never has one.
+    * [[readManifestAt]] deliberately reads a missing manifest as empty —
+    * callers for whom expired and empty differ (the changelog) check
+    * this first.
+    */
+  def manifestExists(root: String, ns: String, table: String,
+      version: Long): Boolean =
+    Files.isRegularFile(
+      tableDir(root, ns, table).resolve(s"manifest/v$version.json"))
+
   private val refRe = """\{"name":"([^"]*)","type":"([^"]*)","version":(\d+)\}""".r
 
   private def writeRefs(root: String, ns: String, table: String,

@@ -61,6 +61,30 @@ class ChangelogSpec extends AnyFunSuite {
     assert(past.filter(col("_change_type") === "insert").count() == 7)
   }
 
+  test("changelog fails loudly crossing the expiry horizon, works past it") {
+    // readManifestAt reads a MISSING manifest as empty — fine for v0,
+    // catastrophic for an expired base: prev would read empty and the
+    // whole snapshot would be re-emitted as fabricated inserts to any
+    // consumer whose checkpoint fell behind expireSnapshots. Pin the
+    // loud-failure contract instead.
+    val cfg = cfgRef.copy(tableName = "cdc_expire")
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcexp-").toString
+    val (ns, t) = (cfg.namespace, cfg.tableName)
+    Pipeline.prepare(spark, root, cfg) // v1 data, v2 pos-del, v3 eq-del
+    graft.plans.Maintenance.expireSnapshots(root, ns, t, keepFromVersion = 2L)
+    val ex = intercept[IllegalStateException] {
+      Mor.readChanges(spark, root, ns, t, 0L, 3L)
+    }
+    assert(ex.getMessage.contains("expired"))
+    // a range whose base AND steps are retained still works
+    val ok = Mor.readChanges(spark, root, ns, t, 2L, 3L)
+    assert(ok.filter(col("_change_type") === "delete").count() == E)
+    // and a range beyond the table's history is rejected, not empty
+    intercept[IllegalArgumentException] {
+      Mor.readChanges(spark, root, ns, t, 3L, 9L)
+    }
+  }
+
   test("change feed: checkpointed offsets, at-least-once on failure") {
     import graft.plans.ChangeFeed
     val cfg = cfgRef.copy(tableName = "feed_spec")
