@@ -42,13 +42,19 @@ object Maintenance {
       targetFileCount: Int = 0, clusterBy: Seq[String] = Nil,
       zorder: Boolean = false): Long = {
     val dir = TableIO.tableDir(root, ns, table)
+    // The planned version is read FIRST and CASed at commit
+    // (expectedVersion below): a concurrent append landing between plan
+    // and publish would otherwise be silently dropped from the rewritten
+    // manifest — the classic compaction lost-update. Reading v before
+    // the snapshot resolves keeps the race conservative: an interleaved
+    // commit can only make the CAS fail (re-plan), never pass stale.
+    val v = TableIO.currentVersion(root, ns, table)
     // lineage read: each surviving row carries its stable _row_id, which
     // the rewrite MATERIALIZES as a physical column in the compacted
     // files (Iceberg v3 row-id preservation through rewrites) — normal
     // reads project the table schema and never see it; lineage reads
     // prefer it over firstRowId + position
     val merged = Mor.readLineage(spark, root, ns, table)
-    val v = TableIO.currentVersion(root, ns, table)
     val nFiles = if (targetFileCount > 0) targetFileCount
       else math.max(1, TableIO.filesOf(root, ns, table, "data").size / 2)
     val stage = Files.createTempDirectory(dir, ".compact")
@@ -99,7 +105,8 @@ object Maintenance {
           (0L, Map.empty[String, (Long, Long)]))
         ManifestEntry(rel, "data", seq, n, b)
       }
-      TableIO.commitReplacing(root, ns, table, entries)
+      TableIO.commitReplacing(root, ns, table, entries,
+        expectedVersion = Some(v))
     } finally {
       Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
@@ -128,12 +135,14 @@ object Maintenance {
       table: String, smallBytes: Long = 4L << 20,
       minGroup: Int = 2): Long = {
     val dir = TableIO.tableDir(root, ns, table)
-    val manifest = TableIO.readManifest(root, ns, table)
+    // planned version first, manifest AT that version, CAS at commit —
+    // same lost-update discipline as [[compact]]
+    val v = TableIO.currentVersion(root, ns, table)
+    val manifest = TableIO.readManifestAt(root, ns, table, v)
     val small = manifest.filter(e => e.content == "data" &&
       Files.size(dir.resolve(e.path)) < smallBytes)
     val groups = small.groupBy(_.seq).filter(_._2.size >= minGroup)
-    if (groups.isEmpty) return TableIO.currentVersion(root, ns, table)
-    val v = TableIO.currentVersion(root, ns, table)
+    if (groups.isEmpty) return v
     val newEntries = groups.toSeq.sortBy(_._1).map { case (seq, files) =>
       // lineage read for the same reason as compact: the merged file
       // materializes its rows' preserved _row_ids
@@ -158,7 +167,7 @@ object Maintenance {
     val replaced = groups.values.flatten.map(_.path).toSet
     TableIO.commitReplacing(root, ns, table,
       manifest.filterNot(e => e.content == "data" && replaced(e.path)) ++
-        newEntries)
+        newEntries, expectedVersion = Some(v))
     // purge the now-dangling pos-delete rows of the rewritten files
     rewritePositionDeletes(spark, root, ns, table)
   }
@@ -187,9 +196,11 @@ object Maintenance {
       table: String): Long = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val manifest = TableIO.readManifest(root, ns, table)
+    // planned version first + CAS at commit, as in [[compact]]
+    val v = TableIO.currentVersion(root, ns, table)
+    val manifest = TableIO.readManifestAt(root, ns, table, v)
     val posEntries = manifest.filter(_.content == "pos_delete")
-    if (posEntries.isEmpty) return TableIO.currentVersion(root, ns, table)
+    if (posEntries.isEmpty) return v
     val dir = TableIO.tableDir(root, ns, table)
     val pd = Mor.readDeletes(spark,
       posEntries.map(e => (dir.resolve(e.path).toString, e.seq))).get
@@ -201,7 +212,7 @@ object Maintenance {
       .cache()
     try {
       val seqs = live.select("_dseq").distinct().as[Long].collect().sorted
-      val newV = TableIO.currentVersion(root, ns, table) + 1
+      val newV = v + 1
       val newEntries = seqs.map { sq =>
         val rows = live.filter(col("_dseq") === sq)
           .select("file_path", "pos").orderBy("file_path", "pos")
@@ -209,7 +220,8 @@ object Maintenance {
           s"deletes/pos_rewrite-v$newV-s$sq.parquet", rows, "pos_delete", sq)
       }
       TableIO.commitReplacing(root, ns, table,
-        manifest.filterNot(_.content == "pos_delete") ++ newEntries)
+        manifest.filterNot(_.content == "pos_delete") ++ newEntries,
+        expectedVersion = Some(v))
     } finally live.unpersist()
   }
 

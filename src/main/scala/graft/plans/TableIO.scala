@@ -752,10 +752,16 @@ object TableIO {
     * O(manifest) metadata, never a data rewrite.
     */
   def rollback(root: String, ns: String, table: String, toVersion: Long): Long = {
-    require(toVersion <= currentVersion(root, ns, table),
+    val cur = currentVersion(root, ns, table)
+    require(toVersion <= cur,
       s"cannot roll back to unknown version $toVersion")
+    // CAS on the version the rollback was decided against: a concurrent
+    // append between decision and publish must fail the rollback (the
+    // operator re-decides with the new commit in view), not be silently
+    // erased by republishing the old manifest over it.
     val v = commitReplacing(root, ns, table,
-      readManifestAt(root, ns, table, toVersion))
+      readManifestAt(root, ns, table, toVersion),
+      expectedVersion = Some(cur))
     // Sidecar marker: a rollback CHANGES logical content, but its
     // manifest is replace-shaped — indistinguishable from a
     // content-preserving compaction. Changelog consumers (Ivm,

@@ -73,6 +73,43 @@ class CommitProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction never erases a concurrent append (CAS + retry)") {
+    // The lost-update race: compact plans its rewritten manifest from
+    // version v; an append lands at v+1 while the rewrite runs; a commit
+    // NOT CASed on v would publish the rewrite as v+2 with the appended
+    // file silently missing. compact CASes on its planned version now,
+    // so whatever the interleaving, every appended row must survive.
+    import org.apache.spark.sql.functions._
+    val root = newTable()
+    def append(idx: Int, lo: Int, n: Int): Unit = {
+      val df = spark.range(lo, lo + n).select(
+        col("id").cast("string").as("foo"), col("id").cast("int").as("bar"))
+      TableIO.commit(root, "ns", "t", Seq(TableIO.writeExactFile(spark, root,
+        "ns", "t", s"data/app-$idx.parquet", df, "data",
+        TableIO.nextSeq(root, "ns", "t"), recordCount = n)))
+    }
+    append(0, 0, 50); append(1, 50, 50)
+    val appender = new Thread(() => (2 until 7).foreach { i =>
+      append(i, i * 50, 50); Thread.sleep(20)
+    })
+    appender.start()
+    try {
+      // retry on CAS failure exactly as a production maintenance job
+      // would; every attempt that loses the race must leave the table
+      // byte-identical (its staged files are never referenced)
+      var done = false; var tries = 0
+      while (!done && tries < 25) {
+        tries += 1
+        try { Maintenance.compact(spark, root, "ns", "t"); done = true }
+        catch { case _: java.util.ConcurrentModificationException => }
+      }
+      assert(done, "compact never won the CAS in 25 tries")
+    } finally appender.join()
+    val rows = Mor.read(spark, root, "ns", "t")
+    assert(rows.count() == 350L)
+    assert(rows.agg(sum(col("bar"))).head().getLong(0) == (0L until 350L).sum)
+  }
+
   test("expiry never removes a snapshot a ref pins") {
     val root = Files.createTempDirectory("graft-expire-").toString
     val cfg = GenConfig("ns", "t", FileConfig(50, 4),
