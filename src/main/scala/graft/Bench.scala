@@ -74,12 +74,35 @@ object Bench {
       } else t0
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def qsJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reran":$reranJson,"repeat":$repeat,"sf":"$sfDir"}""")
+    def line(rs: Seq[(String, Double)], extra: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$extra"queries":${qsJson(rs)},"failed":$failedJson,"reran":$reranJson,"repeat":$repeat,"sf":"$sfDir"}"""
+    // The driver records only the LAST ~2000 chars of stdout and JSON-parses
+    // the final line; 160 queries at full Double precision is ~4KB, which
+    // truncated the line and left every prior round's BENCH_r*.json with
+    // parsed:null. Stdout gets a size-capped line (per-family totals + as
+    // many of the slowest individual queries as fit); the complete per-query
+    // map goes to BENCH_FULL.json next to the repo (and to stderr).
+    val fullLine = line(results, "")
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json"))
+    java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+    System.err.println("[bench] full results: " + fullLine)
+    val families = results.groupBy(_._1.takeWhile(_ != '_'))
+      .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
+    val famJson = families.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val slowest = results.sortBy(-_._2)
+    val budget = 1800 // tail window 2000 minus sbt's trailing [success] line
+    val keep = (slowest.size to 0 by -1).map(slowest.take)
+      .find(rs => line(rs, s""""families":$famJson,"full":"$fullPath",""").length <= budget)
+      .getOrElse(Seq.empty)
+    println(line(keep, s""""families":$famJson,"full":"$fullPath","""))
     spark.stop()
   }
 }

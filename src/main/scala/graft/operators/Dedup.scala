@@ -196,6 +196,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-corpus dedup with a BLOOM-FILTER prefilter — the shape that
+    * survives when the existing corpus's fingerprint set is too large to
+    * hash-join against every incoming batch. The existing side collapses
+    * to a fixed-size bit array (`bits` bits as `bits/64` bigint words,
+    * built with a map-side-combined `bit_or` aggregate — shuffle bounded
+    * by the bloom's size, not the corpus's), which then broadcast-joins
+    * the incoming side's probe positions. A bloom has NO false
+    * negatives, so incoming docs missing any probe bit are definitely
+    * new and skip the join entirely; only the bloom-POSITIVE sliver
+    * (true dups + ~fpp of the rest) reaches the exact anti-join confirm,
+    * making the final answer exactly [[crossCorpusNew]]'s — the oracle
+    * replays the exact semantics, the bloom is pure pruning.
+    * Portable salted polynomial hashes position the probes, the same
+    * discipline as the count-min sketch.
+    */
+  def bloomPrefilterNew(incoming: DataFrame, existing: DataFrame,
+      bits: Int = 1 << 16, kHashes: Int = 3): DataFrame = {
+    require(bits % 64 == 0, s"bits must be a multiple of 64, got $bits")
+    def fp(df: DataFrame) = df.repartition(col("doc_id"))
+      .select(col("doc_id"), md5(normalize(col("text"))).as("fp"))
+    def probes(c: Column) = array((0 until kHashes).map(j =>
+      TextHash.rollingHash(concat(lit(s"bl$j:"), c)) % bits): _*)
+    val exFp = fp(existing)
+    val bloom = exFp.select(explode(probes(col("fp"))).as("p"))
+      .select((col("p") / 64).cast("long").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+      .groupBy("w").agg(bit_or(col("m")).as("bitsw"))
+    val inFp = fp(incoming)
+    val probed = inFp
+      .select(col("doc_id"), col("fp"), explode(probes(col("fp"))).as("p"))
+      .join(broadcast(bloom), (col("p") / 64).cast("long") === col("w"), "left")
+      .groupBy("doc_id", "fp")
+      .agg(sum(when(expr("bitsw IS NOT NULL AND " +
+        "(bitsw & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0"),
+        1).otherwise(0)).as("n_set"))
+    val definitelyNew = probed.filter(col("n_set") < kHashes)
+      .select("doc_id", "fp")
+    val candidates = probed.filter(col("n_set") === kHashes)
+      .select("doc_id", "fp")
+    val rescued = candidates
+      .join(exFp.select("fp").distinct(), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    definitelyNew.unionByName(rescued).orderBy("doc_id")
+  }
+
   /** Edit-distance near-dup verification: MinHash-LSH candidate pairs
     * re-verified by EXACT Levenshtein distance on the raw texts — the
     * high-precision final filter a dedup pipeline runs before dropping
