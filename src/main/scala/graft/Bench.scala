@@ -74,7 +74,10 @@ object Bench {
       } else t0
       name -> t
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale f interpolator would emit a comma
+    // decimal separator under e.g. de_DE, producing invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qsJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -208,37 +208,60 @@ object Dedup {
     * (true dups + ~fpp of the rest) reaches the exact anti-join confirm,
     * making the final answer exactly [[crossCorpusNew]]'s — the oracle
     * replays the exact semantics, the bloom is pure pruning.
-    * Portable salted polynomial hashes position the probes, the same
-    * discipline as the count-min sketch.
+    *
+    * Probe independence (ADVICE r7): prefix-salting the 32-char hex fp
+    * made every probe an affine shift of ONE polynomial hash (h("blj:"
+    * || fp) = const_j·31^32 + h(fp) mod P), collapsing the filter to an
+    * effective 1-hash bloom. The probes are now Kirsch-Mitzenmacher:
+    * one base hash x = polyHash(fp), then k pairwise-distinct universal
+    * rehashes p_j = (a_j·x + b_j) mod P mod bits with distinct odd
+    * multipliers — k genuinely independent positions from one hash.
+    *
+    * Row multiplicity (ADVICE r7): the probe runs on the DISTINCT
+    * (doc_id, fp) set (each fingerprint is probed once, not once per
+    * duplicate row) and the surviving set re-expands by the original
+    * occurrence count, so the output is row-for-row [[crossCorpusNew]]
+    * even when incoming carries duplicate doc_ids.
     */
   def bloomPrefilterNew(incoming: DataFrame, existing: DataFrame,
       bits: Int = 1 << 16, kHashes: Int = 3): DataFrame = {
     require(bits % 64 == 0, s"bits must be a multiple of 64, got $bits")
     def fp(df: DataFrame) = df.repartition(col("doc_id"))
       .select(col("doc_id"), md5(normalize(col("text"))).as("fp"))
-    def probes(c: Column) = array((0 until kHashes).map(j =>
-      TextHash.rollingHash(concat(lit(s"bl$j:"), c)) % bits): _*)
+    // Kirsch-Mitzenmacher: x = polyHash(fp); p_j = (a_j*x + b_j) % P % bits
+    def probes(c: Column) = {
+      val x = TextHash.rollingHash(c)
+      array((0 until kHashes).map(j =>
+        TextHash.rehash(x, 2L * j + 3L, 7919L * (j + 1)) % bits): _*)
+    }
     val exFp = fp(existing)
     val bloom = exFp.select(explode(probes(col("fp"))).as("p"))
       .select((col("p") / 64).cast("long").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
       .groupBy("w").agg(bit_or(col("m")).as("bitsw"))
     val inFp = fp(incoming)
+      .groupBy("doc_id", "fp").agg(count(lit(1)).as("mult"))
     val probed = inFp
-      .select(col("doc_id"), col("fp"), explode(probes(col("fp"))).as("p"))
+      .select(col("doc_id"), col("fp"), col("mult"),
+        explode(probes(col("fp"))).as("p"))
       .join(broadcast(bloom), (col("p") / 64).cast("long") === col("w"), "left")
-      .groupBy("doc_id", "fp")
+      .groupBy("doc_id", "fp", "mult")
       .agg(sum(when(expr("bitsw IS NOT NULL AND " +
         "(bitsw & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0"),
         1).otherwise(0)).as("n_set"))
     val definitelyNew = probed.filter(col("n_set") < kHashes)
-      .select("doc_id", "fp")
+      .select("doc_id", "fp", "mult")
     val candidates = probed.filter(col("n_set") === kHashes)
-      .select("doc_id", "fp")
+      .select("doc_id", "fp", "mult")
     val rescued = candidates
       .join(exFp.select("fp").distinct(), Seq("fp"), "left_anti")
-      .select("doc_id", "fp")
-    definitelyNew.unionByName(rescued).orderBy("doc_id")
+      .select("doc_id", "fp", "mult")
+    definitelyNew.unionByName(rescued)
+      // re-expand to crossCorpusNew's exact row multiplicity
+      .select(col("doc_id"), col("fp"),
+        explode(array_repeat(lit(1), col("mult").cast("int"))).as("one"))
+      .drop("one")
+      .orderBy("doc_id")
   }
 
   /** Edit-distance near-dup verification: MinHash-LSH candidate pairs

@@ -429,37 +429,42 @@ object Similarity {
 
   /** kNN self-join: each vector's top-k nearest neighbors, with
     * candidates from the same 16x4-bit sign-LSH banding the embedding
-    * dedup uses — never an unkeyed all-pairs join. The embeddings ride
-    * along on the (small) band rows so the cosine is fused into the
-    * band self-join's output projection; pairs seen in several bands
-    * are then collapsed by a groupBy (cos is a pure function of the
-    * pair, so max == the value) — no re-join of the corpus per
-    * candidate and no wide rows through the distinct. The rank window
-    * is partitioned by the left vector (Spark 4 pushes the k-limit
-    * into WindowGroupLimit pre-shuffle), so the whole pipeline is two
-    * narrow-row key shuffles at any scale. Deterministic (fixed
-    * hyperplanes, ties on vec_b) — the oracle replays it.
+    * dedup uses — never an unkeyed all-pairs join. Band rows are
+    * NARROW (vec_id, band, key): the band self-join emits 16-byte
+    * candidate pairs, pairs seen in several bands collapse in a
+    * distinct, and only then do the (distinct) pairs join the
+    * embedding relation twice to score ONE cosine per pair — the
+    * oracle's own shape. The alternative (embeddings riding along on
+    * the band rows, cosine fused into the join, groupBy-max dedup)
+    * computes a cosine per band-COLLISION and shuttles ~500-byte rows
+    * through the band shuffle; it wins only when collisions are rare,
+    * and loses by multiples when the corpus clusters in sign space
+    * (r7's regenerated embeddings: collision dedup factor ~1.6, wide
+    * rows ~2 GB at sf0.1). Narrow-first is robust to both regimes. At
+    * test scale the embedding relation broadcast-joins (Catalyst picks
+    * it from parquet stats); at 100 TB the two scoring joins shuffle
+    * co-partitioned on vec_id. The rank window is partitioned by the
+    * left vector (Spark 4 pushes the k-limit into WindowGroupLimit
+    * pre-shuffle). Deterministic (fixed hyperplanes, ties on vec_b) —
+    * the oracle replays it.
     */
   def knnJoin(emb: DataFrame, k: Int = 3, bands: Int = 16, r: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyCols = (0 until bands).map { bnd =>
-      (0 until r).map { i =>
-        when(try_element_at(col("embedding"), lit(bnd * r + i + 1)) > 0f,
-          1L << i).otherwise(0L)
-      }.reduce(_ + _)
-    }
-    val bandDf = emb.select(col("vec_id"), col("embedding"),
-      posexplode(array(keyCols: _*)).as(Seq("band", "key")))
+    val bandDf = bandKeys(emb, bands, r)
     // spread the probe side across cores: a single-file scan is one
-    // partition, and everything up to the first exchange (join, cosine,
+    // partition, and everything up to the first exchange (join, distinct
     // partial agg) would otherwise run in one task
-    val cand = bandDf.toDF("vec_a", "emb_a", "band", "key")
+    val cand = bandDf.toDF("vec_a", "band", "key")
       .repartition(col("band"), col("key"))
-      .join(bandDf.toDF("vec_b", "emb_b", "band", "key"), Seq("band", "key"))
+      .join(bandDf.toDF("vec_b", "band", "key"), Seq("band", "key"))
       .filter(col("vec_a") =!= col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.toDF("vec_a", "emb_a"), "vec_a")
+      .join(e.toDF("vec_b", "emb_b"), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         VectorOps.cosine(col("emb_a"), col("emb_b")).as("cos"))
-    cand.groupBy("vec_a", "vec_b").agg(max("cos").as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b").asc)))
       .filter(col("rank") <= k)
@@ -467,6 +472,39 @@ object Similarity {
         round(col("cos"), 6).as("sim"))
       .orderBy("vec_a", "rank")
   }
+
+  /** Narrow (vec_id, band, key) sign-LSH band rows — the shared
+    * candidate-generation primitive for [[knnJoin]] and the guard
+    * below.
+    */
+  private def bandKeys(emb: DataFrame, bands: Int, r: Int): DataFrame = {
+    val keyCols = (0 until bands).map { bnd =>
+      (0 until r).map { i =>
+        when(try_element_at(col("embedding"), lit(bnd * r + i + 1)) > 0f,
+          1L << i).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    emb.select(col("vec_id"),
+      posexplode(array(keyCols: _*)).as(Seq("band", "key")))
+  }
+
+  /** Candidate-volume guard (ADVICE r7): per-(band, key) bucket counts
+    * plus the implied band-join pair volume, as a TINY aggregate
+    * (≤ bands·2^r rows — constant shuffle). A dedup/ANN pipeline runs
+    * this before the expensive self-join: sum(cnt²) ≈ n² means the
+    * banding has degenerated to all-pairs for this corpus (e.g. sign
+    * space too clustered, r too small) and the operator should be
+    * re-parameterized, not launched. Returned as data, not an
+    * assertion, so callers choose log / abort / re-band.
+    */
+  def bandCandidateStats(emb: DataFrame, bands: Int = 16, r: Int = 4): DataFrame =
+    bandKeys(emb, bands, r)
+      .groupBy("band", "key").agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt") * col("cnt")).as("band_pairs"),
+        sum(col("cnt")).as("band_rows"),
+        max(col("cnt")).as("max_bucket"))
+      .select(col("band_pairs"), (col("band_rows") / bands).as("n_vectors"),
+        col("max_bucket"))
 
   /** Radius (epsilon-neighborhood) search: every corpus vector within
     * cosine >= tau of each query vector, for a SET of queries — the

@@ -54,6 +54,15 @@ object Extensions {
         incoming = d.filter(col("doc_id") % 2 === 0),
         existing = d.filter(col("doc_id") % 4 === 0))
     }),
+    // same split as dedup_cross_corpus; the bloom prefilter is pure
+    // pruning, so the oracle (and result) is identical
+    "dedup_bloom_prefilter" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = rd(s, dir, "documents")
+      Dedup.bloomPrefilterNew(
+        incoming = d.filter(col("doc_id") % 2 === 0),
+        existing = d.filter(col("doc_id") % 4 === 0))
+    }),
     "dedup_semantic" -> ((s, dir) => Dedup.semantic(rd(s, dir, "embeddings"))),
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimate(rd(s, dir, "documents"))),
@@ -465,6 +474,15 @@ object Extensions {
     // incoming (even ids) minus anything fingerprint-matching the
     // existing corpus (ids % 4 == 0) — survivors are ids % 4 == 2
     "dedup_cross_corpus" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |SELECT doc_id, fp FROM f
+         |WHERE doc_id % 2 = 0
+         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 4 = 0)
+         |ORDER BY doc_id""".stripMargin,
+
+    // bloom prefilter has no false negatives + exact confirm on the
+    // positives -> same answer as the plain cross-corpus anti-join
+    "dedup_bloom_prefilter" ->
       s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
          |SELECT doc_id, fp FROM f
          |WHERE doc_id % 2 = 0

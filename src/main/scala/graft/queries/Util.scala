@@ -27,18 +27,34 @@ object Util {
     }
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read it as a nanos long and convert to a microsecond
-    * timestamp with integer division (ns values exceed 2^53, so
-    * float division would lose precision).
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) — which
+    * Spark reads only as a nanos long under the legacy flag — and
+    * TIMESTAMP(MICROS), which Spark 4 reads as TIMESTAMP_NTZ. The
+    * reader adapts to whichever physical type the file carries so a
+    * regenerated dataset can't silently break every events query:
+    * a long column gets integer-division nanos→micros conversion (ns
+    * values exceed 2^53, so float division would lose precision); a
+    * timestamp column is used as-is, cast to session-TZ TIMESTAMP
+    * (value-preserving under the session-UTC convention).
     */
   def rdEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"))
       // single-file single-row-group input: spread the scan (see rd)
       .repartition(org.apache.spark.sql.functions.col("event_id"))
+  }
+
+  /** Rewrite `ts` to session-TZ TIMESTAMP regardless of the physical
+    * type it was read as (nanos-long or TIMESTAMP_NTZ/TIMESTAMP).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
+    val tsCol = df.schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case _        => col("ts").cast("timestamp")
+    }
+    df.withColumn("ts", tsCol)
   }
 
   /** Exact money arithmetic: aggregate in DECIMAL (order-independent),

@@ -201,11 +201,10 @@ object EventsStream {
       queryName: String = "events_windowed"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val src = spark.readStream
+    val src = graft.queries.Util.normalizeEventsTs(spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$sfDir/events.*") // glob: the file source needs a dir/glob
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(s"$sfDir/events.*")) // glob: the file source needs a dir/glob
     val q = windowedAgg(src).writeStream
       .outputMode("complete")
       .format("memory")

@@ -64,6 +64,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 3L)) // 1 and 2 collapse
   }
 
+  test("bloom-prefiltered cross-corpus dedup is row-identical to the " +
+      "plain anti-join, including duplicate incoming doc_ids") {
+    // incoming carries a DUPLICATED row (id 10 twice) and a doc whose
+    // text collides with existing after normalization (id 12); tiny
+    // `bits` forces real bloom false positives so the exact-confirm
+    // path is exercised, not just the definitely-new fast path
+    val incoming = docs((10L, "alpha beta"), (10L, "alpha beta"),
+      (12L, "Hello, World!"), (14L, "unique text here"), (16L, "gamma"))
+    val existing = docs((1L, "hello   world"), (2L, "other corpus doc"),
+      (3L, "gamma"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = rows(Dedup.crossCorpusNew(incoming, existing))
+    // survivors: 10 twice (duplicate preserved), 14; 12 and 16 drop
+    assert(want.map(_._1) == Seq(10L, 10L, 14L))
+    for (bits <- Seq(64, 1 << 16))
+      assert(rows(Dedup.bloomPrefilterNew(incoming, existing, bits = bits))
+        == want, s"bits=$bits")
+  }
+
+  test("band candidate stats report exact bucket volume for the knn join") {
+    // 4 vectors, 1 band x 2 bits: signs of dims 1-2 put vectors 1,2 in
+    // bucket (+,+), 3 in (-,+), 4 in (-,-) -> sum cnt^2 = 4+1+1 = 6
+    val emb = Seq(
+      (1L, Array(1f, 1f)), (2L, Array(2f, 3f)),
+      (3L, Array(-1f, 1f)), (4L, Array(-1f, -2f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.bandCandidateStats(emb, bands = 1, r = 2).head()
+    assert(r.getLong(0) == 6L)   // band_pairs = sum |bucket|^2
+    assert(r.getDouble(1) == 4.0) // n_vectors
+    assert(r.getLong(2) == 2L)   // max bucket
+    // knn join on the same banding: vectors 1 and 2 are mutual rank-1
+    // neighbors (same bucket, cos ~ 0.98); 3 and 4 collide with nobody
+    val knn = Similarity.knnJoin(emb, k = 1, bands = 1, r = 2)
+      .collect().map(row => (row.getLong(0), row.getLong(2)))
+    assert(knn.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("bloom probes are pairwise independent, not affine shifts") {
+    // with prefix-salted probes (the r7 defect) p_j - p_0 was a
+    // constant for EVERY fp; Kirsch-Mitzenmacher probes must not be
+    val d = (1 to 50).map(i => (i.toLong, s"document number $i"))
+    val fps = d.toDF("doc_id", "text")
+      .select(md5(graft.functions.HashFunctions.normalizeText($"text")).as("fp"))
+    val bits = 1 << 16
+    val x = TextHash.rollingHash($"fp")
+    val deltas = fps.select(
+        ((TextHash.rehash(x, 5L, 15838L) % bits) -
+         (TextHash.rehash(x, 3L, 7919L) % bits)).as("d01"))
+      .distinct().count()
+    assert(deltas > 1, "probe 1 is an affine shift of probe 0")
+  }
+
   test("ngram jaccard finds an edited near-duplicate") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val edited = base.replace("w30", "x30")
