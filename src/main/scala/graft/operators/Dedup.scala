@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextHash, VectorOps}
 
@@ -225,25 +225,46 @@ object Dedup {
     */
   def bloomPrefilterNew(incoming: DataFrame, existing: DataFrame,
       bits: Int = 1 << 16, kHashes: Int = 3): DataFrame = {
+    val exFp = fpOf(existing)
+    probeWithBloom(fpOf(incoming), bloomWordsOf(exFp, bits, kHashes), exFp,
+      bits, kHashes)
+  }
+
+  /** Normalized fingerprints of a corpus: (doc_id, fp). */
+  private def fpOf(df: DataFrame): DataFrame = df.repartition(col("doc_id"))
+    .select(col("doc_id"), md5(normalize(col("text"))).as("fp"))
+
+  /** Kirsch-Mitzenmacher probe positions:
+    * x = polyHash(fp); p_j = (a_j·x + b_j) % P % bits.
+    */
+  private def bloomProbes(c: Column, bits: Int, kHashes: Int): Column = {
+    val x = TextHash.rollingHash(c)
+    array((0 until kHashes).map(j =>
+      TextHash.rehash(x, 2L * j + 3L, 7919L * (j + 1)) % bits): _*)
+  }
+
+  /** Bloom bit array of a fingerprint relation as (w, bitsw) 64-bit
+    * words — built with a map-side-combined `bit_or`, so the shuffle
+    * is bounded by the bloom's fixed size, never the corpus.
+    */
+  private def bloomWordsOf(fps: DataFrame, bits: Int, kHashes: Int): DataFrame = {
     require(bits % 64 == 0, s"bits must be a multiple of 64, got $bits")
-    def fp(df: DataFrame) = df.repartition(col("doc_id"))
-      .select(col("doc_id"), md5(normalize(col("text"))).as("fp"))
-    // Kirsch-Mitzenmacher: x = polyHash(fp); p_j = (a_j*x + b_j) % P % bits
-    def probes(c: Column) = {
-      val x = TextHash.rollingHash(c)
-      array((0 until kHashes).map(j =>
-        TextHash.rehash(x, 2L * j + 3L, 7919L * (j + 1)) % bits): _*)
-    }
-    val exFp = fp(existing)
-    val bloom = exFp.select(explode(probes(col("fp"))).as("p"))
+    fps.select(explode(bloomProbes(col("fp"), bits, kHashes)).as("p"))
       .select((col("p") / 64).cast("long").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
       .groupBy("w").agg(bit_or(col("m")).as("bitsw"))
-    val inFp = fp(incoming)
-      .groupBy("doc_id", "fp").agg(count(lit(1)).as("mult"))
+  }
+
+  /** The probe half of the bloom prefilter: bloom-negative incoming
+    * rows are definitely new; only bloom-positive rows reach the exact
+    * anti-join confirm. Output is row-identical to [[crossCorpusNew]].
+    */
+  private def probeWithBloom(inFpRaw: DataFrame, bloom: DataFrame,
+      exFp: DataFrame, bits: Int, kHashes: Int): DataFrame = {
+    val inFp = inFpRaw.groupBy("doc_id", "fp").agg(count(lit(1)).as("mult"))
     val probed = inFp
       .select(col("doc_id"), col("fp"), col("mult"),
-        explode(probes(col("fp"))).as("p"))
+        explode(bloomProbes(col("fp"), bits, kHashes)).as("p"))
       .join(broadcast(bloom), (col("p") / 64).cast("long") === col("w"), "left")
       .groupBy("doc_id", "fp", "mult")
       .agg(sum(when(expr("bitsw IS NOT NULL AND " +
@@ -263,6 +284,61 @@ object Dedup {
       .drop("one")
       .orderBy("doc_id")
   }
+
+  /** PERSISTED bloom index: the existing corpus's bloom committed as a
+    * governed table of (w, bitsw) word DELTAS, folded by `bit_or` on
+    * read — a merge-on-read structure. Because bit-OR is associative,
+    * commutative, and monotone, an incremental refresh is EXACT: append
+    * the delta corpus's word rows ([[refreshBloomIndex]]) and the fold
+    * equals a from-scratch rebuild, bit for bit (asserted in
+    * OperatorsSpec). Each commit appends ≤ bits/64 rows — constant-size
+    * metadata at any corpus scale, the same build-once/search-many
+    * lifecycle as the BM25 and PQ indexes; no replace protocol needed,
+    * plain CAS appends.
+    */
+  def buildBloomIndex(spark: SparkSession, existing: DataFrame, root: String,
+      ns: String, table: String, bits: Int = 1 << 16, kHashes: Int = 3): Unit = {
+    import graft.plans.TableIO
+    val words = bloomWordsOf(fpOf(existing), bits, kHashes)
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, table, words.schema)
+    appendBloomDelta(spark, words, root, ns, table)
+  }
+
+  /** Fold a NEW corpus slice into a committed bloom index: one
+    * constant-size append (the delta's own word rows); the on-read
+    * `bit_or` fold makes the union exact.
+    */
+  def refreshBloomIndex(spark: SparkSession, delta: DataFrame, root: String,
+      ns: String, table: String, bits: Int = 1 << 16, kHashes: Int = 3): Unit =
+    appendBloomDelta(spark, bloomWordsOf(fpOf(delta), bits, kHashes),
+      root, ns, table)
+
+  private def appendBloomDelta(spark: SparkSession, words: DataFrame,
+      root: String, ns: String, table: String): Unit = {
+    import graft.plans.TableIO
+    val seq = TableIO.nextSeq(root, ns, table)
+    TableIO.commit(root, ns, table, Seq(TableIO.writeExactFile(spark, root,
+      ns, table, f"data/bloom-$seq%05d.parquet", words, "data", seq,
+      bounds = TableIO.longBounds(words, Seq("w")))))
+  }
+
+  /** The folded bloom of a committed index: (w, bitsw). */
+  def readBloomIndex(spark: SparkSession, root: String, ns: String,
+      table: String): DataFrame =
+    graft.plans.Mor.read(spark, root, ns, table)
+      .groupBy("w").agg(bit_or(col("bitsw")).as("bitsw"))
+
+  /** Cross-corpus dedup against a PERSISTED bloom index (built once,
+    * probed by every incoming batch): same answer as
+    * [[crossCorpusNew]](incoming, existing) — the bloom prunes, the
+    * exact confirm joins the existing fingerprints.
+    */
+  def probeBloomIndexed(spark: SparkSession, incoming: DataFrame,
+      existing: DataFrame, root: String, ns: String, table: String,
+      bits: Int = 1 << 16, kHashes: Int = 3): DataFrame =
+    probeWithBloom(fpOf(incoming), readBloomIndex(spark, root, ns, table),
+      fpOf(existing), bits, kHashes)
 
   /** Edit-distance near-dup verification: MinHash-LSH candidate pairs
     * re-verified by EXACT Levenshtein distance on the raw texts — the

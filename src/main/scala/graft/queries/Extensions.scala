@@ -63,6 +63,23 @@ object Extensions {
         incoming = d.filter(col("doc_id") % 2 === 0),
         existing = d.filter(col("doc_id") % 4 === 0))
     }),
+    // persisted bloom lifecycle: build on half the existing corpus
+    // (doc_id%8==0), fold the other half (%8==4) in with an incremental
+    // refresh, then probe — same split and answer as dedup_cross_corpus
+    "dedup_bloom_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = rd(s, dir, "documents")
+      val root = graft.plans.GeneratedTables.ensureCustom(dir + "#bloomidx") { r =>
+        Dedup.buildBloomIndex(s, d.filter(col("doc_id") % 8 === 0),
+          r, "corp", "bloom")
+        Dedup.refreshBloomIndex(s, d.filter(col("doc_id") % 8 === 4),
+          r, "corp", "bloom")
+      }
+      Dedup.probeBloomIndexed(s,
+        incoming = d.filter(col("doc_id") % 2 === 0),
+        existing = d.filter(col("doc_id") % 4 === 0),
+        root, "corp", "bloom")
+    }),
     "dedup_semantic" -> ((s, dir) => Dedup.semantic(rd(s, dir, "embeddings"))),
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimate(rd(s, dir, "documents"))),
@@ -72,6 +89,11 @@ object Extensions {
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedTopK(rd(s, dir, "embeddings"))),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rd(s, dir, "embeddings"))),
+    // candidate-volume guard a pipeline runs BEFORE the banded
+    // self-join: band_pairs ~ n^2 means the banding degenerated for
+    // this corpus and the join should be re-parameterized, not launched
+    "ann_band_stats" -> ((s, dir) =>
+      Similarity.bandCandidateStats(rd(s, dir, "embeddings"))),
     "ann_pq" -> ((s, dir) => Similarity.pqTopK(rd(s, dir, "embeddings"))),
     // the same search against a PERSISTED index (codebook + codes as
     // committed tables): train once, search many — identical results
@@ -480,6 +502,15 @@ object Extensions {
          |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 4 = 0)
          |ORDER BY doc_id""".stripMargin,
 
+    // build(%8==0) + refresh(%8==4) = bloom over %4==0: bit_or folding
+    // is exact, so the indexed probe answers like the plain anti-join
+    "dedup_bloom_indexed" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |SELECT doc_id, fp FROM f
+         |WHERE doc_id % 2 = 0
+         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 4 = 0)
+         |ORDER BY doc_id""".stripMargin,
+
     // bloom prefilter has no false negatives + exact confirm on the
     // positives -> same answer as the plain cross-corpus anti-join
     "dedup_bloom_prefilter" ->
@@ -699,6 +730,14 @@ object Extensions {
          |SELECT vec_a, CAST(rank AS INTEGER) AS rank, vec_b,
          |  round(cos, 6) AS sim
          |FROM rk WHERE rank <= 3 ORDER BY vec_a, rank""".stripMargin,
+
+    "ann_band_stats" ->
+      s"""WITH bands AS ($embBandsSql),
+         |b AS (SELECT band, bkey, count(*) AS cnt FROM bands GROUP BY 1, 2)
+         |SELECT CAST(sum(cnt * cnt) AS BIGINT) AS band_pairs,
+         |  CAST(sum(cnt) AS DOUBLE) / 16 AS n_vectors,
+         |  max(cnt) AS max_bucket
+         |FROM b""".stripMargin,
 
     "ann_range" ->
       s"""WITH bands AS ($embBandsSql),

@@ -102,6 +102,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(knn.toSeq == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("persisted bloom index: incremental refresh folds bit-identical " +
+      "to a from-scratch rebuild, and the indexed probe matches") {
+    val base = docs((1L, "hello   world"), (2L, "other corpus doc"))
+    val delta = docs((3L, "gamma"), (4L, "late arrival"))
+    val full = base.unionByName(delta)
+    val root = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
+    Dedup.buildBloomIndex(spark, base, root, "corp", "bloom")
+    Dedup.refreshBloomIndex(spark, delta, root, "corp", "bloom")
+    Dedup.buildBloomIndex(spark, full, root, "corp", "bloom_scratch")
+    def words(t: String) = Dedup.readBloomIndex(spark, root, "corp", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(words("bloom") == words("bloom_scratch")) // bit-for-bit
+    // two commits on the refreshed table, one on the rebuild
+    assert(graft.plans.TableIO.currentVersion(root, "corp", "bloom") == 2L)
+    val incoming = docs((10L, "Hello, World!"), (11L, "gamma"),
+      (12L, "brand new doc"))
+    val got = Dedup.probeBloomIndexed(spark, incoming, existing = full,
+        root, "corp", "bloom")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = Dedup.crossCorpusNew(incoming, full)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == want && got.map(_._1) == Seq(12L))
+  }
+
   test("bloom probes are pairwise independent, not affine shifts") {
     // with prefix-salted probes (the r7 defect) p_j - p_0 was a
     // constant for EVERY fp; Kirsch-Mitzenmacher probes must not be
