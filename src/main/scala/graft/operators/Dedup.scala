@@ -285,6 +285,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** NEAR-dup cross-corpus decontamination — the fourth quadrant of
+    * the dedup matrix ({exact, near} × {within, cross}): drop incoming
+    * documents that are MinHash-near-duplicates of ANY document in an
+    * existing corpus, catching paraphrases/edits the exact-fingerprint
+    * cross-corpus join ([[crossCorpusNew]]) misses. Candidates come
+    * from the same 4×4 MinHash LSH banding as the within-corpus path
+    * (band-key equi-join of the two sides — never all-pairs); the
+    * confirm is signature agreement (≥ `minMatches` of 16 components,
+    * E[matches/16] = Jaccard), touching 16 longs per candidate pair
+    * only. Incoming docs sharing an id with an identical existing doc
+    * self-match 16/16 and drop — decontamination semantics, the two
+    * corpora are logically distinct tables. At 100 TB the existing
+    * side's band keys + signatures are a bucket-partitioned committed
+    * index (build once, probe per batch — the bloom/BM25/PQ
+    * lifecycle). Deterministic; the oracle replays bands, signatures,
+    * and the match count exactly.
+    */
+  def crossCorpusNear(incoming: DataFrame, existing: DataFrame, n: Int = 4,
+      minMatches: Int = 8): DataFrame = {
+    val sigIn = minhashSignatures(incoming, n)
+    val sigEx = minhashSignatures(existing, n)
+    def bandsOf(sig: DataFrame) = {
+      val bandArray = array((0 until 4).map { bnd =>
+        concat_ws(":", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*)
+      }: _*)
+      sig.select(col("doc_id"), posexplode(bandArray).as(Seq("band", "key")))
+    }
+    val cand = bandsOf(sigIn).toDF("doc_in", "band", "key")
+      .join(bandsOf(sigEx).toDF("doc_ex", "band", "key"), Seq("band", "key"))
+      .select("doc_in", "doc_ex").distinct()
+    val sa = sigIn.toDF("doc_in" +: (0 until 16).map(j => s"a$j"): _*)
+    val sb = sigEx.toDF("doc_ex" +: (0 until 16).map(j => s"b$j"): _*)
+    val nMatch = (0 until 16)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val flagged = cand.join(sa, "doc_in").join(sb, "doc_ex")
+      .select(col("doc_in"), nMatch.as("m"))
+      .filter(col("m") >= minMatches)
+      .select(col("doc_in").as("doc_id")).distinct()
+    incoming.select("doc_id")
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** PERSISTED bloom index: the existing corpus's bloom committed as a
     * governed table of (w, bitsw) word DELTAS, folded by `bit_or` on
     * read — a merge-on-read structure. Because bit-OR is associative,

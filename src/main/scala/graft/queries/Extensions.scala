@@ -80,6 +80,15 @@ object Extensions {
         existing = d.filter(col("doc_id") % 4 === 0),
         root, "corp", "bloom")
     }),
+    // near-dup decontamination of the incoming half against the
+    // existing quarter: paraphrase-level matches drop, not just exact
+    "dedup_cross_near" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = rd(s, dir, "documents")
+      Dedup.crossCorpusNear(
+        incoming = d.filter(col("doc_id") % 2 === 0),
+        existing = d.filter(col("doc_id") % 4 === 0))
+    }),
     "dedup_semantic" -> ((s, dir) => Dedup.semantic(rd(s, dir, "embeddings"))),
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimate(rd(s, dir, "documents"))),
@@ -548,6 +557,26 @@ object Extensions {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // self-pairs allowed: an incoming doc identical to its existing
+    // twin matches 16/16 and drops (the corpora are distinct tables)
+    "dedup_cross_near" ->
+      s"""WITH $minhashCtesSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_in, b.doc_id AS doc_ex
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 4 = 0),
+         |m AS (SELECT doc_in,
+         |        ${(0 until 16).map(j =>
+                    s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)")
+                    .mkString(" + ")} AS nm
+         |      FROM cand JOIN sig x ON x.doc_id = doc_in
+         |                JOIN sig y ON y.doc_id = doc_ex),
+         |flagged AS (SELECT DISTINCT doc_in FROM m WHERE nm >= 8)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 0
+         |  AND doc_id NOT IN (SELECT doc_in FROM flagged)
+         |ORDER BY doc_id""".stripMargin,
 
     // estimator-quality view: signature matches vs exact shingle-set
     // overlap per candidate pair (E[matches/16] = Jaccard)

@@ -126,6 +126,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want && got.map(_._1) == Seq(12L))
   }
 
+  test("cross-corpus near-dup drops paraphrases and identical twins, " +
+      "keeps unrelated and short docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = docs((1L, base), (2L, "completely different corpus text " +
+      "about databases and storage engines running at scale"))
+    val incoming = docs(
+      (10L, base),                                  // identical -> drop
+      // trailing-word edit: 1 of 9 shingles changes (J ~ 0.8), 15/16
+      // signature components agree and a band collides (verified by
+      // replaying the fixed-seed minhash offline) -> drop; a
+      // mid-sentence edit changes 4 shingles (J ~ 0.38, ~6/16) and
+      // correctly SURVIVES the >=8/16 signature confirm
+      (11L, base.replace("and again", "and forever")), // near-dup -> drop
+      (12L, "totally unrelated incoming document with many fresh words " +
+        "nothing shared with the existing corpus at all whatsoever"),
+      (13L, "too short"))                           // <4 words: no bands
+    val got = Dedup.crossCorpusNear(incoming, existing)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(12L, 13L))
+  }
+
   test("bloom probes are pairwise independent, not affine shifts") {
     // with prefix-salted probes (the r7 defect) p_j - p_0 was a
     // constant for EVERY fp; Kirsch-Mitzenmacher probes must not be
@@ -475,7 +496,9 @@ class OperatorsSpec extends AnyFunSuite {
       "knn_join" -> Similarity.knnJoin(e),
       "range_join" -> graft.operators.RangeJoin.aggregateInRange(
         times, times.select(col("t"), col("value")), "event_id",
-        2000000L, "value"))
+        2000000L, "value"),
+      "cross_near" -> Dedup.crossCorpusNear(d, d),
+      "bloom_prefilter" -> Dedup.bloomPrefilterNew(d, d))
     plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
