@@ -303,9 +303,17 @@ object Dedup {
     * and the match count exactly.
     */
   def crossCorpusNear(incoming: DataFrame, existing: DataFrame, n: Int = 4,
-      minMatches: Int = 8): DataFrame = {
-    val sigIn = minhashSignatures(incoming, n)
-    val sigEx = minhashSignatures(existing, n)
+      minMatches: Int = 8): DataFrame =
+    crossCorpusNearFromSigs(incoming, minhashSignatures(incoming, n),
+      minhashSignatures(existing, n), minMatches)
+
+  /** The band-join + signature-confirm core, over already-computed
+    * signature relations. `incoming` supplies the survivor universe —
+    * docs with <n words have no shingles, hence no signature row, and
+    * must still survive.
+    */
+  private def crossCorpusNearFromSigs(incoming: DataFrame, sigIn: DataFrame,
+      sigEx: DataFrame, minMatches: Int): DataFrame = {
     def bandsOf(sig: DataFrame) = {
       val bandArray = array((0 until 4).map { bnd =>
         concat_ws(":", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*)
@@ -327,6 +335,55 @@ object Dedup {
     incoming.select("doc_id")
       .join(flagged, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
+  }
+
+  /** PERSISTED near-dup index: the existing corpus's MinHash signatures
+    * (doc_id, s0..s15 — 16 longs per document) committed as a governed
+    * table. Signatures are per-document rows, so corpus growth is
+    * naturally append-only: [[refreshNearIndex]] appends the delta
+    * corpus's signature rows and the table equals a from-scratch build
+    * (no fold needed — the rows are disjoint by doc_id). Probing
+    * derives band keys from the stored signatures (a projection, no
+    * re-shingling of the existing corpus) and runs the same
+    * band-join + signature-confirm as [[crossCorpusNear]]. At 100 TB:
+    * signatures are built once per corpus (the expensive shingle +
+    * 16-rehash pass), every incoming batch pays only its own.
+    */
+  def buildNearIndex(spark: SparkSession, existing: DataFrame, root: String,
+      ns: String, table: String, n: Int = 4): Unit = {
+    import graft.plans.TableIO
+    val sig = minhashSignatures(existing, n)
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, table, sig.schema)
+    appendNearDelta(spark, sig, root, ns, table)
+  }
+
+  /** Append the delta corpus's signature rows — incremental corpus
+    * growth with no recompute of prior signatures.
+    */
+  def refreshNearIndex(spark: SparkSession, delta: DataFrame, root: String,
+      ns: String, table: String, n: Int = 4): Unit =
+    appendNearDelta(spark, minhashSignatures(delta, n), root, ns, table)
+
+  private def appendNearDelta(spark: SparkSession, sig: DataFrame,
+      root: String, ns: String, table: String): Unit = {
+    import graft.plans.TableIO
+    val seq = TableIO.nextSeq(root, ns, table)
+    TableIO.commit(root, ns, table, Seq(TableIO.writeExactFile(spark, root,
+      ns, table, f"data/sig-$seq%05d.parquet", sig, "data", seq,
+      bounds = TableIO.longBounds(sig, Seq("doc_id")))))
+  }
+
+  /** [[crossCorpusNear]] against a PERSISTED signature index: identical
+    * answer, but the existing side reads committed signatures instead
+    * of re-shingling the corpus.
+    */
+  def probeNearIndexed(spark: SparkSession, incoming: DataFrame,
+      root: String, ns: String, table: String, n: Int = 4,
+      minMatches: Int = 8): DataFrame = {
+    val sigEx = graft.plans.Mor.read(spark, root, ns, table)
+    crossCorpusNearFromSigs(incoming, minhashSignatures(incoming, n), sigEx,
+      minMatches)
   }
 
   /** PERSISTED bloom index: the existing corpus's bloom committed as a

@@ -89,6 +89,21 @@ object Extensions {
         incoming = d.filter(col("doc_id") % 2 === 0),
         existing = d.filter(col("doc_id") % 4 === 0))
     }),
+    // near-dup probe against a PERSISTED signature index: build on
+    // %8==0, refresh with %8==4 (together the %4==0 existing corpus),
+    // probe the incoming half — same answer as dedup_cross_near
+    "dedup_cross_near_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = rd(s, dir, "documents")
+      val root = graft.plans.GeneratedTables.ensureCustom(dir + "#nearidx") { r =>
+        Dedup.buildNearIndex(s, d.filter(col("doc_id") % 8 === 0),
+          r, "corp", "sig")
+        Dedup.refreshNearIndex(s, d.filter(col("doc_id") % 8 === 4),
+          r, "corp", "sig")
+      }
+      Dedup.probeNearIndexed(s, d.filter(col("doc_id") % 2 === 0),
+        root, "corp", "sig")
+    }),
     "dedup_semantic" -> ((s, dir) => Dedup.semantic(rd(s, dir, "embeddings"))),
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimate(rd(s, dir, "documents"))),
@@ -557,6 +572,26 @@ object Extensions {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the persisted-signature-index probe answers exactly like the
+    // direct path (append-only signature rows; build+refresh = %4==0)
+    "dedup_cross_near_indexed" ->
+      s"""WITH $minhashCtesSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_in, b.doc_id AS doc_ex
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 4 = 0),
+         |m AS (SELECT doc_in,
+         |        ${(0 until 16).map(j =>
+                    s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)")
+                    .mkString(" + ")} AS nm
+         |      FROM cand JOIN sig x ON x.doc_id = doc_in
+         |                JOIN sig y ON y.doc_id = doc_ex),
+         |flagged AS (SELECT DISTINCT doc_in FROM m WHERE nm >= 8)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 0
+         |  AND doc_id NOT IN (SELECT doc_in FROM flagged)
+         |ORDER BY doc_id""".stripMargin,
 
     // self-pairs allowed: an incoming doc identical to its existing
     // twin matches 16/16 and drops (the corpora are distinct tables)

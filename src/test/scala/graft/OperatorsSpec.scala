@@ -147,6 +147,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(12L, 13L))
   }
 
+  test("persisted near-dup signature index: build+refresh probes " +
+      "identically to the direct path") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val exA = docs((1L, base))
+    val exB = docs((2L, "completely different corpus text about databases " +
+      "and storage engines running at scale"))
+    val full = exA.unionByName(exB)
+    val incoming = docs((10L, base.replace("and again", "and forever")),
+      (11L, "fresh unrelated incoming words nothing shared here at all"),
+      (12L, "short one"))
+    val root = java.nio.file.Files.createTempDirectory("graft-near-").toString
+    Dedup.buildNearIndex(spark, exA, root, "corp", "sig")
+    Dedup.refreshNearIndex(spark, exB, root, "corp", "sig")
+    assert(graft.plans.TableIO.currentVersion(root, "corp", "sig") == 2L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    val got = ids(Dedup.probeNearIndexed(spark, incoming, root, "corp", "sig"))
+    assert(got == ids(Dedup.crossCorpusNear(incoming, full)))
+    assert(got == Seq(11L, 12L)) // 10 drops (near-dup of doc 1)
+  }
+
   test("bloom probes are pairwise independent, not affine shifts") {
     // with prefix-salted probes (the r7 defect) p_j - p_0 was a
     // constant for EVERY fp; Kirsch-Mitzenmacher probes must not be
