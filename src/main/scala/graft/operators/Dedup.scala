@@ -261,11 +261,17 @@ object Dedup {
     */
   private def probeWithBloom(inFpRaw: DataFrame, bloom: DataFrame,
       exFp: DataFrame, bits: Int, kHashes: Int): DataFrame = {
+    // Broadcast the bit array only while it is provably small (≤2^24
+    // bits = 2 MiB of words). A production-corpus bloom (10^10 bits
+    // for n~10^9 at fpp~1% is ~1.2 GiB) must NOT be force-broadcast;
+    // above the gate the probe joins co-partitioned on the word id and
+    // AQE may still choose broadcast from runtime stats.
+    val bloomSide = if (bits <= (1 << 24)) broadcast(bloom) else bloom
     val inFp = inFpRaw.groupBy("doc_id", "fp").agg(count(lit(1)).as("mult"))
     val probed = inFp
       .select(col("doc_id"), col("fp"), col("mult"),
         explode(bloomProbes(col("fp"), bits, kHashes)).as("p"))
-      .join(broadcast(bloom), (col("p") / 64).cast("long") === col("w"), "left")
+      .join(bloomSide, (col("p") / 64).cast("long") === col("w"), "left")
       .groupBy("doc_id", "fp", "mult")
       .agg(sum(when(expr("bitsw IS NOT NULL AND " +
         "(bitsw & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0"),
