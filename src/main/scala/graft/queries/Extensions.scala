@@ -42,7 +42,7 @@ object Extensions {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(rd(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(rd(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(rd(s, dir, "documents"))),
-    "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosine(rd(s, dir, "embeddings"))),
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosine(rdEmbeddings(s, dir))),
     "dedup_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(rd(s, dir, "documents"))),
     // incoming = even doc_ids, existing = doc_ids % 4 == 0: half the
@@ -104,31 +104,31 @@ object Extensions {
       Dedup.probeNearIndexed(s, d.filter(col("doc_id") % 2 === 0),
         root, "corp", "sig")
     }),
-    "dedup_semantic" -> ((s, dir) => Dedup.semantic(rd(s, dir, "embeddings"))),
+    "dedup_semantic" -> ((s, dir) => Dedup.semantic(rdEmbeddings(s, dir))),
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimate(rd(s, dir, "documents"))),
-    "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rd(s, dir, "embeddings"))),
-    "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"))),
-    "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"))),
+    "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rdEmbeddings(s, dir))),
+    "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rdEmbeddings(s, dir))),
+    "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rdEmbeddings(s, dir))),
     "ann_ivf_trained" -> ((s, dir) =>
-      Similarity.ivfTrainedTopK(rd(s, dir, "embeddings"))),
-    "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rd(s, dir, "embeddings"))),
+      Similarity.ivfTrainedTopK(rdEmbeddings(s, dir))),
+    "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rdEmbeddings(s, dir))),
     // candidate-volume guard a pipeline runs BEFORE the banded
     // self-join: band_pairs ~ n^2 means the banding degenerated for
     // this corpus and the join should be re-parameterized, not launched
     "ann_band_stats" -> ((s, dir) =>
-      Similarity.bandCandidateStats(rd(s, dir, "embeddings"))),
-    "ann_pq" -> ((s, dir) => Similarity.pqTopK(rd(s, dir, "embeddings"))),
+      Similarity.bandCandidateStats(rdEmbeddings(s, dir))),
+    "ann_pq" -> ((s, dir) => Similarity.pqTopK(rdEmbeddings(s, dir))),
     // the same search against a PERSISTED index (codebook + codes as
     // committed tables): train once, search many — identical results
     "ann_pq_indexed" -> ((s, dir) => {
       val r = graft.plans.GeneratedTables.ensureCustom(dir + "#pqindex") { root =>
-        Similarity.buildPqIndex(s, rd(s, dir, "embeddings"), root, "ann")
+        Similarity.buildPqIndex(s, rdEmbeddings(s, dir), root, "ann")
       }
-      Similarity.pqSearchIndexed(s, rd(s, dir, "embeddings"), r, "ann")
+      Similarity.pqSearchIndexed(s, rdEmbeddings(s, dir), r, "ann")
     }),
-    "ann_range" -> ((s, dir) => Similarity.rangeSearch(rd(s, dir, "embeddings"))),
-    "emb_kmeans" -> ((s, dir) => Similarity.kmeansCensus(rd(s, dir, "embeddings"))),
+    "ann_range" -> ((s, dir) => Similarity.rangeSearch(rdEmbeddings(s, dir))),
+    "emb_kmeans" -> ((s, dir) => Similarity.kmeansCensus(rdEmbeddings(s, dir))),
     "text_bm25" -> ((s, dir) =>
       graft.operators.Retrieval.bm25TopK(rd(s, dir, "documents"), bm25Terms)),
     // the same search against a PERSISTED inverted index (postings +
@@ -194,7 +194,7 @@ object Extensions {
       PipelineOps.passageDupStats(rd(s, dir, "documents"))),
     "pipe_mix" -> ((s, dir) => PipelineOps.mixtureRepeat(rd(s, dir, "documents"))),
     "text_topk_ngrams" -> ((s, dir) => PipelineOps.topNgrams(rd(s, dir, "documents"))),
-    "emb_quantize" -> ((s, dir) => PipelineOps.quantize(rd(s, dir, "embeddings"))),
+    "emb_quantize" -> ((s, dir) => PipelineOps.quantize(rdEmbeddings(s, dir))),
     "q_hll_sketch" -> ((s, dir) =>
       PipelineOps.hllRegisters(rd(s, dir, "lineitem"), "l_partkey")),
     "dedup_clusters" -> ((s, dir) =>
@@ -274,7 +274,7 @@ object Extensions {
     // exact decimal per-dimension sums published as double + counts.
     "q_centroid" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      rd(s, dir, "embeddings")
+      rdEmbeddings(s, dir)
         .select(col("label"),
           posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "e")))
         .groupBy("label", "pos")
@@ -311,7 +311,7 @@ object Extensions {
     // Higher-order array functions over embeddings (exact int/bool out).
     "q_hof" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      rd(s, dir, "embeddings").select(col("vec_id"),
+      rdEmbeddings(s, dir).select(col("vec_id"),
         size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
         size(filter(col("embedding"), x => abs(x) > 0.1f)).as("n_big"),
         exists(col("embedding"), x => x > 0.3f).as("any_gt03"))

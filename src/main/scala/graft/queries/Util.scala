@@ -57,6 +57,26 @@ object Util {
     df.withColumn("ts", tsCol)
   }
 
+  /** The embeddings table with `embedding` guaranteed `array<float>` —
+    * the type the ANN family's codegen expressions (DotF32) and
+    * sign-LSH keys assume. The driver regenerates testdata between
+    * rounds (events.ts changed physical type in r7); if `embedding`
+    * ever arrives as array<double> (e.g. a generator switch), this
+    * cast keeps the ann, dedup_embedding, and emb query families
+    * alive instead of failing analysis. A no-op cast is pruned by Catalyst
+    * when the type already matches.
+    */
+  def rdEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val df = rd(spark, sfDir, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case _ => df.withColumn("embedding",
+        col("embedding").cast(ArrayType(FloatType)))
+    }
+  }
+
   /** Exact money arithmetic: aggregate in DECIMAL (order-independent),
     * publish as DOUBLE (identical IEEE value + schema in Spark and
     * DuckDB, immune to decimal-precision differences between engines).
