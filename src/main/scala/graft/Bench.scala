@@ -33,7 +33,7 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
-        df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
+        df.agg(bit_xor(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)))).collect()
       } catch { case e: Throwable =>
         // a failure must be machine-visible in the JSON, not just on
         // stderr — otherwise a time-to-exception reads as a real timing

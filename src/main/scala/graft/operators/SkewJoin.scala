@@ -20,7 +20,7 @@ object SkewJoin {
     require(factor > 0)
     // deterministic per-row salt: stable hash of the whole left row
     val salted = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col): _*), lit(factor)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(factor)))
     val replicated = right.withColumn("_salt",
       explode(array((0 until factor).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")

@@ -201,7 +201,7 @@ object TableIO {
       !f.metadata.contains(FieldIdKey) ||
         f.metadata.getLong(FieldIdKey) != id))
     if (!needs) df
-    else df.select(df.schema.fields.map { f =>
+    else df.select(df.schema.fields.toIndexedSeq.map { f =>
       tableSchema.find(_.name == f.name) match {
         case Some(tf) if tf.metadata.contains(FieldIdKey) =>
           col(f.name).as(f.name, tf.metadata)

@@ -27,7 +27,7 @@ object Profile {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
-      df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
+      df.agg(bit_xor(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)))).collect()
       println(f"[profile] rep$r $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
       System.out.flush()
     }
