@@ -261,12 +261,14 @@ object Dedup {
     */
   private def probeWithBloom(inFpRaw: DataFrame, bloom: DataFrame,
       exFp: DataFrame, bits: Int, kHashes: Int): DataFrame = {
-    // Broadcast the bit array only while it is provably small (≤2^24
-    // bits = 2 MiB of words). A production-corpus bloom (10^10 bits
-    // for n~10^9 at fpp~1% is ~1.2 GiB) must NOT be force-broadcast;
-    // above the gate the probe joins co-partitioned on the word id and
-    // AQE may still choose broadcast from runtime stats.
-    val bloomSide = if (bits <= (1 << 24)) broadcast(bloom) else bloom
+    // Broadcast the bit array only while it is provably small (≤2^27
+    // bits = 2M words ≈ 32 MiB serialized — routine broadcast range; a
+    // 2^27-bit bloom covers ~10M fingerprints at fpp<1%). A
+    // production-corpus bloom (10^10 bits for n~10^9 at fpp~1% is
+    // ~1.2 GiB) must NOT be force-broadcast; above the gate the probe
+    // joins co-partitioned on the word id and AQE may still choose
+    // broadcast from runtime stats.
+    val bloomSide = if (bits <= (1 << 27)) broadcast(bloom) else bloom
     val inFp = inFpRaw.groupBy("doc_id", "fp").agg(count(lit(1)).as("mult"))
     val probed = inFp
       .select(col("doc_id"), col("fp"), col("mult"),
@@ -280,8 +282,18 @@ object Dedup {
       .select("doc_id", "fp", "mult")
     val candidates = probed.filter(col("n_set") === kHashes)
       .select("doc_id", "fp", "mult")
+    // Confirm without shuffling the existing-fingerprint relation: the
+    // candidate fp set (the bloom-positive sliver — small when the
+    // bloom is sized) semi-filters the big side, so only MATCHING fps
+    // flow into the distinct; AQE broadcasts the candidate set at
+    // runtime and the big side is a streamed scan. The former
+    // formulation (anti-join against distinct-of-ALL-existing-fps)
+    // shuffled the whole corpus's fingerprints per incoming batch.
+    val candFps = candidates.select("fp").distinct()
+    val present = exFp.join(candFps, Seq("fp"), "left_semi")
+      .select("fp").distinct()
     val rescued = candidates
-      .join(exFp.select("fp").distinct(), Seq("fp"), "left_anti")
+      .join(present, Seq("fp"), "left_anti")
       .select("doc_id", "fp", "mult")
     definitelyNew.unionByName(rescued)
       // re-expand to crossCorpusNew's exact row multiplicity
@@ -392,42 +404,46 @@ object Dedup {
       minMatches)
   }
 
-  /** PERSISTED bloom index: the existing corpus's bloom committed as a
-    * governed table of (w, bitsw) word DELTAS, folded by `bit_or` on
-    * read — a merge-on-read structure. Because bit-OR is associative,
-    * commutative, and monotone, an incremental refresh is EXACT: append
-    * the delta corpus's word rows ([[refreshBloomIndex]]) and the fold
-    * equals a from-scratch rebuild, bit for bit (asserted in
-    * OperatorsSpec). Each commit appends ≤ bits/64 rows — constant-size
-    * metadata at any corpus scale, the same build-once/search-many
-    * lifecycle as the BM25 and PQ indexes; no replace protocol needed,
-    * plain CAS appends.
+  /** PERSISTED bloom index: TWO committed tables — the bloom's (w,
+    * bitsw) word DELTAS folded by `bit_or` on read (a merge-on-read
+    * structure), and the corpus's (doc_id, fp) fingerprint rows for the
+    * exact confirm, so a probe never re-scans (or re-hashes) the raw
+    * existing corpus. Because bit-OR is associative, commutative, and
+    * monotone, an incremental refresh is EXACT: append the delta
+    * corpus's word rows + fingerprint rows ([[refreshBloomIndex]]) and
+    * the fold equals a from-scratch rebuild, bit for bit (asserted in
+    * OperatorsSpec). Each refresh appends ≤ bits/64 word rows
+    * (constant) plus the delta's own fingerprints — the same
+    * build-once/probe-many lifecycle as the BM25 and PQ indexes; no
+    * replace protocol needed, plain CAS appends. Probe cost per batch:
+    * the batch's own fingerprinting + a bloom probe + a fingerprint
+    * join on only the bloom-POSITIVE sliver.
     */
   def buildBloomIndex(spark: SparkSession, existing: DataFrame, root: String,
       ns: String, table: String, bits: Int = 1 << 16, kHashes: Int = 3): Unit = {
-    import graft.plans.TableIO
-    val words = bloomWordsOf(fpOf(existing), bits, kHashes)
-    TableIO.createNamespace(root, ns)
-    TableIO.createTableIfNotExists(root, ns, table, words.schema)
-    appendBloomDelta(spark, words, root, ns, table)
+    import graft.plans.{PartitionSpec, Partitioning}
+    val fps = fpOf(existing)
+    // both index tables are BUCKET-PARTITIONED committed writes — one
+    // distributed shuffle each, one file per bucket per commit; a
+    // single-file write of a corpus-scale fingerprint table would be a
+    // one-task bottleneck (the BM25-postings lesson, Retrieval.scala)
+    Partitioning.preparePartitioned(spark, root, ns, table,
+      bloomWordsOf(fps, bits, kHashes), PartitionSpec("bucket", "w", 8))
+    Partitioning.preparePartitioned(spark, root, ns, s"${table}_fp", fps,
+      PartitionSpec("bucket", "fp", 16))
   }
 
   /** Fold a NEW corpus slice into a committed bloom index: one
-    * constant-size append (the delta's own word rows); the on-read
-    * `bit_or` fold makes the union exact.
+    * constant-size word append plus the delta's fingerprint rows; the
+    * on-read `bit_or` fold makes the union exact.
     */
   def refreshBloomIndex(spark: SparkSession, delta: DataFrame, root: String,
-      ns: String, table: String, bits: Int = 1 << 16, kHashes: Int = 3): Unit =
-    appendBloomDelta(spark, bloomWordsOf(fpOf(delta), bits, kHashes),
-      root, ns, table)
-
-  private def appendBloomDelta(spark: SparkSession, words: DataFrame,
-      root: String, ns: String, table: String): Unit = {
-    import graft.plans.TableIO
-    val seq = TableIO.nextSeq(root, ns, table)
-    TableIO.commit(root, ns, table, Seq(TableIO.writeExactFile(spark, root,
-      ns, table, f"data/bloom-$seq%05d.parquet", words, "data", seq,
-      bounds = TableIO.longBounds(words, Seq("w")))))
+      ns: String, table: String, bits: Int = 1 << 16, kHashes: Int = 3): Unit = {
+    import graft.plans.Partitioning
+    val fps = fpOf(delta)
+    Partitioning.appendPartitioned(spark, root, ns, table,
+      bloomWordsOf(fps, bits, kHashes))
+    Partitioning.appendPartitioned(spark, root, ns, s"${table}_fp", fps)
   }
 
   /** The folded bloom of a committed index: (w, bitsw). */
@@ -438,14 +454,15 @@ object Dedup {
 
   /** Cross-corpus dedup against a PERSISTED bloom index (built once,
     * probed by every incoming batch): same answer as
-    * [[crossCorpusNew]](incoming, existing) — the bloom prunes, the
-    * exact confirm joins the existing fingerprints.
+    * [[crossCorpusNew]](incoming, existing-at-build+refresh-time) —
+    * the committed bloom prunes, the committed fingerprints confirm;
+    * the raw existing corpus is never touched.
     */
   def probeBloomIndexed(spark: SparkSession, incoming: DataFrame,
-      existing: DataFrame, root: String, ns: String, table: String,
+      root: String, ns: String, table: String,
       bits: Int = 1 << 16, kHashes: Int = 3): DataFrame =
     probeWithBloom(fpOf(incoming), readBloomIndex(spark, root, ns, table),
-      fpOf(existing), bits, kHashes)
+      graft.plans.Mor.read(spark, root, ns, s"${table}_fp"), bits, kHashes)
 
   /** Edit-distance near-dup verification: MinHash-LSH candidate pairs
     * re-verified by EXACT Levenshtein distance on the raw texts — the

@@ -77,7 +77,6 @@ object Extensions {
       }
       Dedup.probeBloomIndexed(s,
         incoming = d.filter(col("doc_id") % 2 === 0),
-        existing = d.filter(col("doc_id") % 4 === 0),
         root, "corp", "bloom")
     }),
     // near-dup decontamination of the incoming half against the

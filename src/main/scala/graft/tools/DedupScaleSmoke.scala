@@ -1,0 +1,91 @@
+package graft.tools
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import graft.operators.Dedup
+
+/** Scale smoke for the cross-corpus dedup family: synthesize a
+  * multi-million-document incoming/existing pair with 50% fingerprint
+  * overlap (materialized to parquet so generation never pollutes
+  * timings), then run the plain anti-join, the bloom prefilter (sized
+  * for the corpus), and — on a smaller slice, since shingling dominates
+  * — the MinHash near path, printing wall times and cross-checking the
+  * exact paths agree row-for-row. Evidence the prefilter's
+  * constant-size bloom and the banded near join hold well past the
+  * 500-doc correctness corpus. Args: [docsMillions] (default 5).
+  */
+object DedupScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val m = if (args.nonEmpty) args(0).toDouble else 5.0
+    val n = (m * 1e6).toLong
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[dedupscale] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    val dir = Files.createTempDirectory("graft-dedupscale-").toString
+    // existing ids [0, n); incoming ids [n/2, 3n/2) -> 50% overlap,
+    // survivors are exactly the ids >= n
+    spark.range(n).selectExpr("id AS doc_id",
+        "concat('document number ', id, ' body text') AS text")
+      .write.parquet(s"$dir/existing")
+    spark.range(n).selectExpr(s"id + ${n / 2} AS doc_id",
+        s"concat('document number ', id + ${n / 2}, ' body text') AS text")
+      .write.parquet(s"$dir/incoming")
+    val ex = spark.read.parquet(s"$dir/existing")
+    val in = spark.read.parquet(s"$dir/incoming")
+    val plain = timed(s"crossCorpusNew ${n}x$n")(
+      Dedup.crossCorpusNew(in, ex).count())
+    // inline prefilter, saturated regime (~0.8 bits/element): nearly
+    // every probe is a false positive, everything rides the
+    // exact-confirm path — the correctness worst case
+    val bloomSat = timed(s"bloomPrefilterNew bits=2^22 (saturated)")(
+      Dedup.bloomPrefilterNew(in, ex, bits = 1 << 22).count())
+    require(plain == bloomSat, s"saturated bloom diverged: $plain vs $bloomSat")
+    require(plain == n / 2, s"expected ${n / 2} survivors, got $plain")
+    // the real lifecycle: build the index ONCE (bloom sized ~13
+    // bits/element, fpp well under 1% — 2^26 bits is 1M words, past
+    // the broadcast gate, so probes join the bloom co-partitioned),
+    // then probe a small mostly-new batch per "crawl": 10% dups. The
+    // per-batch win is what the prefilter exists for — the batch's own
+    // fingerprinting + a bloom probe + a confirm join on only the
+    // bloom-positive sliver, never a full-corpus join per batch.
+    val root = Files.createTempDirectory("graft-bloomidx-").toString
+    timed(s"buildBloomIndex $n docs, bits=2^26 (one-time)")(
+      Dedup.buildBloomIndex(spark, ex, root, "corp", "bloom",
+        bits = 1 << 26))
+    val b = n / 10
+    val batch = spark.range(b).selectExpr(
+      // first 10% of ids overlap the existing corpus, the rest are new
+      s"CASE WHEN id < ${b / 10} THEN id ELSE id + $n END AS doc_id",
+      s"concat('document number ', CASE WHEN id < ${b / 10} THEN id " +
+        s"ELSE id + $n END, ' body text') AS text")
+    batch.write.parquet(s"$dir/batch")
+    val batchDf = spark.read.parquet(s"$dir/batch")
+    val plainBatch = timed(s"crossCorpusNew batch ${b}x$n (per-batch join)")(
+      Dedup.crossCorpusNew(batchDf, ex).count())
+    val probed = timed(s"probeBloomIndexed batch $b (indexed)")(
+      Dedup.probeBloomIndexed(spark, batchDf, root, "corp", "bloom",
+        bits = 1 << 26).count())
+    require(plainBatch == probed, s"indexed diverged: $plainBatch vs $probed")
+    require(probed == b - b / 10, s"expected ${b - b / 10}, got $probed")
+    // near path on a 25x smaller slice: per-doc shingle + 16-rehash
+    // cost dominates, the join itself is banded
+    val k = math.max(n / 25, 1000L)
+    val exS = ex.limit(k.toInt)
+    val inS = in.limit(k.toInt)
+    val near = timed(s"crossCorpusNear ${k}x$k")(
+      Dedup.crossCorpusNear(inS, exS).count())
+    println(s"[dedupscale] near survivors: $near of $k")
+    println("[dedupscale] OK")
+    spark.stop()
+  }
+}

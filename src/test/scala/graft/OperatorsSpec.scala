@@ -118,8 +118,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.plans.TableIO.currentVersion(root, "corp", "bloom") == 2L)
     val incoming = docs((10L, "Hello, World!"), (11L, "gamma"),
       (12L, "brand new doc"))
-    val got = Dedup.probeBloomIndexed(spark, incoming, existing = full,
-        root, "corp", "bloom")
+    val got = Dedup.probeBloomIndexed(spark, incoming, root, "corp", "bloom")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val want = Dedup.crossCorpusNew(incoming, full)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
