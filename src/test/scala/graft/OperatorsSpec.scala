@@ -123,6 +123,15 @@ class OperatorsSpec extends AnyFunSuite {
     val want = Dedup.crossCorpusNew(incoming, full)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == want && got.map(_._1) == Seq(12L))
+    // index maintenance: a generic table compaction (the many-deltas ->
+    // few-files rewrite a long-lived index needs) must not change the
+    // folded bloom or the probe result
+    graft.plans.Maintenance.compact(spark, root, "corp", "bloom")
+    graft.plans.Maintenance.compact(spark, root, "corp", "bloom_fp")
+    assert(words("bloom") == words("bloom_scratch"))
+    val got2 = Dedup.probeBloomIndexed(spark, incoming, root, "corp", "bloom")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got2 == want)
   }
 
   test("cross-corpus near-dup drops paraphrases and identical twins, " +
