@@ -421,7 +421,7 @@ object Dedup {
     */
   def buildBloomIndex(spark: SparkSession, existing: DataFrame, root: String,
       ns: String, table: String, bits: Int = 1 << 16, kHashes: Int = 3): Unit = {
-    import graft.plans.{PartitionSpec, Partitioning}
+    import graft.plans.{PartitionSpec, Partitioning, TableIO}
     val fps = fpOf(existing)
     // both index tables are BUCKET-PARTITIONED committed writes — one
     // distributed shuffle each, one file per bucket per commit; a
@@ -431,15 +431,32 @@ object Dedup {
       bloomWordsOf(fps, bits, kHashes), PartitionSpec("bucket", "w", 8))
     Partitioning.preparePartitioned(spark, root, ns, s"${table}_fp", fps,
       PartitionSpec("bucket", "fp", 16))
+    // (bits, kHashes) are PART OF THE INDEX: a refresh or probe run
+    // with different values would compute different probe positions —
+    // silent false negatives, i.e. wrong results, not slow ones. They
+    // persist next to the table and every later operation reads them.
+    java.nio.file.Files.writeString(
+      TableIO.tableDir(root, ns, table).resolve("bloom-params.txt"),
+      s"$bits $kHashes")
+  }
+
+  /** The (bits, kHashes) the index was built with. */
+  def bloomParams(root: String, ns: String, table: String): (Int, Int) = {
+    val f = graft.plans.TableIO.tableDir(root, ns, table)
+      .resolve("bloom-params.txt")
+    val Array(b, k) = java.nio.file.Files.readString(f).trim.split(' ')
+    (b.toInt, k.toInt)
   }
 
   /** Fold a NEW corpus slice into a committed bloom index: one
     * constant-size word append plus the delta's fingerprint rows; the
-    * on-read `bit_or` fold makes the union exact.
+    * on-read `bit_or` fold makes the union exact. Probe parameters come
+    * from the index itself — they cannot drift from the build.
     */
   def refreshBloomIndex(spark: SparkSession, delta: DataFrame, root: String,
-      ns: String, table: String, bits: Int = 1 << 16, kHashes: Int = 3): Unit = {
+      ns: String, table: String): Unit = {
     import graft.plans.Partitioning
+    val (bits, kHashes) = bloomParams(root, ns, table)
     val fps = fpOf(delta)
     Partitioning.appendPartitioned(spark, root, ns, table,
       bloomWordsOf(fps, bits, kHashes))
@@ -459,10 +476,11 @@ object Dedup {
     * the raw existing corpus is never touched.
     */
   def probeBloomIndexed(spark: SparkSession, incoming: DataFrame,
-      root: String, ns: String, table: String,
-      bits: Int = 1 << 16, kHashes: Int = 3): DataFrame =
+      root: String, ns: String, table: String): DataFrame = {
+    val (bits, kHashes) = bloomParams(root, ns, table)
     probeWithBloom(fpOf(incoming), readBloomIndex(spark, root, ns, table),
       graft.plans.Mor.read(spark, root, ns, s"${table}_fp"), bits, kHashes)
+  }
 
   /** Edit-distance near-dup verification: MinHash-LSH candidate pairs
     * re-verified by EXACT Levenshtein distance on the raw texts — the

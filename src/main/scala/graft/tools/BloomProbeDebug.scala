@@ -38,9 +38,9 @@ object BloomProbeDebug {
     batch.write.parquet(s"$dir/batch")
     val batchDf = spark.read.parquet(s"$dir/batch")
     timed("probe 1st")(Dedup.probeBloomIndexed(spark, batchDf, root, "corp",
-      "bloom", bits = 1 << 26).count())
+      "bloom").count())
     timed("probe 2nd")(Dedup.probeBloomIndexed(spark, batchDf, root, "corp",
-      "bloom", bits = 1 << 26).count())
+      "bloom").count())
     spark.stop()
   }
 }

@@ -73,8 +73,7 @@ object DedupScaleSmoke {
     val plainBatch = timed(s"crossCorpusNew batch ${b}x$n (per-batch join)")(
       Dedup.crossCorpusNew(batchDf, ex).count())
     val probed = timed(s"probeBloomIndexed batch $b (indexed)")(
-      Dedup.probeBloomIndexed(spark, batchDf, root, "corp", "bloom",
-        bits = 1 << 26).count())
+      Dedup.probeBloomIndexed(spark, batchDf, root, "corp", "bloom").count())
     require(plainBatch == probed, s"indexed diverged: $plainBatch vs $probed")
     require(probed == b - b / 10, s"expected ${b - b / 10}, got $probed")
     // near path on a 25x smaller slice: per-doc shingle + 16-rehash
