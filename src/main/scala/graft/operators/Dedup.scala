@@ -369,11 +369,11 @@ object Dedup {
     */
   def buildNearIndex(spark: SparkSession, existing: DataFrame, root: String,
       ns: String, table: String, n: Int = 4): Unit = {
-    import graft.plans.TableIO
-    val sig = minhashSignatures(existing, n)
-    TableIO.createNamespace(root, ns)
-    TableIO.createTableIfNotExists(root, ns, table, sig.schema)
-    appendNearDelta(spark, sig, root, ns, table)
+    import graft.plans.{PartitionSpec, Partitioning}
+    // bucket-partitioned distributed write, one file per bucket — a
+    // corpus-scale signature table must never funnel through one task
+    Partitioning.preparePartitioned(spark, root, ns, table,
+      minhashSignatures(existing, n), PartitionSpec("bucket", "doc_id", 8))
   }
 
   /** Append the delta corpus's signature rows — incremental corpus
@@ -381,16 +381,8 @@ object Dedup {
     */
   def refreshNearIndex(spark: SparkSession, delta: DataFrame, root: String,
       ns: String, table: String, n: Int = 4): Unit =
-    appendNearDelta(spark, minhashSignatures(delta, n), root, ns, table)
-
-  private def appendNearDelta(spark: SparkSession, sig: DataFrame,
-      root: String, ns: String, table: String): Unit = {
-    import graft.plans.TableIO
-    val seq = TableIO.nextSeq(root, ns, table)
-    TableIO.commit(root, ns, table, Seq(TableIO.writeExactFile(spark, root,
-      ns, table, f"data/sig-$seq%05d.parquet", sig, "data", seq,
-      bounds = TableIO.longBounds(sig, Seq("doc_id")))))
-  }
+    graft.plans.Partitioning.appendPartitioned(spark, root, ns, table,
+      minhashSignatures(delta, n))
 
   /** [[crossCorpusNear]] against a PERSISTED signature index: identical
     * answer, but the existing side reads committed signatures instead
