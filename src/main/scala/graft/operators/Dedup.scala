@@ -414,30 +414,51 @@ object Dedup {
   def buildBloomIndex(spark: SparkSession, existing: DataFrame, root: String,
       ns: String, table: String, bits: Int = 1 << 16, kHashes: Int = 3): Unit = {
     import graft.plans.{PartitionSpec, Partitioning, TableIO}
+    // Rebuilding over an existing index would APPEND word rows computed
+    // under the old (bits, kHashes) into the bit_or fold — stale probe
+    // positions, silent false negatives — and leave removed documents'
+    // fingerprints silently dropping matching incoming docs (ADVICE
+    // r8). Refuse: deltas fold in via [[refreshBloomIndex]]; a
+    // parameter change or corpus shrink needs a drop + rebuild.
+    require(TableIO.currentVersion(root, ns, table) == 0L &&
+        TableIO.currentVersion(root, ns, s"${table}_fp") == 0L,
+      s"$ns.$table already holds a committed bloom index — fold new " +
+        "docs in with refreshBloomIndex, or drop both index tables to " +
+        "rebuild under different parameters")
     val fps = fpOf(existing)
     // both index tables are BUCKET-PARTITIONED committed writes — one
     // distributed shuffle each, one file per bucket per commit; a
     // single-file write of a corpus-scale fingerprint table would be a
     // one-task bottleneck (the BM25-postings lesson, Retrieval.scala)
-    Partitioning.preparePartitioned(spark, root, ns, table,
-      bloomWordsOf(fps, bits, kHashes), PartitionSpec("bucket", "w", 8))
-    Partitioning.preparePartitioned(spark, root, ns, s"${table}_fp", fps,
-      PartitionSpec("bucket", "fp", 16))
+    val wordSpec = PartitionSpec("bucket", "w", 8)
+    val words = bloomWordsOf(fps, bits, kHashes)
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, table, words.schema)
+    Partitioning.writeSpec(root, ns, table, wordSpec)
+    val entries = Partitioning.writePartitioned(spark, root, ns, table,
+      words, wordSpec, seq = TableIO.nextSeq(root, ns, table))
     // (bits, kHashes) are PART OF THE INDEX: a refresh or probe run
     // with different values would compute different probe positions —
     // silent false negatives, i.e. wrong results, not slow ones. They
-    // persist next to the table and every later operation reads them.
-    java.nio.file.Files.writeString(
-      TableIO.tableDir(root, ns, table).resolve("bloom-params.txt"),
-      s"$bits $kHashes")
+    // ride the SAME commit as the first word rows (a props manifest
+    // entry, CAS-protected like every other piece of table state), so
+    // any snapshot a reader lands on carries the parameters its word
+    // rows were hashed with — a stale-params probe cannot exist.
+    TableIO.commit(root, ns, table, entries :+ TableIO.propsEntry("bloom",
+      Map("bits" -> bits.toLong, "k" -> kHashes.toLong)))
+    Partitioning.preparePartitioned(spark, root, ns, s"${table}_fp", fps,
+      PartitionSpec("bucket", "fp", 16))
   }
 
-  /** The (bits, kHashes) the index was built with. */
+  /** The (bits, kHashes) the index was built with — read from the words
+    * table's committed manifest (same snapshot as the words themselves).
+    */
   def bloomParams(root: String, ns: String, table: String): (Int, Int) = {
-    val f = graft.plans.TableIO.tableDir(root, ns, table)
-      .resolve("bloom-params.txt")
-    val Array(b, k) = java.nio.file.Files.readString(f).trim.split(' ')
-    (b.toInt, k.toInt)
+    val p = graft.plans.TableIO.readProps(root, ns, table, "bloom")
+      .getOrElse(throw new IllegalStateException(
+        s"$ns.$table carries no committed bloom parameters — not a " +
+          "bloom index (or built by a pre-props version)"))
+    (p("bits").toInt, p("k").toInt)
   }
 
   /** Fold a NEW corpus slice into a committed bloom index: one

@@ -234,7 +234,7 @@ object Retrieval {
       TableIO.commitReplacing(root, ns, "bm25_stats",
         Seq(TableIO.writeExactFile(spark, root, ns, "bm25_stats",
           s"data/stats-s$sseq.parquet", stats, "data", sseq)),
-        expectedVersion = Some(sv))
+        expectedVersion = Some(sv), operation = Some("overwrite"))
     } finally tfDelta.unpersist()
   }
 

@@ -25,7 +25,8 @@ object Dml {
     * truncate is also instantly rollback-able.
     */
   def truncate(root: String, ns: String, table: String): Long =
-    TableIO.commitReplacing(root, ns, table, Nil)
+    TableIO.commitReplacing(root, ns, table, Nil,
+      operation = Some("delete"))
 
   /** Delete all rows with `column` in [lo, hi]. Returns the new
     * snapshot version (or the current one when nothing matched).
@@ -60,6 +61,11 @@ object Dml {
     else
       TableIO.commitReplacing(root, ns, table,
         manifest.filterNot(e => e.content == "data" && fullSet(e.path)) ++
-          newDeletes)
+          newDeletes,
+        // content-CHANGING when files leave the manifest: the changelog
+        // must synthesize their alive rows as deletes, not skip the
+        // commit as compaction. A pos-delete-only boundary commit stays
+        // append-shaped and needs no marker.
+        operation = if (fullyCovered.isEmpty) None else Some("delete"))
   }
 }

@@ -602,7 +602,8 @@ private[plans] class GraftWriteBuilder(root: String, ns: String, t: String)
               val entries = Partitioning.writePartitioned(spark, root, ns,
                 t, data, sp, seq, filePrefix = s"sql-$unique0")
               if (overwrite || overwriteArg)
-                TableIO.commitReplacing(root, ns, t, entries)
+                TableIO.commitReplacing(root, ns, t, entries,
+                  operation = Some("overwrite"))
               else TableIO.commit(root, ns, t, entries)
               return
             case None => ()
@@ -632,7 +633,8 @@ private[plans] class GraftWriteBuilder(root: String, ns: String, t: String)
                 TableIO.tableDir(root, ns, t).resolve(entry0.path).toString),
               intCols))
           if (overwrite || overwriteArg)
-            TableIO.commitReplacing(root, ns, t, Seq(entry))
+            TableIO.commitReplacing(root, ns, t, Seq(entry),
+              operation = Some("overwrite"))
           else
             TableIO.commit(root, ns, t, Seq(entry))
         }

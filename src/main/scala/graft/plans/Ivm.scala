@@ -88,7 +88,7 @@ object Ivm {
       // CAS on the batch count: a replay of this batch (or a concurrent
       // maintainer) sees version != from and fails instead of refolding
       TableIO.commitReplacing(root, ns, stateTable, Seq(entry),
-        expectedVersion = Some(from))
+        expectedVersion = Some(from), operation = Some("overwrite"))
       writeOffset(checkpoint, from + 1)
       from += 1
     }

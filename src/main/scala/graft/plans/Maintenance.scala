@@ -105,8 +105,13 @@ object Maintenance {
           (0L, Map.empty[String, (Long, Long)]))
         ManifestEntry(rel, "data", seq, n, b)
       }
-      TableIO.commitReplacing(root, ns, table, entries,
-        expectedVersion = Some(v))
+      // props entries (committed table properties, e.g. a bloom index's
+      // (bits, kHashes)) survive compaction: they describe the rows'
+      // interpretation, which the rewrite preserves
+      val props = TableIO.readManifest(root, ns, table)
+        .filter(_.content == TableIO.PropsContent)
+      TableIO.commitReplacing(root, ns, table, entries ++ props,
+        expectedVersion = Some(v), operation = Some("replace"))
     } finally {
       Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
@@ -167,7 +172,7 @@ object Maintenance {
     val replaced = groups.values.flatten.map(_.path).toSet
     TableIO.commitReplacing(root, ns, table,
       manifest.filterNot(e => e.content == "data" && replaced(e.path)) ++
-        newEntries, expectedVersion = Some(v))
+        newEntries, expectedVersion = Some(v), operation = Some("replace"))
     // purge the now-dangling pos-delete rows of the rewritten files
     rewritePositionDeletes(spark, root, ns, table)
   }
@@ -221,7 +226,7 @@ object Maintenance {
       }
       TableIO.commitReplacing(root, ns, table,
         manifest.filterNot(_.content == "pos_delete") ++ newEntries,
-        expectedVersion = Some(v))
+        expectedVersion = Some(v), operation = Some("replace"))
     } finally live.unpersist()
   }
 

@@ -492,9 +492,81 @@ object Mor {
       val cur = TableIO.readManifestAt(root, ns, table, v)
       val prevKeys = prev.map(e => (e.path, e.content)).toSet
       val curKeys = cur.map(e => (e.path, e.content)).toSet
-      if (prevKeys.exists(!curKeys(_))) Seq.empty[DataFrame] // replace (compaction)
+      val dropped = prev.filterNot(e => curKeys((e.path, e.content)))
+      val added = cur.filterNot(e => prevKeys((e.path, e.content)))
+      // A commit that REMOVES manifest entries is replace-shaped. Its
+      // operation marker (stamped by commitReplacing's call sites) says
+      // whether content was preserved:
+      //   "replace"              compaction/binpack/pos-delete rewrite —
+      //                          same logical rows, emit nothing;
+      //   "delete"/"overwrite"   DELETE WHERE dropping covered files,
+      //                          TRUNCATE, INSERT OVERWRITE, partition
+      //                          refresh — synthesize deletes for the
+      //                          dropped files' alive rows, then process
+      //                          the commit's ADDED entries as usual
+      //                          (a mixed DELETE WHERE also carries
+      //                          boundary pos-deletes; an overwrite also
+      //                          carries inserts);
+      //   unmarked               unknown writer or a crash between
+      //                          publish and marker — fail LOUDLY. The
+      //                          pre-marker behavior (silent skip) let a
+      //                          CDC consumer miss every metadata-only
+      //                          DELETE WHERE / TRUNCATE forever.
+      val droppedChanges: Seq[DataFrame] =
+        if (dropped.isEmpty) Seq.empty
+        else TableIO.replaceOperation(root, ns, table, v) match {
+          case Some("replace") => Seq.empty // content-preserving rewrite
+          case Some("delete") | Some("overwrite") =>
+            // Dropping a DELETE file while its target data files remain
+            // would RESURRECT rows — not expressible as insert/delete of
+            // current content without diffing, and no writer here does
+            // it (truncate drops everything; deleteWhere keeps delete
+            // files). Guard loudly rather than emit wrong changes.
+            val prevDataKept = prev.filter(e =>
+              e.content == "data" && curKeys((e.path, e.content)))
+            if (dropped.exists(_.content != "data") && prevDataKept.nonEmpty)
+              throw new IllegalStateException(
+                s"$ns.$table v$v drops delete files while keeping data " +
+                  "files — rows may resurrect; the changelog cannot " +
+                  "derive this commit (reset the consumer)")
+            val droppedData = dropped.filter(_.content == "data")
+            if (droppedData.isEmpty) Seq.empty
+            else {
+              // Alive rows of exactly the dropped files, as of the prior
+              // snapshot (pos/eq deletes applied — rows already dead
+              // must not be re-emitted as deletes). onlyPaths restricts
+              // the scan to the dropped files: a partition-scoped
+              // overwrite costs a scan of the replaced partitions, never
+              // the table.
+              val paths = droppedData.map(_.path).toSet
+              val alive =
+                if (withLineage) readLineage(spark, root, ns, table,
+                  asOfVersion = Some(v - 1), onlyPaths = Some(paths))
+                else read(spark, root, ns, table,
+                  asOfVersion = Some(v - 1), onlyPaths = Some(paths))
+              Seq(alive.select(schemaCols.map(col): _*)
+                .withColumn("_change_type", lit("delete")))
+            }
+          case other =>
+            throw new IllegalStateException(
+              s"$ns.$table v$v removes manifest entries but carries " +
+                s"operation marker $other: the changelog cannot tell a " +
+                "content-preserving rewrite from a content-changing " +
+                "overwrite — reset the consumer (reconsume from scratch, " +
+                s"or re-point its offset past v$v deliberately)")
+        }
+      if (dropped.nonEmpty &&
+          TableIO.replaceOperation(root, ns, table, v).contains("replace"))
+        Seq.empty[DataFrame]
       else {
-        val added = cur.filterNot(e => prevKeys((e.path, e.content)))
+        // Data files the commit kept — when it also DROPPED files, the
+        // added-delete scan below is restricted to these: rows of the
+        // dropped files are already fully emitted as synthesized deletes
+        // (they were alive at v-1), so matching them again through a new
+        // pos/eq-delete would double-emit.
+        val keptPrevData = prev.filter(e =>
+          e.content == "data" && curKeys((e.path, e.content)))
+          .map(_.path).toSet
         val addedData = added.filter(_.content == "data")
         val inserts =
           if (addedData.isEmpty) None
@@ -530,10 +602,15 @@ object Mor {
             // and can land anywhere, so any eq file forces the full
             // prior view.
             val targetPaths =
-              if (addedEq.nonEmpty) None
-              else Some(spark.read.parquet(addedPos.map(_._1): _*)
-                .select("file_path").distinct()
-                .collect().map(_.getString(0)).toSet)
+              if (addedEq.nonEmpty) {
+                if (dropped.isEmpty) None else Some(keptPrevData)
+              } else {
+                val named = spark.read.parquet(addedPos.map(_._1): _*)
+                  .select("file_path").distinct()
+                  .collect().map(_.getString(0)).toSet
+                Some(if (dropped.isEmpty) named
+                  else named.intersect(keptPrevData))
+              }
             val alive = read(spark, root, ns, table,
               asOfVersion = Some(v - 1), keepProvenance = true,
               onlyPaths = targetPaths)
@@ -567,7 +644,7 @@ object Mor {
             withId.select(schemaCols.map(col): _*)
               .withColumn("_change_type", lit("delete"))
           }
-        (inserts.toSeq ++ deletes.toSeq)
+        (droppedChanges ++ inserts.toSeq ++ deletes.toSeq)
           .map(_.withColumn("_change_version", lit(v.toInt)))
       }
     }

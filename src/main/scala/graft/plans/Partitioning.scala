@@ -295,7 +295,7 @@ object Partitioning {
       e.content == "data" &&
         e.bounds.get(spec.fieldName).exists(b => touched(b._1)))
     TableIO.commitReplacing(root, ns, table, keep ++ newEntries,
-      expectedVersion = Some(expected))
+      expectedVersion = Some(expected), operation = Some("overwrite"))
   }
 
   /** The `partitions` metadata table (Iceberg `table.partitions`): one

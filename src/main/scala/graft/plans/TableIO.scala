@@ -492,7 +492,11 @@ object TableIO {
     */
   def commitReplacing(root: String, ns: String, table: String,
       entries: Seq[ManifestEntry],
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      operation: Option[String] = None): Long = {
+    operation.foreach(op => require(ReplaceOperations(op),
+      s"unknown replace operation marker '$op' " +
+        s"(expected one of ${ReplaceOperations.mkString(", ")})"))
     val dir = tableDir(root, ns, table)
     val v = currentVersion(root, ns, table)
     expectedVersion.filter(_ != v).foreach { e =>
@@ -510,8 +514,65 @@ object TableIO {
       throw new java.util.ConcurrentModificationException(
         s"$ns.$table advanced past v$v during a replacing commit — re-plan")
     advanceRowIdMark(root, ns, table, assigned)
+    // Operation sidecar — the changelog's only way to tell a
+    // content-preserving rewrite ("replace": compaction, binpack,
+    // pos-delete rewrite) from a content-CHANGING one ("delete"/
+    // "overwrite": DELETE WHERE dropping covered files, TRUNCATE,
+    // INSERT OVERWRITE, partition refresh). Same crash discipline as
+    // the rollback marker: written after the manifest publish, so a
+    // crash in between leaves an UNMARKED replace-shaped commit, which
+    // Mor.readChanges fails loudly on — never a silent wrong answer.
+    operation.foreach(op =>
+      atomicWrite(dir.resolve(s"manifest/v${v + 1}.op"), op))
     atomicWrite(dir.resolve("version-hint.text"), (v + 1).toString)
     v + 1
+  }
+
+  /** Content tag of a zero-row manifest entry that carries table-level
+    * key→value properties in its `bounds` map (each value stored as a
+    * degenerate [v, v] range). Properties that GOVERN how committed
+    * rows are interpreted (a bloom index's (bits, kHashes), a
+    * quantizer's codebook id) ride the same versioned, CAS-committed
+    * manifest as the files themselves — a reader extracts params and
+    * file list from ONE snapshot, so params can never be observed
+    * stale relative to the rows (ADVICE r8: the bloom sidecar was a
+    * bare Files.writeString outside the commit protocol).
+    */
+  val PropsContent = "props"
+
+  /** Build a props entry. `path` doubles as the property-set name; no
+    * physical file exists at it (recordCount 0, never scanned — every
+    * read path filters on content type).
+    */
+  def propsEntry(name: String, props: Map[String, Long]): ManifestEntry =
+    ManifestEntry(s"props/$name", PropsContent, 0L, 0L,
+      props.map { case (k, v) => k -> (v, v) })
+
+  /** The property set `name` at the current (or a given) snapshot. */
+  def readProps(root: String, ns: String, table: String, name: String,
+      version: Option[Long] = None): Option[Map[String, Long]] = {
+    val entries = version
+      .map(v => readManifestAt(root, ns, table, v))
+      .getOrElse(readManifest(root, ns, table))
+    entries.find(e => e.content == PropsContent && e.path == s"props/$name")
+      .map(_.bounds.map { case (k, (lo, _)) => k -> lo })
+  }
+
+  /** Operation markers accepted by [[commitReplacing]]. `replace` =
+    * content-preserving rewrite (the changelog emits nothing across it);
+    * `delete`/`overwrite` = content-changing (the changelog synthesizes
+    * deletes for dropped files and inserts for added ones).
+    */
+  val ReplaceOperations: Set[String] = Set("replace", "delete", "overwrite")
+
+  /** The operation marker a replacing commit was stamped with, if any.
+    * None for append commits, pre-marker commits, and a commit whose
+    * writer crashed between the manifest publish and the sidecar write.
+    */
+  def replaceOperation(root: String, ns: String, table: String,
+      version: Long): Option[String] = {
+    val f = tableDir(root, ns, table).resolve(s"manifest/v$version.op")
+    if (!Files.isRegularFile(f)) None else Some(Files.readString(f).trim)
   }
 
   def readManifest(root: String, ns: String, table: String): Seq[ManifestEntry] =

@@ -118,6 +118,84 @@ class ChangelogSpec extends AnyFunSuite {
     assert(ChangeFeed.offsetOf(ckpt) == 3L)
   }
 
+  // --- replace-shaped commits: content-preserving vs content-changing ---
+
+  /** 5 files x 1000 rows with per-file `bar` bounds — the DmlSpec
+    * fixture: deleteWhere can drop fully-covered files as pure
+    * metadata, the exact commits the pre-marker changelog swallowed.
+    */
+  private def boundedTable(prefix: String): (String, String, String) = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString
+    def fileDf(i: Int) = spark.range(i * 1000L, (i + 1) * 1000L).select(
+      col("id").cast("string").as("foo"),
+      col("id").cast("int").as("bar"), lit(true).as("baz"))
+    TableIO.createNamespace(root, "ns")
+    TableIO.createTableIfNotExists(root, "ns", "t", fileDf(0).schema)
+    TableIO.commit(root, "ns", "t", (0 until 5).map { i =>
+      TableIO.writeExactFile(spark, root, "ns", "t",
+        f"data/part-$i%05d.parquet", fileDf(i), "data", 1L,
+        recordCount = 1000L,
+        bounds = Map("bar" -> (i * 1000L, i * 1000L + 999L)))
+    })
+    (root, "ns", "t")
+  }
+
+  test("changelog synthesizes deletes across a mixed DELETE WHERE: the " +
+      "dropped file's rows AND the boundary pos-deletes, each once") {
+    import graft.plans.Dml
+    val (root, ns, t) = boundedTable("graft-cdc-dml-")
+    // file 2 ([2000,2999]) fully covered -> leaves the manifest with no
+    // delete row written; files 1 and 3 get 701 boundary pos-deletes —
+    // ONE replace-shaped commit carrying both halves
+    val v = Dml.deleteWhere(spark, root, ns, t, "bar", 1500L, 3200L)
+    assert(v == 2L)
+    val ch = Mor.readChanges(spark, root, ns, t, v - 1, v)
+    assert(ch.filter(col("_change_type") === "insert").count() == 0)
+    val del = ch.filter(col("_change_type") === "delete")
+    assert(del.count() == 1701L) // 1000 synthesized + 701 pos-deleted
+    // the exact row set, not just the cardinality: sum over [1500,3200]
+    assert(del.agg(sum("bar")).head.getLong(0) == (1500L + 3200L) * 1701L / 2)
+    // and the changelog-reconstructed view matches the direct read
+    assert(Mor.read(spark, root, ns, t).count() == 3299L)
+  }
+
+  test("changelog emits every still-alive row as a delete across " +
+      "TRUNCATE, with lineage ids") {
+    import graft.plans.Dml
+    val (root, ns, t) = boundedTable("graft-cdc-trunc-")
+    // v2 drops file 0 (rows 0..999) -> already dead before the truncate
+    assert(Dml.deleteWhere(spark, root, ns, t, "bar", 0L, 999L) == 2L)
+    val v = Dml.truncate(root, ns, t)
+    assert(v == 3L)
+    val ch = Mor.readChanges(spark, root, ns, t, v - 1, v, withLineage = true)
+    val del = ch.filter(col("_change_type") === "delete")
+    // only the 4000 rows alive at v2 — re-emitting file 0's would
+    // double-delete downstream
+    assert(del.count() == 4000L)
+    assert(del.agg(sum("bar")).head.getLong(0) == (1000L + 4999L) * 4000L / 2)
+    // synthesized deletes carry stable row ids (commit assigned 0..4999)
+    assert(del.agg(sum("_row_id")).head.getLong(0) ==
+      (1000L + 4999L) * 4000L / 2)
+  }
+
+  test("changelog stays silent across marked compaction but fails " +
+      "loudly on an unmarked replace-shaped commit") {
+    val (root, ns, t) = boundedTable("graft-cdc-mark-")
+    graft.plans.Maintenance.compact(spark, root, ns, t)
+    val v = TableIO.currentVersion(root, ns, t)
+    // marked "replace": content-preserving, nothing to emit
+    assert(Mor.readChanges(spark, root, ns, t, v - 1, v).count() == 0)
+    // a writer that removes entries WITHOUT a marker (crashed between
+    // publish and sidecar, or foreign code): the changelog must refuse
+    // rather than guess silently either way
+    val manifest = TableIO.readManifest(root, ns, t)
+    val v2 = TableIO.commitReplacing(root, ns, t, manifest.drop(1))
+    val ex = intercept[IllegalStateException] {
+      Mor.readChanges(spark, root, ns, t, v2 - 1, v2)
+    }
+    assert(ex.getMessage.contains("marker"))
+  }
+
   test("a row hit by a new pos- AND eq-delete in one commit emits once") {
     val cfg = cfgRef.copy(tableName = "cdc_dedupe")
     val root = java.nio.file.Files.createTempDirectory("graft-cdc2-").toString

@@ -132,6 +132,23 @@ class OperatorsSpec extends AnyFunSuite {
     val got2 = Dedup.probeBloomIndexed(spark, incoming, root, "corp", "bloom")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got2 == want)
+    // a REBUILD over the committed index is refused: appending word
+    // rows hashed under different (bits, kHashes) into the bit_or fold
+    // would be silent false negatives (ADVICE r8)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.buildBloomIndex(spark, full, root, "corp", "bloom",
+        bits = 1 << 10)
+    }
+    assert(ex.getMessage.contains("refreshBloomIndex"))
+    // params are COMMITTED manifest state riding the words' own
+    // snapshots (not a separately-written sidecar): present at v1 (the
+    // build), unchanged at the head — a probe reading any snapshot gets
+    // the parameters its word rows were hashed with
+    import graft.plans.TableIO
+    assert(TableIO.readProps(root, "corp", "bloom", "bloom",
+      version = Some(1L)).get == Map("bits" -> (1L << 16).toLong, "k" -> 3L))
+    assert(TableIO.readProps(root, "corp", "bloom", "bloom")
+      .get == Map("bits" -> (1L << 16).toLong, "k" -> 3L))
   }
 
   test("cross-corpus near-dup drops paraphrases and identical twins, " +

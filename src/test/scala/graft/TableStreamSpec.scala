@@ -233,6 +233,22 @@ class TableStreamSpec extends AnyFunSuite {
     // v3: source-side delete of keys 0..9
     Dml.deleteWhere(spark, root, ns, "src", "k", 0L, 9L)
     q.processAllAvailable()
+    assert(content("dst") == content("src") && content("dst").size == 90)
+
+    // v4+v5: a METADATA-ONLY delete — the appended file's bounds fully
+    // cover the range, so deleteWhere drops the file from the manifest
+    // without writing a single delete row. The pre-marker changelog
+    // emitted nothing for such commits and the replica diverged
+    // forever; now the deletes are synthesized from the prior snapshot
+    // and the replica must converge.
+    TableIO.commit(root, ns, "src", Seq(TableIO.writeExactFile(spark, root,
+      ns, "src", "data/part-ext.parquet", srcRows(100, 150, "c"), "data",
+      TableIO.nextSeq(root, ns, "src"),
+      bounds = Map("k" -> (100L, 149L)))))
+    q.processAllAvailable()
+    assert(content("dst") == content("src") && content("dst").size == 140)
+    Dml.deleteWhere(spark, root, ns, "src", "k", 100L, 149L)
+    q.processAllAvailable()
     q.stop()
     assert(content("dst") == content("src") && content("dst").size == 90)
 
