@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       // q_map_fns outputs map columns; allow them in the checksum hash
       .config("spark.sql.legacy.allowHashOnMapType", "true")
+      // event-time queries cast TIMESTAMP_NTZ through the session zone
+      // (Util.normalizeEventsTs) — an unpinned zone makes the bench
+      // checksums host-timezone-dependent (ADVICE r8)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -64,6 +68,46 @@ object Bench {
         System.err.println(f"[bench] run $r/$repeat: $name ${t}%.2fs")
       }
     }
+    // Suite-level steal detector (r7 AND r8 committed steal-poisoned
+    // artifacts): min-of-N is blind when one steal window spans every
+    // repeat, but the COMMITTED prior clean run is not. If the queries
+    // matched against BENCH_ANCHOR.json (last idle-host run) sum to
+    // >1.3x their anchor sum, the whole suite gets extra min-folded
+    // passes; still hot after that -> host_suspect flags the artifact
+    // as a measurement of the host, not the code.
+    val anchor: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_ANCHOR", "/root/repo/BENCH_ANCHOR.json"))
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+        .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    def matchedRatio(): Option[Double] = {
+      val m = selected.map(_._1).filter(n => anchor.contains(n) &&
+        best.contains(n) && !failed.contains(n))
+      val anchorSum = m.map(anchor).sum
+      if (m.size < 20 || anchorSum <= 0) None
+      else Some(m.map(best).sum / anchorSum)
+    }
+    val StealRatio = 1.3
+    var hostSuspect = false
+    matchedRatio().filter(_ > StealRatio).foreach { r0 =>
+      System.err.println(f"[bench] suite ${r0}%.2fx the committed anchor " +
+        "— host-steal suspected, re-measuring")
+      var r = r0
+      var extra = 0
+      while (r > StealRatio && extra < 2) {
+        extra += 1
+        selected.foreach { case (name, fn) =>
+          val t = runOnce(name, fn)
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+          System.err.println(f"[bench] steal-retry $extra: $name ${t}%.2fs")
+        }
+        r = matchedRatio().getOrElse(0.0)
+      }
+      hostSuspect = r > StealRatio
+    }
     // safety net for a steal window spanning every repeat of one query:
     // a min still above threshold gets one more shot, flagged in JSON
     val results = selected.map { case (name, fn) =>
@@ -72,6 +116,7 @@ object Bench {
         reran += name
         math.min(t0, runOnce(name, fn))
       } else t0
+      best(name) = t // keep the anchor-ratio view on the final mins
       name -> t
     }
     // Locale.ROOT: the default-locale f interpolator would emit a comma
@@ -83,8 +128,10 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ratioJson = matchedRatio()
+      .map(r => s""""anchor_ratio":${fmt(r)},""").getOrElse("")
     def line(rs: Seq[(String, Double)], extra: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$extra"queries":${qsJson(rs)},"failed":$failedJson,"reran":$reranJson,"repeat":$repeat,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$extra$ratioJson"host_suspect":$hostSuspect,"queries":${qsJson(rs)},"failed":$failedJson,"reran":$reranJson,"repeat":$repeat,"sf":"$sfDir"}"""
     // The driver records only the LAST ~2000 chars of stdout and JSON-parses
     // the final line; 160 queries at full Double precision is ~4KB, which
     // truncated the line and left every prior round's BENCH_r*.json with
@@ -95,6 +142,24 @@ object Bench {
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json"))
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+    // round-stamped snapshot next to it (r7 item 8): round-over-round
+    // per-query comparison without git archaeology. The round number is
+    // the driver's CORRECTNESS_r{N} high-water mark + 1 (the artifact
+    // for round N lands at N's END, so during round N the max is N-1).
+    val roundNo = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).orElse {
+      val dir = fullPath.toAbsolutePath.getParent
+      val re = """CORRECTNESS_r(\d+)\.json""".r
+      val it = java.nio.file.Files.list(dir).iterator()
+      val ns = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .flatMap(p => re.findFirstMatchIn(p.getFileName.toString))
+        .map(_.group(1).toInt).toSeq
+      if (ns.isEmpty) None else Some(ns.max + 1)
+    }
+    roundNo.foreach { n =>
+      java.nio.file.Files.write(
+        fullPath.resolveSibling(f"BENCH_FULL_r$n%02d.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    }
     System.err.println("[bench] full results: " + fullLine)
     val families = results.groupBy(_._1.takeWhile(_ != '_'))
       .map { case (f, rs) => f -> rs.map(_._2).sum }.toSeq.sortBy(_._1)
