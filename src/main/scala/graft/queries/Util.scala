@@ -72,8 +72,18 @@ object Util {
     val df = rd(spark, sfDir, "embeddings")
     df.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => df
-      case _ => df.withColumn("embedding",
-        col("embedding").cast(ArrayType(FloatType)))
+      case other =>
+        // LOUD adaptivity (ADVICE r8): a double→float cast is lossy
+        // while the DuckDB oracle computes on the file's own type — an
+        // unannounced cast could turn an analysis-time failure into a
+        // subtle hash divergence that costs a re-investigation. The
+        // fixture guard spec pins the expected type; this flag makes a
+        // drift diagnosable from any run's stderr.
+        System.err.println(s"[graft] WARNING embeddings.embedding arrived " +
+          s"as $other, casting to array<float>; oracle comparisons may " +
+          "diverge on precision — check the testdata generation")
+        df.withColumn("embedding",
+          col("embedding").cast(ArrayType(FloatType)))
     }
   }
 
