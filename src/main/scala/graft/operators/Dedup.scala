@@ -332,14 +332,8 @@ object Dedup {
     */
   private def crossCorpusNearFromSigs(incoming: DataFrame, sigIn: DataFrame,
       sigEx: DataFrame, minMatches: Int): DataFrame = {
-    def bandsOf(sig: DataFrame) = {
-      val bandArray = array((0 until 4).map { bnd =>
-        concat_ws(":", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*)
-      }: _*)
-      sig.select(col("doc_id"), posexplode(bandArray).as(Seq("band", "key")))
-    }
-    val cand = bandsOf(sigIn).toDF("doc_in", "band", "key")
-      .join(bandsOf(sigEx).toDF("doc_ex", "band", "key"), Seq("band", "key"))
+    val cand = sigBands(sigIn).toDF("doc_in", "band", "key")
+      .join(sigBands(sigEx).toDF("doc_ex", "band", "key"), Seq("band", "key"))
       .select("doc_in", "doc_ex").distinct()
     val sa = sigIn.toDF("doc_in" +: (0 until 16).map(j => s"a$j"): _*)
     val sb = sigEx.toDF("doc_ex" +: (0 until 16).map(j => s"b$j"): _*)
@@ -353,6 +347,56 @@ object Dedup {
     incoming.select("doc_id")
       .join(flagged, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
+  }
+
+  /** (doc_id, band, key) rows of a 16-component signature relation —
+    * the 4×4 banding both the candidate join and the volume guard
+    * below derive keys from.
+    */
+  private def sigBands(sig: DataFrame): DataFrame = {
+    val bandArray = array((0 until 4).map { bnd =>
+      concat_ws(":", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*)
+    }: _*)
+    sig.select(col("doc_id"), posexplode(bandArray).as(Seq("band", "key")))
+  }
+
+  /** Candidate-volume guard for the CROSS-corpus band join — the
+    * near-dup analogue of [[Similarity.bandCandidateStats]] (ADVICE
+    * r7 / VERDICT r8 item 6): per-(band, key) bucket counts on each
+    * side, inner-joined on colliding buckets, collapsed to one row.
+    * `cand_pairs` = Σ cnt_in·cnt_ex is EXACTLY the row count the band
+    * equi-join in [[crossCorpusNear]] would produce before its
+    * distinct; ≈ n_in·n_ex·bands means the banding has degenerated to
+    * all-pairs for these corpora (clustered text, shingle collisions)
+    * and the join should be re-parameterized, not launched. Cost: two
+    * narrow grouped counts + a join of bucket-count relations —
+    * bounded by distinct band keys, never by candidate pairs, so the
+    * guard is safe to run even when the join it guards is not.
+    * Returned as data (log / abort / re-band is the caller's choice),
+    * matching the ANN family's discipline.
+    */
+  def crossBandStats(incoming: DataFrame, existing: DataFrame,
+      n: Int = 4): DataFrame =
+    crossBandStatsFromSigs(minhashSignatures(incoming, n),
+      minhashSignatures(existing, n))
+
+  /** The guard over already-computed (or index-read) signatures — a
+    * probe against a persisted [[buildNearIndex]] table guards with
+    * `crossBandStatsFromSigs(sigIn, Mor.read(...))`.
+    */
+  def crossBandStatsFromSigs(sigIn: DataFrame,
+      sigEx: DataFrame): DataFrame = {
+    val ci = sigBands(sigIn).groupBy("band", "key")
+      .agg(count(lit(1)).as("cnt_in"))
+    val ce = sigBands(sigEx).groupBy("band", "key")
+      .agg(count(lit(1)).as("cnt_ex"))
+    ci.join(ce, Seq("band", "key"))
+      .agg(
+        coalesce(sum(col("cnt_in") * col("cnt_ex")), lit(0L))
+          .as("cand_pairs"),
+        count(lit(1)).as("n_hot_buckets"),
+        coalesce(max(col("cnt_in") * col("cnt_ex")), lit(0L))
+          .as("max_bucket_pairs"))
   }
 
   /** PERSISTED near-dup index: the existing corpus's MinHash signatures

@@ -103,6 +103,18 @@ object Extensions {
       Dedup.probeNearIndexed(s, d.filter(col("doc_id") % 2 === 0),
         root, "corp", "sig")
     }),
+    // pre-launch candidate-volume guard for the cross-corpus band join
+    // (the dedup analogue of ann_band_stats): cand_pairs is exactly the
+    // pre-distinct row count the band equi-join would produce —
+    // ~ n_in*n_ex*bands means degenerate banding, re-parameterize
+    // instead of launching
+    "dedup_band_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = rd(s, dir, "documents")
+      Dedup.crossBandStats(
+        incoming = d.filter(col("doc_id") % 2 === 0),
+        existing = d.filter(col("doc_id") % 4 === 0))
+    }),
     "dedup_semantic" -> ((s, dir) => Dedup.semantic(rdEmbeddings(s, dir))),
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimate(rd(s, dir, "documents"))),
@@ -591,6 +603,21 @@ object Extensions {
          |WHERE doc_id % 2 = 0
          |  AND doc_id NOT IN (SELECT doc_in FROM flagged)
          |ORDER BY doc_id""".stripMargin,
+
+    // bucket-count join only — by construction sum(cnt_in*cnt_ex) over
+    // colliding buckets equals the band join's pre-distinct row count
+    "dedup_band_stats" ->
+      s"""WITH $minhashCtesSql,
+         |ci AS (SELECT band, bkey, count(*) AS cnt FROM bands
+         |       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |ce AS (SELECT band, bkey, count(*) AS cnt FROM bands
+         |       WHERE doc_id % 4 = 0 GROUP BY 1, 2)
+         |SELECT
+         |  CAST(coalesce(sum(ci.cnt * ce.cnt), 0) AS BIGINT) AS cand_pairs,
+         |  count(*) AS n_hot_buckets,
+         |  CAST(coalesce(max(ci.cnt * ce.cnt), 0) AS BIGINT)
+         |    AS max_bucket_pairs
+         |FROM ci JOIN ce ON ci.band = ce.band AND ci.bkey = ce.bkey""".stripMargin,
 
     // self-pairs allowed: an incoming doc identical to its existing
     // twin matches 16/16 and drops (the corpora are distinct tables)

@@ -151,6 +151,26 @@ class OperatorsSpec extends AnyFunSuite {
       .get == Map("bits" -> (1L << 16).toLong, "k" -> 3L))
   }
 
+  test("cross band stats: exact candidate volume of the band join, " +
+      "loud on a degenerate corpus, zeros when buckets are disjoint") {
+    val t = "the quick brown fox jumps over the lazy dog"
+    // degenerate: identical docs put every signature in the same 4
+    // buckets on both sides -> cand_pairs = bands * n_in * n_ex, the
+    // all-pairs blow-up the guard exists to catch BEFORE the join
+    val in = docs((1L to 6L).map(i => (i, t)): _*)
+    val ex = docs((11L to 14L).map(i => (i, t)): _*)
+    val r = Dedup.crossBandStats(in, ex).head
+    assert(r.getLong(0) == 4L * 6 * 4, "cand_pairs must equal the band " +
+      "join's pre-distinct row count (4 bands x all-pairs)")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 24L)
+    // disjoint corpora: a zero ROW (the pipeline reads one row either
+    // way), never an empty relation
+    val far = docs((21L, "completely different words about storage " +
+      "engines and databases running at scale"))
+    val r2 = Dedup.crossBandStats(in, far).head
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 0L && r2.getLong(2) == 0L)
+  }
+
   test("cross-corpus near-dup drops paraphrases and identical twins, " +
       "keeps unrelated and short docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
