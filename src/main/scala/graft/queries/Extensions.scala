@@ -124,6 +124,11 @@ object Extensions {
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedTopK(rdEmbeddings(s, dir))),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rdEmbeddings(s, dir))),
+    // the self-healing variant for guard-flagged corpora: hot band
+    // buckets re-blocked across 4 salt shards (identical result —
+    // shares ann_knn_join's oracle)
+    "ann_knn_join_salted" -> ((s, dir) =>
+      Similarity.knnJoin(rdEmbeddings(s, dir), saltShards = 4)),
     // candidate-volume guard a pipeline runs BEFORE the banded
     // self-join: band_pairs ~ n^2 means the banding degenerated for
     // this corpus and the join should be re-parameterized, not launched
@@ -425,6 +430,28 @@ object Extensions {
     * CTE `c`, fixed-point-exact distances (scaled-long, the twin of
     * Similarity.assignClusters), ties on cid.
     */
+  /** The banded kNN join's oracle — shared by ann_knn_join and
+    * ann_knn_join_salted: salting re-blocks the band join's shuffle
+    * without changing the candidate pair set, so the results are
+    * identical by construction.
+    */
+  private lazy val annKnnSql: String =
+    s"""WITH bands AS ($embBandsSql),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey
+       |          AND a.vec_id <> b.vec_id),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |j AS (SELECT vec_a, vec_b, ${cosSql("x.v", "y.v")} AS cos
+       |      FROM cand JOIN e x ON x.vec_id = vec_a
+       |                JOIN e y ON y.vec_id = vec_b),
+       |rk AS (SELECT vec_a, vec_b, cos,
+       |         row_number() OVER (PARTITION BY vec_a
+       |           ORDER BY cos DESC, vec_b ASC) AS rank FROM j)
+       |SELECT vec_a, CAST(rank AS INTEGER) AS rank, vec_b,
+       |  round(cos, 6) AS sim
+       |FROM rk WHERE rank <= 3 ORDER BY vec_a, rank""".stripMargin
+
   /** The full PQ pipeline's oracle (train + encode + ADC + re-rank) —
     * shared by ann_pq and ann_pq_indexed, which run the identical
     * algorithm (the latter via materialized index tables).
@@ -804,22 +831,10 @@ object Extensions {
     // identical algorithm over materialized index tables
     "ann_pq_indexed" -> annPqSql,
 
-    "ann_knn_join" ->
-      s"""WITH bands AS ($embBandsSql),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bkey = b.bkey
-         |          AND a.vec_id <> b.vec_id),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |j AS (SELECT vec_a, vec_b, ${cosSql("x.v", "y.v")} AS cos
-         |      FROM cand JOIN e x ON x.vec_id = vec_a
-         |                JOIN e y ON y.vec_id = vec_b),
-         |rk AS (SELECT vec_a, vec_b, cos,
-         |         row_number() OVER (PARTITION BY vec_a
-         |           ORDER BY cos DESC, vec_b ASC) AS rank FROM j)
-         |SELECT vec_a, CAST(rank AS INTEGER) AS rank, vec_b,
-         |  round(cos, 6) AS sim
-         |FROM rk WHERE rank <= 3 ORDER BY vec_a, rank""".stripMargin,
+    "ann_knn_join" -> annKnnSql,
+    // identical pair set by construction — salting only re-blocks the
+    // band join's shuffle, so the oracle is shared
+    "ann_knn_join_salted" -> annKnnSql,
 
     "ann_band_stats" ->
       s"""WITH bands AS ($embBandsSql),

@@ -84,6 +84,34 @@ object DedupScaleSmoke {
     val near = timed(s"crossCorpusNear ${k}x$k")(
       Dedup.crossCorpusNear(inS, exS).count())
     println(s"[dedupscale] near survivors: $near of $k")
+    // --- near-dup SIGNATURE INDEX at full corpus scale, mirroring the
+    // bloom tiers: build once (the expensive shingle + 16-rehash pass
+    // over the whole corpus), append a delta, probe a batch paying only
+    // the batch's own signatures — and run the candidate-volume guard
+    // first, as a production pipeline would.
+    val nroot = Files.createTempDirectory("graft-nearidx-").toString
+    timed(s"buildNearIndex $n docs (one-time)")(
+      Dedup.buildNearIndex(spark, ex, nroot, "corp", "sig"))
+    // delta ids [2n, 2n+b): disjoint from existing, incoming, and batch
+    val delta = spark.range(2 * n, 2 * n + b).selectExpr("id AS doc_id",
+      "concat('document number ', id, ' body text') AS text")
+    timed(s"refreshNearIndex $b docs (delta append)")(
+      Dedup.refreshNearIndex(spark, delta, nroot, "corp", "sig"))
+    val sigIndex = graft.plans.Mor.read(spark, nroot, "corp", "sig")
+    val guard = timed(s"crossBandStats batch $b vs $n-doc index (guard)")(
+      Dedup.crossBandStatsFromSigs(
+        Dedup.minhashSignatures(batchDf), sigIndex).head)
+    println(s"[dedupscale]   guard: cand_pairs=${guard.getLong(0)} " +
+      s"hot_buckets=${guard.getLong(1)} max_bucket_pairs=${guard.getLong(2)}")
+    val nearProbe = timed(s"probeNearIndexed batch $b (indexed)")(
+      Dedup.probeNearIndexed(spark, batchDf, nroot, "corp", "sig").count())
+    // the direct path re-shingles the ENTIRE existing corpus per batch
+    // — the cost the persisted index exists to avoid; answers must agree
+    val nearDirect = timed(s"crossCorpusNear batch ${b}x${n + b} (direct)")(
+      Dedup.crossCorpusNear(batchDf, ex.unionByName(delta)).count())
+    require(nearProbe == nearDirect,
+      s"near index diverged: direct $nearDirect vs indexed $nearProbe")
+    println(s"[dedupscale] near batch survivors: $nearProbe of $b")
     println("[dedupscale] OK")
     spark.stop()
   }

@@ -100,6 +100,14 @@ class OperatorsSpec extends AnyFunSuite {
     val knn = Similarity.knnJoin(emb, k = 1, bands = 1, r = 2)
       .collect().map(row => (row.getLong(0), row.getLong(2)))
     assert(knn.toSeq == Seq((1L, 2L), (2L, 1L)))
+    // hot-band salting re-blocks the shuffle only: every ordered pair
+    // meets in exactly one salt block, so the result is identical for
+    // any shard count (including shards > bucket sizes)
+    for (s <- Seq(2, 3, 8)) {
+      val salted = Similarity.knnJoin(emb, k = 1, bands = 1, r = 2,
+        saltShards = s).collect().map(row => (row.getLong(0), row.getLong(2)))
+      assert(salted.toSeq == knn.toSeq, s"saltShards=$s diverged")
+    }
   }
 
   test("persisted bloom index: incremental refresh folds bit-identical " +
