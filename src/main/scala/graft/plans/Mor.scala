@@ -512,9 +512,12 @@ object Mor {
       //                          pre-marker behavior (silent skip) let a
       //                          CDC consumer miss every metadata-only
       //                          DELETE WHERE / TRUNCATE forever.
+      val replaceOp =
+        if (dropped.isEmpty) None
+        else TableIO.replaceOperation(root, ns, table, v)
       val droppedChanges: Seq[DataFrame] =
         if (dropped.isEmpty) Seq.empty
-        else TableIO.replaceOperation(root, ns, table, v) match {
+        else replaceOp match {
           case Some("replace") => Seq.empty // content-preserving rewrite
           case Some("delete") | Some("overwrite") =>
             // Dropping a DELETE file while its target data files remain
@@ -555,9 +558,7 @@ object Mor {
                 "overwrite — reset the consumer (reconsume from scratch, " +
                 s"or re-point its offset past v$v deliberately)")
         }
-      if (dropped.nonEmpty &&
-          TableIO.replaceOperation(root, ns, table, v).contains("replace"))
-        Seq.empty[DataFrame]
+      if (replaceOp.contains("replace")) Seq.empty[DataFrame]
       else {
         // Data files the commit kept — when it also DROPPED files, the
         // added-delete scan below is restricted to these: rows of the

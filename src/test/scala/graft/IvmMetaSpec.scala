@@ -90,7 +90,7 @@ class IvmMetaSpec extends AnyFunSuite {
     val seq = TableIO.nextSeq(root, "ns", "t")
     TableIO.commit(root, "ns", "t", Seq(TableIO.writeExactFile(spark, root,
       "ns", "t", "data/part-00099.parquet", extra, "data", seq,
-      recordCount = 100L)))
+      recordCount = 100L, bounds = Map("bar" -> (1000L, 1099L)))))
     Ivm.catchUp(spark, root, "ns", "t", "agg", ckpt,
       pmod(col("bar"), lit(7)), "bar")
     assert(TableIO.currentVersion(root, "ns", "agg") == 4L)
@@ -106,5 +106,21 @@ class IvmMetaSpec extends AnyFunSuite {
     assert(TableIO.currentVersion(root, "ns", "agg") == 4L) // no new commit
     assert(graft.plans.ChangeFeed.offsetOf(ckpt) == 4L)     // advanced
     assert(stateRows() == before)                           // not refolded
+    // a METADATA-ONLY delete on the base (the appended file's bounds
+    // [1000,1099] fully cover the range, so the file just leaves the
+    // manifest — zero delete rows written): the pre-marker changelog
+    // emitted NOTHING for this commit and the view silently diverged
+    // forever; with synthesized deletes the fold must land exactly on
+    // the recompute
+    val dv = graft.plans.Dml.deleteWhere(spark, root, "ns", "t",
+      "bar", 1000L, 1099L)
+    assert(TableIO.readManifest(root, "ns", "t")
+      .count(_.content != "data") == 2, // only the original pipeline's
+      "fixture drift: the deleteWhere was supposed to be metadata-only")
+    assert(dv == 5L)
+    Ivm.catchUp(spark, root, "ns", "t", "agg", ckpt,
+      pmod(col("bar"), lit(7)), "bar")
+    assert(stateRows() == expected, // back to the pre-append recompute
+      "view diverged across a metadata-only DELETE WHERE")
   }
 }
