@@ -39,6 +39,28 @@ object Dedup {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  /** Duplicate-cluster representative selection: among documents with
+    * the same normalized fingerprint, keep the LONGEST copy (tie:
+    * smallest id) — real pipelines keep the best duplicate, not the
+    * first. Implemented as a pure aggregate (`max` of a
+    * lexicographically-ordered struct), not a window: partial map-side
+    * combine reduces every upstream task to one candidate row per
+    * fingerprint before the shuffle, so a pathological
+    * million-copy document costs one row per task, never a
+    * full-cluster sort.
+    */
+  def keepBest(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), col("n_chars"),
+        md5(normalize(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+          .as("best"),
+        count(lit(1)).as("n_copies"))
+      .select((-col("best.neg_id")).as("doc_id"),
+        col("best.n_chars").as("n_chars"), col("n_copies"))
+      .orderBy("doc_id")
+
   /** Fingerprint dedup: md5 of normalized text (md5 is identical across
     * engines, unlike xxhash64/murmur). The scan is spread across cores
     * first: the corpus arrives as few (locally: one) parquet splits, and

@@ -74,6 +74,25 @@ object PipelineOps {
       .select("doc_id", "source", "rate")
       .orderBy("doc_id")
 
+  /** Per-source document cap (domain balancing — the web-corpus rule
+    * that no domain may contribute more than N documents): rank each
+    * source's documents by an independent hash draw (deterministic
+    * "random" N, not first-N-by-id) and keep rank <= cap. The
+    * rank-filter compiles to a WindowGroupLimit plan: each input task
+    * keeps only its local top-cap rows per source BEFORE the shuffle,
+    * so a dominant source costs cap rows per upstream task, not a
+    * full-source sort — the shape that survives one domain owning 10%
+    * of a 100 TB crawl. Hash ties break on doc_id.
+    */
+  def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(idHash("c").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= cap)
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing: assign documents to fixed-character-budget bins
     * (the proxy for token-budget packing of training sequences) with a
     * next-fit running sum. Windows are partitioned by (lang, shard) —

@@ -244,4 +244,36 @@ object Retrieval {
       expected: Long): Unit =
     graft.plans.Partitioning.replacePartitions(spark, root, ns, table,
       merged, spec, touched, expected)
+
+  /** Hybrid retrieval with reciprocal-rank fusion (the RAG-pipeline
+    * standard): fuse a lexical BM25 candidate list and a dense
+    * cosine-similarity candidate list by RRF(d) = Σ 1/(c + rank_l(d))
+    * over the lists d appears in. Each list is a bounded top-`kEach`
+    * (the expensive corpus-scale work — BM25 postings + ANN — happens
+    * upstream in the two retrievers; fusion touches 2·kEach rows), so
+    * the rank windows sort k rows, not the corpus, and the full-outer
+    * join is trivially broadcastable. Ranks order by (score desc, id):
+    * BM25 scores are fixed-point-derived and cosines 6dp-rounded, so
+    * rank assignment has no cross-engine float ambiguity.
+    */
+  def rrfFusion(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryId: Long = 0L, kEach: Int = 50, k: Int = 15,
+      c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bmR = bm25TopK(docs, terms, k = kEach)
+      .select(col("doc_id").as("id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long").as("r_bm25"))
+    val cosR = Similarity.bruteTopK(emb, queryId, kEach)
+      .select(col("vec_id").as("id"), row_number()
+        .over(Window.orderBy(col("sim").desc, col("vec_id")))
+        .cast("long").as("r_cos"))
+    bmR.join(cosR, Seq("id"), "full_outer")
+      .select(col("id"), col("r_bm25"), col("r_cos"),
+        round(coalesce(lit(1.0) / (lit(c) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("r_cos")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
 }

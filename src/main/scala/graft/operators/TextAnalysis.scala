@@ -52,6 +52,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The Gopher rule set (Rae et al. 2021 §A1.1, the staple web-corpus
+    * gate): per-document pass/fail flags for word count, mean word
+    * length, symbol-to-word ratio (# and ellipses), alphabetic-word
+    * fraction, and stopword presence, plus the conjunction. Distinct
+    * from [[quality]] (raw signals): this emits the named DECISIONS a
+    * pipeline filters on. Pure per-row higher-order-function column
+    * expressions — codegen'd linear scan, embarrassingly parallel;
+    * every ratio is one int/int division (IEEE-identical in DuckDB).
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000, minMeanWl: Double = 3.0,
+      maxMeanWl: Double = 10.0): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val nw = size(words).cast("long")
+    val meanWl = aggregate(words, lit(0L), (a, w) => a + length(w))
+      .cast("double") / nw
+    val symRatio = (regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") / nw
+    val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nw
+    val nStop = size(filter(words,
+      w => stopwords.map(s => w === s).reduce(_ || _))).cast("long")
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    val fWords = flag(nw >= minWords && nw <= maxWords)
+    val fMeanWl = flag(meanWl >= minMeanWl && meanWl <= maxMeanWl)
+    val fSym = flag(symRatio <= 0.1)
+    val fAlpha = flag(alphaFrac >= 0.8)
+    val fStop = flag(nStop >= 2)
+    docs.select(col("doc_id"), nw.as("n_words"),
+      fWords.as("ok_words"), fMeanWl.as("ok_mean_wl"), fSym.as("ok_sym"),
+      fAlpha.as("ok_alpha"), fStop.as("ok_stop"),
+      (fWords * fMeanWl * fSym * fAlpha * fStop).as("passes"))
+      .orderBy("doc_id")
+  }
+
   private val markers: Seq[(String, String)] = Seq(
     "en" -> "\\bthe\\b", "de" -> "\\bder\\b", "es" -> "\\bel\\b",
     "fr" -> "\\ble\\b", "zh" -> "\\bde\\b")
@@ -130,7 +165,19 @@ object TextAnalysis {
     * Per-bigram log-probs floor to scaled longs before the per-doc sum
     * (order-independent, engine-replayable — the BM25 discipline).
     */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame): DataFrame =
+    lmScoreFp(docs)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp_fp").cast("double") / lit(1e7) / col("n_bigrams"), 6)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+
+  /** Fixed-point core of [[lmScore]]: per-doc bigram count + summed
+    * scaled-long log-probs `(doc_id, n_bigrams, lp_fp)` — the exact
+    * integer skeleton both the float score and the bucketing key
+    * derive from.
+    */
+  private def lmScoreFp(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val words = docs.repartition(col("doc_id")).select(col("doc_id"),
@@ -145,11 +192,56 @@ object TextAnalysis {
           .cast("long").as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("lp_fp"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(col("lp_fp").cast("double") / lit(1e7) / col("n_bigrams"), 6)
-          .as("avg_logp"))
+  }
+
+  /** CCNet-style perplexity bucketing: per language, rank documents by
+    * their LM score and cut the ranking into `n` equal-frequency
+    * buckets (CCNet's head/middle/tail with the bigram LM standing in
+    * for KenLM). The ordering key is a fixed-point per-doc average
+    * (`floor(lp_fp * 1000 / n_bigrams)` — exact long inputs, one
+    * IEEE-identical double divide+floor), so the rank has no float
+    * ties for engines to break differently; doc_id breaks exact ties.
+    * Shape: the lmScore aggregates + one per-lang ntile window —
+    * at 100 TB the window sorts one language per partition set, the
+    * same per-key layout every windowed op here uses.
+    */
+  def lmBuckets(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = lmScoreFp(docs).select(col("doc_id"),
+      floor(col("lp_fp").cast("double") * lit(1000.0) / col("n_bigrams"))
+        .cast("long").as("avg_fp"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_fp").desc, col("doc_id"))
+    keyed.join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("avg_fp"),
+        ntile(n).over(w).cast("long").as("bucket"))
       .orderBy("doc_id")
   }
+
+  /** Classifier-based quality filtering (the fastText/DCLM-style gate):
+    * score = Σ over tokens of w[h(token) mod B] — a linear classifier
+    * over hashed bag-of-words features. The weight vector here is
+    * hash-derived integers in [-1000, 1000] standing in for trained
+    * parameters; the dataflow (tokenize → feature-hash → per-doc
+    * weighted sum → threshold) is exactly what scoring a corpus with a
+    * trained linear model costs: one scan, one key shuffle with
+    * map-side combine, integer arithmetic, no all-pairs anything. A
+    * trained model would broadcast its 2^20-float weight array; the
+    * hash-derived weights make the oracle replayable without one.
+    */
+  def classifierScore(docs: DataFrame, buckets: Int = 1024): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .select(col("doc_id"),
+        (pmod(TextHash.rollingHash(concat(lit("clf"),
+          pmod(TextHash.rollingHash(col("w")), lit(buckets)).cast("string"))),
+          lit(2001)) - lit(1000)).as("wt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("wt").as("score_fp"))
+      .select(col("doc_id"), col("n_tokens"), col("score_fp"),
+        when(col("score_fp") > 0, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
 
   /** Corpus-frequency rarity scoring: per-document counts of distinct
     * words, rare words (document frequency <= `rareDf`), and the summed

@@ -239,6 +239,18 @@ object Extensions {
       TextAnalysis.repetition(rd(s, dir, "documents"))),
     "text_rarity" -> ((s, dir) => TextAnalysis.rarity(rd(s, dir, "documents"))),
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(rd(s, dir, "documents"))),
+    "text_lm_buckets" -> ((s, dir) => TextAnalysis.lmBuckets(rd(s, dir, "documents"))),
+    "text_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(rd(s, dir, "documents"))),
+    "text_classifier_score" -> ((s, dir) =>
+      TextAnalysis.classifierScore(rd(s, dir, "documents"))),
+    "pipe_source_cap" -> ((s, dir) => PipelineOps.sourceCap(rd(s, dir, "documents"))),
+    "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(rd(s, dir, "documents"))),
+    // hybrid lexical+dense retrieval: BM25 top-50 and cosine top-50
+    // fused with reciprocal-rank fusion (doc_id and vec_id share the
+    // 0..N id space in the fixtures, as a joined corpus would)
+    "ann_rrf_fusion" -> ((s, dir) =>
+      graft.operators.Retrieval.rrfFusion(rd(s, dir, "documents"),
+        rdEmbeddings(s, dir), bm25Terms)),
     "text_stats" -> ((s, dir) => TextAnalysis.stats(rd(s, dir, "documents"))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokens(rd(s, dir, "documents"))),
     "text_countmin" -> ((s, dir) => TextAnalysis.countMin(rd(s, dir, "documents"))),
@@ -1128,6 +1140,129 @@ object Extensions {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(lp) AS DOUBLE) / 10000000.0 / count(*), 6) AS avg_logp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same bigram-LM fixed-point core; per-lang ntile over the exact
+    // integer ordering key (no float ties for engines to break apart)
+    "text_lm_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+        |       FROM t, unnest(range(0, len(w) - 1)) r(i)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+        |s AS (SELECT doc_id,
+        |        CAST(floor(ln(CAST(c12 AS DOUBLE) / c1) * 10000000.0)
+        |          AS BIGINT) AS lp
+        |      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+        |agg AS (SELECT doc_id, count(*) AS nb,
+        |          CAST(sum(lp) AS BIGINT) AS lp_fp FROM s GROUP BY doc_id),
+        |k AS (SELECT doc_id,
+        |        CAST(floor(CAST(lp_fp AS DOUBLE) * 1000.0 / nb) AS BIGINT)
+        |          AS avg_fp FROM agg)
+        |SELECT k.doc_id, d.lang, avg_fp,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY avg_fp DESC, k.doc_id) AS BIGINT) AS bucket
+        |FROM k JOIN documents d ON k.doc_id = d.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
+
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / len(w) AS mean_wl,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |      / len(w) AS sym_ratio,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / len(w) AS alpha_frac,
+        |    len(list_filter(w, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS n_stop
+        |  FROM t),
+        |g AS (SELECT doc_id, nw,
+        |    CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS f_words,
+        |    CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1 ELSE 0
+        |      END AS f_mean_wl,
+        |    CASE WHEN sym_ratio <= 0.1 THEN 1 ELSE 0 END AS f_sym,
+        |    CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS f_alpha,
+        |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS f_stop
+        |  FROM f)
+        |SELECT doc_id, nw AS n_words,
+        |  CAST(f_words AS BIGINT) AS ok_words,
+        |  CAST(f_mean_wl AS BIGINT) AS ok_mean_wl,
+        |  CAST(f_sym AS BIGINT) AS ok_sym,
+        |  CAST(f_alpha AS BIGINT) AS ok_alpha,
+        |  CAST(f_stop AS BIGINT) AS ok_stop,
+        |  CAST(f_words * f_mean_wl * f_sym * f_alpha * f_stop
+        |    AS BIGINT) AS passes
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_classifier_score" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |           FROM documents),
+         |f AS (SELECT doc_id,
+         |        (${rollSql(s"'clf' || CAST(${rollSql("w")} % 1024 AS VARCHAR)")}
+         |          % 2001) - 1000 AS wt
+         |      FROM t)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(wt) AS BIGINT) AS score_fp,
+         |  CAST(CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_source_cap" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${rollSql("'c' || CAST(doc_id AS VARCHAR)")} ASC,
+         |        doc_id ASC) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source, rk FROM r WHERE rk <= 10
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH f AS (SELECT doc_id, n_chars, md5($normSql) AS fp FROM documents),
+         |r AS (SELECT doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY fp
+         |          ORDER BY n_chars DESC, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY fp) AS n_copies
+         |      FROM f)
+         |SELECT doc_id, n_chars, n_copies FROM r WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    // the BM25 CTE chain is bm25Sql's, widened to top-50; the cosine
+    // chain is ann_topk's; RRF fuses the two bounded lists
+    "ann_rrf_fusion" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |           FROM documents),
+         |q AS (SELECT unnest([${bm25Terms.map("'" + _ + "'").mkString(", ")}]) AS term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM w JOIN q USING (term) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+         |c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |s AS (SELECT tf.doc_id,
+         |        CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |          * (tf * 2.2)
+         |          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |          * 10000000.0) AS BIGINT) AS s_fp
+         |      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), c),
+         |bmtop AS (SELECT doc_id, CAST(sum(s_fp) AS DOUBLE) / 10000000.0 AS score
+         |          FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+         |bm AS (SELECT doc_id AS id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm25
+         |       FROM bmtop),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qe AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |ctop AS (SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |         FROM e, qe WHERE e.vec_id <> 0
+         |         ORDER BY sim DESC, vec_id LIMIT 50),
+         |cr AS (SELECT vec_id AS id,
+         |         row_number() OVER (ORDER BY sim DESC, vec_id) AS r_cos
+         |       FROM ctop)
+         |SELECT COALESCE(bm.id, cr.id) AS id, r_bm25, r_cos,
+         |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + r_bm25), 0)
+         |    + COALESCE(CAST(1 AS DOUBLE) / (60 + r_cos), 0), 6) AS rrf
+         |FROM bm FULL JOIN cr ON bm.id = cr.id
+         |ORDER BY rrf DESC, id LIMIT 15""".stripMargin,
 
     "text_rarity" ->
       """WITH words AS (SELECT doc_id,

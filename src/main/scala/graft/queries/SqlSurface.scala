@@ -13,6 +13,32 @@ object SqlSurface {
   private def views(s: SparkSession, dir: String, tables: String*): Unit =
     tables.foreach(t => rd(s, dir, t).createOrReplaceTempView(t))
 
+  /** Dialect-identical SQL (runs verbatim in Spark AND DuckDB): exact
+    * fixed-point power sums, then the OLS/corr formulas in double.
+    */
+  private val statsAggSql =
+    """WITH s AS (SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(floor(l_quantity * l_quantity * 100)
+      |      AS BIGINT)) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(floor(l_extendedprice * l_extendedprice * 100)
+      |      AS BIGINT)) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(floor(l_quantity * l_extendedprice * 100)
+      |      AS BIGINT)) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag),
+      |m AS (SELECT l_returnflag, n,
+      |    sx / 100 / n AS mx, sy / 100 / n AS my, sxx / 100 / n AS mxx,
+      |    syy / 100 / n AS myy, sxy / 100 / n AS mxy
+      |  FROM s)
+      |SELECT l_returnflag, n,
+      |  round(mxy - mx * my, 4) AS covar_pop,
+      |  round((mxy - mx * my) / (mxx - mx * mx), 6) AS regr_slope,
+      |  round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 4) AS regr_intercept,
+      |  round((mxy - mx * my)
+      |    / sqrt((mxx - mx * mx) * (myy - my * my)), 6) AS corr
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Correlated scalar subquery per outer row.
@@ -427,6 +453,19 @@ object SqlSurface {
           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     }),
 
+    // Regression/correlation aggregates (the corr/covar/regr_* SQL
+    // family): both engines' native implementations stream doubles in
+    // partition order, so their co-moment results differ in final ulps
+    // — instead the five raw power sums are accumulated as exact
+    // fixed-point longs (order-free, engine-identical) and
+    // slope/intercept/corr/covariance derive from them with one shared
+    // double formula. Same plan shape as any grouped agg: one scan,
+    // map-side partial sums, tiny final reduce.
+    "q_stats_agg" -> ((s, dir) => {
+      views(s, dir, "lineitem")
+      s.sql(statsAggSql)
+    }),
+
     // Time-series gap fill: a generated calendar dimension left-joined
     // to daily order counts — missing days surface as 0 and a forward
     // fill (last_value IGNORE NULLS) carries the last observed count.
@@ -705,6 +744,8 @@ object SqlSurface {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS late
         |  FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stats_agg" -> statsAggSql,
 
     "q_zscore_outliers" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,

@@ -53,6 +53,13 @@ class GraftTableStreamProvider extends StreamSourceProvider
     (req("root"), req("namespace"), req("table"), mode)
   }
 
+  private def parseMaxVersions(parameters: Map[String, String]): Option[Long] =
+    parameters.get("maxVersionsPerBatch").map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxVersionsPerBatch must be positive, got $n")
+      n
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {

@@ -717,4 +717,86 @@ class OperatorsSpec extends AnyFunSuite {
     val recall = banded.size.toDouble / exact.size
     assert(recall >= 0.9, f"sign-LSH banding recall $recall%.3f < 0.9")
   }
+
+  test("keepBest keeps the longest duplicate, ties break to smallest id") {
+    // ids 1/2/3 normalize to the same fingerprint with lengths 13/14/14;
+    // id 2 and 3 tie on length -> keep 2; id 9 is a singleton
+    val d = docs(
+      1L -> "hello world x",
+      2L -> "Hello  WORLD x!",  // normalizes same, longer raw text
+      3L -> "hello world x..",  // same normalized, same n_chars as 2
+      9L -> "another doc")
+      .withColumn("n_chars", length($"text"))
+    val got = Dedup.keepBest(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(2L -> 3L, 9L -> 1L),
+      s"expected doc 2 to represent its 3-copy cluster, got $got")
+  }
+
+  test("sourceCap keeps at most `cap` docs per source, deterministically") {
+    val d = (1L to 40L).map(i =>
+        (i, if (i % 2 == 0) "even.com" else "odd.com", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    val a = graft.operators.PipelineOps.sourceCap(d, cap = 3).collect()
+    assert(a.length == 6)
+    assert(a.map(_.getLong(2)).forall(_ <= 3))
+    a.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      assert(rs.length == 3)
+    }
+    val b = graft.operators.PipelineOps.sourceCap(d, cap = 3).collect()
+    assert(a.map(_.getLong(0)).toSet == b.map(_.getLong(0)).toSet)
+  }
+
+  test("classifierScore equals the hand-computed hashed-BoW weighted sum") {
+    val text = "alpha beta alpha gamma"
+    val d = docs(7L -> text)
+    def weight(w: String): Long = {
+      val b = HashExprs.polyHash(UTF8String.fromString(w)) % 1024L
+      HashExprs.polyHash(UTF8String.fromString(s"clf$b")) % 2001L - 1000L
+    }
+    val expected = text.split(" ").map(weight).sum
+    val row = TextAnalysis.classifierScore(d).head()
+    assert(row.getLong(1) == 4L)
+    assert(row.getLong(2) == expected)
+    assert(row.getLong(3) == (if (expected > 0) 1L else 0L))
+  }
+
+  test("lmBuckets: per-lang equal-frequency buckets, ordered by score") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextAnalysis.lmBuckets(d).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    got.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)))
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang ntile sizes unbalanced: $sizes")
+      // monotone: every bucket-1 score >= every bucket-3 score
+      for (hi <- rs.filter(_._3 == 1L); lo <- rs.filter(_._3 == 3L))
+        assert(hi._2 >= lo._2, s"$lang: bucket1 ${hi._2} < bucket3 ${lo._2}")
+    }
+  }
+
+  test("rrfFusion scores recompute from the two candidate rank lists") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val terms = Seq("spark", "hash", "join")
+    val bmRank = graft.operators.Retrieval.bm25TopK(d, terms, k = 50)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val cosRank = Similarity.bruteTopK(e, 0L, 50)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val fused = graft.operators.Retrieval.rrfFusion(d, e, terms).collect()
+    assert(fused.length == 15)
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      val exp = bmRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        cosRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - exp) < 1e-6,
+        s"id $id rrf ${r.getDouble(3)} != recomputed $exp")
+    }
+    // descending by fused score
+    val scores = fused.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
 }
