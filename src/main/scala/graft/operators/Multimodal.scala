@@ -203,6 +203,87 @@ object Multimodal {
   // keep the documented stub as fallback.
   // ------------------------------------------------------------------
 
+  /** Deterministic grayscale BMP synthesizer (the visual-dup fixture):
+    * pixel(x,y) = (seed*31 + 7x + 13y) mod 256 in all three channels.
+    * BMP is lossless, so the decode side recovers these values exactly.
+    */
+  def encodeGrayBmp(seed: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average hash (aHash, the classic perceptual image
+    * fingerprint) of a decoded image, returned as two non-negative
+    * longs (bits 32-63, bits 0-31) so downstream SQL arithmetic never
+    * touches the sign bit. Bit i (= y*8+x over the 8x8 grid, sampled
+    * nearest-neighbor for larger inputs) is set when pixel_i*64 > sum —
+    * the integer form of "above the mean", exact in any engine. Gray
+    * level is the blue channel (fixtures are r=g=b; production swaps in
+    * a luma weighting at this line only).
+    */
+  def averageHash(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val vs = new Array[Long](64)
+    var s = 0L
+    var i = 0
+    while (i < 64) {
+      val v = (img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xFF).toLong
+      vs(i) = v
+      s += v
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    i = 0
+    while (i < 64) {
+      if (vs(i) * 64 > s) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** Visual duplicate census: synthesize each document's image payload
+    * (seed = doc_id mod 100, so the corpus carries genuine repeated
+    * images), round-trip it through the REAL codec path (BMP encode ->
+    * javax.imageio decode), perceptual-hash the pixels, and group by
+    * hash — exact-visual dedup as one linear mapPartitions scan plus
+    * one hash aggregate, the same no-all-pairs shape as text
+    * fingerprint dedup. Near-dup would band the 64 bits into 4x16-bit
+    * keys (the SimHash discipline); exact grouping is the census here.
+    */
+  def visualDupes(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(encodeGrayBmp(id % 100)))
+          val (hi, lo) = averageHash(img)
+          (id, hi, lo)
+        }
+      }.toDF("doc_id", "phash_hi", "phash_lo")
+      .groupBy("phash_hi", "phash_lo")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+      .select("rep_id", "phash_hi", "phash_lo", "n_copies")
+      .orderBy("rep_id")
+  }
+
   /** Minimal-but-valid MJPEG AVI writer (RIFF -> hdrl(avih, strl(strh,
     * strf)) -> movi('00dc' JPEG per frame)) — the deterministic
     * test-payload synthesizer, playing the role a camera/transcoder

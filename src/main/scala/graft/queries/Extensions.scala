@@ -258,6 +258,12 @@ object Extensions {
     "text_langid" -> ((s, dir) => TextAnalysis.langId(rd(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(rd(s, dir, "documents"))),
     "multimodal_meta" -> ((s, dir) => Multimodal.meta(rd(s, dir, "documents"))),
+    // perceptual-hash visual dedup through the REAL codec round-trip
+    // (BMP encode -> javax.imageio decode -> aHash); the oracle replays
+    // the closed form of the synthesized pixels, so any decode or
+    // hash-bit drift fails the hash compare
+    "multimodal_phash" -> ((s, dir) =>
+      Multimodal.visualDupes(s, rd(s, dir, "documents"))),
     // Decode -> resize over the documents payloads through the real
     // mapPartitions pipeline; integer outputs (dims, byte count) keep
     // the oracle hash float-free. Text payloads never parse as images,
@@ -1366,6 +1372,27 @@ object Extensions {
         |  md5(text) AS content_md5,
         |  to_base64(encode(substring(text, 1, 8))) AS head_b64
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed form of the synthesized 8x8 image: pixel(x,y) =
+    // ((doc_id%100)*31 + 7x + 13y) mod 256; aHash bit y*8+x set when
+    // pixel*64 > sum, packed into (hi, lo) 32-bit halves — the engine
+    // must recover identical bits through BMP encode + imageio decode
+    "multimodal_phash" ->
+      """WITH cells AS (SELECT doc_id, x, y,
+        |    ((doc_id % 100) * 31 + x * 7 + y * 13) % 256 AS v
+        |  FROM documents, range(0, 8) tx(x), range(0, 8) ty(y)),
+        |s AS (SELECT doc_id, sum(v) AS sv FROM cells GROUP BY doc_id),
+        |b AS (SELECT cells.doc_id,
+        |    CAST(sum(CASE WHEN y * 8 + x >= 32 AND v * 64 > sv
+        |      THEN (CAST(1 AS BIGINT) << CAST(y * 8 + x - 32 AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS phash_hi,
+        |    CAST(sum(CASE WHEN y * 8 + x < 32 AND v * 64 > sv
+        |      THEN (CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS phash_lo
+        |  FROM cells JOIN s USING (doc_id) GROUP BY cells.doc_id)
+        |SELECT min(doc_id) AS rep_id, phash_hi, phash_lo,
+        |  count(*) AS n_copies
+        |FROM b GROUP BY phash_hi, phash_lo ORDER BY rep_id""".stripMargin,
 
     // closed form of the synthesized AVI: doc_id%3+1 frames, frame f of
     // doc d is (16+d%8+f) x (12+d%5+f) — the engine must recover these

@@ -71,7 +71,8 @@ class GraftTableStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val (root, ns, t, mode) = parse(parameters)
-    new GraftTableSource(sqlContext, root, ns, t, mode)
+    new GraftTableSource(sqlContext, root, ns, t, mode,
+      parseMaxVersions(parameters), metadataPath)
   }
 
   /** `writeStream.format("graft-table")` — every micro-batch lands as
@@ -105,15 +106,55 @@ object GraftTableSource {
   }
 }
 
+/** @param maxVersions admission control (the `maxFilesPerTrigger` of
+  *   the snapshot log): cap each micro-batch at this many snapshot
+  *   versions, so a stream starting against a long backlog (a fresh
+  *   tail of a 10k-commit table, or catch-up after downtime) plans
+  *   bounded batches instead of one batch spanning the entire history.
+  *   The last OFFERED offset is persisted under the source's
+  *   checkpoint `metadataPath` (the v1 FileStreamSource pattern) so a
+  *   restart resumes capping from where it left off; if that marker is
+  *   ever lost while the offset log survives, the next `getBatch`
+  *   fails loudly (end < start) rather than silently replanning.
+  */
 class GraftTableSource(sqlContext: SQLContext, root: String, ns: String,
-    t: String, mode: String) extends Source {
+    t: String, mode: String, maxVersions: Option[Long] = None,
+    metadataPath: String = "") extends Source {
 
   override val schema: StructType = GraftTableSource.schemaFor(root, ns, t, mode)
 
-  /** Current snapshot version; None until the first commit exists. */
+  private val highWaterFile: Option[java.nio.file.Path] =
+    maxVersions.filter(_ => metadataPath.nonEmpty).map { _ =>
+      java.nio.file.Paths.get(metadataPath, "graft-highwater")
+    }
+
+  /** Furthest version offered to the engine (admission-control state). */
+  private var highWater: Long = highWaterFile match {
+    case Some(p) if java.nio.file.Files.isRegularFile(p) =>
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+    case _ => 0L
+  }
+
+  private def persistHighWater(v: Long): Unit = highWaterFile.foreach { p =>
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Current snapshot version capped by admission control; None until
+    * the first commit exists.
+    */
   override def getOffset: Option[Offset] = {
     val v = TableIO.currentVersion(root, ns, t)
-    if (v <= 0L) None else Some(LongOffset(v))
+    if (v <= 0L) None
+    else {
+      val offered = maxVersions.fold(v)(m => math.min(v, highWater + m))
+      if (offered > highWater) { highWater = offered; persistHighWater(offered) }
+      Some(LongOffset(offered))
+    }
   }
 
   // restart path hands back SerializedOffset(json) — both shapes carry
@@ -126,6 +167,15 @@ class GraftTableSource(sqlContext: SQLContext, root: String, ns: String,
     val cur = TableIO.currentVersion(root, ns, t)
     require(to <= cur,
       s"stream offset v$to is ahead of $ns.$t (v$cur) — checkpoint from another table?")
+    require(to >= from,
+      s"stream batch end v$to is behind its start v$from on $ns.$t — the " +
+        "admission-control high-water marker regressed relative to the " +
+        "offset log (lost checkpoint file?); restore it or drop " +
+        "maxVersionsPerBatch for one run")
+    // recovery replays the last planned batch before new offsets are
+    // polled — fold it into the admission high-water so capping resumes
+    // from the offset log's frontier, not behind it
+    if (to > highWater) { highWater = to; persistHighWater(to) }
     val changes = Mor.readChanges(sqlContext.sparkSession, root, ns, t, from, to)
     val batch = if (mode == "cdc") changes
       else changes.filter(col("_change_type") === "insert")

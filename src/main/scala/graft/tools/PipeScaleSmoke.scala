@@ -74,6 +74,14 @@ object PipeScaleSmoke {
     timed("dataCard")(PipelineOps.dataCard(docs).collect())
     timed("tokenBudget")(PipelineOps.tokenBudget(docs).collect())
     timed("interleave")(PipelineOps.interleave(docs).collect())
+    // round-9 additions: linear classifier scan, per-source window cap
+    // (WindowGroupLimit), keep-best aggregate, Gopher rule scan
+    timed("classifierScore")(
+      graft.operators.TextAnalysis.classifierScore(docs).count())
+    timed("gopherRules")(
+      graft.operators.TextAnalysis.gopherRules(docs).count())
+    timed("sourceCap")(PipelineOps.sourceCap(docs, cap = 100000).count())
+    timed("keepBest")(Dedup.keepBest(docs).count())
     println("[pipescale] OK")
     spark.stop()
   }

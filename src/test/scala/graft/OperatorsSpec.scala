@@ -776,6 +776,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("averageHash through the BMP codec equals the closed-form bits") {
+    for (seed <- Seq(0L, 1L, 7L, 42L, 99L)) {
+      val vs = Array.tabulate(64)(i =>
+        (seed * 31 + (i % 8) * 7 + (i / 8) * 13) % 256)
+      val s = vs.sum
+      var (hi, lo) = (0L, 0L)
+      vs.zipWithIndex.foreach { case (v, i) =>
+        if (v * 64 > s) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+      }
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.encodeGrayBmp(seed)))
+      assert(Multimodal.averageHash(img) == ((hi, lo)),
+        s"seed $seed: codec round-trip changed the hash bits")
+    }
+    // a 16x16 input samples down to the same grid shape (top-left cells)
+    val big = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodeGrayBmp(3L, w = 16, h = 16)))
+    val (hi16, lo16) = Multimodal.averageHash(big)
+    assert(hi16 >= 0L && lo16 >= 0L)
+  }
+
   test("rrfFusion scores recompute from the two candidate rank lists") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -97,6 +97,46 @@ class TableStreamSpec extends AnyFunSuite {
     q2.stop()
   }
 
+  test("maxVersionsPerBatch bounds backlog catch-up; restart keeps capping") {
+    val ns = "sns"; val t = "paced"
+    val root = java.nio.file.Files.createTempDirectory("graft-pace-").toString
+    TableIO.createNamespace(root, ns)
+    val schema = spark.range(0, 1).select(
+      col("id").cast("string").as("foo"), col("id").cast("int").as("bar"),
+      lit(true).as("baz")).schema
+    TableIO.createTableIfNotExists(root, ns, t, schema)
+    // a 6-commit backlog BEFORE the stream starts
+    (0 until 6).foreach(i => appendRange(root, ns, t, i, i * 10L, i * 10L + 10))
+    val ckpt = s"$root/_ckpt"
+
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    def startQuery() = spark.readStream.format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", t)
+      .option("maxVersionsPerBatch", "2").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += df.count(); ()
+      }.start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    // 6 backlog versions at <=2 per batch: 3 batches of 2 commits each,
+    // never one batch spanning the whole history
+    assert(batches.toSeq == Seq(20L, 20L, 20L),
+      s"expected three 2-version batches, got $batches")
+    q1.stop()
+
+    // restart: 3 more commits arrive while down -> capped again (2 + 1)
+    (6 until 9).foreach(i => appendRange(root, ns, t, i, i * 10L, i * 10L + 10))
+    batches.clear()
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    assert(batches.toSeq == Seq(20L, 10L),
+      s"expected a 2-version then 1-version batch after restart, got $batches")
+    q2.stop()
+  }
+
   test("sink commits micro-batches as snapshots; replayed batch id drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
