@@ -125,7 +125,12 @@ class GraftTableSource(sqlContext: SQLContext, root: String, ns: String,
 
   private val highWaterFile: Option[java.nio.file.Path] =
     maxVersions.filter(_ => metadataPath.nonEmpty).map { _ =>
-      java.nio.file.Paths.get(metadataPath, "graft-highwater")
+      // Spark hands the checkpoint source dir as a Hadoop path that may
+      // carry a scheme ("file:/ckpt/sources/0"); Paths.get would treat
+      // that as a RELATIVE path named "file:..." under the CWD
+      val local = metadataPath.stripPrefix("file://")
+        .stripPrefix("file:")
+      java.nio.file.Paths.get(local, "graft-highwater")
     }
 
   /** Furthest version offered to the engine (admission-control state). */
