@@ -93,6 +93,36 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Curriculum ordering — the composition of this family's quality
+    * signals into a training order: documents pass the Gopher rule gate
+    * ([[TextAnalysis.gopherRules]] passes=1 — the rule gate, unlike the
+    * untrained hash-weight classifier, is corpus-shape-robust), take
+    * their PHASE from the CCNet perplexity bucket
+    * ([[TextAnalysis.lmBuckets]]: phase 1 = most-fluent tercile
+    * first), and are deterministically shuffled
+    * WITHIN each phase via the shard+position trick ([[shuffleShards]])
+    * — exactly how production curricula work: ordered phases, shuffled
+    * content inside a phase (a score-exact global sort would buy
+    * nothing and cost a total order). Windows are bounded by
+    * (phase, shard); everything else is the two signal pipelines plus
+    * two key joins. Single-word documents carry no LM signal and drop
+    * out with the gate rejects.
+    */
+  def curriculum(docs: DataFrame, shards: Int = 8): DataFrame = {
+    val phases = TextAnalysis.lmBuckets(docs)
+      .select(col("doc_id"), col("bucket").as("phase"))
+    val gate = TextAnalysis.gopherRules(docs)
+      .filter(col("passes") === 1L).select("doc_id")
+    val w = Window.partitionBy("phase", "shard")
+      .orderBy(col("key"), col("doc_id"))
+    docs.select(col("doc_id"), idHash("u").as("key"))
+      .join(gate, "doc_id").join(phases, "doc_id")
+      .withColumn("shard", pmod(col("key"), lit(shards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "phase", "shard", "pos")
+      .orderBy("phase", "shard", "pos")
+  }
+
   /** Sequence packing: assign documents to fixed-character-budget bins
     * (the proxy for token-budget packing of training sequences) with a
     * next-fit running sum. Windows are partitioned by (lang, shard) —

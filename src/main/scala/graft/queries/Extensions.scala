@@ -245,6 +245,7 @@ object Extensions {
       TextAnalysis.classifierScore(rd(s, dir, "documents"))),
     "pipe_source_cap" -> ((s, dir) => PipelineOps.sourceCap(rd(s, dir, "documents"))),
     "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(rd(s, dir, "documents"))),
+    "pipe_curriculum" -> ((s, dir) => PipelineOps.curriculum(rd(s, dir, "documents"))),
     // hybrid lexical+dense retrieval: BM25 top-50 and cosine top-50
     // fused with reciprocal-rank fusion (doc_id and vec_id share the
     // 0..N id space in the fixtures, as a joined corpus would)
@@ -1213,6 +1214,54 @@ object Extensions {
          |  CAST(sum(wt) AS BIGINT) AS score_fp,
          |  CAST(CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // composed curriculum: lm-bucket phase x Gopher rule gate x
+    // in-phase shard shuffle — the three CTE chains of its inputs
+    "pipe_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bi AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+         |       FROM t, unnest(range(0, len(w) - 1)) r(i)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+         |s AS (SELECT doc_id,
+         |        CAST(floor(ln(CAST(c12 AS DOUBLE) / c1) * 10000000.0)
+         |          AS BIGINT) AS lp
+         |      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+         |agg AS (SELECT doc_id, count(*) AS nb,
+         |          CAST(sum(lp) AS BIGINT) AS lp_fp FROM s GROUP BY doc_id),
+         |k AS (SELECT doc_id,
+         |        CAST(floor(CAST(lp_fp AS DOUBLE) * 1000.0 / nb) AS BIGINT)
+         |          AS avg_fp FROM agg),
+         |lmb AS (SELECT k.doc_id, CAST(ntile(3) OVER (PARTITION BY d.lang
+         |          ORDER BY avg_fp DESC, k.doc_id) AS BIGINT) AS phase
+         |        FROM k JOIN documents d ON k.doc_id = d.doc_id),
+         |gw AS (SELECT doc_id, text,
+         |        string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+         |gf AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
+         |        CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+         |          / len(ws) AS mean_wl,
+         |        CAST(len(regexp_extract_all(text, '#'))
+         |          + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |          / len(ws) AS sym_ratio,
+         |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+         |          AS DOUBLE) / len(ws) AS alpha_frac,
+         |        len(list_filter(ws, x -> list_contains(
+         |          ['the','a','of','and','to','in','is'], x))) AS n_stop
+         |       FROM gw),
+         |clf AS (SELECT doc_id FROM gf
+         |        WHERE nw >= 50 AND nw <= 100000
+         |          AND mean_wl >= 3.0 AND mean_wl <= 10.0
+         |          AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
+         |          AND n_stop >= 2),
+         |ky AS (SELECT doc_id,
+         |        ${rollSql("'u' || CAST(doc_id AS VARCHAR)")} AS key
+         |       FROM documents),
+         |j AS (SELECT ky.doc_id, key, phase, key % 8 AS shard
+         |      FROM ky JOIN clf USING (doc_id) JOIN lmb USING (doc_id))
+         |SELECT doc_id, phase, shard,
+         |  row_number() OVER (PARTITION BY phase, shard
+         |    ORDER BY key, doc_id) AS pos
+         |FROM j ORDER BY phase, shard, pos""".stripMargin,
 
     "pipe_source_cap" ->
       s"""WITH r AS (SELECT doc_id, source,
