@@ -284,6 +284,53 @@ object Multimodal {
       .orderBy("rep_id")
   }
 
+  /** Near-duplicate visual pairs: hamming-banded LSH over the
+    * perceptual hashes — the SimHash discipline applied to images. The
+    * 64 aHash bits split into 4×16-bit band keys; a pair of distinct
+    * hashes collides on some band iff its hamming distance is
+    * concentrated elsewhere. With the default threshold 3, banding is
+    * LOSSLESS by pigeonhole (3 differing bits cannot touch all 4
+    * bands), so the banded join provably finds every qualifying pair
+    * and the oracle can state the semantics implementation-free as
+    * all-pairs hamming in [1, 3]. Candidates come from four equi-joins
+    * on band keys — never an all-pairs comparison — and the exact
+    * popcount(xor) confirm runs on candidates only. Exact-duplicate
+    * hashes are excluded (that census is [[visualDupes]]);
+    * representatives per hash keep the pair list |distinct
+    * hashes|-sized, not corpus-sized.
+    */
+  def visualNearDupes(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4x16-bit banding is only lossless below hamming 4 — raise the " +
+        "band count before raising the threshold")
+    // one representative per distinct hash: near-dup relates IMAGES,
+    // and every doc with the same hash pairs identically
+    val reps = visualDupes(spark, docs)
+      .select(col("rep_id"), col("phash_hi"), col("phash_lo"))
+    val banded = reps.select(col("rep_id"), col("phash_hi"), col("phash_lo"),
+      explode(array((0 until 4).map { b =>
+        val word = if (b < 2) col("phash_lo") else col("phash_hi")
+        struct(lit(b).as("band"),
+          pmod(shiftright(word, (b % 2) * 16), lit(65536L)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("rep_id"), col("phash_hi"), col("phash_lo"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col("band"), col("key"), col("rep_id").as("a_id"),
+      col("phash_hi").as("a_hi"), col("phash_lo").as("a_lo"))
+    val r = banded.select(col("band"), col("key"), col("rep_id").as("b_id"),
+      col("phash_hi").as("b_hi"), col("phash_lo").as("b_lo"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") > 0 && col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
   /** Minimal-but-valid MJPEG AVI writer (RIFF -> hdrl(avih, strl(strh,
     * strf)) -> movi('00dc' JPEG per frame)) — the deterministic
     * test-payload synthesizer, playing the role a camera/transcoder

@@ -93,4 +93,89 @@ object Ivm {
       from += 1
     }
   }
+
+  /** Join-view IVM: keep V = A join_k B materialized from BOTH base
+    * tables' changelogs, one base commit per batch. Each ΔA batch (the
+    * signed change rows of one A commit) joins B at the snapshot
+    * ALREADY FOLDED — a time-travel read, so the delta is computed
+    * against a frozen co-offset rather than "whatever B is now"
+    * (race-free under concurrent B writers) — and symmetrically for
+    * ΔB. After folding to offsets (va, vb) the state is exactly
+    * A@va ⋈ B@vb in multiset semantics: view rows carry multiplicity
+    * `n`, so duplicate join rows and partial retractions fold
+    * correctly (the classic signed-delta join maintenance:
+    * ΔV = ΔA⋈B + A⋈ΔB, cross terms impossible because every base
+    * commit touches one table).
+    *
+    * Offsets are TRANSACTIONAL: (va, vb) ride inside each state commit
+    * as a committed props entry, so data and offsets publish in one
+    * CAS rename — no side checkpoint to drift, and crash recovery is
+    * "read the current snapshot's props". The CAS expected-version
+    * (va + vb = batches applied) turns a replayed or concurrent fold
+    * into a loud failure instead of a double-application.
+    *
+    * Per batch the work is O(Δ rows ⋈ matching other-side keys +
+    * changed view keys) plus an O(|V|) state rewrite — the view is
+    * key-sized, never base-sized. At 100 TB the state table would be
+    * bucket-partitioned on k and only touched buckets rewritten (the
+    * BM25/bloom index refresh pattern, `Partitioning
+    * .replacePartitions`); the semantics here are the same.
+    */
+  def catchUpJoin(spark: SparkSession, root: String, ns: String,
+      aTable: String, bTable: String, stateTable: String,
+      key: String, aVal: String, bVal: String): Unit = {
+    import org.apache.spark.sql.types._
+    val stateSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("av", LongType, nullable = false),
+      StructField("bv", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    TableIO.createTableIfNotExists(root, ns, stateTable, stateSchema)
+    var (va, vb) = TableIO.readProps(root, ns, stateTable, "ivm_join")
+      .map(m => (m("va"), m("vb"))).getOrElse((0L, 0L))
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    def sideAt(table: String, v: Long, valCol: String, as: String) =
+      if (v == 0L)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("k", LongType, nullable = false),
+            StructField(as, LongType, nullable = false))))
+      else Mor.readAt(spark, root, ns, table, v)
+        .select(col(key).cast("long").as("k"), col(valCol).cast("long").as(as))
+    val (ta, tb) = (TableIO.currentVersion(root, ns, aTable),
+      TableIO.currentVersion(root, ns, bTable))
+    while (va < ta || vb < tb) {
+      val foldA = va < ta
+      val (table, v) = if (foldA) (aTable, va) else (bTable, vb)
+      val changes = Mor.readChanges(spark, root, ns, table, v, v + 1)
+      val deltaV =
+        if (foldA)
+          changes.select(col(key).cast("long").as("k"),
+              col(aVal).cast("long").as("av"), sign.as("s"))
+            .join(sideAt(bTable, vb, bVal, "bv"), Seq("k"))
+        else
+          changes.select(col(key).cast("long").as("k"),
+              col(bVal).cast("long").as("bv"), sign.as("s"))
+            .join(sideAt(aTable, va, aVal, "av"), Seq("k"))
+      val delta = deltaV.groupBy("k", "av", "bv").agg(sum("s").as("dn"))
+      val cur =
+        if (TableIO.currentVersion(root, ns, stateTable) == 0L)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+        else Mor.read(spark, root, ns, stateTable)
+      val next = cur.join(delta, Seq("k", "av", "bv"), "full_outer")
+        .select(col("k"), col("av"), col("bv"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+        .filter(col("n") > 0)
+      val (va1, vb1) = if (foldA) (va + 1, vb) else (va, vb + 1)
+      val seq = TableIO.nextSeq(root, ns, stateTable)
+      val entries = Seq(
+        TableIO.writeExactFile(spark, root, ns, stateTable,
+          s"data/state-v$seq.parquet", next, "data", seq),
+        TableIO.propsEntry("ivm_join", Map("va" -> va1, "vb" -> vb1)))
+      TableIO.commitReplacing(root, ns, stateTable, entries,
+        expectedVersion = Some(va + vb), operation = Some("overwrite"))
+      va = va1; vb = vb1
+    }
+  }
 }

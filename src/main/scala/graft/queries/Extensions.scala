@@ -265,6 +265,11 @@ object Extensions {
     // hash-bit drift fails the hash compare
     "multimodal_phash" -> ((s, dir) =>
       Multimodal.visualDupes(s, rd(s, dir, "documents"))),
+    // hamming-banded near-dup over the perceptual hashes; threshold 3
+    // keeps 4x16 banding lossless, so the oracle is the
+    // implementation-free all-pairs statement of the semantics
+    "multimodal_phash_near" -> ((s, dir) =>
+      Multimodal.visualNearDupes(s, rd(s, dir, "documents"))),
     // Decode -> resize over the documents payloads through the real
     // mapPartitions pipeline; integer outputs (dims, byte count) keep
     // the oracle hash float-free. Text payloads never parse as images,
@@ -1442,6 +1447,32 @@ object Extensions {
         |SELECT min(doc_id) AS rep_id, phash_hi, phash_lo,
         |  count(*) AS n_copies
         |FROM b GROUP BY phash_hi, phash_lo ORDER BY rep_id""".stripMargin,
+
+    // distinct-hash representatives, then ALL-PAIRS hamming in [1,3] —
+    // valid as the oracle precisely because 4x16 banding is lossless
+    // below distance 4 (the engine side must find every such pair)
+    "multimodal_phash_near" ->
+      """WITH cells AS (SELECT doc_id, x, y,
+        |    ((doc_id % 100) * 31 + x * 7 + y * 13) % 256 AS v
+        |  FROM documents, range(0, 8) tx(x), range(0, 8) ty(y)),
+        |s AS (SELECT doc_id, sum(v) AS sv FROM cells GROUP BY doc_id),
+        |b AS (SELECT cells.doc_id,
+        |    CAST(sum(CASE WHEN y * 8 + x >= 32 AND v * 64 > sv
+        |      THEN (CAST(1 AS BIGINT) << CAST(y * 8 + x - 32 AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS phash_hi,
+        |    CAST(sum(CASE WHEN y * 8 + x < 32 AND v * 64 > sv
+        |      THEN (CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS phash_lo
+        |  FROM cells JOIN s USING (doc_id) GROUP BY cells.doc_id),
+        |h AS (SELECT min(doc_id) AS rep_id, phash_hi, phash_lo
+        |      FROM b GROUP BY phash_hi, phash_lo)
+        |SELECT a.rep_id AS a_id, c.rep_id AS b_id,
+        |  CAST(bit_count(xor(a.phash_hi, c.phash_hi))
+        |    + bit_count(xor(a.phash_lo, c.phash_lo)) AS BIGINT) AS hamming
+        |FROM h a JOIN h c ON a.rep_id < c.rep_id
+        |WHERE bit_count(xor(a.phash_hi, c.phash_hi))
+        |    + bit_count(xor(a.phash_lo, c.phash_lo)) BETWEEN 1 AND 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // closed form of the synthesized AVI: doc_id%3+1 frames, frame f of
     // doc d is (16+d%8+f) x (12+d%5+f) — the engine must recover these

@@ -704,6 +704,45 @@ object Generated {
       }
       Mor.read(s, r, c2.namespace, "agg_t1_ivm").orderBy("k")
     }),
+    // JOIN-view IVM: V = A join_k B maintained from both changelogs
+    // with time-travel co-offset reads and transactional (va, vb)
+    // offsets inside each state commit. The construction exercises
+    // incremental refresh (a second catchUpJoin over commits that
+    // landed after the first) AND the round-9 synthesized-delete path
+    // (a metadata-only DELETE WHERE drops a fully-covered A file; its
+    // rows must retract from the view). The oracle recomputes the
+    // final join with multiplicities from closed form.
+    "gen_ivm_join" -> ((s, dir) => {
+      val r = GeneratedTables.ensureCustom(dir + "#ivmjoin") { root =>
+        import graft.plans.TableIO
+        val ns = "gen_ns"
+        TableIO.createNamespace(root, ns)
+        def commitRange(t: String, file: String, lo: Long, hi: Long,
+            vcol: String, vmod: Int): Unit = {
+          val df = s.range(lo, hi).select(
+            pmod(col("id"), lit(8)).cast("long").as("k"),
+            pmod(col("id"), lit(vmod)).cast("long").as(vcol),
+            col("id").as("rid"))
+          TableIO.createTableIfNotExists(root, ns, t, df.schema)
+          TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(s, root,
+            ns, t, file, df, "data", TableIO.nextSeq(root, ns, t),
+            bounds = TableIO.longBounds(df, Seq("rid")))))
+        }
+        commitRange("ivm_a", "data/a0.parquet", 0, 60, "av", 16) // A v1
+        commitRange("ivm_a", "data/a1.parquet", 60, 100, "av", 16) // A v2
+        commitRange("ivm_b", "data/b0.parquet", 0, 30, "bv", 12) // B v1
+        graft.plans.Ivm.catchUpJoin(s, root, ns, "ivm_a", "ivm_b",
+          "ivm_v", "k", "av", "bv")
+        // post-catch-up traffic: an append on B and a metadata-only
+        // delete on A (file a1 is fully rid-covered -> pure manifest
+        // drop; the changelog synthesizes its rows as deletes)
+        commitRange("ivm_b", "data/b1.parquet", 30, 50, "bv", 12) // B v2
+        graft.plans.Dml.deleteWhere(s, root, ns, "ivm_a", "rid", 60, 99)
+        graft.plans.Ivm.catchUpJoin(s, root, ns, "ivm_a", "ivm_b",
+          "ivm_v", "k", "av", "bv")
+      }
+      Mor.read(s, r, "gen_ns", "ivm_v").orderBy("k", "av", "bv")
+    }),
     // SQL MERGE INTO through the catalog plugin (GraftRowLevelSqlRule):
     // matched-delete, matched-update, and not-matched-insert branches in
     // ONE statement, executed merge-on-read — one sorted pos-delete file
@@ -1237,6 +1276,14 @@ object Generated {
     // incremental state == from-scratch aggregation of the survivors
     "gen_ivm" ->
       s"""SELECT g % 5 AS k, count(*) AS n, CAST(sum(g) AS BIGINT) AS sum_v
-         |FROM range(${P + E}, $N) t(g) GROUP BY k ORDER BY k""".stripMargin
+         |FROM range(${P + E}, $N) t(g) GROUP BY k ORDER BY k""".stripMargin,
+
+    // final view = A{rid 0..59} join_k B{rid 0..49} with multiplicities
+    // (the delete retracted rid 60..99 from A)
+    "gen_ivm_join" ->
+      """WITH a AS (SELECT g % 8 AS k, g % 16 AS av FROM range(0, 60) t(g)),
+        |b AS (SELECT g % 8 AS k, g % 12 AS bv FROM range(0, 50) t(g))
+        |SELECT k, av, bv, count(*) AS n FROM a JOIN b USING (k)
+        |GROUP BY k, av, bv ORDER BY k, av, bv""".stripMargin
   )
 }

@@ -123,4 +123,97 @@ class IvmMetaSpec extends AnyFunSuite {
     assert(stateRows() == expected, // back to the pre-append recompute
       "view diverged across a metadata-only DELETE WHERE")
   }
+
+  test("join IVM: multiplicities fold, partial retraction decrements, " +
+      "offsets ride the commit") {
+    import graft.plans.Dml
+    val root = Files.createTempDirectory("graft-ivmjoin-").toString
+    val ns = "ns"
+    TableIO.createNamespace(root, ns)
+    def commitRows(t: String, file: String, rows: Seq[(Long, Long, Long)],
+        vcol: String): Unit = {
+      import spark.implicits._
+      val df = rows.toDF("k", vcol, "rid")
+      TableIO.createTableIfNotExists(root, ns, t, df.schema)
+      TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root,
+        ns, t, file, df, "data", TableIO.nextSeq(root, ns, t),
+        bounds = TableIO.longBounds(df, Seq("rid")))))
+    }
+    // A v1: DUPLICATE (k, av) rows -> the view row must carry n=2
+    commitRows("ja", "data/a0.parquet",
+      Seq((1L, 5L, 0L), (1L, 5L, 1L), (2L, 6L, 2L)), "av")
+    commitRows("jb", "data/b0.parquet", Seq((1L, 7L, 0L)), "bv")
+    Ivm.catchUpJoin(spark, root, ns, "ja", "jb", "jv", "k", "av", "bv")
+    def state(): Set[(Long, Long, Long, Long)] =
+      Mor.read(spark, root, ns, "jv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(state() == Set((1L, 5L, 7L, 2L)))
+    assert(TableIO.readProps(root, ns, "jv", "ivm_join")
+      === Some(Map("va" -> 1L, "vb" -> 1L)))
+    assert(TableIO.currentVersion(root, ns, "jv") == 2L) // = va + vb
+
+    // partial retraction through the POS-DELETE path (rid 1 is a
+    // boundary row of a0, not a covered file): n decrements 2 -> 1
+    Dml.deleteWhere(spark, root, ns, "ja", "rid", 1L, 1L)
+    Ivm.catchUpJoin(spark, root, ns, "ja", "jb", "jv", "k", "av", "bv")
+    assert(state() == Set((1L, 5L, 7L, 1L)))
+    assert(TableIO.readProps(root, ns, "jv", "ivm_join")
+      === Some(Map("va" -> 2L, "vb" -> 1L)))
+
+    // late B append joins the RETRACTED A (time-travel co-offset): the
+    // k=1 group matches only rid 0 now; k=2 appears for the first time
+    commitRows("jb", "data/b1.parquet", Seq((1L, 8L, 1L), (2L, 9L, 2L)), "bv")
+    Ivm.catchUpJoin(spark, root, ns, "ja", "jb", "jv", "k", "av", "bv")
+    assert(state() == Set((1L, 5L, 7L, 1L), (1L, 5L, 8L, 1L),
+      (2L, 6L, 9L, 1L)))
+    assert(TableIO.currentVersion(root, ns, "jv") == 4L)
+    // idempotent re-entry: nothing to fold, nothing committed
+    Ivm.catchUpJoin(spark, root, ns, "ja", "jb", "jv", "k", "av", "bv")
+    assert(TableIO.currentVersion(root, ns, "jv") == 4L)
+  }
+
+  test("the maintained join view replicates like any governed table") {
+    import graft.streaming.Replication
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ivmrep-").toString
+    val ns = "ns"
+    TableIO.createNamespace(root, ns)
+    def commitRows(t: String, file: String, rows: Seq[(Long, Long, Long)],
+        vcol: String): Unit = {
+      val df = rows.toDF("k", vcol, "rid")
+      TableIO.createTableIfNotExists(root, ns, t, df.schema)
+      TableIO.commit(root, ns, t, Seq(TableIO.writeExactFile(spark, root,
+        ns, t, file, df, "data", TableIO.nextSeq(root, ns, t))))
+    }
+    commitRows("ra", "data/a0.parquet",
+      Seq((1L, 5L, 0L), (2L, 6L, 1L)), "av")
+    commitRows("rb", "data/b0.parquet", Seq((1L, 7L, 0L)), "bv")
+    Ivm.catchUpJoin(spark, root, ns, "ra", "rb", "rv", "k", "av", "bv")
+    TableIO.createTableIfNotExists(root, ns, "rv_mirror",
+      Mor.read(spark, root, ns, "rv").schema)
+    def content(t: String): Set[(Long, Long, Long, Long)] =
+      Mor.read(spark, root, ns, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    // the state table's commits are commitReplacing(overwrite) — the
+    // changelog a mirror tails is entirely the synthesized-delete path
+    val q = Replication.replicate(spark, root, ns, "rv", root, ns,
+      "rv_mirror", keyCols = Seq("k", "av", "bv"),
+      checkpoint = s"$root/_rep_ckpt")
+    try {
+      q.processAllAvailable()
+      assert(content("rv_mirror") == content("rv"))
+      assert(content("rv_mirror") == Set((1L, 5L, 7L, 1L)))
+      // a refresh rewrites the whole state snapshot; the mirror must
+      // converge (old rows retracted, new multiplicities in)
+      commitRows("rb", "data/b1.parquet",
+        Seq((1L, 7L, 1L), (2L, 9L, 2L)), "bv")
+      Ivm.catchUpJoin(spark, root, ns, "ra", "rb", "rv", "k", "av", "bv")
+      q.processAllAvailable()
+      assert(content("rv_mirror") == content("rv"))
+      assert(content("rv_mirror") ==
+        Set((1L, 5L, 7L, 2L), (2L, 6L, 9L, 1L)))
+    } finally q.stop()
+  }
 }
