@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over a deterministic document link
+  * graph: PageRank (the classic quality prior for web-scale corpus
+  * curation — e.g. the CommonCrawl-derived pretraining sets weight
+  * pages by link centrality) and triangle counting (local clustering /
+  * community signal).
+  *
+  * The link graph is synthesized deterministically from the corpus so
+  * the DuckDB oracle can rebuild it bit-for-bit: each document gets 3
+  * outlinks, target = first-60-bits-of-md5("<id>:<j>") mod N. Every
+  * quantity stays in exact integer arithmetic (fixed-point ranks,
+  * integer division for the contribution split), so a 5-iteration
+  * PageRank is reproducible to the last unit across engines — no
+  * float-order sensitivity anywhere.
+  *
+  * Scale design:
+  *  - edges are built once, de-duplicated, hash-partitioned by `src`,
+  *    and cached; every iteration joins ranks (partitioned by node)
+  *    against that SAME partitioning — the edge relation never
+  *    re-shuffles across iterations, only the constant-width rank
+  *    relation moves.
+  *  - contributions aggregate partially map-side (sum of longs) before
+  *    the shuffle to `dst`.
+  *  - triangle counting orients each undirected edge from its
+  *    lower-(degree, id) endpoint to the higher one, the standard
+  *    trick (Schank & Wagner 2005) that bounds the path-join fan-out
+  *    by the graph's degeneracy instead of its max degree — a
+  *    celebrity node with 10M followers contributes paths only
+  *    through its low-degree neighbors.
+  */
+object Graph {
+
+  /** Fixed-point scale for PageRank ranks: 1e9 units per unit of rank
+    * mass. 0.15 and 0.85 become exact integer operations.
+    */
+  val Scale = 1000000000L
+  val OutlinksPerNode = 3
+  val Iterations = 5
+
+  /** The deterministic edge list (src, dst), self-loops removed,
+    * multi-edges collapsed. `n` is the node count (doc_ids are
+    * contiguous 0..N-1 in the corpus; the oracle recomputes N the
+    * same way).
+    */
+  def linkEdges(docs: DataFrame): DataFrame = {
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    docs
+      .select(col("doc_id").as("src"))
+      .crossJoin(broadcast(nDf))
+      .select(
+        col("src"),
+        explode(array((0 until OutlinksPerNode).map(lit): _*)).as("j"),
+        col("n"))
+      .select(
+        col("src"),
+        (Sketches.hash60(concat(col("src").cast("string"), lit(":"),
+          col("j").cast("string"))) % col("n")).as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .distinct()
+  }
+
+  /** SQL twin of [[linkEdges]] over `documents`. */
+  def linkEdgesSql: String =
+    s"""n AS (SELECT count(*) AS n FROM documents),
+       |e0 AS (SELECT doc_id AS src,
+       |         ${Sketches.hash60Sql(
+             "concat(CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))")} % n AS dst
+       |       FROM documents, n, (SELECT unnest([0, 1, 2]) AS j)),
+       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src)""".stripMargin
+
+  /** 5-iteration fixed-point PageRank with damping 0.85. Returns the
+    * top-20 nodes by rank: (doc_id, rank_fp) where rank_fp is the rank
+    * in 1e-9 units. r_{i+1}(v) = 0.15*Scale + (85 * sum of
+    * r_i(u) div outdeg(u) over in-neighbors u) div 100 — all longs.
+    */
+  def pagerank(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val base = Scale * 15 / 100
+    val edges = linkEdges(docs).repartition(col("src")).cache()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // contributions join reuses the src partitioning every iteration
+    val contribEdges = edges.join(outdeg, "src").cache()
+    // Iterate on the IN-LINK SUM s_i(v) instead of the full rank
+    // vector: r_i(v) = base + (85*s_i(v)) div 100 with s_i(v)=0 for
+    // nodes with no in-links, so each iteration needs only ONE join
+    // (edges ⋈ s) — nodes absent from s coalesce to 0 in place. The
+    // rank vector materializes once, at the end.
+    // s_1 needs no join at all: r_0 is the constant Scale.
+    var s = contribEdges
+      .select(col("dst"), expr(s"${Scale}L div outdeg").as("c"))
+      .groupBy("dst")
+      .agg(sum("c").as("s")) // partial (map-side) long sums
+      .select(col("dst").as("s_node"), col("s"))
+    for (_ <- 2 to Iterations) {
+      s = contribEdges
+        .join(s, col("src") === col("s_node"), "left")
+        .select(
+          col("dst"),
+          expr(s"(${base}L + (85 * coalesce(s, 0L)) div 100) div outdeg")
+            .as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+        .select(col("dst").as("s_node"), col("s"))
+    }
+    docs
+      .select(col("doc_id").as("node"))
+      .join(s, col("node") === col("s_node"), "left")
+      .select(
+        col("node"),
+        expr(s"${base}L + (85 * coalesce(s, 0L)) div 100").as("r"))
+      .orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("doc_id"), col("r").as("rank_fp"))
+  }
+
+  /** Oracle twin of [[pagerank]]: the 5 iterations unrolled as CTEs,
+    * identical integer arithmetic.
+    */
+  def pagerankSql: String = {
+    val base = Scale * 15 / 100
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d.doc_id AS node,
+         |    $base + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM documents d LEFT JOIN (
+         |    SELECT e.dst, sum(p.r // o.outdeg) AS s
+         |    FROM e JOIN o ON e.src = o.src JOIN $prev p ON e.src = p.node
+         |    GROUP BY e.dst) c ON d.doc_id = c.dst)""".stripMargin
+    val iters = (1 to Iterations)
+      .map(i => iter(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+      .mkString(",\n")
+    s"""WITH $linkEdgesSql,
+       |o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT doc_id AS node, CAST($Scale AS BIGINT) AS r
+       |       FROM documents),
+       |$iters
+       |SELECT node AS doc_id, r AS rank_fp FROM r$Iterations
+       |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** Exact triangle count of the undirected link graph, via
+    * degree-ordered edge orientation. Returns one row:
+    * (n_nodes, n_edges, n_triangles).
+    */
+  def triangles(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val und = linkEdges(docs)
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .cache()
+    val deg = und
+      .select(col("u").as("x"))
+      .union(und.select(col("v").as("x")))
+      .groupBy("x")
+      .agg(count(lit(1)).as("d"))
+    // orient from lower (degree, id) to higher: fan-out bounded by
+    // degeneracy, so the wedge join below never explodes on a hub
+    val withDeg = und
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+    val oriented = withDeg
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+      .cache()
+    // wedges a->b, a->c (b < c to count each unordered wedge once),
+    // closed by an oriented edge between b and c in either direction
+    val o2 = oriented.select(col("a").as("a2"), col("b").as("c"))
+    val wedges = oriented
+      .join(o2, col("a") === col("a2") && col("b") < col("c"))
+      .select("a", "b", "c")
+    val closing = oriented.select(
+      least(col("a"), col("b")).as("x"),
+      greatest(col("a"), col("b")).as("y"))
+    val tri = wedges
+      .join(closing, col("b") === col("x") && col("c") === col("y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = und
+      .agg(count(lit(1)).as("n_edges"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_nodes")))
+    counts
+      .crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Oracle twin of [[triangles]]: the naive ordered 3-join (u<v<w) —
+    * same exact count as the oriented Spark plan.
+    */
+  def trianglesSql: String =
+    s"""WITH $linkEdgesSql,
+       |ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |       FROM e),
+       |t AS (SELECT count(*) AS n_triangles
+       |      FROM ue e1
+       |      JOIN ue e2 ON e1.v = e2.u
+       |      JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |SELECT (SELECT count(*) FROM documents) AS n_nodes,
+       |       (SELECT count(*) FROM ue) AS n_edges,
+       |       n_triangles
+       |FROM t""".stripMargin
+}

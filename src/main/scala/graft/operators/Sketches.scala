@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values (KMV) sketches for distinct-count and corpus-overlap
+  * estimation.
+  *
+  * At 100 TB, "how many distinct documents does each source contribute"
+  * and "how much does corpus A overlap corpus B" are questions you want
+  * answered WITHOUT a full `COUNT(DISTINCT)` shuffle or an exact
+  * intersection join. A KMV sketch is the classic answer (Bar-Yossef et
+  * al. 2002; the DataSketches "theta" family generalizes it): keep the K
+  * smallest hash values of the set; the K-th smallest value v estimates
+  * the cardinality as (K-1) / (v / 2^60). Sketches are trivially
+  * mergeable (K smallest of the union of two sketches = sketch of the
+  * union), so they compose across partitions, files, and days of
+  * ingest — the per-group state is a constant 256 longs no matter how
+  * many rows feed it.
+  *
+  * Everything here is deterministic and integer-valued until the final
+  * division, so the DuckDB oracle replays the identical arithmetic:
+  * the hash is the first 60 bits of md5 (both engines agree on md5 hex
+  * and on 60-bit unsigned decoding), top-K selection is by exact
+  * integer order, and the estimate divides two exactly-agreed numbers
+  * (IEEE division of identical operands is bit-identical).
+  *
+  * Scale notes:
+  *  - per-group top-K runs as a rank-limited window; Spark's
+  *    WindowGroupLimit inserts a PARTIAL limit before the shuffle, so
+  *    each map task forwards at most K rows per group — the shuffle
+  *    carries sketches, not data.
+  *  - the global top-K (overlap path) is TakeOrderedAndProject —
+  *    per-partition partial top-K, then a constant-size merge.
+  */
+object Sketches {
+
+  /** Sketch size. 256 gives ~1/sqrt(254) ≈ 6% relative standard error. */
+  val K = 256
+
+  /** First 60 bits of md5 as a non-negative long. 15 hex chars = 60
+    * bits, comfortably inside both engines' exact 64-bit range
+    * (DuckDB decodes the same value via CAST('0x'||… AS BIGINT)).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SQL-side twin of [[hash60]] for the DuckDB oracle. */
+  def hash60Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Estimate column from (cnt, kth): when the group has fewer than K
+    * distinct hashes the sketch IS the set (exact count); otherwise
+    * (K-1) * 2^60 / kth. 255 * 2^60 is exactly representable as a
+    * double (0xFF << 60), so the constant folds identically.
+    */
+  private def estCol(cnt: Column, kth: Column): Column =
+    when(cnt < K, cnt.cast("double"))
+      .otherwise(lit(255.0 * 1152921504606846976.0) / kth.cast("double"))
+
+  private def estSql(cnt: String, kth: String): String =
+    s"""CASE WHEN $cnt < $K THEN CAST($cnt AS DOUBLE)
+       |ELSE (255.0 * 1152921504606846976.0) / CAST($kth AS DOUBLE) END""".stripMargin
+
+  /** Per-group KMV distinct-count estimate over the hash of `valueCol`.
+    * Returns one row per group: (group, n_sketch, kmv_kth, est_distinct).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val hashed = df
+      .select(col(groupCol), hash60(valueCol).as("h"))
+      .distinct() // KMV is a set sketch: duplicate values count once
+    val w = Window.partitionBy(groupCol).orderBy("h")
+    hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K) // WindowGroupLimit: partial top-K pre-shuffle
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_sketch"), max("h").as("kmv_kth"))
+      .select(
+        col(groupCol),
+        col("n_sketch"),
+        col("kmv_kth"),
+        estCol(col("n_sketch"), col("kmv_kth")).as("est_distinct"))
+  }
+
+  /** Oracle twin of [[kmvDistinct]] over `documents.text` grouped by a
+    * column expression.
+    */
+  def kmvDistinctSql(groupCol: String): String =
+    s"""WITH h AS (SELECT DISTINCT $groupCol AS g, ${hash60Sql("text")} AS h
+       |           FROM documents),
+       |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       |      FROM h),
+       |s AS (SELECT g AS $groupCol, count(*) AS n_sketch, max(h) AS kmv_kth
+       |      FROM r WHERE rn <= $K GROUP BY g)
+       |SELECT $groupCol, n_sketch, kmv_kth,
+       |  ${estSql("n_sketch", "kmv_kth")} AS est_distinct
+       |FROM s""".stripMargin
+
+  /** KMV overlap estimate between two corpora: cardinality of each
+    * side, of the union (merged sketch), the Jaccard estimate (shared
+    * fraction of the union sketch), and the implied intersection size.
+    * Returns ONE row. Neither corpus is ever joined against the other —
+    * each contributes a 256-long sketch and all set logic happens on
+    * the sketches.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def sketch(df: DataFrame): DataFrame =
+      df.select(hash60(col(valueCol)).as("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(K) // TakeOrderedAndProject: partial top-K per partition
+    val sa = sketch(a).cache()
+    val sb = sketch(b).cache()
+    val su = sa.union(sb).distinct().orderBy("h").limit(K).cache()
+    val aggA = sa.agg(count(lit(1)).as("cnt_a"), max("h").as("kth_a"))
+    val aggB = sb.agg(count(lit(1)).as("cnt_b"), max("h").as("kth_b"))
+    val aggU = su.agg(count(lit(1)).as("cnt_u"), max("h").as("kth_u"))
+    // union-sketch members present in BOTH side sketches -> Jaccard
+    val shared = su
+      .join(sa, "h")
+      .join(sb, "h")
+      .agg(count(lit(1)).as("n_shared"))
+    aggU
+      .crossJoin(aggA)
+      .crossJoin(aggB)
+      .crossJoin(shared)
+      .select(
+        estCol(col("cnt_a"), col("kth_a")).as("est_a"),
+        estCol(col("cnt_b"), col("kth_b")).as("est_b"),
+        estCol(col("cnt_u"), col("kth_u")).as("est_union"),
+        (col("n_shared").cast("double") / col("cnt_u")).as("est_jaccard"),
+        (col("n_shared").cast("double") / col("cnt_u") *
+          estCol(col("cnt_u"), col("kth_u"))).as("est_intersection"))
+  }
+
+  /** Oracle twin of [[kmvOverlap]]: corpus A / corpus B are WHERE
+    * predicates over `documents`.
+    */
+  def kmvOverlapSql(predA: String, predB: String): String =
+    s"""WITH ha AS (SELECT DISTINCT ${hash60Sql("text")} AS h
+       |            FROM documents WHERE $predA),
+       |hb AS (SELECT DISTINCT ${hash60Sql("text")} AS h
+       |       FROM documents WHERE $predB),
+       |sa AS (SELECT h FROM ha ORDER BY h LIMIT $K),
+       |sb AS (SELECT h FROM hb ORDER BY h LIMIT $K),
+       |su AS (SELECT DISTINCT h
+       |       FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+       |       ORDER BY h LIMIT $K),
+       |aa AS (SELECT count(*) AS cnt_a, max(h) AS kth_a FROM sa),
+       |ab AS (SELECT count(*) AS cnt_b, max(h) AS kth_b FROM sb),
+       |au AS (SELECT count(*) AS cnt_u, max(h) AS kth_u FROM su),
+       |sh AS (SELECT count(*) AS n_shared FROM su
+       |       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+       |SELECT
+       |  ${estSql("cnt_a", "kth_a")} AS est_a,
+       |  ${estSql("cnt_b", "kth_b")} AS est_b,
+       |  ${estSql("cnt_u", "kth_u")} AS est_union,
+       |  CAST(n_shared AS DOUBLE) / cnt_u AS est_jaccard,
+       |  CAST(n_shared AS DOUBLE) / cnt_u *
+       |    (${estSql("cnt_u", "kth_u")}) AS est_intersection
+       |FROM au, aa, ab, sh""".stripMargin
+}

@@ -319,4 +319,63 @@ object TextAnalysis {
       .select("token", "n_exact", "n_est")
       .orderBy("token")
   }
+
+  /** Per-source distribution drift: KL(P_source || P_corpus) over the
+    * word-frequency distributions — the standard "is this source's
+    * vocabulary representative of the corpus" signal for mixture
+    * weighting and drift monitoring. Per-term contributions
+    * p*ln(p/q) floor to 1e-9-scaled longs before the per-source sum
+    * (the lmScore pattern), so the sum is order-free; every division
+    * is a single IEEE op on operands both engines agree on exactly.
+    *
+    * Scale: two hash aggregations (term frequencies per source, per
+    * corpus) joined on term — co-partitioned, no broadcast of
+    * anything data-sized; per-source totals join back on source.
+    * P_source > 0 for every term it contains and q > 0 whenever
+    * p > 0 (a source's terms are corpus terms), so no smoothing
+    * epsilon is needed.
+    */
+  def klDivergence(docs: DataFrame): DataFrame = {
+    val words = docs.select(
+      col("source"), explode(split(lower(col("text")), " ")).as("term"))
+    val tfS = words.groupBy("source", "term").agg(count(lit(1)).as("c_s"))
+    val totS = tfS.groupBy("source").agg(sum("c_s").as("tot_s"))
+    val tfC = tfS.groupBy("term").agg(sum("c_s").as("c_c"))
+    val totC = tfC.agg(sum("c_c").as("tot_c"))
+    val p = col("c_s").cast("double") / col("tot_s")
+    val q = col("c_c").cast("double") / col("tot_c")
+    tfS
+      .join(tfC, "term")
+      .join(totS, "source")
+      .crossJoin(broadcast(totC))
+      .select(
+        col("source"),
+        floor(p * log(p / q) * lit(1e9)).cast("long").as("kl_fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"), sum("kl_fp").as("kl_fp"))
+      .select(
+        col("source"),
+        col("n_terms"),
+        (col("kl_fp").cast("double") / 1e9).as("kl"))
+  }
+
+  /** Oracle twin of [[klDivergence]]. */
+  def klDivergenceSql: String =
+    s"""WITH w AS (SELECT source,
+       |    unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |tfs AS (SELECT source, term, count(*) AS c_s FROM w
+       |        GROUP BY source, term),
+       |tots AS (SELECT source, sum(c_s) AS tot_s FROM tfs GROUP BY source),
+       |tfc AS (SELECT term, sum(c_s) AS c_c FROM tfs GROUP BY term),
+       |totc AS (SELECT sum(c_c) AS tot_c FROM tfc),
+       |t AS (SELECT tfs.source,
+       |    CAST(floor((CAST(c_s AS DOUBLE) / tot_s)
+       |      * ln((CAST(c_s AS DOUBLE) / tot_s)
+       |            / (CAST(c_c AS DOUBLE) / tot_c))
+       |      * 1e9) AS BIGINT) AS kl_fp
+       |  FROM tfs JOIN tfc USING (term) JOIN tots USING (source), totc)
+       |SELECT source, count(*) AS n_terms,
+       |  CAST(sum(kl_fp) AS DOUBLE) / 1e9 AS kl
+       |FROM t GROUP BY source""".stripMargin
 }

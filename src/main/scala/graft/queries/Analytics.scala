@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.operators.{Graph, Sketches, TimeSeriesOps}
+import Util._
+
+/** Approximate-analytics and graph operators (round 9): KMV sketches
+  * for distinct/overlap estimation, PageRank + triangle counting over
+  * a deterministic link graph, and exact-arithmetic EWMA smoothing.
+  * Every query has a bit-exact DuckDB oracle — the estimators are
+  * deterministic (shared md5-based hashing, integer fixed-point, IEEE
+  * division of agreed operands), so even the *approximate* answers
+  * hash-match across engines.
+  */
+object Analytics {
+
+  private val corpusA = "doc_id % 2 = 0"
+  private val corpusB = "doc_id % 3 = 0"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(rd(s, dir, "documents"), "source", col("text"))),
+    "sketch_kmv_overlap" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      Sketches.kmvOverlap(
+        a = d.filter(col("doc_id") % 2 === 0),
+        b = d.filter(col("doc_id") % 3 === 0),
+        valueCol = "text")
+    }),
+    "graph_pagerank" -> ((s, dir) => Graph.pagerank(s, rd(s, dir, "documents"))),
+    "graph_triangles" -> ((s, dir) => Graph.triangles(s, rd(s, dir, "documents"))),
+    "ts_ewma" -> ((s, dir) => TimeSeriesOps.ewmaLast(rdEvents(s, dir))),
+    "ts_funnel" -> ((s, dir) => TimeSeriesOps.funnel(rdEvents(s, dir))),
+    "ts_retention" -> ((s, dir) => TimeSeriesOps.retention(rdEvents(s, dir))),
+    "text_kl_divergence" -> ((s, dir) =>
+      graft.operators.TextAnalysis.klDivergence(rd(s, dir, "documents")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sketch_kmv_distinct" -> Sketches.kmvDistinctSql("source"),
+    "sketch_kmv_overlap" -> Sketches.kmvOverlapSql(corpusA, corpusB),
+    "graph_pagerank" -> Graph.pagerankSql,
+    "graph_triangles" -> Graph.trianglesSql,
+    "ts_ewma" -> TimeSeriesOps.ewmaLastSql,
+    "ts_funnel" -> TimeSeriesOps.funnelSql(),
+    "ts_retention" -> TimeSeriesOps.retentionSql,
+    "text_kl_divergence" -> graft.operators.TextAnalysis.klDivergenceSql
+  )
+}

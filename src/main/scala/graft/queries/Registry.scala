@@ -12,7 +12,8 @@ object Registry {
       (Relational.queries, Relational.oracleSql),
       (SqlSurface.queries, SqlSurface.oracleSql),
       (Extensions.queries, Extensions.oracleSql),
-      (Formats.queries, Formats.oracleSql)
+      (Formats.queries, Formats.oracleSql),
+      (Analytics.queries, Analytics.oracleSql)
     )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Sketches, TimeSeriesOps}
+
+/** Scale smoke for the round-9 analytics families (KMV sketches,
+  * graph PageRank/triangles, EWMA, funnel): synthesize multi-million-
+  * row inputs and print wall times plus sanity cross-checks — the
+  * evidence that these operators' shapes (constant-size sketch state,
+  * one-join-per-iteration rank loop, rank-limited tails) hold well
+  * past the 500-doc correctness corpus. Args: [scaleMillions]
+  * (default: sketch 20M rows, graph 2M nodes, events 20M rows).
+  */
+object AnalyticsScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val m = if (args.nonEmpty) args(0).toDouble else 1.0
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[analyticsscale] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    // ---- KMV sketch: 20M values, 32 groups, 500k distinct per group
+    val nSketch = (20e6 * m).toLong
+    val distinctPerGroup = 500000L
+    val sk = timed(s"kmvDistinct ${nSketch / 1000000}M rows / 32 groups") {
+      val df = spark.range(nSketch).selectExpr(
+        "CAST(id % 32 AS STRING) AS g",
+        // 500k distinct texts per group, each repeated ~1250x
+        s"concat('doc ', id % 32, ':', (id DIV 32) % $distinctPerGroup) AS v")
+      Sketches.kmvDistinct(df, "g", col("v")).collect()
+    }
+    require(sk.length == 32, s"expected 32 sketch groups, got ${sk.length}")
+    sk.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val err = math.abs(est - distinctPerGroup) / distinctPerGroup
+      require(err < 0.25, s"KMV estimate off by ${err * 100}%: $est")
+    }
+
+    // ---- PageRank: 2M nodes / ~6M edges, 5 iterations
+    val nGraph = (2e6 * m).toLong
+    val docs = spark.range(nGraph).selectExpr("id AS doc_id")
+    val pr = timed(s"pagerank ${nGraph / 1000000}M nodes x5 iter") {
+      Graph.pagerank(spark, docs).collect()
+    }
+    require(pr.length == 20 && pr.head.getLong(1) >= Graph.Scale * 15 / 100,
+      "pagerank top-20 malformed")
+
+    // ---- Triangles: 300k nodes / ~900k edges
+    val nTri = (300e3 * m).toLong
+    val tri = timed(s"triangles ${nTri / 1000}k nodes") {
+      Graph.triangles(spark, spark.range(nTri).selectExpr("id AS doc_id"))
+        .collect().head
+    }
+    println(s"[analyticsscale]   triangles=${tri.getAs[Long]("n_triangles")} " +
+      s"edges=${tri.getAs[Long]("n_edges")}")
+
+    // ---- EWMA + funnel: 20M events over 1M users
+    val nEvents = (20e6 * m).toLong
+    val nUsers = (1e6 * m).toLong
+    val events = spark.range(nEvents).selectExpr(
+      "id AS event_id",
+      s"timestamp_micros(1700000000000000 + id * 1000000) AS ts",
+      s"id % $nUsers AS user_id",
+      "CAST((id % 1000) AS DOUBLE) / 10.0 AS value",
+      // deterministic event type mix for the funnel
+      "element_at(array('view','click','purchase','error','signup'), " +
+        "CAST(id % 5 AS INT) + 1) AS event_type")
+    val ew = timed(s"ewmaLast ${nEvents / 1000000}M events / " +
+        s"${nUsers / 1000000}M users") {
+      TimeSeriesOps.ewmaLast(events).count()
+    }
+    require(ew == nUsers, s"expected $nUsers ewma rows, got $ew")
+    val fu = timed(s"funnel ${nEvents / 1000000}M events") {
+      TimeSeriesOps.funnel(events).collect().head
+    }
+    println(s"[analyticsscale]   funnel=${fu.mkString(",")}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,235 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.operators.{Graph, Sketches, TimeSeriesOps}
+
+/** Unit tests for the round-9 analytics operators. The graph tests
+  * recompute the expected answer with an independent local simulation
+  * over the operator's own (deterministic) edge list, so they assert
+  * EXACT equality, not just sanity bounds.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docsDf(n: Int) = {
+    import spark.implicits._
+    (0 until n)
+      .map(i => (i.toLong, s"text body $i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+  }
+
+  // ---- KMV sketches ----
+
+  test("kmv: exact when group has fewer distinct values than K") {
+    val out = Sketches
+      .kmvDistinct(docsDf(100), "source", col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.length == 4)
+    // 100 docs over 4 sources, all texts distinct: 25 per group, exact
+    assert(out.forall { case (_, nSketch, est) => nSketch == 25 && est == 25.0 })
+  }
+
+  test("kmv: estimate within 20% when distinct >> K") {
+    val out = Sketches
+      .kmvDistinct(docsDf(20000), "source", col("text"))
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    // 5000 distinct per group, K=256 -> ~6% RSE; 20% is > 3 sigma
+    assert(out.forall { case (nSketch, est) =>
+      nSketch == Sketches.K && math.abs(est - 5000.0) / 5000.0 < 0.2
+    })
+  }
+
+  test("kmv: merged union sketch == sketch of the union (mergeability)") {
+    val d = docsDf(12000)
+    val a = d.filter(col("doc_id") % 2 === 0)
+    val b = d.filter(col("doc_id") % 3 === 0)
+    val merged = Sketches
+      .kmvOverlap(a, b, "text")
+      .collect()
+      .head
+    // sketch the union corpus directly, as one group
+    import org.apache.spark.sql.functions.lit
+    val direct = Sketches
+      .kmvDistinct(a.union(b).withColumn("g", lit("all")), "g", col("text"))
+      .collect()
+      .head
+      .getDouble(3)
+    assert(merged.getAs[Double]("est_union") == direct)
+    // ground truth: |A|=6000, |B|=4000, |A∩B|=2000, |A∪B|=8000
+    assert(math.abs(merged.getAs[Double]("est_a") - 6000) / 6000.0 < 0.2)
+    assert(math.abs(merged.getAs[Double]("est_union") - 8000) / 8000.0 < 0.2)
+    assert(math.abs(merged.getAs[Double]("est_intersection") - 2000) / 2000.0 < 0.35)
+  }
+
+  // ---- Graph ----
+
+  /** Local exact replay of the fixed-point PageRank over a collected
+    * edge list.
+    */
+  private def localPagerank(
+      n: Int,
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val base = Graph.Scale * 15 / 100
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = (0 until n).map(i => i.toLong -> Graph.Scale).toMap
+    for (_ <- 1 to Graph.Iterations) {
+      val s = edges
+        .groupBy(_._2)
+        .view
+        .mapValues(_.map { case (u, _) => r(u) / outdeg(u) }.sum)
+        .toMap
+      r = (0 until n).map { i =>
+        i.toLong -> (base + (85 * s.getOrElse(i.toLong, 0L)) / 100)
+      }.toMap
+    }
+    r
+  }
+
+  test("pagerank matches an exact local simulation") {
+    val n = 200
+    val docs = docsDf(n)
+    val edges = Graph
+      .linkEdges(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    val expected = localPagerank(n, edges).toSeq
+      .sortBy { case (node, r) => (-r, node) }
+      .take(20)
+    val got = Graph
+      .pagerank(spark, docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(got == expected)
+    // every rank carries at least the teleport mass
+    assert(got.forall(_._2 >= Graph.Scale * 15 / 100))
+  }
+
+  test("triangles matches a brute-force local count") {
+    val n = 300
+    val docs = docsDf(n)
+    val und = Graph
+      .linkEdges(docs)
+      .select(
+        org.apache.spark.sql.functions.least(col("src"), col("dst")),
+        org.apache.spark.sql.functions.greatest(col("src"), col("dst")))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = (for {
+      (u, v) <- und.iterator
+      w <- nodes if v < w
+      if und((v, w)) && und((u, w))
+    } yield 1).size
+    val row = Graph.triangles(spark, docs).collect().head
+    assert(row.getAs[Long]("n_edges") == und.size.toLong)
+    assert(row.getAs[Long]("n_triangles") == expected.toLong)
+  }
+
+  // ---- EWMA ----
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, Double)]) = {
+    import spark.implicits._
+    rows
+      .toDF("event_id", "epoch_s", "user_id", "value")
+      .select(
+        col("event_id"),
+        col("epoch_s").cast("timestamp").as("ts"),
+        col("user_id"),
+        col("value"))
+  }
+
+  test("ewma of a constant series is the constant (fixed-point exact)") {
+    // 30 events > 21-tail: exercises the window truncation too
+    val rows = (0 until 30).map(i => (i.toLong, 1000L + i, 7L, 2.5))
+    val out = TimeSeriesOps.ewmaLast(eventsDf(rows)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_tail") == 21)
+    assert(out.head.getAs[Double]("ewma") == 2.5)
+  }
+
+  test("funnel counts strictly-ordered step completion per user") {
+    // u1 completes all 3 in order; u2's click precedes their first
+    // view (step 2 not reached); u3 stops after click; u4 purchases
+    // without ever viewing (reaches nothing)
+    val rows = Seq(
+      (0L, 100L, 1L, "view"), (1L, 200L, 1L, "click"),
+      (2L, 300L, 1L, "purchase"),
+      (3L, 100L, 2L, "click"), (4L, 200L, 2L, "view"),
+      (5L, 100L, 3L, "view"), (6L, 200L, 3L, "click"),
+      (7L, 100L, 4L, "purchase"))
+    import spark.implicits._
+    val ev = rows
+      .toDF("event_id", "epoch_s", "user_id", "event_type")
+      .select(col("event_id"), col("epoch_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    val r = TimeSeriesOps.funnel(ev).collect().head
+    assert(r.getAs[Long]("n_step1") == 3) // u1, u2, u3 viewed
+    assert(r.getAs[Long]("n_step2") == 2) // u1, u3 clicked after view
+    assert(r.getAs[Long]("n_step3") == 1) // u1 purchased after click
+  }
+
+  test("retention buckets cohorts by first-event week") {
+    // 2024-01-01 is a Monday; weeks are Monday-truncated
+    val rows = Seq(
+      (0L, "2024-01-01 10:00:00", 1L), // u1 cohort W0, active W0
+      (1L, "2024-01-16 10:00:00", 1L), // u1 active W2
+      (2L, "2024-01-03 10:00:00", 2L), // u2 cohort W0, W0 only
+      (3L, "2024-01-08 10:00:00", 3L), // u3 cohort W1
+      (4L, "2024-01-15 10:00:00", 3L)) // u3 active W1+1
+    import spark.implicits._
+    val ev = rows
+      .toDF("event_id", "ts_s", "user_id")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"))
+    val got = TimeSeriesOps
+      .retention(ev)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L), // u1+u2 active in their cohort week
+      ("2024-01-01", 2L, 1L), // u1 back in week 2
+      ("2024-01-08", 0L, 1L), // u3 cohort
+      ("2024-01-08", 1L, 1L))) // u3 back next week
+  }
+
+  test("kl divergence is exactly zero for an identical distribution " +
+      "and positive for a skewed one") {
+    import spark.implicits._
+    // src A and B have IDENTICAL word distributions -> p == q for
+    // every term of each source -> every fixed-point term is 0
+    val same = Seq(
+      (0L, "alpha beta gamma", "a"), (1L, "alpha beta gamma", "b"))
+      .toDF("doc_id", "text", "source")
+    val z = graft.operators.TextAnalysis.klDivergence(same).collect()
+    assert(z.forall(_.getAs[Double]("kl") == 0.0))
+    // skewed: source b is all-alpha, corpus is mixed -> positive drift
+    val skew = Seq(
+      (0L, "alpha beta gamma delta", "a"), (1L, "alpha alpha alpha alpha", "b"))
+      .toDF("doc_id", "text", "source")
+    val k = graft.operators.TextAnalysis
+      .klDivergence(skew)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+      .toMap
+    assert(k("b") > 0.1)
+  }
+
+  test("ewma weights the latest value by ~1/2 and matches hand arithmetic") {
+    // two events: older value 1.0 (weight 2^19), latest 3.0 (weight 2^20)
+    val rows = Seq((0L, 1000L, 1L, 1.0), (1L, 1001L, 1L, 3.0))
+    val out = TimeSeriesOps.ewmaLast(eventsDf(rows)).collect().head
+    val num = 30000L * (1L << 20) + 10000L * (1L << 19)
+    val den = (1L << 20) + (1L << 19)
+    assert(out.getAs[Double]("ewma") == num.toDouble / den / 10000.0)
+    assert(out.getAs[Long]("n_tail") == 2)
+  }
+}
