@@ -73,9 +73,10 @@ object AnalyticsScaleSmoke {
       s"timestamp_micros(1700000000000000 + id * 1000000) AS ts",
       s"id % $nUsers AS user_id",
       "CAST((id % 1000) AS DOUBLE) / 10.0 AS value",
-      // deterministic event type mix for the funnel
+      // deterministic pseudo-random event type mix (id % 5 would give
+      // every user a single type: the user count divides 5's period)
       "element_at(array('view','click','purchase','error','signup'), " +
-        "CAST(id % 5 AS INT) + 1) AS event_type")
+        "CAST(pmod(hash(id), 5) AS INT) + 1) AS event_type")
     val ew = timed(s"ewmaLast ${nEvents / 1000000}M events / " +
         s"${nUsers / 1000000}M users") {
       TimeSeriesOps.ewmaLast(events).count()
