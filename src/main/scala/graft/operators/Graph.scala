@@ -206,4 +206,163 @@ object Graph {
        |       (SELECT count(*) FROM ue) AS n_edges,
        |       n_triangles
        |FROM t""".stripMargin
+
+  /** The undirected link graph as a symmetric directed edge relation
+    * (each undirected edge appears in both directions), hash-partitioned
+    * by `src` and cached — the shared traversal input for
+    * [[connectedComponents]] and [[bfs]].
+    */
+  private def symmetricEdges(docs: DataFrame): DataFrame = {
+    val und = linkEdges(docs)
+      .select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .cache()
+  }
+
+  /** SQL twin of [[symmetricEdges]] (CTE `ed`), for appending after
+    * [[linkEdgesSql]].
+    */
+  private def symmetricEdgesSql: String =
+    s"""ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |       FROM e),
+       |ed AS (SELECT u AS src, v AS dst FROM ue
+       |       UNION ALL SELECT v, u FROM ue)""".stripMargin
+
+  /** Connected components of the undirected link graph: every node
+    * labeled with the smallest doc_id in its component. Label
+    * propagation run TO FIXPOINT (the result is the true component
+    * labeling, independent of iteration schedule — which is what lets
+    * the oracle verify it with a reachability recursion instead of
+    * replaying our rounds), with a pointer-jumping step each round
+    * (lab := lab(lab)) so convergence takes O(log diameter) rounds,
+    * not O(diameter) — the distinction between 8 and 40 shuffle
+    * rounds on a 100 TB web graph.
+    *
+    * Scale: each round is one edges⋈labels join co-partitioned on the
+    * cached edge partitioning, one partial-aggregating min, and one
+    * labels self-join — all linear in |E|; label state is 2 longs per
+    * node. The driver-side loop runs one `count` action per round on
+    * the per-round diff (bounded metadata, not data rows).
+    */
+  def connectedComponents(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val edges = symmetricEdges(docs)
+    // Eager localCheckpoint each round: `hopped` is referenced twice
+    // (the pointer-jump self-join) and `next` feeds the next round, so
+    // without lineage truncation the logical plan DOUBLES per round —
+    // exponential Catalyst planning time long before any executor is
+    // busy. (On a cluster with lineage-loss concerns, swap for
+    // reliable checkpoint(); the loop shape is unchanged.)
+    var labels = docs
+      .select(col("doc_id").as("node"))
+      .withColumn("lab", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      // min label over neighbors, folded with own label
+      val viaN = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("lab").as("nlab")) // partial map-side min
+      val hopped = labels
+        .join(viaN, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      // pointer jump: adopt the label of the current label-node, which
+      // halves remaining chain depth each round
+      val next = hopped.alias("a")
+        .join(hopped.select(col("node").as("lnode"), col("lab").as("llab")),
+          col("a.lab") === col("lnode"))
+        .select(col("a.node").as("node"), col("llab").as("lab"))
+        .localCheckpoint(true)
+      changed = next.alias("n")
+        .join(labels.select(col("node"), col("lab").as("plab")), "node")
+        .filter(col("lab") =!= col("plab"))
+        .count()
+      labels = next
+    }
+    labels
+      .select(col("node").as("doc_id"), col("lab").as("component"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle twin of [[connectedComponents]]: undirected reachability
+    * closure (recursive CTE), then min reachable id per node — the
+    * definition our fixpoint converges to.
+    */
+  def connectedComponentsSql: String =
+    s"""WITH RECURSIVE $linkEdgesSql,
+       |$symmetricEdgesSql,
+       |reach(node, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.node, ed.dst FROM reach JOIN ed ON ed.src = reach.r)
+       |SELECT node AS doc_id, min(r) AS component FROM reach
+       |GROUP BY node ORDER BY node""".stripMargin
+
+  /** BFS hop cap shared by the Spark loop and the oracle recursion —
+    * both sides exclude anything further than this, so the answers
+    * agree even on a graph with a longer diameter.
+    */
+  val MaxHops = 15
+
+  /** Multi-source BFS over the undirected link graph: minimum hop
+    * count from the seed set `doc_id < nSeeds` to every reachable
+    * node (within [[MaxHops]]). The frontier-expansion shape is the
+    * canonical distributed BFS: per round, one join of the CURRENT
+    * frontier (shrinking relation) against the cached edge relation,
+    * one distinct, one anti-join against settled nodes — never a
+    * whole-graph pass per hop.
+    */
+  def bfs(spark: SparkSession, docs: DataFrame, nSeeds: Int = 5): DataFrame = {
+    val edges = symmetricEdges(docs)
+    // localCheckpoint: `dist` accumulates a union per hop and is also
+    // the anti-join filter for the next frontier — without truncation
+    // the plan grows quadratically over the hop loop (see
+    // [[connectedComponents]]).
+    var dist = docs
+      .filter(col("doc_id") < nSeeds)
+      .select(col("doc_id").as("node"))
+      .withColumn("hops", lit(0))
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 0
+    var frontierEmpty = frontier.isEmpty
+    while (!frontierEmpty && h < MaxHops) {
+      h += 1
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src").drop("hops"), "src")
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      frontierEmpty = next.isEmpty
+      if (!frontierEmpty) {
+        dist = dist.union(next).localCheckpoint(true)
+      }
+      frontier = next
+    }
+    dist.orderBy("node").select(col("node").as("doc_id"), col("hops"))
+  }
+
+  /** Oracle twin of [[bfs]]: hop-bounded reachability recursion, min
+    * hop per node. The UNION (set) semantics dedups (node, h) pairs so
+    * the recursion is bounded by N x MaxHops rows.
+    */
+  def bfsSql(nSeeds: Int = 5): String =
+    s"""WITH RECURSIVE $linkEdgesSql,
+       |$symmetricEdgesSql,
+       |reach(node, h) AS (
+       |  SELECT doc_id, 0 FROM documents WHERE doc_id < $nSeeds
+       |  UNION
+       |  SELECT ed.dst, reach.h + 1 FROM reach JOIN ed ON ed.src = reach.node
+       |  WHERE reach.h < $MaxHops)
+       |SELECT node AS doc_id, min(h) AS hops FROM reach
+       |GROUP BY node ORDER BY node""".stripMargin
 }

@@ -151,6 +151,177 @@ object TimeSeriesOps {
        |FROM wk JOIN c USING (user_id)
        |GROUP BY c.cohort_week, week_offset""".stripMargin
 
+  /** Max concurrent intervals per event type — the classic sweep-line
+    * overlap count (peak concurrent sessions / connections / jobs).
+    * Each event opens an interval [ts, ts + floor(value) seconds); the
+    * sweep unpivots intervals to +-1 deltas and takes the max running
+    * sum, ordered by (t, delta, event_id) so an interval closing at t
+    * never overlaps one opening at t (end-exclusive) and ties break
+    * identically in both engines.
+    *
+    * Scale: the running sum is a TWO-LEVEL prefix sum (the
+    * [[PipelineOps.tokenBudget]] shape): deltas bucket by epoch minute
+    * (monotone in t, so bucket order respects sweep order and equal
+    * timestamps share a bucket), the per-row window runs per
+    * (event_type, bucket), and each bucket's offset is a second window
+    * over per-bucket TOTALS — no single task ever sorts a whole event
+    * type's history. offset + intra-bucket cum equals the one-window
+    * running sum bit-for-bit (the oracle pins the equivalence by
+    * computing the single window).
+    */
+  def concurrency(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = events.select(
+      col("event_type"), col("event_id"), col("ts").as("st"),
+      expr("timestampadd(SECOND, CAST(floor(value) AS INT), ts)").as("en"))
+    val deltas = iv
+      .select(col("event_type"), col("st").as("t"), lit(1L).as("d"),
+        col("event_id"))
+      .union(iv.select(col("event_type"), col("en").as("t"),
+        lit(-1L).as("d"), col("event_id")))
+      .withColumn("bucket", expr("unix_seconds(t) div 60"))
+    val wIn = Window.partitionBy("event_type", "bucket")
+      .orderBy("t", "d", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = deltas.withColumn("cum", sum("d").over(wIn))
+    val wOff = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas
+      .groupBy("event_type", "bucket")
+      .agg(sum("d").as("tot"))
+      .withColumn("off", coalesce(sum("tot").over(wOff), lit(0L)))
+      .select("event_type", "bucket", "off")
+    cum.join(offsets, Seq("event_type", "bucket"))
+      .groupBy("event_type")
+      .agg(
+        max(col("off") + col("cum")).as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle twin of [[concurrency]]: the single-window running sum. */
+  def concurrencySql: String =
+    s"""WITH iv AS (SELECT event_type, event_id, ts AS st,
+       |    ts + to_seconds(CAST(floor(value) AS INT)) AS en FROM events),
+       |d AS (SELECT event_type, st AS t, 1 AS d, event_id FROM iv
+       |      UNION ALL
+       |      SELECT event_type, en, -1, event_id FROM iv),
+       |c AS (SELECT event_type,
+       |        sum(d) OVER (PARTITION BY event_type
+       |                     ORDER BY t, d, event_id) AS conc
+       |      FROM d)
+       |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent,
+       |  CAST(count(*) / 2 AS BIGINT) AS n_intervals
+       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Robust per-user anomaly detection by median absolute deviation:
+    * an event is an outlier when |v - median(v)| > 3 * MAD. Values are
+    * fixed-pointed to 0.01 units first so both engines interpolate
+    * percentiles over integer-valued doubles (midpoints are exact
+    * binary fractions — bit-identical across engines; the q_percentile
+    * precedent). MAD is the standard robust scale estimator — unlike
+    * stddev-based z-scores (q_zscore_outliers), one wild value cannot
+    * inflate the threshold and mask other outliers.
+    *
+    * Scale: two percentile aggregations and one join, all partitioned
+    * by user — percentile state is per-group sorted values, bounded by
+    * the per-user history (for unbounded histories the approx twin is
+    * `approx_percentile`, same shape).
+    */
+  def anomalyMad(events: DataFrame): DataFrame = {
+    val fp = events.select(col("user_id"), col("event_id"),
+      (floor(col("value") * 100)).cast("double").as("v"))
+    val med = fp.groupBy("user_id")
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val mad = fp.join(med, "user_id")
+      .groupBy("user_id")
+      .agg(expr("percentile(abs(v - med), 0.5)").as("mad"),
+        first("med").as("med"))
+    fp.join(mad, "user_id")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(abs(col("v") - col("med")) > lit(3) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        first("med").as("med_fp"),
+        first("mad").as("mad_fp"))
+      .select(col("user_id"), col("n_events"), col("n_outliers"),
+        (col("med_fp") / 100.0).as("median"),
+        (col("mad_fp") / 100.0).as("mad"))
+  }
+
+  /** Oracle twin of [[anomalyMad]]. */
+  def anomalyMadSql: String =
+    s"""WITH fp AS (SELECT user_id, event_id,
+       |    CAST(floor(value * 100) AS DOUBLE) AS v FROM events),
+       |med AS (SELECT user_id, quantile_cont(v, 0.5) AS med FROM fp
+       |        GROUP BY user_id),
+       |mad AS (SELECT fp.user_id,
+       |          quantile_cont(abs(v - med), 0.5) AS mad, any_value(med) AS med
+       |        FROM fp JOIN med USING (user_id) GROUP BY fp.user_id)
+       |SELECT fp.user_id, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN abs(v - med) > 3 * mad THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_outliers,
+       |  any_value(med) / 100.0 AS median,
+       |  any_value(mad) / 100.0 AS mad
+       |FROM fp JOIN mad USING (user_id)
+       |GROUP BY fp.user_id""".stripMargin
+
+  /** Per-user lag-1 autocorrelation of the event value series — the
+    * standard "is this metric trending or mean-reverting" signal.
+    * Values fix-point to 1e-4 units; every sum in the Pearson formula
+    * (n, Σx, Σy, Σxy, Σx², Σy²) is then an exact long (bounded well
+    * inside int64 by |v| <= 491 and per-user histories), so the final
+    * r = (nΣxy - ΣxΣy) / (sqrt(nΣx²-(Σx)²) * sqrt(nΣy²-(Σy)²))
+    * divides/roots identically-agreed operands — IEEE-exact parity.
+    *
+    * Scale: one lag window partitioned by user + one aggregation; no
+    * global ordering anywhere.
+    */
+  def autocorr(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 10000).cast("long").as("y"))
+      .withColumn("x", lag("y", 1).over(w))
+      .filter(col("x").isNotNull)
+    pairs.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("user_id"), col("n").as("n_pairs"),
+        expr("""CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+                |ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+                |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                |   sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END""".stripMargin)
+          .as("autocorr"))
+  }
+
+  /** Oracle twin of [[autocorr]]. DuckDB's BIGINT sums widen to
+    * HUGEINT; casting back to BIGINT before the arithmetic keeps every
+    * operand the exact integer Spark computed.
+    */
+  def autocorrSql: String =
+    s"""WITH p AS (SELECT user_id,
+       |    CAST(floor(value * 10000) AS BIGINT) AS y,
+       |    lag(CAST(floor(value * 10000) AS BIGINT)) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id) AS x
+       |  FROM events),
+       |s AS (SELECT user_id, count(*) AS n,
+       |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x*y) AS BIGINT) AS sxy,
+       |        CAST(sum(x*x) AS BIGINT) AS sxx,
+       |        CAST(sum(y*y) AS BIGINT) AS syy
+       |      FROM p WHERE x IS NOT NULL GROUP BY user_id)
+       |SELECT user_id, n AS n_pairs,
+       |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+       |  ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+       |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+       |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS autocorr
+       |FROM s""".stripMargin
+
   /** Oracle twin of [[ewmaLast]] over the `events` table. */
   def ewmaLastSql: String =
     s"""WITH r AS (SELECT user_id, value,

@@ -30,9 +30,15 @@ object Analytics {
     }),
     "graph_pagerank" -> ((s, dir) => Graph.pagerank(s, rd(s, dir, "documents"))),
     "graph_triangles" -> ((s, dir) => Graph.triangles(s, rd(s, dir, "documents"))),
+    "graph_components" -> ((s, dir) =>
+      Graph.connectedComponents(s, rd(s, dir, "documents"))),
+    "graph_bfs" -> ((s, dir) => Graph.bfs(s, rd(s, dir, "documents"))),
     "ts_ewma" -> ((s, dir) => TimeSeriesOps.ewmaLast(rdEvents(s, dir))),
     "ts_funnel" -> ((s, dir) => TimeSeriesOps.funnel(rdEvents(s, dir))),
     "ts_retention" -> ((s, dir) => TimeSeriesOps.retention(rdEvents(s, dir))),
+    "ts_concurrency" -> ((s, dir) => TimeSeriesOps.concurrency(rdEvents(s, dir))),
+    "ts_anomaly_mad" -> ((s, dir) => TimeSeriesOps.anomalyMad(rdEvents(s, dir))),
+    "ts_autocorr" -> ((s, dir) => TimeSeriesOps.autocorr(rdEvents(s, dir))),
     "text_kl_divergence" -> ((s, dir) =>
       graft.operators.TextAnalysis.klDivergence(rd(s, dir, "documents")))
   )
@@ -42,9 +48,14 @@ object Analytics {
     "sketch_kmv_overlap" -> Sketches.kmvOverlapSql(corpusA, corpusB),
     "graph_pagerank" -> Graph.pagerankSql,
     "graph_triangles" -> Graph.trianglesSql,
+    "graph_components" -> Graph.connectedComponentsSql,
+    "graph_bfs" -> Graph.bfsSql(),
     "ts_ewma" -> TimeSeriesOps.ewmaLastSql,
     "ts_funnel" -> TimeSeriesOps.funnelSql(),
     "ts_retention" -> TimeSeriesOps.retentionSql,
+    "ts_concurrency" -> TimeSeriesOps.concurrencySql,
+    "ts_anomaly_mad" -> TimeSeriesOps.anomalyMadSql,
+    "ts_autocorr" -> TimeSeriesOps.autocorrSql,
     "text_kl_divergence" -> graft.operators.TextAnalysis.klDivergenceSql
   )
 }

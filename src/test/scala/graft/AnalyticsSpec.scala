@@ -223,6 +223,149 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k("b") > 0.1)
   }
 
+  // ---- Connected components / BFS ----
+
+  test("connected components matches a local union-find over the same edges") {
+    val n = 200
+    val docs = docsDf(n)
+    val edges = Graph
+      .linkEdges(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // local union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u.toInt), find(v.toInt))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    // union-find root is NOT guaranteed minimal per component without
+    // full path compression ordering; normalize both sides to
+    // min-node-per-component
+    val minOf = expected.toSeq.groupBy(_._2).map { case (root, m) =>
+      root -> m.map(_._1).min
+    }
+    val want = expected.view.mapValues(minOf).toMap
+    val got = Graph
+      .connectedComponents(spark, docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == want)
+  }
+
+  test("bfs hop counts match a local Dijkstra-free BFS") {
+    val n = 200
+    val docs = docsDf(n)
+    val und = Graph
+      .linkEdges(docs)
+      .collect()
+      .flatMap(r => Seq(
+        (r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+    val distExp = collection.mutable.Map[Long, Int]()
+    var frontier = (0L until 5L).toSet
+    frontier.foreach(s => distExp(s) = 0)
+    var h = 0
+    while (frontier.nonEmpty && h < Graph.MaxHops) {
+      h += 1
+      frontier = frontier
+        .flatMap(u => und.getOrElse(u, Set.empty))
+        .filterNot(distExp.contains)
+      frontier.foreach(v => distExp(v) = h)
+    }
+    val got = Graph
+      .bfs(spark, docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    assert(got == distExp.toMap)
+  }
+
+  // ---- Sweep-line concurrency / MAD / autocorrelation ----
+
+  private def valuedEvents(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows
+      .toDF("event_id", "epoch_s", "user_id", "event_type", "value")
+      .select(col("event_id"), col("epoch_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+  }
+
+  test("concurrency counts overlapping intervals, end-exclusive") {
+    // type A: [100,110) [105,115) [110,120) -> peak 2 (the interval
+    // ending at 110 does NOT overlap the one starting at 110)
+    // type B: three nested -> peak 3
+    val ev = valuedEvents(Seq(
+      (0L, 100L, 1L, "A", 10.0), (1L, 105L, 1L, "A", 10.0),
+      (2L, 110L, 1L, "A", 10.0),
+      (3L, 200L, 1L, "B", 30.0), (4L, 205L, 1L, "B", 20.0),
+      (5L, 210L, 1L, "B", 10.0)))
+    val got = TimeSeriesOps
+      .concurrency(ev)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("A", 2L, 3L), ("B", 3L, 3L)))
+  }
+
+  test("concurrency two-level prefix sum equals the single-window sweep " +
+      "across bucket boundaries") {
+    // intervals spanning several minute-buckets, with ties at bucket
+    // edges — the shape that would expose an offset/ordering bug
+    val rows = (0 until 300).map { i =>
+      (i.toLong, 1000L + (i * 37) % 400, 1L, "T", (i % 90).toDouble)
+    }
+    val got = TimeSeriesOps.concurrency(valuedEvents(rows)).collect().head
+    // local single-pass sweep
+    val deltas = rows.flatMap { case (id, t, _, _, v) =>
+      Seq((t, 1L, id), (t + v.toLong, -1L, id))
+    }.sortBy { case (t, d, id) => (t, d, id) }
+    var cur = 0L; var peak = 0L
+    deltas.foreach { case (_, d, _) => cur += d; peak = math.max(peak, cur) }
+    assert(got.getAs[Long]("max_concurrent") == peak)
+    assert(got.getAs[Long]("n_intervals") == 300L)
+  }
+
+  test("MAD anomaly detection is robust to a single wild value") {
+    // 20 values at 10.0 +- 0.5, one wild 400.0: the wild value is the
+    // only outlier, and it cannot inflate MAD the way it inflates
+    // stddev
+    val rows = (0 until 20).map(i =>
+      (i.toLong, 1000L + i, 1L, "A", 10.0 + (i % 2) * 0.5)) :+
+      (20L, 1020L, 1L, "A", 400.0)
+    val got = TimeSeriesOps.anomalyMad(valuedEvents(rows)).collect().head
+    assert(got.getAs[Long]("n_events") == 21)
+    assert(got.getAs[Long]("n_outliers") == 1)
+    assert(got.getAs[Double]("mad") == 0.5)
+  }
+
+  test("autocorrelation is +1 for a strictly alternating-free ramp and " +
+      "-1 for a perfect alternation") {
+    // ramp: x_{t+1} = x_t + 1 -> lag-1 pairs are perfectly correlated
+    val ramp = (0 until 50).map(i =>
+      (i.toLong, 1000L + i, 1L, "A", i.toDouble))
+    // alternation around a mean -> perfectly anti-correlated
+    val alt = (0 until 50).map(i =>
+      (100L + i, 2000L + i, 2L, "A", if (i % 2 == 0) 1.0 else -1.0))
+    val got = TimeSeriesOps
+      .autocorr(valuedEvents(ramp ++ alt))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(got(1L) - 1.0) < 1e-12)
+    assert(math.abs(got(2L) + 1.0) < 1e-9)
+  }
+
   test("ewma weights the latest value by ~1/2 and matches hand arithmetic") {
     // two events: older value 1.0 (weight 2^19), latest 3.0 (weight 2^20)
     val rows = Seq((0L, 1000L, 1L, 1.0), (1L, 1001L, 1L, 3.0))

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{Extensions, Formats, Generated, Registry, Relational, SqlSurface}
+import graft.queries.{Analytics, Extensions, Formats, Generated, Registry, Relational, SqlSurface}
 
 /** Registry integrity: the driver gate runs exactly what the families
   * declare — a duplicate query name across families would silently drop
@@ -15,7 +15,8 @@ class RegistrySpec extends AnyFunSuite {
     "Relational" -> (Relational.queries.keySet, Relational.oracleSql.keySet),
     "SqlSurface" -> (SqlSurface.queries.keySet, SqlSurface.oracleSql.keySet),
     "Extensions" -> (Extensions.queries.keySet, Extensions.oracleSql.keySet),
-    "Formats" -> (Formats.queries.keySet, Formats.oracleSql.keySet))
+    "Formats" -> (Formats.queries.keySet, Formats.oracleSql.keySet),
+    "Analytics" -> (Analytics.queries.keySet, Analytics.oracleSql.keySet))
 
   test("no query name collides across families") {
     val all = families.flatMap(_._2._1.toSeq.map(_ -> 1)).map(_._1)
