@@ -119,6 +119,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric near-dup detection by shingle CONTAINMENT: a pair
+    * qualifies when the SMALLER document's shingle set is mostly inside
+    * the larger one's — |A∩B| / min(|A|,|B|) >= tau. This catches the
+    * partial-copy family Jaccard misses by construction: a tweet quoted
+    * inside an article, a doc re-published with a boilerplate wrapper,
+    * a chapter inside a collection — the intersection is nearly all of
+    * the small side but a sliver of the big one, so J = |A∩B|/|A∪B|
+    * stays far below any Jaccard threshold (and MinHash-LSH, which
+    * estimates J, rarely even surfaces the pair as a candidate).
+    *
+    * Same linear-scale shape as [[ngramJaccard]]: inverted shingle join
+    * with the df cap bounding any shingle's contribution to maxDf², and
+    * the per-doc shingle dedup before the explode. Integer evidence
+    * only (shared, sizes, direction) — the oracle comparison is exact.
+    */
+  def containment(docs: DataFrame, n: Int = 4, tau: Double = 0.9,
+      maxDf: Int = 256): DataFrame = {
+    val sh0 = docs.repartition(col("doc_id")).select(col("doc_id"),
+      explode(array_distinct(
+        TextHash.shingleHashes(split(col("text"), " "), n))).as("sh"))
+    val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val sh = sh0.join(rare, "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("sh", "doc_a")
+    val b = sh.toDF("sh", "doc_b")
+    a.join(b, "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.toDF("doc_a", "size_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "size_b"), "doc_b")
+      .filter(col("shared") / least(col("size_a"), col("size_b")) >= tau)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("size_a"), col("size_b"),
+        // which side is (mostly) contained in the other
+        when(col("size_a") <= col("size_b"), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_doc"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash signature per document: 16 permutation-mins over the
     * rolling-hashed shingle set.
     */

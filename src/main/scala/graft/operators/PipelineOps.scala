@@ -216,6 +216,49 @@ object PipelineOps {
       .limit(k)
   }
 
+  /** Tokenizer-vocabulary coverage audit: build the top-`vocabSize`
+    * words by document frequency (the stand-in for a trained
+    * tokenizer's vocab), then measure each source's out-of-vocabulary
+    * token rate — the standard signal for "this source's text will
+    * fragment into byte-fallback tokens" (code, non-Latin scripts,
+    * boilerplate markup) when sizing a tokenizer or weighting a
+    * mixture.
+    *
+    * Scale: the df aggregation and the coverage count are linear
+    * corpus passes; the vocab itself is a TakeOrdered of vocabSize
+    * rows and joins back as a broadcast — no shuffle of the token
+    * stream against the vocab.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val toks = docs.repartition(col("doc_id")).select(col("doc_id"),
+      col("source"), explode(split(lower(col("text")), " ")).as("w"))
+    val dfreq = toks.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val vocab = dfreq.orderBy(col("df").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy("source")
+  }
+
+  /** Oracle twin of [[vocabCoverage]]. */
+  def vocabCoverageSql(vocabSize: Int = 256): String =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       |dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+       |vocab AS (SELECT w FROM dfq ORDER BY df DESC, w LIMIT $vocabSize)
+       |SELECT t.source, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS oov_rate
+       |FROM toks t LEFT JOIN vocab v ON t.w = v.w
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max |component|, components mapped to floor(e / scale *
     * 127). Emits per-vector summary stats (scale, sum/min/max of the
@@ -406,6 +449,60 @@ object PipelineOps {
       .filter(col("pos") <= 100)
       .orderBy("pos")
   }
+
+  /** Weight-proportional systematic sampling: pick ~`k` documents with
+    * inclusion probability proportional to size (n_chars), by walking
+    * the cumulative-weight axis and taking the document under every
+    * multiple of step = totalW/k. Deterministic and ALL-INTEGER — no
+    * float `pow(u, 1/w)` keys whose libm rounding could diverge across
+    * engines — which is why this classic survey-sampling design
+    * (systematic PPS) is the reproducible choice for corpus
+    * subsampling; A-ES reservoir keys give the same marginal
+    * probabilities but float-order sensitivity.
+    *
+    * The cumulative weight is the two-level distributed prefix sum
+    * ([[tokenBudget]]): per-(bucket) window over `doc_id div 512`
+    * buckets (monotone in the walk order) plus a window over
+    * per-bucket totals — no single task sorts the corpus. A document
+    * heavier than `step` is taken once (the standard systematic-PPS
+    * caveat), so the output size can undershoot k on degenerate
+    * weight skew; the sampled row carries its cum position for audit.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 50,
+      bucketWidth: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = docs.select(col("doc_id"), col("n_chars"))
+      .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = b.withColumn("cum_in", sum("n_chars").over(wIn))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy("bucket").agg(sum("n_chars").as("tot"))
+      .withColumn("off", coalesce(sum("tot").over(wOff), lit(0L)))
+      .select("bucket", "off")
+    val tot = docs.agg(sum("n_chars").as("total"))
+    intra.join(offs, "bucket")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("off") + col("cum_in"))
+      .withColumn("step", greatest(expr(s"total div $k"), lit(1L)))
+      .filter(expr("cum div step") > expr("(cum - n_chars) div step"))
+      .select(col("doc_id"), col("n_chars"), col("cum"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle twin of [[weightedSample]]: the single-window cumulative
+    * sum (bit-identical to the two-level decomposition).
+    */
+  def weightedSampleSql(k: Int = 50): String =
+    s"""WITH w AS (SELECT doc_id, n_chars,
+       |    CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+       |  FROM documents),
+       |t AS (SELECT greatest(CAST(sum(n_chars) AS BIGINT) // $k, 1)
+       |        AS step FROM documents)
+       |SELECT doc_id, n_chars, cum FROM w, t
+       |WHERE cum // step > (cum - n_chars) // step
+       |ORDER BY doc_id""".stripMargin
 
   /** Quality-ranked selection under a per-language token budget: rank
     * each language's documents (longest first — the stand-in for a

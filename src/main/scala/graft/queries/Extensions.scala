@@ -209,6 +209,12 @@ object Extensions {
     "dedup_passages" -> ((s, dir) =>
       PipelineOps.passageDupStats(rd(s, dir, "documents"))),
     "pipe_mix" -> ((s, dir) => PipelineOps.mixtureRepeat(rd(s, dir, "documents"))),
+    "pipe_vocab_coverage" -> ((s, dir) =>
+      PipelineOps.vocabCoverage(rd(s, dir, "documents"))),
+    "pipe_weighted_sample" -> ((s, dir) =>
+      PipelineOps.weightedSample(rd(s, dir, "documents"))),
+    "dedup_containment" -> ((s, dir) =>
+      graft.operators.Dedup.containment(rd(s, dir, "documents"))),
     "text_topk_ngrams" -> ((s, dir) => PipelineOps.topNgrams(rd(s, dir, "documents"))),
     "emb_quantize" -> ((s, dir) => PipelineOps.quantize(rdEmbeddings(s, dir))),
     "q_hll_sketch" -> ((s, dir) =>
@@ -626,6 +632,28 @@ object Extensions {
          |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
          |       JOIN sz sb ON p.doc_b = sb.doc_id
          |WHERE shared / (sa.sz + sb.sz - shared) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "pipe_vocab_coverage" -> PipelineOps.vocabCoverageSql(),
+
+    "pipe_weighted_sample" -> PipelineOps.weightedSampleSql(),
+
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |shs AS (SELECT doc_id, unnest($shinglesSql) AS sh_str
+         |        FROM t WHERE len(w) >= 4),
+         |sh0 AS (SELECT DISTINCT doc_id, ${rollSql("sh_str")} AS sh FROM shs),
+         |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 256),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+         |  CASE WHEN sa.sz <= sb.sz THEN doc_a ELSE doc_b END AS contained_doc
+         |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+         |       JOIN sz sb ON p.doc_b = sb.doc_id
+         |WHERE shared / least(sa.sz, sb.sz) >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" ->

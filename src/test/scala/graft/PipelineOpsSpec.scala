@@ -194,4 +194,68 @@ class PipelineOpsSpec extends AnyFunSuite {
     val ns = top.map(_.getLong(1)).toSeq
     assert(ns == ns.sorted.reverse)
   }
+
+  test("vocabCoverage: full-corpus vocab gives zero OOV; tiny vocab " +
+      "gives positive OOV and consistent totals") {
+    // vocab big enough to hold every distinct word -> nothing is OOV
+    val nDistinct = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .distinct().count().toInt
+    val full = PipelineOps.vocabCoverage(docs, vocabSize = nDistinct + 10)
+      .collect()
+    assert(full.nonEmpty)
+    assert(full.forall(_.getAs[Long]("n_oov") == 0L))
+    assert(full.forall(_.getAs[Double]("oov_rate") == 0.0))
+    // a vocab of 1 word must leave most tokens OOV, rates in (0,1]
+    val tiny = PipelineOps.vocabCoverage(docs, vocabSize = 1).collect()
+    assert(tiny.forall { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      r.getAs[Long]("n_oov") > 0 && rate > 0.0 && rate <= 1.0 &&
+        r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens")
+    })
+  }
+
+  test("weightedSample equals a local systematic-PPS walk") {
+    val local = docs.select("doc_id", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = local.map(_._2).sum
+    val step = math.max(total / 50, 1L)
+    var cum = 0L
+    val want = local.flatMap { case (id, w) =>
+      val before = cum; cum += w
+      if (cum / step > before / step) Some((id, w, cum)) else None
+    }.toSeq
+    val got = PipelineOps.weightedSample(docs, k = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == want)
+    // with max weight < step the sample hits its exact target size
+    assert(local.map(_._2).max < step)
+    assert(got.size == (total / step).toInt)
+  }
+
+  test("containment flags a quoted sub-document that Jaccard misses") {
+    // small doc = 8 words; big doc = small quoted inside 60 words of
+    // unrelated wrapper -> containment of small ~= 1.0, Jaccard << 0.8
+    val small = (0 until 8).map(i => s"q$i").mkString(" ")
+    val wrapper = (0 until 30).map(i => s"pre$i").mkString(" ")
+    val tail = (0 until 30).map(i => s"post$i").mkString(" ")
+    val corpus = Seq(
+      (0L, small),
+      (1L, s"$wrapper $small $tail"),
+      (2L, (0 until 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.containment(corpus).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L)
+    assert(r.getAs[Long]("contained_doc") == 0L)
+    // all 5 of the small doc's shingles are inside the big doc
+    assert(r.getAs[Long]("shared") == r.getAs[Long]("size_a"))
+    // and the same pair is NOT a Jaccard near-dup
+    assert(Dedup.ngramJaccard(corpus).collect().isEmpty)
+  }
 }
