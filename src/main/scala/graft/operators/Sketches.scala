@@ -97,6 +97,67 @@ object Sketches {
        |  ${estSql("n_sketch", "kmv_kth")} AS est_distinct
        |FROM s""".stripMargin
 
+  /** HLL register count (2^6) and the rho cap. The cap matters for
+    * cross-engine determinism, not accuracy: every 2^-rho correction
+    * term then has at most 40 fractional bits, so with <= 64 terms plus
+    * a <= 6-bit integer part every partial sum spans < 53 bits — the
+    * double additions are EXACT and therefore order-free, which is what
+    * lets a shuffle-order-agnostic Spark aggregation hash-match DuckDB.
+    */
+  val HllM = 64
+  val HllRhoCap = 40
+
+  /** Per-group HyperLogLog distinct estimate NEXT TO the exact count —
+    * the estimator-quality view of [[graft.operators.PipelineOps
+    * .hllRegisters]]'s register sketch (which q_hll_sketch exposes
+    * raw). Registers are per-(group, bucket) maxes of the trailing-zero
+    * rank; the harmonic-mean estimate alpha*m^2 / sum(2^-r) evaluates
+    * identically in both engines because every operand is an exact
+    * dyadic rational (see [[HllRhoCap]]) and the one division is a
+    * single IEEE op. At 100 TB the exact column is the thing you CAN'T
+    * afford (a distinct-shuffle of every value); the register path
+    * shuffles <= m rows per group.
+    */
+  def hllEstimate(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val regs = df
+      .select(col(groupCol).as("g"), hash60(valueCol).as("h"))
+      .select(col("g"), pmod(col("h"), lit(HllM.toLong)).as("bucket"),
+        expr(s"h div $HllM").as("h2"))
+      .select(col("g"), col("bucket"),
+        when(col("h2") === 0L, lit(HllRhoCap))
+          .otherwise(least(expr("CAST(log2(h2 & -h2) AS INT) + 1"),
+            lit(HllRhoCap))).as("rho"))
+      .groupBy("g", "bucket").agg(max("rho").as("r"))
+    val z = regs.groupBy("g").agg(
+      (sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)"))
+        + (lit(HllM) - count(lit(1))).cast("double")).as("z"))
+    val exact = df.select(col(groupCol).as("g"), valueCol.as("v"))
+      .groupBy("g").agg(count_distinct(col("v")).as("n_exact"))
+    exact.join(z, "g")
+      .select(col("g").as(groupCol), col("n_exact"),
+        (lit(0.709) * lit(4096.0) / col("z")).as("est_distinct"))
+      .orderBy(groupCol)
+  }
+
+  /** Oracle twin of [[hllEstimate]] over `documents.text`. */
+  def hllEstimateSql(groupCol: String): String =
+    s"""WITH h AS (SELECT $groupCol AS g, ${hash60Sql("text")} AS h
+       |           FROM documents),
+       |rr AS (SELECT g, h % $HllM AS bucket, h // $HllM AS h2 FROM h),
+       |regs AS (SELECT g, bucket,
+       |    max(CASE WHEN h2 = 0 THEN $HllRhoCap
+       |        ELSE least(CAST(log2(h2 & (-h2)) AS INT) + 1, $HllRhoCap)
+       |        END) AS r
+       |  FROM rr GROUP BY g, bucket),
+       |z AS (SELECT g,
+       |    sum(1.0 / CAST(CAST(1 AS BIGINT) << r AS DOUBLE))
+       |      + CAST($HllM - count(*) AS DOUBLE) AS z
+       |  FROM regs GROUP BY g),
+       |ex AS (SELECT $groupCol AS g, count(DISTINCT text) AS n_exact
+       |       FROM documents GROUP BY $groupCol)
+       |SELECT ex.g AS $groupCol, n_exact, 0.709 * 4096.0 / z AS est_distinct
+       |FROM ex JOIN z USING (g) ORDER BY $groupCol""".stripMargin
+
   /** KMV overlap estimate between two corpora: cardinality of each
     * side, of the union (merged sketch), the Jaccard estimate (shared
     * fraction of the union sketch), and the implied intersection size.

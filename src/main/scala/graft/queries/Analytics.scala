@@ -21,6 +21,8 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> ((s, dir) =>
       Sketches.kmvDistinct(rd(s, dir, "documents"), "source", col("text"))),
+    "sketch_hll_estimate" -> ((s, dir) =>
+      Sketches.hllEstimate(rd(s, dir, "documents"), "source", col("text"))),
     "sketch_kmv_overlap" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
       Sketches.kmvOverlap(
@@ -46,6 +48,7 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "sketch_kmv_distinct" -> Sketches.kmvDistinctSql("source"),
     "sketch_kmv_overlap" -> Sketches.kmvOverlapSql(corpusA, corpusB),
+    "sketch_hll_estimate" -> Sketches.hllEstimateSql("source"),
     "graph_pagerank" -> Graph.pagerankSql,
     "graph_triangles" -> Graph.trianglesSql,
     "graph_components" -> Graph.connectedComponentsSql,

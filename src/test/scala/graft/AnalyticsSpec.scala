@@ -65,6 +65,46 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(merged.getAs[Double]("est_intersection") - 2000) / 2000.0 < 0.35)
   }
 
+  test("hll estimate matches an exact local register replay") {
+    val docs = docsDf(3000) // 750 distinct texts per source
+    val rows = docs.collect().map(r => (r.getString(2), r.getString(1)))
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    }
+    val m = Sketches.HllM
+    def rho(h2: Long): Int =
+      if (h2 == 0) Sketches.HllRhoCap
+      else math.min(java.lang.Long.numberOfTrailingZeros(h2) + 1,
+        Sketches.HllRhoCap)
+    // register per (source, bucket); keep as Seq — a Map-to-Map .map
+    // would collapse same-source entries
+    val regs: Seq[(String, Int)] = rows
+      .map { case (src, txt) => (src, h60(txt)) }
+      .groupBy { case (src, h) => (src, h % m) }
+      .toSeq
+      .map { case ((src, _), vs) =>
+        (src, vs.map { case (_, h) => rho(h / m) }.max)
+      }
+    val z = regs.groupBy(_._1).map { case (src, rs) =>
+      src -> (rs.map(t => 1.0 / (1L << t._2).toDouble).sum +
+        (m - rs.size).toDouble)
+    }
+    val wantEst = z.map { case (src, zz) => src -> 0.709 * 4096.0 / zz }
+    val got = Sketches.hllEstimate(docs, "source", col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 4)
+    got.foreach { case (src, nExact, est) =>
+      assert(nExact == 750L)
+      assert(est == wantEst(src), s"$src: $est != ${wantEst(src)}")
+      // estimator sanity: within a loose factor of truth at n/m ~ 12
+      assert(est > 0.3 * nExact && est < 3.0 * nExact)
+    }
+  }
+
   // ---- Graph ----
 
   /** Local exact replay of the fixed-point PageRank over a collected
