@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,6 +150,134 @@ object TimeSeriesOps {
        |  count(*) AS n_users
        |FROM wk JOIN c USING (user_id)
        |GROUP BY c.cohort_week, week_offset""".stripMargin
+
+  /** Holt tail length: the trend recursion runs over the newest
+    * [[HoltW]] events per key.
+    */
+  val HoltW = 16
+
+  /** Exact dyadic coefficient tables for Holt's linear trend with
+    * alpha = beta = 1/2 over a tail of n observations (oldest = index
+    * 0), for every n in 1..maxW.
+    *
+    * The recurrences l_t = a*x_t + (1-a)(l_{t-1} + b_{t-1}),
+    * b_t = b*(l_t - l_{t-1}) + (1-b)*b_{t-1} are LINEAR in the
+    * observations, so the final (level, trend) is an integer-coefficient
+    * convolution over the tail once everything is scaled by 4^(n-1):
+    * substituting a = b = 1/2 gives the one-step update
+    *   l' = (2*x_t*4^d + 2*lc + 2*bc) / 4^(d+1)
+    *   b' = (  x_t*4^d -   lc + 3*bc) / 4^(d+1)
+    * with init l = x_0, b = 0. Tracking numerators symbolically yields,
+    * per tail length n, integer vectors cl/cb with common denominator
+    * 4^(n-1) — the same "sequential recurrence as exact integer
+    * weighted sum" move as [[ewmaLast]], one order up (matrix instead
+    * of scalar decay). Returns rows (n, idx, cl, cb).
+    */
+  def holtCoefficients(maxW: Int = HoltW): Seq[(Int, Int, Long, Long)] =
+    (1 to maxW).flatMap { n =>
+      val lc = Array.fill(n)(BigInt(0))
+      val bc = Array.fill(n)(BigInt(0))
+      lc(0) = BigInt(1)
+      var den = BigInt(1)
+      for (t <- 1 until n) {
+        val nl = Array.tabulate(n)(i => 2 * lc(i) + 2 * bc(i))
+        val nb = Array.tabulate(n)(i => -lc(i) + 3 * bc(i))
+        nl(t) += 2 * den
+        nb(t) += den
+        Array.copy(nl, 0, lc, 0, n)
+        Array.copy(nb, 0, bc, 0, n)
+        den *= 4
+      }
+      (0 until n).map { i =>
+        require(lc(i).isValidLong && bc(i).isValidLong,
+          s"holt coefficient overflow at n=$n i=$i")
+        (n, i, lc(i).toLong, bc(i).toLong)
+      }
+    }
+
+  /** Per-key Holt linear-trend state (level, trend) and one-step
+    * forecast at the latest event — the trend-aware sibling of
+    * [[ewmaLast]] (which cannot see a ramp: its forecast lags any
+    * linearly growing series by a constant). All arithmetic until the
+    * final division is exact long integer: values fix-point to 1e-4,
+    * the coefficient join brings the 4^(n-1)-scaled dyadic weights,
+    * and the two weighted sums bound well inside int64
+    * (|c| <= 2*4^15, x < 5e6 scaled, 16 terms -> < 2^58).
+    *
+    * Scale: one rank window partitioned by key with a WindowGroupLimit
+    * tail (<= 16 rows per key cross the shuffle), a broadcast join
+    * against the 136-row coefficient table, one aggregation.
+    */
+  def holt(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cdf = holtCoefficients().toDF("n_tail", "idx", "cl", "cb")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val tail = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 10000).cast("long").as("x"))
+      .withColumn("rnd", row_number().over(w))
+      .filter(col("rnd") <= HoltW)
+      .withColumn("n_tail",
+        count(lit(1)).over(Window.partitionBy("user_id")).cast("int"))
+      .withColumn("idx", col("n_tail") - col("rnd"))
+    tail.join(broadcast(cdf), Seq("n_tail", "idx"))
+      .groupBy("user_id")
+      .agg(
+        first("n_tail").as("n_tail"),
+        sum(col("cl") * col("x")).as("num_l"),
+        sum(col("cb") * col("x")).as("num_b"))
+      .select(col("user_id"), col("n_tail"),
+        holtDiv(col("num_l")).as("level"),
+        holtDiv(col("num_b")).as("trend"),
+        holtDiv(col("num_l") + col("num_b")).as("forecast"))
+  }
+
+  /** num / 4^(n_tail-1) / 1e4 — the single IEEE division pair both
+    * engines perform on identically-agreed exact operands.
+    */
+  private def holtDiv(num: Column): Column =
+    num.cast("double") /
+      expr("CAST(shiftleft(CAST(1 AS BIGINT), 2*(n_tail-1)) AS DOUBLE)") /
+      lit(10000.0)
+
+  /** Oracle twin of [[holt]]: the coefficient table inlined as VALUES
+    * rows (the exact integers the Scala generator produced).
+    */
+  def holtSql: String = {
+    val values = holtCoefficients()
+      .map { case (n, i, cl, cb) => s"($n, $i, $cl, $cb)" }
+      .mkString(", ")
+    s"""WITH r AS (SELECT user_id, value,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY ts DESC, event_id DESC) AS rnd
+       |  FROM events),
+       |t AS (SELECT user_id, CAST(floor(value * 10000) AS BIGINT) AS x,
+       |        rnd
+       |      FROM r WHERE rnd <= $HoltW),
+       |nt AS (SELECT user_id, CAST(count(*) AS INT) AS n_tail FROM t
+       |       GROUP BY user_id),
+       |c(cn, idx, cl, cb) AS (VALUES $values),
+       |s AS (SELECT t.user_id, any_value(nt.n_tail) AS n_tail,
+       |        CAST(sum(c.cl * t.x) AS BIGINT) AS num_l,
+       |        CAST(sum(c.cb * t.x) AS BIGINT) AS num_b
+       |      FROM t JOIN nt USING (user_id)
+       |        JOIN c ON c.cn = nt.n_tail AND c.idx = nt.n_tail - t.rnd
+       |      GROUP BY t.user_id)
+       |SELECT user_id, n_tail,
+       |  CAST(num_l AS DOUBLE)
+       |    / CAST(CAST(1 AS BIGINT) << (2*(n_tail-1)) AS DOUBLE)
+       |    / 10000.0 AS level,
+       |  CAST(num_b AS DOUBLE)
+       |    / CAST(CAST(1 AS BIGINT) << (2*(n_tail-1)) AS DOUBLE)
+       |    / 10000.0 AS trend,
+       |  CAST(num_l + num_b AS DOUBLE)
+       |    / CAST(CAST(1 AS BIGINT) << (2*(n_tail-1)) AS DOUBLE)
+       |    / 10000.0 AS forecast
+       |FROM s""".stripMargin
+  }
 
   /** Max concurrent intervals per event type — the classic sweep-line
     * overlap count (peak concurrent sessions / connections / jobs).

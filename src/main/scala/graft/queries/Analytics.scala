@@ -38,6 +38,7 @@ object Analytics {
     "ts_ewma" -> ((s, dir) => TimeSeriesOps.ewmaLast(rdEvents(s, dir))),
     "ts_funnel" -> ((s, dir) => TimeSeriesOps.funnel(rdEvents(s, dir))),
     "ts_retention" -> ((s, dir) => TimeSeriesOps.retention(rdEvents(s, dir))),
+    "ts_holt" -> ((s, dir) => TimeSeriesOps.holt(rdEvents(s, dir))),
     "ts_concurrency" -> ((s, dir) => TimeSeriesOps.concurrency(rdEvents(s, dir))),
     "ts_anomaly_mad" -> ((s, dir) => TimeSeriesOps.anomalyMad(rdEvents(s, dir))),
     "ts_autocorr" -> ((s, dir) => TimeSeriesOps.autocorr(rdEvents(s, dir))),
@@ -56,6 +57,7 @@ object Analytics {
     "ts_ewma" -> TimeSeriesOps.ewmaLastSql,
     "ts_funnel" -> TimeSeriesOps.funnelSql(),
     "ts_retention" -> TimeSeriesOps.retentionSql,
+    "ts_holt" -> TimeSeriesOps.holtSql,
     "ts_concurrency" -> TimeSeriesOps.concurrencySql,
     "ts_anomaly_mad" -> TimeSeriesOps.anomalyMadSql,
     "ts_autocorr" -> TimeSeriesOps.autocorrSql,

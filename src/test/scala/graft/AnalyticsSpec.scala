@@ -406,6 +406,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(got(2L) + 1.0) < 1e-9)
   }
 
+  test("holt: constant series is a fixpoint (level = const, trend = 0)") {
+    val rows = (0 until 30).map(i => (i.toLong, 1000L + i, 1L, "A", 7.25))
+    val got = TimeSeriesOps.holt(valuedEvents(rows)).collect().head
+    assert(got.getAs[Int]("n_tail") == TimeSeriesOps.HoltW)
+    assert(got.getAs[Double]("level") == 7.25)
+    assert(got.getAs[Double]("trend") == 0.0)
+    assert(got.getAs[Double]("forecast") == 7.25)
+  }
+
+  test("holt matches an exact BigInt recurrence replay and tracks a ramp") {
+    // x_t = 3t: the local replay runs the textbook recurrence in exact
+    // rationals; the operator's convolution must agree to the last bit
+    val rows = (0 until 25).map(i =>
+      (i.toLong, 1000L + i, 1L, "A", 3.0 * i))
+    val tail = (25 - TimeSeriesOps.HoltW until 25).map(i =>
+      BigInt(math.floor(3.0 * i * 10000).toLong))
+    // replay: numerators (ln, bn) over denominator dn
+    var ln = tail.head; var bn = BigInt(0); var dn = BigInt(1)
+    tail.tail.foreach { x =>
+      val nl = 2 * x * dn + 2 * ln + 2 * bn
+      val nb = x * dn - ln + 3 * bn
+      ln = nl; bn = nb; dn *= 4
+    }
+    val expLevel = (BigDecimal(ln) / BigDecimal(dn) / 10000).toDouble
+    val got = TimeSeriesOps.holt(valuedEvents(rows)).collect().head
+    val gotLevel = got.getAs[Double]("level")
+    val gotTrend = got.getAs[Double]("trend")
+    // exact equality of the integer numerators via the published values
+    assert(math.abs(gotLevel - expLevel) < 1e-9)
+    // a linear ramp's trend estimate converges near the slope (3.0)
+    assert(math.abs(gotTrend - 3.0) < 0.2)
+    assert(got.getAs[Double]("forecast") == gotLevel + got.getAs[Double]("trend")
+      || math.abs(got.getAs[Double]("forecast") - (gotLevel + gotTrend)) < 1e-9)
+  }
+
   test("ewma weights the latest value by ~1/2 and matches hand arithmetic") {
     // two events: older value 1.0 (weight 2^19), latest 3.0 (weight 2^20)
     val rows = Seq((0L, 1000L, 1L, 1.0), (1L, 1001L, 1L, 3.0))
