@@ -86,6 +86,51 @@ object AnalyticsScaleSmoke {
       TimeSeriesOps.funnel(events).collect().head
     }
     println(s"[analyticsscale]   funnel=${fu.mkString(",")}")
+
+    // ---- session-3 additions: CC/BFS on the 2M-node graph, sweep-line
+    // concurrency + autocorrelation + Holt on the 20M events, HLL
+    // estimate on the sketch input, systematic sampling on a synthetic
+    // weighted corpus
+    val cc = timed(s"connectedComponents ${nGraph / 1000000}M nodes") {
+      Graph.connectedComponents(spark, docs).groupBy("component").count()
+        .orderBy(desc("count")).limit(3).collect()
+    }
+    println(s"[analyticsscale]   top components=${cc.mkString(",")}")
+    val bf = timed(s"bfs ${nGraph / 1000000}M nodes") {
+      Graph.bfs(spark, docs).groupBy("hops").count().orderBy("hops")
+        .collect()
+    }
+    println(s"[analyticsscale]   bfs hop histogram=${bf.mkString(",")}")
+    val hll = timed(s"hllEstimate ${nSketch / 1000000}M rows / 32 groups") {
+      val df = spark.range(nSketch).selectExpr(
+        "CAST(id % 32 AS STRING) AS g",
+        s"concat('doc ', id % 32, ':', (id DIV 32) % $distinctPerGroup) AS v")
+      Sketches.hllEstimate(df, "g", col("v")).collect()
+    }
+    hll.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val err = math.abs(est - distinctPerGroup) / distinctPerGroup
+      require(err < 0.5, s"HLL estimate off by ${err * 100}%: $est")
+    }
+    val cc2 = timed(s"concurrency ${nEvents / 1000000}M events") {
+      TimeSeriesOps.concurrency(events).collect()
+    }
+    println(s"[analyticsscale]   concurrency=${cc2.mkString(",")}")
+    val ac = timed(s"autocorr ${nEvents / 1000000}M events") {
+      TimeSeriesOps.autocorr(events).count()
+    }
+    require(ac == nUsers, s"expected $nUsers autocorr rows, got $ac")
+    val ho = timed(s"holt ${nEvents / 1000000}M events") {
+      TimeSeriesOps.holt(events).count()
+    }
+    require(ho == nUsers, s"expected $nUsers holt rows, got $ho")
+    val nDocs = (20e6 * m).toLong
+    val ws = timed(s"weightedSample ${nDocs / 1000000}M docs") {
+      val docsW = spark.range(nDocs).selectExpr("id AS doc_id",
+        "100 + pmod(hash(id), 900) AS n_chars")
+      graft.operators.PipelineOps.weightedSample(docsW, k = 1000).count()
+    }
+    println(s"[analyticsscale]   weightedSample picked $ws of target 1000")
     spark.stop()
   }
 }
