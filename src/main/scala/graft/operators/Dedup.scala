@@ -160,6 +160,74 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact n-gram Jaccard via PREFIX FILTERING (the PPJoin family,
+    * Bayardo et al. WWW'07 / Xiao et al. WWW'08): identical answer to
+    * [[ngramJaccard]] — same df cap, same threshold, same output — but
+    * the candidate join touches only each document's (1-tau)|A|+1
+    * globally RAREST shingles instead of all of them.
+    *
+    * Why it is complete: order all shingles by (df, sh) — a total
+    * order shared by every document. If J(A,B) >= tau then
+    * |A\B| <= |A| - ceil(tau|A|) = prefixLen(A) - 1, so A's prefix
+    * contains at least one element of A∩B — necessarily min(A∩B) in
+    * the global order (the elements of A∩B inside A's prefix form a
+    * prefix of A∩B itself). The same holds for B, so BOTH prefixes
+    * contain min(A∩B) and the prefix-prefix equi-join finds the pair.
+    *
+    * Scale shape: the inverted index shrinks from sum(|A|) postings to
+    * sum((1-tau)|A|+1) — at tau=0.8 a 5x smaller join input, and the
+    * rarest-first global order makes the surviving keys the LOW-df
+    * ones, so hot keys are structurally excluded beyond the df cap.
+    * Candidates are additionally length-filtered (tau|A| <= |B|) with
+    * exact integer arithmetic before the verify join recomputes the
+    * true intersection for candidate pairs only. All comparisons are
+    * integer (tau = tauNum/tauDen), so oracle equality is exact.
+    */
+  def prefixJaccard(docs: DataFrame, n: Int = 4, tauNum: Int = 4,
+      tauDen: Int = 5, maxDf: Int = 256): DataFrame = {
+    val sh0 = docs.repartition(col("doc_id")).select(col("doc_id"),
+      explode(array_distinct(
+        TextHash.shingleHashes(split(col("text"), " "), n))).as("sh"))
+    // keep df: it defines the rarest-first global order
+    val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val sh = sh0.join(rare, "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // rank within each doc by the GLOBAL (df, sh) order; prefix length
+    // |A| - ceil(tau*|A|) + 1, all-integer
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "sh")
+    val pref = sh
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      // ceil(tau*sz) = (sz*tauNum + tauDen-1) div tauDen; floor of the
+      // double quotient is exact (operands far below 2^52)
+      .filter(col("rk") <=
+        col("sz") - floor((col("sz") * tauNum + (tauDen - 1)) / tauDen) + 1)
+      .select("doc_id", "sh", "sz")
+    val cand = pref.select(col("sh"), col("doc_id").as("doc_a"),
+        col("sz").as("size_a"))
+      .join(pref.select(col("sh"), col("doc_id").as("doc_b"),
+        col("sz").as("size_b")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: tau*|A| <= |B| and tau*|B| <= |A|
+      .filter(col("size_b") * tauDen >= col("size_a") * tauNum &&
+        col("size_a") * tauDen >= col("size_b") * tauNum)
+      .select("doc_a", "doc_b", "size_a", "size_b")
+      .distinct()
+    // verify: exact intersection count, candidates only
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") * tauDen >=
+        (col("size_a") + col("size_b") - col("shared")) * tauNum)
+      .select("doc_a", "doc_b", "shared", "size_a", "size_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash signature per document: 16 permutation-mins over the
     * rolling-hashed shingle set.
     */

@@ -40,6 +40,9 @@ object Extensions {
     "dedup_exact" -> ((s, dir) => Dedup.exact(rd(s, dir, "documents"))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprint(rd(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(rd(s, dir, "documents"))),
+    // same answer as dedup_ngram_jaccard through the prefix-filtered
+    // candidate path (PPJoin) — the oracle SQL is shared
+    "dedup_prefix_jaccard" -> ((s, dir) => Dedup.prefixJaccard(rd(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(rd(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(rd(s, dir, "documents"))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosine(rdEmbeddings(s, dir))),
@@ -580,6 +583,26 @@ object Extensions {
     }.mkString("CASE ", " ", " ELSE 'und' END")
   }
 
+  // shared by dedup_ngram_jaccard and dedup_prefix_jaccard: the
+  // prefix-filtered path is a candidate-pruning rewrite with the same
+  // df cap, threshold, and exact verify — provably the same answer
+  private lazy val ngramJaccardOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |shs AS (SELECT doc_id, unnest($shinglesSql) AS sh_str
+       |        FROM t WHERE len(w) >= 4),
+       |sh0 AS (SELECT DISTINCT doc_id, ${rollSql("sh_str")} AS sh FROM shs),
+       |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 256),
+       |sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared, sa.sz AS size_a, sb.sz AS size_b
+       |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+       |       JOIN sz sb ON p.doc_b = sb.doc_id
+       |WHERE shared / (sa.sz + sb.sz - shared) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -617,22 +640,12 @@ object Extensions {
          |SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
          |FROM f GROUP BY fp ORDER BY doc_id""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |shs AS (SELECT doc_id, unnest($shinglesSql) AS sh_str
-         |        FROM t WHERE len(w) >= 4),
-         |sh0 AS (SELECT DISTINCT doc_id, ${rollSql("sh_str")} AS sh FROM shs),
-         |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 256),
-         |sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, shared, sa.sz AS size_a, sb.sz AS size_b
-         |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
-         |       JOIN sz sb ON p.doc_b = sb.doc_id
-         |WHERE shared / (sa.sz + sb.sz - shared) >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+
+    // prefix filtering provably drops no qualifying pair (see
+    // Dedup.prefixJaccard scaladoc) and the verify step recomputes the
+    // exact intersection -> same answer, same oracle
+    "dedup_prefix_jaccard" -> ngramJaccardOracleSql,
 
     "pipe_vocab_coverage" -> PipelineOps.vocabCoverageSql(),
 

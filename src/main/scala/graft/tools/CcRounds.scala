@@ -8,15 +8,21 @@ import org.apache.spark.sql.functions._
   */
 object CcRounds {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // Arg: an sf dir (documents-derived graph) or a plain integer N
+    // (the synthetic N-node graph AnalyticsScaleSmoke uses).
+    val arg = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val synthetic = arg.forall(_.isDigit)
+    val cpus = if (synthetic) sys.env.getOrElse("SPARK_GRAFT_CPUS", "16") else "8"
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.queries.Util.rd(spark, sfDir, "documents")
+    val docs =
+      if (synthetic) spark.range(arg.toLong).selectExpr("id AS doc_id")
+      else graft.queries.Util.rd(spark, arg, "documents")
     val t00 = System.nanoTime()
     val und = graft.operators.Graph.linkEdges(docs)
       .select(least(col("src"), col("dst")).as("u"),
@@ -44,12 +50,16 @@ object CcRounds {
         .join(viaN, Seq("node"), "left")
         .select(col("node"), col("lab").as("plab"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab1"))
-      val next = hopped
-        .join(labels.select(col("node").as("jn"), col("lab").as("jlab")),
-          col("lab1") === col("jn"), "left")
-        .select(col("node"), col("plab"),
-          least(col("lab1"), coalesce(col("jlab"), col("lab1"))).as("lab"))
-        .localCheckpoint(true)
+      val jumps = sys.env.getOrElse("SPARK_GRAFT_CC_JUMPS", "2").toInt
+      var cur = hopped.withColumnRenamed("lab1", "lab")
+      for (j <- 1 to jumps) {
+        cur = cur
+          .join(labels.select(col("node").as(s"jn$j"), col("lab").as(s"jlab$j")),
+            col("lab") === col(s"jn$j"), "left")
+          .select(col("node"), col("plab"),
+            least(col("lab"), coalesce(col(s"jlab$j"), col("lab"))).as("lab"))
+      }
+      val next = cur.localCheckpoint(true)
       val tCkpt = (System.nanoTime() - t0) / 1e9
       changed = next.filter(col("lab") =!= col("plab")).count()
       println(f"[ccrounds] round $round: ckpt ${tCkpt}%.2fs " +

@@ -52,4 +52,37 @@ class DedupPropertySpec extends AnyFunSuite {
       prop)
     assert(res.passed, res.status.toString)
   }
+
+  // Longer repeated-phrase texts so some pairs actually clear the
+  // 4-shingle / tau=0.8 bar; perturbations keep others below it.
+  private val nearDupCorpus: Gen[Seq[(Long, String)]] = for {
+    nBase <- Gen.choose(2, 5)
+    bases <- Gen.listOfN(nBase, Gen.listOfN(8, word).map(_.mkString(" ")))
+    variants <- Gen.listOfN(nBase, Gen.zip(Gen.choose(0, 2), word))
+  } yield bases.zip(variants).zipWithIndex.flatMap {
+    case ((b, (kind, wd)), i) =>
+      val copy = kind match {
+        case 0 => b // exact copy
+        case 1 => s"$b $wd" // one-word append
+        case _ => s"$wd $b $wd $wd" // wrapped
+      }
+      Seq((i * 10L, b), (i * 10L + 1, copy))
+  }
+
+  test("prefix-filtered Jaccard == full inverted-join Jaccard " +
+      "for random near-dup corpora") {
+    import spark.implicits._
+    val prop = Prop.forAll(nearDupCorpus) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq.sorted
+      pairs(Dedup.prefixJaccard(docs)) == pairs(Dedup.ngramJaccard(docs))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10)
+        .withInitialSeed(Seed(7L)),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
 }
