@@ -359,6 +359,64 @@ object TextAnalysis {
         (col("kl_fp").cast("double") / 1e9).as("kl"))
   }
 
+  /** Word-pair collocations by LIFT — market-basket association mining
+    * with documents as transactions (the Apriori level-1 shape): only
+    * words with document frequency >= `minSup` (and within the
+    * `maxVocab` most frequent — the scale cap) enter the pair join, so
+    * candidate pairs are generated per document over FREQUENT words
+    * only, never over the raw vocabulary. Pair support is counted with
+    * one groupBy; lift = n_ab*N / (n_a*n_b) is the only IEEE division
+    * and both operands are exact longs, so the oracle comparison is
+    * exact. Top `topK` pairs by (support desc, pair) — a total order.
+    *
+    * Scale shape: distinct (doc, word) is one shuffle; the vocabulary
+    * relation is <= maxVocab rows and broadcast; per-document pair
+    * expansion is bounded by (frequent words per doc)^2 — the standard
+    * frequent-itemset bound, tunable via minSup/maxVocab.
+    */
+  def collocations(docs: DataFrame, minSup: Int = 25, maxVocab: Int = 512,
+      topK: Int = 100): DataFrame = {
+    val items = docs.select(col("doc_id"),
+      explode(array_distinct(split(lower(col("text")), " "))).as("w"))
+    val vocab = items.groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minSup)
+      .orderBy(desc("df"), col("w")).limit(maxVocab)
+    val it = items.join(broadcast(vocab), "w")
+    val nDocs = docs.agg(countDistinct("doc_id").as("n_docs"))
+    it.select(col("doc_id"), col("w").as("w_a"), col("df").as("n_a"))
+      .join(it.select(col("doc_id"), col("w").as("w_b"),
+        col("df").as("n_b")), "doc_id")
+      .filter(col("w_a") < col("w_b"))
+      .groupBy("w_a", "w_b")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSup)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w_a"), col("w_b"), col("n_a"), col("n_b"), col("n_ab"),
+        ((col("n_ab") * col("n_docs")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(desc("n_ab"), col("w_a"), col("w_b"))
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[collocations]]. */
+  def collocationsSql(minSup: Int = 25, maxVocab: Int = 512,
+      topK: Int = 100): String =
+    s"""WITH it0 AS (SELECT DISTINCT doc_id,
+       |    unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       |v AS (SELECT w, count(*) AS df FROM it0 GROUP BY w
+       |      HAVING count(*) >= $minSup
+       |      ORDER BY df DESC, w LIMIT $maxVocab),
+       |it AS (SELECT it0.doc_id, it0.w, v.df FROM it0 JOIN v USING (w)),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |p AS (SELECT a.w AS w_a, b.w AS w_b, max(a.df) AS n_a,
+       |        max(b.df) AS n_b, count(*) AS n_ab
+       |      FROM it a JOIN it b ON a.doc_id = b.doc_id AND a.w < b.w
+       |      GROUP BY 1, 2 HAVING count(*) >= $minSup)
+       |SELECT w_a, w_b, n_a, n_b, n_ab,
+       |  CAST(n_ab * n_docs AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS lift
+       |FROM p, n ORDER BY n_ab DESC, w_a, w_b LIMIT $topK""".stripMargin
+
   /** Oracle twin of [[klDivergence]]. */
   def klDivergenceSql: String =
     s"""WITH w AS (SELECT source,

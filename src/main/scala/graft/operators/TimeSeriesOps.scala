@@ -450,6 +450,69 @@ object TimeSeriesOps {
        |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS autocorr
        |FROM s""".stripMargin
 
+  /** Offline CUSUM changepoint per user: the index k (1-based, in
+    * (ts, event_id) order) where the centered cumulative sum
+    * |sum_{j<=k}(y_j - mean)| peaks — the classic single-changepoint
+    * location estimate for a level shift. All arithmetic is exact
+    * integer on the 1e-4 fixed-point values: the centered cusum is
+    * scaled by n (d_k = n*c_k - k*S, both longs), argmax tie-breaks to
+    * the SMALLEST k via max(struct(d, -k)), and the only IEEE op is
+    * the final normalization division of two agreed operands.
+    *
+    * Scale shape: one shuffle on user_id shared by the ranking window,
+    * the running sum, and the totals join; per-user output is one row.
+    * Overflow bound: n*c_k <= n^2 * max|y| — at the 1e-4 fixed point
+    * and |value|<=1e3 this caps per-key series at ~3e6 events; longer
+    * keys need a coarser per-key fixed point (same shape, different
+    * scale constant).
+    */
+  def changepoint(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val rows = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 10000).cast("long").as("y"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("c", sum("y").over(w))
+    val tot = rows.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"))
+    rows.join(tot, "user_id")
+      .filter(col("i") < col("n")) // d_n = 0 by construction
+      .select(col("user_id"), col("n"),
+        abs(col("n") * col("c") - col("i") * col("s")).as("dabs"),
+        col("i"))
+      .groupBy("user_id")
+      .agg(first("n").as("n_events"),
+        max(struct(col("dabs"), (-col("i")).as("neg_i"))).as("m"))
+      .select(col("user_id"), col("n_events"),
+        (-col("m.neg_i")).as("cp_idx"), col("m.dabs").as("cusum_abs"),
+        (col("m.dabs").cast("double") /
+          (col("n_events") * lit(10000.0))).as("cusum_norm"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle twin of [[changepoint]]. DuckDB widens BIGINT sums to
+    * HUGEINT; the casts keep every operand the long Spark computed.
+    */
+  def changepointSql: String =
+    s"""WITH p AS (SELECT user_id, ts, event_id,
+       |    CAST(floor(value * 10000) AS BIGINT) AS y FROM events),
+       |r AS (SELECT user_id, y,
+       |    CAST(row_number() OVER win AS BIGINT) AS i,
+       |    CAST(sum(y) OVER win AS BIGINT) AS c
+       |  FROM p WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |t AS (SELECT user_id, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+       |  FROM p GROUP BY user_id),
+       |d AS (SELECT r.user_id, i, abs(n*c - i*s) AS dabs
+       |  FROM r JOIN t USING (user_id) WHERE i < n),
+       |k AS (SELECT user_id, i, dabs, row_number() OVER
+       |    (PARTITION BY user_id ORDER BY dabs DESC, i) AS rk FROM d)
+       |SELECT k.user_id, t.n AS n_events, k.i AS cp_idx,
+       |  CAST(k.dabs AS BIGINT) AS cusum_abs,
+       |  CAST(k.dabs AS DOUBLE) / (t.n * 10000.0) AS cusum_norm
+       |FROM k JOIN t ON k.user_id = t.user_id
+       |WHERE rk = 1 ORDER BY k.user_id""".stripMargin
+
   /** Oracle twin of [[ewmaLast]] over the `events` table. */
   def ewmaLastSql: String =
     s"""WITH r AS (SELECT user_id, value,

@@ -42,8 +42,11 @@ object Analytics {
     "ts_concurrency" -> ((s, dir) => TimeSeriesOps.concurrency(rdEvents(s, dir))),
     "ts_anomaly_mad" -> ((s, dir) => TimeSeriesOps.anomalyMad(rdEvents(s, dir))),
     "ts_autocorr" -> ((s, dir) => TimeSeriesOps.autocorr(rdEvents(s, dir))),
+    "ts_changepoint" -> ((s, dir) => TimeSeriesOps.changepoint(rdEvents(s, dir))),
     "text_kl_divergence" -> ((s, dir) =>
-      graft.operators.TextAnalysis.klDivergence(rd(s, dir, "documents")))
+      graft.operators.TextAnalysis.klDivergence(rd(s, dir, "documents"))),
+    "text_collocations" -> ((s, dir) =>
+      graft.operators.TextAnalysis.collocations(rd(s, dir, "documents")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -61,6 +64,8 @@ object Analytics {
     "ts_concurrency" -> TimeSeriesOps.concurrencySql,
     "ts_anomaly_mad" -> TimeSeriesOps.anomalyMadSql,
     "ts_autocorr" -> TimeSeriesOps.autocorrSql,
-    "text_kl_divergence" -> graft.operators.TextAnalysis.klDivergenceSql
+    "ts_changepoint" -> TimeSeriesOps.changepointSql,
+    "text_kl_divergence" -> graft.operators.TextAnalysis.klDivergenceSql,
+    "text_collocations" -> graft.operators.TextAnalysis.collocationsSql()
   )
 }
