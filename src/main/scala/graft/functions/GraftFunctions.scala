@@ -39,7 +39,10 @@ object GraftFunctions {
       c => BitmapContains(c(0), c(1))),
     ("graft_normalize",
       "graft_normalize(str) - one-pass dedup text normalization",
-      c => NormalizeText(c.head))
+      c => NormalizeText(c.head)),
+    ("graft_jaro_winkler",
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity",
+      c => JaroWinkler(c(0), c(1)))
   )
 
   /** Install on a live session's function registry. */

@@ -278,6 +278,28 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // --- fuzzy self-join (record linkage) --------------------------------
+    // Jaro-Winkler matching over DISTINCT part names with first-letter
+    // blocking: the pair join is bounded by the name VOCABULARY (which
+    // saturates), not the row count — per-name row counts are carried
+    // as a linear aggregation. The threshold test runs in exact long
+    // arithmetic inside a native codegen expression (JaroWinklerGe), so
+    // there is no float round-off at the decision boundary. At 100 TB
+    // you widen blocking to redundant keys (q-grams, phonetic codes) —
+    // the same bounded-vocabulary shape.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val names = rd(s, dir, "part").groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = names.select(col("name").as("name_a"), col("cnt").as("cnt_a"))
+      val b = names.select(col("name").as("name_b"), col("cnt").as("cnt_b"))
+      a.join(b, substring(col("name_a"), 1, 1) === substring(col("name_b"), 1, 1)
+          && col("name_a") < col("name_b"))
+        .filter(graft.functions.StringSimilarity.jaroWinklerGe(
+          col("name_a"), col("name_b"), 89, 100))
+        .select("name_a", "name_b", "cnt_a", "cnt_b")
+        .orderBy("name_a", "name_b")
+    }),
+
     // --- bucketed co-partitioned join (shuffle-free) ---------------------
     // Both fact tables persisted bucketed on the join key (Spark native
     // bucketing): the sort-merge join reads bucket i against bucket i
@@ -522,6 +544,19 @@ object Relational {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity follows the same classic
+    // conventions the native expression implements; 0.89 sits in a gap
+    // of the similarity-value lattice for this corpus, so the float
+    // boundary cannot flip a pair
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  a.cnt AS cnt_a, b.cnt AS cnt_b
+        |FROM n a JOIN n b
+        |  ON substr(a.name, 1, 1) = substr(b.name, 1, 1) AND a.name < b.name
+        |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.89
+        |ORDER BY name_a, name_b""".stripMargin,
 
     // bucketing changes execution, never results: the plain join
     "q_bucket_join" ->

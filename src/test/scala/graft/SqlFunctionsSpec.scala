@@ -34,6 +34,30 @@ class SqlFunctionsSpec extends AnyFunSuite {
     viaSql.zip(viaDf).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("jaro-winkler matches the classic reference values") {
+    import graft.functions.StringSim
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = StringSim.jaroWinkler(u(a), u(b))
+    // canonical pairs, values cross-checked against DuckDB's
+    // jaro_winkler_similarity (the oracle engine)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("jellyfish", "smellyfish") - 0.8962962962962964) < 1e-15)
+    assert(math.abs(jw("duane", "dwayne") - 0.8400000000000001) < 1e-12)
+    // integer transposition halving: 3 mismatched positions -> tr=1
+    assert(math.abs(jw("abcdef", "bcadef") - 0.9444444444444444) < 1e-15)
+    // no boost below jaro 0.7 even with a common prefix
+    assert(math.abs(jw("abcdxxxx", "abcdyyyyzzzz") - 0.611111111111111) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0 && jw("a", "") == 0.0 && jw("", "") == 0.0)
+    // the exact-rational threshold test agrees with the double at
+    // non-boundary taus
+    assert(StringSim.jaroWinklerGe(u("martha"), u("marhta"), 96, 100))
+    assert(!StringSim.jaroWinklerGe(u("martha"), u("marhta"), 97, 100))
+    // threshold exactly ON the value: rational test includes it
+    assert(StringSim.jaroWinklerGe(u("duane"), u("dwayne"), 84, 100))
+  }
+
   test("the SQL surface is Catalyst-native: foldable and codegen'd") {
     GraftFunctions.register(spark)
     // a literal argument CONSTANT-FOLDS at plan time ('x' -> 120) —
