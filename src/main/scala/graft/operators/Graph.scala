@@ -381,4 +381,63 @@ object Graph {
        |  WHERE reach.h < $MaxHops)
        |SELECT node AS doc_id, min(h) AS hops FROM reach
        |GROUP BY node ORDER BY node""".stripMargin
+
+  /** Link prediction by common-neighbor count (with the Jaccard
+    * coefficient as the normalized score): for every NON-adjacent pair
+    * within two hops, how many neighbors they share. The candidate
+    * generator is the wedge join a-w-b restricted to centers with
+    * degree <= `maxDeg` — the hub guard that bounds the fan-out at
+    * maxDeg·|E| instead of max-degree² (the same df-cap discipline as
+    * the dedup shingle joins; a celebrity hub's wedges are curation
+    * noise anyway). Degrees in the Jaccard denominator stay UNCAPPED.
+    * Integer evidence (cn, degrees) plus one IEEE division; top
+    * `topK` by (cn desc, pair) — a total order.
+    *
+    * Scale: degree relation is one groupBy; the wedge join runs on the
+    * cached symmetric edge relation partitioned by src (= the wedge
+    * center key, so both join sides arrive co-partitioned); the
+    * adjacency exclusion is one anti-join; topK is
+    * TakeOrderedAndProject.
+    */
+  def linkPrediction(spark: SparkSession, docs: DataFrame,
+      maxDeg: Int = 64, topK: Int = 100): DataFrame = {
+    val edges = symmetricEdges(docs)
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val center = deg.filter(col("deg") <= maxDeg)
+    val byCenter = edges.select(col("src").as("w"), col("dst").as("x"))
+      .join(center.select(col("node").as("w")), "w")
+    val cn = byCenter.select(col("w"), col("x").as("doc_a"))
+      .join(byCenter.select(col("w"), col("x").as("doc_b")), "w")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("cn"))
+    cn
+      .join(edges.select(col("src").as("doc_a"), col("dst").as("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("cn"), col("deg_a"), col("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn"))).as("jaccard"))
+      .orderBy(desc("cn"), col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[linkPrediction]]. */
+  def linkPredictionSql(maxDeg: Int = 64, topK: Int = 100): String =
+    s"""WITH $linkEdgesSql,
+       |$symmetricEdgesSql,
+       |deg AS (SELECT src AS node, count(*) AS deg FROM ed GROUP BY 1),
+       |ctr AS (SELECT node FROM deg WHERE deg <= $maxDeg),
+       |wed AS (SELECT e1.dst AS a, e2.dst AS b
+       |        FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |        JOIN ctr ON ctr.node = e1.src),
+       |cns AS (SELECT a, b, count(*) AS cn FROM wed GROUP BY 1, 2),
+       |cand AS (SELECT cns.* FROM cns WHERE NOT EXISTS
+       |         (SELECT 1 FROM ed WHERE ed.src = cns.a AND ed.dst = cns.b))
+       |SELECT a AS doc_a, b AS doc_b, cn, da.deg AS deg_a, db.deg AS deg_b,
+       |  CAST(cn AS DOUBLE) / (da.deg + db.deg - cn) AS jaccard
+       |FROM cand JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+       |ORDER BY cn DESC, doc_a, doc_b LIMIT $topK""".stripMargin
 }

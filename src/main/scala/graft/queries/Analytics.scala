@@ -35,6 +35,8 @@ object Analytics {
     "graph_components" -> ((s, dir) =>
       Graph.connectedComponents(s, rd(s, dir, "documents"))),
     "graph_bfs" -> ((s, dir) => Graph.bfs(s, rd(s, dir, "documents"))),
+    "graph_link_prediction" -> ((s, dir) =>
+      Graph.linkPrediction(s, rd(s, dir, "documents"))),
     "ts_ewma" -> ((s, dir) => TimeSeriesOps.ewmaLast(rdEvents(s, dir))),
     "ts_funnel" -> ((s, dir) => TimeSeriesOps.funnel(rdEvents(s, dir))),
     "ts_retention" -> ((s, dir) => TimeSeriesOps.retention(rdEvents(s, dir))),
@@ -57,6 +59,7 @@ object Analytics {
     "graph_triangles" -> Graph.trianglesSql,
     "graph_components" -> Graph.connectedComponentsSql,
     "graph_bfs" -> Graph.bfsSql(),
+    "graph_link_prediction" -> Graph.linkPredictionSql(),
     "ts_ewma" -> TimeSeriesOps.ewmaLastSql,
     "ts_funnel" -> TimeSeriesOps.funnelSql(),
     "ts_retention" -> TimeSeriesOps.retentionSql,
