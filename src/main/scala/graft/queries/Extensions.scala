@@ -148,6 +148,7 @@ object Extensions {
     }),
     "ann_range" -> ((s, dir) => Similarity.rangeSearch(rdEmbeddings(s, dir))),
     "emb_kmeans" -> ((s, dir) => Similarity.kmeansCensus(rdEmbeddings(s, dir))),
+    "emb_pca" -> ((s, dir) => Similarity.pcaTopComponent(rdEmbeddings(s, dir))),
     "text_bm25" -> ((s, dir) =>
       graft.operators.Retrieval.bm25TopK(rd(s, dir, "documents"), bm25Terms)),
     // the same search against a PERSISTED inverted index (postings +
@@ -889,6 +890,10 @@ object Extensions {
          |a3 AS (${assignSql("c2")})
          |SELECT cid, count(*) AS n_vectors
          |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // integer power iteration unrolled as CTEs — iterative float
+    // linear algebra made exactly replayable
+    "emb_pca" -> Similarity.pcaTopComponentSql(),
 
     // PQ: per-subspace seeded k-means (1 Lloyd iteration), encode,
     // ADC shortlist, exact re-rank — all fixed-point long arithmetic

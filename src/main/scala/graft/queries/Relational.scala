@@ -161,6 +161,27 @@ object Relational {
         .orderBy("user_id", "event_id")
     }),
 
+    // --- cumulative distinct count (the COUNT(DISTINCT) OVER rewrite) ----
+    // Spark (correctly) refuses DISTINCT aggregates over windows; the
+    // scalable rewrite is first-occurrence reduction: min(ts) per
+    // (type, user) — one shuffle on the composite key — collapses the
+    // stream to one row per distinct entity BEFORE any window runs, then
+    // the cumulative sum operates on the tiny per-day relation. A direct
+    // windowed distinct would carry per-partition state proportional to
+    // the distinct-user count; this shape is linear + a small window.
+    "q_cumulative_distinct" -> ((s, dir) => {
+      val firstDay = rdEvents(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(min(to_date(col("ts"))).as("day"))
+      val daily = firstDay.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_new_users"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("cum_users", sum("n_new_users").over(w))
+        .select("event_type", "day", "n_new_users", "cum_users")
+        .orderBy("event_type", "day")
+    }),
+
     // Navigation window: lag/lead over each customer's order history.
     "q_window_nav" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -537,6 +558,17 @@ object Relational {
         |FROM events
         |WHERE isodow(CAST(ts AS DATE)) = 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the first-occurrence rewrite equals the naive windowed distinct
+    "q_cumulative_distinct" ->
+      """WITH f AS (SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day
+        |           FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, day, count(*) AS n_new_users
+        |      FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, n_new_users,
+        |  sum(n_new_users) OVER (PARTITION BY event_type ORDER BY day)
+        |    AS cum_users
+        |FROM d ORDER BY event_type, day""".stripMargin,
 
     // salting changes execution, never results: the plain join
     "q_skew_join" ->
