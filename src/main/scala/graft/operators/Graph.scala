@@ -382,6 +382,89 @@ object Graph {
        |SELECT node AS doc_id, min(h) AS hops FROM reach
        |GROUP BY node ORDER BY node""".stripMargin
 
+  /** Rounds the k-core ORACLE unrolls — and the loud-failure cap on
+    * the Spark peel loop: peeling converging in more rounds than the
+    * oracle replays would silently diverge, so [[kcore]] throws
+    * instead (the changelog/rollback loud-failure discipline). Peeling
+    * rounds grow with the graph's degeneracy ordering depth, not its
+    * size — 10 is ample for this link-graph shape (3 at sf0.01; the
+    * spec asserts the margin).
+    */
+  val KcoreRounds = 10
+
+  /** k-core decomposition (membership + in-core degree for fixed k):
+    * iteratively peel nodes with degree < k until stable — the maximal
+    * subgraph where every node keeps >= k neighbors INSIDE the
+    * subgraph. The density filter for graph-signal corpus curation
+    * (PageRank rewards connectedness; the k-core demands mutual
+    * support).
+    *
+    * Scale shape: each round is two semi-joins of the cached edge
+    * relation against the shrinking alive set plus one partial-
+    * aggregated degree count; alive is MONOTONE decreasing, so the
+    * count-equality convergence test is set equality, and rounds are
+    * bounded by the degeneracy peel depth (KcoreRounds guard). Eager
+    * localCheckpoint per round truncates the self-referencing lineage
+    * (the iterative-DataFrame rule).
+    */
+  def kcore(spark: SparkSession, docs: DataFrame, k: Int = 4): DataFrame = {
+    val edges = symmetricEdges(docs)
+    var alive = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).filter(col("deg") >= k)
+      .select("node").localCheckpoint(true)
+    var n = alive.count()
+    var rounds = 1 // the initial degree filter IS peel round 1
+    var done = false
+    while (!done) {
+      val next = edges
+        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+        .localCheckpoint(true)
+      val n2 = next.count()
+      done = n2 == n // alive shrinks monotonically: same count = same set
+      alive = next
+      n = n2
+      rounds += 1
+      require(rounds <= KcoreRounds,
+        s"k-core peel did not converge within $KcoreRounds rounds — " +
+          s"the oracle unrolls exactly $KcoreRounds; raise KcoreRounds " +
+          "in both places")
+    }
+    edges
+      .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("core_deg"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle twin of [[kcore]]: [[KcoreRounds]] peel rounds unrolled
+    * (idempotent past the fixpoint, so extra rounds are harmless).
+    */
+  def kcoreSql(k: Int = 4): String = {
+    // every a_i is referenced TWICE by a_{i+1} (both endpoints must be
+    // alive) — AS MATERIALIZED stops the oracle engine from
+    // tree-inlining the chain, which would re-evaluate a1 2^rounds
+    // times (observed: the un-hinted query never finished)
+    val rounds = (2 to KcoreRounds).map { i =>
+      val p = if (i == 2) "a1" else s"a${i - 1}"
+      s"""a$i AS MATERIALIZED (SELECT e.src AS node FROM edm e
+         |  JOIN $p x ON e.src = x.node JOIN $p y ON e.dst = y.node
+         |  GROUP BY e.src HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkEdgesSql,
+       |$symmetricEdgesSql,
+       |edm AS MATERIALIZED (SELECT src, dst FROM ed),
+       |a1 AS MATERIALIZED (SELECT src AS node FROM edm GROUP BY src
+       |       HAVING count(*) >= $k),
+       |$rounds
+       |SELECT e.src AS doc_id, count(*) AS core_deg
+       |FROM edm e JOIN a$KcoreRounds x ON e.src = x.node
+       |           JOIN a$KcoreRounds y ON e.dst = y.node
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Link prediction by common-neighbor count (with the Jaccard
     * coefficient as the normalized score): for every NON-adjacent pair
     * within two hops, how many neighbors they share. The candidate

@@ -37,6 +37,7 @@ object Analytics {
     "graph_bfs" -> ((s, dir) => Graph.bfs(s, rd(s, dir, "documents"))),
     "graph_link_prediction" -> ((s, dir) =>
       Graph.linkPrediction(s, rd(s, dir, "documents"))),
+    "graph_kcore" -> ((s, dir) => Graph.kcore(s, rd(s, dir, "documents"))),
     "ts_ewma" -> ((s, dir) => TimeSeriesOps.ewmaLast(rdEvents(s, dir))),
     "ts_funnel" -> ((s, dir) => TimeSeriesOps.funnel(rdEvents(s, dir))),
     "ts_retention" -> ((s, dir) => TimeSeriesOps.retention(rdEvents(s, dir))),
@@ -60,6 +61,7 @@ object Analytics {
     "graph_components" -> Graph.connectedComponentsSql,
     "graph_bfs" -> Graph.bfsSql(),
     "graph_link_prediction" -> Graph.linkPredictionSql(),
+    "graph_kcore" -> Graph.kcoreSql(),
     "ts_ewma" -> TimeSeriesOps.ewmaLastSql,
     "ts_funnel" -> TimeSeriesOps.funnelSql(),
     "ts_retention" -> TimeSeriesOps.retentionSql,

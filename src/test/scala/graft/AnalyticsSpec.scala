@@ -173,6 +173,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_triangles") == expected.toLong)
   }
 
+  test("kcore matches a local peel simulation and converges with margin") {
+    val n = 300
+    val docs = docsDf(n)
+    val und = Graph
+      .linkEdges(docs)
+      .select(
+        org.apache.spark.sql.functions.least(col("src"), col("dst")),
+        org.apache.spark.sql.functions.greatest(col("src"), col("dst")))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val k = 4
+    var alive = und.flatMap(e => Seq(e._1, e._2))
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      rounds += 1
+      val deg = alive.toSeq.map { v =>
+        v -> und.count(e =>
+          (e._1 == v && alive(e._2)) || (e._2 == v && alive(e._1)))
+      }.toMap
+      val next = alive.filter(deg(_) >= k)
+      stable = next == alive
+      alive = next
+    }
+    // the oracle unrolls KcoreRounds: require real convergence margin
+    assert(rounds <= Graph.KcoreRounds - 2,
+      s"peel took $rounds rounds; oracle unrolls ${Graph.KcoreRounds}")
+    val expected = alive.toSeq.sorted.map { v =>
+      v -> und.count(e =>
+        (e._1 == v && alive(e._2)) || (e._2 == v && alive(e._1))).toLong
+    }
+    val got = Graph.kcore(spark, docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   // ---- EWMA ----
 
   private def eventsDf(rows: Seq[(Long, Long, Long, Double)]) = {
