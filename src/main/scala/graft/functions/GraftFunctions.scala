@@ -42,7 +42,10 @@ object GraftFunctions {
       c => NormalizeText(c.head)),
     ("graft_jaro_winkler",
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity",
-      c => JaroWinkler(c(0), c(1)))
+      c => JaroWinkler(c(0), c(1))),
+    ("graft_hilbert",
+      "graft_hilbert(x, y) - 2-D Hilbert curve index (21 bits/dim)",
+      c => HilbertIndex(c(0), c(1), 21))
   )
 
   /** Install on a live session's function registry. */

@@ -40,7 +40,7 @@ object Maintenance {
     */
   def compact(spark: SparkSession, root: String, ns: String, table: String,
       targetFileCount: Int = 0, clusterBy: Seq[String] = Nil,
-      zorder: Boolean = false): Long = {
+      zorder: Boolean = false, hilbert: Boolean = false): Long = {
     val dir = TableIO.tableDir(root, ns, table)
     // The planned version is read FIRST and CASed at commit
     // (expectedVersion below): a concurrent append landing between plan
@@ -62,7 +62,14 @@ object Maintenance {
       import org.apache.spark.sql.functions._
       val arranged =
         if (clusterBy.isEmpty) merged.repartition(nFiles)
-        else if (zorder && clusterBy.size >= 2) {
+        else if (hilbert && clusterBy.size == 2) {
+          val h = graft.functions.ZOrder.hvalue(
+            col(clusterBy(0)), col(clusterBy(1)))
+          merged.withColumn("_h", h)
+            .repartitionByRange(nFiles, col("_h"))
+            .sortWithinPartitions("_h")
+            .drop("_h")
+        } else if (zorder && clusterBy.size >= 2) {
           val z = graft.functions.ZOrder.zvalue(clusterBy.map(col))
           merged.withColumn("_z", z)
             .repartitionByRange(nFiles, col("_z"))

@@ -212,6 +212,32 @@ object Generated {
           col("t_hour").between(h0 + 8, h0 + 16))
         .orderBy("event_id")
     }),
+    // Hilbert clustering: the same events slice through the Hilbert
+    // curve rewrite — bounds stay tight on both dimensions like
+    // z-order, with no quadrant-boundary jumps in the file ranges
+    // (ZOrderSpec compares the skip counts of the two curves).
+    "gen_hilbert_scan" -> ((s, dir) => {
+      val r = GeneratedTables.ensureCustom(dir + "#hilbert") { root =>
+        val ev = Util.rdEvents(s, dir).select(
+          col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("t_hour"))
+        TableIO.createNamespace(root, "gen_ns")
+        TableIO.createTableIfNotExists(root, "gen_ns", "ev_h", ev.schema)
+        val e = TableIO.writeExactFile(s, root, "gen_ns", "ev_h",
+          "data/part-00000.parquet", ev, "data", seq = 1L)
+        TableIO.commit(root, "gen_ns", "ev_h", Seq(e))
+        graft.plans.Maintenance.compact(s, root, "gen_ns", "ev_h",
+          targetFileCount = 16, clusterBy = Seq("user_id", "t_hour"),
+          hilbert = true)
+      }
+      val h0 = 473352L // 2024-01-01T00:00 in hours since epoch
+      Mor.read(s, r, "gen_ns", "ev_h",
+          prune = Seq(Mor.Prune("user_id", 100L, 160L),
+            Mor.Prune("t_hour", h0 + 8, h0 + 16)))
+        .filter(col("user_id").between(100, 160) &&
+          col("t_hour").between(h0 + 8, h0 + 16))
+        .orderBy("event_id")
+    }),
     // MERGE-shaped upsert on the identifier column: one commit pairs a
     // key-only equality-delete file with the replacement data file at
     // the same sequence; the strict eq-delete gate keeps the incoming
@@ -1009,6 +1035,15 @@ object Generated {
       """SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
         |FROM range(4100, 4401) t(g) ORDER BY bar""".stripMargin,
     "gen_zorder_scan" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch_us(ts::TIMESTAMP) // 3600000000 AS BIGINT) AS t_hour
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 160
+        |  AND epoch_us(ts::TIMESTAMP) // 3600000000
+        |      BETWEEN 473360 AND 473368
+        |ORDER BY event_id""".stripMargin,
+    // layout changes execution, never results: same slice as zorder
+    "gen_hilbert_scan" ->
       """SELECT event_id, user_id,
         |  CAST(epoch_us(ts::TIMESTAMP) // 3600000000 AS BIGINT) AS t_hour
         |FROM events

@@ -13,7 +13,7 @@ class ZOrderSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   /** 64x64 grid of (x, y) points, one table clustered each way. */
-  private def grid(zorder: Boolean): String = {
+  private def grid(zorder: Boolean, hilbert: Boolean = false): String = {
     val root = java.nio.file.Files.createTempDirectory("graft-z-").toString
     val df = spark.range(0, 4096).select(
       col("id").as("pid"),
@@ -25,7 +25,7 @@ class ZOrderSpec extends AnyFunSuite {
       "data/part-00000.parquet", df, "data", seq = 1L, recordCount = 4096L)
     TableIO.commit(root, "ns", "t", Seq(e))
     Maintenance.compact(spark, root, "ns", "t", targetFileCount = 16,
-      clusterBy = Seq("x", "y"), zorder = zorder)
+      clusterBy = Seq("x", "y"), zorder = zorder, hilbert = hilbert)
     root
   }
 
@@ -63,5 +63,35 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zScanned <= 8, s"z-order scanned $zScanned of 16")
     assert(lexScanned == 16, s"lex scanned $lexScanned, expected all 16")
     assert(zScanned < lexScanned)
+  }
+
+  test("hilbertXY walks the canonical curve and stays a bijection") {
+    // the order-1 curve visits (0,0) (0,1) (1,1) (1,0)
+    assert(ZOrder.hilbertXY(0, 0, 1) == 0L)
+    assert(ZOrder.hilbertXY(0, 1, 1) == 1L)
+    assert(ZOrder.hilbertXY(1, 1, 1) == 2L)
+    assert(ZOrder.hilbertXY(1, 0, 1) == 3L)
+    // bijection on the 32x32 grid, and every consecutive pair of curve
+    // positions is a GRID neighBOR (|dx|+|dy| == 1) — the locality
+    // property Morton codes lack at quadrant boundaries
+    val byD = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield ZOrder.hilbertXY(x, y, 5) -> ((x, y))).sortBy(_._1)
+    assert(byD.map(_._1) == (0L until 1024L))
+    byD.map(_._2).sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+  }
+
+  test("hilbert clustering prunes like z-order on both query shapes") {
+    val hRoot = grid(zorder = false, hilbert = true)
+    val quadrant = Seq(Mor.Prune("x", 0L, 15L), Mor.Prune("y", 0L, 15L))
+    val hQuad = scannedData(hRoot, quadrant)
+    assert(hQuad <= 2, s"hilbert scanned $hQuad of 16 for the quadrant")
+    val got = Mor.read(spark, hRoot, "ns", "t", prune = quadrant)
+      .filter(col("x") <= 15 && col("y") <= 15)
+    assert(got.count() == 256L)
+    val strip = Seq(Mor.Prune("y", 0L, 15L))
+    val hStrip = scannedData(hRoot, strip)
+    assert(hStrip <= 8, s"hilbert scanned $hStrip of 16 for the strip")
   }
 }
