@@ -45,7 +45,13 @@ object GraftFunctions {
       c => JaroWinkler(c(0), c(1))),
     ("graft_hilbert",
       "graft_hilbert(x, y) - 2-D Hilbert curve index (21 bits/dim)",
-      c => HilbertIndex(c(0), c(1), 21))
+      // explicit long casts: the expression core is long-typed and the
+      // SQL surface should accept int columns/literals
+      c => HilbertIndex(
+        org.apache.spark.sql.catalyst.expressions.Cast(c(0),
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(c(1),
+          org.apache.spark.sql.types.LongType), 21))
   )
 
   /** Install on a live session's function registry. */

@@ -75,10 +75,7 @@ object ZOrder {
 }
 
 case class HilbertIndex(left: Expression, right: Expression, bits: Int)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
-  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
-    Seq(LongType, LongType)
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ZOrder.hilbertXY(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
