@@ -243,6 +243,136 @@ object TimeSeriesOps {
       expr("CAST(shiftleft(CAST(1 AS BIGINT), 2*(n_tail-1)) AS DOUBLE)") /
       lit(10000.0)
 
+  /** Season count and tail width for [[holtWinters]]. Seasons are
+    * positions in the event SEQUENCE modulo [[HwM]] (the ewma/holt
+    * convention: the per-key event order is the time axis), and the
+    * coefficient magnitudes grow ~4^n like Holt's, so the same 16-event
+    * tail stays far inside int64 (generator-checked).
+    */
+  val HwM = 4
+  val HwW = 16
+
+  /** Holt-Winters ADDITIVE-SEASONAL coefficients: with
+    * alpha = beta = gamma = 1/2 the three coupled recurrences
+    *
+    *   l_t = (x_t - s_{t-m})/2 + (l+b)/2
+    *   b_t = (l_t - l_{t-1})/2 + b/2
+    *   s_t = (x_t - l_t)/2 + s_{t-m}/2
+    *
+    * stay dyadic with common denominator 4^(n-1) — the [[holt]] move
+    * with state dimension 2+m instead of 2. Init l_0 = x_0, b_0 = 0,
+    * seasons 0 (so every state is a pure linear form over the tail and
+    * the whole fold collapses to three integer weighted sums). Emits
+    * (n, idx, cl, cb, cs) where cs is the weight vector of the season
+    * slot the ONE-STEP FORECAST uses (slot n mod m).
+    */
+  def holtWintersCoefficients(maxW: Int = HwW,
+      m: Int = HwM): Seq[(Int, Int, Long, Long, Long)] =
+    (1 to maxW).flatMap { n =>
+      val l = Array.fill(n)(BigInt(0))
+      val b = Array.fill(n)(BigInt(0))
+      val s = Array.fill(m, n)(BigInt(0))
+      l(0) = BigInt(1)
+      var den = BigInt(1)
+      for (t <- 1 until n) {
+        val slot = t % m
+        // nl2 over den 2D: l + b - s_slot, + D at x_t
+        val nl2 = Array.tabulate(n)(i => l(i) + b(i) - s(slot)(i))
+        nl2(t) += den
+        // den moves to 4D for everything below
+        val nb = Array.tabulate(n)(i => nl2(i) - 2 * l(i) + 2 * b(i))
+        val ns = Array.tabulate(n)(i => 2 * s(slot)(i) - nl2(i))
+        ns(t) += 2 * den
+        for (j <- 0 until m if j != slot)
+          for (i <- 0 until n) s(j)(i) *= 4
+        for (i <- 0 until n) {
+          l(i) = 2 * nl2(i)
+          b(i) = nb(i)
+          s(slot)(i) = ns(i)
+        }
+        den *= 4
+      }
+      val fSlot = n % m
+      (0 until n).map { i =>
+        require(l(i).isValidLong && b(i).isValidLong &&
+          s(fSlot)(i).isValidLong,
+          s"holt-winters coefficient overflow at n=$n i=$i")
+        (n, i, l(i).toLong, b(i).toLong, s(fSlot)(i).toLong)
+      }
+    }
+
+  /** Per-key Holt-Winters additive-seasonal state at the latest event:
+    * level, trend, the forecast-relevant seasonal component, and the
+    * one-step forecast l + b + s_{next slot}. Identical dataflow to
+    * [[holt]] — rank-window tail (<= [[HwW]] rows per key cross the
+    * shuffle), broadcast join against the 136-row coefficient table,
+    * one aggregation, and a single final IEEE division pair on agreed
+    * exact operands.
+    */
+  def holtWinters(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cdf = holtWintersCoefficients().toDF("n_tail", "idx", "cl", "cb", "cs")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val tail = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 10000).cast("long").as("x"))
+      .withColumn("rnd", row_number().over(w))
+      .filter(col("rnd") <= HwW)
+      .withColumn("n_tail",
+        count(lit(1)).over(Window.partitionBy("user_id")).cast("int"))
+      .withColumn("idx", col("n_tail") - col("rnd"))
+    tail.join(broadcast(cdf), Seq("n_tail", "idx"))
+      .groupBy("user_id")
+      .agg(
+        first("n_tail").as("n_tail"),
+        sum(col("cl") * col("x")).as("num_l"),
+        sum(col("cb") * col("x")).as("num_b"),
+        sum(col("cs") * col("x")).as("num_s"))
+      .select(col("user_id"), col("n_tail"),
+        holtDiv(col("num_l")).as("level"),
+        holtDiv(col("num_b")).as("trend"),
+        holtDiv(col("num_s")).as("season"),
+        holtDiv(col("num_l") + col("num_b") + col("num_s")).as("forecast"))
+  }
+
+  /** Oracle twin of [[holtWinters]] (VALUES-inlined coefficients). */
+  def holtWintersSql: String = {
+    val values = holtWintersCoefficients()
+      .map { case (n, i, cl, cb, cs) => s"($n, $i, $cl, $cb, $cs)" }
+      .mkString(", ")
+    s"""WITH r AS (SELECT user_id, value,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY ts DESC, event_id DESC) AS rnd
+       |  FROM events),
+       |t AS (SELECT user_id, CAST(floor(value * 10000) AS BIGINT) AS x,
+       |        rnd
+       |      FROM r WHERE rnd <= $HwW),
+       |nt AS (SELECT user_id, CAST(count(*) AS INT) AS n_tail FROM t
+       |       GROUP BY user_id),
+       |c(n_tail, idx, cl, cb, cs) AS (VALUES $values),
+       |j AS (SELECT t.user_id, nt.n_tail, c.cl, c.cb, c.cs, t.x
+       |      FROM t JOIN nt USING (user_id)
+       |      JOIN c ON c.n_tail = nt.n_tail AND c.idx = nt.n_tail - t.rnd),
+       |agg AS (SELECT user_id, max(n_tail) AS n_tail,
+       |          CAST(sum(cl * x) AS BIGINT) AS num_l,
+       |          CAST(sum(cb * x) AS BIGINT) AS num_b,
+       |          CAST(sum(cs * x) AS BIGINT) AS num_s
+       |        FROM j GROUP BY user_id)
+       |SELECT user_id, n_tail,
+       |  CAST(num_l AS DOUBLE) / CAST(CAST(1 AS BIGINT) << (2*(n_tail-1)) AS DOUBLE)
+       |    / 10000.0 AS level,
+       |  CAST(num_b AS DOUBLE) / CAST(CAST(1 AS BIGINT) << (2*(n_tail-1)) AS DOUBLE)
+       |    / 10000.0 AS trend,
+       |  CAST(num_s AS DOUBLE) / CAST(CAST(1 AS BIGINT) << (2*(n_tail-1)) AS DOUBLE)
+       |    / 10000.0 AS season,
+       |  CAST(num_l + num_b + num_s AS DOUBLE)
+       |    / CAST(CAST(1 AS BIGINT) << (2*(n_tail-1)) AS DOUBLE) / 10000.0 AS forecast
+       |FROM agg""".stripMargin
+  }
+
   /** Oracle twin of [[holt]]: the coefficient table inlined as VALUES
     * rows (the exact integers the Scala generator produced).
     */

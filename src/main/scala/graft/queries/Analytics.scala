@@ -46,6 +46,7 @@ object Analytics {
     "ts_anomaly_mad" -> ((s, dir) => TimeSeriesOps.anomalyMad(rdEvents(s, dir))),
     "ts_autocorr" -> ((s, dir) => TimeSeriesOps.autocorr(rdEvents(s, dir))),
     "ts_changepoint" -> ((s, dir) => TimeSeriesOps.changepoint(rdEvents(s, dir))),
+    "ts_holt_winters" -> ((s, dir) => TimeSeriesOps.holtWinters(rdEvents(s, dir))),
     "text_kl_divergence" -> ((s, dir) =>
       graft.operators.TextAnalysis.klDivergence(rd(s, dir, "documents"))),
     "text_collocations" -> ((s, dir) =>
@@ -70,6 +71,7 @@ object Analytics {
     "ts_anomaly_mad" -> TimeSeriesOps.anomalyMadSql,
     "ts_autocorr" -> TimeSeriesOps.autocorrSql,
     "ts_changepoint" -> TimeSeriesOps.changepointSql,
+    "ts_holt_winters" -> TimeSeriesOps.holtWintersSql,
     "text_kl_divergence" -> graft.operators.TextAnalysis.klDivergenceSql,
     "text_collocations" -> graft.operators.TextAnalysis.collocationsSql()
   )

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{Graph, Sketches, TimeSeriesOps}
+import graft.operators.{Graph, Similarity, Sketches, TimeSeriesOps}
 
 /** Scale smoke for the round-9 analytics families (KMV sketches,
   * graph PageRank/triangles, EWMA, funnel): synthesize multi-million-
@@ -131,6 +131,47 @@ object AnalyticsScaleSmoke {
       graft.operators.PipelineOps.weightedSample(docsW, k = 1000).count()
     }
     println(s"[analyticsscale]   weightedSample picked $ws of target 1000")
+
+    // ---- session-4 additions: k-core + link prediction on the graph
+    // families, CUSUM changepoint on the 20M events, collocations over
+    // a synthetic worded corpus, PCA over 1M synthetic embeddings
+    val kc = timed(s"kcore ${nGraph / 1000000}M nodes") {
+      Graph.kcore(spark, docs).agg(
+        count(lit(1)).as("n"), min("core_deg"), max("core_deg"))
+        .collect().head
+    }
+    println(s"[analyticsscale]   kcore=${kc.mkString(",")}")
+    val lp = timed(s"linkPrediction ${nTri / 1000}k nodes") {
+      Graph.linkPrediction(spark,
+        spark.range(nTri).selectExpr("id AS doc_id")).collect()
+    }
+    require(lp.length == 100 && lp.head.getLong(2) >= lp.last.getLong(2),
+      "link prediction top-100 malformed")
+    val cp = timed(s"changepoint ${nEvents / 1000000}M events") {
+      TimeSeriesOps.changepoint(events).count()
+    }
+    require(cp == nUsers, s"expected $nUsers changepoint rows, got $cp")
+    val nColl = (2e6 * m).toLong
+    val co = timed(s"collocations ${nColl / 1000000}M docs x 20 words") {
+      // 20-word docs over a 4096-word vocabulary — frequent words are
+      // ubiquitous, so this drives the pair join at full vocab density
+      val docsT = spark.range(nColl).selectExpr("id AS doc_id",
+        """concat_ws(' ', transform(sequence(0, 19),
+          |  i -> concat('w', pmod(hash(id * 31 + i), 4096)))) AS text"""
+          .stripMargin)
+      graft.operators.TextAnalysis
+        .collocations(docsT, minSup = 500, maxVocab = 512).collect()
+    }
+    require(co.length <= 100, "collocations topK overflow")
+    val nVec = (1e6 * m).toLong
+    val pc = timed(s"pca ${nVec / 1000000}M x 64 embeddings") {
+      val emb = spark.range(nVec).selectExpr("id AS vec_id",
+        """transform(sequence(0, 63),
+          |  i -> CAST(pmod(hash(id * 67 + i), 2000) - 1000 AS FLOAT)
+          |       / 2000.0) AS embedding""".stripMargin)
+      Similarity.pcaTopComponent(emb).collect()
+    }
+    require(pc.length == 64, s"expected 64 PCA loadings, got ${pc.length}")
     spark.stop()
   }
 }

@@ -112,6 +112,26 @@ object DedupScaleSmoke {
     require(nearProbe == nearDirect,
       s"near index diverged: direct $nearDirect vs indexed $nearProbe")
     println(s"[dedupscale] near batch survivors: $nearProbe of $b")
+    // --- exact Jaccard: full inverted join vs PREFIX-FILTERED join on
+    // a worded near-dup corpus (k2 docs, every odd doc a one-word-
+    // appended copy of its even sibling -> J = 13/14 per pair). Both
+    // paths must find exactly the same pairs; the prefix path indexes
+    // only each doc's ~(1-tau)|A|+1 rarest shingles.
+    val k2 = math.max(n / 25, 1000L)
+    spark.range(k2).selectExpr("id AS doc_id",
+        """concat(concat_ws(' ', transform(sequence(0, 15),
+          |  i -> concat('t', pmod(hash((id DIV 2) * 131 + i), 50000)))),
+          |  CASE WHEN id % 2 = 1 THEN ' extraword' ELSE '' END) AS text"""
+          .stripMargin)
+      .write.parquet(s"$dir/worded")
+    val worded = spark.read.parquet(s"$dir/worded")
+    val fullJ = timed(s"ngramJaccard $k2 worded docs (full inverted join)")(
+      Dedup.ngramJaccard(worded).count())
+    val prefJ = timed(s"prefixJaccard $k2 worded docs (prefix-filtered)")(
+      Dedup.prefixJaccard(worded).count())
+    require(fullJ == prefJ, s"prefix path diverged: $fullJ vs $prefJ")
+    require(fullJ == k2 / 2, s"expected ${k2 / 2} sibling pairs, got $fullJ")
+    println(s"[dedupscale] jaccard pairs: $fullJ (paths agree)")
     println("[dedupscale] OK")
     spark.stop()
   }

@@ -479,6 +479,42 @@ class AnalyticsSpec extends AnyFunSuite {
       || math.abs(got.getAs[Double]("forecast") - (gotLevel + gotTrend)) < 1e-9)
   }
 
+  test("holt-winters matches an exact BigInt recurrence replay on a " +
+      "seasonal ramp") {
+    // x_t = 2t + season bump: the replay runs the coupled textbook
+    // recurrences (alpha=beta=gamma=1/2) in exact rationals
+    val m = TimeSeriesOps.HwM
+    val bump = Seq(5.0, 0.0, -3.0, 1.0)
+    val rows = (0 until 30).map(i =>
+      (i.toLong, 1000L + i, 1L, "A", 2.0 * i + bump(i % m)))
+    val w = TimeSeriesOps.HwW
+    val tail = (30 - w until 30).map(i =>
+      BigInt(math.floor((2.0 * i + bump(i % m)) * 10000).toLong))
+    // numerators over common denominator dn
+    var ln = tail.head
+    var bn = BigInt(0)
+    val sn = Array.fill(m)(BigInt(0))
+    var dn = BigInt(1)
+    for (t <- 1 until w) {
+      val x = tail(t)
+      val slot = t % m
+      val nl2 = ln + bn - sn(slot) + x * dn // den 2*dn
+      val nb = nl2 - 2 * ln + 2 * bn // den 4*dn
+      val ns = 2 * sn(slot) - nl2 + 2 * x * dn // den 4*dn
+      for (j <- 0 until m if j != slot) sn(j) *= 4
+      ln = 2 * nl2; bn = nb; sn(slot) = ns; dn *= 4
+    }
+    val fSlot = w % m
+    def toD(v: BigInt) = (BigDecimal(v) / BigDecimal(dn) / 10000).toDouble
+    val got = TimeSeriesOps.holtWinters(valuedEvents(rows)).collect().head
+    assert(got.getAs[Int]("n_tail") == w)
+    assert(math.abs(got.getAs[Double]("level") - toD(ln)) < 1e-9)
+    assert(math.abs(got.getAs[Double]("trend") - toD(bn)) < 1e-9)
+    assert(math.abs(got.getAs[Double]("season") - toD(sn(fSlot))) < 1e-9)
+    // the trend estimate tracks the deseasonalized slope
+    assert(math.abs(got.getAs[Double]("trend") - 2.0) < 1.0)
+  }
+
   test("ewma weights the latest value by ~1/2 and matches hand arithmetic") {
     // two events: older value 1.0 (weight 2^19), latest 3.0 (weight 2^20)
     val rows = Seq((0L, 1000L, 1L, 1.0), (1L, 1001L, 1L, 3.0))
