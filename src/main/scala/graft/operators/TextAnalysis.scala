@@ -399,6 +399,49 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document keyword extraction by tf-idf: top `topK` terms per
+    * doc by floor(tf · ln(N/df) · 1e9) — the lmScore/klDivergence
+    * fixed-point-floor move that makes a log-scored ranking
+    * deterministic and oracle-exact (ties on the scaled long break on
+    * the term). One tf aggregation, one df aggregation joined back on
+    * term, one per-doc rank window that compiles to a
+    * WindowGroupLimit — at most topK rows per doc cross the final
+    * shuffle.
+    */
+  def tfidfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(dfRel, "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        floor(col("tf") * log(col("nd").cast("double") / col("df")) * lit(1e9))
+          .cast("long").as("s"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("s"), col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        (col("s").cast("double") / 1e9).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Oracle twin of [[tfidfKeywords]]. */
+  def tfidfKeywordsSql(topK: Int = 3): String =
+    s"""WITH w AS (SELECT doc_id,
+       |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS nd FROM documents),
+       |sc AS (SELECT doc_id, term, tf, df,
+       |    CAST(floor(tf * ln(CAST(nd AS DOUBLE) / df) * 1e9) AS BIGINT) AS s
+       |  FROM tf JOIN dfr USING (term), n),
+       |r AS (SELECT *, row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY s DESC, term) AS rk FROM sc)
+       |SELECT doc_id, rk, term, tf, df, CAST(s AS DOUBLE) / 1e9 AS tfidf
+       |FROM r WHERE rk <= $topK ORDER BY doc_id, rk""".stripMargin
+
   /** Oracle twin of [[collocations]]. */
   def collocationsSql(minSup: Int = 25, maxVocab: Int = 512,
       topK: Int = 100): String =

@@ -243,6 +243,48 @@ object TimeSeriesOps {
       expr("CAST(shiftleft(CAST(1 AS BIGINT), 2*(n_tail-1)) AS DOUBLE)") /
       lit(10000.0)
 
+  /** First-order Markov transition matrix of event types per the
+    * user-ordered event stream: counts and row-normalized
+    * probabilities for every (from, to) pair of CONSECUTIVE events of
+    * the same user. The behavioral-model summary (what follows what)
+    * next to [[funnel]]'s fixed-sequence view. Counts are exact longs;
+    * the probability is one IEEE division of agreed operands.
+    *
+    * Scale: one lag window partitioned by user (the same shuffle every
+    * per-user operator here shares), then a groupBy on the (from, to)
+    * pair — state is |types|², not data-sized.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag("to_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("tot"))
+    counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Oracle twin of [[transitions]]. */
+  def transitionsSql: String =
+    s"""WITH p AS (SELECT user_id, event_type AS to_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |                          ORDER BY ts, event_id) AS from_type
+       |  FROM events),
+       |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+       |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c
+       |      GROUP BY from_type)
+       |SELECT c.from_type, c.to_type, c.n,
+       |  CAST(c.n AS DOUBLE) / tot AS p
+       |FROM c JOIN t USING (from_type)
+       |ORDER BY from_type, to_type""".stripMargin
+
   /** Season count and tail width for [[holtWinters]]. Seasons are
     * positions in the event SEQUENCE modulo [[HwM]] (the ewma/holt
     * convention: the per-key event order is the time axis), and the

@@ -50,7 +50,10 @@ object Analytics {
     "text_kl_divergence" -> ((s, dir) =>
       graft.operators.TextAnalysis.klDivergence(rd(s, dir, "documents"))),
     "text_collocations" -> ((s, dir) =>
-      graft.operators.TextAnalysis.collocations(rd(s, dir, "documents")))
+      graft.operators.TextAnalysis.collocations(rd(s, dir, "documents"))),
+    "text_tfidf_keywords" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tfidfKeywords(rd(s, dir, "documents"))),
+    "ts_transitions" -> ((s, dir) => TimeSeriesOps.transitions(rdEvents(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -73,6 +76,8 @@ object Analytics {
     "ts_changepoint" -> TimeSeriesOps.changepointSql,
     "ts_holt_winters" -> TimeSeriesOps.holtWintersSql,
     "text_kl_divergence" -> graft.operators.TextAnalysis.klDivergenceSql,
-    "text_collocations" -> graft.operators.TextAnalysis.collocationsSql()
+    "text_collocations" -> graft.operators.TextAnalysis.collocationsSql(),
+    "text_tfidf_keywords" -> graft.operators.TextAnalysis.tfidfKeywordsSql(),
+    "ts_transitions" -> TimeSeriesOps.transitionsSql
   )
 }
