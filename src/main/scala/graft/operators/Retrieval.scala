@@ -276,4 +276,55 @@ object Retrieval {
       .orderBy(col("rrf").desc, col("id"))
       .limit(k)
   }
+
+  /** Exact PHRASE search over a POSITIONAL inverted index: the query
+    * terms' postings (doc_id, pos) are equi-joined on
+    * (doc_id, pos + offset) so only adjacent occurrences survive —
+    * the standard positional-index phrase algorithm (BM25's postings
+    * with positions attached). Returns per-document hit counts and
+    * the first match position.
+    *
+    * Scale shape: the term filter hits the postings scan FIRST, so
+    * only the phrase's own postings (a sliver of the corpus) reach
+    * the joins; each join is keyed (doc_id, pos) — co-partitioned,
+    * no fan-out beyond true positional matches. Against a persisted
+    * index (the text_bm25_indexed tables, plus a pos column) the
+    * corpus is never re-tokenized per query.
+    */
+  def phraseSearch(docs: DataFrame,
+      phrase: String = "slow hash batch"): DataFrame = {
+    val terms = phrase.split(" ").toSeq
+    val post = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val first = post.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = terms.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (t, off)) =>
+        acc.join(
+          post.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - off).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matches.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle twin of [[phraseSearch]]. */
+  def phraseSearchSql(phrase: String = "slow hash batch"): String = {
+    val terms = phrase.split(" ").toSeq
+    val joins = terms.zipWithIndex.tail.map { case (t, off) =>
+      s"JOIN w w$off ON w$off.doc_id = w0.doc_id AND " +
+        s"w$off.term = '$t' AND w$off.pos = w0.pos + $off"
+    }.mkString("\n|  ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+       |    unnest(ws) AS term FROM t)
+       |SELECT w0.doc_id, count(*) AS n_hits, min(w0.pos) AS first_pos
+       |FROM w w0
+       |  $joins
+       |WHERE w0.term = '${terms.head}'
+       |GROUP BY w0.doc_id ORDER BY w0.doc_id""".stripMargin
+  }
 }

@@ -149,6 +149,8 @@ object Extensions {
     "ann_range" -> ((s, dir) => Similarity.rangeSearch(rdEmbeddings(s, dir))),
     "emb_kmeans" -> ((s, dir) => Similarity.kmeansCensus(rdEmbeddings(s, dir))),
     "emb_pca" -> ((s, dir) => Similarity.pcaTopComponent(rdEmbeddings(s, dir))),
+    "text_phrase_search" -> ((s, dir) =>
+      graft.operators.Retrieval.phraseSearch(rd(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) =>
       graft.operators.Retrieval.bm25TopK(rd(s, dir, "documents"), bm25Terms)),
     // the same search against a PERSISTED inverted index (postings +
@@ -930,6 +932,7 @@ object Extensions {
     // scaled longs so the per-doc sum is order-independent (the same
     // fixed-point discipline as the ANN family)
     "text_bm25" -> bm25Sql,
+    "text_phrase_search" -> graft.operators.Retrieval.phraseSearchSql(),
     // identical arithmetic over the materialized inverted index
     "text_bm25_indexed" -> bm25Sql,
     "text_bm25_refreshed" -> bm25Sql,
