@@ -601,6 +601,20 @@ object Similarity {
     * — the corpus-curation use is variance probing, not spectra).
     */
   def pcaTopComponent(emb: DataFrame, iters: Int = 3): DataFrame = {
+    val (v, _) = pcaVector(emb, iters)
+    val norm = v.agg(sum(col("v") * col("v")).as("n2"))
+    v.crossJoin(broadcast(norm))
+      .select(col("pos"), col("v").as("v_fp"),
+        (col("v").cast("double") / sqrt(col("n2").cast("double")))
+          .as("loading"))
+      .orderBy("pos")
+  }
+
+  /** The power-iteration eigenvector relation (pos, v) plus the
+    * quantized data relation (vec_id, pos, x) it was trained on —
+    * shared by [[pcaTopComponent]] and [[pcaProjection]].
+    */
+  def pcaVector(emb: DataFrame, iters: Int = 3): (DataFrame, DataFrame) = {
     val xq = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "e")))
       .select(col("vec_id"), col("pos"),
@@ -636,18 +650,62 @@ object Similarity {
         .select(col("pos"), tdiv(col("u"), col("d")).as("v"))
         .localCheckpoint(true)
     }
-    val norm = v.agg(sum(col("v") * col("v")).as("n2"))
-    v.crossJoin(broadcast(norm))
-      .select(col("pos"), col("v").as("v_fp"),
-        (col("v").cast("double") / sqrt(col("n2").cast("double")))
-          .as("loading"))
-      .orderBy("pos")
+    (v, xq)
   }
+
+  /** Projection of every embedding onto the top principal component,
+    * summarized as a 16-bucket equi-width histogram — the variance
+    * probe a curation pipeline runs to spot clustered/degenerate
+    * embedding batches. score = Σ x·v is an exact long dot product
+    * (broadcast 64-row v); bucket = (score-min)*16/(max-min+1) in the
+    * truncating-division form both engines agree on. The histogram is
+    * a constant-size aggregate regardless of corpus size.
+    */
+  def pcaProjection(emb: DataFrame, iters: Int = 3): DataFrame = {
+    val (v, xq) = pcaVector(emb, iters)
+    def tdiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((a - a % b) / b).cast("long")
+    val scores = xq.join(broadcast(v), "pos")
+      .groupBy("vec_id").agg(sum(col("x") * col("v")).as("score"))
+    val bounds = scores.agg(min("score").as("lo"), max("score").as("hi"))
+      .localCheckpoint(true)
+    scores.crossJoin(broadcast(bounds))
+      .select(tdiv((col("score") - col("lo")) * 16,
+        col("hi") - col("lo") + 1).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle twin of [[pcaProjection]]: the [[pcaTopComponentSql]]
+    * iterations plus the projection/bucket fold.
+    */
+  def pcaProjectionSql(iters: Int = 3): String =
+    s"""${pcaIterCtes(iters)},
+       |sc AS (SELECT vec_id, CAST(sum(x * v) AS BIGINT) AS score
+       |  FROM x JOIN v$iters USING (pos) GROUP BY vec_id),
+       |bd AS (SELECT CAST(min(score) AS BIGINT) AS lo,
+       |         CAST(max(score) AS BIGINT) AS hi FROM sc)
+       |SELECT CAST(((score - lo) * 16 - ((score - lo) * 16) % (hi - lo + 1))
+       |         / (hi - lo + 1) AS BIGINT) AS bucket,
+       |  count(*) AS n_vectors
+       |FROM sc, bd GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Oracle twin of [[pcaTopComponent]]: the same integer iterations
     * unrolled as CTEs.
     */
-  def pcaTopComponentSql(iters: Int = 3): String = {
+  def pcaTopComponentSql(iters: Int = 3): String =
+    s"""${pcaIterCtes(iters)},
+       |n2 AS (SELECT CAST(sum(v * v) AS BIGINT) AS n2 FROM v$iters)
+       |SELECT pos, v AS v_fp,
+       |  CAST(v AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS loading
+       |FROM v$iters, n2 ORDER BY pos""".stripMargin
+
+  /** The WITH-prefix shared by [[pcaTopComponentSql]] and
+    * [[pcaProjectionSql]]: quantization, totals, and the unrolled
+    * integer power iterations ending at relation v`iters`.
+    */
+  private def pcaIterCtes(iters: Int): String = {
     def it(i: Int): String = {
       val pv = if (i == 1) "v0" else s"v${i - 1}"
       s"""xv$i AS (SELECT vec_id, CAST(sum(x * v) AS BIGINT) AS xv
@@ -670,10 +728,6 @@ object Similarity {
        |nn AS (SELECT count(*) AS n FROM embeddings),
        |s AS (SELECT pos, CAST(sum(x) AS BIGINT) AS s FROM x GROUP BY pos),
        |v0 AS (SELECT pos, CAST(1024 AS BIGINT) AS v FROM s),
-       |${(1 to iters).map(it).mkString(",\n")},
-       |n2 AS (SELECT CAST(sum(v * v) AS BIGINT) AS n2 FROM v$iters)
-       |SELECT pos, v AS v_fp,
-       |  CAST(v AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) AS loading
-       |FROM v$iters, n2 ORDER BY pos""".stripMargin
+       |${(1 to iters).map(it).mkString(",\n")}""".stripMargin
   }
 }

@@ -149,6 +149,7 @@ object Extensions {
     "ann_range" -> ((s, dir) => Similarity.rangeSearch(rdEmbeddings(s, dir))),
     "emb_kmeans" -> ((s, dir) => Similarity.kmeansCensus(rdEmbeddings(s, dir))),
     "emb_pca" -> ((s, dir) => Similarity.pcaTopComponent(rdEmbeddings(s, dir))),
+    "emb_pca_project" -> ((s, dir) => Similarity.pcaProjection(rdEmbeddings(s, dir))),
     "text_phrase_search" -> ((s, dir) =>
       graft.operators.Retrieval.phraseSearch(rd(s, dir, "documents"))),
     "text_bm25" -> ((s, dir) =>
@@ -896,6 +897,7 @@ object Extensions {
     // integer power iteration unrolled as CTEs — iterative float
     // linear algebra made exactly replayable
     "emb_pca" -> Similarity.pcaTopComponentSql(),
+    "emb_pca_project" -> Similarity.pcaProjectionSql(),
 
     // PQ: per-subspace seeded k-means (1 Lloyd iteration), encode,
     // ADC shortlist, exact re-rank — all fixed-point long arithmetic
