@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, KnownNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Repartition, RepartitionByExpression}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Materialized-view QUERY REWRITE: an optimizer rule that substitutes
+  * a registered aggregate view for the aggregation it answers — the
+  * classic warehouse MV substitution (exact-match scope), sitting on
+  * top of the incremental-maintenance layer ([[Ivm]] keeps such views
+  * current; this rule makes readers USE them without changing their
+  * queries).
+  *
+  * Matching is deliberately conservative — a rewrite must NEVER change
+  * results, and a shared session runs many queries:
+  *  - the child must be a bare parquet scan of the registered base
+  *    path (seen through column-pruning Projects and repartitions —
+  *    no filters: a filtered aggregate is NOT answerable by a
+  *    group-level view),
+  *  - groupings must equal the view's group columns as a set,
+  *  - the query's aggregate list must match the view's aggregate set
+  *    EXACTLY (same functions on same inputs, all of them) — subset
+  *    matching would silently re-route unrelated queries that happen
+  *    to share a prefix, changing measured plans session-wide.
+  *
+  * The replacement projects the view's columns under the ORIGINAL
+  * output attribute ids (exprId-pinned aliases), so downstream
+  * operators resolve untouched; originally non-nullable outputs (the
+  * grouping key, counts) are re-asserted with KnownNotNull since a
+  * parquet scan's attributes come back nullable.
+  *
+  * Scale: this is the 100 TB aggregation answer — the full-scan
+  * group-by runs ONCE (and stays current via [[Ivm]]'s delta
+  * maintenance); every matching query afterwards reads |groups| rows.
+  */
+object MvRewrite {
+
+  /** Aggregate spec: (function, input column or "*", view column). */
+  final case class MvDef(name: String, basePath: String,
+      groupCols: Seq[String], aggs: Seq[(String, String, String)],
+      mvPath: String)
+
+  private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  @volatile private var installed = false
+
+  def register(spark: SparkSession, d: MvDef): Unit = {
+    defs.put(d.name, d)
+    install(spark)
+  }
+
+  /** Test hook: forget every view (the rule becomes a no-op). */
+  def clear(): Unit = defs.clear()
+
+  /** The base path a DataFrame scans — what [[MvDef.basePath]] must
+    * hold for the rewrite to recognize queries over that frame.
+    */
+  def pathOf(df: org.apache.spark.sql.DataFrame): Option[String] =
+    scanPath(df.queryExecution.analyzed)
+
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!installed) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new RewriteRule(spark)
+      installed = true
+    }
+  }
+
+  /** The scan's root path when the plan is a parquet relation seen
+    * through pruning projects / repartitions; None otherwise.
+    */
+  private def scanPath(plan: LogicalPlan): Option[String] = plan match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      scanPath(child)
+    case RepartitionByExpression(_, child, _, _) => scanPath(child)
+    case Repartition(_, _, child) => scanPath(child)
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.headOption.map(_.toString)
+    case _ => None
+  }
+
+  /** (function name, input column) of a supported aggregate call. */
+  private def aggKey(e: AggregateExpression): Option[(String, String)] =
+    if (e.isDistinct || e.filter.nonEmpty || e.mode != Complete) None
+    else e.aggregateFunction match {
+      case Sum(a: AttributeReference, _) => Some(("sum", a.name))
+      case Min(a: AttributeReference) => Some(("min", a.name))
+      case Max(a: AttributeReference) => Some(("max", a.name))
+      case Count(Seq(Literal(_, _))) => Some(("count", "*"))
+      case Count(Seq(a: AttributeReference)) => Some(("count", a.name))
+      case _ => None
+    }
+
+  class RewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (defs.isEmpty) plan
+      else plan.transform {
+        case agg: Aggregate =>
+          rewriteFor(agg, agg.groupingExpressions, agg.aggregateExpressions,
+            agg.child).getOrElse(agg)
+      }
+
+    private def rewriteFor(agg: Aggregate, groupings: Seq[_],
+        aggExprs: Seq[NamedExpression],
+        child: LogicalPlan): Option[LogicalPlan] = {
+      val path = scanPath(child).getOrElse(return None)
+      val groupNames = groupings.collect {
+        case a: AttributeReference => a.name
+      }
+      if (groupNames.size != groupings.size) return None
+      // each output: a grouping column, or an aliased supported agg
+      val outSpecs: Seq[Either[String, (String, String, String)]] =
+        aggExprs.map {
+          case a: AttributeReference if groupNames.contains(a.name) =>
+            Left(a.name)
+          case al @ Alias(ae: AggregateExpression, _) =>
+            aggKey(ae) match {
+              case Some((fn, in)) => Right((fn, in, al.name))
+              case None => return None
+            }
+          case _ => return None
+        }
+      val queryAggs = outSpecs.collect { case Right((fn, in, _)) => (fn, in) }
+      import scala.jdk.CollectionConverters._
+      val d = defs.values.asScala.find { d =>
+        d.basePath == path &&
+          d.groupCols.toSet == groupNames.toSet &&
+          // EXACT aggregate-set match (see scaladoc)
+          d.aggs.map(t => (t._1, t._2)).toSet == queryAggs.toSet &&
+          d.aggs.size == queryAggs.size
+      }.getOrElse(return None)
+      val mvColFor: Map[(String, String), String] =
+        d.aggs.map(t => (t._1, t._2) -> t._3).toMap
+      val mvPlan = spark.read.parquet(d.mvPath)
+        .queryExecution.analyzed
+      val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+      val projections = aggExprs.zip(outSpecs).map { case (orig, spec) =>
+        val src = spec match {
+          case Left(g) => mvAttr.getOrElse(g, return None)
+          case Right((fn, in, _)) =>
+            mvAttr.getOrElse(mvColFor((fn, in)), return None)
+        }
+        if (src.dataType != orig.dataType) return None
+        val e = if (orig.nullable) src else KnownNotNull(src)
+        Alias(e, orig.name)(exprId = orig.exprId)
+      }
+      Some(Project(projections, mvPlan))
+    }
+  }
+}

@@ -299,6 +299,34 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // --- materialized-view query rewrite ---------------------------------
+    // The aggregate below never executes against lineitem: the MV
+    // substitution rule (plans/MvRewrite.scala) recognizes the exact
+    // (group set, aggregate set) over the registered base scan and
+    // swaps in the |groups|-row view — the 100 TB answer to repeated
+    // aggregations (full scan once, kept current by the IVM layer).
+    // Exact-set matching means no OTHER query in the shared session
+    // can silently re-route. Min/max/count only: they are exact on
+    // doubles, so view-computed and direct results are bit-identical.
+    "q_mv_rewrite" -> ((s, dir) => {
+      import graft.plans.MvRewrite
+      def aggOf(df: DataFrame) = df.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      val base = s.read.parquet(s"$dir/lineitem.parquet")
+      val root = graft.plans.GeneratedTables.ensureCustom(dir + "#mv") { r =>
+        aggOf(base).write.mode("overwrite").parquet(r + "/mv_li_flag")
+      }
+      MvRewrite.register(s, MvRewrite.MvDef("li_by_flag",
+        MvRewrite.pathOf(base).getOrElse(sys.error("no scan path")),
+        Seq("l_returnflag"),
+        Seq(("count", "*", "n_rows"), ("min", "l_extendedprice", "min_price"),
+          ("max", "l_extendedprice", "max_price")),
+        root + "/mv_li_flag"))
+      aggOf(base).orderBy("l_returnflag")
+    }),
+
     // --- fuzzy self-join (record linkage) --------------------------------
     // Jaro-Winkler matching over DISTINCT part names with first-letter
     // blocking: the pair join is bounded by the name VOCABULARY (which
@@ -576,6 +604,13 @@ object Relational {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the rewrite changes execution, never results: the plain aggregate
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB's jaro_winkler_similarity follows the same classic
     // conventions the native expression implements; 0.89 sits in a gap

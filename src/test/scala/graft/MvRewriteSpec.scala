@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.MvRewrite
+
+/** MV query rewrite: a registered aggregate view answers the exact
+  * matching aggregation (plan-asserted: no Aggregate, scans the view),
+  * produces identical results to direct execution, and — just as
+  * important in a shared session — does NOT touch near-miss queries
+  * (subset aggregates, filtered scans, different groupings).
+  */
+class MvRewriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def fixture(): (DataFrame, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-").toString
+    spark.range(0, 1000)
+      .selectExpr("CAST(id % 7 AS STRING) AS g", "id AS v",
+        "CAST(id AS DOUBLE) / 3.0 AS p")
+      .write.mode("overwrite").parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    base.groupBy("g").agg(count(lit(1)).as("n"), min("p").as("lo"),
+        max("p").as("hi"))
+      .write.mode("overwrite").parquet(s"$dir/mv")
+    (base, dir)
+  }
+
+  private def aggOf(base: DataFrame) =
+    base.groupBy("g").agg(count(lit(1)).as("n"), min("p").as("lo"),
+      max("p").as("hi"))
+
+  test("exact match rewrites to the view; results identical; " +
+      "near-misses untouched") {
+    val (base, dir) = fixture()
+    val direct = aggOf(base).orderBy("g").collect()
+    MvRewrite.register(spark, MvRewrite.MvDef("t",
+      MvRewrite.pathOf(base).get, Seq("g"),
+      Seq(("count", "*", "n"), ("min", "p", "lo"), ("max", "p", "hi")),
+      s"$dir/mv"))
+    try {
+      val q = aggOf(base).orderBy("g")
+      val opt = q.queryExecution.optimizedPlan
+      assert(!opt.toString.contains("Aggregate"),
+        s"aggregate survived the rewrite:\n$opt")
+      assert(q.inputFiles.exists(_.contains("/mv")) &&
+        !q.inputFiles.exists(_.contains("/base")),
+        s"view not scanned: ${q.inputFiles.toSeq}")
+      assert(q.collect().toSeq == direct.toSeq)
+
+      // near-miss 1: SUBSET of the view's aggregates — must NOT rewrite
+      val subset = base.groupBy("g").agg(count(lit(1)).as("n"))
+      assert(subset.queryExecution.optimizedPlan.toString
+        .contains("Aggregate"))
+      // near-miss 2: filtered scan — a group-level view cannot answer it
+      val filtered = aggOf(base.filter(col("v") > 500))
+      assert(filtered.queryExecution.optimizedPlan.toString
+        .contains("Aggregate"))
+      // near-miss 3: different grouping
+      val regrouped = base.groupBy("g", "v").agg(count(lit(1)).as("n"))
+      assert(regrouped.queryExecution.optimizedPlan.toString
+        .contains("Aggregate"))
+    } finally MvRewrite.clear()
+  }
+}
