@@ -124,29 +124,68 @@ object MvRewrite {
         }
       val queryAggs = outSpecs.collect { case Right((fn, in, _)) => (fn, in) }
       import scala.jdk.CollectionConverters._
-      val d = defs.values.asScala.find { d =>
+      val candidates = defs.values.asScala.filter { d =>
         d.basePath == path &&
-          d.groupCols.toSet == groupNames.toSet &&
+          // exact grouping, or a COARSER one the view rolls up to —
+          // only for re-aggregable functions (count/min/max; float
+          // sums would re-associate, changing bits)
+          (d.groupCols.toSet == groupNames.toSet ||
+            (groupNames.toSet.subsetOf(d.groupCols.toSet) &&
+              queryAggs.forall(a => Set("count", "min", "max")(a._1)))) &&
           // EXACT aggregate-set match (see scaladoc)
           d.aggs.map(t => (t._1, t._2)).toSet == queryAggs.toSet &&
           d.aggs.size == queryAggs.size
-      }.getOrElse(return None)
+      }
+      // prefer an exact-grain view over a roll-up (cheaper: no
+      // re-aggregation at read time)
+      val d = candidates.find(_.groupCols.toSet == groupNames.toSet)
+        .orElse(candidates.headOption).getOrElse(return None)
       val mvColFor: Map[(String, String), String] =
         d.aggs.map(t => (t._1, t._2) -> t._3).toMap
       val mvPlan = spark.read.parquet(d.mvPath)
         .queryExecution.analyzed
       val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
-      val projections = aggExprs.zip(outSpecs).map { case (orig, spec) =>
-        val src = spec match {
-          case Left(g) => mvAttr.getOrElse(g, return None)
-          case Right((fn, in, _)) =>
-            mvAttr.getOrElse(mvColFor((fn, in)), return None)
+      if (d.groupCols.toSet == groupNames.toSet) {
+        val projections = aggExprs.zip(outSpecs).map { case (orig, spec) =>
+          val src = spec match {
+            case Left(g) => mvAttr.getOrElse(g, return None)
+            case Right((fn, in, _)) =>
+              mvAttr.getOrElse(mvColFor((fn, in)), return None)
+          }
+          if (src.dataType != orig.dataType) return None
+          val e = if (orig.nullable) src else KnownNotNull(src)
+          Alias(e, orig.name)(exprId = orig.exprId)
         }
-        if (src.dataType != orig.dataType) return None
-        val e = if (orig.nullable) src else KnownNotNull(src)
-        Alias(e, orig.name)(exprId = orig.exprId)
+        Some(Project(projections, mvPlan))
+      } else {
+        // ROLL-UP: re-aggregate the view at the query's coarser
+        // grouping — count becomes sum-of-counts, min/max fold again.
+        val newGroupings = groupNames.map(g => mvAttr.getOrElse(g, return None))
+        val newAggs: Seq[NamedExpression] =
+          aggExprs.zip(outSpecs).map { case (orig, spec) =>
+            spec match {
+              case Left(g) =>
+                val src = mvAttr.getOrElse(g, return None)
+                if (src.dataType != orig.dataType) return None
+                val e = if (orig.nullable) src else KnownNotNull(src)
+                Alias(e, orig.name)(exprId = orig.exprId)
+              case Right((fn, in, _)) =>
+                val src = mvAttr.getOrElse(mvColFor((fn, in)), return None)
+                val refold = fn match {
+                  case "count" => Sum(src)
+                  case "min" => Min(src)
+                  case "max" => Max(src)
+                  case _ => return None
+                }
+                val call = AggregateExpression(refold, Complete,
+                  isDistinct = false)
+                if (call.dataType != orig.dataType) return None
+                val e = if (orig.nullable) call else KnownNotNull(call)
+                Alias(e, orig.name)(exprId = orig.exprId)
+            }
+          }
+        Some(Aggregate(newGroupings, newAggs, mvPlan))
       }
-      Some(Project(projections, mvPlan))
     }
   }
 }

@@ -327,6 +327,35 @@ object Relational {
       aggOf(base).orderBy("l_returnflag")
     }),
 
+    // --- materialized-view ROLL-UP rewrite -------------------------------
+    // The view is grouped by (l_returnflag, l_linestatus); the query
+    // groups by l_returnflag only. The rule re-aggregates the view at
+    // the coarser grain (count -> sum of counts, min/max fold again) —
+    // exact for these functions — so the scan still reads |fine
+    // groups| rows, never lineitem.
+    "q_mv_rollup" -> ((s, dir) => {
+      import graft.plans.MvRewrite
+      val base = s.read.parquet(s"$dir/lineitem.parquet")
+      // agg set {count, min} differs from q_mv_rewrite's view on
+      // purpose: with exact-set matching, neither query can land on
+      // the other's view in the shared session
+      val root = graft.plans.GeneratedTables.ensureCustom(dir + "#mv2") { r =>
+        base.groupBy("l_returnflag", "l_linestatus").agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price"))
+          .write.mode("overwrite").parquet(r + "/mv_li_fs")
+      }
+      MvRewrite.register(s, MvRewrite.MvDef("li_by_flag_status",
+        MvRewrite.pathOf(base).getOrElse(sys.error("no scan path")),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(("count", "*", "n_rows"), ("min", "l_extendedprice", "min_price")),
+        root + "/mv_li_fs"))
+      base.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("min_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // --- fuzzy self-join (record linkage) --------------------------------
     // Jaro-Winkler matching over DISTINCT part names with first-letter
     // blocking: the pair join is bounded by the name VOCABULARY (which
@@ -604,6 +633,12 @@ object Relational {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the roll-up rewrite changes execution, never results
+    "q_mv_rollup" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  min(l_extendedprice) AS min_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the rewrite changes execution, never results: the plain aggregate
     "q_mv_rewrite" ->

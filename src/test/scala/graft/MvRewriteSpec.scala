@@ -57,10 +57,34 @@ class MvRewriteSpec extends AnyFunSuite {
       val filtered = aggOf(base.filter(col("v") > 500))
       assert(filtered.queryExecution.optimizedPlan.toString
         .contains("Aggregate"))
-      // near-miss 3: different grouping
-      val regrouped = base.groupBy("g", "v").agg(count(lit(1)).as("n"))
-      assert(regrouped.queryExecution.optimizedPlan.toString
-        .contains("Aggregate"))
+      // near-miss 3: a FINER grouping (view can't split its groups)
+      val regrouped = base.groupBy("g", "v").agg(count(lit(1)).as("n"),
+        min("p").as("lo"), max("p").as("hi"))
+      assert(regrouped.inputFiles.exists(_.contains("/base")))
+    } finally MvRewrite.clear()
+  }
+
+  test("coarser grouping rolls the view up instead of scanning base") {
+    val (base, dir) = fixture()
+    // view at (g, g2); query at (g) — count re-sums, min/max refold
+    spark.read.parquet(s"$dir/base")
+      .selectExpr("g", "CAST(v % 3 AS STRING) AS g2", "v", "p")
+      .write.mode("overwrite").parquet(s"$dir/base2")
+    val b2 = spark.read.parquet(s"$dir/base2")
+    b2.groupBy("g", "g2").agg(count(lit(1)).as("n"), min("p").as("lo"),
+        max("p").as("hi"))
+      .write.mode("overwrite").parquet(s"$dir/mv2")
+    val direct = aggOf(b2).orderBy("g").collect()
+    MvRewrite.register(spark, MvRewrite.MvDef("t2",
+      MvRewrite.pathOf(b2).get, Seq("g", "g2"),
+      Seq(("count", "*", "n"), ("min", "p", "lo"), ("max", "p", "hi")),
+      s"$dir/mv2"))
+    try {
+      val q = aggOf(b2).orderBy("g")
+      assert(q.inputFiles.exists(_.contains("/mv2")) &&
+        !q.inputFiles.exists(_.contains("/base2")),
+        s"rollup did not use the view: ${q.inputFiles.toSeq}")
+      assert(q.collect().toSeq == direct.toSeq)
     } finally MvRewrite.clear()
   }
 }
