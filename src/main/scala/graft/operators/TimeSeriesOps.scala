@@ -243,6 +243,60 @@ object TimeSeriesOps {
       expr("CAST(shiftleft(CAST(1 AS BIGINT), 2*(n_tail-1)) AS DOUBLE)") /
       lit(10000.0)
 
+  /** Classical seasonal decomposition (STL-lite) of the per-type DAILY
+    * value series: trend = centered 7-day moving average, seasonal
+    * index per weekday = mean of the detrended values. The float-free
+    * trick: instead of subtracting the fractional trend, detrend as
+    * 7·v − sum7 (a pure long — the subtraction scaled by the window
+    * width), and divide the per-weekday sums back out once at the end
+    * (one agreed IEEE division chain). Only complete 7-day windows
+    * contribute, so edges can't bias the indices.
+    *
+    * Scale: the raw pass is one (type, day) aggregation; everything
+    * after runs on the tiny daily relation (|types|·|days| rows).
+    */
+  def decompose(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 10000).cast("long").as("x"))
+      .groupBy("event_type", "day")
+      .agg(sum("x").as("v"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    daily
+      .withColumn("sum7", sum("v").over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .filter(col("cnt7") === 7)
+      .select(col("event_type"), weekday(col("day")).as("dow"),
+        (col("v") * 7 - col("sum7")).as("detr"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum("detr").as("sd"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        (col("sd").cast("double") / col("n_days") / 7.0 / 10000.0)
+          .as("seasonal"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** Oracle twin of [[decompose]]. Spark weekday() is 0=Monday =
+    * DuckDB isodow - 1.
+    */
+  def decomposeSql: String =
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT event_type, day, v,
+       |    CAST(sum(v) OVER w7 AS BIGINT) AS sum7,
+       |    count(*) OVER w7 AS cnt7
+       |  FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |s AS (SELECT event_type, isodow(day) - 1 AS dow,
+       |    count(*) AS n_days,
+       |    CAST(sum(v * 7 - sum7) AS BIGINT) AS sd
+       |  FROM t WHERE cnt7 = 7 GROUP BY 1, 2)
+       |SELECT event_type, dow, n_days,
+       |  CAST(sd AS DOUBLE) / n_days / 7.0 / 10000.0 AS seasonal
+       |FROM s ORDER BY event_type, dow""".stripMargin
+
   /** First-order Markov transition matrix of event types per the
     * user-ordered event stream: counts and row-normalized
     * probabilities for every (from, to) pair of CONSECUTIVE events of

@@ -53,7 +53,8 @@ object Analytics {
       graft.operators.TextAnalysis.collocations(rd(s, dir, "documents"))),
     "text_tfidf_keywords" -> ((s, dir) =>
       graft.operators.TextAnalysis.tfidfKeywords(rd(s, dir, "documents"))),
-    "ts_transitions" -> ((s, dir) => TimeSeriesOps.transitions(rdEvents(s, dir)))
+    "ts_transitions" -> ((s, dir) => TimeSeriesOps.transitions(rdEvents(s, dir))),
+    "ts_decompose" -> ((s, dir) => TimeSeriesOps.decompose(rdEvents(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -78,6 +79,7 @@ object Analytics {
     "text_kl_divergence" -> graft.operators.TextAnalysis.klDivergenceSql,
     "text_collocations" -> graft.operators.TextAnalysis.collocationsSql(),
     "text_tfidf_keywords" -> graft.operators.TextAnalysis.tfidfKeywordsSql(),
-    "ts_transitions" -> TimeSeriesOps.transitionsSql
+    "ts_transitions" -> TimeSeriesOps.transitionsSql,
+    "ts_decompose" -> TimeSeriesOps.decomposeSql
   )
 }
