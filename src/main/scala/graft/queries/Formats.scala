@@ -39,6 +39,18 @@ object Formats {
           date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("min_ship"),
           date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
         .orderBy("l_returnflag")),
+    // events through a Hive-layout partitioned directory: the filter
+    // on the partition column prunes whole directories at planning
+    // time — only event_type=purchase files are ever opened
+    // (PartitioningSpec asserts the scan's inputFiles).
+    "src_partitioned_roundtrip" -> ((s, dir) =>
+      FormatRoundtrip.hivePartitionedEvents(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+        .orderBy("day")),
     // documents through JSON lines: free text with newlines/quotes/
     // unicode; the summed rolling hash of the text makes any corrupted
     // character anywhere in the corpus visible in one bigint.
@@ -75,6 +87,11 @@ object Formats {
         |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
         |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "src_partitioned_roundtrip" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_json_roundtrip" ->
       s"""SELECT lang, count(*) AS n,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

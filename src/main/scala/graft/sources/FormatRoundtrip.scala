@@ -62,4 +62,22 @@ object FormatRoundtrip {
     })
     spark.read.schema(schema).json(s"$out/documents")
   }
+
+  /** `events` through a Hive-layout partitioned directory
+    * (`event_type=<v>/part-*.parquet`): the classic warehouse ingest
+    * shape — partition values live in directory names, discovered at
+    * read time, and a filter on the partition column prunes whole
+    * directories before any file opens (PartitioningSpec asserts the
+    * scanned files). The write is one shuffle-free partitionBy job.
+    */
+  def hivePartitionedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = cache.getOrElseUpdate("hive#" + sfDir, {
+      val dir = Files.createTempDirectory("graft-hive-").toString
+      graft.queries.Util.rdEvents(spark, sfDir)
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(s"$dir/events")
+      dir
+    })
+    spark.read.parquet(s"$out/events")
+  }
 }

@@ -160,4 +160,15 @@ class PartitioningSpec extends AnyFunSuite {
     val entries = TableIO.readManifest(root, "ns", "t")
     assert(entries.size == 4 && entries.forall(_.recordCount == 10L))
   }
+
+  test("hive-layout partition filter opens only the matching directory") {
+    val sfDir = "/root/testdata/sf0.001"
+    val pruned = graft.sources.FormatRoundtrip
+      .hivePartitionedEvents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    val files = pruned.inputFiles
+    assert(files.nonEmpty &&
+      files.forall(_.contains("event_type=purchase")),
+      s"scan leaked past the partition: ${files.take(3).toSeq}")
+  }
 }
