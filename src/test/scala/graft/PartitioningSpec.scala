@@ -166,7 +166,17 @@ class PartitioningSpec extends AnyFunSuite {
     val pruned = graft.sources.FormatRoundtrip
       .hivePartitionedEvents(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
-    val files = pruned.inputFiles
+    // df.inputFiles lists the RELATION's files (pre-pruning); the
+    // partition prune shows in the executed scan's file partitions
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    pruned.count() // materialize the adaptive plan
+    val scans = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: FileSourceScanExec => s }
+    val files = scans.flatMap(_.inputRDDs().head.partitions.toSeq.flatMap {
+      case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty[String]
+    })
     assert(files.nonEmpty &&
       files.forall(_.contains("event_type=purchase")),
       s"scan leaked past the partition: ${files.take(3).toSeq}")
