@@ -515,6 +515,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("trend") - 2.0) < 1.0)
   }
 
+  test("changepoint finds a planted level shift, brute-force-verified") {
+    // user 1: level 2.0 for 12 events then 9.0 for 8 -> cp at k=12;
+    // user 2: deterministic pseudo-noise, verified by brute force
+    val rows =
+      (0 until 20).map(i => (i.toLong, 1000L + i, 1L, "A",
+        if (i < 12) 2.0 else 9.0)) ++
+      (0 until 15).map(i => (100L + i, 2000L + i, 2L, "A",
+        ((i * 37) % 11).toDouble))
+    val got = TimeSeriesOps.changepoint(valuedEvents(rows)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L)._1 == 12L)
+    // brute force for user 2: d_k = n*c_k - k*S over y = 1e4-scaled
+    val ys = (0 until 15).map(i => ((i * 37) % 11).toLong * 10000)
+    val n = ys.size.toLong
+    val s = ys.sum
+    val (bk, bd) = (1 until 15).map { k =>
+      (k.toLong, math.abs(n * ys.take(k).sum - k * s))
+    }.maxBy { case (k, d) => (d, -k) }
+    assert(got(2L) == ((bk, bd)))
+  }
+
   test("ewma weights the latest value by ~1/2 and matches hand arithmetic") {
     // two events: older value 1.0 (weight 2^19), latest 3.0 (weight 2^20)
     val rows = Seq((0L, 1000L, 1L, 1.0), (1L, 1001L, 1L, 3.0))
