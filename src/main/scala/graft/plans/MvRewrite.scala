@@ -38,10 +38,21 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object MvRewrite {
 
-  /** Aggregate spec: (function, input column or "*", view column). */
+  /** Aggregate spec: (function, input column or "*", view column).
+    * For a GOVERNED base table (`basePath = graft://root/ns/t`, built
+    * by [[graftPath]]), `baseVersion` records the snapshot the view
+    * was computed from: governed tables mutate mid-session, so the
+    * rule re-reads the current version at match time and DECLINES the
+    * rewrite when the base moved — stale views must never answer
+    * (freshness gate; parquet bases are immutable files and skip it).
+    */
   final case class MvDef(name: String, basePath: String,
       groupCols: Seq[String], aggs: Seq[(String, String, String)],
-      mvPath: String)
+      mvPath: String, baseVersion: Option[Long] = None)
+
+  /** basePath form for a governed table. */
+  def graftPath(root: String, ns: String, t: String): String =
+    s"graft://$root/$ns/$t"
 
   private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
   @volatile private var installed = false
@@ -78,7 +89,32 @@ object MvRewrite {
     case Repartition(_, _, child) => scanPath(child)
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       fs.location.rootPaths.headOption.map(_.toString)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: GraftSqlTable => Some(graftPath(t.root, t.ns, t.t))
+        case _ => None
+      }
+    case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      scanPath(s.relation)
     case _ => None
+  }
+
+  /** Governed-base freshness: true when the def has no version pin
+    * (immutable parquet base) or the base is still AT the pinned
+    * version.
+    */
+  private def fresh(d: MvDef): Boolean = d.baseVersion match {
+    case None => true
+    case Some(v) =>
+      d.basePath.stripPrefix("graft://").split('/') match {
+        case parts if parts.length >= 3 =>
+          val t = parts.last
+          val ns = parts(parts.length - 2)
+          val root = parts.dropRight(2).mkString("/")
+          scala.util.Try(TableIO.currentVersion(root, ns, t))
+            .toOption.contains(v)
+        case _ => false
+      }
   }
 
   /** (function name, input column) of a supported aggregate call. */
@@ -125,7 +161,7 @@ object MvRewrite {
       val queryAggs = outSpecs.collect { case Right((fn, in, _)) => (fn, in) }
       import scala.jdk.CollectionConverters._
       val candidates = defs.values.asScala.filter { d =>
-        d.basePath == path &&
+        d.basePath == path && fresh(d) &&
           // exact grouping, or a COARSER one the view rolls up to —
           // only for re-aggregable functions (count/min/max; float
           // sums would re-associate, changing bits)

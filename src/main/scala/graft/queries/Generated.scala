@@ -598,6 +598,40 @@ object Generated {
     // INSERT INTO + a filtered SELECT all through spark.sql against
     // the governed catalog — the write lands as a snapshot commit, the
     // read routes through the manifest-pruned scan.
+    // MV rewrite over a GOVERNED table: the SQL aggregate below is
+    // answered by the registered parquet view — with the freshness
+    // gate pinning the base table's commit version at registration,
+    // so any later DML on the base silently falls back to the real
+    // scan instead of serving stale aggregates (MvRewriteSpec pins
+    // that path).
+    "gen_sql_mv_rewrite" -> ((s, dir) => {
+      import graft.plans.{MvRewrite, TableIO}
+      val sqlRoot = GeneratedTables.ensureCustom(dir + "#sqlmv") { root =>
+        s.conf.set("spark.sql.catalog.gmv", "graft.plans.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gmv.root", root)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmv.gen_ns")
+        s.sql("CREATE TABLE gmv.gen_ns.tmv (grp STRING, bar INT)")
+        s.sql(s"""INSERT INTO gmv.gen_ns.tmv
+                 |SELECT CAST(id % 7 AS STRING), CAST(id AS INT)
+                 |FROM range(0, $N)""".stripMargin)
+        s.sql("""SELECT grp, count(*) AS n_rows, min(bar) AS min_bar,
+                |  max(bar) AS max_bar
+                |FROM gmv.gen_ns.tmv GROUP BY grp""".stripMargin)
+          .write.mode("overwrite").parquet(root + "/mv_tmv")
+      }
+      s.conf.set("spark.sql.catalog.gmv", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gmv.root", sqlRoot)
+      MvRewrite.register(s, MvRewrite.MvDef("tmv_by_grp",
+        MvRewrite.graftPath(sqlRoot, "gen_ns", "tmv"), Seq("grp"),
+        Seq(("count", "*", "n_rows"), ("min", "bar", "min_bar"),
+          ("max", "bar", "max_bar")),
+        sqlRoot + "/mv_tmv",
+        baseVersion =
+          Some(TableIO.currentVersion(sqlRoot, "gen_ns", "tmv"))))
+      s.sql("""SELECT grp, count(*) AS n_rows, min(bar) AS min_bar,
+              |  max(bar) AS max_bar
+              |FROM gmv.gen_ns.tmv GROUP BY grp ORDER BY grp""".stripMargin)
+    }),
     "gen_sql_catalog" -> ((s, dir) => {
       val sqlRoot = GeneratedTables.ensureCustom(dir + "#sqlcat") { root =>
         s.conf.set("spark.sql.catalog.gsql", "graft.plans.GraftCatalog")
@@ -1195,6 +1229,12 @@ object Generated {
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar,
          |  true AS baz
          |FROM range(1000, $N) t(g) ORDER BY bar""".stripMargin,
+    // the MV substitution changes execution, never results
+    "gen_sql_mv_rewrite" ->
+      s"""SELECT CAST(g % 7 AS VARCHAR) AS grp, count(*) AS n_rows,
+         |  CAST(min(g) AS INTEGER) AS min_bar,
+         |  CAST(max(g) AS INTEGER) AS max_bar
+         |FROM range(0, $N) t(g) GROUP BY 1 ORDER BY 1""".stripMargin,
     // MERGE closed form: [0,N/2) untouched; [N/2,N) updated to false
     // except multiples of 10 (deleted); [N,N+500) inserted as 'm<id>'
     "gen_sql_partitioned" ->

@@ -87,4 +87,40 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(q.collect().toSeq == direct.toSeq)
     } finally MvRewrite.clear()
   }
+
+  test("governed base: rewrite serves the view until DML moves the " +
+      "version, then falls back to the live table") {
+    import graft.plans.TableIO
+    val root = java.nio.file.Files.createTempDirectory("graft-mvg-").toString
+    spark.conf.set("spark.sql.catalog.gmvt", "graft.plans.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmvt.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmvt.ns")
+    spark.sql("CREATE TABLE gmvt.ns.t (g STRING, v INT)")
+    spark.sql("""INSERT INTO gmvt.ns.t
+                |SELECT CAST(id % 3 AS STRING), CAST(id AS INT)
+                |FROM range(0, 300)""".stripMargin)
+    def agg() = spark.sql(
+      """SELECT g, count(*) AS n, max(v) AS hi FROM gmvt.ns.t
+        |GROUP BY g ORDER BY g""".stripMargin)
+    agg().write.mode("overwrite").parquet(s"$root/mv")
+    MvRewrite.register(spark, MvRewrite.MvDef("gt",
+      MvRewrite.graftPath(root, "ns", "t"), Seq("g"),
+      Seq(("count", "*", "n"), ("max", "v", "hi")), s"$root/mv",
+      baseVersion = Some(TableIO.currentVersion(root, "ns", "t"))))
+    try {
+      val q1 = agg()
+      assert(q1.inputFiles.exists(_.contains("/mv")),
+        s"governed rewrite did not fire: ${q1.inputFiles.toSeq}")
+      assert(q1.collect().map(_.getLong(1)).sum == 300L)
+      // DML bumps the version: the SAME query must now answer from
+      // the live table (stale view declined), seeing the new rows
+      spark.sql("INSERT INTO gmvt.ns.t VALUES ('0', 9999)")
+      val q2 = agg()
+      assert(!q2.inputFiles.exists(_.contains("/mv")),
+        "stale view still answered after base DML")
+      val rows = q2.collect()
+      assert(rows.map(_.getLong(1)).sum == 301L)
+      assert(rows.find(_.getString(0) == "0").get.getInt(2) == 9999)
+    } finally MvRewrite.clear()
+  }
 }
