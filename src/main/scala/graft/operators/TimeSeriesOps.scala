@@ -243,6 +243,39 @@ object TimeSeriesOps {
       expr("CAST(shiftleft(CAST(1 AS BIGINT), 2*(n_tail-1)) AS DOUBLE)") /
       lit(10000.0)
 
+  /** Top user journeys: the most frequent length-3 consecutive
+    * event-type paths across users (the product-analytics "common
+    * paths" report), with the count of distinct users following each.
+    * Two lag windows on the shared user_id shuffle; path state is
+    * |types|³ at most.
+    */
+  def paths(events: DataFrame, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("s3"))
+      .withColumn("s2", lag("s3", 1).over(w))
+      .withColumn("s1", lag("s3", 2).over(w))
+      .filter(col("s1").isNotNull)
+      .groupBy("s1", "s2", "s3")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(desc("n"), col("s1"), col("s2"), col("s3"))
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[paths]]. */
+  def pathsSql(topK: Int = 20): String =
+    s"""WITH p AS (SELECT user_id, event_type AS s3,
+       |    lag(event_type, 1) OVER win AS s2,
+       |    lag(event_type, 2) OVER win AS s1
+       |  FROM events WINDOW win AS (PARTITION BY user_id
+       |    ORDER BY ts, event_id))
+       |SELECT s1, s2, s3, count(*) AS n,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM p WHERE s1 IS NOT NULL GROUP BY 1, 2, 3
+       |ORDER BY n DESC, s1, s2, s3 LIMIT $topK""".stripMargin
+
   /** Classical seasonal decomposition (STL-lite) of the per-type DAILY
     * value series: trend = centered 7-day moving average, seasonal
     * index per weekday = mean of the detrended values. The float-free

@@ -54,7 +54,8 @@ object Analytics {
     "text_tfidf_keywords" -> ((s, dir) =>
       graft.operators.TextAnalysis.tfidfKeywords(rd(s, dir, "documents"))),
     "ts_transitions" -> ((s, dir) => TimeSeriesOps.transitions(rdEvents(s, dir))),
-    "ts_decompose" -> ((s, dir) => TimeSeriesOps.decompose(rdEvents(s, dir)))
+    "ts_decompose" -> ((s, dir) => TimeSeriesOps.decompose(rdEvents(s, dir))),
+    "ts_paths" -> ((s, dir) => TimeSeriesOps.paths(rdEvents(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -80,6 +81,7 @@ object Analytics {
     "text_collocations" -> graft.operators.TextAnalysis.collocationsSql(),
     "text_tfidf_keywords" -> graft.operators.TextAnalysis.tfidfKeywordsSql(),
     "ts_transitions" -> TimeSeriesOps.transitionsSql,
-    "ts_decompose" -> TimeSeriesOps.decomposeSql
+    "ts_decompose" -> TimeSeriesOps.decomposeSql,
+    "ts_paths" -> TimeSeriesOps.pathsSql()
   )
 }
