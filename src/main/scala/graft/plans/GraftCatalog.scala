@@ -225,6 +225,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "bm25_search" => new Bm25SearchProcedure(root)
       case "ann_topk" => new AnnTopKProcedure(root)
       case "dedup_fingerprint" => new DedupFingerprintProcedure(root)
+      case "refresh_mv" => new RefreshMvProcedure
       case _ => throw new NoSuchTableException(ident)
     }
   }
@@ -234,7 +235,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else Array("create_ref", "drop_ref", "rollback", "expire_snapshots",
         "remove_orphan_files", "rewrite_data_files",
         "rewrite_position_deletes", "bm25_search", "ann_topk",
-        "dedup_fingerprint")
+        "dedup_fingerprint", "refresh_mv")
       .map(n => Identifier.of(Array("system"), n))
 
   // --- namespaces ------------------------------------------------------

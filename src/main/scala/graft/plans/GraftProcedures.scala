@@ -271,3 +271,23 @@ private[plans] class DedupFingerprintProcedure(root: String)
         Array[Any](r.getLong(0), utf(r.getString(1)), r.getLong(2)))).toSeq
   }
 }
+
+/** `refresh_mv(view)`: recompute a registered materialized view from
+  * its base table and re-pin the freshness version, so the
+  * [[MvRewrite]] substitution serves it again after base DML — the
+  * SQL front door closing the maintain-then-rewrite loop.
+  */
+private[plans] class RefreshMvProcedure
+    extends GraftProcedure("refresh_mv",
+      Seq.empty, StructType(Seq(
+        StructField("view", StringType),
+        StructField("pinned_version", LongType)))) {
+  override def parameters: Array[ProcedureParameter] =
+    Array(str("view"))
+  override def run(args: InternalRow): Seq[InternalRow] = {
+    val name = args.getUTF8String(0).toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    val v = MvRewrite.refresh(spark, name)
+    Seq(new GenericInternalRow(Array[Any](utf(name), v)))
+  }
+}

@@ -65,6 +65,42 @@ object MvRewrite {
   /** Test hook: forget every view (the rule becomes a no-op). */
   def clear(): Unit = defs.clear()
 
+  /** Recompute a registered view from its base and re-pin its
+    * version (the `CALL g.system.refresh_mv(name)` action). The
+    * version is read BEFORE the recompute scan: if DML races the
+    * refresh, the pin is older than the data, so the rule declines —
+    * never the unsafe direction. Returns the pinned version (-1 for
+    * immutable parquet bases, which need no pin).
+    */
+  def refresh(spark: SparkSession, name: String): Long = {
+    import org.apache.spark.sql.functions._
+    val d = Option(defs.get(name)).getOrElse(throw
+      new IllegalArgumentException(s"unknown materialized view: $name"))
+    val (base, pin) =
+      if (d.basePath.startsWith("graft://")) {
+        val parts = d.basePath.stripPrefix("graft://").split('/')
+        val t = parts.last
+        val ns = parts(parts.length - 2)
+        val root = parts.dropRight(2).mkString("/")
+        val v = TableIO.currentVersion(root, ns, t)
+        (Mor.read(spark, root, ns, t), Some(v))
+      } else (spark.read.parquet(d.basePath), None)
+    val aggCols = d.aggs.map {
+      case ("count", "*", out) => count(lit(1)).as(out)
+      case ("count", c, out) => count(col(c)).as(out)
+      case ("sum", c, out) => sum(col(c)).as(out)
+      case ("min", c, out) => min(col(c)).as(out)
+      case ("max", c, out) => max(col(c)).as(out)
+      case (fn, _, _) => throw new IllegalArgumentException(
+        s"unsupported MV aggregate: $fn")
+    }
+    base.groupBy(d.groupCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .write.mode("overwrite").parquet(d.mvPath)
+    defs.put(name, d.copy(baseVersion = pin))
+    pin.getOrElse(-1L)
+  }
+
   /** The base path a DataFrame scans — what [[MvDef.basePath]] must
     * hold for the rewrite to recognize queries over that frame.
     */

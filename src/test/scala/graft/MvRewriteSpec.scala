@@ -121,6 +121,16 @@ class MvRewriteSpec extends AnyFunSuite {
       val rows = q2.collect()
       assert(rows.map(_.getLong(1)).sum == 301L)
       assert(rows.find(_.getString(0) == "0").get.getInt(2) == 9999)
+      // CALL refresh_mv recomputes the view and re-pins the version:
+      // the rewrite serves again, now with the post-DML content
+      val out = spark.sql("CALL gmvt.system.refresh_mv('gt')").collect()
+      assert(out.head.getString(0) == "gt" && out.head.getLong(1) >= 0)
+      val q3 = agg()
+      assert(q3.inputFiles.exists(_.contains("/mv")),
+        s"rewrite did not resume after refresh: ${q3.inputFiles.toSeq}")
+      val rows3 = q3.collect()
+      assert(rows3.map(_.getLong(1)).sum == 301L)
+      assert(rows3.find(_.getString(0) == "0").get.getInt(2) == 9999)
     } finally MvRewrite.clear()
   }
 }
