@@ -436,6 +436,22 @@ object Relational {
         .orderBy("bucket", "event_type")
     }),
 
+    // Hopping (sliding) windows: 1-hour windows every 30 minutes —
+    // each event contributes to exactly two overlapping buckets.
+    // Spark's window() expands the event to its covering windows
+    // BEFORE the aggregation (a flatMap, not a self-join); the oracle
+    // replays the expansion with a two-offset unnest.
+    "q_hopping_window" -> ((s, dir) => {
+      rdEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"), 4)).cast("double").as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+    }),
+
     // Session windows (gap-based, the batch twin of the streaming
     // sessionizer): Spark's native session_window merges a user's
     // events closer than the gap; the oracle replays it with
@@ -680,6 +696,17 @@ object Relational {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    // each event covers starts floor30(ts) and floor30(ts) - 30min
+    "q_hopping_window" ->
+      """WITH h AS (SELECT event_type, value,
+        |    time_bucket(INTERVAL '30 minutes', ts)
+        |      - o * INTERVAL '30 minutes' AS b
+        |  FROM events, (SELECT unnest([0, 1]) AS o) t)
+        |SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM h GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
     "q_session_window" ->
       """WITH d AS (SELECT user_id, ts, value,
