@@ -195,6 +195,63 @@ object Sketches {
           estCol(col("cnt_u"), col("kth_u"))).as("est_intersection"))
   }
 
+  /** KMV set-DIFFERENCE estimates, completing the sketch algebra
+    * ([[kmvDistinct]] cardinality, [[kmvOverlap]] union/intersection):
+    * |A \ B| and |B \ A| from the same three sketches, via the
+    * union-sketch fraction whose members sit in exactly one side —
+    * the same estimator family (fraction × union estimate), so every
+    * arithmetic step is an agreed division of exact longs. Neither
+    * corpus joins the other; set logic stays on 256-long sketches.
+    */
+  def kmvDifference(a: DataFrame, b: DataFrame,
+      valueCol: String): DataFrame = {
+    def sketch(df: DataFrame): DataFrame =
+      df.select(hash60(col(valueCol)).as("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(K)
+    val sa = sketch(a).cache()
+    val sb = sketch(b).cache()
+    val su = sa.union(sb).distinct().orderBy("h").limit(K).cache()
+    val aggU = su.agg(count(lit(1)).as("cnt_u"), max("h").as("kth_u"))
+    val onlyA = su.join(sb, Seq("h"), "left_anti").join(sa, "h")
+      .agg(count(lit(1)).as("n_only_a"))
+    val onlyB = su.join(sa, Seq("h"), "left_anti").join(sb, "h")
+      .agg(count(lit(1)).as("n_only_b"))
+    aggU.crossJoin(onlyA).crossJoin(onlyB)
+      .select(
+        col("n_only_a"), col("n_only_b"),
+        (col("n_only_a").cast("double") / col("cnt_u") *
+          estCol(col("cnt_u"), col("kth_u"))).as("est_a_minus_b"),
+        (col("n_only_b").cast("double") / col("cnt_u") *
+          estCol(col("cnt_u"), col("kth_u"))).as("est_b_minus_a"))
+  }
+
+  /** Oracle twin of [[kmvDifference]]. */
+  def kmvDifferenceSql(predA: String, predB: String): String =
+    s"""WITH ha AS (SELECT DISTINCT ${hash60Sql("text")} AS h
+       |            FROM documents WHERE $predA),
+       |hb AS (SELECT DISTINCT ${hash60Sql("text")} AS h
+       |       FROM documents WHERE $predB),
+       |sa AS (SELECT h FROM ha ORDER BY h LIMIT $K),
+       |sb AS (SELECT h FROM hb ORDER BY h LIMIT $K),
+       |su AS (SELECT DISTINCT h
+       |       FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+       |       ORDER BY h LIMIT $K),
+       |au AS (SELECT count(*) AS cnt_u, max(h) AS kth_u FROM su),
+       |oa AS (SELECT count(*) AS n_only_a FROM su
+       |       WHERE h IN (SELECT h FROM sa)
+       |         AND h NOT IN (SELECT h FROM sb)),
+       |ob AS (SELECT count(*) AS n_only_b FROM su
+       |       WHERE h IN (SELECT h FROM sb)
+       |         AND h NOT IN (SELECT h FROM sa))
+       |SELECT n_only_a, n_only_b,
+       |  CAST(n_only_a AS DOUBLE) / cnt_u *
+       |    (${estSql("cnt_u", "kth_u")}) AS est_a_minus_b,
+       |  CAST(n_only_b AS DOUBLE) / cnt_u *
+       |    (${estSql("cnt_u", "kth_u")}) AS est_b_minus_a
+       |FROM au, oa, ob""".stripMargin
+
   /** Oracle twin of [[kmvOverlap]]: corpus A / corpus B are WHERE
     * predicates over `documents`.
     */

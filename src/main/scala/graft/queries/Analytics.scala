@@ -30,6 +30,13 @@ object Analytics {
         b = d.filter(col("doc_id") % 3 === 0),
         valueCol = "text")
     }),
+    "sketch_kmv_difference" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      Sketches.kmvDifference(
+        a = d.filter(col("doc_id") % 2 === 0),
+        b = d.filter(col("doc_id") % 3 === 0),
+        valueCol = "text")
+    }),
     "graph_pagerank" -> ((s, dir) => Graph.pagerank(s, rd(s, dir, "documents"))),
     "graph_triangles" -> ((s, dir) => Graph.triangles(s, rd(s, dir, "documents"))),
     "graph_components" -> ((s, dir) =>
@@ -61,6 +68,7 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "sketch_kmv_distinct" -> Sketches.kmvDistinctSql("source"),
     "sketch_kmv_overlap" -> Sketches.kmvOverlapSql(corpusA, corpusB),
+    "sketch_kmv_difference" -> Sketches.kmvDifferenceSql(corpusA, corpusB),
     "sketch_hll_estimate" -> Sketches.hllEstimateSql("source"),
     "graph_pagerank" -> Graph.pagerankSql,
     "graph_triangles" -> Graph.trianglesSql,
