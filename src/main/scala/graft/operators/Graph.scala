@@ -95,6 +95,10 @@ object Graph {
       .agg(sum("c").as("s")) // partial (map-side) long sums
       .select(col("dst").as("s_node"), col("s"))
     for (_ <- 2 to Iterations) {
+      // eager localCheckpoint per round truncates the lineage so the
+      // analyzed plan stays constant-size across iterations (house
+      // discipline shared with CC/BFS/k-core/PCA; a real cluster with
+      // lineage-loss concerns would use reliable checkpoint())
       s = contribEdges
         .join(s, col("src") === col("s_node"), "left")
         .select(
@@ -104,6 +108,7 @@ object Graph {
         .groupBy("dst")
         .agg(sum("c").as("s"))
         .select(col("dst").as("s_node"), col("s"))
+        .localCheckpoint(true)
     }
     docs
       .select(col("doc_id").as("node"))
@@ -126,7 +131,7 @@ object Graph {
          |  SELECT d.doc_id AS node,
          |    $base + (85 * COALESCE(c.s, 0)) // 100 AS r
          |  FROM documents d LEFT JOIN (
-         |    SELECT e.dst, sum(p.r // o.outdeg) AS s
+         |    SELECT e.dst, CAST(sum(p.r // o.outdeg) AS BIGINT) AS s
          |    FROM e JOIN o ON e.src = o.src JOIN $prev p ON e.src = p.node
          |    GROUP BY e.dst) c ON d.doc_id = c.dst)""".stripMargin
     val iters = (1 to Iterations)

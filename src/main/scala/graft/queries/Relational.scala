@@ -639,8 +639,8 @@ object Relational {
         |d AS (SELECT event_type, day, count(*) AS n_new_users
         |      FROM f GROUP BY 1, 2)
         |SELECT event_type, day, n_new_users,
-        |  sum(n_new_users) OVER (PARTITION BY event_type ORDER BY day)
-        |    AS cum_users
+        |  CAST(sum(n_new_users) OVER (PARTITION BY event_type ORDER BY day)
+        |    AS BIGINT) AS cum_users
         |FROM d ORDER BY event_type, day""".stripMargin,
 
     // salting changes execution, never results: the plain join

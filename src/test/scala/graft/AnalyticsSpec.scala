@@ -150,6 +150,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall(_._2 >= Graph.Scale * 15 / 100))
   }
 
+  test("pagerank's plan stays constant-size across iterations") {
+    // the per-round localCheckpoint truncates lineage: without it the
+    // analyzed plan chains join+agg per iteration (~8 nodes each, 40+
+    // at Iterations=5); with it the final plan is docs ⋈ one
+    // checkpointed LogicalRDD regardless of iteration count
+    val plan = Graph.pagerank(spark, docsDf(50)).queryExecution.analyzed
+    val nodes = plan.collect { case p => p }.size
+    assert(nodes < 20, s"analyzed plan has $nodes nodes — lineage " +
+      "not truncated (localCheckpoint per round missing?)")
+    assert(plan.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
+    }.nonEmpty, "no LogicalRDD in the plan — checkpoint truncation lost")
+  }
+
   test("triangles matches a brute-force local count") {
     val n = 300
     val docs = docsDf(n)

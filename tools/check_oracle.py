@@ -8,6 +8,7 @@ Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
 import json, math, sys
 import duckdb
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -40,7 +41,22 @@ def main(sf_dir, out_dir):
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
-            exp = con.execute(sql).fetchdf()
+            exp_arrow = con.execute(sql).arrow()
+            # The driver hashes VALUES+TYPES: DuckDB silently widens
+            # sum(BIGINT) to HUGEINT (Arrow decimal128), which the
+            # repo's determinism style never legitimately produces.
+            # Surface it as a pointed local TYPE failure instead of an
+            # opaque driver hash mismatch (playbook: CAST back).
+            dec_cols = [f.name for f in exp_arrow.schema
+                        if pa.types.is_decimal(f.type)]
+            if dec_cols:
+                print(f"FAIL {name}: oracle TYPE drift — decimal128 "
+                      f"columns {dec_cols} (sum(BIGINT) widens to "
+                      f"HUGEINT; CAST(... AS BIGINT/DOUBLE) in the "
+                      f"oracle SQL)")
+                n_fail += 1
+                continue
+            exp = exp_arrow.to_pandas(date_as_object=False)
             g, e = norm(got), norm(exp)
             if list(g.columns) != list(e.columns):
                 print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
