@@ -27,9 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * rounding path than engines that compute j then boost in floats —
   * filter with [[JaroWinklerGe]] when comparing against them).
   *
-  * Long-range bound: jDen = 3·|s|·|t|·m <= 3·L³ — exact up to
-  * ~L = 1e5 chars per side (far beyond linkage keys; time is
-  * O(|s|·window) anyway, so this is not a document-scale primitive).
+  * Long-range bound: jDen = 3·|s|·|t|·m <= 3·L³ stays inside a Long
+  * up to L ~ 1.4e6 chars per side, enforced loudly in [[jaroParts]]
+  * (far beyond linkage keys; time is O(|s|·window) anyway, so this is
+  * not a document-scale primitive). [[JaroWinklerGe]]'s comparison
+  * multiplies by tauDen on top of that, so it guards its own headroom
+  * and falls back to an exact BigInt comparison when
+  * 14·jDen·max(tauNum, tauDen) could overflow — correctness never
+  * depends on tauDen staying small.
   */
 object StringSim {
   /** (jNum, jDen, prefixLen), or (0,0,0) when there are no matches. */
@@ -39,6 +44,11 @@ object StringSim {
     val l1 = s.length
     val l2 = t.length
     if (l1 == 0 || l2 == 0) return Array(0L, 0L, 0L)
+    // jNum <= 3·L³ must stay inside a Long: fail loudly rather than
+    // silently wrap (house discipline for out-of-envelope inputs)
+    require(math.max(l1, l2) <= 1400000,
+      s"jaro-winkler inputs limited to 1.4e6 chars (got $l1, $l2): " +
+        "the exact long rational 3*|s|*|t|*m would overflow")
     val window = math.max(0, math.max(l1, l2) / 2 - 1)
     val sM = new Array[Boolean](l1)
     val tM = new Array[Boolean](l2)
@@ -93,9 +103,21 @@ object StringSim {
     val p = jaroParts(a, b)
     if (p(1) == 0L) return tauNum <= 0L
     val jNum = p(0); val jDen = p(1); val l = p(2)
-    if (10L * jNum > 7L * jDen)
-      (10L * jNum + l * (jDen - jNum)) * tauDen >= tauNum * 10L * jDen
-    else jNum * tauDen >= tauNum * jDen
+    // Headroom: the boosted numerator is <= 14·jDen (jNum <= jDen,
+    // prefix <= 4), so every product below fits a Long iff
+    // 14·jDen·max(tauNum, tauDen) does. Otherwise compare in BigInt —
+    // exact at any tau scale, just slower on pathological inputs.
+    val scale = math.max(math.max(tauNum, tauDen), 1L)
+    if (jDen <= Long.MaxValue / 14L / scale) {
+      if (10L * jNum > 7L * jDen)
+        (10L * jNum + l * (jDen - jNum)) * tauDen >= tauNum * 10L * jDen
+      else jNum * tauDen >= tauNum * jDen
+    } else {
+      val bn = BigInt(jNum); val bd = BigInt(jDen)
+      if (bn * 10 > bd * 7)
+        (bn * 10 + BigInt(l) * (bd - bn)) * tauDen >= BigInt(tauNum) * 10 * bd
+      else bn * tauDen >= BigInt(tauNum) * bd
+    }
   }
 }
 

@@ -107,6 +107,19 @@ object Sketches {
   val HllM = 64
   val HllRhoCap = 40
 
+  /** alpha_m · m² for the HLL estimate. The 0.709 bias constant is the
+    * published value FOR m=64 SPECIFICALLY (Flajolet et al. give
+    * 0.7213/(1+1.079/m) only for m >= 128, with fixed constants below),
+    * so changing [[HllM]] without revisiting alpha would silently skew
+    * every estimate — hence the require. m is a power of two, so the
+    * product is an exact double and its shortest decimal repr
+    * round-trips bit-identically through DuckDB's literal parser.
+    */
+  val HllAlphaM2: Double = {
+    require(HllM == 64, s"alpha 0.709 is only valid for m=64, got $HllM")
+    0.709 * HllM * HllM
+  }
+
   /** Per-group HyperLogLog distinct estimate NEXT TO the exact count —
     * the estimator-quality view of [[graft.operators.PipelineOps
     * .hllRegisters]]'s register sketch (which q_hll_sketch exposes
@@ -135,7 +148,7 @@ object Sketches {
       .groupBy("g").agg(count_distinct(col("v")).as("n_exact"))
     exact.join(z, "g")
       .select(col("g").as(groupCol), col("n_exact"),
-        (lit(0.709) * lit(4096.0) / col("z")).as("est_distinct"))
+        (lit(HllAlphaM2) / col("z")).as("est_distinct"))
       .orderBy(groupCol)
   }
 
@@ -155,7 +168,7 @@ object Sketches {
        |  FROM regs GROUP BY g),
        |ex AS (SELECT $groupCol AS g, count(DISTINCT text) AS n_exact
        |       FROM documents GROUP BY $groupCol)
-       |SELECT ex.g AS $groupCol, n_exact, 0.709 * 4096.0 / z AS est_distinct
+       |SELECT ex.g AS $groupCol, n_exact, $HllAlphaM2 / z AS est_distinct
        |FROM ex JOIN z USING (g) ORDER BY $groupCol""".stripMargin
 
   /** KMV overlap estimate between two corpora: cardinality of each

@@ -407,6 +407,18 @@ object TextAnalysis {
     * term, one per-doc rank window that compiles to a
     * WindowGroupLimit — at most topK rows per doc cross the final
     * shuffle.
+    *
+    * CROSS-ENGINE ASSUMPTION (shared by every 1e9-floored log score:
+    * lmScore, klDivergence, this): JVM `Math.log` and DuckDB's libm
+    * `ln` return the SAME double for the same input. Both are
+    * correctly-rounded (or within the same 1-ulp envelope) on the
+    * rational inputs N/df that occur here, and nine rounds of oracle
+    * hashes confirm it empirically; a genuine 1-ulp divergence would
+    * flip a floored long only when tf·ln(N/df)·1e9 lands within
+    * ~|x|·2⁻⁵² of an integer. The fully-engine-agnostic alternative
+    * (inline a per-distinct-df coefficient VALUES table like the Holt
+    * tables) is impossible here because N and the df domain are only
+    * known at data-read time, not at oracle-SQL-build time.
     */
   def tfidfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

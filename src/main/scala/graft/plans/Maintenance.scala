@@ -62,7 +62,12 @@ object Maintenance {
       import org.apache.spark.sql.functions._
       val arranged =
         if (clusterBy.isEmpty) merged.repartition(nFiles)
-        else if (hilbert && clusterBy.size == 2) {
+        else if (hilbert) {
+          // loud misconfiguration failure, not a silent fall-through to
+          // the z-order/lexical branch: the Hilbert curve here is 2-D
+          require(clusterBy.size == 2,
+            s"hilbert clustering requires exactly 2 cluster columns, " +
+              s"got ${clusterBy.size}: ${clusterBy.mkString(", ")}")
           val h = graft.functions.ZOrder.hvalue(
             col(clusterBy(0)), col(clusterBy(1)))
           merged.withColumn("_h", h)

@@ -160,7 +160,9 @@ object MvRewrite {
       case Sum(a: AttributeReference, _) => Some(("sum", a.name))
       case Min(a: AttributeReference) => Some(("min", a.name))
       case Max(a: AttributeReference) => Some(("max", a.name))
-      case Count(Seq(Literal(_, _))) => Some(("count", "*"))
+      // COUNT(NULL) must return 0, not the view's row count — only a
+      // non-null literal is count(*)-equivalent
+      case Count(Seq(Literal(v, _))) if v != null => Some(("count", "*"))
       case Count(Seq(a: AttributeReference)) => Some(("count", a.name))
       case _ => None
     }

@@ -61,6 +61,15 @@ class MvRewriteSpec extends AnyFunSuite {
       val regrouped = base.groupBy("g", "v").agg(count(lit(1)).as("n"),
         min("p").as("lo"), max("p").as("hi"))
       assert(regrouped.inputFiles.exists(_.contains("/base")))
+      // near-miss 4: COUNT(NULL) must return 0 per group, NOT the
+      // view's stored row count — only non-null literals are
+      // count(*)-equivalent
+      val countNull = base.groupBy("g")
+        .agg(count(lit(null)).as("n"), min("p").as("lo"),
+          max("p").as("hi")).orderBy("g")
+      assert(countNull.queryExecution.optimizedPlan.toString
+        .contains("Aggregate"), "COUNT(NULL) was rewritten to the view")
+      assert(countNull.collect().forall(_.getLong(1) == 0L))
     } finally MvRewrite.clear()
   }
 

@@ -56,6 +56,19 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(!StringSim.jaroWinklerGe(u("martha"), u("marhta"), 97, 100))
     // threshold exactly ON the value: rational test includes it
     assert(StringSim.jaroWinklerGe(u("duane"), u("dwayne"), 84, 100))
+    // huge tauDen exceeds the long-arithmetic headroom guard and takes
+    // the exact BigInt path — same verdicts as the scaled-down tau
+    val bigDen = Long.MaxValue / 10
+    assert(StringSim.jaroWinklerGe(u("martha"), u("marhta"),
+      bigDen / 100 * 96, bigDen))
+    assert(!StringSim.jaroWinklerGe(u("martha"), u("marhta"),
+      bigDen / 100 * 97, bigDen))
+    // out-of-envelope input fails loudly instead of wrapping
+    val huge = "x" * 1500000
+    val ex = intercept[IllegalArgumentException] {
+      StringSim.jaroWinkler(u(huge), u(huge))
+    }
+    assert(ex.getMessage.contains("1.4e6"))
   }
 
   test("the SQL surface is Catalyst-native: foldable and codegen'd") {

@@ -94,4 +94,19 @@ class ZOrderSpec extends AnyFunSuite {
     val hStrip = scannedData(hRoot, strip)
     assert(hStrip <= 8, s"hilbert scanned $hStrip of 16 for the strip")
   }
+
+  test("hilbert with != 2 cluster columns fails loudly, never falls " +
+      "through to another layout") {
+    val hRoot = grid(zorder = false, hilbert = true)
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.compact(spark, hRoot, "ns", "t", targetFileCount = 16,
+        clusterBy = Seq("x"), hilbert = true)
+    }
+    assert(ex.getMessage.contains("hilbert"))
+    val ex3 = intercept[IllegalArgumentException] {
+      Maintenance.compact(spark, hRoot, "ns", "t", targetFileCount = 16,
+        clusterBy = Seq("x", "y", "pid"), hilbert = true)
+    }
+    assert(ex3.getMessage.contains("exactly 2"))
+  }
 }
