@@ -291,4 +291,89 @@ object Sketches {
        |  CAST(n_shared AS DOUBLE) / cnt_u *
        |    (${estSql("cnt_u", "kth_u")}) AS est_intersection
        |FROM au, aa, ab, sh""".stripMargin
+
+  /** Quantile-sketch sample size. 128 gives standard error
+    * ~sqrt(q(1-q)/128) on the rank (≈4.4% at the median).
+    */
+  val QK = 128
+
+  /** Mergeable quantile sketch: the per-group state is the bottom-[[QK]]
+    * rows BY HASH OF THE ROW KEY — a deterministic uniform sample with
+    * the same merge law as KMV (bottom-K of a union = bottom-K of the
+    * union of bottom-Ks), so per-partition/per-day sketches compose and
+    * the distributed-aggregation state is a constant 2·K longs per
+    * group no matter how many rows feed it. Quantiles are then POSITIONAL
+    * order statistics of the sample: the value at rank ceil(n·q),
+    * computed in pure integer arithmetic ((n·100q + 100q-ish ceil) so
+    * both engines select the identical element — no interpolation, no
+    * float rank math. This completes the sketch family's "every
+    * aggregation is mergeable constant-state" story alongside
+    * KMV-distinct and HLL.
+    *
+    * Output: (group, n_rows, n_sample, p50_est, p95_est, p50_exact).
+    * The exact column is the estimator-quality view for the small-SF
+    * gate; at 100 TB it is the thing you CANNOT afford (a full sort per
+    * group) and would be dropped — the sketch path shuffles ≤ K rows
+    * per group.
+    */
+  def quantileSketch(df: DataFrame, groupCol: String, keyCol: Column,
+      valueCol: Column): DataFrame = {
+    val hashed = df.select(col(groupCol).as("g"),
+      hash60(keyCol.cast("string")).as("h"), valueCol.as("v"))
+    // bottom-QK by hash: WindowGroupLimit forwards ≤ K rows per group
+    // per map task before the shuffle
+    val wSel = Window.partitionBy("g").orderBy(col("h"), col("v"))
+    val sample = hashed
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= QK)
+    val wRank = Window.partitionBy("g").orderBy(col("v"), col("h"))
+    val est = sample
+      .withColumn("rv", row_number().over(wRank))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("g")
+      .agg(
+        max("ns").as("n_sample"),
+        max(when(expr("rv = (ns + 1) div 2"), col("v"))).as("p50_est"),
+        max(when(expr("rv = (ns * 95 + 99) div 100"), col("v")))
+          .as("p95_est"))
+    val exact = hashed
+      .withColumn("rf", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("g")
+      .agg(max("n").as("n_rows"),
+        max(when(expr("rf = (n + 1) div 2"), col("v"))).as("p50_exact"))
+    est.join(exact, "g")
+      .select(col("g").as(groupCol), col("n_rows"), col("n_sample"),
+        col("p50_est"), col("p95_est"), col("p50_exact"))
+      .orderBy(groupCol)
+  }
+
+  /** Oracle twin of [[quantileSketch]] over
+    * `orders(o_orderpriority, o_orderkey, o_totalprice)`.
+    */
+  def quantileSketchSql: String =
+    s"""WITH h AS (SELECT o_orderpriority AS g,
+       |    ${hash60Sql("CAST(o_orderkey AS VARCHAR)")} AS h,
+       |    o_totalprice AS v FROM orders),
+       |r AS (SELECT g, h, v,
+       |    row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+       |  FROM h),
+       |s AS (SELECT g, h, v FROM r WHERE rn <= $QK),
+       |rv AS (SELECT g, v,
+       |    row_number() OVER (PARTITION BY g ORDER BY v, h) AS rv,
+       |    count(*) OVER (PARTITION BY g) AS ns FROM s),
+       |est AS (SELECT g, max(ns) AS n_sample,
+       |    max(CASE WHEN rv = (ns + 1) // 2 THEN v END) AS p50_est,
+       |    max(CASE WHEN rv = (ns * 95 + 99) // 100 THEN v END)
+       |      AS p95_est
+       |  FROM rv GROUP BY g),
+       |fx AS (SELECT g, v,
+       |    row_number() OVER (PARTITION BY g ORDER BY v, h) AS rf,
+       |    count(*) OVER (PARTITION BY g) AS n FROM h),
+       |ex AS (SELECT g, max(n) AS n_rows,
+       |    max(CASE WHEN rf = (n + 1) // 2 THEN v END) AS p50_exact
+       |  FROM fx GROUP BY g)
+       |SELECT est.g AS o_orderpriority, n_rows, n_sample,
+       |  p50_est, p95_est, p50_exact
+       |FROM est JOIN ex USING (g) ORDER BY o_orderpriority""".stripMargin
 }

@@ -65,6 +65,15 @@ object MvRewrite {
   /** Test hook: forget every view (the rule becomes a no-op). */
   def clear(): Unit = defs.clear()
 
+  /** Test seam: runs between [[refresh]]'s version pin and its
+    * recompute write — exactly where a racing DML commit would land.
+    * Production no-op; MvRewriteSpec injects an INSERT here to prove
+    * the pin-before-scan ordering always declines a possibly-stale
+    * view (the race can only make the rule conservative, never serve
+    * stale data).
+    */
+  private[graft] var refreshRaceHook: () => Unit = () => ()
+
   /** Recompute a registered view from its base and re-pin its
     * version (the `CALL g.system.refresh_mv(name)` action). The
     * version is read BEFORE the recompute scan: if DML races the
@@ -85,6 +94,7 @@ object MvRewrite {
         val v = TableIO.currentVersion(root, ns, t)
         (Mor.read(spark, root, ns, t), Some(v))
       } else (spark.read.parquet(d.basePath), None)
+    refreshRaceHook()
     val aggCols = d.aggs.map {
       case ("count", "*", out) => count(lit(1)).as(out)
       case ("count", c, out) => count(col(c)).as(out)

@@ -23,6 +23,9 @@ object Analytics {
       Sketches.kmvDistinct(rd(s, dir, "documents"), "source", col("text"))),
     "sketch_hll_estimate" -> ((s, dir) =>
       Sketches.hllEstimate(rd(s, dir, "documents"), "source", col("text"))),
+    "sketch_quantile" -> ((s, dir) =>
+      Sketches.quantileSketch(rd(s, dir, "orders"), "o_orderpriority",
+        col("o_orderkey"), col("o_totalprice"))),
     "sketch_kmv_overlap" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
       Sketches.kmvOverlap(
@@ -70,6 +73,7 @@ object Analytics {
     "sketch_kmv_overlap" -> Sketches.kmvOverlapSql(corpusA, corpusB),
     "sketch_kmv_difference" -> Sketches.kmvDifferenceSql(corpusA, corpusB),
     "sketch_hll_estimate" -> Sketches.hllEstimateSql("source"),
+    "sketch_quantile" -> Sketches.quantileSketchSql,
     "graph_pagerank" -> Graph.pagerankSql,
     "graph_triangles" -> Graph.trianglesSql,
     "graph_components" -> Graph.connectedComponentsSql,

@@ -65,6 +65,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(merged.getAs[Double]("est_intersection") - 2000) / 2000.0 < 0.35)
   }
 
+  test("quantile sketch: mergeable (split-sketch union == one-shot) " +
+      "and rank-accurate at K >> n") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // value domain 0..9999 keyed by id, two groups
+    val d = spark.range(0, 10000)
+      .selectExpr("CAST(id % 2 AS STRING) AS g", "id AS k",
+        "CAST(id AS DOUBLE) AS v")
+    val got = Sketches.quantileSketch(d, "g", col("k"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    got.foreach { case (g, nRows, nSample, p50, p95, p50Exact) =>
+      assert(nRows == 5000L && nSample == Sketches.QK.toLong)
+      // sample quantile of a uniform 0..9999 population: rank RSE is
+      // sqrt(q(1-q)/K) ~ 4.4% at the median; 15% is > 3 sigma
+      assert(math.abs(p50 - p50Exact) / 10000.0 < 0.15,
+        s"$g: p50_est $p50 vs exact $p50Exact")
+      assert(p95 >= p50 && math.abs(p95 - 9500.0) / 10000.0 < 0.15,
+        s"$g: p95_est $p95")
+    }
+    // MERGEABILITY — the property that makes this a distributed
+    // aggregation: bottom-K-by-hash of (A ∪ B) == bottom-K of
+    // (bottomK(A) ∪ bottomK(B)). Split the corpus, sketch each half
+    // via the operator (single group), merge, and compare to the
+    // one-shot sketch of the whole.
+    val whole = d.withColumn("g", lit("all"))
+    def bottomK(df: org.apache.spark.sql.DataFrame) = df
+      .select(Sketches.hash60(col("k").cast("string")).as("h"), col("v"))
+      .orderBy("h", "v").limit(Sketches.QK)
+    val oneShot = bottomK(whole).collect().map(r => (r.getLong(0),
+      r.getDouble(1))).sortBy(identity)
+    val partA = bottomK(whole.filter(col("k") < 5000))
+    val partB = bottomK(whole.filter(col("k") >= 5000))
+    val merged = partA.union(partB)
+      .orderBy("h", "v").limit(Sketches.QK)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity)
+    assert(merged.toSeq == oneShot.toSeq,
+      "merged split sketches differ from the one-shot sketch")
+  }
+
   test("hll estimate matches an exact local register replay") {
     val docs = docsDf(3000) // 750 distinct texts per source
     val rows = docs.collect().map(r => (r.getString(2), r.getString(1)))

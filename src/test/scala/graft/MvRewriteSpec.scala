@@ -142,4 +142,53 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(rows3.find(_.getString(0) == "0").get.getInt(2) == 9999)
     } finally MvRewrite.clear()
   }
+
+  test("an INSERT racing refresh_mv lands on the live-table side — " +
+      "the view is declined, never served stale") {
+    // Deterministic interleaving, no sleeps: the refreshRaceHook seam
+    // fires between refresh()'s version pin and its recompute write —
+    // the exact window where a concurrent DML commit would land. The
+    // pin-BEFORE-scan ordering makes the race safe by construction
+    // (pin older than data => freshness gate declines); this proves it.
+    import graft.plans.TableIO
+    val root = java.nio.file.Files.createTempDirectory("graft-mvr-").toString
+    spark.conf.set("spark.sql.catalog.gmvr", "graft.plans.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmvr.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmvr.ns")
+    spark.sql("CREATE TABLE gmvr.ns.t (g STRING, v INT)")
+    spark.sql("""INSERT INTO gmvr.ns.t
+                |SELECT CAST(id % 3 AS STRING), CAST(id AS INT)
+                |FROM range(0, 300)""".stripMargin)
+    def agg() = spark.sql(
+      """SELECT g, count(*) AS n, max(v) AS hi FROM gmvr.ns.t
+        |GROUP BY g ORDER BY g""".stripMargin)
+    agg().write.mode("overwrite").parquet(s"$root/mv")
+    MvRewrite.register(spark, MvRewrite.MvDef("gr",
+      MvRewrite.graftPath(root, "ns", "t"), Seq("g"),
+      Seq(("count", "*", "n"), ("max", "v", "hi")), s"$root/mv",
+      baseVersion = Some(TableIO.currentVersion(root, "ns", "t"))))
+    try {
+      assert(agg().inputFiles.exists(_.contains("/mv")))
+      MvRewrite.refreshRaceHook = () =>
+        spark.sql("INSERT INTO gmvr.ns.t VALUES ('1', 7777)")
+      try MvRewrite.refresh(spark, "gr")
+      finally MvRewrite.refreshRaceHook = () => ()
+      // the racing INSERT moved the version past the refresh's pin:
+      // the freshness gate must decline the view and answer from the
+      // live table, WITH the racing row
+      val q = agg()
+      assert(!q.inputFiles.exists(_.contains("/mv")),
+        "possibly-stale view served after a racing INSERT")
+      val rows = q.collect()
+      assert(rows.map(_.getLong(1)).sum == 301L)
+      assert(rows.find(_.getString(0) == "1").get.getInt(2) == 7777)
+      // a clean (un-raced) refresh re-pins and the rewrite resumes,
+      // now folding the raced row into the view
+      MvRewrite.refresh(spark, "gr")
+      val q2 = agg()
+      assert(q2.inputFiles.exists(_.contains("/mv")),
+        s"rewrite did not resume after clean refresh: ${q2.inputFiles.toSeq}")
+      assert(q2.collect().find(_.getString(0) == "1").get.getInt(2) == 7777)
+    } finally MvRewrite.clear()
+  }
 }
