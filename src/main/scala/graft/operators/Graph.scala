@@ -146,6 +146,88 @@ object Graph {
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
+  /** Seed set for personalized PageRank: every 23rd document. */
+  val PprSeedMod = 23L
+
+  /** Personalized PageRank: the teleport mass goes ONLY to the seed
+    * set (doc_id % [[PprSeedMod]] == 0) — rank measures proximity to
+    * the seeds through the link structure, the standard
+    * recommendation / trust-propagation primitive next to the global
+    * [[pagerank]] quality prior. Same exact integer arithmetic and
+    * in-link-sum iteration shape (one join per round over the cached
+    * src-partitioned edges, localCheckpoint per round), with the base
+    * term seed-gated: r_{i+1}(v) = seed(v)·0.15·Scale +
+    * (85·s_i(v)) div 100. Returns the top-20 nodes with NONZERO rank
+    * (mass only reaches the seeds' forward neighborhoods):
+    * (doc_id, rank_fp).
+    */
+  def personalizedPagerank(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val base = Scale * 15 / 100
+    val edges = linkEdges(docs).repartition(col("src")).cache()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val contribEdges = edges.join(outdeg, "src").cache()
+    def seedBase(node: String, mass: Long): String =
+      s"CASE WHEN $node % $PprSeedMod = 0 THEN ${mass}L ELSE 0L END"
+    var s = contribEdges
+      .select(col("dst"),
+        expr(s"(${seedBase("src", Scale)}) div outdeg").as("c"))
+      .groupBy("dst")
+      .agg(sum("c").as("s"))
+      .select(col("dst").as("s_node"), col("s"))
+    for (_ <- 2 to Iterations) {
+      s = contribEdges
+        .join(s, col("src") === col("s_node"), "left")
+        .select(
+          col("dst"),
+          expr(s"((${seedBase("src", base)}) + " +
+            "(85 * coalesce(s, 0L)) div 100) div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+        .select(col("dst").as("s_node"), col("s"))
+        .localCheckpoint(true)
+    }
+    docs
+      .select(col("doc_id").as("node"))
+      .join(s, col("node") === col("s_node"), "left")
+      .select(
+        col("node"),
+        expr(s"(${seedBase("node", base)}) + " +
+          "(85 * coalesce(s, 0L)) div 100").as("r"))
+      .filter(col("r") > 0)
+      .orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("doc_id"), col("r").as("rank_fp"))
+  }
+
+  /** Oracle twin of [[personalizedPagerank]]: unrolled CTEs, identical
+    * seed-gated integer arithmetic (sums cast back from HUGEINT per
+    * the playbook).
+    */
+  def personalizedPagerankSql: String = {
+    val base = Scale * 15 / 100
+    def seedBase(node: String, mass: Long): String =
+      s"CASE WHEN $node % $PprSeedMod = 0 THEN CAST($mass AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END"
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d.doc_id AS node,
+         |    (${seedBase("d.doc_id", base)}) + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM documents d LEFT JOIN (
+         |    SELECT e.dst, CAST(sum(p.r // o.outdeg) AS BIGINT) AS s
+         |    FROM e JOIN o ON e.src = o.src JOIN $prev p ON e.src = p.node
+         |    GROUP BY e.dst) c ON d.doc_id = c.dst)""".stripMargin
+    val iters = (1 to Iterations)
+      .map(i => iter(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+      .mkString(",\n")
+    s"""WITH $linkEdgesSql,
+       |o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT doc_id AS node, ${seedBase("doc_id", Scale)} AS r
+       |       FROM documents),
+       |$iters
+       |SELECT node AS doc_id, r AS rank_fp FROM r$Iterations
+       |WHERE r > 0 ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   /** Exact triangle count of the undirected link graph, via
     * degree-ordered edge orientation. Returns one row:
     * (n_nodes, n_edges, n_triangles).

@@ -312,20 +312,56 @@ object Sketches {
     *
     * Output: (group, n_rows, n_sample, p50_est, p95_est, p50_exact).
     * The exact column is the estimator-quality view for the small-SF
-    * gate; at 100 TB it is the thing you CANNOT afford (a full sort per
-    * group) and would be dropped — the sketch path shuffles ≤ K rows
-    * per group.
+    * gate; at 100 TB it is the thing you CANNOT afford (a FULL
+    * per-group rank — with few groups that is a handful of reducers
+    * each sorting millions of rows; the 20M-event smoke measures the
+    * sketch path at ~3s and the exact companion at ~35s) — pass
+    * `withExact = false` to keep only the sketch path, whose
+    * WindowGroupLimit forwards ≤ K rows per group per map task.
     */
   def quantileSketch(df: DataFrame, groupCol: String, keyCol: Column,
-      valueCol: Column): DataFrame = {
-    val hashed = df.select(col(groupCol).as("g"),
+      valueCol: Column, withExact: Boolean = true): DataFrame = {
+    val hashed = hashKeyed(df, groupCol, keyCol, valueCol)
+    assembleQuantiles(hashed, bottomQK(hashed), groupCol, withExact)
+  }
+
+  /** Same-answer DISTRIBUTED twin of [[quantileSketch]]: splits the
+    * corpus in two by hash parity, sketches each half independently,
+    * MERGES the half-sketches (union → re-take bottom-K), and reads
+    * the quantiles off the merged sample. Because bottom-K-by-hash of
+    * a union equals bottom-K of the union of bottom-Ks, the result is
+    * IDENTICAL to the one-shot sketch — the query shares
+    * [[quantileSketchSql]] as its oracle (the salted-join /
+    * MV-rewrite same-answer pattern). This is literally how the
+    * sketch aggregates on a cluster: per-partition (here: per-half)
+    * states merge associatively.
+    */
+  def quantileSketchMerged(df: DataFrame, groupCol: String,
+      keyCol: Column, valueCol: Column): DataFrame = {
+    val hashed = hashKeyed(df, groupCol, keyCol, valueCol)
+    val merged = bottomQK(
+      bottomQK(hashed.filter(pmod(col("h"), lit(2)) === 0))
+        .union(bottomQK(hashed.filter(pmod(col("h"), lit(2)) === 1))))
+    assembleQuantiles(hashed, merged, groupCol, withExact = true)
+  }
+
+  private def hashKeyed(df: DataFrame, groupCol: String, keyCol: Column,
+      valueCol: Column): DataFrame =
+    df.select(col(groupCol).as("g"),
       hash60(keyCol.cast("string")).as("h"), valueCol.as("v"))
-    // bottom-QK by hash: WindowGroupLimit forwards ≤ K rows per group
-    // per map task before the shuffle
+
+  /** Bottom-[[QK]] rows by hash per group: WindowGroupLimit forwards
+    * ≤ K rows per group per map task before the shuffle.
+    */
+  private def bottomQK(hashed: DataFrame): DataFrame = {
     val wSel = Window.partitionBy("g").orderBy(col("h"), col("v"))
-    val sample = hashed
-      .withColumn("rn", row_number().over(wSel))
+    hashed.withColumn("rn", row_number().over(wSel))
       .filter(col("rn") <= QK)
+      .select("g", "h", "v")
+  }
+
+  private def assembleQuantiles(hashed: DataFrame, sample: DataFrame,
+      groupCol: String, withExact: Boolean): DataFrame = {
     val wRank = Window.partitionBy("g").orderBy(col("v"), col("h"))
     val est = sample
       .withColumn("rv", row_number().over(wRank))
@@ -336,6 +372,9 @@ object Sketches {
         max(when(expr("rv = (ns + 1) div 2"), col("v"))).as("p50_est"),
         max(when(expr("rv = (ns * 95 + 99) div 100"), col("v")))
           .as("p95_est"))
+    if (!withExact)
+      return est.select(col("g").as(groupCol), col("n_sample"),
+        col("p50_est"), col("p95_est")).orderBy(groupCol)
     val exact = hashed
       .withColumn("rf", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))

@@ -785,4 +785,85 @@ object TimeSeriesOps {
        |SELECT user_id, count(*) AS n_tail,
        |  CAST(sum(x_fp * wt) AS DOUBLE) / sum(wt) / 10000.0 AS ewma
        |FROM t GROUP BY user_id""".stripMargin
+
+  /** Max lead-lag offset for [[xcorr]]. */
+  val XcorrMaxLag = 3
+
+  /** Lead-lag cross-correlation between event-type DAILY series: for
+    * every ordered type pair (a < b) and lag 0..[[XcorrMaxLag]],
+    * Pearson correlation of a's day-d mean against b's day-(d+lag)
+    * mean — "does activity in a lead activity in b?", the
+    * between-series companion of [[autocorr]]'s within-series view.
+    *
+    * Determinism: the daily mean is an exact integer (truncating
+    * division of the 1e-4 fixed-point day sum by the day count), so
+    * all five Pearson sufficient statistics are exact longs and the
+    * final r is the one agreed IEEE expression — [[autocorr]]'s exact
+    * recipe on a different join shape. Overflow headroom: means stay
+    * <= 1e6 in fixed-point units, so sxy over a decade of days is
+    * < 2^53.
+    *
+    * Scale: ONE pass over events builds the daily relation
+    * (|types|·|days| rows); the lag self-join and the Pearson
+    * aggregation run on that tiny relation — the heavy input is
+    * touched exactly once regardless of how many lags are requested.
+    */
+  def xcorr(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 10000).cast("long").as("y"))
+      .groupBy("event_type", "day")
+      .agg(expr("sum(y) div count(1)").as("m"))
+    val a = daily.select(col("event_type").as("type_a"), col("day"),
+      col("m").as("x"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("day").as("day_b"), col("m").as("y"))
+    a.withColumn("lag", explode(sequence(lit(0), lit(XcorrMaxLag))))
+      .withColumn("day_join", date_add(col("day"), col("lag")))
+      .join(b, col("day_join") === col("day_b") &&
+        col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b", "lag")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_days"),
+        expr("""CASE WHEN n_days*sxx - sx*sx = 0
+                |  OR n_days*syy - sy*sy = 0 THEN NULL
+                |ELSE CAST(n_days*sxy - sx*sy AS DOUBLE) /
+                |  (sqrt(CAST(n_days*sxx - sx*sx AS DOUBLE)) *
+                |   sqrt(CAST(n_days*syy - sy*sy AS DOUBLE))) END"""
+          .stripMargin).as("xcorr"))
+      .orderBy("type_a", "type_b", "lag")
+  }
+
+  /** Oracle twin of [[xcorr]] (sums cast back from HUGEINT per the
+    * playbook; `//` matches Spark's `div` on the non-negative
+    * operands here).
+    */
+  def xcorrSql: String =
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+       |      // count(*) AS m
+       |  FROM events GROUP BY 1, 2),
+       |l AS (SELECT unnest([${(0 to XcorrMaxLag).mkString(", ")}]) AS lag),
+       |j AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |        l.lag, a.m AS x, b.m AS y
+       |      FROM d a CROSS JOIN l
+       |      JOIN d b ON b.day = a.day + l.lag
+       |        AND a.event_type < b.event_type),
+       |s AS (SELECT type_a, type_b, lag, count(*) AS n_days,
+       |        CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x*y) AS BIGINT) AS sxy,
+       |        CAST(sum(x*x) AS BIGINT) AS sxx,
+       |        CAST(sum(y*y) AS BIGINT) AS syy
+       |      FROM j GROUP BY 1, 2, 3)
+       |SELECT type_a, type_b, lag, n_days,
+       |  CASE WHEN n_days*sxx - sx*sx = 0
+       |    OR n_days*syy - sy*sy = 0 THEN NULL
+       |  ELSE CAST(n_days*sxy - sx*sy AS DOUBLE) /
+       |    (sqrt(CAST(n_days*sxx - sx*sx AS DOUBLE)) *
+       |     sqrt(CAST(n_days*syy - sy*sy AS DOUBLE))) END AS xcorr
+       |FROM s ORDER BY type_a, type_b, lag""".stripMargin
 }

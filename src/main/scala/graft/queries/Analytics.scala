@@ -26,6 +26,9 @@ object Analytics {
     "sketch_quantile" -> ((s, dir) =>
       Sketches.quantileSketch(rd(s, dir, "orders"), "o_orderpriority",
         col("o_orderkey"), col("o_totalprice"))),
+    "sketch_quantile_merged" -> ((s, dir) =>
+      Sketches.quantileSketchMerged(rd(s, dir, "orders"),
+        "o_orderpriority", col("o_orderkey"), col("o_totalprice"))),
     "sketch_kmv_overlap" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
       Sketches.kmvOverlap(
@@ -41,6 +44,8 @@ object Analytics {
         valueCol = "text")
     }),
     "graph_pagerank" -> ((s, dir) => Graph.pagerank(s, rd(s, dir, "documents"))),
+    "graph_ppr" -> ((s, dir) =>
+      Graph.personalizedPagerank(s, rd(s, dir, "documents"))),
     "graph_triangles" -> ((s, dir) => Graph.triangles(s, rd(s, dir, "documents"))),
     "graph_components" -> ((s, dir) =>
       Graph.connectedComponents(s, rd(s, dir, "documents"))),
@@ -65,7 +70,8 @@ object Analytics {
       graft.operators.TextAnalysis.tfidfKeywords(rd(s, dir, "documents"))),
     "ts_transitions" -> ((s, dir) => TimeSeriesOps.transitions(rdEvents(s, dir))),
     "ts_decompose" -> ((s, dir) => TimeSeriesOps.decompose(rdEvents(s, dir))),
-    "ts_paths" -> ((s, dir) => TimeSeriesOps.paths(rdEvents(s, dir)))
+    "ts_paths" -> ((s, dir) => TimeSeriesOps.paths(rdEvents(s, dir))),
+    "ts_xcorr" -> ((s, dir) => TimeSeriesOps.xcorr(rdEvents(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -74,7 +80,11 @@ object Analytics {
     "sketch_kmv_difference" -> Sketches.kmvDifferenceSql(corpusA, corpusB),
     "sketch_hll_estimate" -> Sketches.hllEstimateSql("source"),
     "sketch_quantile" -> Sketches.quantileSketchSql,
+    // the distributed merge changes execution, never results: shares
+    // the one-shot sketch's oracle (same-answer-rewrite pattern)
+    "sketch_quantile_merged" -> Sketches.quantileSketchSql,
     "graph_pagerank" -> Graph.pagerankSql,
+    "graph_ppr" -> Graph.personalizedPagerankSql,
     "graph_triangles" -> Graph.trianglesSql,
     "graph_components" -> Graph.connectedComponentsSql,
     "graph_bfs" -> Graph.bfsSql(),
@@ -88,6 +98,7 @@ object Analytics {
     "ts_anomaly_mad" -> TimeSeriesOps.anomalyMadSql,
     "ts_autocorr" -> TimeSeriesOps.autocorrSql,
     "ts_changepoint" -> TimeSeriesOps.changepointSql,
+    "ts_xcorr" -> TimeSeriesOps.xcorrSql,
     "ts_holt_winters" -> TimeSeriesOps.holtWintersSql,
     "text_kl_divergence" -> graft.operators.TextAnalysis.klDivergenceSql,
     "text_collocations" -> graft.operators.TextAnalysis.collocationsSql(),

@@ -172,6 +172,62 @@ object AnalyticsScaleSmoke {
       Similarity.pcaTopComponent(emb).collect()
     }
     require(pc.length == 64, s"expected 64 PCA loadings, got ${pc.length}")
+
+    // ---- session-5 additions: Holt-Winters + seasonal decompose +
+    // transitions + paths + hopping window on the 20M events (231
+    // synthetic days), KMV set-difference on the 20M-row sketch input
+    val hw = timed(s"holtWinters ${nEvents / 1000000}M events") {
+      TimeSeriesOps.holtWinters(events).count()
+    }
+    println(s"[analyticsscale]   holtWinters rows=$hw")
+    val de = timed(s"decompose ${nEvents / 1000000}M events") {
+      TimeSeriesOps.decompose(events).collect()
+    }
+    require(de.length <= 5 * 7, s"decompose shape: ${de.length} rows")
+    val tr = timed(s"transitions ${nEvents / 1000000}M events") {
+      TimeSeriesOps.transitions(events).collect()
+    }
+    require(tr.length <= 25, s"transitions shape: ${tr.length} rows")
+    val pa = timed(s"paths ${nEvents / 1000000}M events") {
+      TimeSeriesOps.paths(events).collect()
+    }
+    require(pa.length == 20, s"paths top-20: ${pa.length} rows")
+    val hop = timed(s"hoppingWindow ${nEvents / 1000000}M events") {
+      events.groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .count()
+    }
+    println(s"[analyticsscale]   hopping buckets=$hop")
+    val kd = timed(s"kmvDifference ${nSketch / 1000000}M rows") {
+      val df = spark.range(nSketch).selectExpr(
+        s"concat('doc ', id % 32, ':', (id DIV 32) % $distinctPerGroup) AS v",
+        "id")
+      Sketches.kmvDifference(
+        df.filter(col("id") % 2 === 0), df.filter(col("id") % 3 === 0),
+        "v").collect().head
+    }
+    println(s"[analyticsscale]   kmvDifference=${kd.mkString(",")}")
+    // sketch-only path first (the 100 TB shape: WindowGroupLimit
+    // forwards <= K rows/group per map task), then the exact companion
+    // (a FULL per-group rank — with 5 groups that is 5 reducers each
+    // sorting 4M rows: the cost the sketch exists to avoid)
+    val qs = timed(s"quantileSketch ${nEvents / 1000000}M events / 5 groups " +
+        "(sketch only)") {
+      Sketches.quantileSketch(events, "event_type", col("event_id"),
+        col("value"), withExact = false).collect()
+    }
+    qs.foreach { r =>
+      // value is uniform 0..99.9: the sampled median must be well
+      // inside the bulk (a rank-level 3-sigma check like the oracle's)
+      val p50 = r.getAs[Double]("p50_est")
+      require(p50 > 30.0 && p50 < 70.0, s"quantile sketch p50 $p50")
+    }
+    timed(s"quantileSketch ${nEvents / 1000000}M events (with exact " +
+        "companion — the full-sort contrast)") {
+      Sketches.quantileSketch(events, "event_type", col("event_id"),
+        col("value")).collect()
+    }
     spark.stop()
   }
 }

@@ -192,6 +192,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall(_._2 >= Graph.Scale * 15 / 100))
   }
 
+  test("personalized pagerank matches an exact local simulation " +
+      "and concentrates mass near the seeds") {
+    val n = 200
+    val docs = docsDf(n)
+    val edges = Graph
+      .linkEdges(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    val base = Graph.Scale * 15 / 100
+    def seed(i: Long): Long = if (i % Graph.PprSeedMod == 0) 1L else 0L
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = (0 until n).map(i =>
+      i.toLong -> seed(i.toLong) * Graph.Scale).toMap
+    for (_ <- 1 to Graph.Iterations) {
+      val s = edges
+        .groupBy(_._2)
+        .view
+        .mapValues(_.map { case (u, _) => r(u) / outdeg(u) }.sum)
+        .toMap
+      r = (0 until n).map { i =>
+        i.toLong ->
+          (seed(i.toLong) * base + (85 * s.getOrElse(i.toLong, 0L)) / 100)
+      }.toMap
+    }
+    val expected = r.toSeq.filter(_._2 > 0)
+      .sortBy { case (node, rk) => (-rk, node) }
+      .take(20)
+    val got = Graph.personalizedPagerank(spark, docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == expected)
+    // seeds carry at least their own teleport mass; everything
+    // returned is reachable (nonzero)
+    assert(got.forall(_._2 > 0L))
+    assert(got.filter(t => t._1 % Graph.PprSeedMod == 0)
+      .forall(_._2 >= base))
+  }
+
   test("pagerank's plan stays constant-size across iterations") {
     // the per-round localCheckpoint truncates lineage: without it the
     // analyzed plan chains join+agg per iteration (~8 nodes each, 40+
