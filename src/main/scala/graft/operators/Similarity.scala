@@ -89,6 +89,122 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k evaluation of the IVF path against brute-force ground
+    * truth, batched over the first `nQueries` vectors — the
+    * index-quality gate every ANN deployment needs before trusting the
+    * approximate path. One cosine relation feeds BOTH lists (the exact
+    * top-k per query and the IVF top-k restricted to the query's
+    * nearest inverted list), so truth and candidate rankings cannot
+    * drift apart; recall = |ivf ∩ exact| / k with the one final IEEE
+    * division of agreed longs.
+    *
+    * Scale: centroids compute once for the whole query batch; the
+    * brute-force side is the GOLD-LABEL generation an eval runs on a
+    * SAMPLED query set (here: nQueries broadcast rows against the
+    * corpus — linear, no all-pairs), never on the full query traffic.
+    *
+    * `nprobe` widens the search to the nprobe nearest inverted lists —
+    * the standard IVF recall/latency knob. On the synthetic corpus the
+    * single-probe recall is LOW (the `label` partitions are not cosine
+    * clusters), which is exactly the kind of index mismatch this eval
+    * exists to expose before production traffic does; the nprobe=4
+    * twin shows recall recovering as probes widen.
+    */
+  def recallEval(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val sims = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = sims.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k).select("qid", "vec_id")
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .repartition(col("pos"))
+      .groupBy("label", "pos")
+      .agg((sum(floor(col("e").cast("double") * lit(1e7))).cast("double")
+        / lit(1e7) / count(lit(1))).as("c"))
+    val qdims = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        posexplode(col("embedding")).as(Seq("pos", "qe")))
+    val dists = centroids.join(broadcast(qdims), "pos")
+      .groupBy("qid", "label")
+      .agg(sum(floor((col("c") - col("qe")) * (col("c") - col("qe"))
+        * lit(1e12))).as("dist"))
+    val wn = Window.partitionBy("qid")
+      .orderBy(col("dist").asc, col("label").asc)
+    val nearest = dists.withColumn("rn", row_number().over(wn))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid").as("n_qid"), col("label").as("n_label"))
+    val ivf = sims
+      .join(broadcast(nearest),
+        col("qid") === col("n_qid") && col("label") === col("n_label"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("i_qid"), col("vec_id").as("ivf_vec"))
+    exact
+      .join(ivf, col("qid") === col("i_qid") &&
+        col("vec_id") === col("ivf_vec"), "left")
+      .groupBy("qid")
+      .agg(count(col("ivf_vec")).as("n_hit"))
+      .select(col("qid"), lit(k).as("k"), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"))
+      .orderBy("qid")
+  }
+
+  /** Oracle twin of [[recallEval]]. */
+  def recallEvalSql(nQueries: Int = 8, k: Int = 10,
+      nprobe: Int = 1): String =
+    s"""WITH cent AS (
+       |  SELECT label, i AS pos,
+       |    CAST(sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+       |        * 10000000.0) AS BIGINT)) AS DOUBLE)
+       |      / 10000000.0 / count(*) AS c
+       |  FROM embeddings, range(0, 64) t(i) GROUP BY label, i),
+       |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |       FROM embeddings WHERE vec_id < $nQueries),
+       |qdims AS (
+       |  SELECT vec_id AS qid, i AS pos,
+       |    CAST(embedding[i + 1] AS DOUBLE) AS qe
+       |  FROM embeddings, range(0, 64) t(i) WHERE vec_id < $nQueries),
+       |dists AS (
+       |  SELECT qid, label,
+       |    CAST(sum(CAST(floor((c - qe) * (c - qe) * 1000000000000.0)
+       |      AS BIGINT)) AS BIGINT) AS dist
+       |  FROM cent JOIN qdims USING (pos) GROUP BY qid, label),
+       |nearest AS (SELECT qid, label FROM (
+       |  SELECT qid, label, row_number() OVER (PARTITION BY qid
+       |    ORDER BY dist ASC, label ASC) AS rn FROM dists)
+       |  WHERE rn <= $nprobe),
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |sims AS (
+       |  SELECT q.qid, e.vec_id, e.label,
+       |    round((list_sum(list_transform(range(1, len(e.v) + 1),
+       |        i -> e.v[i] * qv[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+       |        i -> e.v[i] * e.v[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+       |        i -> qv[i] * qv[i]))))), 6) AS sim
+       |  FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id ASC) AS rk FROM sims) WHERE rk <= $k),
+       |ivf AS (SELECT qid, vec_id FROM (
+       |  SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+       |    ORDER BY s.sim DESC, s.vec_id ASC) AS rk
+       |  FROM sims s JOIN nearest n ON n.qid = s.qid AND n.label = s.label)
+       |  WHERE rk <= $k)
+       |SELECT exact.qid, $k AS k, count(ivf.vec_id) AS n_hit,
+       |  CAST(count(ivf.vec_id) AS DOUBLE) / $k AS recall
+       |FROM exact LEFT JOIN ivf
+       |  ON exact.qid = ivf.qid AND exact.vec_id = ivf.vec_id
+       |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
+
   /** IVF with a TRAINED coarse quantizer: deterministic k-means over the
     * corpus (seeded by the `kClusters` lowest vec_ids, a fixed number of
     * Lloyd iterations — no RNG, so the oracle replays it exactly), then

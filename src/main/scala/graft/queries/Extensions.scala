@@ -124,6 +124,10 @@ object Extensions {
     "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rdEmbeddings(s, dir))),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rdEmbeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rdEmbeddings(s, dir))),
+    "ann_recall_eval" -> ((s, dir) =>
+      Similarity.recallEval(rdEmbeddings(s, dir))),
+    "ann_recall_eval_nprobe4" -> ((s, dir) =>
+      Similarity.recallEval(rdEmbeddings(s, dir), nprobe = 4)),
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedTopK(rdEmbeddings(s, dir))),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rdEmbeddings(s, dir))),
@@ -803,6 +807,9 @@ object Extensions {
          |SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS sim
          |FROM e, q WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "ann_recall_eval" -> Similarity.recallEvalSql(),
+    "ann_recall_eval_nprobe4" -> Similarity.recallEvalSql(nprobe = 4),
 
     "ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
