@@ -97,6 +97,63 @@ object Sketches {
        |  ${estSql("n_sketch", "kmv_kth")} AS est_distinct
        |FROM s""".stripMargin
 
+  /** The per-group KMV state rows (g, h): the K smallest distinct
+    * hashes per group — the CONSTANT-SIZE mergeable state everything
+    * else derives from.
+    */
+  private def kmvStateRows(df: DataFrame, groupCol: String,
+      valueCol: Column): DataFrame = {
+    val w = Window.partitionBy("g").orderBy("h")
+    df.select(col(groupCol).as("g"), hash60(valueCol).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select("g", "h")
+  }
+
+  /** Persist the KMV state as a parquet table at `path`. */
+  def buildKmvState(df: DataFrame, groupCol: String, valueCol: Column,
+      path: String): Unit =
+    kmvStateRows(df, groupCol, valueCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Fold NEWLY ARRIVED rows into a persisted KMV state — the
+    * incremental-ingest path: by the KMV merge law, bottom-K of
+    * (state ∪ new hashes) equals bottom-K of the full corpus, so the
+    * refreshed state is BIT-IDENTICAL to a from-scratch rebuild (spec-
+    * pinned) while touching only the delta. The merged state (≤ K rows
+    * per group) is eagerly materialized before the overwrite so the
+    * write never scans the files it replaces.
+    */
+  def refreshKmvState(spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, groupCol: String, valueCol: Column,
+      path: String): Unit = {
+    val merged = spark.read.parquet(path)
+      .union(kmvStateRows(newDf, groupCol, valueCol))
+      .distinct()
+    // re-take bottom-K directly on the hash rows (kmvStateRows would
+    // re-hash — state rows are already hashes)
+    val w = Window.partitionBy("g").orderBy("h")
+    val folded = merged
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select("g", "h")
+      .localCheckpoint(true)
+    folded.write.mode("overwrite").parquet(path)
+  }
+
+  /** The [[kmvDistinct]] estimate read OFF a persisted state table —
+    * output-identical to the direct operator over the same corpus
+    * (shares its oracle).
+    */
+  def kmvEstimateFromState(spark: org.apache.spark.sql.SparkSession,
+      path: String, groupCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_sketch"), max("h").as("kmv_kth"))
+      .select(col("g").as(groupCol), col("n_sketch"), col("kmv_kth"),
+        estCol(col("n_sketch"), col("kmv_kth")).as("est_distinct"))
+
   /** HLL register count (2^6) and the rho cap. The cap matters for
     * cross-engine determinism, not accuracy: every 2^-rho correction
     * term then has at most 40 fractional bits, so with <= 64 terms plus

@@ -21,6 +21,26 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> ((s, dir) =>
       Sketches.kmvDistinct(rd(s, dir, "documents"), "source", col("text"))),
+    // INCREMENTAL sketch maintenance under the oracle: the corpus
+    // arrives in two batches — the persisted state is built from the
+    // first and FOLDED forward with only the second — then the
+    // estimate reads off the state table. The oracle sketches the full
+    // corpus from scratch, so a refresh that missed, doubled, or
+    // stale-read anything diverges (the bm25_refreshed pattern applied
+    // to sketch state).
+    "sketch_kmv_incremental" -> ((s, dir) => {
+      val root = graft.plans.GeneratedTables.ensureCustom(dir + "#kmvinc") {
+        r =>
+          val d = rd(s, dir, "documents")
+          val path = s"$r/kmv_state"
+          Sketches.buildKmvState(d.filter(col("doc_id") % 3 =!= 0),
+            "source", col("text"), path)
+          Sketches.refreshKmvState(s, d.filter(col("doc_id") % 3 === 0),
+            "source", col("text"), path)
+          ()
+      }
+      Sketches.kmvEstimateFromState(s, s"$root/kmv_state", "source")
+    }),
     "sketch_hll_estimate" -> ((s, dir) =>
       Sketches.hllEstimate(rd(s, dir, "documents"), "source", col("text"))),
     "sketch_quantile" -> ((s, dir) =>
@@ -76,6 +96,9 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "sketch_kmv_distinct" -> Sketches.kmvDistinctSql("source"),
+    // incremental maintenance changes execution, never results: the
+    // refreshed state must estimate exactly like a from-scratch sketch
+    "sketch_kmv_incremental" -> Sketches.kmvDistinctSql("source"),
     "sketch_kmv_overlap" -> Sketches.kmvOverlapSql(corpusA, corpusB),
     "sketch_kmv_difference" -> Sketches.kmvDifferenceSql(corpusA, corpusB),
     "sketch_hll_estimate" -> Sketches.hllEstimateSql("source"),

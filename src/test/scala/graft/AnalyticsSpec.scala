@@ -65,6 +65,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(merged.getAs[Double]("est_intersection") - 2000) / 2000.0 < 0.35)
   }
 
+  test("incremental KMV state refresh is bit-identical to a rebuild") {
+    import org.apache.spark.sql.functions.col
+    val d = docsDf(9000) // 2250 distinct per source, well past K=256
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-").toString
+    val inc = s"$dir/inc"
+    val full = s"$dir/full"
+    Sketches.buildKmvState(d.filter(col("doc_id") % 3 =!= 0),
+      "source", col("text"), inc)
+    Sketches.refreshKmvState(spark, d.filter(col("doc_id") % 3 === 0),
+      "source", col("text"), inc)
+    Sketches.buildKmvState(d, "source", col("text"), full)
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(rows(inc) == rows(full),
+      "refreshed state differs from a from-scratch rebuild")
+    // and the estimate read off the state equals the direct operator
+    val got = Sketches.kmvEstimateFromState(spark, inc, "source")
+      .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    val want = Sketches.kmvDistinct(d, "source", col("text"))
+      .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(got == want)
+  }
+
   test("quantile sketch: mergeable (split-sketch union == one-shot) " +
       "and rank-accurate at K >> n") {
     import spark.implicits._
