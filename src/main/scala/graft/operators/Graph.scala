@@ -228,6 +228,82 @@ object Graph {
        |WHERE r > 0 ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
+  /** HITS hubs-and-authorities over the directed link graph
+    * (Kleinberg 1999): a_{i+1}(v) = Σ h_i(u) over in-links,
+    * h_{i+1}(v) = Σ a_{i+1}(u) over out-links, UNNORMALIZED integer
+    * iteration from h_0 = 1 — at [[Iterations]] rounds the scores stay
+    * exact longs (each round multiplies the max by ≤ 3·max-indeg;
+    * random 3-out graphs keep that well under 2^63 — the envelope a
+    * production run re-checks if it raises Iterations), so the
+    * rankings are reproducible to the last unit with no float
+    * normalization drift. Returns the top-20 nodes by authority:
+    * (doc_id, auth, hub).
+    *
+    * Scale shape: the SAME cached src-partitioned edge relation as
+    * [[pagerank]]; each round is two partial-aggregated joins (h→a on
+    * dst, a→h on src), localCheckpoint truncates lineage per round.
+    */
+  def hits(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val edges = linkEdges(docs).repartition(col("src")).cache()
+    // h_0 = 1 for every node => a_1(v) = indeg(v)
+    var a = edges.groupBy("dst").agg(count(lit(1)).cast("long").as("a"))
+      .select(col("dst").as("a_node"), col("a"))
+      .localCheckpoint(true)
+    var h = edges.join(a, col("dst") === col("a_node"))
+      .groupBy("src").agg(sum("a").as("h"))
+      .select(col("src").as("h_node"), col("h"))
+      .localCheckpoint(true)
+    for (_ <- 2 to Iterations) {
+      a = edges.join(h, col("src") === col("h_node"))
+        .groupBy("dst").agg(sum("h").as("a"))
+        .select(col("dst").as("a_node"), col("a"))
+        .localCheckpoint(true)
+      h = edges.join(a, col("dst") === col("a_node"))
+        .groupBy("src").agg(sum("a").as("h"))
+        .select(col("src").as("h_node"), col("h"))
+        .localCheckpoint(true)
+    }
+    docs.select(col("doc_id").as("node"))
+      .join(a, col("node") === col("a_node"), "left")
+      .join(h, col("node") === col("h_node"), "left")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("auth"),
+        coalesce(col("h"), lit(0L)).as("hub"))
+      .orderBy(col("auth").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("doc_id"), col("auth"), col("hub"))
+  }
+
+  /** Oracle twin of [[hits]]: the alternating rounds unrolled as CTEs
+    * (sums cast back from HUGEINT per the playbook).
+    */
+  def hitsSql: String = {
+    def aIter(prevH: String, cur: String): String =
+      s"""$cur AS (SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS a
+         |  FROM e JOIN $prevH p ON e.src = p.node GROUP BY e.dst)"""
+        .stripMargin
+    def hIter(curA: String, cur: String): String =
+      s"""$cur AS (SELECT e.src AS node, CAST(sum(p.a) AS BIGINT) AS h
+         |  FROM e JOIN $curA p ON e.dst = p.node GROUP BY e.src)"""
+        .stripMargin
+    val rounds = (1 to Iterations).flatMap { i =>
+      val a =
+        if (i == 1)
+          """a1 AS (SELECT dst AS node, count(*) AS a
+            |  FROM e GROUP BY dst)""".stripMargin
+        else aIter(s"h${i - 1}", s"a$i")
+      Seq(a, hIter(s"a$i", s"h$i"))
+    }.mkString(",\n")
+    s"""WITH $linkEdgesSql,
+       |$rounds
+       |SELECT d.doc_id,
+       |  COALESCE(a.a, CAST(0 AS BIGINT)) AS auth,
+       |  COALESCE(h.h, CAST(0 AS BIGINT)) AS hub
+       |FROM documents d
+       |LEFT JOIN a$Iterations a ON d.doc_id = a.node
+       |LEFT JOIN h$Iterations h ON d.doc_id = h.node
+       |ORDER BY auth DESC, d.doc_id LIMIT 20""".stripMargin
+  }
+
   /** Exact triangle count of the undirected link graph, via
     * degree-ordered edge orientation. Returns one row:
     * (n_nodes, n_edges, n_triangles).

@@ -66,6 +66,7 @@ object Analytics {
     "graph_pagerank" -> ((s, dir) => Graph.pagerank(s, rd(s, dir, "documents"))),
     "graph_ppr" -> ((s, dir) =>
       Graph.personalizedPagerank(s, rd(s, dir, "documents"))),
+    "graph_hits" -> ((s, dir) => Graph.hits(s, rd(s, dir, "documents"))),
     "graph_triangles" -> ((s, dir) => Graph.triangles(s, rd(s, dir, "documents"))),
     "graph_components" -> ((s, dir) =>
       Graph.connectedComponents(s, rd(s, dir, "documents"))),
@@ -108,6 +109,7 @@ object Analytics {
     "sketch_quantile_merged" -> Sketches.quantileSketchSql,
     "graph_pagerank" -> Graph.pagerankSql,
     "graph_ppr" -> Graph.personalizedPagerankSql,
+    "graph_hits" -> Graph.hitsSql,
     "graph_triangles" -> Graph.trianglesSql,
     "graph_components" -> Graph.connectedComponentsSql,
     "graph_bfs" -> Graph.bfsSql(),

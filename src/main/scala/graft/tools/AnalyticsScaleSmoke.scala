@@ -176,6 +176,16 @@ object AnalyticsScaleSmoke {
     // ---- session-5 additions: Holt-Winters + seasonal decompose +
     // transitions + paths + hopping window on the 20M events (231
     // synthetic days), KMV set-difference on the 20M-row sketch input
+    val pp = timed(s"personalizedPagerank ${nGraph / 1000000}M nodes x5 iter") {
+      Graph.personalizedPagerank(spark, docs).collect()
+    }
+    require(pp.length == 20 && pp.forall(_.getLong(1) > 0L),
+      "ppr top-20 malformed")
+    val ht = timed(s"hits ${nGraph / 1000000}M nodes x5 iter") {
+      Graph.hits(spark, docs).collect()
+    }
+    require(ht.length == 20 && ht.head.getLong(1) > 0L,
+      "hits top-20 malformed")
     val hw = timed(s"holtWinters ${nEvents / 1000000}M events") {
       TimeSeriesOps.holtWinters(events).count()
     }

@@ -253,6 +253,32 @@ class AnalyticsSpec extends AnyFunSuite {
       .forall(_._2 >= base))
   }
 
+  test("hits matches an exact local simulation") {
+    val n = 200
+    val docs = docsDf(n)
+    val edges = Graph
+      .linkEdges(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    var h = (0 until n).map(_.toLong -> 1L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to Graph.Iterations) {
+      a = edges.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => h.getOrElse(u, 0L) }.sum).toMap
+      h = edges.groupBy(_._1).view
+        .mapValues(_.map { case (_, v) => a.getOrElse(v, 0L) }.sum).toMap
+    }
+    val expected = (0 until n)
+      .map(i => (i.toLong, a.getOrElse(i.toLong, 0L), h.getOrElse(i.toLong, 0L)))
+      .sortBy { case (node, auth, _) => (-auth, node) }
+      .take(20)
+    val got = Graph.hits(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.head._2 > 0L)
+  }
+
   test("pagerank's plan stays constant-size across iterations") {
     // the per-round localCheckpoint truncates lineage: without it the
     // analyzed plan chains join+agg per iteration (~8 nodes each, 40+
