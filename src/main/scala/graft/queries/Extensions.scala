@@ -44,6 +44,30 @@ object Extensions {
     // candidate path (PPJoin) — the oracle SQL is shared
     "dedup_prefix_jaccard" -> ((s, dir) => Dedup.prefixJaccard(rd(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(rd(s, dir, "documents"))),
+    // banding-quality evaluation: LSH candidate pairs scored against
+    // the exact-Jaccard ground truth (the ann_recall_eval pattern for
+    // the dedup family) — candidate recall says how much real
+    // duplication the bands surface, precision how much exact-verify
+    // work they cause
+    "dedup_recall_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count, lit, when, col}
+      val d = rd(s, dir, "documents")
+      val truth = Dedup.ngramJaccard(d).select("doc_a", "doc_b")
+      val cand = Dedup.minhashPairs(d)
+      val ta = truth.agg(count(lit(1)).as("n_true_pairs"))
+      val ca = cand.agg(count(lit(1)).as("n_candidates"))
+      val hi = truth.join(cand, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      // 1-row aggregates: the constants crossJoin pattern
+      ta.crossJoin(ca).crossJoin(hi).select(
+        col("n_true_pairs"), col("n_candidates"), col("n_hit"),
+        when(col("n_true_pairs") === 0, lit(null))
+          .otherwise(col("n_hit").cast("double") / col("n_true_pairs"))
+          .as("pair_recall"),
+        when(col("n_candidates") === 0, lit(null))
+          .otherwise(col("n_hit").cast("double") / col("n_candidates"))
+          .as("cand_precision"))
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(rd(s, dir, "documents"))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosine(rdEmbeddings(s, dir))),
     "dedup_edit_distance" -> ((s, dir) =>
@@ -683,6 +707,39 @@ object Extensions {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // LSH candidates scored against exact-Jaccard ground truth: both
+    // chains replayed, joined on the pair key, three counts + the two
+    // agreed IEEE divisions
+    "dedup_recall_eval" ->
+      s"""WITH $minhashCtesSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |shs AS (SELECT doc_id, unnest($shinglesSql) AS sh_str
+         |        FROM t WHERE len(w) >= 4),
+         |sh0 AS (SELECT DISTINCT doc_id, ${rollSql("sh_str")} AS sh FROM shs),
+         |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 256),
+         |shr AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shr GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        count(*) AS shared
+         |      FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b
+         |  FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+         |         JOIN sz sb ON p.doc_b = sb.doc_id
+         |  WHERE shared / (sa.sz + sb.sz - shared) >= 0.8),
+         |ta AS (SELECT count(*) AS n_true_pairs FROM truth),
+         |ca AS (SELECT count(*) AS n_candidates FROM cand),
+         |hi AS (SELECT count(*) AS n_hit
+         |       FROM truth JOIN cand USING (doc_a, doc_b))
+         |SELECT n_true_pairs, n_candidates, n_hit,
+         |  CASE WHEN n_true_pairs = 0 THEN NULL
+         |    ELSE CAST(n_hit AS DOUBLE) / n_true_pairs END AS pair_recall,
+         |  CASE WHEN n_candidates = 0 THEN NULL
+         |    ELSE CAST(n_hit AS DOUBLE) / n_candidates END AS cand_precision
+         |FROM ta, ca, hi""".stripMargin,
 
     // the persisted-signature-index probe answers exactly like the
     // direct path (append-only signature rows; build+refresh = %4==0)
