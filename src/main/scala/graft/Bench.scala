@@ -79,7 +79,10 @@ object Bench {
       val p = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_ANCHOR", "/root/repo/BENCH_ANCHOR.json"))
       if (!java.nio.file.Files.isRegularFile(p)) Map.empty
-      else """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+      // \s* : a python-min-merged anchor (json.dump default) puts a
+      // space after the colon; without it the anchor silently parsed
+      // EMPTY and the steal detector was blind (caught in r10)
+      else """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r
         .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
@@ -141,7 +144,10 @@ object Bench {
     val fullLine = line(results, "")
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json"))
-    java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+    // a dev micro-bench (SPARK_GRAFT_ONLY subset) must never overwrite
+    // the committed full-suite artifacts (it did, in r10)
+    if (only.isEmpty)
+      java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
     // round-stamped snapshot next to it (r7 item 8): round-over-round
     // per-query comparison without git archaeology. The round number is
     // the driver's CORRECTNESS_r{N} high-water mark + 1 (the artifact
@@ -155,7 +161,7 @@ object Bench {
         .map(_.group(1).toInt).toSeq
       if (ns.isEmpty) None else Some(ns.max + 1)
     }
-    roundNo.foreach { n =>
+    if (only.isEmpty) roundNo.foreach { n =>
       java.nio.file.Files.write(
         fullPath.resolveSibling(f"BENCH_FULL_r$n%02d.json"),
         (fullLine + "\n").getBytes("UTF-8"))

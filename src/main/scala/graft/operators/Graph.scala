@@ -41,6 +41,18 @@ object Graph {
   val OutlinksPerNode = 3
   val Iterations = 5
 
+  /** Lineage-truncation cadence for the LINEAR-lineage iterations
+    * (pagerank / personalized pagerank / HITS, whose loop relation is
+    * referenced ONCE per round, so the analyzed plan grows linearly —
+    * unlike the doubly-referencing CC/BFS/k-core loops, which double
+    * per round and checkpoint EVERY round). Each eager localCheckpoint
+    * is an extra Spark job (~0.2s of scheduling at bench scale), so
+    * the linear family truncates every 8th round: free at the default
+    * 5 iterations, and the plan stays bounded by 8 rounds of lineage
+    * if anyone raises Iterations (spec-pinned at 17 rounds).
+    */
+  val CheckpointEvery = 8
+
   /** The deterministic edge list (src, dst), self-loops removed,
     * multi-edges collapsed. `n` is the node count (doc_ids are
     * contiguous 0..N-1 in the corpus; the oracle recomputes N the
@@ -77,7 +89,8 @@ object Graph {
     * in 1e-9 units. r_{i+1}(v) = 0.15*Scale + (85 * sum of
     * r_i(u) div outdeg(u) over in-neighbors u) div 100 — all longs.
     */
-  def pagerank(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def pagerank(spark: SparkSession, docs: DataFrame,
+      iterations: Int = Iterations): DataFrame = {
     val base = Scale * 15 / 100
     val edges = linkEdges(docs).repartition(col("src")).cache()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -94,11 +107,11 @@ object Graph {
       .groupBy("dst")
       .agg(sum("c").as("s")) // partial (map-side) long sums
       .select(col("dst").as("s_node"), col("s"))
-    for (_ <- 2 to Iterations) {
-      // eager localCheckpoint per round truncates the lineage so the
-      // analyzed plan stays constant-size across iterations (house
-      // discipline shared with CC/BFS/k-core/PCA; a real cluster with
-      // lineage-loss concerns would use reliable checkpoint())
+    for (i <- 2 to iterations) {
+      // every-CheckpointEvery-rounds eager localCheckpoint bounds the
+      // linearly-growing lineage without paying an extra job per round
+      // (a real cluster with lineage-loss concerns would use reliable
+      // checkpoint())
       s = contribEdges
         .join(s, col("src") === col("s_node"), "left")
         .select(
@@ -108,7 +121,7 @@ object Graph {
         .groupBy("dst")
         .agg(sum("c").as("s"))
         .select(col("dst").as("s_node"), col("s"))
-        .localCheckpoint(true)
+      if (i % CheckpointEvery == 0) s = s.localCheckpoint(true)
     }
     docs
       .select(col("doc_id").as("node"))
@@ -155,7 +168,8 @@ object Graph {
     * recommendation / trust-propagation primitive next to the global
     * [[pagerank]] quality prior. Same exact integer arithmetic and
     * in-link-sum iteration shape (one join per round over the cached
-    * src-partitioned edges, localCheckpoint per round), with the base
+    * src-partitioned edges, lineage truncated every [[CheckpointEvery]]
+    * rounds), with the base
     * term seed-gated: r_{i+1}(v) = seed(v)·0.15·Scale +
     * (85·s_i(v)) div 100. Returns the top-20 nodes with NONZERO rank
     * (mass only reaches the seeds' forward neighborhoods):
@@ -174,7 +188,7 @@ object Graph {
       .groupBy("dst")
       .agg(sum("c").as("s"))
       .select(col("dst").as("s_node"), col("s"))
-    for (_ <- 2 to Iterations) {
+    for (i <- 2 to Iterations) {
       s = contribEdges
         .join(s, col("src") === col("s_node"), "left")
         .select(
@@ -184,7 +198,7 @@ object Graph {
         .groupBy("dst")
         .agg(sum("c").as("s"))
         .select(col("dst").as("s_node"), col("s"))
-        .localCheckpoint(true)
+      if (i % CheckpointEvery == 0) s = s.localCheckpoint(true)
     }
     docs
       .select(col("doc_id").as("node"))
@@ -241,27 +255,29 @@ object Graph {
     *
     * Scale shape: the SAME cached src-partitioned edge relation as
     * [[pagerank]]; each round is two partial-aggregated joins (h→a on
-    * dst, a→h on src), localCheckpoint truncates lineage per round.
+    * dst, a→h on src), lineage truncated every [[CheckpointEvery]]
+    * rounds.
     */
   def hits(spark: SparkSession, docs: DataFrame): DataFrame = {
     val edges = linkEdges(docs).repartition(col("src")).cache()
     // h_0 = 1 for every node => a_1(v) = indeg(v)
     var a = edges.groupBy("dst").agg(count(lit(1)).cast("long").as("a"))
       .select(col("dst").as("a_node"), col("a"))
-      .localCheckpoint(true)
     var h = edges.join(a, col("dst") === col("a_node"))
       .groupBy("src").agg(sum("a").as("h"))
       .select(col("src").as("h_node"), col("h"))
-      .localCheckpoint(true)
-    for (_ <- 2 to Iterations) {
+    for (i <- 2 to Iterations) {
       a = edges.join(h, col("src") === col("h_node"))
         .groupBy("dst").agg(sum("h").as("a"))
         .select(col("dst").as("a_node"), col("a"))
-        .localCheckpoint(true)
       h = edges.join(a, col("dst") === col("a_node"))
         .groupBy("src").agg(sum("a").as("h"))
         .select(col("src").as("h_node"), col("h"))
-        .localCheckpoint(true)
+      // h is also a's lineage tail, so one truncation bounds both
+      if (i % CheckpointEvery == 0) {
+        a = a.localCheckpoint(true)
+        h = h.localCheckpoint(true)
+      }
     }
     docs.select(col("doc_id").as("node"))
       .join(a, col("node") === col("a_node"), "left")

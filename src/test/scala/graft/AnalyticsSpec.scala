@@ -279,15 +279,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.head._2 > 0L)
   }
 
-  test("pagerank's plan stays constant-size across iterations") {
-    // the per-round localCheckpoint truncates lineage: without it the
-    // analyzed plan chains join+agg per iteration (~8 nodes each, 40+
-    // at Iterations=5); with it the final plan is docs ⋈ one
-    // checkpointed LogicalRDD regardless of iteration count
-    val plan = Graph.pagerank(spark, docsDf(50)).queryExecution.analyzed
-    val nodes = plan.collect { case p => p }.size
-    assert(nodes < 20, s"analyzed plan has $nodes nodes — lineage " +
-      "not truncated (localCheckpoint per round missing?)")
+  test("pagerank's plan stays bounded when iterations are raised") {
+    // pagerank's loop relation is referenced once per round, so the
+    // analyzed plan grows LINEARLY (~8 nodes/round) — harmless at the
+    // default 5 iterations and not worth an extra Spark job per round,
+    // but anyone raising iterations inherits a planning-time surprise
+    // without the every-CheckpointEvery-rounds truncation. At 17
+    // rounds the last checkpoint lands on round 16, so the final plan
+    // is one round of lineage over a LogicalRDD.
+    // the cached edge relation's analyzed lineage (~40 nodes) rides in
+    // every plan — cache() never truncates plans — so the pin is
+    // CONSTANCY across checkpoint cycles (17 and 25 are both one round
+    // past a checkpoint), not an absolute count; unbounded lineage
+    // would add ~8 nodes per extra round (64 over the 8-round gap)
+    def nodesAt(iters: Int): Int = Graph
+      .pagerank(spark, docsDf(50), iterations = iters)
+      .queryExecution.analyzed.collect { case p => p }.size
+    val n17 = nodesAt(17)
+    val n25 = nodesAt(25)
+    assert(n17 == n25, s"plan grew across checkpoint cycles: $n17 " +
+      s"nodes at 17 iterations vs $n25 at 25 (CheckpointEvery broken?)")
+    val plan = Graph.pagerank(spark, docsDf(50), iterations = 17)
+      .queryExecution.analyzed
     assert(plan.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r
     }.nonEmpty, "no LogicalRDD in the plan — checkpoint truncation lost")
