@@ -786,6 +786,88 @@ object TimeSeriesOps {
        |  CAST(sum(x_fp * wt) AS DOUBLE) / sum(wt) / 10000.0 AS ewma
        |FROM t GROUP BY user_id""".stripMargin
 
+  /** One-step-ahead BACKTEST of the EWMA forecaster against the naive
+    * last-value baseline — the forecasting-quality gate next to
+    * [[ewmaLast]], completing the eval-harness set (ANN recall, LSH
+    * banding, now forecasting). For every user with ≥ 2 events, the
+    * final event is held out; the EWMA over the preceding ≤ 21 events
+    * (same dyadic weights as [[ewmaLast]], shifted one lag) and the
+    * naive previous value each predict it.
+    *
+    * Determinism: the per-user EWMA error keeps the common denominator
+    * — err = |Σx·w − actual·Σw| div Σw — so every per-user error is an
+    * exact long at the 1e-4 fixed point, the cross-user MAE sums are
+    * exact longs (order-free), and the two final divisions are the
+    * only IEEE ops. Returns ONE row: (n_users, mae_ewma, mae_naive,
+    * n_ewma_wins).
+    *
+    * Scale: identical shape to [[ewmaLast]] — the rank-limit is a
+    * WindowGroupLimit (≤ 22 rows per user cross the shuffle), then two
+    * constant-width aggregations.
+    */
+  def forecastEval(events: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val perUser = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rnd", row_number().over(w))
+      .filter(col("rnd") <= WindowLags + 2)
+      .select(col("user_id"), col("rnd"),
+        floor(col("value") * 10000).cast("long").as("x_fp"),
+        expr(s"CAST(pow(2, ${WindowLags + 2} - rnd) AS BIGINT)").as("wt"))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("rnd") === 1, col("x_fp"))).as("actual"),
+        max(when(col("rnd") === 2, col("x_fp"))).as("naive"),
+        sum(when(col("rnd") >= 2, col("x_fp") * col("wt"))).as("num"),
+        sum(when(col("rnd") >= 2, col("wt"))).as("den"))
+      .filter(col("naive").isNotNull)
+      .select(
+        expr("abs(num - actual * den) div den").as("err_ewma"),
+        expr("abs(naive - actual)").as("err_naive"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      (sum("err_ewma").cast("double") / count(lit(1)) / 10000.0)
+        .as("mae_ewma"),
+      (sum("err_naive").cast("double") / count(lit(1)) / 10000.0)
+        .as("mae_naive"),
+      sum(when(col("err_ewma") < col("err_naive"), 1L).otherwise(0L))
+        .as("n_ewma_wins"))
+  }
+
+  /** Oracle twin of [[forecastEval]] (sums cast back from HUGEINT per
+    * the playbook).
+    */
+  def forecastEvalSql: String =
+    s"""WITH r AS (SELECT user_id, value,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY ts DESC, event_id DESC) AS rnd
+       |  FROM events),
+       |t AS (SELECT user_id, rnd,
+       |        CAST(floor(value * 10000) AS BIGINT) AS x_fp,
+       |        CAST(pow(2, ${WindowLags + 2} - rnd) AS BIGINT) AS wt
+       |      FROM r WHERE rnd <= ${WindowLags + 2}),
+       |u AS (SELECT user_id,
+       |        max(CASE WHEN rnd = 1 THEN x_fp END) AS actual,
+       |        max(CASE WHEN rnd = 2 THEN x_fp END) AS naive,
+       |        CAST(sum(CASE WHEN rnd >= 2 THEN x_fp * wt END)
+       |          AS BIGINT) AS num,
+       |        CAST(sum(CASE WHEN rnd >= 2 THEN wt END)
+       |          AS BIGINT) AS den
+       |      FROM t GROUP BY user_id),
+       |e AS (SELECT abs(num - actual * den) // den AS err_ewma,
+       |        abs(naive - actual) AS err_naive
+       |      FROM u WHERE naive IS NOT NULL)
+       |SELECT count(*) AS n_users,
+       |  CAST(CAST(sum(err_ewma) AS BIGINT) AS DOUBLE)
+       |    / count(*) / 10000.0 AS mae_ewma,
+       |  CAST(CAST(sum(err_naive) AS BIGINT) AS DOUBLE)
+       |    / count(*) / 10000.0 AS mae_naive,
+       |  CAST(sum(CASE WHEN err_ewma < err_naive THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ewma_wins
+       |FROM e""".stripMargin
+
   /** Max lead-lag offset for [[xcorr]]. */
   val XcorrMaxLag = 3
 

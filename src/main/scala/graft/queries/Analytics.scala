@@ -92,7 +92,9 @@ object Analytics {
     "ts_transitions" -> ((s, dir) => TimeSeriesOps.transitions(rdEvents(s, dir))),
     "ts_decompose" -> ((s, dir) => TimeSeriesOps.decompose(rdEvents(s, dir))),
     "ts_paths" -> ((s, dir) => TimeSeriesOps.paths(rdEvents(s, dir))),
-    "ts_xcorr" -> ((s, dir) => TimeSeriesOps.xcorr(rdEvents(s, dir)))
+    "ts_xcorr" -> ((s, dir) => TimeSeriesOps.xcorr(rdEvents(s, dir))),
+    "ts_forecast_eval" -> ((s, dir) =>
+      TimeSeriesOps.forecastEval(rdEvents(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -124,6 +126,7 @@ object Analytics {
     "ts_autocorr" -> TimeSeriesOps.autocorrSql,
     "ts_changepoint" -> TimeSeriesOps.changepointSql,
     "ts_xcorr" -> TimeSeriesOps.xcorrSql,
+    "ts_forecast_eval" -> TimeSeriesOps.forecastEvalSql,
     "ts_holt_winters" -> TimeSeriesOps.holtWintersSql,
     "text_kl_divergence" -> graft.operators.TextAnalysis.klDivergenceSql,
     "text_collocations" -> graft.operators.TextAnalysis.collocationsSql(),

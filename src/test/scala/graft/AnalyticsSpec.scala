@@ -65,6 +65,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(merged.getAs[Double]("est_intersection") - 2000) / 2000.0 < 0.35)
   }
 
+  test("forecast backtest: zero error on constant series; " +
+      "single-event users excluded") {
+    import spark.implicits._
+    // constant series: both forecasters are exact, no wins either way
+    val const = (0 until 50).flatMap(u => (0 until 10).map(i =>
+      (u.toLong * 1000 + i, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        u.toLong, 7.5, "view")))
+      .toDF("event_id", "ts", "user_id", "value", "event_type")
+    val r = TimeSeriesOps.forecastEval(const).collect().head
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    assert(r.getLong(3) == 0L)
+    // single-event users are excluded (no naive prediction exists)
+    val single = Seq((1L, new java.sql.Timestamp(1700000000000L), 9L, 3.0,
+      "view")).toDF("event_id", "ts", "user_id", "value", "event_type")
+    assert(TimeSeriesOps.forecastEval(const.union(single))
+      .collect().head.getLong(0) == 50L)
+  }
+
   test("incremental KMV state refresh is bit-identical to a rebuild") {
     import org.apache.spark.sql.functions.col
     val d = docsDf(9000) // 2250 distinct per source, well past K=256
