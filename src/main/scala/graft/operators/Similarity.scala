@@ -543,6 +543,41 @@ object Similarity {
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"))
 
+  /** Cosine-similarity histogram over the LSH CANDIDATE pairs — the
+    * threshold-calibration view: before picking the dedup/knn cosine
+    * cutoff, look at where the banded candidates actually mass. 20
+    * buckets over [-1, 1]; per bucket the pair count and the exact
+    * min/max similarity (order-free aggregates only — an avg of
+    * doubles would be shuffle-order-sensitive). Deterministic: the
+    * rounded cosine is the same agreed double both engines compute,
+    * and the bucket floor is one arithmetic expression over it.
+    *
+    * Scale: identical candidate shape to [[knnJoin]] (narrow band
+    * rows, distinct pairs, one cosine per pair); output is a constant
+    * 20 rows.
+    */
+  def simHistogram(emb: DataFrame, bands: Int = 16, r: Int = 4): DataFrame = {
+    val bandDf = bandKeys(emb, bands, r)
+    val cand = bandDf.toDF("vec_a", "band", "key")
+      .repartition(col("band"), col("key"))
+      .join(bandDf.toDF("vec_b", "band", "key"), Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.toDF("vec_a", "emb_a"), "vec_a")
+      .join(e.toDF("vec_b", "emb_b"), "vec_b")
+      .select(round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6)
+        .as("sim"))
+      .select(col("sim"),
+        least(floor((col("sim") + lit(1.0)) * lit(10.0)), lit(19.0))
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), min("sim").as("min_sim"),
+        max("sim").as("max_sim"))
+      .orderBy("bucket")
+  }
+
   /** kNN self-join: each vector's top-k nearest neighbors, with
     * candidates from the same 16x4-bit sign-LSH banding the embedding
     * dedup uses — never an unkeyed all-pairs join. Band rows are

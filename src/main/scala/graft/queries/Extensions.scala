@@ -150,6 +150,8 @@ object Extensions {
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rdEmbeddings(s, dir))),
     "ann_recall_eval" -> ((s, dir) =>
       Similarity.recallEval(rdEmbeddings(s, dir))),
+    "ann_sim_histogram" -> ((s, dir) =>
+      Similarity.simHistogram(rdEmbeddings(s, dir))),
     "ann_recall_eval_nprobe4" -> ((s, dir) =>
       Similarity.recallEval(rdEmbeddings(s, dir), nprobe = 4)),
     "ann_ivf_trained" -> ((s, dir) =>
@@ -866,6 +868,25 @@ object Extensions {
          |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "ann_recall_eval" -> Similarity.recallEvalSql(),
+
+    // the candidate-pair cosine mass by bucket: calibration for every
+    // cosine threshold in the dedup/knn family
+    "ann_sim_histogram" ->
+      s"""WITH bands AS ($embBandsSql),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.vec_id < b.vec_id),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |j AS (SELECT round(${cosSql("x.v", "y.v")}, 6) AS sim
+         |      FROM cand JOIN e x ON x.vec_id = vec_a
+         |                JOIN e y ON y.vec_id = vec_b),
+         |b AS (SELECT sim,
+         |        CAST(least(floor((sim + 1.0) * 10.0), 19.0) AS BIGINT)
+         |          AS bucket FROM j)
+         |SELECT bucket, count(*) AS n_pairs,
+         |  min(sim) AS min_sim, max(sim) AS max_sim
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ann_recall_eval_nprobe4" -> Similarity.recallEvalSql(nprobe = 4),
 
     "ann_lsh" ->
