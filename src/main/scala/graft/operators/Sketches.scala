@@ -188,25 +188,36 @@ object Sketches {
     * afford (a distinct-shuffle of every value); the register path
     * shuffles <= m rows per group.
     */
-  def hllEstimate(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+  def hllEstimate(df: DataFrame, groupCol: String, valueCol: Column): DataFrame =
+    hllEstimateGrouped(df, Seq(groupCol), valueCol)
+
+  /** [[hllEstimate]] over a COMPOUND group key — e.g. (hopping window,
+    * event type): the register state stays m rows per group no matter
+    * how the grouping is shaped, which is what lets the sketch compose
+    * with windowed aggregations.
+    */
+  def hllEstimateGrouped(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
     val regs = df
-      .select(col(groupCol).as("g"), hash60(valueCol).as("h"))
-      .select(col("g"), pmod(col("h"), lit(HllM.toLong)).as("bucket"),
-        expr(s"h div $HllM").as("h2"))
-      .select(col("g"), col("bucket"),
+      .select(gs :+ hash60(valueCol).as("h"): _*)
+      .select(gs :+ pmod(col("h"), lit(HllM.toLong)).as("reg_bucket") :+
+        expr(s"h div $HllM").as("h2"): _*)
+      .select(gs :+ col("reg_bucket") :+
         when(col("h2") === 0L, lit(HllRhoCap))
           .otherwise(least(expr("CAST(log2(h2 & -h2) AS INT) + 1"),
-            lit(HllRhoCap))).as("rho"))
-      .groupBy("g", "bucket").agg(max("rho").as("r"))
-    val z = regs.groupBy("g").agg(
+            lit(HllRhoCap))).as("rho"): _*)
+      .groupBy((groupCols :+ "reg_bucket").map(col): _*)
+      .agg(max("rho").as("r"))
+    val z = regs.groupBy(gs: _*).agg(
       (sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)"))
         + (lit(HllM) - count(lit(1))).cast("double")).as("z"))
-    val exact = df.select(col(groupCol).as("g"), valueCol.as("v"))
-      .groupBy("g").agg(count_distinct(col("v")).as("n_exact"))
-    exact.join(z, "g")
-      .select(col("g").as(groupCol), col("n_exact"),
-        (lit(HllAlphaM2) / col("z")).as("est_distinct"))
-      .orderBy(groupCol)
+    val exact = df.select(gs :+ valueCol.as("v"): _*)
+      .groupBy(gs: _*).agg(count_distinct(col("v")).as("n_exact"))
+    exact.join(z, groupCols)
+      .select(gs :+ col("n_exact") :+
+        (lit(HllAlphaM2) / col("z")).as("est_distinct"): _*)
+      .orderBy(gs: _*)
   }
 
   /** Oracle twin of [[hllEstimate]] over `documents.text`. */

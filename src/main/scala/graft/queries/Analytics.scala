@@ -94,7 +94,22 @@ object Analytics {
     "ts_paths" -> ((s, dir) => TimeSeriesOps.paths(rdEvents(s, dir))),
     "ts_xcorr" -> ((s, dir) => TimeSeriesOps.xcorr(rdEvents(s, dir))),
     "ts_forecast_eval" -> ((s, dir) =>
-      TimeSeriesOps.forecastEval(rdEvents(s, dir)))
+      TimeSeriesOps.forecastEval(rdEvents(s, dir))),
+    // sketches compose with streaming windows: per-(hopping window,
+    // type) distinct-user HLL next to the exact count — the windowed
+    // distinct a stream would pay a full dedup shuffle for, answered
+    // from m registers per group
+    "sketch_hopping_hll" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val expanded = rdEvents(s, dir)
+        .select(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"), col("user_id"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("user_id"))
+      Sketches.hllEstimateGrouped(expanded, Seq("bucket", "event_type"),
+        col("user_id").cast("string"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -127,6 +142,32 @@ object Analytics {
     "ts_changepoint" -> TimeSeriesOps.changepointSql,
     "ts_xcorr" -> TimeSeriesOps.xcorrSql,
     "ts_forecast_eval" -> TimeSeriesOps.forecastEvalSql,
+    "sketch_hopping_hll" ->
+      s"""WITH w AS (SELECT event_type, user_id,
+         |    strftime(time_bucket(INTERVAL '30 minutes', ts)
+         |      - o * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS bucket
+         |  FROM events, (SELECT unnest([0, 1]) AS o) t),
+         |h AS (SELECT bucket, event_type,
+         |        ${Sketches.hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |      FROM w),
+         |rr AS (SELECT bucket, event_type, h % ${Sketches.HllM} AS br,
+         |         h // ${Sketches.HllM} AS h2 FROM h),
+         |regs AS (SELECT bucket, event_type, br,
+         |    max(CASE WHEN h2 = 0 THEN ${Sketches.HllRhoCap}
+         |        ELSE least(CAST(log2(h2 & (-h2)) AS INT) + 1,
+         |          ${Sketches.HllRhoCap}) END) AS r
+         |  FROM rr GROUP BY 1, 2, 3),
+         |z AS (SELECT bucket, event_type,
+         |    sum(1.0 / CAST(CAST(1 AS BIGINT) << r AS DOUBLE))
+         |      + CAST(${Sketches.HllM} - count(*) AS DOUBLE) AS z
+         |  FROM regs GROUP BY 1, 2),
+         |ex AS (SELECT bucket, event_type,
+         |         count(DISTINCT user_id) AS n_exact
+         |       FROM w GROUP BY 1, 2)
+         |SELECT ex.bucket, ex.event_type, n_exact,
+         |  ${Sketches.HllAlphaM2} / z AS est_distinct
+         |FROM ex JOIN z USING (bucket, event_type)
+         |ORDER BY bucket, event_type""".stripMargin,
     "ts_holt_winters" -> TimeSeriesOps.holtWintersSql,
     "text_kl_divergence" -> graft.operators.TextAnalysis.klDivergenceSql,
     "text_collocations" -> graft.operators.TextAnalysis.collocationsSql(),
