@@ -359,6 +359,61 @@ object TextAnalysis {
         (col("kl_fp").cast("double") / 1e9).as("kl"))
   }
 
+  /** Per-document token-entropy histogram: H = ln(n) − (Σ c·ln c)/n
+    * over word frequencies — the standard boilerplate/spam signal (a
+    * page of one repeated token has H = 0; rich prose sits near
+    * ln(n_distinct)). Deterministic across engines by the house
+    * fixed-point-floor move: each term contributes floor(c·ln(c)·1e9)
+    * — an exact long, so the per-doc sum is order-free — and the doc's
+    * H_fp = floor(ln(n)·1e9) − (Σ div n); the quantization (≤ n_terms
+    * ulps at the 1e-9 grain) is IDENTICAL on both engines. Shares the
+    * ln cross-engine assumption documented at [[tfidfKeywords]].
+    * Returns a 0.5-nat histogram: (bucket, n_docs, min_h, max_h) —
+    * constant-size output at any corpus size; one tf aggregation and
+    * one per-doc fold, both partitioned by doc.
+    */
+  def entropy(docs: DataFrame): DataFrame = {
+    val words = docs.select(
+      col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val perDoc = tf.groupBy("doc_id").agg(
+      sum("c").as("n"),
+      sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+        * lit(1e9)).cast("long")).as("s_fp"))
+      .select(col("doc_id"),
+        // clamp: H >= 0 mathematically, but the two floors can differ
+        // by an ulp on single-token docs, and a negative would split
+        // Spark's truncating div from DuckDB's flooring // below
+        greatest(floor(log(col("n").cast("double")) * lit(1e9))
+          .cast("long") - expr("s_fp div n"), lit(0L)).as("h_fp"))
+    perDoc
+      .select(expr("h_fp div 500000000").as("bucket"), col("h_fp"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        (min("h_fp").cast("double") / 1e9).as("min_h"),
+        (max("h_fp").cast("double") / 1e9).as("max_h"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle twin of [[entropy]] (sums cast back per the playbook). */
+  def entropySql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+       |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |        CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+       |          * ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT)
+       |          AS s_fp
+       |      FROM tf GROUP BY doc_id),
+       |h AS (SELECT doc_id,
+       |        greatest(CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT)
+       |          - s_fp // n, 0) AS h_fp
+       |      FROM d)
+       |SELECT h_fp // 500000000 AS bucket, count(*) AS n_docs,
+       |  CAST(min(h_fp) AS DOUBLE) / 1e9 AS min_h,
+       |  CAST(max(h_fp) AS DOUBLE) / 1e9 AS max_h
+       |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Word-pair collocations by LIFT — market-basket association mining
     * with documents as transactions (the Apriori level-1 shape): only
     * words with document frequency >= `minSup` (and within the

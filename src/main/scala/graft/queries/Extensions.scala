@@ -277,6 +277,8 @@ object Extensions {
         .filter(spec.sparkValue(col("doc_id")) === 2L)
         .orderBy("doc_id")
     }),
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.entropy(rd(s, dir, "documents"))),
     "text_redact" -> ((s, dir) => TextAnalysis.redact(rd(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(rd(s, dir, "documents"))),
@@ -1249,6 +1251,8 @@ object Extensions {
          |l3 AS (SELECT l2.doc_id, least(l2.lab, n3.nlab) AS lab
          |       FROM l2 JOIN n3 USING (doc_id))
          |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" -> TextAnalysis.entropySql,
 
     "text_redact" ->
       s"""SELECT doc_id,
