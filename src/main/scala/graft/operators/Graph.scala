@@ -561,6 +561,74 @@ object Graph {
        |SELECT node AS doc_id, min(h) AS hops FROM reach
        |GROUP BY node ORDER BY node""".stripMargin
 
+  /** Relaxation rounds for [[sssp]] — cheapest cost over paths of at
+    * most this many edges, identically bounded in the oracle's
+    * recursion (the BFS hop histogram peaks well inside 8 on this
+    * graph shape).
+    */
+  val SsspHops = 8
+
+  /** Bounded-hop weighted shortest paths (multi-source Bellman-Ford):
+    * deterministic integer edge weights w(u,v) = 1 + hash60(u:v) % 9
+    * (canonicalized on the undirected pair, so both directions agree),
+    * seeds = the same first-`nSeeds` documents as [[bfs]], exactly
+    * [[SsspHops]] relaxation rounds — the distance semantics are
+    * "cheapest cost reachable within SsspHops edges", which both
+    * engines bound identically. Returns (doc_id, cost) for reached
+    * nodes.
+    *
+    * Scale shape: each round is ONE join of the cached symmetric edge
+    * relation against the shrinking-width dist relation plus a
+    * min-aggregation (partial map-side); dist is referenced twice per
+    * round (union + join), so it localCheckpoints every round like
+    * CC/BFS — the doubly-referencing loop rule.
+    */
+  def sssp(spark: SparkSession, docs: DataFrame,
+      nSeeds: Int = 5): DataFrame = {
+    val ew = symmetricEdges(docs)
+      .withColumn("w",
+        Sketches.hash60(concat(
+          least(col("src"), col("dst")).cast("string"), lit(":"),
+          greatest(col("src"), col("dst")).cast("string"))) % 9L + 1L)
+      .cache()
+    var dist = docs
+      .filter(col("doc_id") < nSeeds)
+      .select(col("doc_id").as("node"), lit(0L).as("cost"))
+      .localCheckpoint(true)
+    for (_ <- 1 to SsspHops) {
+      val relaxed = ew
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = dist.union(relaxed)
+        .groupBy("node")
+        .agg(min("cost").as("cost"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy("node").select(col("node").as("doc_id"), col("cost"))
+  }
+
+  /** Oracle twin of [[sssp]]: hop-bounded cost recursion, min cost per
+    * node. UNION (set) semantics dedups (node, cost, h) triples, so
+    * the recursion state is bounded by N x maxCost x SsspHops.
+    */
+  def ssspSql(nSeeds: Int = 5): String =
+    s"""WITH RECURSIVE $linkEdgesSql,
+       |$symmetricEdgesSql,
+       |ew AS (SELECT src, dst,
+       |         1 + ${Sketches.hash60Sql(
+             "CAST(least(src, dst) AS VARCHAR) || ':' || " +
+               "CAST(greatest(src, dst) AS VARCHAR)")} % 9 AS w
+       |       FROM ed),
+       |walk(node, cost, h) AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT), 0
+       |  FROM documents WHERE doc_id < $nSeeds
+       |  UNION
+       |  SELECT ew.dst, walk.cost + ew.w, walk.h + 1
+       |  FROM walk JOIN ew ON ew.src = walk.node
+       |  WHERE walk.h < $SsspHops)
+       |SELECT node AS doc_id, CAST(min(cost) AS BIGINT) AS cost
+       |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   /** Rounds the k-core ORACLE unrolls — and the loud-failure cap on
     * the Spark peel loop: peeling converging in more rounds than the
     * oracle replays would silently diverge, so [[kcore]] throws

@@ -186,6 +186,11 @@ object AnalyticsScaleSmoke {
     }
     require(ht.length == 20 && ht.head.getLong(1) > 0L,
       "hits top-20 malformed")
+    val sp = timed(s"sssp ${nGraph / 1000000}M nodes x${Graph.SsspHops} rounds") {
+      Graph.sssp(spark, docs).agg(
+        count(lit(1)).as("n"), max("cost")).collect().head
+    }
+    println(s"[analyticsscale]   sssp reached=${sp.mkString(",")}")
     val hw = timed(s"holtWinters ${nEvents / 1000000}M events") {
       TimeSeriesOps.holtWinters(events).count()
     }
@@ -238,6 +243,36 @@ object AnalyticsScaleSmoke {
       Sketches.quantileSketch(events, "event_type", col("event_id"),
         col("value")).collect()
     }
+
+    // ---- round-10 additions: forecast backtest + hopping-window HLL
+    // on the 20M events, token entropy over the 2M worded docs
+    // (ann_sim_histogram rides knnJoin's banded candidate machinery,
+    // already smoked + volume-guarded via ann_band_stats)
+    val fe = timed(s"forecastEval ${nEvents / 1000000}M events") {
+      graft.operators.TimeSeriesOps.forecastEval(events).collect().head
+    }
+    require(fe.getLong(0) == nUsers,
+      s"forecast eval covered ${fe.getLong(0)} of $nUsers users")
+    println(s"[analyticsscale]   forecastEval=${fe.mkString(",")}")
+    val hh = timed(s"hoppingHll ${nEvents / 1000000}M events") {
+      val expanded = events
+        .select(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"), col("user_id"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"), col("event_type"), col("user_id"))
+      Sketches.hllEstimateGrouped(expanded, Seq("bucket", "event_type"),
+        col("user_id").cast("string")).count()
+    }
+    println(s"[analyticsscale]   hopping HLL groups=$hh")
+    val en = timed(s"entropy ${nColl / 1000000}M docs x 20 words") {
+      val docsT = spark.range(nColl).selectExpr("id AS doc_id",
+        """concat_ws(' ', transform(sequence(0, 19),
+          |  i -> concat('w', pmod(hash(id * 31 + i), 4096)))) AS text"""
+          .stripMargin)
+      graft.operators.TextAnalysis.entropy(docsT).collect()
+    }
+    require(en.nonEmpty && en.map(_.getLong(1)).sum == nColl,
+      "entropy histogram does not cover the corpus")
     spark.stop()
   }
 }

@@ -272,6 +272,40 @@ class AnalyticsSpec extends AnyFunSuite {
       .forall(_._2 >= base))
   }
 
+  test("sssp matches an exact local Bellman-Ford replay") {
+    val n = 200
+    val docs = docsDf(n)
+    val und = Graph.linkEdges(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    }
+    val wEdges = und.flatMap { case (u, v) =>
+      val w = h60(s"$u:$v") % 9 + 1
+      Seq((u, v, w), (v, u, w))
+    }
+    var dist = (0L until 5L).map(_ -> 0L).toMap
+    for (_ <- 1 to Graph.SsspHops) {
+      val relaxed = wEdges.flatMap { case (s, d, w) =>
+        dist.get(s).map(c => d -> (c + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val expected = dist.toSeq.sorted
+    val got = Graph.sssp(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // seeds at cost 0; all weights >= 1 so non-seeds cost >= 1
+    assert(got.filter(_._1 < 5).forall(_._2 == 0L))
+    assert(got.filter(_._1 >= 5).forall(_._2 >= 1L))
+  }
+
   test("hits matches an exact local simulation") {
     val n = 200
     val docs = docsDf(n)
