@@ -144,6 +144,27 @@ object PipelineOps {
       .orderBy("lang", "shard", "bin")
   }
 
+  /** Packing-efficiency evaluation of [[packSequences]]: the
+    * utilization histogram of the produced bins — per 10%-of-budget
+    * bucket, how many bins landed there, with exact min/max fill.
+    * "How full are my training sequences" is the question that decides
+    * whether the packing budget (or the next-fit policy) needs tuning;
+    * non-terminal bins of a next-fit packer always exceed the budget's
+    * remainder rule, so mass below ~50% flags fragmentation. Integer
+    * arithmetic end to end: bucket = min(chars·10 div budget, 10) —
+    * the 10-bucket lands bins that overflow the budget (a single doc
+    * larger than the budget still gets its own bin).
+    */
+  def packEval(docs: DataFrame, budget: Long = 4096,
+      shards: Int = 16): DataFrame =
+    packSequences(docs, budget, shards)
+      .select(least(expr(s"chars * 10 div $budget"), lit(10L))
+        .as("util_bucket"), col("chars"))
+      .groupBy("util_bucket")
+      .agg(count(lit(1)).as("n_bins"), min("chars").as("min_chars"),
+        max("chars").as("max_chars"))
+      .orderBy("util_bucket")
+
   /** Deterministic global shuffle for training-data ordering: a salted
     * hash maps each document to a shard and a position within it.
     * Per-shard windows keep the sort distributed (no global orderBy of

@@ -236,6 +236,8 @@ object Extensions {
       PipelineOps.decontaminate(rd(s, dir, "documents"))),
     "pipe_sample" -> ((s, dir) => PipelineOps.sampleBySource(rd(s, dir, "documents"))),
     "pipe_pack" -> ((s, dir) => PipelineOps.packSequences(rd(s, dir, "documents"))),
+    "pipe_pack_eval" -> ((s, dir) =>
+      PipelineOps.packEval(rd(s, dir, "documents"))),
     "pipe_shuffle" -> ((s, dir) => PipelineOps.shuffleShards(rd(s, dir, "documents"))),
     "pipe_chunk" -> ((s, dir) => PipelineOps.chunkDocuments(rd(s, dir, "documents"))),
     "pipe_split" -> ((s, dir) => PipelineOps.trainValTest(rd(s, dir, "documents"))),
@@ -1193,6 +1195,23 @@ object Extensions {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
          |FROM c GROUP BY lang, shard, bin
          |ORDER BY lang, shard, bin""".stripMargin,
+
+    // the packing bins re-aggregated into a utilization histogram:
+    // min(chars*10 // budget, 10) — overflow bins land in bucket 10
+    "pipe_pack_eval" ->
+      s"""WITH s AS (SELECT doc_id, lang, n_chars,
+         |      ${rollSql("'p' || CAST(doc_id AS VARCHAR)")} % 16 AS shard
+         |    FROM documents),
+         |c AS (SELECT *, sum(n_chars) OVER (PARTITION BY lang, shard
+         |        ORDER BY doc_id) AS cum FROM s),
+         |p AS (SELECT lang, shard,
+         |    CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) AS bin,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars
+         |  FROM c GROUP BY lang, shard, bin)
+         |SELECT least(chars * 10 // 4096, 10) AS util_bucket,
+         |  count(*) AS n_bins, min(chars) AS min_chars,
+         |  max(chars) AS max_chars
+         |FROM p GROUP BY 1 ORDER BY util_bucket""".stripMargin,
 
     "pipe_shuffle" ->
       s"""WITH s AS (SELECT doc_id,
