@@ -260,6 +260,15 @@ object Extensions {
       PipelineOps.hllRegisters(rd(s, dir, "lineitem"), "l_partkey")),
     "dedup_clusters" -> ((s, dir) =>
       PipelineOps.dedupClusters(rd(s, dir, "documents"))),
+    "dedup_cluster_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      PipelineOps.dedupClusters(rd(s, dir, "documents"))
+        .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    }),
     "pipe_filter_compose" -> ((s, dir) =>
       PipelineOps.filterCompose(rd(s, dir, "documents"))),
     // the training-data pipeline landing in a GOVERNED table: the
@@ -304,6 +313,12 @@ object Extensions {
     "text_countmin" -> ((s, dir) => TextAnalysis.countMin(rd(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(rd(s, dir, "documents"))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(rd(s, dir, "documents"))),
+    "text_lang_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count, lit}
+      TextAnalysis.langId(rd(s, dir, "documents"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(rd(s, dir, "documents"))),
     "multimodal_meta" -> ((s, dir) => Multimodal.meta(rd(s, dir, "documents"))),
     // perceptual-hash visual dedup through the REAL codec round-trip
@@ -640,6 +655,37 @@ object Extensions {
        |       JOIN sz sb ON p.doc_b = sb.doc_id
        |WHERE shared / (sa.sz + sb.sz - shared) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The LSH-cluster label-propagation oracle, shared by the
+    * cluster listing and the cluster-size histogram.
+    */
+  private lazy val dedupClustersSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+         |        FROM t WHERE len(w) >= 4),
+         |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.bkey = b.bkey
+         |           AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS lab FROM edges),
+         |n1 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
+         |       FROM edges e JOIN l0 l ON l.doc_id = e.dst GROUP BY e.src),
+         |l1 AS (SELECT l0.doc_id, least(l0.lab, n1.nlab) AS lab
+         |       FROM l0 JOIN n1 USING (doc_id)),
+         |n2 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
+         |       FROM edges e JOIN l1 l ON l.doc_id = e.dst GROUP BY e.src),
+         |l2 AS (SELECT l1.doc_id, least(l1.lab, n2.nlab) AS lab
+         |       FROM l1 JOIN n2 USING (doc_id)),
+         |n3 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
+         |       FROM edges e JOIN l2 l ON l.doc_id = e.dst GROUP BY e.src),
+         |l3 AS (SELECT l2.doc_id, least(l2.lab, n3.nlab) AS lab
+         |       FROM l2 JOIN n3 USING (doc_id))
+         |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1243,33 +1289,18 @@ object Extensions {
         |  min(q) AS q_min, max(q) AS q_max
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
-    "dedup_clusters" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
-         |        FROM t WHERE len(w) >= 4),
-         |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
-         |sig AS (SELECT doc_id, $minhashSigCols FROM h GROUP BY doc_id),
-         |bands AS ($bandsSql),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b
-         |            ON a.band = b.band AND a.bkey = b.bkey
-         |           AND a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |l0 AS (SELECT DISTINCT src AS doc_id, src AS lab FROM edges),
-         |n1 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
-         |       FROM edges e JOIN l0 l ON l.doc_id = e.dst GROUP BY e.src),
-         |l1 AS (SELECT l0.doc_id, least(l0.lab, n1.nlab) AS lab
-         |       FROM l0 JOIN n1 USING (doc_id)),
-         |n2 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
-         |       FROM edges e JOIN l1 l ON l.doc_id = e.dst GROUP BY e.src),
-         |l2 AS (SELECT l1.doc_id, least(l1.lab, n2.nlab) AS lab
-         |       FROM l1 JOIN n2 USING (doc_id)),
-         |n3 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
-         |       FROM edges e JOIN l2 l ON l.doc_id = e.dst GROUP BY e.src),
-         |l3 AS (SELECT l2.doc_id, least(l2.lab, n3.nlab) AS lab
-         |       FROM l2 JOIN n3 USING (doc_id))
-         |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+
+    // duplicate-family size distribution: how much corpus mass
+    // sits in big dup families (size 1 = unique docs)
+    "dedup_cluster_stats" ->
+      s"""WITH base AS ($dedupClustersSql),
+         |sz AS (SELECT cluster, count(*) AS cluster_size
+         |       FROM base GROUP BY cluster)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin,
 
     "text_entropy" -> TextAnalysis.entropySql,
 
@@ -1541,6 +1572,15 @@ object Extensions {
       s"""WITH c AS (SELECT doc_id, lang, $langCountsSql FROM documents)
          |SELECT doc_id, lang, $langCaseSql AS predicted
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // declared-vs-inferred confusion matrix: the language-ID
+    // heuristic's eval against the corpus's own lang column
+    "text_lang_confusion" ->
+      s"""WITH c AS (SELECT doc_id, lang, $langCountsSql FROM documents),
+         |p AS (SELECT lang, $langCaseSql AS predicted FROM c)
+         |SELECT lang, predicted, count(*) AS n
+         |FROM p GROUP BY lang, predicted
+         |ORDER BY lang, predicted""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id, ${rollSql(normSql)} AS fp
