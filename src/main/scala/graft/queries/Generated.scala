@@ -53,6 +53,26 @@ object Generated {
       Mor.read(s, r, cfg.namespace, cfg.tableName)
         .agg(count(lit(1)).as("surviving"))
     }),
+    // Delete-amplification observability: per data file, how many
+    // position deletes target it and what fraction of its rows they
+    // kill — metadata (manifest record counts) joined with the
+    // committed delete files only; the data files are never opened.
+    // 100%-dead files are the compaction queue.
+    "mor_delete_stats" -> ((s, dir) => {
+      val r = root(s, dir)
+      val pd = TableIO.filesOf(r, cfg.namespace, cfg.tableName, "pos_delete")
+      val pos = s.read.parquet(pd.map(_._1): _*)
+        .groupBy("file_path").agg(count(lit(1)).as("n_pos_deletes"))
+      TableIO.filesMetaDf(s, r, cfg.namespace, cfg.tableName, "bar")
+        .filter(col("content") === "data")
+        .select(col("path").as("file_path"), col("record_count"))
+        .join(pos, Seq("file_path"), "left")
+        .select(col("file_path"), col("record_count"),
+          coalesce(col("n_pos_deletes"), lit(0L)).as("n_pos_deletes"),
+          (coalesce(col("n_pos_deletes"), lit(0L)).cast("double")
+            / col("record_count")).as("deleted_frac"))
+        .orderBy("file_path")
+    }),
     // Schema evolution (Iceberg add-column): widen the schema, append a
     // file WITH the new column; old files are never rewritten — the
     // evolved-schema scan fills their `qux` with null (schema-on-read).
@@ -1020,6 +1040,19 @@ object Generated {
     "gen_eq_delete" ->
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar
          |FROM range($P, ${P + E}) t(g) ORDER BY bar""".stripMargin,
+    "mor_delete_stats" ->
+      s"""WITH f AS (SELECT printf('data/part-%05d.parquet',
+         |    CAST(g AS INTEGER)) AS file_path,
+         |    CAST($RPF AS BIGINT) AS record_count
+         |  FROM range(0, ${cfg.data.fileCount}) t(g)),
+         |d AS (SELECT printf('data/part-%05d.parquet',
+         |    CAST(g // $RPF AS INTEGER)) AS file_path, count(*) AS n
+         |  FROM range(0, $P) t(g) GROUP BY 1)
+         |SELECT f.file_path, record_count,
+         |  CAST(coalesce(n, 0) AS BIGINT) AS n_pos_deletes,
+         |  CAST(coalesce(n, 0) AS DOUBLE) / record_count AS deleted_frac
+         |FROM f LEFT JOIN d USING (file_path)
+         |ORDER BY f.file_path""".stripMargin,
     "mor_read" ->
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
          |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
