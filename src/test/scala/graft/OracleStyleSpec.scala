@@ -45,6 +45,8 @@ class OracleStyleSpec extends AnyFunSuite {
     "multimodal_phash_near" -> Set("sv"),
     // running char sum feeds floor(../4096.0) double division
     "pipe_pack" -> Set("cum"),
+    // same chain wrapped by the utilization histogram
+    "pipe_pack_eval" -> Set("cum"),
     // running token sum: `cum <= 20000` filter + CAST(max(cum)..)
     "pipe_token_budget" -> Set("cum"),
     // cumulative/total counts compared in the CASE, outputs cast
