@@ -159,6 +159,40 @@ object Graph {
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
+  /** In/out degree distribution of the directed link graph — the
+    * first diagnostic of every graph pipeline (hub detection, join
+    * fan-out estimation for the wedge joins, sanity on the synthetic
+    * generator). One row per (side, degree): how many nodes have that
+    * many in- or out-links. Nodes with zero links on a side are
+    * absent from that side's histogram (both engines construct it
+    * identically from the edge relation). Two partial-aggregated
+    * passes over the cached edges; output is |distinct degrees| rows.
+    */
+  def degreeDist(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val e = linkEdges(docs).cache()
+    def hist(keyCol: String, side: String) = e
+      .groupBy(col(keyCol).as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(side).as("side"), col("degree"), col("n_nodes"))
+    hist("src", "out").union(hist("dst", "in"))
+      .orderBy("side", "degree")
+  }
+
+  /** Oracle twin of [[degreeDist]]. */
+  def degreeDistSql: String =
+    s"""WITH $linkEdgesSql,
+       |o AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src),
+       |i AS (SELECT dst AS node, count(*) AS degree FROM e GROUP BY dst)
+       |SELECT side, degree, n_nodes FROM (
+       |  SELECT 'out' AS side, degree, count(*) AS n_nodes
+       |  FROM o GROUP BY degree
+       |  UNION ALL
+       |  SELECT 'in' AS side, degree, count(*) AS n_nodes
+       |  FROM i GROUP BY degree)
+       |ORDER BY side, degree""".stripMargin
+
   /** Seed set for personalized PageRank: every 23rd document. */
   val PprSeedMod = 23L
 

@@ -543,6 +543,44 @@ object Similarity {
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"))
 
+  /** Embedding L2-norm² histogram — the vector-QC pass every
+    * embedding pipeline runs before indexing (zero vectors break
+    * cosine, un-normalized batches skew every dot-product ranking).
+    * The squared norm accumulates as an exact long over 1e-7
+    * fixed-point components (each term ≤ 1e14, 64 dims < 2^53), so
+    * the histogram is bit-identical across engines with no float sum
+    * order anywhere; buckets are 1e14 units of norm²_fp wide. Output
+    * is a constant ≤ ~20 rows with per-bucket exact min/max.
+    */
+  def normHist(emb: DataFrame): DataFrame = {
+    val n2 = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id"),
+        (floor(col("e").cast("double") * lit(1e7)) *
+          floor(col("e").cast("double") * lit(1e7))).cast("long").as("t"))
+      .groupBy("vec_id")
+      .agg(sum("t").as("norm2_fp"))
+    n2.select(expr("norm2_fp div 100000000000000").as("bucket"),
+        col("norm2_fp"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min("norm2_fp").as("min_norm2"),
+        max("norm2_fp").as("max_norm2"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle twin of [[normHist]]. */
+  def normHistSql: String =
+    s"""WITH d AS (SELECT vec_id,
+       |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000000.0)
+       |      AS BIGINT) AS t
+       |  FROM embeddings, range(0, 64) r(i)),
+       |n AS (SELECT vec_id, CAST(sum(t * t) AS BIGINT) AS norm2_fp
+       |      FROM d GROUP BY vec_id)
+       |SELECT norm2_fp // 100000000000000 AS bucket,
+       |  count(*) AS n_vecs, min(norm2_fp) AS min_norm2,
+       |  max(norm2_fp) AS max_norm2
+       |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Cosine-similarity histogram over the LSH CANDIDATE pairs — the
     * threshold-calibration view: before picking the dedup/knn cosine
     * cutoff, look at where the banded candidates actually mass. 20

@@ -68,6 +68,8 @@ object Analytics {
       Graph.personalizedPagerank(s, rd(s, dir, "documents"))),
     "graph_hits" -> ((s, dir) => Graph.hits(s, rd(s, dir, "documents"))),
     "graph_sssp" -> ((s, dir) => Graph.sssp(s, rd(s, dir, "documents"))),
+    "graph_degree_dist" -> ((s, dir) =>
+      Graph.degreeDist(s, rd(s, dir, "documents"))),
     "graph_triangles" -> ((s, dir) => Graph.triangles(s, rd(s, dir, "documents"))),
     "graph_components" -> ((s, dir) =>
       Graph.connectedComponents(s, rd(s, dir, "documents"))),
@@ -129,6 +131,7 @@ object Analytics {
     "graph_ppr" -> Graph.personalizedPagerankSql,
     "graph_hits" -> Graph.hitsSql,
     "graph_sssp" -> Graph.ssspSql(),
+    "graph_degree_dist" -> Graph.degreeDistSql,
     "graph_triangles" -> Graph.trianglesSql,
     "graph_components" -> Graph.connectedComponentsSql,
     "graph_bfs" -> Graph.bfsSql(),

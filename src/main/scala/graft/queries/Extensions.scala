@@ -152,6 +152,8 @@ object Extensions {
       Similarity.recallEval(rdEmbeddings(s, dir))),
     "ann_sim_histogram" -> ((s, dir) =>
       Similarity.simHistogram(rdEmbeddings(s, dir))),
+    "emb_norm_hist" -> ((s, dir) =>
+      Similarity.normHist(rdEmbeddings(s, dir))),
     "ann_recall_eval_nprobe4" -> ((s, dir) =>
       Similarity.recallEval(rdEmbeddings(s, dir), nprobe = 4)),
     "ann_ivf_trained" -> ((s, dir) =>
@@ -918,6 +920,9 @@ object Extensions {
          |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "ann_recall_eval" -> Similarity.recallEvalSql(),
+
+    // vector QC: exact fixed-point norm-squared histogram
+    "emb_norm_hist" -> Similarity.normHistSql,
 
     // the candidate-pair cosine mass by bucket: calibration for every
     // cosine threshold in the dedup/knn family
