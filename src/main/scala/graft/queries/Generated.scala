@@ -19,6 +19,8 @@ object Generated {
   private val P = cfg.actualPosDeletes        // 2000
   private val E = cfg.actualEqDeletes         // 2000
   private val RPF = cfg.data.rowsPerFile      // 1000
+  private val totalFileCount = cfg.data.fileCount +
+    cfg.posDelete.fileCount + cfg.eqDelete.fileCount // 9
 
   private def root(spark: SparkSession, sfDir: String): String =
     GeneratedTables.ensure(spark, sfDir, cfg)
@@ -52,6 +54,39 @@ object Generated {
       val r = root(s, dir)
       Mor.read(s, r, cfg.namespace, cfg.tableName)
         .agg(count(lit(1)).as("surviving"))
+    }),
+    // Table fsck: the manifest's claims audited against the
+    // filesystem and the files themselves — every live file exists,
+    // every data file holds EXACTLY the rows its manifest entry
+    // records (one _metadata-grouped scan, not per-file opens), and
+    // the commit sequence numbers are consistent with the version
+    // history. The oracle pins the expected-healthy answer from the
+    // generation arithmetic; any corruption, partial commit, or
+    // manifest drift diverges.
+    "gen_manifest_audit" -> ((s, dir) => {
+      import s.implicits._
+      val r = root(s, dir)
+      val entries = TableIO.readManifest(r, cfg.namespace, cfg.tableName)
+      val dirP = TableIO.tableDir(r, cfg.namespace, cfg.tableName)
+      val nMissing = entries.count(e =>
+        !java.nio.file.Files.exists(dirP.resolve(e.path)))
+      val dataEntries = entries.filter(_.content == "data")
+      val actual = s.read
+        .parquet(dataEntries.map(e => dirP.resolve(e.path).toString): _*)
+        .groupBy(col("_metadata.file_path").as("fp"))
+        .agg(count(lit(1)).as("n"))
+        .collect() // bounded: one row per data FILE, never per data row
+        .map(r0 => (r0.getString(0), r0.getLong(1)))
+      val nMismatch = dataEntries.count { e =>
+        val abs = dirP.resolve(e.path).toString
+        !actual.exists { case (fp, n) => fp.endsWith(abs) &&
+          n == e.recordCount }
+      }
+      val v = TableIO.currentVersion(r, cfg.namespace, cfg.tableName)
+      Seq((entries.size.toLong, dataEntries.size.toLong,
+        nMissing.toLong, nMismatch.toLong, entries.map(_.seq).max, v))
+        .toDF("n_files", "n_data_files", "n_missing",
+          "n_count_mismatch", "max_seq", "version")
     }),
     // Delete-amplification observability: per data file, how many
     // position deletes target it and what fraction of its rows they
@@ -1040,6 +1075,16 @@ object Generated {
     "gen_eq_delete" ->
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar
          |FROM range($P, ${P + E}) t(g) ORDER BY bar""".stripMargin,
+    // healthy-table expectation from the generation arithmetic:
+    // 3 commits (data, pos, eq), every file present and exact
+    "gen_manifest_audit" ->
+      s"""SELECT
+         |  CAST($totalFileCount AS BIGINT) AS n_files,
+         |  CAST(${cfg.data.fileCount} AS BIGINT) AS n_data_files,
+         |  CAST(0 AS BIGINT) AS n_missing,
+         |  CAST(0 AS BIGINT) AS n_count_mismatch,
+         |  CAST(3 AS BIGINT) AS max_seq,
+         |  CAST(3 AS BIGINT) AS version""".stripMargin,
     "mor_delete_stats" ->
       s"""WITH f AS (SELECT printf('data/part-%05d.parquet',
          |    CAST(g AS INTEGER)) AS file_path,
