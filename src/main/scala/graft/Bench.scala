@@ -6,6 +6,31 @@ object Bench {
     * query in the suite runs well under this on a healthy JVM/host. */
   val RerunThresholdSec = 15.0
 
+  /** Per-query regression visibility (r10 verdict item 2): the
+    * suite-level 1.3x steal gate explains broad host warmth but
+    * attributed a 2.24x SINGLE-query regression to it. Any
+    * anchor-matched query whose final min exceeds PerQueryFlagRatio x
+    * its anchor AND whose absolute excess clears FlagFloorSec (sub-
+    * second queries jitter multiplicatively; a 0.05->0.12s wobble is
+    * noise, not a regression) lands in the artifact's "flagged" map
+    * with its ratio, plus a stderr warning — visible even when the
+    * suite ratio sails under the 1.3x gate.
+    */
+  val PerQueryFlagRatio = 1.5
+  val FlagFloorSec = 0.25
+
+  /** Pure flag computation, spec-pinned on a synthetic fixture. */
+  def flaggedQueries(best: Map[String, Double],
+      anchor: Map[String, Double]): Seq[(String, Double)] =
+    best.toSeq
+      .flatMap { case (n, t) =>
+        anchor.get(n).collect {
+          case a if a > 0 && t / a > PerQueryFlagRatio &&
+            t - a > FlagFloorSec => n -> t / a
+        }
+      }
+      .sortBy { case (n, r) => (-r, n) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,7 +69,7 @@ object Bench {
         // in round-over-round compares (ADVICE r2)
         if (!failed.contains(name)) failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
+      } finally CacheScope.drain() // no cache outlives its query (r10 #3)
       (System.nanoTime() - t0) / 1e9
     }
     // dev-only filter for micro-benchmarking a subset in isolation
@@ -133,8 +158,18 @@ object Bench {
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ratioJson = matchedRatio()
       .map(r => s""""anchor_ratio":${fmt(r)},""").getOrElse("")
+    val flagged = flaggedQueries(
+      results.filterNot(r => failed.contains(r._1)).toMap, anchor)
+    flagged.foreach { case (n, r) =>
+      System.err.println(f"[bench] WARN $n is ${r}%.2fx its anchor " +
+        "— per-query regression (or a stale anchor: anchors must be " +
+        "re-measured whole-file on current code, never min-merged)")
+    }
+    val flaggedJson = flagged
+      .map { case (n, r) => "\"" + n + "\":" + fmt(r) }
+      .mkString("{", ",", "}")
     def line(rs: Seq[(String, Double)], extra: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$extra$ratioJson"host_suspect":$hostSuspect,"queries":${qsJson(rs)},"failed":$failedJson,"reran":$reranJson,"repeat":$repeat,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$extra$ratioJson"host_suspect":$hostSuspect,"flagged":$flaggedJson,"queries":${qsJson(rs)},"failed":$failedJson,"reran":$reranJson,"repeat":$repeat,"sf":"$sfDir"}"""
     // The driver records only the LAST ~2000 chars of stdout and JSON-parses
     // the final line; 160 queries at full Double precision is ~4KB, which
     // truncated the line and left every prior round's BENCH_r*.json with

@@ -92,10 +92,11 @@ object Graph {
   def pagerank(spark: SparkSession, docs: DataFrame,
       iterations: Int = Iterations): DataFrame = {
     val base = Scale * 15 / 100
-    val edges = linkEdges(docs).repartition(col("src")).cache()
+    val edges = graft.CacheScope.cached(
+      linkEdges(docs).repartition(col("src")))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // contributions join reuses the src partitioning every iteration
-    val contribEdges = edges.join(outdeg, "src").cache()
+    val contribEdges = graft.CacheScope.cached(edges.join(outdeg, "src"))
     // Iterate on the IN-LINK SUM s_i(v) instead of the full rank
     // vector: r_i(v) = base + (85*s_i(v)) div 100 with s_i(v)=0 for
     // nodes with no in-links, so each iteration needs only ONE join
@@ -169,7 +170,7 @@ object Graph {
     * passes over the cached edges; output is |distinct degrees| rows.
     */
   def degreeDist(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val e = linkEdges(docs).cache()
+    val e = graft.CacheScope.cached(linkEdges(docs))
     def hist(keyCol: String, side: String) = e
       .groupBy(col(keyCol).as("node"))
       .agg(count(lit(1)).as("degree"))
@@ -211,9 +212,10 @@ object Graph {
     */
   def personalizedPagerank(spark: SparkSession, docs: DataFrame): DataFrame = {
     val base = Scale * 15 / 100
-    val edges = linkEdges(docs).repartition(col("src")).cache()
+    val edges = graft.CacheScope.cached(
+      linkEdges(docs).repartition(col("src")))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val contribEdges = edges.join(outdeg, "src").cache()
+    val contribEdges = graft.CacheScope.cached(edges.join(outdeg, "src"))
     def seedBase(node: String, mass: Long): String =
       s"CASE WHEN $node % $PprSeedMod = 0 THEN ${mass}L ELSE 0L END"
     var s = contribEdges
@@ -293,7 +295,8 @@ object Graph {
     * rounds.
     */
   def hits(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val edges = linkEdges(docs).repartition(col("src")).cache()
+    val edges = graft.CacheScope.cached(
+      linkEdges(docs).repartition(col("src")))
     // h_0 = 1 for every node => a_1(v) = indeg(v)
     var a = edges.groupBy("dst").agg(count(lit(1)).cast("long").as("a"))
       .select(col("dst").as("a_node"), col("a"))
@@ -359,12 +362,11 @@ object Graph {
     * (n_nodes, n_edges, n_triangles).
     */
   def triangles(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val und = linkEdges(docs)
+    val und = graft.CacheScope.cached(linkEdges(docs)
       .select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .cache()
+      .distinct())
     val deg = und
       .select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
@@ -375,15 +377,14 @@ object Graph {
     val withDeg = und
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
-    val oriented = withDeg
+    val oriented = graft.CacheScope.cached(withDeg
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("u"))
           .otherwise(col("v")).as("a"),
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("b"))
-      .cache()
+          .otherwise(col("u")).as("b")))
     // wedges a->b, a->c (b < c to count each unordered wedge once),
     // closed by an oriented edge between b and c in either direction
     val o2 = oriented.select(col("a").as("a2"), col("b").as("c"))
@@ -432,10 +433,10 @@ object Graph {
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-    und.select(col("u").as("src"), col("v").as("dst"))
-      .union(und.select(col("v").as("src"), col("u").as("dst")))
-      .repartition(col(partitionKey))
-      .cache()
+    graft.CacheScope.cached(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .union(und.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col(partitionKey)))
   }
 
   /** SQL twin of [[symmetricEdges]] (CTE `ed`), for appending after
@@ -619,12 +620,11 @@ object Graph {
     */
   def sssp(spark: SparkSession, docs: DataFrame,
       nSeeds: Int = 5): DataFrame = {
-    val ew = symmetricEdges(docs)
+    val ew = graft.CacheScope.cached(symmetricEdges(docs)
       .withColumn("w",
         Sketches.hash60(concat(
           least(col("src"), col("dst")).cast("string"), lit(":"),
-          greatest(col("src"), col("dst")).cast("string"))) % 9L + 1L)
-      .cache()
+          greatest(col("src"), col("dst")).cast("string"))) % 9L + 1L))
     var dist = docs
       .filter(col("doc_id") < nSeeds)
       .select(col("doc_id").as("node"), lit(0L).as("cost"))

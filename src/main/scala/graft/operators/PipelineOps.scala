@@ -428,7 +428,7 @@ object PipelineOps {
     // (plus once for the node list); without the cache each reference
     // re-evaluates the whole MinHash signature+band pipeline. Edges are
     // near-dup pairs — tiny relative to the corpus at any scale.
-    val pairs = Dedup.minhashPairs(docs).cache()
+    val pairs = graft.CacheScope.cached(Dedup.minhashPairs(docs))
     // undirected: both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -808,7 +808,8 @@ object Similarity {
         posexplode(col("embedding")).as(Seq("pos", "e")))
       .select(col("vec_id"), col("pos"),
         floor(col("e").cast("double") * 10000).cast("long").as("x"))
-      .repartition(col("vec_id")).cache()
+      .repartition(col("vec_id"))
+    graft.CacheScope.cached(xq)
     // eager localCheckpoints on every bounded relation in the loop:
     // u is referenced twice per iteration (rescale divisor + new v)
     // and v's lineage otherwise nests 4 joins per round — without

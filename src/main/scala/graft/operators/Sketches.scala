@@ -252,9 +252,10 @@ object Sketches {
         .distinct()
         .orderBy("h")
         .limit(K) // TakeOrderedAndProject: partial top-K per partition
-    val sa = sketch(a).cache()
-    val sb = sketch(b).cache()
-    val su = sa.union(sb).distinct().orderBy("h").limit(K).cache()
+    val sa = graft.CacheScope.cached(sketch(a))
+    val sb = graft.CacheScope.cached(sketch(b))
+    val su = graft.CacheScope.cached(
+      sa.union(sb).distinct().orderBy("h").limit(K))
     val aggA = sa.agg(count(lit(1)).as("cnt_a"), max("h").as("kth_a"))
     val aggB = sb.agg(count(lit(1)).as("cnt_b"), max("h").as("kth_b"))
     val aggU = su.agg(count(lit(1)).as("cnt_u"), max("h").as("kth_u"))
@@ -291,9 +292,10 @@ object Sketches {
         .distinct()
         .orderBy("h")
         .limit(K)
-    val sa = sketch(a).cache()
-    val sb = sketch(b).cache()
-    val su = sa.union(sb).distinct().orderBy("h").limit(K).cache()
+    val sa = graft.CacheScope.cached(sketch(a))
+    val sb = graft.CacheScope.cached(sketch(b))
+    val su = graft.CacheScope.cached(
+      sa.union(sb).distinct().orderBy("h").limit(K))
     val aggU = su.agg(count(lit(1)).as("cnt_u"), max("h").as("kth_u"))
     val onlyA = su.join(sb, Seq("h"), "left_anti").join(sa, "h")
       .agg(count(lit(1)).as("n_only_a"))

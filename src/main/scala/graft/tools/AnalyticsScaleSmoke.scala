@@ -26,6 +26,7 @@ object AnalyticsScaleSmoke {
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
+      graft.CacheScope.drain() // scoped like Bench: no cross-op caches
       println(f"[analyticsscale] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
       r
     }

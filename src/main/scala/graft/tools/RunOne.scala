@@ -27,6 +27,7 @@ object RunOne {
       val df = fn(spark, sfDir)
       if (explain) df.explain("formatted")
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      graft.CacheScope.drain()
       println(f"[runone] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     def q(s: String): String = "\"" + s.flatMap {
