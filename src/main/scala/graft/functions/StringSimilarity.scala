@@ -102,11 +102,19 @@ object StringSim {
       tauNum: Long, tauDen: Long): Boolean = {
     val p = jaroParts(a, b)
     if (p(1) == 0L) return tauNum <= 0L
+    // tau < 0 always passes (the similarity is a nonnegative
+    // rational) — and must short-circuit HERE: the headroom guard
+    // below scales by max(tauNum, tauDen), which ignores the
+    // MAGNITUDE of a negative tauNum, so a large-negative tau could
+    // satisfy the guard yet wrap tauNum·10·jDen in the fast path
+    // (r10 advisory; latent — all call sites pass tau >= 0).
+    if (tauNum < 0L) return true
     val jNum = p(0); val jDen = p(1); val l = p(2)
     // Headroom: the boosted numerator is <= 14·jDen (jNum <= jDen,
     // prefix <= 4), so every product below fits a Long iff
     // 14·jDen·max(tauNum, tauDen) does. Otherwise compare in BigInt —
     // exact at any tau scale, just slower on pathological inputs.
+    // tauNum is nonnegative past the short-circuit above.
     val scale = math.max(math.max(tauNum, tauDen), 1L)
     if (jDen <= Long.MaxValue / 14L / scale) {
       if (10L * jNum > 7L * jDen)

@@ -44,6 +44,20 @@ class AnalyticsPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("jaroWinklerGe: negative tau always passes, at any magnitude") {
+    // r10 advisory: a large-magnitude negative tauNum could slip past
+    // the headroom guard (scale ignored its magnitude) and wrap
+    // tauNum*10*jDen to a wrong verdict; the short-circuit makes the
+    // sign case exact regardless of magnitude
+    for (tauNum <- Seq(-1L, -1000L, Long.MinValue + 1, Long.MinValue)) {
+      assert(StringSim.jaroWinklerGe(u("abcd"), u("abce"), tauNum, 3L))
+      assert(StringSim.jaroWinklerGe(u("abcd"), u("wxyz"), tauNum, 3L))
+    }
+    // empty-match case keeps its own rule: 0 >= tau iff tauNum <= 0
+    assert(StringSim.jaroWinklerGe(u(""), u("x"), -5L, 3L))
+    assert(!StringSim.jaroWinklerGe(u(""), u("x"), 5L, 3L))
+  }
+
   test("quantile sketch is exact when the group fits in the sample") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

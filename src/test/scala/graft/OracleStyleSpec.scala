@@ -17,9 +17,10 @@ import graft.queries.Registry
   *      widening;
   *   3. the first use after the call (past an optional OVER group)
   *      is a comparison or division → boolean/DOUBLE result;
-  *   4. an outer `AS BIGINT)` / `AS DOUBLE)` cast closes within the
-  *      next 60 characters (e.g. `CAST(COALESCE(sum(..), 0) AS
-  *      BIGINT)`).
+  *   4. a paren group ENCLOSING the sum is a `CAST(... AS BIGINT)` /
+  *      `CAST(... AS DOUBLE)` (e.g. `CAST(COALESCE(sum(..), 0) AS
+  *      BIGINT)`) — checked structurally, so an unrelated cast on an
+  *      adjacent select-list column cannot satisfy it (r10 advisory).
   * The residue — intermediate CTE sums whose every downstream use is
   * cast or compared — is whitelisted BY ALIAS below with the reason;
   * the whitelist is asserted exact (no stale entries), so adding a
@@ -99,12 +100,32 @@ class OracleStyleSpec extends AnyFunSuite {
       val trimmed = after.dropWhile(_.isWhitespace)
       val comparedOrDivided =
         trimmed.headOption.exists("<>=/".contains(_))
-      val outerCastNearby = {
-        val window = after.take(60).toUpperCase
-        window.contains("AS BIGINT)") || window.contains("AS DOUBLE)")
+      // STRUCTURAL outer-cast check (r10 advisory tightened the old
+      // any-'AS BIGINT)'-within-60-chars window, which an unrelated
+      // cast on an adjacent column could satisfy): safe iff some
+      // paren group ENCLOSING this sum is a CAST whose type keyword
+      // closes that same group — i.e. the cast provably applies to
+      // the expression containing the sum.
+      val enclosingCast = {
+        var found = false
+        var o = sql.indexOf('(')
+        while (o >= 0 && o < m.start && !found) {
+          if (balancedEnd(sql, o) >= close) {
+            val prefix = sql.substring(0, o).replaceAll("\\s+", "")
+            if (prefix.toUpperCase.endsWith("CAST")) {
+              val inner = sql
+                .substring(o + 1, balancedEnd(sql, o) - 1)
+                .replaceAll("\\s+", " ").trim.toUpperCase
+              found = inner.endsWith("AS BIGINT") ||
+                inner.endsWith("AS DOUBLE")
+            }
+          }
+          o = sql.indexOf('(', o + 1)
+        }
+        found
       }
       if (castWrapped || doubleArg || comparedOrDivided ||
-          outerCastNearby) None
+          enclosingCast) None
       else {
         val aliasM =
           "(?is)^\\s*AS\\s+([A-Za-z_][A-Za-z0-9_]*)".r
@@ -160,5 +181,21 @@ class OracleStyleSpec extends AnyFunSuite {
     // and green on the fixed forms
     assert(uncastSums(pagerankR9.replace("sum(p.r // o.outdeg) AS s",
       "CAST(sum(p.r // o.outdeg) AS BIGINT) AS s")).isEmpty)
+  }
+
+  test("an unrelated adjacent cast no longer satisfies the lint") {
+    // the r10-advisory false pass: the old 60-char window accepted
+    // any 'AS BIGINT)' nearby, even one casting a DIFFERENT column
+    val adjacent = "SELECT sum(a) AS s, CAST(b AS BIGINT) AS t FROM x"
+    assert(uncastSums(adjacent) == Seq("s"))
+    // while a cast genuinely enclosing the sum (through COALESCE, on
+    // a later line, etc.) stays safe
+    val enclosing =
+      """SELECT CAST(COALESCE(sum(a), 0)
+        |  AS BIGINT) AS s, b FROM x""".stripMargin
+    assert(uncastSums(enclosing).isEmpty)
+    val enclosingDouble =
+      "SELECT CAST(sum(a) * 3 AS DOUBLE) AS s FROM x"
+    assert(uncastSums(enclosingDouble).isEmpty)
   }
 }
