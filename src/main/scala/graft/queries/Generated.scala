@@ -25,6 +25,20 @@ object Generated {
   private def root(spark: SparkSession, sfDir: String): String =
     GeneratedTables.ensure(spark, sfDir, cfg)
 
+  /** The dead-file-compaction fixture shared by `gen_compact_dead` and
+    * `gen_compact_dead_meta`: the standard generated table, then
+    * [[Maintenance.compactDeadFiles]] — which drops the two data files
+    * the generation arithmetic fully pos-deletes (rows [0, P) fill
+    * files 0 and 1 end to end) and purges their delete rows.
+    */
+  private def deadRoot(spark: SparkSession, sfDir: String): String = {
+    val c2 = cfg.copy(tableName = "t1_dead")
+    GeneratedTables.ensureCustom(sfDir + "#dead") { root =>
+      Pipeline.prepare(spark, root, c2)
+      Maintenance.compactDeadFiles(spark, root, c2.namespace, c2.tableName)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2-S6 + K1-K3: the committed data files, read back.
     "gen_data" -> ((s, dir) => {
@@ -107,6 +121,40 @@ object Generated {
           (coalesce(col("n_pos_deletes"), lit(0L)).cast("double")
             / col("record_count")).as("deleted_frac"))
         .orderBy("file_path")
+    }),
+    // Dead-file compaction CONSUMES the mor_delete_stats queue: the
+    // two generated files whose rows are 100% pos-deleted are dropped
+    // from the manifest (no surviving rows — no rewrite IO at all) and
+    // their delete rows purged, all under the CAS commit. This query
+    // is the merged view AFTER that maintenance and shares mor_read's
+    // oracle verbatim (playbook same-answer-rewrite rule): compaction
+    // must be invisible to readers.
+    "gen_compact_dead" -> ((s, dir) => {
+      val r = deadRoot(s, dir)
+      val c2 = cfg.copy(tableName = "t1_dead")
+      Mor.read(s, r, c2.namespace, c2.tableName).orderBy("bar")
+    }),
+    // ... and the metadata proof for the same table: the dead data
+    // files AND every pos-delete file are gone from the manifest (all
+    // generated pos-deletes targeted the two dead files), eq-deletes
+    // survive untouched, and the version reflects drop + delete-rewrite
+    // commits on top of the 3 generation commits.
+    "gen_compact_dead_meta" -> ((s, dir) => {
+      val r = deadRoot(s, dir)
+      val c2 = cfg.copy(tableName = "t1_dead")
+      val m = TableIO.manifestDf(s, r, c2.namespace, c2.tableName)
+      val counts = m.agg(
+        sum(when(col("content") === "data", 1L).otherwise(0L))
+          .as("n_data_files"),
+        sum(when(col("content") === "pos_delete", 1L).otherwise(0L))
+          .as("n_pos_delete_files"),
+        sum(when(col("content") === "eq_delete", 1L).otherwise(0L))
+          .as("n_eq_delete_files"))
+      val surviving = Mor.read(s, r, c2.namespace, c2.tableName)
+        .agg(count(lit(1)).as("surviving"))
+      counts.crossJoin(surviving)
+        .withColumn("version",
+          lit(TableIO.currentVersion(r, c2.namespace, c2.tableName)))
     }),
     // Schema evolution (Iceberg add-column): widen the schema, append a
     // file WITH the new column; old files are never rewritten — the
@@ -1101,6 +1149,22 @@ object Generated {
     "mor_read" ->
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
          |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
+    // shares mor_read's oracle VERBATIM (same-answer-rewrite rule):
+    // dropping fully-dead files must be invisible to the merged view
+    "gen_compact_dead" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+         |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
+    // generation arithmetic: rows [0, P) fully kill files 0..P/RPF-1,
+    // every pos-delete targets those files (purged with them), eq
+    // files untouched; version = 3 generation commits + drop + rewrite
+    "gen_compact_dead_meta" ->
+      s"""SELECT
+         |  CAST(${cfg.data.fileCount - (P / RPF).toInt} AS BIGINT)
+         |    AS n_data_files,
+         |  CAST(0 AS BIGINT) AS n_pos_delete_files,
+         |  CAST(${cfg.eqDelete.fileCount} AS BIGINT) AS n_eq_delete_files,
+         |  CAST(${N - P - E} AS BIGINT) AS surviving,
+         |  CAST(5 AS BIGINT) AS version""".stripMargin,
     "mor_summary" ->
       s"SELECT count(*) AS surviving FROM range(${P + E}, $N)",
     // evolution: survivors of the original 5 files (qux null) + the
