@@ -205,6 +205,61 @@ object Similarity {
        |  ON exact.qid = ivf.qid AND exact.vec_id = ivf.vec_id
        |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
 
+  /** Recall@k of the TRAINED-coarse-quantizer IVF — the same eval
+    * harness as [[recallEval]] with the label partitions replaced by
+    * the deterministic k-means model ([[kmeansModel]]): centroids
+    * route each query, the final assignment defines the inverted
+    * lists. `ann_recall_eval` honestly measured single-probe recall
+    * 0.11 because the synthetic `label` column is not a cosine
+    * clustering; routing through TRAINED centroids is the fix an ANN
+    * operator would actually ship (r10 verdict item 5), and this twin
+    * quantifies the lift at the same nprobe. Ground truth and
+    * candidates still share one cosine relation, so the two rankings
+    * cannot drift.
+    */
+  def recallEvalTrained(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      kClusters: Int = 8, iters: Int = 2, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val sims = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = sims.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k).select("qid", "vec_id")
+    val (cent, assigned) = kmeansModel(emb, kClusters, iters)
+    val qdims = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        posexplode(col("embedding")).as(Seq("pos", "qe")))
+      .select(col("qid"), col("pos"), col("qe").cast("double").as("qe"))
+    val dists = cent.join(broadcast(qdims), "pos")
+      .groupBy("qid", "cid")
+      .agg(sum(floor((col("c") - col("qe")) * (col("c") - col("qe"))
+        * lit(1e12))).as("dist"))
+    val wn = Window.partitionBy("qid")
+      .orderBy(col("dist").asc, col("cid").asc)
+    val nearest = dists.withColumn("rn", row_number().over(wn))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid").as("n_qid"), col("cid").as("n_cid"))
+    val ivf = sims.join(assigned, "vec_id")
+      .join(broadcast(nearest),
+        col("qid") === col("n_qid") && col("cid") === col("n_cid"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("i_qid"), col("vec_id").as("ivf_vec"))
+    exact
+      .join(ivf, col("qid") === col("i_qid") &&
+        col("vec_id") === col("ivf_vec"), "left")
+      .groupBy("qid")
+      .agg(count(col("ivf_vec")).as("n_hit"))
+      .select(col("qid"), lit(k).as("k"), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"))
+      .orderBy("qid")
+  }
+
   /** IVF with a TRAINED coarse quantizer: deterministic k-means over the
     * corpus (seeded by the `kClusters` lowest vec_ids, a fixed number of
     * Lloyd iterations — no RNG, so the oracle replays it exactly), then
@@ -278,7 +333,15 @@ object Similarity {
     * arithmetic throughout (exact, order-free, oracle-replayable).
     */
   def kmeansAssign(emb: DataFrame, kClusters: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame = kmeansModel(emb, kClusters, iters)._2
+
+  /** The trained model behind [[kmeansAssign]]: (final centroids
+    * `(cid, pos, c)`, final assignment `(vec_id, cid)`) — the recall
+    * eval needs both (centroids route the queries, the assignment
+    * defines the inverted lists).
+    */
+  private[graft] def kmeansModel(emb: DataFrame, kClusters: Int = 8,
+      iters: Int = 2): (DataFrame, DataFrame) = {
     val dims = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "e")))
       .select(col("vec_id"), col("pos"), col("e").cast("double").as("e"))
@@ -292,7 +355,7 @@ object Similarity {
         .agg((sum(floor(col("e") * lit(1e7))).cast("double") / lit(1e7) /
           count(lit(1))).as("c"))
     }
-    assignClusters(dims, cent)
+    (cent, assignClusters(dims, cent))
   }
 
   /** k-means E-step: nearest centroid per vector (fixed-point-exact

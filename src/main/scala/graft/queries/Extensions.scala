@@ -156,6 +156,10 @@ object Extensions {
       Similarity.normHist(rdEmbeddings(s, dir))),
     "ann_recall_eval_nprobe4" -> ((s, dir) =>
       Similarity.recallEval(rdEmbeddings(s, dir), nprobe = 4)),
+    // single-probe recall over TRAINED coarse centroids — the fix the
+    // 0.11 label-partition recall above calls for (r10 verdict item 5)
+    "ann_recall_eval_trained" -> ((s, dir) =>
+      Similarity.recallEvalTrained(rdEmbeddings(s, dir))),
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedTopK(rdEmbeddings(s, dir))),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rdEmbeddings(s, dir))),
@@ -943,6 +947,51 @@ object Extensions {
          |  min(sim) AS min_sim, max(sim) AS max_sim
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ann_recall_eval_nprobe4" -> Similarity.recallEvalSql(nprobe = 4),
+
+    // the trained-IVF k-means replayed (same CTE chain as emb_kmeans /
+    // ann_ivf_trained), then the recallEval harness over ITS routing:
+    // c2 centroids rank clusters per query, a3 defines inverted lists
+    "ann_recall_eval_trained" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS e
+         |  FROM embeddings, range(0, 64) t(i)),
+         |c0 AS (SELECT vec_id AS cid, pos, e AS c FROM dims WHERE vec_id < 8),
+         |a1 AS (${assignSql("c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |a3 AS (${assignSql("c2")}),
+         |qdims AS (SELECT vec_id AS qid, pos, e AS qe FROM dims
+         |          WHERE vec_id < 8),
+         |dists AS (
+         |  SELECT qid, cid,
+         |    CAST(sum(CAST(floor((c.c - qe) * (c.c - qe) * 1000000000000.0)
+         |      AS BIGINT)) AS BIGINT) AS dist
+         |  FROM c2 c JOIN qdims USING (pos) GROUP BY qid, cid),
+         |nearest AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY dist ASC, cid ASC) AS rn FROM dists)
+         |  WHERE rn <= 1),
+         |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < 8),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sims AS (
+         |  SELECT q.qid, e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |  FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid),
+         |exact AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id ASC) AS rk FROM sims) WHERE rk <= 10),
+         |ivf AS (SELECT qid, vec_id FROM (
+         |  SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+         |    ORDER BY s.sim DESC, s.vec_id ASC) AS rk
+         |  FROM sims s JOIN a3 ON a3.vec_id = s.vec_id
+         |  JOIN nearest n ON n.qid = s.qid AND n.cid = a3.cid)
+         |  WHERE rk <= 10)
+         |SELECT exact.qid, 10 AS k, count(ivf.vec_id) AS n_hit,
+         |  CAST(count(ivf.vec_id) AS DOUBLE) / 10 AS recall
+         |FROM exact LEFT JOIN ivf
+         |  ON exact.qid = ivf.qid AND exact.vec_id = ivf.vec_id
+         |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
