@@ -160,6 +160,91 @@ object Graph {
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
+  /** Weighted PageRank: each node's rank splits over its out-links in
+    * PROPORTION to deterministic integer edge weights w(u,v) = 1 +
+    * hash60("u:v") mod 9 (per direction — the directed analogue of
+    * [[sssp]]'s canonical-pair weights), instead of uniformly:
+    * r_{i+1}(v) = 0.15·Scale + 0.85·Σ_u (r_i(u)·w(u,v)) div W(u),
+    * W(u) = Σ w(u,·). The property-graph centrality a corpus pipeline
+    * uses when links carry strength (anchor counts, co-citation
+    * frequency). All arithmetic stays in exact longs (r·w ≤ ~2e10),
+    * so rankings replay to the last unit.
+    *
+    * Scale shape identical to [[pagerank]]: one cached src-partitioned
+    * weighted edge relation, one join per iteration against the
+    * constant-width in-link-sum relation, partial map-side long sums,
+    * lineage truncated every [[CheckpointEvery]] rounds.
+    */
+  def weightedPagerank(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val base = Scale * 15 / 100
+    val edges = graft.CacheScope.cached(
+      linkEdges(docs)
+        .withColumn("w",
+          Sketches.hash60(concat(col("src").cast("string"), lit(":"),
+            col("dst").cast("string"))) % 9L + 1L)
+        .repartition(col("src")))
+    val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
+    val contribEdges = graft.CacheScope.cached(edges.join(wsum, "src"))
+    var s = contribEdges
+      .select(col("dst"), expr(s"(${Scale}L * w) div wsum").as("c"))
+      .groupBy("dst")
+      .agg(sum("c").as("s"))
+      .select(col("dst").as("s_node"), col("s"))
+    for (i <- 2 to Iterations) {
+      s = contribEdges
+        .join(s, col("src") === col("s_node"), "left")
+        .select(
+          col("dst"),
+          expr(s"((${base}L + (85 * coalesce(s, 0L)) div 100) * w) " +
+            "div wsum").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+        .select(col("dst").as("s_node"), col("s"))
+      if (i % CheckpointEvery == 0) s = s.localCheckpoint(true)
+    }
+    docs
+      .select(col("doc_id").as("node"))
+      .join(s, col("node") === col("s_node"), "left")
+      .select(
+        col("node"),
+        expr(s"${base}L + (85 * coalesce(s, 0L)) div 100").as("r"))
+      .orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("doc_id"), col("r").as("rank_fp"))
+  }
+
+  /** Oracle twin of [[weightedPagerank]]: unrolled CTEs, identical
+    * integer arithmetic (nonnegative operands, so DuckDB's flooring
+    * `//` equals Spark's truncating `div` throughout).
+    */
+  def weightedPagerankSql: String = {
+    val base = Scale * 15 / 100
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d.doc_id AS node,
+         |    $base + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM documents d LEFT JOIN (
+         |    SELECT ew.dst, CAST(sum((p.r * ew.w) // o.wsum) AS BIGINT) AS s
+         |    FROM ew JOIN o ON ew.src = o.src JOIN $prev p ON ew.src = p.node
+         |    GROUP BY ew.dst) c ON d.doc_id = c.dst)""".stripMargin
+    val iters = (1 to Iterations)
+      .map(i => iter(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+      .mkString(",\n")
+    s"""WITH $linkEdgesSql,
+       |ew AS (SELECT src, dst,
+       |         1 + ${Sketches.hash60Sql(
+             "concat(CAST(src AS VARCHAR), ':', CAST(dst AS VARCHAR))")}
+       |           % 9 AS w
+       |       FROM e),
+       |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM ew
+       |      GROUP BY src),
+       |r0 AS (SELECT doc_id AS node, CAST($Scale AS BIGINT) AS r
+       |       FROM documents),
+       |$iters
+       |SELECT node AS doc_id, r AS rank_fp FROM r$Iterations
+       |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   /** In/out degree distribution of the directed link graph — the
     * first diagnostic of every graph pipeline (hub detection, join
     * fan-out estimation for the wedge joins, sanity on the synthetic

@@ -114,6 +114,84 @@ object TimeSeriesOps {
        |SELECT $sel""".stripMargin
   }
 
+  /** Sessionized funnel: the [[funnel]] step sequence required to
+    * complete WITHIN ONE SESSION — the product question behind most
+    * funnel dashboards is "did the user convert in that visit", not
+    * "ever later". Composes the ts family with the streaming surface's
+    * session semantics: sessions come from Spark's native
+    * `session_window` (the same 30-minute-gap rule as
+    * `q_session_window`), while the oracle rebuilds them relationally
+    * (lag + cumulative-sum session ids), so the sessionizers are
+    * independent implementations checked against each other. Returns
+    * one row: total sessions plus the count of sessions whose events
+    * complete each step prefix in strict time order.
+    *
+    * Scale shape: session bounds are one sessionized aggregation over
+    * events; tagging is an equi-join on user_id against that user's
+    * (few) bounds with the range predicate as the join filter; each
+    * step is one co-partitioned join + min-aggregation keyed by
+    * (user, session) — state one row per session per step, and the
+    * 1-row step counts cross-join at the end (bounded constants).
+    */
+  def sessionFunnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      gap: String = "30 minutes"): DataFrame = {
+    val bounds = events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"))
+    val tagged = events.select("user_id", "ts", "event_type")
+      .join(bounds, Seq("user_id"))
+      .filter(col("ts") >= col("ws") && col("ts") < col("we"))
+    var cur = tagged.filter(col("event_type") === steps.head)
+      .groupBy("user_id", "ws").agg(min("ts").as("t"))
+    var out = bounds.agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(cur.agg(count(lit(1)).as("n_step1")))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      cur = tagged.filter(col("event_type") === st)
+        .join(cur, Seq("user_id", "ws"))
+        .filter(col("ts") > col("t"))
+        .groupBy("user_id", "ws").agg(min("ts").as("t"))
+      out = out.crossJoin(cur.agg(count(lit(1)).as(s"n_step${i + 2}")))
+    }
+    out
+  }
+
+  /** Oracle twin of [[sessionFunnel]]: the q_session_window
+    * lag+cumsum sessionizer, then the funnel CTE chain keyed by
+    * (user, session).
+    */
+  def sessionFunnelSql(
+      steps: Seq[String] = Seq("view", "click", "purchase")): String = {
+    val ctes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, sess, min(ts) AS t FROM s
+           |  WHERE event_type = '$st' GROUP BY 1, 2)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT s.user_id, s.sess, min(s.ts) AS t
+           |  FROM s JOIN s$i ON s.user_id = s$i.user_id
+           |    AND s.sess = s$i.sess
+           |  WHERE s.event_type = '$st' AND s.ts > s$i.t
+           |  GROUP BY 1, 2)""".stripMargin
+    }
+    val sel = steps.indices
+      .map(i => s"(SELECT count(*) FROM s${i + 1}) AS n_step${i + 1}")
+      .mkString(",\n  ")
+    s"""WITH d AS (SELECT user_id, ts, event_type,
+       |    CASE WHEN epoch_us(ts::TIMESTAMP) -
+       |      lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+       |      >= 1800000000 THEN 1 ELSE 0 END AS new_s
+       |  FROM events),
+       |s AS (SELECT user_id, ts, event_type,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM d),
+       |${ctes.mkString(",\n")}
+       |SELECT (SELECT count(*) FROM
+       |    (SELECT DISTINCT user_id, sess FROM s) q) AS n_sessions,
+       |  $sel""".stripMargin
+  }
+
   /** Weekly cohort retention: users grouped by the ISO week of their
     * first event; for each (cohort week, week offset), how many of
     * that cohort were active. The date arithmetic is all-integer

@@ -64,6 +64,9 @@ object Analytics {
         valueCol = "text")
     }),
     "graph_pagerank" -> ((s, dir) => Graph.pagerank(s, rd(s, dir, "documents"))),
+    // property-graph centrality: rank split proportional to edge weights
+    "graph_wpagerank" -> ((s, dir) =>
+      Graph.weightedPagerank(s, rd(s, dir, "documents"))),
     "graph_ppr" -> ((s, dir) =>
       Graph.personalizedPagerank(s, rd(s, dir, "documents"))),
     "graph_hits" -> ((s, dir) => Graph.hits(s, rd(s, dir, "documents"))),
@@ -79,6 +82,10 @@ object Analytics {
     "graph_kcore" -> ((s, dir) => Graph.kcore(s, rd(s, dir, "documents"))),
     "ts_ewma" -> ((s, dir) => TimeSeriesOps.ewmaLast(rdEvents(s, dir))),
     "ts_funnel" -> ((s, dir) => TimeSeriesOps.funnel(rdEvents(s, dir))),
+    // the funnel within native session_window sessions (the oracle
+    // sessionizes relationally — independent implementations)
+    "ts_session_funnel" -> ((s, dir) =>
+      TimeSeriesOps.sessionFunnel(rdEvents(s, dir))),
     "ts_retention" -> ((s, dir) => TimeSeriesOps.retention(rdEvents(s, dir))),
     "ts_holt" -> ((s, dir) => TimeSeriesOps.holt(rdEvents(s, dir))),
     "ts_concurrency" -> ((s, dir) => TimeSeriesOps.concurrency(rdEvents(s, dir))),
@@ -128,6 +135,7 @@ object Analytics {
     // the one-shot sketch's oracle (same-answer-rewrite pattern)
     "sketch_quantile_merged" -> Sketches.quantileSketchSql,
     "graph_pagerank" -> Graph.pagerankSql,
+    "graph_wpagerank" -> Graph.weightedPagerankSql,
     "graph_ppr" -> Graph.personalizedPagerankSql,
     "graph_hits" -> Graph.hitsSql,
     "graph_sssp" -> Graph.ssspSql(),
@@ -139,6 +147,7 @@ object Analytics {
     "graph_kcore" -> Graph.kcoreSql(),
     "ts_ewma" -> TimeSeriesOps.ewmaLastSql,
     "ts_funnel" -> TimeSeriesOps.funnelSql(),
+    "ts_session_funnel" -> TimeSeriesOps.sessionFunnelSql(),
     "ts_retention" -> TimeSeriesOps.retentionSql,
     "ts_holt" -> TimeSeriesOps.holtSql,
     "ts_concurrency" -> TimeSeriesOps.concurrencySql,

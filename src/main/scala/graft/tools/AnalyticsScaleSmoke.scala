@@ -274,6 +274,25 @@ object AnalyticsScaleSmoke {
     }
     require(en.nonEmpty && en.map(_.getLong(1)).sum == nColl,
       "entropy histogram does not cover the corpus")
+
+    // ---- round-11 additions: weighted PageRank on the 2M-node graph,
+    // sessionized funnel on the 20M events
+    val wp = timed(s"weightedPagerank ${nGraph / 1000000}M nodes x5 iter") {
+      Graph.weightedPagerank(spark, docs).collect()
+    }
+    require(wp.length == 20 && wp.head.getLong(1) >= Graph.Scale * 15 / 100,
+      "weighted pagerank top-20 malformed")
+    // denser per-user stream (1k users -> consecutive gaps ~1000s <
+    // 30min) so the sessionizer actually MERGES long event chains —
+    // the main `events` set's per-user gaps are all session breaks
+    val sf = timed(s"sessionFunnel ${nEvents / 1000000}M events") {
+      val dense = events.withColumn("user_id", col("event_id") % 1000)
+      TimeSeriesOps.sessionFunnel(dense).collect().head
+    }
+    require(sf.getLong(0) >= sf.getLong(1) && sf.getLong(1) >= sf.getLong(2)
+      && sf.getLong(2) >= sf.getLong(3),
+      s"session funnel not monotone: ${sf.mkString(",")}")
+    println(s"[analyticsscale]   sessionFunnel=${sf.mkString(",")}")
     spark.stop()
   }
 }

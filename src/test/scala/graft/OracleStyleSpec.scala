@@ -54,6 +54,8 @@ class OracleStyleSpec extends AnyFunSuite {
     "q_quantile_sketch" -> Set("cum", "tot"),
     // session id is a GROUP BY key, never an output column
     "q_session_window" -> Set("sess"),
+    // same lag+cumsum sessionizer, same group-key-only use
+    "ts_session_funnel" -> Set("sess"),
     // corpus totals feed CAST(c AS DOUBLE)/tot double divisions
     "text_kl_divergence" -> Set("tot_s", "c_c", "tot_c"),
     // sweep-line counter output via CAST(max(conc) AS BIGINT)
