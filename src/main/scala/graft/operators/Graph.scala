@@ -831,6 +831,114 @@ object Graph {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Rounds of min-label propagation defining the [[modularity]]
+    * partition — FIXED (not to-fixpoint, which on this near-connected
+    * link graph would collapse everything into one community and make
+    * Q trivially ~0): after 3 rounds every node carries the minimum
+    * doc_id within 3 hops, a deterministic local-community partition
+    * both engines replay exactly.
+    */
+  val ModularityRounds = 3
+
+  /** Newman modularity Q of the 3-round label-propagation partition
+    * over the undirected link graph — the community-quality eval for
+    * the graph family (the analogue of `ann_recall_eval` for ANN and
+    * `dedup_recall_eval` for the banding): Q = Σ_c [e_c/m −
+    * (d_c/2m)²], reported with its EXACT integer numerator q_num =
+    * Σ_c (4m·e_c − d_c²) = Q·4m², so the one IEEE division happens
+    * once on agreed longs (q_num ≤ 4m² < 2^53 up to ~4.7e7 edges —
+    * beyond that, report the rational parts and divide downstream).
+    * Returns one row: (n_communities, n_edges, q_num, modularity).
+    *
+    * Scale shape: `rounds` label joins over the cached dst-partitioned
+    * symmetric edges (labels localCheckpoint per round — the
+    * doubly-referencing rule), then one degree aggregation, one
+    * two-sided label join for intra-community edge counts, and
+    * constant-width final aggregates. Everything is linear in |E|.
+    */
+  def modularity(spark: SparkSession, docs: DataFrame,
+      rounds: Int = ModularityRounds): DataFrame = {
+    val edges = symmetricEdges(docs, partitionKey = "dst")
+    var labels = docs.select(col("doc_id").as("node"))
+      .withColumn("lab", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val viaN = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("lab", "nl"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("nl").as("nlab")) // partial map-side min
+      labels = labels
+        .join(viaN, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+    }
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")) // symmetric relation: this IS the degree
+    val labeled = edges
+      .join(labels.select(col("node").as("src"), col("lab").as("ls")), "src")
+      .join(labels.select(col("node").as("dst"), col("lab").as("ld")), "dst")
+    val intra = labeled.filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("c"))
+      .agg(count(lit(1)).as("e2")) // both directions: 2·e_c
+    val dsum = labels.join(deg, "node")
+      .groupBy(col("lab").as("c"))
+      .agg(sum("deg").as("dc"))
+    val mDf = edges.agg((count(lit(1)) / 2).cast("long").as("m"))
+    val per = dsum
+      .join(intra, Seq("c"), "left")
+      .crossJoin(broadcast(mDf))
+      .select((lit(2L) * col("m") * coalesce(col("e2"), lit(0L))
+        - col("dc") * col("dc")).as("qc"))
+    labels.agg(count_distinct(col("lab")).as("n_communities"))
+      .crossJoin(mDf.select(col("m").as("n_edges")))
+      .crossJoin(per.agg(sum("qc").as("q_num")))
+      .select(col("n_communities"), col("n_edges"), col("q_num"),
+        (col("q_num").cast("double") /
+          (lit(4.0) * col("n_edges") * col("n_edges"))).as("modularity"))
+  }
+
+  /** Oracle twin of [[modularity]]: the 3 rounds unrolled (each round
+    * referenced twice by the next — AS MATERIALIZED per the k-core
+    * lesson), identical integer arithmetic.
+    */
+  def modularitySql: String = {
+    val roundsSql = (1 to ModularityRounds).map { i =>
+      val p = s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.lab, COALESCE(x.nl, l.lab)) AS lab
+         |  FROM $p l LEFT JOIN (
+         |    SELECT ed.src AS node, min(p.lab) AS nl
+         |    FROM ed JOIN $p p ON ed.dst = p.node GROUP BY ed.src) x
+         |  ON l.node = x.node)""".stripMargin
+    }.mkString(",\n")
+    val last = s"l$ModularityRounds"
+    s"""WITH $linkEdgesSql,
+       |$symmetricEdgesSql,
+       |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lab
+       |       FROM documents),
+       |$roundsSql,
+       |deg AS (SELECT src AS node, count(*) AS deg FROM ed GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM ed),
+       |intra AS (SELECT a.lab AS c, count(*) AS e2
+       |  FROM ed JOIN $last a ON ed.src = a.node
+       |          JOIN $last b ON ed.dst = b.node
+       |  WHERE a.lab = b.lab GROUP BY 1),
+       |dsum AS (SELECT l.lab AS c, CAST(sum(d.deg) AS BIGINT) AS dc
+       |  FROM $last l JOIN deg d ON l.node = d.node GROUP BY 1),
+       |per AS (SELECT 2 * mm.m * COALESCE(intra.e2, 0) - dsum.dc * dsum.dc
+       |          AS qc
+       |  FROM dsum LEFT JOIN intra USING (c), mm)
+       |SELECT
+       |  (SELECT count(DISTINCT lab) FROM $last) AS n_communities,
+       |  (SELECT m FROM mm) AS n_edges,
+       |  CAST(sum(qc) AS BIGINT) AS q_num,
+       |  CAST(CAST(sum(qc) AS BIGINT) AS DOUBLE) /
+       |    (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS modularity
+       |FROM per""".stripMargin
+  }
+
   /** Link prediction by common-neighbor count (with the Jaccard
     * coefficient as the normalized score): for every NON-adjacent pair
     * within two hops, how many neighbors they share. The candidate

@@ -414,6 +414,77 @@ object TextAnalysis {
        |  CAST(max(h_fp) AS DOUBLE) / 1e9 AS max_h
        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Zipf-exponent eval: least-squares slope of ln(frequency) vs
+    * ln(rank) over the corpus's top `topN` terms — natural language
+    * sits near −1, and a corpus drifting far from it (template spam,
+    * boilerplate floods, synthetic filler) flags itself in one number.
+    * The distribution-shape companion to [[entropy]]'s per-doc signal.
+    *
+    * Exact across engines by the house moves: both logs floor to
+    * 1e6-scaled longs (ln agrees across engines at far finer grain —
+    * the 1e-9 evidence from lmScore/klDivergence), every regression
+    * sufficient statistic (Σx, Σy, Σxy, Σx²) is an order-free exact
+    * long sum, the slope numerator/denominator are exact longs in the
+    * output, and the one IEEE division happens on operands both
+    * engines agree on bit-for-bit.
+    *
+    * Scale shape: one tf hash-aggregation over the corpus, a
+    * TakeOrdered top-`topN`, then a rank window over the
+    * ALREADY-LIMITED relation — the window input is ≤ topN rows
+    * regardless of corpus size, so the single-partition window is a
+    * constant, not a scale hazard. Returns one row:
+    * (n_terms, slope_num, slope_den, zipf_slope).
+    */
+  def zipf(docs: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val top = tf.orderBy(col("c").desc, col("term").asc).limit(topN)
+    val w = Window.orderBy(col("c").desc, col("term").asc)
+    val pts = top.withColumn("r", row_number().over(w))
+      .select(
+        floor(log(col("r").cast("double")) * lit(1e6)).cast("long").as("lx"),
+        floor(log(col("c").cast("double")) * lit(1e6)).cast("long").as("ly"))
+    pts
+      .agg(
+        count(lit(1)).as("n"),
+        sum("lx").as("sx"), sum("ly").as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .select(
+        col("n").as("n_terms"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .select(col("n_terms"), col("slope_num"), col("slope_den"),
+        (col("slope_num").cast("double") / col("slope_den").cast("double"))
+          .as("zipf_slope"))
+  }
+
+  /** Oracle twin of [[zipf]] (sums cast back per the playbook). */
+  def zipfSql(topN: Int = 100): String =
+    s"""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+       |           FROM documents),
+       |tf AS (SELECT term, count(*) AS c FROM w GROUP BY 1),
+       |top_t AS (SELECT term, c FROM tf ORDER BY c DESC, term
+       |          LIMIT $topN),
+       |pts AS (SELECT
+       |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY c DESC, term)
+       |      AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+       |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+       |  FROM top_t),
+       |s AS (SELECT count(*) AS n,
+       |    CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+       |    CAST(sum(lx * ly) AS BIGINT) AS sxy,
+       |    CAST(sum(lx * lx) AS BIGINT) AS sxx
+       |  FROM pts)
+       |SELECT n AS n_terms,
+       |  n * sxy - sx * sy AS slope_num,
+       |  n * sxx - sx * sx AS slope_den,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) /
+       |    CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+       |FROM s""".stripMargin
+
   /** Word-pair collocations by LIFT — market-basket association mining
     * with documents as transactions (the Apriori level-1 shape): only
     * words with document frequency >= `minSup` (and within the

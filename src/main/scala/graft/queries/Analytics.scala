@@ -80,6 +80,9 @@ object Analytics {
     "graph_link_prediction" -> ((s, dir) =>
       Graph.linkPrediction(s, rd(s, dir, "documents"))),
     "graph_kcore" -> ((s, dir) => Graph.kcore(s, rd(s, dir, "documents"))),
+    // community-quality eval: Newman Q of the 3-round label partition
+    "graph_modularity" -> ((s, dir) =>
+      Graph.modularity(s, rd(s, dir, "documents"))),
     "ts_ewma" -> ((s, dir) => TimeSeriesOps.ewmaLast(rdEvents(s, dir))),
     "ts_funnel" -> ((s, dir) => TimeSeriesOps.funnel(rdEvents(s, dir))),
     // the funnel within native session_window sessions (the oracle
@@ -99,6 +102,9 @@ object Analytics {
       graft.operators.TextAnalysis.collocations(rd(s, dir, "documents"))),
     "text_tfidf_keywords" -> ((s, dir) =>
       graft.operators.TextAnalysis.tfidfKeywords(rd(s, dir, "documents"))),
+    // corpus-shape eval: least-squares Zipf exponent over top terms
+    "text_zipf" -> ((s, dir) =>
+      graft.operators.TextAnalysis.zipf(rd(s, dir, "documents"))),
     "ts_transitions" -> ((s, dir) => TimeSeriesOps.transitions(rdEvents(s, dir))),
     "ts_decompose" -> ((s, dir) => TimeSeriesOps.decompose(rdEvents(s, dir))),
     "ts_paths" -> ((s, dir) => TimeSeriesOps.paths(rdEvents(s, dir))),
@@ -145,6 +151,7 @@ object Analytics {
     "graph_bfs" -> Graph.bfsSql(),
     "graph_link_prediction" -> Graph.linkPredictionSql(),
     "graph_kcore" -> Graph.kcoreSql(),
+    "graph_modularity" -> Graph.modularitySql,
     "ts_ewma" -> TimeSeriesOps.ewmaLastSql,
     "ts_funnel" -> TimeSeriesOps.funnelSql(),
     "ts_session_funnel" -> TimeSeriesOps.sessionFunnelSql(),
@@ -186,6 +193,7 @@ object Analytics {
     "text_kl_divergence" -> graft.operators.TextAnalysis.klDivergenceSql,
     "text_collocations" -> graft.operators.TextAnalysis.collocationsSql(),
     "text_tfidf_keywords" -> graft.operators.TextAnalysis.tfidfKeywordsSql(),
+    "text_zipf" -> graft.operators.TextAnalysis.zipfSql(),
     "ts_transitions" -> TimeSeriesOps.transitionsSql,
     "ts_decompose" -> TimeSeriesOps.decomposeSql,
     "ts_paths" -> TimeSeriesOps.pathsSql()

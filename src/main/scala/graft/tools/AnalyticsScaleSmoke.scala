@@ -293,6 +293,12 @@ object AnalyticsScaleSmoke {
       && sf.getLong(2) >= sf.getLong(3),
       s"session funnel not monotone: ${sf.mkString(",")}")
     println(s"[analyticsscale]   sessionFunnel=${sf.mkString(",")}")
+    val mo = timed(s"modularity ${nGraph / 1000000}M nodes x" +
+        s"${Graph.ModularityRounds} rounds") {
+      Graph.modularity(spark, docs).collect().head
+    }
+    require(mo.getLong(0) > 1, "modularity partition collapsed")
+    println(s"[analyticsscale]   modularity=${mo.mkString(",")}")
     spark.stop()
   }
 }

@@ -234,6 +234,100 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall(_._2 >= Graph.Scale * 15 / 100))
   }
 
+  test("weighted pagerank matches an exact local simulation") {
+    val n = 200
+    val docs = docsDf(n)
+    // the operator's own directed edges, with its weight function
+    // replayed locally via the Spark expression (collected once)
+    val ew = Graph.linkEdges(docs)
+      .withColumn("w", graft.operators.Sketches.hash60(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.col("src").cast("string"),
+          org.apache.spark.sql.functions.lit(":"),
+          org.apache.spark.sql.functions.col("dst").cast("string")))
+        % 9L + 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val base = Graph.Scale * 15 / 100
+    val wsum = ew.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = (0 until n).map(i => i.toLong -> Graph.Scale).toMap
+    for (_ <- 1 to Graph.Iterations) {
+      val s = ew.groupBy(_._2).view
+        .mapValues(_.map { case (u, _, w) => r(u) * w / wsum(u) }.sum)
+        .toMap
+      r = (0 until n).map { i =>
+        i.toLong -> (base + 85 * s.getOrElse(i.toLong, 0L) / 100)
+      }.toMap
+    }
+    val expected = r.toSeq.sortBy { case (node, rk) => (-rk, node) }.take(20)
+    val got = Graph.weightedPagerank(spark, docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("zipf slope matches an exact local least-squares") {
+    import spark.implicits._
+    // 4 terms with frequencies 12, 6, 4, 3 — an exact f = 12/r power
+    // law, so the ln-ln points are collinear with slope -1 (NOT a
+    // geometric sequence, which is linear in r, not ln r)
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val docs = Seq((0L, words.mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val row = graft.operators.TextAnalysis.zipf(docs).collect().head
+    assert(row.getLong(0) == 4)
+    // local replay with the operator's own fixed-point quantization
+    val pts = Seq((1, 12), (2, 6), (3, 4), (4, 3)).map { case (r, c) =>
+      (math.floor(math.log(r) * 1e6).toLong,
+        math.floor(math.log(c) * 1e6).toLong)
+    }
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    assert(row.getLong(1) == n * sxy - sx * sy)
+    assert(row.getLong(2) == n * sxx - sx * sx)
+    // the quantized slope of an exact power law is -1 to ~1e-6
+    assert(math.abs(row.getDouble(3) + 1.0) < 1e-5)
+  }
+
+  test("modularity matches an exact local simulation") {
+    val n = 200
+    val docs = docsDf(n)
+    val und = Graph.linkEdges(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toSeq
+    val sym = und ++ und.map(_.swap)
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // 3 rounds of neighbor-min folded with own label
+    var lab = (0 until n).map(i => i.toLong -> i.toLong).toMap
+    for (_ <- 1 to Graph.ModularityRounds) {
+      lab = lab.map { case (v, l) =>
+        val nmin = adj.getOrElse(v, Seq.empty).map(lab).reduceOption(_ min _)
+        v -> math.min(l, nmin.getOrElse(l))
+      }
+    }
+    val m = und.size.toLong
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val communities = lab.values.toSet
+    val qNum = communities.toSeq.map { c =>
+      val members = lab.collect { case (v, l) if l == c => v }.toSet
+      val ec = und.count { case (u, v) => members(u) && members(v) }.toLong
+      val dc = members.toSeq.map(v => deg.getOrElse(v, 0L)).sum
+      4L * m * ec - dc * dc
+    }.sum
+    val row = Graph.modularity(spark, docs).collect().head
+    assert(row.getLong(0) == communities.size.toLong)
+    assert(row.getLong(1) == m)
+    assert(row.getLong(2) == qNum)
+    assert(math.abs(row.getDouble(3) -
+      qNum.toDouble / (4.0 * m * m)) < 1e-12)
+    // a 3-hop local partition on this graph should be genuinely
+    // non-trivial: several communities, positive Q
+    assert(communities.size > 1 && qNum > 0)
+  }
+
   test("personalized pagerank matches an exact local simulation " +
       "and concentrates mass near the seeds") {
     val n = 200
