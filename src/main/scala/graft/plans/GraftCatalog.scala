@@ -220,6 +220,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "expire_snapshots" => new ExpireSnapshotsProcedure(root)
       case "remove_orphan_files" => new RemoveOrphanFilesProcedure(root)
       case "rewrite_data_files" => new RewriteDataFilesProcedure(root)
+      case "compact_dead_files" => new CompactDeadFilesProcedure(root)
       case "rewrite_position_deletes" =>
         new RewritePositionDeletesProcedure(root)
       case "bm25_search" => new Bm25SearchProcedure(root)

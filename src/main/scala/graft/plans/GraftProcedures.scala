@@ -183,6 +183,26 @@ private[plans] class RewritePositionDeletesProcedure(root: String)
   }
 }
 
+/** `compact_dead_files(table)`: drop data files whose EVERY row is
+  * position-deleted (the `mor_delete_stats` deleted_frac = 1.0 queue)
+  * and purge their now-dangling delete rows
+  * ([[Maintenance.compactDeadFiles]]). Decided from manifest metadata
+  * + delete files only — the dropped data files are never read.
+  */
+private[plans] class CompactDeadFilesProcedure(root: String)
+    extends GraftProcedure("compact_dead_files",
+      Seq.empty, StructType(Seq(
+        StructField("new_version", LongType)))) {
+  override def parameters: Array[ProcedureParameter] =
+    Array(str("table"))
+  override def run(args: InternalRow): Seq[InternalRow] = {
+    val (ns, t) = nsTable(args)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val v = Maintenance.compactDeadFiles(spark, root, ns, t)
+    Seq(new GenericInternalRow(Array[Any](v)))
+  }
+}
+
 // --- LLM-pipeline operators as SQL procedures --------------------------
 // The dedup / ANN / BM25 families were Scala-API only (VERDICT r4 item
 // 7): a SQL-only user could not invoke them. `CALL g.system.<op>(...)`

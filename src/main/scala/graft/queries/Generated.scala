@@ -1073,6 +1073,44 @@ object Generated {
     // the dead files). Checked: surviving data is untouched by the
     // whole chain, exactly 2 data files and 0 delete files remain, and
     // exactly one live snapshot survives expiry.
+    // Dead-file compaction through the SQL front door: a DELETE kills
+    // every row of the first INSERT's files via MOR pos-deletes, then
+    // CALL compact_dead_files drops those files from the manifest (no
+    // data read) and purges their delete rows. Checked: survivors and
+    // their sum untouched, ZERO delete files remain (all deletes
+    // targeted the dead files), and no empty data file lingers.
+    "gen_sql_compact_dead" -> ((s, dir) => {
+      val dRoot = GeneratedTables.ensureCustom(dir + "#sqldead") { root =>
+        s.conf.set("spark.sql.catalog.gsqld", "graft.plans.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsqld.root", root)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsqld.gen_ns")
+        s.sql("CREATE TABLE gsqld.gen_ns.td (foo STRING, bar INT, baz BOOLEAN)")
+        s.sql(s"""INSERT INTO gsqld.gen_ns.td
+                 |SELECT CAST(id AS STRING), CAST(id AS INT), true
+                 |FROM range(0, ${N / 2})""".stripMargin)
+        s.sql(s"""INSERT INTO gsqld.gen_ns.td
+                 |SELECT CAST(id AS STRING), CAST(id AS INT), false
+                 |FROM range(${N / 2}, $N)""".stripMargin)
+        s.sql(s"DELETE FROM gsqld.gen_ns.td WHERE bar < ${N / 2}")
+        s.sql("CALL gsqld.system.compact_dead_files('gen_ns.td')")
+      }
+      s.conf.set("spark.sql.catalog.gsqld", "graft.plans.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gsqld.root", dRoot)
+      s.sql(
+        """SELECT 'data' AS part, 'survivors' AS k, count(*) AS v
+          |FROM gsqld.gen_ns.td
+          |UNION ALL
+          |SELECT 'data', 'sum_bar', CAST(sum(bar) AS BIGINT)
+          |FROM gsqld.gen_ns.td
+          |UNION ALL
+          |SELECT 'meta', 'delete_files', count(*)
+          |FROM gsqld.gen_ns.`td$files` WHERE content <> 'data'
+          |UNION ALL
+          |SELECT 'meta', 'empty_data_files', count(*)
+          |FROM gsqld.gen_ns.`td$files`
+          |WHERE content = 'data' AND record_count = 0
+          |ORDER BY part, k""".stripMargin)
+    }),
     "gen_sql_maintenance" -> ((s, dir) => {
       val xRoot = GeneratedTables.ensureCustom(dir + "#sqlmaint") { root =>
         s.conf.set("spark.sql.catalog.gsqlx", "graft.plans.GraftCatalog")
@@ -1424,6 +1462,15 @@ object Generated {
     // maintenance chain: DELETE kills g%5=2; compaction to 2 files
     // folds the deletes; expiry leaves one live snapshot; orphan scan
     // finds nothing
+    "gen_sql_compact_dead" ->
+      s"""SELECT 'data' AS part, 'survivors' AS k, count(*) AS v
+         |FROM range(${N / 2}, $N) t(g)
+         |UNION ALL
+         |SELECT 'data', 'sum_bar', CAST(sum(g) AS BIGINT)
+         |FROM range(${N / 2}, $N) t(g)
+         |UNION ALL SELECT 'meta', 'delete_files', CAST(0 AS BIGINT)
+         |UNION ALL SELECT 'meta', 'empty_data_files', CAST(0 AS BIGINT)
+         |ORDER BY part, k""".stripMargin,
     "gen_sql_maintenance" ->
       s"""SELECT 'data' AS part, 'survivors' AS k, count(*) AS v
          |FROM range(0, $N) t(g) WHERE g % 5 <> 2
