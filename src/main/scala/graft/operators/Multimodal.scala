@@ -176,6 +176,29 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** Real PCM16-mono WAV encoder (the audio twin of [[encodeGrayBmp]]):
+    * RIFF/WAVE container with a 16-byte fmt chunk and little-endian
+    * samples — what [[decodeAudio]]'s javax.sound path reads back
+    * losslessly, so a synthesized fixture round-trips bit-exactly.
+    */
+  def encodePcmWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   /** Partition-batched audio feature extraction over (doc_id, payload
     * binary) — the same mapPartitions shape as [[decodeFeatures]]; rows
     * whose payload is not audio are dropped (a production pipeline

@@ -378,6 +378,31 @@ object Extensions {
         .toDF("doc_id", "frame_no", "width", "height")
         .orderBy("doc_id", "frame_no")
     }),
+    // REAL audio decode end to end (the WAV twin of multimodal_video):
+    // per doc, synthesize 16-bit PCM mono WAV bytes with deterministic
+    // samples v_i = (doc_id*31 + i*7) % 2001 - 1000, then decode back
+    // through the real javax.sound path — header fields AND the exact
+    // integer RMS of the samples. The oracle replays the synthesis
+    // arithmetic in SQL (sum of squares is an exact long; sqrt is
+    // IEEE-correctly-rounded, so floor(sqrt(ss/n)) agrees bit-for-bit),
+    // so any container-write, header-parse, endianness, or sample-
+    // reconstruction drift fails the hash.
+    "multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      rd(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nf = (64 + id % 64).toInt
+            val samples = Array.tabulate(nf)(i =>
+              ((id * 31 + i * 7) % 2001 - 1000).toShort)
+            (id, Multimodal.encodePcmWav(samples, 8000))
+          }
+        }
+        .toDF("doc_id", "payload")
+        .transform(df => Multimodal.audioFeatures(s, df).toDF())
+        .orderBy("doc_id")
+    }),
     // Per-label embedding aggregate (IVF-centroid building block):
     // exact decimal per-dimension sums published as double + counts.
     "q_centroid" -> ((s, dir) => {
@@ -1748,6 +1773,23 @@ object Extensions {
         |SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
         |  CAST(greatest(1, CAST(trunc(w0 * scale) AS INTEGER)) AS INTEGER) AS width,
         |  CAST(greatest(1, CAST(trunc(h0 * scale) AS INTEGER)) AS INTEGER) AS height
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the synthesis arithmetic replayed: exact long sum of squares,
+    // one correctly-rounded sqrt, floor — bit-identical to the JVM's
+    // sqrt(ss/n).toLong on the decoded samples
+    "multimodal_audio" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS nf FROM documents),
+        |s AS (SELECT doc_id, nf,
+        |        CAST((doc_id * 31 + i * 7) % 2001 - 1000 AS BIGINT) AS v
+        |      FROM d, range(0, 128) t(i) WHERE i < nf),
+        |a AS (SELECT doc_id, max(nf) AS nf,
+        |        CAST(sum(v * v) AS BIGINT) AS ss, count(*) AS n
+        |      FROM s GROUP BY doc_id)
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(floor(sqrt(CAST(ss AS DOUBLE) / n)) AS BIGINT) AS rms
+        |FROM a ORDER BY doc_id""".stripMargin
   )
 }
