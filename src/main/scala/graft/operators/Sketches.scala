@@ -239,6 +239,82 @@ object Sketches {
        |SELECT ex.g AS $groupCol, n_exact, $HllAlphaM2 / z AS est_distinct
        |FROM ex JOIN z USING (g) ORDER BY $groupCol""".stripMargin
 
+  /** HLL register vector (bucket → max rho) of one corpus — the
+    * mergeable state behind [[hllEstimate]], exposed for the union
+    * algebra below.
+    */
+  private def hllRegs(df: DataFrame, valueCol: String): DataFrame = df
+    .select(hash60(col(valueCol)).as("h"))
+    .select(pmod(col("h"), lit(HllM.toLong)).as("bucket"),
+      expr(s"h div $HllM").as("h2"))
+    .select(col("bucket"),
+      when(col("h2") === 0L, lit(HllRhoCap))
+        .otherwise(least(expr("CAST(log2(h2 & -h2) AS INT) + 1"),
+          lit(HllRhoCap))).as("rho"))
+    .groupBy("bucket").agg(max("rho").as("r"))
+
+  /** The HLL estimate off a register relation, as a 1-row aggregate.
+    * The z-sum's 1/2^r terms are dyadic-exact (r ≤ [[HllRhoCap]]), so
+    * the double sum is order-free and engine-portable.
+    */
+  private def hllEstFromRegs(regs: DataFrame, name: String): DataFrame =
+    regs.agg((lit(HllAlphaM2) /
+      (sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)"))
+        + (lit(HllM) - count(lit(1))).cast("double"))).as(name))
+
+  /** HLL union across two corpora: per-side estimates, the estimate
+    * off the MERGED register vector (per-bucket max — the property
+    * that makes HLL a cluster aggregation: per-partition registers
+    * merge losslessly, which raw distinct counts cannot), and the
+    * inclusion-exclusion intersection implied by the three. Completes
+    * the sketch set algebra next to [[kmvOverlap]]/[[kmvDifference]]:
+    * neither corpus is ever joined against the other — all set logic
+    * runs on two [[HllM]]-register vectors.
+    */
+  def hllUnion(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    // each side's registers feed BOTH its own estimate and the merge
+    val ra = graft.CacheScope.cached(hllRegs(a, valueCol))
+    val rb = graft.CacheScope.cached(hllRegs(b, valueCol))
+    val ru = ra.union(rb).groupBy("bucket").agg(max("r").as("r"))
+    hllEstFromRegs(ra, "est_a")
+      .crossJoin(hllEstFromRegs(rb, "est_b"))
+      .crossJoin(hllEstFromRegs(ru, "est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersection"))
+  }
+
+  /** Oracle twin of [[hllUnion]]: the identical register chain per
+    * side, per-bucket max merge, same dyadic-exact estimates.
+    */
+  def hllUnionSql(predA: String, predB: String): String = {
+    def regsSql(src: String): String =
+      s"""SELECT h % $HllM AS bucket,
+         |  max(CASE WHEN h // $HllM = 0 THEN $HllRhoCap
+         |      ELSE least(CAST(log2((h // $HllM) & (-(h // $HllM)))
+         |        AS INT) + 1, $HllRhoCap) END) AS r
+         |FROM $src GROUP BY 1""".stripMargin
+    def estSql(regs: String, name: String): String =
+      s"""SELECT $HllAlphaM2 /
+         |  (sum(1.0 / CAST(CAST(1 AS BIGINT) << r AS DOUBLE))
+         |    + CAST($HllM - count(*) AS DOUBLE)) AS $name
+         |FROM $regs""".stripMargin
+    s"""WITH ha AS (SELECT ${hash60Sql("text")} AS h
+       |            FROM documents WHERE $predA),
+       |hb AS (SELECT ${hash60Sql("text")} AS h
+       |       FROM documents WHERE $predB),
+       |ra AS (${regsSql("ha")}),
+       |rb AS (${regsSql("hb")}),
+       |ru AS (SELECT bucket, max(r) AS r FROM
+       |       (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+       |ea AS (${estSql("ra", "est_a")}),
+       |eb AS (${estSql("rb", "est_b")}),
+       |eu AS (${estSql("ru", "est_union")})
+       |SELECT est_a, est_b, est_union,
+       |  est_a + est_b - est_union AS est_intersection
+       |FROM ea, eb, eu""".stripMargin
+  }
+
   /** KMV overlap estimate between two corpora: cardinality of each
     * side, of the union (merged sketch), the Jaccard estimate (shared
     * fraction of the union sketch), and the implied intersection size.

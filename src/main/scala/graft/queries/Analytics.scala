@@ -63,6 +63,15 @@ object Analytics {
         b = d.filter(col("doc_id") % 3 === 0),
         valueCol = "text")
     }),
+    // HLL set algebra: registers merge by per-bucket max — the
+    // cluster-aggregation property, same corpus split as kmv_overlap
+    "sketch_hll_union" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      Sketches.hllUnion(
+        a = d.filter(col("doc_id") % 2 === 0),
+        b = d.filter(col("doc_id") % 3 === 0),
+        valueCol = "text")
+    }),
     "graph_pagerank" -> ((s, dir) => Graph.pagerank(s, rd(s, dir, "documents"))),
     // property-graph centrality: rank split proportional to edge weights
     "graph_wpagerank" -> ((s, dir) =>
@@ -135,6 +144,7 @@ object Analytics {
     "sketch_kmv_incremental" -> Sketches.kmvDistinctSql("source"),
     "sketch_kmv_overlap" -> Sketches.kmvOverlapSql(corpusA, corpusB),
     "sketch_kmv_difference" -> Sketches.kmvDifferenceSql(corpusA, corpusB),
+    "sketch_hll_union" -> Sketches.hllUnionSql(corpusA, corpusB),
     "sketch_hll_estimate" -> Sketches.hllEstimateSql("source"),
     "sketch_quantile" -> Sketches.quantileSketchSql,
     // the distributed merge changes execution, never results: shares

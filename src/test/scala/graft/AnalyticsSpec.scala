@@ -265,6 +265,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("hll union: merged registers estimate EXACTLY like a one-shot " +
+      "sketch of the union corpus") {
+    val d = docsDf(300)
+    val a = d.filter(col("doc_id") % 2 === 0)
+    val b = d.filter(col("doc_id") % 3 === 0)
+    val viaMerge = Sketches.hllUnion(a, b, "text")
+      .collect().head.getAs[Double]("est_union")
+    // one-shot: the union corpus through hllEstimate directly (the
+    // distinct() only dedups DataFrame rows — the sketch itself is
+    // duplicate-insensitive either way)
+    val union = a.union(b).distinct()
+      .withColumn("g", org.apache.spark.sql.functions.lit("x"))
+    val direct = Sketches.hllEstimate(union, "g", col("text"))
+      .collect().head.getAs[Double]("est_distinct")
+    assert(viaMerge == direct,
+      s"merge law broken: $viaMerge != $direct")
+    graft.CacheScope.drain()
+  }
+
   test("zipf slope matches an exact local least-squares") {
     import spark.implicits._
     // 4 terms with frequencies 12, 6, 4, 3 — an exact f = 12/r power
