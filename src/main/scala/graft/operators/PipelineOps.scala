@@ -218,6 +218,53 @@ object PipelineOps {
       .groupBy("split", "lang").agg(count(lit(1)).as("n"))
       .orderBy("split", "lang")
 
+  /** The 80/10/10 split label for an id expression — the one hash rule
+    * [[trainValTest]] and [[leakageSafeSplit]] share.
+    */
+  private def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = pmod(TextHash.rollingHash(concat(lit("v"), id.cast("string"))),
+      lit(100))
+    when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+  }
+
+  /** Leakage-safe train/valid/test split: assignment is by NEAR-DUP
+    * CLUSTER, not by document — the same 80/10/10 hash rule as
+    * [[trainValTest]], applied to the [[dedupClusters]] label
+    * (documents outside any near-dup pair are their own singleton
+    * group), so a near-duplicate of a test document can never land in
+    * train. That is the contamination path a doc-level split leaves
+    * wide open and decontamination-by-ngram only partially closes.
+    * Output: one row per split with document count, group count, and
+    * `n_leaky_docs` — how many documents the doc-level rule would have
+    * assigned to a DIFFERENT split than their cluster, i.e. the
+    * leakage this operator prevents, measured on this corpus.
+    *
+    * Scale: the cluster relation covers near-dup members only (tiny at
+    * any corpus scale); one left join against it and one hash
+    * aggregation over the corpus. No group ever spans splits BY
+    * CONSTRUCTION (one hash per group) — the spec asserts it anyway.
+    */
+  def leakageSafeSplit(docs: DataFrame): DataFrame =
+    leakageSafeAssignment(docs)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("grp")).as("n_groups"),
+        sum(when(col("doc_split") =!= col("split"), 1L).otherwise(0L))
+          .as("n_leaky_docs"))
+      .orderBy("split")
+
+  /** Per-document assignment behind [[leakageSafeSplit]] (spec
+    * surface): (doc_id, grp, split, doc_split).
+    */
+  private[graft] def leakageSafeAssignment(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(dedupClusters(docs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("grp"))
+      .select(col("doc_id"), col("grp"),
+        splitOf(col("grp")).as("split"),
+        splitOf(col("doc_id")).as("doc_split"))
+
   /** Corpus-level most-frequent word n-grams (boilerplate detection,
     * contamination screening). N-grams are built with per-document
     * `lead` windows over exploded words — codegen'd window columns, no

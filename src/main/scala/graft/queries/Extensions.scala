@@ -247,6 +247,10 @@ object Extensions {
     "pipe_shuffle" -> ((s, dir) => PipelineOps.shuffleShards(rd(s, dir, "documents"))),
     "pipe_chunk" -> ((s, dir) => PipelineOps.chunkDocuments(rd(s, dir, "documents"))),
     "pipe_split" -> ((s, dir) => PipelineOps.trainValTest(rd(s, dir, "documents"))),
+    // split by near-dup CLUSTER: duplicates never straddle train/test;
+    // n_leaky_docs counts what the doc-level rule would have leaked
+    "pipe_split_leakage_safe" -> ((s, dir) =>
+      PipelineOps.leakageSafeSplit(rd(s, dir, "documents"))),
     "pipe_datacard" -> ((s, dir) => PipelineOps.dataCard(rd(s, dir, "documents"))),
     "pipe_token_budget" -> ((s, dir) => PipelineOps.tokenBudget(rd(s, dir, "documents"))),
     "pipe_interleave" -> ((s, dir) => PipelineOps.interleave(rd(s, dir, "documents"))),
@@ -690,8 +694,12 @@ object Extensions {
   /** The LSH-cluster label-propagation oracle, shared by the
     * cluster listing and the cluster-size histogram.
     */
-  private lazy val dedupClustersSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The near-dup pair graph + 3-round min-label propagation as a CTE
+    * prefix (through `l3`) — shared by the clusters oracle and the
+    * leakage-safe-split oracle.
+    */
+  private lazy val clustersCtesSql: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
          |        FROM t WHERE len(w) >= 4),
          |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
@@ -715,8 +723,35 @@ object Extensions {
          |n3 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
          |       FROM edges e JOIN l2 l ON l.doc_id = e.dst GROUP BY e.src),
          |l3 AS (SELECT l2.doc_id, least(l2.lab, n3.nlab) AS lab
-         |       FROM l2 JOIN n3 USING (doc_id))
-         |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin
+         |       FROM l2 JOIN n3 USING (doc_id))""".stripMargin
+
+  private lazy val dedupClustersSql: String =
+    s"""WITH $clustersCtesSql
+       |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin
+
+  /** Oracle of the leakage-safe split: cluster labels from the same
+    * CTE chain, the 80/10/10 rolling-hash rule applied to the GROUP
+    * (singletons = own doc_id), and the doc-level counterfactual for
+    * the leak count.
+    */
+  private lazy val leakageSafeSplitSql: String = {
+    def caseSql(b: String): String =
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'valid' " +
+        "ELSE 'test' END"
+    s"""WITH $clustersCtesSql,
+       |g AS (SELECT d.doc_id, COALESCE(l3.lab, d.doc_id) AS grp
+       |      FROM documents d LEFT JOIN l3 ON l3.doc_id = d.doc_id),
+       |s AS (SELECT doc_id, grp,
+       |        ${rollSql("'v' || CAST(grp AS VARCHAR)")} % 100 AS gb,
+       |        ${rollSql("'v' || CAST(doc_id AS VARCHAR)")} % 100 AS db
+       |      FROM g)
+       |SELECT ${caseSql("gb")} AS split,
+       |  count(*) AS n_docs,
+       |  count(DISTINCT grp) AS n_groups,
+       |  CAST(sum(CASE WHEN ${caseSql("db")} <> ${caseSql("gb")}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs
+       |FROM s GROUP BY 1 ORDER BY split""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1369,6 +1404,7 @@ object Extensions {
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "dedup_clusters" -> dedupClustersSql,
+    "pipe_split_leakage_safe" -> leakageSafeSplitSql,
 
     // duplicate-family size distribution: how much corpus mass
     // sits in big dup families (size 1 = unique docs)

@@ -265,6 +265,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("leakage-safe split: no near-dup cluster ever spans splits") {
+    import spark.implicits._
+    // force near-dup pairs: docs 2k and 2k+1 share identical text
+    val docs = (0 until 120)
+      .map(i => (i.toLong,
+        s"shared body text token alpha beta gamma delta epsilon ${i / 2}",
+        s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val assign = graft.operators.PipelineOps.leakageSafeAssignment(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3)))
+    graft.CacheScope.drain()
+    // every group maps to exactly one split — the defining invariant
+    val spansByGroup = assign.groupBy(_._2)
+      .values.count(_.map(_._3).distinct.size > 1)
+    assert(spansByGroup == 0)
+    // the identical-text pairs really did cluster together
+    val grpOf = assign.map(a => a._1 -> a._2).toMap
+    (0 until 120 by 2).foreach { i =>
+      assert(grpOf(i.toLong) == grpOf(i.toLong + 1),
+        s"docs $i/${i + 1} share text but split groups differ")
+    }
+    // summary consistency: leaky = docs whose doc-level label differs
+    val summary = graft.operators.PipelineOps.leakageSafeSplit(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    graft.CacheScope.drain()
+    val leaky = assign.count(a => a._3 != a._4).toLong
+    assert(summary.values.map(_._3).sum == leaky)
+    assert(summary.values.map(_._1).sum == 120L)
+  }
+
   test("hll union: merged registers estimate EXACTLY like a one-shot " +
       "sketch of the union corpus") {
     val d = docsDf(300)
