@@ -408,6 +408,87 @@ object TimeSeriesOps {
        |  CAST(sd AS DOUBLE) / n_days / 7.0 / 10000.0 AS seasonal
        |FROM s ORDER BY event_type, dow""".stripMargin
 
+  /** Seasonal-residual anomaly detection — the composition of
+    * [[decompose]] (what is the weekly shape) and [[anomalyMad]]'s
+    * robust rule (which points break it): daily totals are DETRENDED
+    * by the same centered 7-day window (r = v·7 − sum7, exact longs),
+    * and outliers are flagged by the 3·MAD rule WITHIN each
+    * (event_type, day-of-week) group — comparing Mondays to Mondays
+    * handles the seasonal component structurally, with no
+    * seasonal-estimate division entering the residual (everything
+    * stays an integer-valued double, so the percentile interpolation
+    * is exact in both engines per the playbook). Returns one row per
+    * (event_type, dow): days observed, days flagged, median and MAD
+    * of the residual in value units.
+    *
+    * Scale: one daily aggregation, one bounded 7-row window per type,
+    * two percentile aggregations over |types|·|dows| groups — state is
+    * per-group, never per-event.
+    */
+  def residualAnomaly(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 10000).cast("long").as("x"))
+      .groupBy("event_type", "day")
+      .agg(sum("x").as("v"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val detr = daily
+      .withColumn("sum7", sum("v").over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .filter(col("cnt7") === 7)
+      .select(col("event_type"), weekday(col("day")).as("dow"),
+        (col("v") * 7 - col("sum7")).cast("double").as("r"))
+    val med = detr.groupBy("event_type", "dow")
+      .agg(expr("percentile(r, 0.5)").as("med"))
+    val mad = detr.join(med, Seq("event_type", "dow"))
+      .groupBy("event_type", "dow")
+      .agg(expr("percentile(abs(r - med), 0.5)").as("mad"),
+        first("med").as("med"))
+    detr.join(mad, Seq("event_type", "dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(abs(col("r") - col("med")) > lit(3) * col("mad"), 1L)
+          .otherwise(0L)).as("n_flagged"),
+        first("med").as("med_r"), first("mad").as("mad_r"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        col("n_flagged"),
+        // r is in 7 x 1e-4 value units: one agreed division back
+        (col("med_r") / 70000.0).as("median_resid"),
+        (col("mad_r") / 70000.0).as("mad_resid"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** Oracle twin of [[residualAnomaly]] (decompose's CTEs + the
+    * quantile_cont MAD rule; Spark weekday() = DuckDB isodow − 1).
+    */
+  def residualAnomalySql: String =
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT event_type, day, v,
+       |    CAST(sum(v) OVER w7 AS BIGINT) AS sum7,
+       |    count(*) OVER w7 AS cnt7
+       |  FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |r AS (SELECT event_type, isodow(day) - 1 AS dow,
+       |    CAST(v * 7 - sum7 AS DOUBLE) AS r
+       |  FROM t WHERE cnt7 = 7),
+       |med AS (SELECT event_type, dow, quantile_cont(r, 0.5) AS med
+       |        FROM r GROUP BY 1, 2),
+       |mad AS (SELECT r.event_type, r.dow,
+       |          quantile_cont(abs(r - med), 0.5) AS mad,
+       |          any_value(med) AS med
+       |        FROM r JOIN med USING (event_type, dow) GROUP BY 1, 2)
+       |SELECT r.event_type, r.dow, count(*) AS n_days,
+       |  CAST(sum(CASE WHEN abs(r - med) > 3 * mad THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged,
+       |  any_value(med) / 70000.0 AS median_resid,
+       |  any_value(mad) / 70000.0 AS mad_resid
+       |FROM r JOIN mad USING (event_type, dow)
+       |GROUP BY r.event_type, r.dow
+       |ORDER BY event_type, dow""".stripMargin
+
   /** First-order Markov transition matrix of event types per the
     * user-ordered event stream: counts and row-normalized
     * probabilities for every (from, to) pair of CONSECUTIVE events of

@@ -116,6 +116,9 @@ object Analytics {
       graft.operators.TextAnalysis.zipf(rd(s, dir, "documents"))),
     "ts_transitions" -> ((s, dir) => TimeSeriesOps.transitions(rdEvents(s, dir))),
     "ts_decompose" -> ((s, dir) => TimeSeriesOps.decompose(rdEvents(s, dir))),
+    // decompose x anomalyMad composed: which days break the weekly shape
+    "ts_residual_anomaly" -> ((s, dir) =>
+      TimeSeriesOps.residualAnomaly(rdEvents(s, dir))),
     "ts_paths" -> ((s, dir) => TimeSeriesOps.paths(rdEvents(s, dir))),
     "ts_xcorr" -> ((s, dir) => TimeSeriesOps.xcorr(rdEvents(s, dir))),
     "ts_forecast_eval" -> ((s, dir) =>
@@ -206,6 +209,7 @@ object Analytics {
     "text_zipf" -> graft.operators.TextAnalysis.zipfSql(),
     "ts_transitions" -> TimeSeriesOps.transitionsSql,
     "ts_decompose" -> TimeSeriesOps.decomposeSql,
+    "ts_residual_anomaly" -> TimeSeriesOps.residualAnomalySql,
     "ts_paths" -> TimeSeriesOps.pathsSql()
   )
 }
