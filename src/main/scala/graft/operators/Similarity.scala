@@ -480,6 +480,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of the PQ path (ADC shortlist + exact re-rank) against
+    * brute-force ground truth — the compression-loss eval the PQ
+    * family was missing next to the IVF routing evals
+    * ([[recallEval]]/[[recallEvalTrained]]): how much of the true
+    * top-k survives the 16-32x memory reduction at a given shortlist
+    * depth. Codebooks/codes train once for the whole query batch; the
+    * ADC tables are (nQueries·subs·kCodes) rows — broadcast; ground
+    * truth and the re-rank share ONE cosine relation so the rankings
+    * cannot drift. recall = |pq ∩ exact| / k on agreed longs.
+    */
+  def recallEvalPq(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      subDims: Int = 8, kCodes: Int = 16, iters: Int = 1,
+      rerank: Int = 80): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val sims = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = sims.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k).select("qid", "vec_id")
+    val dims = pqNormalizedDims(emb, subDims)
+    val cb = pqTrain(dims, kCodes, iters)
+    val codes = pqAssign(dims, cb)
+    val qd = dims.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("spos"),
+        col("e").as("qe"))
+    val adc = cb.join(broadcast(qd), Seq("sub", "spos"))
+      .groupBy("qid", "sub", "cid")
+      .agg(sum(floor((col("c") - col("qe")) * (col("c") - col("qe"))
+        * lit(1e12))).as("d"))
+    val wa = Window.partitionBy("qid")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val shortlist = codes.join(broadcast(adc), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum("d").as("adist"))
+      .withColumn("rs", row_number().over(wa))
+      .filter(col("rs") <= rerank)
+      .select(col("qid").as("s_qid"), col("vec_id").as("s_vec"))
+    val pq = sims
+      .join(shortlist,
+        col("qid") === col("s_qid") && col("vec_id") === col("s_vec"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("p_qid"), col("vec_id").as("pq_vec"))
+    exact
+      .join(pq, col("qid") === col("p_qid") &&
+        col("vec_id") === col("pq_vec"), "left")
+      .groupBy("qid")
+      .agg(count(col("pq_vec")).as("n_hit"))
+      .select(col("qid"), lit(k).as("k"), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Persist the trained PQ index (codebook + codes) as committed
     * tables — train ONCE, search many: the search side never touches
     * the corpus embeddings except to re-rank its shortlist, so query

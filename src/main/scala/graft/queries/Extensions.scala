@@ -160,6 +160,10 @@ object Extensions {
     // 0.11 label-partition recall above calls for (r10 verdict item 5)
     "ann_recall_eval_trained" -> ((s, dir) =>
       Similarity.recallEvalTrained(rdEmbeddings(s, dir))),
+    // compression-loss eval for the PQ path: how much of the true
+    // top-k survives ADC shortlisting + exact re-rank
+    "ann_recall_eval_pq" -> ((s, dir) =>
+      Similarity.recallEvalPq(rdEmbeddings(s, dir))),
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedTopK(rdEmbeddings(s, dir))),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rdEmbeddings(s, dir))),
@@ -577,8 +581,12 @@ object Extensions {
     * shared by ann_pq and ann_pq_indexed, which run the identical
     * algorithm (the latter via materialized index tables).
     */
-  private lazy val annPqSql: String =
-    s"""WITH raw AS (
+  /** The PQ training pipeline as a CTE prefix (normalized subvector
+    * dims → seeded codebook → one Lloyd round → final codes) — shared
+    * by the top-k oracle and the PQ recall eval.
+    */
+  private lazy val pqTrainCtesSql: String =
+    s"""raw AS (
        |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
        |         CAST(embedding[i + 1] AS DOUBLE) AS e
        |  FROM embeddings, range(0, 64) t(i)),
@@ -601,7 +609,10 @@ object Extensions {
        |      / 10000000.0 / count(*) AS c
        |  FROM dims d JOIN a1 a ON d.vec_id = a.vec_id AND d.sub = a.sub
        |  GROUP BY d.sub, a.cid, d.spos),
-       |codes AS (${pqAssignSql("cb1")}),
+       |codes AS (${pqAssignSql("cb1")})""".stripMargin
+
+  private lazy val annPqSql: String =
+    s"""WITH $pqTrainCtesSql,
        |qd AS (SELECT sub, spos, e AS qe FROM dims WHERE vec_id = 0),
        |adc AS (
        |  SELECT c.sub, c.cid,
@@ -620,6 +631,48 @@ object Extensions {
        |SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
        |FROM e JOIN short USING (vec_id), q
        |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** Oracle of the PQ recall eval: the same training CTEs, ADC +
+    * shortlist per query, exact re-rank from the shared cosine
+    * relation, recall = overlap/k.
+    */
+  private lazy val annPqRecallSql: String =
+    s"""WITH $pqTrainCtesSql,
+       |qd AS (SELECT vec_id AS qid, sub, spos, e AS qe
+       |       FROM dims WHERE vec_id < 8),
+       |adc AS (
+       |  SELECT q.qid, c.sub, c.cid,
+       |    sum(CAST(floor((c.c - q.qe) * (c.c - q.qe) * 1000000000000.0)
+       |      AS BIGINT)) AS d
+       |  FROM cb1 c JOIN qd q ON c.sub = q.sub AND c.spos = q.spos
+       |  GROUP BY q.qid, c.sub, c.cid),
+       |short AS (SELECT qid, vec_id FROM (
+       |    SELECT a.qid, co.vec_id,
+       |      row_number() OVER (PARTITION BY a.qid
+       |        ORDER BY sum(a.d) ASC, co.vec_id ASC) AS rs
+       |    FROM codes co JOIN adc a ON co.sub = a.sub AND co.cid = a.cid
+       |    WHERE co.vec_id <> a.qid
+       |    GROUP BY a.qid, co.vec_id)
+       |  WHERE rs <= 80),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+       |sims AS (
+       |  SELECT q.qid, e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+       |  FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id ASC) AS rk FROM sims) WHERE rk <= 10),
+       |pq AS (SELECT qid, vec_id FROM (
+       |  SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+       |    ORDER BY s.sim DESC, s.vec_id ASC) AS rk
+       |  FROM sims s JOIN short sh ON sh.qid = s.qid
+       |    AND sh.vec_id = s.vec_id)
+       |  WHERE rk <= 10)
+       |SELECT exact.qid, 10 AS k, count(pq.vec_id) AS n_hit,
+       |  CAST(count(pq.vec_id) AS DOUBLE) / 10 AS recall
+       |FROM exact LEFT JOIN pq
+       |  ON exact.qid = pq.qid AND exact.vec_id = pq.vec_id
+       |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
 
   /** DuckDB PQ E-step: nearest code per (vector, subspace) from
     * codebook CTE `c` (fixed-point-exact distance, ties on cid).
@@ -1007,6 +1060,7 @@ object Extensions {
          |  min(sim) AS min_sim, max(sim) AS max_sim
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ann_recall_eval_nprobe4" -> Similarity.recallEvalSql(nprobe = 4),
+    "ann_recall_eval_pq" -> annPqRecallSql,
 
     // the trained-IVF k-means replayed (same CTE chain as emb_kmeans /
     // ann_ivf_trained), then the recallEval harness over ITS routing:
