@@ -253,6 +253,37 @@ object PipelineOps {
           .as("n_leaky_docs"))
       .orderBy("split")
 
+  /** End-to-end curation composite — the operators chained the way a
+    * production corpus build chains them, proving the family COMPOSES
+    * rather than existing as isolated queries: (1) the Gopher rule
+    * gate ([[TextAnalysis.gopherRules]], passes = 1) drops junk; (2)
+    * exact-dedup keep-best ([[Dedup.keepBest]]) keeps one
+    * representative per fingerprint among the gated survivors; (3)
+    * the leakage-safe rule assigns each survivor to train/valid/test
+    * by its near-dup CLUSTER. Output: per split, document count,
+    * group count, and total characters — the numbers a dataset card
+    * quotes for the final cut.
+    *
+    * Scale: each stage is the already-audited linear shape of its
+    * operator; the composition adds only doc-id semi-joins between
+    * stages. Every stage is ALSO individually oracle-checked by its
+    * own query, so a composite mismatch localizes immediately.
+    */
+  def e2eCuration(docs: DataFrame): DataFrame = {
+    val gated = docs.join(
+      TextAnalysis.gopherRules(docs).filter(col("passes") === 1L)
+        .select("doc_id"), "doc_id")
+    val best = Dedup.keepBest(gated).select("doc_id")
+    val survivors = docs.join(best, "doc_id")
+    leakageSafeAssignment(survivors)
+      .join(survivors.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("grp")).as("n_groups"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("split")
+  }
+
   /** Per-document assignment behind [[leakageSafeSplit]] (spec
     * surface): (doc_id, grp, split, doc_split).
     */

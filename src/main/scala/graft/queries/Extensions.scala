@@ -255,6 +255,10 @@ object Extensions {
     // n_leaky_docs counts what the doc-level rule would have leaked
     "pipe_split_leakage_safe" -> ((s, dir) =>
       PipelineOps.leakageSafeSplit(rd(s, dir, "documents"))),
+    // the whole curation chain composed: gate -> keep-best dedup ->
+    // cluster-keyed split -> per-split dataset-card numbers
+    "pipe_e2e_curation" -> ((s, dir) =>
+      PipelineOps.e2eCuration(rd(s, dir, "documents"))),
     "pipe_datacard" -> ((s, dir) => PipelineOps.dataCard(rd(s, dir, "documents"))),
     "pipe_token_budget" -> ((s, dir) => PipelineOps.tokenBudget(rd(s, dir, "documents"))),
     "pipe_interleave" -> ((s, dir) => PipelineOps.interleave(rd(s, dir, "documents"))),
@@ -748,11 +752,12 @@ object Extensions {
     * cluster listing and the cluster-size histogram.
     */
   /** The near-dup pair graph + 3-round min-label propagation as a CTE
-    * prefix (through `l3`) — shared by the clusters oracle and the
-    * leakage-safe-split oracle.
+    * prefix (through `l3`) over the given base relation — shared by
+    * the clusters oracle, the leakage-safe-split oracle, and the e2e
+    * curation composite.
     */
-  private lazy val clustersCtesSql: String =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private def clustersCtes(base: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $base),
          |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
          |        FROM t WHERE len(w) >= 4),
          |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
@@ -779,8 +784,52 @@ object Extensions {
          |       FROM l2 JOIN n3 USING (doc_id))""".stripMargin
 
   private lazy val dedupClustersSql: String =
-    s"""WITH $clustersCtesSql
+    s"""WITH ${clustersCtes("documents")}
        |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin
+
+  /** Oracle of the e2e curation composite: Gopher gate → keep-best
+    * exact dedup → cluster-keyed split, each stage the SAME SQL its
+    * standalone oracle uses (gate thresholds inlined, clusters chain
+    * re-based onto the survivor set).
+    */
+  private lazy val e2eCurationSql: String = {
+    def caseSql(b: String): String =
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'valid' " +
+        "ELSE 'test' END"
+    s"""WITH gt AS (SELECT doc_id, text,
+       |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |gok AS (SELECT doc_id FROM (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS nw,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+       |      / len(w) AS mean_wl,
+       |    CAST(len(regexp_extract_all(text, '#'))
+       |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+       |      / len(w) AS sym_ratio,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS DOUBLE) / len(w) AS alpha_frac,
+       |    len(list_filter(w, x -> list_contains(
+       |      ['the','a','of','and','to','in','is'], x))) AS n_stop
+       |  FROM gt)
+       |  WHERE nw >= 50 AND nw <= 100000
+       |    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+       |    AND sym_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2),
+       |gated AS (SELECT d.* FROM documents d JOIN gok USING (doc_id)),
+       |fb AS (SELECT doc_id, n_chars, md5($normSql) AS fp FROM gated),
+       |rb AS (SELECT doc_id, row_number() OVER (PARTITION BY fp
+       |         ORDER BY n_chars DESC, doc_id) AS rk FROM fb),
+       |surv AS (SELECT d.* FROM documents d
+       |         JOIN (SELECT doc_id FROM rb WHERE rk = 1) b USING (doc_id)),
+       |${clustersCtes("surv")},
+       |gg AS (SELECT s.doc_id, s.n_chars, COALESCE(l3.lab, s.doc_id) AS grp
+       |       FROM surv s LEFT JOIN l3 ON l3.doc_id = s.doc_id),
+       |sp AS (SELECT doc_id, n_chars, grp,
+       |         ${rollSql("'v' || CAST(grp AS VARCHAR)")} % 100 AS gb
+       |       FROM gg)
+       |SELECT ${caseSql("gb")} AS split, count(*) AS n_docs,
+       |  count(DISTINCT grp) AS n_groups,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
+  }
 
   /** Oracle of the leakage-safe split: cluster labels from the same
     * CTE chain, the 80/10/10 rolling-hash rule applied to the GROUP
@@ -791,7 +840,7 @@ object Extensions {
     def caseSql(b: String): String =
       s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'valid' " +
         "ELSE 'test' END"
-    s"""WITH $clustersCtesSql,
+    s"""WITH ${clustersCtes("documents")},
        |g AS (SELECT d.doc_id, COALESCE(l3.lab, d.doc_id) AS grp
        |      FROM documents d LEFT JOIN l3 ON l3.doc_id = d.doc_id),
        |s AS (SELECT doc_id, grp,
@@ -1459,6 +1508,7 @@ object Extensions {
 
     "dedup_clusters" -> dedupClustersSql,
     "pipe_split_leakage_safe" -> leakageSafeSplitSql,
+    "pipe_e2e_curation" -> e2eCurationSql,
 
     // duplicate-family size distribution: how much corpus mass
     // sits in big dup families (size 1 = unique docs)
