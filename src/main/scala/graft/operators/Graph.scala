@@ -446,7 +446,13 @@ object Graph {
     * degree-ordered edge orientation. Returns one row:
     * (n_nodes, n_edges, n_triangles).
     */
-  def triangles(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** The undirected edge list plus its degree-ordered orientation
+    * (Schank & Wagner 2005), both cached — shared by [[triangles]]
+    * and [[edgeSupport]]. Orienting each edge from its lower
+    * (degree, id) endpoint bounds the wedge join's fan-out by the
+    * graph's degeneracy instead of its max degree.
+    */
+  private def orientedEdges(docs: DataFrame): (DataFrame, DataFrame) = {
     val und = graft.CacheScope.cached(linkEdges(docs)
       .select(
         least(col("src"), col("dst")).as("u"),
@@ -457,8 +463,6 @@ object Graph {
       .union(und.select(col("v").as("x")))
       .groupBy("x")
       .agg(count(lit(1)).as("d"))
-    // orient from lower (degree, id) to higher: fan-out bounded by
-    // degeneracy, so the wedge join below never explodes on a hub
     val withDeg = und
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
@@ -470,6 +474,11 @@ object Graph {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("b")))
+    (und, oriented)
+  }
+
+  def triangles(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (und, oriented) = orientedEdges(docs)
     // wedges a->b, a->c (b < c to count each unordered wedge once),
     // closed by an oriented edge between b and c in either direction
     val o2 = oriented.select(col("a").as("a2"), col("b").as("c"))
@@ -830,6 +839,63 @@ object Graph {
        |           JOIN a$KcoreRounds y ON e.dst = y.node
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Per-edge triangle support — |N(u) ∩ N(v)| for every undirected
+    * edge (u,v): the k-truss building block (an edge with support
+    * ≥ k−2 survives the k-truss) and the edge-level density signal
+    * next to [[triangles]]' global count and [[kcore]]'s node-level
+    * filter. Returns the support histogram (support → n_edges) — a
+    * constant-size output at any graph scale — plus every edge's
+    * support is exercised en route.
+    *
+    * Scale shape: the SAME degeneracy-bounded oriented wedge+closing
+    * enumeration as [[triangles]] (shared via [[orientedEdges]]) — a
+    * hub's wedges route only through its low-degree neighbors — then
+    * one explode (3 edges per triangle), one per-edge count, one
+    * left join for the 0-support edges, one constant-size histogram.
+    * The oracle states the semantics implementation-free (naive
+    * common-neighbor wedge join), like [[trianglesSql]].
+    */
+  def edgeSupport(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (und, oriented) = orientedEdges(docs)
+    val o2 = oriented.select(col("a").as("a2"), col("b").as("c"))
+    val wedges = oriented
+      .join(o2, col("a") === col("a2") && col("b") < col("c"))
+      .select("a", "b", "c")
+    val closing = oriented.select(
+      least(col("a"), col("b")).as("x"),
+      greatest(col("a"), col("b")).as("y"))
+    val tris = wedges
+      .join(closing, col("b") === col("x") && col("c") === col("y"))
+    // each triangle contributes support to its three canonical edges
+    val triEdges = tris
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")),
+        struct(col("b").as("u"), col("c").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("support"))
+    und.join(triEdges, Seq("u", "v"), "left")
+      .select(coalesce(col("support"), lit(0L)).as("support"))
+      .groupBy("support")
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy("support")
+  }
+
+  /** Oracle twin of [[edgeSupport]]. */
+  def edgeSupportSql: String =
+    s"""WITH $linkEdgesSql,
+       |$symmetricEdgesSql,
+       |cn AS (SELECT e1.dst AS u, e2.dst AS v, count(*) AS support
+       |       FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |       GROUP BY 1, 2),
+       |s AS (SELECT COALESCE(cn.support, 0) AS support
+       |      FROM ue LEFT JOIN cn ON ue.u = cn.u AND ue.v = cn.v)
+       |SELECT CAST(support AS BIGINT) AS support, count(*) AS n_edges
+       |FROM s GROUP BY 1 ORDER BY support""".stripMargin
 
   /** Rounds of min-label propagation defining the [[modularity]]
     * partition — FIXED (not to-fixpoint, which on this near-connected

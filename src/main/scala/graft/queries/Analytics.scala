@@ -92,6 +92,9 @@ object Analytics {
     // community-quality eval: Newman Q of the 3-round label partition
     "graph_modularity" -> ((s, dir) =>
       Graph.modularity(s, rd(s, dir, "documents"))),
+    // k-truss building block: per-edge triangle-support histogram
+    "graph_edge_support" -> ((s, dir) =>
+      Graph.edgeSupport(s, rd(s, dir, "documents"))),
     "ts_ewma" -> ((s, dir) => TimeSeriesOps.ewmaLast(rdEvents(s, dir))),
     "ts_funnel" -> ((s, dir) => TimeSeriesOps.funnel(rdEvents(s, dir))),
     // the funnel within native session_window sessions (the oracle
@@ -165,6 +168,7 @@ object Analytics {
     "graph_link_prediction" -> Graph.linkPredictionSql(),
     "graph_kcore" -> Graph.kcoreSql(),
     "graph_modularity" -> Graph.modularitySql,
+    "graph_edge_support" -> Graph.edgeSupportSql,
     "ts_ewma" -> TimeSeriesOps.ewmaLastSql,
     "ts_funnel" -> TimeSeriesOps.funnelSql(),
     "ts_session_funnel" -> TimeSeriesOps.sessionFunnelSql(),

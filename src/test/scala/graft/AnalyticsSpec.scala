@@ -342,6 +342,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) + 1.0) < 1e-5)
   }
 
+  test("edge support is consistent with the triangle count") {
+    val docs = docsDf(300)
+    val hist = Graph.edgeSupport(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tri = Graph.triangles(spark, docs).collect().head
+    graft.CacheScope.drain()
+    // Σ support·n_edges = 3 × triangles (each triangle supports 3
+    // edges), and the histogram covers every undirected edge
+    assert(hist.map { case (s, n) => s * n }.sum ==
+      3L * tri.getAs[Long]("n_triangles"))
+    assert(hist.map(_._2).sum == tri.getAs[Long]("n_edges"))
+  }
+
   test("modularity matches an exact local simulation") {
     val n = 200
     val docs = docsDf(n)
