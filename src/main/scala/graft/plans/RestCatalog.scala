@@ -1,0 +1,241 @@
+package graft.plans
+
+import java.net.{InetAddress, InetSocketAddress, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A REST catalog — real HTTP wire transport for the table-metadata
+  * operations, closing the one reference capability
+  * (`/root/reference/src/main.rs:278-299`, `RestCatalog::new` against
+  * a catalog URI) that previous rounds could only emulate in-process.
+  * The environment has no network egress and no external catalog
+  * endpoint, but it does not need one: the JDK ships an HTTP server,
+  * so the server side runs on the loopback interface and the client
+  * speaks genuine HTTP to it — request lines, headers, status codes,
+  * JSON bodies, conflict semantics, all real.
+  *
+  * The protocol is Iceberg-REST-shaped, scoped to what the reference
+  * exercises (create namespace, create table, load table,
+  * append-commit) plus the optimistic-concurrency surface:
+  *
+  *   GET  /v1/config                                → defaults/overrides
+  *   POST /v1/namespaces                 {"namespace":["ns"]}
+  *   POST /v1/namespaces/{ns}/tables     {"name":..,"schema":{..}}
+  *   GET  /v1/namespaces/{ns}/tables/{t} → current-version, schema,
+  *                                         manifest entries
+  *   POST /v1/namespaces/{ns}/tables/{t}/commit
+  *        {"expected-version":N,"entries":[{..},..]} → {"version":M}
+  *        or 409 when N no longer matches (the client re-plans — the
+  *        Iceberg commit-conflict contract).
+  *
+  * Division of labor matches Iceberg: DATA files go to storage
+  * directly (executors write parquet; a catalog that proxied data
+  * would be the bottleneck at 100 TB); only METADATA — manifest
+  * entries, schemas, versions — crosses the catalog wire. Entry and
+  * schema payloads are the same JSON [[TableIO]] persists, embedded
+  * raw (they are valid JSON objects), so the wire format and the
+  * storage format cannot drift.
+  */
+object RestJson {
+  /** End index (exclusive) of the {...} or [...] group opened at
+    * `open`, respecting quoted strings and escapes.
+    */
+  def balancedEnd(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' =>
+          depth -= 1
+          if (depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  /** Raw value slice of top-level `"key": value` (object, array,
+    * number, or quoted string — returned with quotes stripped for
+    * strings). Keys are unique per message in this protocol.
+    */
+  def field(json: String, key: String): Option[String] = {
+    val k = "\"" + key + "\":"
+    val at = json.indexOf(k)
+    if (at < 0) return None
+    var i = at + k.length
+    while (i < json.length && json.charAt(i).isWhitespace) i += 1
+    json.charAt(i) match {
+      case '{' | '[' => Some(json.substring(i, balancedEnd(json, i)))
+      case '"' =>
+        val end = json.indexOf('"', i + 1) // protocol strings: no escapes
+        Some(json.substring(i + 1, end))
+      case _ =>
+        var j = i
+        while (j < json.length && !",}]".contains(json.charAt(j))) j += 1
+        Some(json.substring(i, j).trim)
+    }
+  }
+
+  /** The top-level objects of a JSON array slice (`[{..},{..}]`). */
+  def objects(arrayJson: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = arrayJson.indexOf('{')
+    while (i >= 0) {
+      val end = balancedEnd(arrayJson, i)
+      out += arrayJson.substring(i, end)
+      i = arrayJson.indexOf('{', end)
+    }
+    out.result()
+  }
+}
+
+/** The server half: TableIO-backed handlers on a loopback ephemeral
+  * port. Start-per-use, [[close]] when done (specs and the
+  * `gen_rest_catalog` build do both in a try/finally).
+  */
+final class RestCatalogServer(root: String) extends AutoCloseable {
+  private val server = HttpServer.create(
+    new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+  server.createContext("/v1", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(null) // default executor: requests handled serially
+  server.start()
+
+  val port: Int = server.getAddress.getPort
+  def uri: String = s"http://127.0.0.1:$port/v1"
+
+  override def close(): Unit = server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val segs = ex.getRequestURI.getPath.stripPrefix("/v1")
+      .split('/').filter(_.nonEmpty).toList
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    (ex.getRequestMethod, segs) match {
+      case ("GET", List("config")) =>
+        respond(ex, 200, """{"defaults":{},"overrides":{}}""")
+      case ("POST", List("namespaces")) =>
+        val ns = RestJson.field(body, "namespace")
+          .map(a => RestJson.field("{\"x\":" + a + "}", "x").get)
+          .getOrElse(throw new IllegalArgumentException("no namespace"))
+        val name = ns.replaceAll("[\\[\\]\"\\s]", "")
+        TableIO.createNamespace(root, name)
+        respond(ex, 200, s"""{"namespace":["$name"]}""")
+      case ("POST", List("namespaces", ns, "tables")) =>
+        val name = RestJson.field(body, "name").get
+        val schema = DataType.fromJson(RestJson.field(body, "schema").get)
+          .asInstanceOf[StructType]
+        TableIO.createTableIfNotExists(root, ns, name, schema)
+        respond(ex, 200, s"""{"name":"$name"}""")
+      case ("GET", List("namespaces", ns, "tables", t)) =>
+        val v = TableIO.currentVersion(root, ns, t)
+        val entries = TableIO.readManifestAt(root, ns, t, v)
+          .map(TableIO.entryToJson).mkString(",")
+        val schema = TableIO.readSchema(root, ns, t).json
+        respond(ex, 200,
+          s"""{"current-version":$v,"schema":$schema,"entries":[$entries]}""")
+      case ("POST", List("namespaces", ns, "tables", t, "commit")) =>
+        val expected = RestJson.field(body, "expected-version").map(_.toLong)
+        val current = TableIO.currentVersion(root, ns, t)
+        if (expected.exists(_ != current))
+          respond(ex, 409, s"""{"error":"commit conflict: expected """ +
+            s"""version ${expected.get} but table is at $current"}""")
+        else {
+          val entries = RestJson.objects(
+              RestJson.field(body, "entries").getOrElse("[]"))
+            .map(TableIO.entryFromJson)
+          val v = TableIO.commit(root, ns, t, entries)
+          respond(ex, 200, s"""{"version":$v}""")
+        }
+      case _ =>
+        respond(ex, 404, s"""{"error":"no route: ${segs.mkString("/")}"}""")
+    }
+  } catch {
+    case e: Exception =>
+      respond(ex, 400,
+        s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replace('"', '\'')}"}""")
+  }
+}
+
+/** The client half: plain `java.net.http.HttpClient` speaking the
+  * protocol above — what the reference's `RestCatalog::new(uri)` is
+  * to its catalog service.
+  */
+final class RestCatalogClient(baseUri: String) {
+  private val http = HttpClient.newHttpClient()
+
+  private def send(method: String, path: String,
+      body: Option[String]): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(baseUri + path))
+      .header("Content-Type", "application/json")
+    val req = (body match {
+      case Some(s) => b.method(method, HttpRequest.BodyPublishers.ofString(s))
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  def config(): String = send("GET", "/config", None)._2
+
+  def createNamespace(ns: String): Unit = {
+    val (code, body) = send("POST", "/namespaces",
+      Some(s"""{"namespace":["$ns"]}"""))
+    require(code == 200, s"createNamespace($ns) failed $code: $body")
+  }
+
+  def createTable(ns: String, table: String, schema: StructType): Unit = {
+    val (code, body) = send("POST", s"/namespaces/$ns/tables",
+      Some(s"""{"name":"$table","schema":${schema.json}}"""))
+    require(code == 200, s"createTable($ns.$table) failed $code: $body")
+  }
+
+  /** (current version, live manifest entries, schema). */
+  def loadTable(ns: String,
+      table: String): (Long, Seq[ManifestEntry], StructType) = {
+    val (code, body) = send("GET", s"/namespaces/$ns/tables/$table", None)
+    require(code == 200, s"loadTable($ns.$table) failed $code: $body")
+    val v = RestJson.field(body, "current-version").get.toLong
+    val entries = RestJson.objects(RestJson.field(body, "entries").get)
+      .map(TableIO.entryFromJson)
+    val schema = DataType.fromJson(RestJson.field(body, "schema").get)
+      .asInstanceOf[StructType]
+    (v, entries, schema)
+  }
+
+  /** Optimistic append: Right(newVersion), or Left(conflict message)
+    * on a 409 — the caller reloads and re-plans, the Iceberg
+    * commit-conflict contract.
+    */
+  def commitAppend(ns: String, table: String, entries: Seq[ManifestEntry],
+      expectedVersion: Option[Long] = None): Either[String, Long] = {
+    val exp = expectedVersion
+      .map(v => s""""expected-version":$v,""").getOrElse("")
+    val body = s"""{${exp}"entries":[${
+      entries.map(TableIO.entryToJson).mkString(",")}]}"""
+    val (code, resp) =
+      send("POST", s"/namespaces/$ns/tables/$table/commit", Some(body))
+    if (code == 409) Left(RestJson.field(resp, "error").getOrElse(resp))
+    else {
+      require(code == 200, s"commit($ns.$table) failed $code: $resp")
+      Right(RestJson.field(resp, "version").get.toLong)
+    }
+  }
+}

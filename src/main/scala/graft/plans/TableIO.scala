@@ -863,7 +863,7 @@ object TableIO {
       }.mkString("\n"))
 
   // --- tiny JSON codec for manifest lines (fixed shape, no deps) ---
-  private def entryToJson(e: ManifestEntry): String = {
+  private[plans] def entryToJson(e: ManifestEntry): String = {
     val base = s""""path":"${e.path}","content":"${e.content}",""" +
       s""""seq":${e.seq},"record_count":${e.recordCount}""" +
       e.firstRowId.map(r => s""","first_row_id":$r""").getOrElse("")
@@ -883,7 +883,7 @@ object TableIO {
   private val boundRe = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
   private val bloomRe = """"([^"]+)":"([^"]*)"""".r
 
-  private def entryFromJson(line: String): ManifestEntry = line.trim match {
+  private[plans] def entryFromJson(line: String): ManifestEntry = line.trim match {
     case entryRe(p, c, s, n, frid, b, bl) =>
       val bounds = Option(b).map { body =>
         boundRe.findAllMatchIn(body).map { m =>
