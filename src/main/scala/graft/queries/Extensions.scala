@@ -653,7 +653,7 @@ object Extensions {
        |short AS (SELECT qid, vec_id FROM (
        |    SELECT a.qid, co.vec_id,
        |      row_number() OVER (PARTITION BY a.qid
-       |        ORDER BY sum(a.d) ASC, co.vec_id ASC) AS rs
+       |        ORDER BY CAST(sum(a.d) AS BIGINT) ASC, co.vec_id ASC) AS rs
        |    FROM codes co JOIN adc a ON co.sub = a.sub AND co.cid = a.cid
        |    WHERE co.vec_id <> a.qid
        |    GROUP BY a.qid, co.vec_id)
