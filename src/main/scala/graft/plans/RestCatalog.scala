@@ -150,6 +150,40 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
         val schema = TableIO.readSchema(root, ns, t).json
         respond(ex, 200,
           s"""{"current-version":$v,"schema":$schema,"entries":[$entries]}""")
+      case ("GET", "files" :: rest) =>
+        // object-store-style data serving (the S3 half of the
+        // reference's config): whole-object GET or a ranged read —
+        // the access pattern a parquet footer/column scan performs
+        // against object storage. Traversal-guarded to the root.
+        val rel = rest.mkString("/")
+        val base = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+        val p = base.resolve(rel).normalize
+        if (!p.startsWith(base) || !java.nio.file.Files.isRegularFile(p))
+          respond(ex, 404, s"""{"error":"no such object: $rel"}""")
+        else {
+          val size = java.nio.file.Files.size(p)
+          val range = Option(ex.getRequestHeaders.getFirst("Range"))
+          val (lo, hi) = range match {
+            case Some(r) if r.startsWith("bytes=") =>
+              val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
+              (a.toLong, math.min(b.toLong, size - 1))
+            case _ => (0L, size - 1)
+          }
+          val len = (hi - lo + 1).toInt
+          val ch = java.nio.channels.FileChannel.open(p)
+          val buf = java.nio.ByteBuffer.allocate(len)
+          try { ch.position(lo); while (buf.hasRemaining) ch.read(buf) }
+          finally ch.close()
+          ex.getResponseHeaders.set("Content-Type",
+            "application/octet-stream")
+          if (range.isDefined) {
+            ex.getResponseHeaders.set("Content-Range",
+              s"bytes $lo-$hi/$size")
+            ex.sendResponseHeaders(206, len)
+          } else ex.sendResponseHeaders(200, len)
+          val os = ex.getResponseBody
+          try os.write(buf.array()) finally os.close()
+        }
       case ("POST", List("namespaces", ns, "tables", t, "commit")) =>
         val expected = RestJson.field(body, "expected-version").map(_.toLong)
         val current = TableIO.currentVersion(root, ns, t)
@@ -194,6 +228,29 @@ final class RestCatalogClient(baseUri: String) {
   }
 
   def config(): String = send("GET", "/config", None)._2
+
+  /** Whole-object GET (object-store style). */
+  def getObject(relPath: String): Array[Byte] = {
+    val req = HttpRequest.newBuilder(
+      URI.create(s"$baseUri/files/$relPath")).GET().build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    require(resp.statusCode() == 200,
+      s"getObject($relPath) failed ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** Ranged GET `bytes=[lo, hi]` — the parquet footer/column access
+    * pattern against object storage.
+    */
+  def getRange(relPath: String, lo: Long, hi: Long): Array[Byte] = {
+    val req = HttpRequest.newBuilder(
+      URI.create(s"$baseUri/files/$relPath"))
+      .header("Range", s"bytes=$lo-$hi").GET().build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    require(resp.statusCode() == 206,
+      s"getRange($relPath) failed ${resp.statusCode()}")
+    resp.body()
+  }
 
   def createNamespace(ns: String): Unit = {
     val (code, body) = send("POST", "/namespaces",

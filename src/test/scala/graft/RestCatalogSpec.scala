@@ -67,6 +67,53 @@ class RestCatalogSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("object-store-style GET serves committed files, whole and ranged") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-rest-obj-").toString
+    val server = new RestCatalogServer(root)
+    try {
+      val client = new RestCatalogClient(server.uri)
+      client.createNamespace("ons")
+      client.createTable("ons", "ot", StructType(Seq(
+        StructField("k", LongType))))
+      val df = (0L until 100L).toDF("k")
+      val entry = TableIO.writeExactFile(spark, root, "ons", "ot",
+        "data/part-00000.parquet", df, "data", seq = 1L, recordCount = 100)
+      client.commitAppend("ons", "ot", Seq(entry))
+      val rel = "ons/ot/data/part-00000.parquet"
+      val onDisk = Files.readAllBytes(
+        TableIO.tableDir(root, "ons", "ot").resolve("data/part-00000.parquet"))
+      // whole object: byte-identical to storage
+      assert(java.util.Arrays.equals(client.getObject(rel), onDisk))
+      // ranged reads: the parquet access pattern — the 8-byte footer
+      // tail (magic "PAR1") and an interior slice, each exact
+      val tail = client.getRange(rel, onDisk.length - 8L, onDisk.length - 1L)
+      assert(new String(tail.takeRight(4), "US-ASCII") == "PAR1")
+      val mid = client.getRange(rel, 10L, 41L)
+      assert(java.util.Arrays.equals(mid,
+        java.util.Arrays.copyOfRange(onDisk, 10, 42)))
+      // traversal is rejected
+      val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${server.uri}/files/../../etc/passwd"))
+        .GET().build()
+      val resp = java.net.http.HttpClient.newHttpClient()
+        .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 404)
+    } finally server.close()
+  }
+
+  test("RestJson slices nested values, respecting braces inside strings") {
+    import graft.plans.RestJson
+    val j = """{"a":{"s":"x{[}y","n":[1,2,{"z":3}]},"v":42,"t":"ok"}"""
+    assert(RestJson.field(j, "a").contains(
+      """{"s":"x{[}y","n":[1,2,{"z":3}]}"""))
+    assert(RestJson.field(j, "v").contains("42"))
+    assert(RestJson.field(j, "t").contains("ok"))
+    assert(RestJson.field(j, "missing").isEmpty)
+    assert(RestJson.objects("""[{"p":1},{"q":{"r":2}}]""") ==
+      Seq("""{"p":1}""", """{"q":{"r":2}}"""))
+  }
+
   test("operations on a missing table surface as explicit HTTP errors") {
     val root = Files.createTempDirectory("graft-rest-err-").toString
     val server = new RestCatalogServer(root)
