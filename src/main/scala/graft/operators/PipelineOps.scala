@@ -211,15 +211,15 @@ object PipelineOps {
     * itself never shuffles and is reproducible at any scale.
     */
   def trainValTest(docs: DataFrame): DataFrame =
-    docs.select(col("lang"), pmod(idHash("v"), lit(100)).as("b"))
-      .withColumn("split",
-        when(col("b") < 80, "train")
-          .when(col("b") < 90, "valid").otherwise("test"))
+    docs.select(col("lang"), splitOf(col("doc_id")).as("split"))
       .groupBy("split", "lang").agg(count(lit(1)).as("n"))
       .orderBy("split", "lang")
 
-  /** The 80/10/10 split label for an id expression — the one hash rule
-    * [[trainValTest]] and [[leakageSafeSplit]] share.
+  /** The 80/10/10 split label for an id expression — the ONE hash rule
+    * [[trainValTest]], [[leakageSafeSplit]] and the e2e composite
+    * share (a second inlined copy would let the rules silently
+    * desynchronize and make n_leaky_docs measure against a rule
+    * trainValTest no longer implements).
     */
   private def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val b = pmod(TextHash.rollingHash(concat(lit("v"), id.cast("string"))),

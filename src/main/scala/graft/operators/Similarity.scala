@@ -110,19 +110,50 @@ object Similarity {
     * exists to expose before production traffic does; the nprobe=4
     * twin shows recall recovering as probes widen.
     */
-  def recallEval(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
-      nprobe: Int = 1): DataFrame = {
+  /** The ground-truth half every recall eval shares (one change to
+    * the tie-break or the rounding grain here propagates to ALL
+    * evals — previously three hand-copied blocks): the per-query
+    * cosine relation (carrying `extraCols` for the approximate path's
+    * routing joins), the (sim desc, vec_id) ranking window, and the
+    * exact top-k.
+    */
+  private def recallGroundTruth(emb: DataFrame, nQueries: Int, k: Int,
+      extraCols: Seq[String] = Nil): (DataFrame, DataFrame,
+      org.apache.spark.sql.expressions.WindowSpec) = {
     import org.apache.spark.sql.expressions.Window
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val sims = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("label"),
-        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .select((Seq(col("qid"), col("vec_id")) ++ extraCols.map(col) :+
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6)
+          .as("sim")): _*)
     val wq = Window.partitionBy("qid")
       .orderBy(col("sim").desc, col("vec_id").asc)
     val exact = sims.withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= k).select("qid", "vec_id")
+    (sims, exact, wq)
+  }
+
+  /** The reporting half: approx list (columns `a_qid`, `a_vec`) vs
+    * the exact list → per-query recall@k.
+    */
+  private def recallReport(exact: DataFrame, approx: DataFrame,
+      k: Int): DataFrame =
+    exact
+      .join(approx, col("qid") === col("a_qid") &&
+        col("vec_id") === col("a_vec"), "left")
+      .groupBy("qid")
+      .agg(count(col("a_vec")).as("n_hit"))
+      .select(col("qid"), lit(k).as("k"), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"))
+      .orderBy("qid")
+
+  def recallEval(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (sims, exact, wq) =
+      recallGroundTruth(emb, nQueries, k, extraCols = Seq("label"))
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
       .repartition(col("pos"))
@@ -146,15 +177,8 @@ object Similarity {
         col("qid") === col("n_qid") && col("label") === col("n_label"))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= k)
-      .select(col("qid").as("i_qid"), col("vec_id").as("ivf_vec"))
-    exact
-      .join(ivf, col("qid") === col("i_qid") &&
-        col("vec_id") === col("ivf_vec"), "left")
-      .groupBy("qid")
-      .agg(count(col("ivf_vec")).as("n_hit"))
-      .select(col("qid"), lit(k).as("k"), col("n_hit"),
-        (col("n_hit").cast("double") / k).as("recall"))
-      .orderBy("qid")
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vec"))
+    recallReport(exact, ivf, k)
   }
 
   /** Oracle twin of [[recallEval]]. */
@@ -220,16 +244,7 @@ object Similarity {
   def recallEvalTrained(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
       kClusters: Int = 8, iters: Int = 2, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val sims = emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
-    val wq = Window.partitionBy("qid")
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    val exact = sims.withColumn("rk", row_number().over(wq))
-      .filter(col("rk") <= k).select("qid", "vec_id")
+    val (sims, exact, wq) = recallGroundTruth(emb, nQueries, k)
     val (cent, assigned) = kmeansModel(emb, kClusters, iters)
     val qdims = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"),
@@ -249,15 +264,8 @@ object Similarity {
         col("qid") === col("n_qid") && col("cid") === col("n_cid"))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= k)
-      .select(col("qid").as("i_qid"), col("vec_id").as("ivf_vec"))
-    exact
-      .join(ivf, col("qid") === col("i_qid") &&
-        col("vec_id") === col("ivf_vec"), "left")
-      .groupBy("qid")
-      .agg(count(col("ivf_vec")).as("n_hit"))
-      .select(col("qid"), lit(k).as("k"), col("n_hit"),
-        (col("n_hit").cast("double") / k).as("recall"))
-      .orderBy("qid")
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vec"))
+    recallReport(exact, ivf, k)
   }
 
   /** IVF with a TRAINED coarse quantizer: deterministic k-means over the
@@ -494,16 +502,7 @@ object Similarity {
       subDims: Int = 8, kCodes: Int = 16, iters: Int = 1,
       rerank: Int = 80): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val sims = emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
-    val wq = Window.partitionBy("qid")
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    val exact = sims.withColumn("rk", row_number().over(wq))
-      .filter(col("rk") <= k).select("qid", "vec_id")
+    val (sims, exact, wq) = recallGroundTruth(emb, nQueries, k)
     val dims = pqNormalizedDims(emb, subDims)
     val cb = pqTrain(dims, kCodes, iters)
     val codes = pqAssign(dims, cb)
@@ -527,15 +526,8 @@ object Similarity {
         col("qid") === col("s_qid") && col("vec_id") === col("s_vec"))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= k)
-      .select(col("qid").as("p_qid"), col("vec_id").as("pq_vec"))
-    exact
-      .join(pq, col("qid") === col("p_qid") &&
-        col("vec_id") === col("pq_vec"), "left")
-      .groupBy("qid")
-      .agg(count(col("pq_vec")).as("n_hit"))
-      .select(col("qid"), lit(k).as("k"), col("n_hit"),
-        (col("n_hit").cast("double") / k).as("recall"))
-      .orderBy("qid")
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vec"))
+    recallReport(exact, pq, k)
   }
 
   /** Persist the trained PQ index (codebook + codes) as committed

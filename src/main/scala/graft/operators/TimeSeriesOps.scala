@@ -140,8 +140,20 @@ object TimeSeriesOps {
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_ev"))
       .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"))
+    // Tag events by (user, calendar day) rather than user alone: a
+    // user whose gaps all exceed the session gap has one session PER
+    // EVENT, and a user_id-only join would fan out events_u x
+    // sessions_u (quadratic on exactly the sparse-gap distribution).
+    // Each session expands to the days it touches (gap-bounded
+    // sessions span few), so the join is bounded by events-per-day x
+    // sessions-per-day per user. The range filter is unchanged — this
+    // is purely an execution-shape change, not a semantic one.
+    val expanded = bounds
+      .select(col("user_id"), col("ws"), col("we"),
+        explode(sequence(to_date(col("ws")), to_date(col("we")))).as("d"))
     val tagged = events.select("user_id", "ts", "event_type")
-      .join(bounds, Seq("user_id"))
+      .withColumn("d", to_date(col("ts")))
+      .join(expanded, Seq("user_id", "d"))
       .filter(col("ts") >= col("ws") && col("ts") < col("we"))
     var cur = tagged.filter(col("event_type") === steps.head)
       .groupBy("user_id", "ws").agg(min("ts").as("t"))

@@ -219,21 +219,33 @@ object Maintenance {
     val v = TableIO.currentVersion(root, ns, table)
     val manifest = TableIO.readManifestAt(root, ns, table, v)
     val posEntries = manifest.filter(_.content == "pos_delete")
-    if (posEntries.isEmpty) return v
-    val dir = TableIO.tableDir(root, ns, table)
-    val pd = Mor.readDeletes(spark,
-      posEntries.map(e => (dir.resolve(e.path).toString, e.seq))).get
-    val dataMeta = manifest.filter(_.content == "data")
-      .map(e => (e.path, e.seq, e.recordCount))
-      .toDF("file_path", "_dataseq", "_rc")
-    val dead = pd.join(broadcast(dataMeta), Seq("file_path"))
-      .filter(col("_dataseq") <= col("_dseq") &&
-        col("pos") >= 0 && col("pos") < col("_rc"))
-      .groupBy("file_path", "_rc")
-      .agg(count_distinct(col("pos")).as("n"))
-      .filter(col("n") === col("_rc"))
-      .select("file_path")
-      .collect().map(_.getString(0)).toSet // bounded: one row per dead FILE
+    // a ZERO-ROW data file is trivially dead — no delete evidence
+    // needed (and none can exist: the seq-gated cover below is
+    // unsatisfiable for record_count = 0, which previously made empty
+    // files the one dead shape this operation could never collect)
+    val emptyDead = manifest
+      .filter(e => e.content == "data" && e.recordCount == 0L)
+      .map(_.path).toSet
+    val coveredDead: Set[String] =
+      if (posEntries.isEmpty) Set.empty
+      else {
+        val dir = TableIO.tableDir(root, ns, table)
+        val pd = Mor.readDeletes(spark,
+          posEntries.map(e => (dir.resolve(e.path).toString, e.seq))).get
+        val dataMeta = manifest
+          .filter(e => e.content == "data" && e.recordCount > 0L)
+          .map(e => (e.path, e.seq, e.recordCount))
+          .toDF("file_path", "_dataseq", "_rc")
+        pd.join(broadcast(dataMeta), Seq("file_path"))
+          .filter(col("_dataseq") <= col("_dseq") &&
+            col("pos") >= 0 && col("pos") < col("_rc"))
+          .groupBy("file_path", "_rc")
+          .agg(count_distinct(col("pos")).as("n"))
+          .filter(col("n") === col("_rc"))
+          .select("file_path")
+          .collect().map(_.getString(0)).toSet // bounded: one row/dead FILE
+      }
+    val dead = emptyDead ++ coveredDead
     if (dead.isEmpty) return v
     TableIO.commitReplacing(root, ns, table,
       manifest.filterNot(e => e.content == "data" && dead(e.path)),

@@ -39,6 +39,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * storage format cannot drift.
   */
 object RestJson {
+  /** Catalog identifiers travel inside JSON string literals with no
+    * escaping layer, so restrict them the way real catalogs restrict
+    * identifiers — a quote or backslash would silently truncate the
+    * parsed name into a DIFFERENT table than the client asked for.
+    */
+  def requireIdent(s: String, what: String): String = {
+    require(s.nonEmpty && s.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"$what must match [A-Za-z0-9_.-]+, got '$s'")
+    s
+  }
   /** End index (exclusive) of the {...} or [...] group opened at
     * `open`, respecting quoted strings and escapes.
     */
@@ -134,11 +145,13 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
         val ns = RestJson.field(body, "namespace")
           .map(a => RestJson.field("{\"x\":" + a + "}", "x").get)
           .getOrElse(throw new IllegalArgumentException("no namespace"))
-        val name = ns.replaceAll("[\\[\\]\"\\s]", "")
+        val name = RestJson.requireIdent(
+          ns.replaceAll("[\\[\\]\"\\s]", ""), "namespace")
         TableIO.createNamespace(root, name)
         respond(ex, 200, s"""{"namespace":["$name"]}""")
       case ("POST", List("namespaces", ns, "tables")) =>
-        val name = RestJson.field(body, "name").get
+        val name = RestJson.requireIdent(
+          RestJson.field(body, "name").get, "table name")
         val schema = DataType.fromJson(RestJson.field(body, "schema").get)
           .asInstanceOf[StructType]
         TableIO.createTableIfNotExists(root, ns, name, schema)
@@ -163,17 +176,17 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
         else {
           val size = java.nio.file.Files.size(p)
           val range = Option(ex.getRequestHeaders.getFirst("Range"))
+          // full RFC-7233 single-range forms: bytes=a-b, bytes=a-
+          // (open-ended), bytes=-n (suffix — THE parquet-footer fetch)
           val (lo, hi) = range match {
             case Some(r) if r.startsWith("bytes=") =>
               val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
-              (a.toLong, math.min(b.toLong, size - 1))
+              if (a.isEmpty) (math.max(0L, size - b.toLong), size - 1)
+              else if (b.isEmpty) (a.toLong, size - 1)
+              else (a.toLong, math.min(b.toLong, size - 1))
             case _ => (0L, size - 1)
           }
-          val len = (hi - lo + 1).toInt
-          val ch = java.nio.channels.FileChannel.open(p)
-          val buf = java.nio.ByteBuffer.allocate(len)
-          try { ch.position(lo); while (buf.hasRemaining) ch.read(buf) }
-          finally ch.close()
+          val len = hi - lo + 1 // long: a >=2 GiB object must not wrap
           ex.getResponseHeaders.set("Content-Type",
             "application/octet-stream")
           if (range.isDefined) {
@@ -181,8 +194,24 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
               s"bytes $lo-$hi/$size")
             ex.sendResponseHeaders(206, len)
           } else ex.sendResponseHeaders(200, len)
+          // stream in bounded chunks: serving a data file must never
+          // buffer the object (an Iceberg data file is routinely GBs)
+          val ch = java.nio.channels.FileChannel.open(p)
           val os = ex.getResponseBody
-          try os.write(buf.array()) finally os.close()
+          try {
+            ch.position(lo)
+            val buf = java.nio.ByteBuffer.allocate(
+              math.min(len, 1L << 20).toInt)
+            var remaining = len
+            while (remaining > 0) {
+              buf.clear()
+              if (remaining < buf.capacity) buf.limit(remaining.toInt)
+              val n = ch.read(buf)
+              require(n > 0, s"short read serving $rel")
+              os.write(buf.array(), 0, n)
+              remaining -= n
+            }
+          } finally { ch.close(); os.close() }
         }
       case ("POST", List("namespaces", ns, "tables", t, "commit")) =>
         val expected = RestJson.field(body, "expected-version").map(_.toLong)
@@ -204,7 +233,7 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
     case e: Exception =>
       respond(ex, 400,
         s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replace('"', '\'')}"}""")
+          .replaceAll("[\"\\\\\\p{Cntrl}]", "'")}"}""")
   }
 }
 
@@ -253,12 +282,15 @@ final class RestCatalogClient(baseUri: String) {
   }
 
   def createNamespace(ns: String): Unit = {
+    RestJson.requireIdent(ns, "namespace")
     val (code, body) = send("POST", "/namespaces",
       Some(s"""{"namespace":["$ns"]}"""))
     require(code == 200, s"createNamespace($ns) failed $code: $body")
   }
 
   def createTable(ns: String, table: String, schema: StructType): Unit = {
+    RestJson.requireIdent(ns, "namespace")
+    RestJson.requireIdent(table, "table name")
     val (code, body) = send("POST", s"/namespaces/$ns/tables",
       Some(s"""{"name":"$table","schema":${schema.json}}"""))
     require(code == 200, s"createTable($ns.$table) failed $code: $body")

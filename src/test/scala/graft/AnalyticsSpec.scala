@@ -262,6 +262,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val expected = r.toSeq.sortBy { case (node, rk) => (-rk, node) }.take(20)
     val got = Graph.weightedPagerank(spark, docs)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    graft.CacheScope.drain()
     assert(got == expected)
   }
 
@@ -382,6 +383,7 @@ class AnalyticsSpec extends AnyFunSuite {
       4L * m * ec - dc * dc
     }.sum
     val row = Graph.modularity(spark, docs).collect().head
+    graft.CacheScope.drain()
     assert(row.getLong(0) == communities.size.toLong)
     assert(row.getLong(1) == m)
     assert(row.getLong(2) == qNum)

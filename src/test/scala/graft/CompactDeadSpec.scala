@@ -66,5 +66,19 @@ class CompactDeadSpec extends AnyFunSuite {
     assert(seqs == Seq(2L))
     // second call: nothing dead anymore -> version unchanged
     assert(Maintenance.compactDeadFiles(spark, root, "ns", "t") == v)
+
+    // a ZERO-ROW data file is trivially dead — droppable with no
+    // delete evidence (the seq-gated cover is unsatisfiable at rc=0,
+    // so without the explicit empty-file rule it lingered forever)
+    val empty = FixSchemaGenerator.dataFile(spark, 0, 10).limit(0)
+    val e3 = TableIO.writeExactFile(spark, root, "ns", "t",
+      "data/part-00099.parquet", empty, "data", seq = 5L, recordCount = 0)
+    TableIO.commit(root, "ns", "t", Seq(e3))
+    val v2 = Maintenance.compactDeadFiles(spark, root, "ns", "t")
+    assert(v2 > v)
+    val dataAfter = TableIO.readManifest(root, "ns", "t")
+      .filter(_.content == "data").map(_.path)
+    assert(!dataAfter.contains("data/part-00099.parquet"))
+    assert(Mor.read(spark, root, "ns", "t").count() == before)
   }
 }

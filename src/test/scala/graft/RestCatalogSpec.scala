@@ -92,6 +92,23 @@ class RestCatalogSpec extends AnyFunSuite {
       val mid = client.getRange(rel, 10L, 41L)
       assert(java.util.Arrays.equals(mid,
         java.util.Arrays.copyOfRange(onDisk, 10, 42)))
+      // RFC-7233 suffix and open-ended forms (the REAL footer fetch a
+      // parquet reader issues is 'bytes=-8')
+      def raw(range: String): java.net.http.HttpResponse[Array[Byte]] = {
+        val rq = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${server.uri}/files/$rel"))
+          .header("Range", range).GET().build()
+        java.net.http.HttpClient.newHttpClient()
+          .send(rq, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      }
+      val suffix = raw("bytes=-8")
+      assert(suffix.statusCode() == 206)
+      assert(java.util.Arrays.equals(suffix.body(),
+        java.util.Arrays.copyOfRange(onDisk, onDisk.length - 8,
+          onDisk.length)))
+      val open = raw(s"bytes=${onDisk.length - 4}-")
+      assert(open.statusCode() == 206)
+      assert(new String(open.body(), "US-ASCII") == "PAR1")
       // traversal is rejected
       val req = java.net.http.HttpRequest.newBuilder(
         java.net.URI.create(s"${server.uri}/files/../../etc/passwd"))
