@@ -366,6 +366,44 @@ object Similarity {
     (cent, assignClusters(dims, cent))
   }
 
+  /** Embedding-outlier QC: per cluster, how many vectors sit more
+    * than `factor`x the cluster's MEAN squared distance from their own
+    * centroid — the "corrupt/off-manifold embedding" screen a pipeline
+    * runs before trusting ANN indexes or semantic dedup built on the
+    * vectors (a truncated or mis-encoded embedding lands far from
+    * every centroid). Distances are the same fixed-point-exact longs
+    * as the k-means E-step; the mean is one agreed division of exact
+    * operands, and the flag compares a long against factor·mean — all
+    * engine-portable, so the oracle replays it bit-for-bit.
+    *
+    * Scale: the trained model is [[kmeansModel]]'s (broadcast-sized);
+    * per-vector distance is one co-partitioned join + sum; everything
+    * after is per-cluster state.
+    */
+  def embOutliers(emb: DataFrame, kClusters: Int = 8, iters: Int = 2,
+      factor: Int = 2): DataFrame = {
+    val (cent, assigned) = kmeansModel(emb, kClusters, iters)
+    val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("pos"), col("e").cast("double").as("e"))
+    val d = dims.join(assigned, "vec_id")
+      .join(broadcast(cent), Seq("cid", "pos"))
+      .groupBy("vec_id", "cid")
+      .agg(sum(floor((col("e") - col("c")) * (col("e") - col("c"))
+        * lit(1e12))).as("d"))
+    val stats = d.groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"), sum("d").as("sum_d"))
+      .select(col("cid"), col("n_vectors"),
+        (col("sum_d").cast("double") / col("n_vectors")).as("mean_d"))
+    d.join(stats, "cid")
+      .groupBy("cid")
+      .agg(first("n_vectors").as("n_vectors"),
+        sum(when(col("d").cast("double") > lit(factor) * col("mean_d"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        (first("mean_d") / lit(1e12)).as("mean_sq_dist"))
+      .orderBy("cid")
+  }
+
   /** k-means E-step: nearest centroid per vector (fixed-point-exact
     * squared distance, ties on cid). Centroids are k×dims rows —
     * broadcast.

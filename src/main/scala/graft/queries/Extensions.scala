@@ -188,6 +188,9 @@ object Extensions {
     }),
     "ann_range" -> ((s, dir) => Similarity.rangeSearch(rdEmbeddings(s, dir))),
     "emb_kmeans" -> ((s, dir) => Similarity.kmeansCensus(rdEmbeddings(s, dir))),
+    // embedding QC: per-cluster centroid-distance outlier screen
+    "emb_outliers" -> ((s, dir) =>
+      Similarity.embOutliers(rdEmbeddings(s, dir))),
     "emb_pca" -> ((s, dir) => Similarity.pcaTopComponent(rdEmbeddings(s, dir))),
     "emb_pca_project" -> ((s, dir) => Similarity.pcaProjection(rdEmbeddings(s, dir))),
     "text_phrase_search" -> ((s, dir) =>
@@ -1245,6 +1248,33 @@ object Extensions {
          |a3 AS (${assignSql("c2")})
          |SELECT cid, count(*) AS n_vectors
          |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // the same k-means replay, then each vector's fixed-point distance
+    // to ITS centroid and the factor-x-cluster-mean outlier rule
+    "emb_outliers" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS e
+         |  FROM embeddings, range(0, 64) t(i)),
+         |c0 AS (SELECT vec_id AS cid, pos, e AS c FROM dims WHERE vec_id < 8),
+         |a1 AS (${assignSql("c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |a3 AS (${assignSql("c2")}),
+         |d AS (SELECT dm.vec_id, a.cid,
+         |    CAST(sum(CAST(floor((dm.e - c.c) * (dm.e - c.c)
+         |      * 1000000000000.0) AS BIGINT)) AS BIGINT) AS d
+         |  FROM dims dm JOIN a3 a ON dm.vec_id = a.vec_id
+         |  JOIN c2 c ON c.cid = a.cid AND c.pos = dm.pos
+         |  GROUP BY dm.vec_id, a.cid),
+         |st AS (SELECT cid, count(*) AS n_vectors,
+         |    CAST(sum(d) AS DOUBLE) / count(*) AS mean_d
+         |  FROM d GROUP BY cid)
+         |SELECT d.cid, any_value(st.n_vectors) AS n_vectors,
+         |  CAST(sum(CASE WHEN CAST(d AS DOUBLE) > 2 * mean_d
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  any_value(mean_d) / 1000000000000.0 AS mean_sq_dist
+         |FROM d JOIN st USING (cid) GROUP BY d.cid ORDER BY cid""".stripMargin,
 
     // integer power iteration unrolled as CTEs — iterative float
     // linear algebra made exactly replayable

@@ -343,6 +343,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) + 1.0) < 1e-5)
   }
 
+  test("emb outliers: clean clusters are quiet, a planted corrupt " +
+      "vector is flagged") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 4 exactly-tight clusters at distinct corners of [0,1]^4 (all
+    // members identical: zero within-cluster distance, so ANY nonzero
+    // deviation is anomalous — a uniform spread would legitimately
+    // flag its own tails, since max (x-mean)^2 is 3x the mean there)
+    def vec(c: Int): Array[Float] = Array.tabulate(4)(p =>
+      if ((c >> p) % 2 == 1) 1.0f else 0.0f)
+    val clean = (0 until 80).map(i => (i.toLong, vec(i % 4), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val quiet = Similarity.embOutliers(clean, kClusters = 4, iters = 2)
+      .collect()
+    graft.CacheScope.drain()
+    assert(quiet.map(_.getLong(2)).sum == 0L,
+      "clean clusters must produce zero outliers")
+    // plant one corrupt embedding (all-9s — the mis-encode shape)
+    val corrupt = clean.union(
+      Seq((999L, Array.fill(4)(9.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val flagged = Similarity.embOutliers(corrupt, kClusters = 4, iters = 2)
+      .collect()
+    graft.CacheScope.drain()
+    assert(flagged.map(_.getLong(2)).sum == 1L,
+      s"exactly the planted vector should flag: ${flagged.mkString(",")}")
+  }
+
   test("edge support is consistent with the triangle count") {
     val docs = docsDf(300)
     val hist = Graph.edgeSupport(spark, docs).collect()
