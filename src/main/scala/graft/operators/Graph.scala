@@ -458,6 +458,15 @@ object Graph {
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct())
+    (und, orient(und))
+  }
+
+  /** Degree-orient an undirected (u, v) edge relation (computing
+    * degrees from the relation itself — [[ktruss]] re-orients each
+    * shrinking round's survivor set, so the degeneracy bound tracks
+    * the CURRENT subgraph).
+    */
+  private def orient(und: DataFrame): DataFrame = {
     val deg = und
       .select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
@@ -466,7 +475,7 @@ object Graph {
     val withDeg = und
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
-    val oriented = graft.CacheScope.cached(withDeg
+    graft.CacheScope.cached(withDeg
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("u"))
@@ -474,7 +483,120 @@ object Graph {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("b")))
-    (und, oriented)
+  }
+
+  /** Per-edge triangle support of an undirected edge relation — the
+    * [[edgeSupport]] core, reused per [[ktruss]] round: (u, v,
+    * support) with 0-support edges included.
+    */
+  private def supportOf(und: DataFrame): DataFrame = {
+    val oriented = orient(und)
+    val o2 = oriented.select(col("a").as("a2"), col("b").as("c"))
+    val wedges = oriented
+      .join(o2, col("a") === col("a2") && col("b") < col("c"))
+      .select("a", "b", "c")
+    val closing = oriented.select(
+      least(col("a"), col("b")).as("x"),
+      greatest(col("a"), col("b")).as("y"))
+    val triEdges = wedges
+      .join(closing, col("b") === col("x") && col("c") === col("y"))
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")),
+        struct(col("b").as("u"), col("c").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("support"))
+    und.join(triEdges, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Rounds the k-truss ORACLE unrolls — and the loud-failure cap on
+    * the Spark peel (the [[KcoreRounds]] discipline): extra unrolled
+    * rounds are idempotent past the fixpoint, but a Spark loop
+    * needing MORE rounds than the oracle replays would silently
+    * diverge, so it throws instead.
+    */
+  val TrussRounds = 6
+
+  /** k-truss of the undirected link graph: iteratively remove edges
+    * in fewer than k−2 triangles until every surviving edge has
+    * support ≥ k−2 WITHIN the survivor subgraph — the edge-level
+    * density filter that [[edgeSupport]]'s histogram feeds ([[kcore]]
+    * is its node-level sibling). Returns one row:
+    * (k, n_edges_truss, n_nodes_truss).
+    *
+    * Scale shape: each round re-orients the (shrinking) survivor set
+    * and recomputes support with the degeneracy-bounded wedge+closing
+    * join — O(wedges of the current subgraph) per round; the edge set
+    * is monotone decreasing, so count equality is set equality, and
+    * rounds are bounded by the peel depth (TrussRounds guard). Eager
+    * localCheckpoint per round truncates the self-referencing lineage
+    * (the doubly-referencing loop rule).
+    */
+  def ktruss(spark: SparkSession, docs: DataFrame, k: Int = 3): DataFrame = {
+    var alive = orientedEdges(docs)._1.localCheckpoint(true)
+    var n = alive.count()
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val next = supportOf(alive)
+        .filter(col("support") >= k - 2)
+        .select("u", "v")
+        .localCheckpoint(true)
+      val n2 = next.count()
+      done = n2 == n // monotone shrink: same count = same set
+      alive = next
+      n = n2
+      rounds += 1
+      require(rounds <= TrussRounds,
+        s"k-truss peel did not converge within $TrussRounds rounds — " +
+          s"the oracle unrolls exactly $TrussRounds; raise TrussRounds " +
+          "in both places")
+    }
+    alive
+      .agg(count(lit(1)).as("n_edges_truss"))
+      .crossJoin(broadcast(
+        alive.select(col("u").as("x")).union(alive.select(col("v").as("x")))
+          .agg(count_distinct(col("x")).as("n_nodes_truss"))))
+      .select(lit(k).as("k"), col("n_edges_truss"), col("n_nodes_truss"))
+  }
+
+  /** Oracle twin of [[ktruss]]: [[TrussRounds]] peel rounds unrolled
+    * (idempotent past the fixpoint), each round's support the naive
+    * common-neighbor wedge statement over the survivor set — every
+    * e_i is referenced multiple times, so AS MATERIALIZED per the
+    * k-core lesson.
+    */
+  def ktrussSql(k: Int = 3): String = {
+    def round(prev: String, cur: String): String =
+      s"""${cur}d AS MATERIALIZED (SELECT u AS src, v AS dst FROM $prev
+         |  UNION ALL SELECT v, u FROM $prev),
+         |${cur}s AS MATERIALIZED (
+         |  SELECT e1.dst AS u, e2.dst AS v, count(*) AS sup
+         |  FROM ${cur}d e1 JOIN ${cur}d e2
+         |    ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2),
+         |$cur AS MATERIALIZED (
+         |  SELECT p.u, p.v FROM $prev p LEFT JOIN ${cur}s s
+         |    ON p.u = s.u AND p.v = s.v
+         |  WHERE COALESCE(s.sup, 0) >= ${k - 2})""".stripMargin
+    val rounds = (1 to TrussRounds)
+      .map(i => round(if (i == 1) "ue" else s"e${i - 1}", s"e$i"))
+      .mkString(",\n")
+    val last = s"e$TrussRounds"
+    s"""WITH $linkEdgesSql,
+       |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+       |       greatest(src, dst) AS v FROM e),
+       |$rounds
+       |SELECT $k AS k, count(*) AS n_edges_truss,
+       |  (SELECT count(DISTINCT x) FROM (
+       |     SELECT u AS x FROM $last UNION ALL SELECT v FROM $last) q)
+       |    AS n_nodes_truss
+       |FROM $last""".stripMargin
   }
 
   def triangles(spark: SparkSession, docs: DataFrame): DataFrame = {
@@ -856,34 +978,11 @@ object Graph {
     * The oracle states the semantics implementation-free (naive
     * common-neighbor wedge join), like [[trianglesSql]].
     */
-  def edgeSupport(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val (und, oriented) = orientedEdges(docs)
-    val o2 = oriented.select(col("a").as("a2"), col("b").as("c"))
-    val wedges = oriented
-      .join(o2, col("a") === col("a2") && col("b") < col("c"))
-      .select("a", "b", "c")
-    val closing = oriented.select(
-      least(col("a"), col("b")).as("x"),
-      greatest(col("a"), col("b")).as("y"))
-    val tris = wedges
-      .join(closing, col("b") === col("x") && col("c") === col("y"))
-    // each triangle contributes support to its three canonical edges
-    val triEdges = tris
-      .select(explode(array(
-        struct(least(col("a"), col("b")).as("u"),
-          greatest(col("a"), col("b")).as("v")),
-        struct(least(col("a"), col("c")).as("u"),
-          greatest(col("a"), col("c")).as("v")),
-        struct(col("b").as("u"), col("c").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .groupBy("u", "v")
-      .agg(count(lit(1)).as("support"))
-    und.join(triEdges, Seq("u", "v"), "left")
-      .select(coalesce(col("support"), lit(0L)).as("support"))
+  def edgeSupport(spark: SparkSession, docs: DataFrame): DataFrame =
+    supportOf(orientedEdges(docs)._1)
       .groupBy("support")
       .agg(count(lit(1)).as("n_edges"))
       .orderBy("support")
-  }
 
   /** Oracle twin of [[edgeSupport]]. */
   def edgeSupportSql: String =

@@ -95,6 +95,8 @@ object Analytics {
     // k-truss building block: per-edge triangle-support histogram
     "graph_edge_support" -> ((s, dir) =>
       Graph.edgeSupport(s, rd(s, dir, "documents"))),
+    // ... and the full peel: the edge-level density filter
+    "graph_ktruss" -> ((s, dir) => Graph.ktruss(s, rd(s, dir, "documents"))),
     "ts_ewma" -> ((s, dir) => TimeSeriesOps.ewmaLast(rdEvents(s, dir))),
     "ts_funnel" -> ((s, dir) => TimeSeriesOps.funnel(rdEvents(s, dir))),
     // the funnel within native session_window sessions (the oracle
@@ -169,6 +171,7 @@ object Analytics {
     "graph_kcore" -> Graph.kcoreSql(),
     "graph_modularity" -> Graph.modularitySql,
     "graph_edge_support" -> Graph.edgeSupportSql,
+    "graph_ktruss" -> Graph.ktrussSql(),
     "ts_ewma" -> TimeSeriesOps.ewmaLastSql,
     "ts_funnel" -> TimeSeriesOps.funnelSql(),
     "ts_session_funnel" -> TimeSeriesOps.sessionFunnelSql(),

@@ -370,6 +370,30 @@ class AnalyticsSpec extends AnyFunSuite {
       s"exactly the planted vector should flag: ${flagged.mkString(",")}")
   }
 
+  test("ktruss matches an exact local peel") {
+    val docs = docsDf(300)
+    var alive = Graph.linkEdges(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toSet
+    val k = 3
+    var changed = true
+    while (changed) {
+      val adj = (alive.toSeq ++ alive.toSeq.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val next = alive.filter { case (u, v) =>
+        (adj(u) intersect adj(v)).size >= k - 2
+      }
+      changed = next != alive
+      alive = next
+    }
+    val row = Graph.ktruss(spark, docs, k).collect().head
+    graft.CacheScope.drain()
+    assert(row.getLong(1) == alive.size.toLong)
+    assert(row.getLong(2) ==
+      alive.flatMap(e => Seq(e._1, e._2)).size.toLong)
+  }
+
   test("edge support is consistent with the triangle count") {
     val docs = docsDf(300)
     val hist = Graph.edgeSupport(spark, docs).collect()
