@@ -552,8 +552,15 @@ object Graph {
       alive = next
       n = n2
       rounds += 1
-      require(rounds <= TrussRounds,
-        s"k-truss peel did not converge within $TrussRounds rounds — " +
+      // the loop needs one extra NO-CHANGE round to DETECT the
+      // fixpoint; that detection round is idempotent (the oracle's
+      // unrolled rounds past the fixpoint are too), so only a round
+      // that still SHRANK past the cap means the oracle's unroll depth
+      // is insufficient (ADVICE r11: a graph shrinking for exactly
+      // TrussRounds rounds is fine — its detection round may be
+      // TrussRounds + 1)
+      require(rounds <= TrussRounds || done,
+        s"k-truss peel still shrinking after $TrussRounds rounds — " +
           s"the oracle unrolls exactly $TrussRounds; raise TrussRounds " +
           "in both places")
     }

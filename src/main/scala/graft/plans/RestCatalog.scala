@@ -118,11 +118,29 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
   private val server = HttpServer.create(
     new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
   server.createContext("/v1", (ex: HttpExchange) => handle(ex))
-  server.setExecutor(null) // default executor: requests handled serially
+  // small DAEMON pool: object-store reads arrive from many executor
+  // threads at once (a serial handler would serialize a 32-thread
+  // parquet scan), and daemon workers can never pin the JVM open when
+  // a long-lived store server (RestStore) is deliberately not closed
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t }))
   server.start()
 
   val port: Int = server.getAddress.getPort
   def uri: String = s"http://127.0.0.1:$port/v1"
+
+  /** Access log of the object-store routes — (relative path, Range
+    * header if any), bounded. Lets a spec prove a consumer's parquet
+    * scan really arrived as HTTP ranged reads, not local file IO.
+    */
+  private val fileLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Option[String])]()
+  private val FileLogCap = 10000
+  def fileRequests: Seq[(String, Option[String])] = {
+    import scala.jdk.CollectionConverters._
+    fileLog.iterator().asScala.toSeq
+  }
+  def clearFileLog(): Unit = fileLog.clear()
 
   override def close(): Unit = server.stop(0)
 
@@ -134,106 +152,152 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
     try os.write(bytes) finally os.close()
   }
 
-  private def handle(ex: HttpExchange): Unit = try {
-    val segs = ex.getRequestURI.getPath.stripPrefix("/v1")
-      .split('/').filter(_.nonEmpty).toList
-    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    (ex.getRequestMethod, segs) match {
-      case ("GET", List("config")) =>
-        respond(ex, 200, """{"defaults":{},"overrides":{}}""")
-      case ("POST", List("namespaces")) =>
-        val ns = RestJson.field(body, "namespace")
-          .map(a => RestJson.field("{\"x\":" + a + "}", "x").get)
-          .getOrElse(throw new IllegalArgumentException("no namespace"))
-        val name = RestJson.requireIdent(
-          ns.replaceAll("[\\[\\]\"\\s]", ""), "namespace")
-        TableIO.createNamespace(root, name)
-        respond(ex, 200, s"""{"namespace":["$name"]}""")
-      case ("POST", List("namespaces", ns, "tables")) =>
-        val name = RestJson.requireIdent(
-          RestJson.field(body, "name").get, "table name")
-        val schema = DataType.fromJson(RestJson.field(body, "schema").get)
-          .asInstanceOf[StructType]
-        TableIO.createTableIfNotExists(root, ns, name, schema)
-        respond(ex, 200, s"""{"name":"$name"}""")
-      case ("GET", List("namespaces", ns, "tables", t)) =>
-        val v = TableIO.currentVersion(root, ns, t)
-        val entries = TableIO.readManifestAt(root, ns, t, v)
-          .map(TableIO.entryToJson).mkString(",")
-        val schema = TableIO.readSchema(root, ns, t).json
-        respond(ex, 200,
-          s"""{"current-version":$v,"schema":$schema,"entries":[$entries]}""")
-      case ("GET", "files" :: rest) =>
-        // object-store-style data serving (the S3 half of the
-        // reference's config): whole-object GET or a ranged read —
-        // the access pattern a parquet footer/column scan performs
-        // against object storage. Traversal-guarded to the root.
-        val rel = rest.mkString("/")
-        val base = java.nio.file.Paths.get(root).toAbsolutePath.normalize
-        val p = base.resolve(rel).normalize
-        if (!p.startsWith(base) || !java.nio.file.Files.isRegularFile(p))
-          respond(ex, 404, s"""{"error":"no such object: $rel"}""")
-        else {
-          val size = java.nio.file.Files.size(p)
-          val range = Option(ex.getRequestHeaders.getFirst("Range"))
-          // full RFC-7233 single-range forms: bytes=a-b, bytes=a-
-          // (open-ended), bytes=-n (suffix — THE parquet-footer fetch)
-          val (lo, hi) = range match {
-            case Some(r) if r.startsWith("bytes=") =>
-              val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
-              if (a.isEmpty) (math.max(0L, size - b.toLong), size - 1)
-              else if (b.isEmpty) (a.toLong, size - 1)
-              else (a.toLong, math.min(b.toLong, size - 1))
-            case _ => (0L, size - 1)
-          }
-          val len = hi - lo + 1 // long: a >=2 GiB object must not wrap
-          ex.getResponseHeaders.set("Content-Type",
-            "application/octet-stream")
-          if (range.isDefined) {
-            ex.getResponseHeaders.set("Content-Range",
-              s"bytes $lo-$hi/$size")
-            ex.sendResponseHeaders(206, len)
-          } else ex.sendResponseHeaders(200, len)
-          // stream in bounded chunks: serving a data file must never
-          // buffer the object (an Iceberg data file is routinely GBs)
-          val ch = java.nio.channels.FileChannel.open(p)
-          val os = ex.getResponseBody
-          try {
-            ch.position(lo)
-            val buf = java.nio.ByteBuffer.allocate(
-              math.min(len, 1L << 20).toInt)
-            var remaining = len
-            while (remaining > 0) {
-              buf.clear()
-              if (remaining < buf.capacity) buf.limit(remaining.toInt)
-              val n = ch.read(buf)
-              require(n > 0, s"short read serving $rel")
-              os.write(buf.array(), 0, n)
-              remaining -= n
-            }
-          } finally { ch.close(); os.close() }
-        }
-      case ("POST", List("namespaces", ns, "tables", t, "commit")) =>
-        val expected = RestJson.field(body, "expected-version").map(_.toLong)
-        val current = TableIO.currentVersion(root, ns, t)
-        if (expected.exists(_ != current))
-          respond(ex, 409, s"""{"error":"commit conflict: expected """ +
-            s"""version ${expected.get} but table is at $current"}""")
-        else {
-          val entries = RestJson.objects(
-              RestJson.field(body, "entries").getOrElse("[]"))
-            .map(TableIO.entryFromJson)
-          val v = TableIO.commit(root, ns, t, entries)
-          respond(ex, 200, s"""{"version":$v}""")
-        }
-      case _ =>
-        respond(ex, 404, s"""{"error":"no route: ${segs.mkString("/")}"}""")
+  /** Manifest entry paths arrive over the wire and feed straight into
+    * table-dir resolution on commit — a '..' segment or absolute path
+    * could plant an entry resolving OUTSIDE the catalog root (ADVICE
+    * r11; the /files route already traversal-guards reads, this guards
+    * the write side).
+    */
+  private def requireSafePath(p: String): String = {
+    val segs = p.split('/')
+    require(!p.startsWith("/") && p.nonEmpty &&
+      segs.forall(s => s.nonEmpty && s != ".." && s != "."),
+      s"manifest entry path must be table-relative: '$p'")
+    p
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    // once response headers are committed, the catch-all must NOT call
+    // sendResponseHeaders again (it throws out of the handler and the
+    // client sees a broken stream instead of the JSON error) — it can
+    // only abort the exchange (ADVICE r11)
+    var headersSent = false
+    def reply(code: Int, body: String): Unit = {
+      headersSent = true
+      respond(ex, code, body)
     }
-  } catch {
-    case e: Exception =>
-      respond(ex, 400,
-        s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\\p{Cntrl}]", "'")}"}""")
+    try {
+      val segs = ex.getRequestURI.getPath.stripPrefix("/v1")
+        .split('/').filter(_.nonEmpty).toList
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      (ex.getRequestMethod, segs) match {
+        case ("GET", List("config")) =>
+          reply(200, """{"defaults":{},"overrides":{}}""")
+        case ("POST", List("namespaces")) =>
+          val ns = RestJson.field(body, "namespace")
+            .map(a => RestJson.field("{\"x\":" + a + "}", "x").get)
+            .getOrElse(throw new IllegalArgumentException("no namespace"))
+          val name = RestJson.requireIdent(
+            ns.replaceAll("[\\[\\]\"\\s]", ""), "namespace")
+          TableIO.createNamespace(root, name)
+          reply(200, s"""{"namespace":["$name"]}""")
+        case ("POST", List("namespaces", ns0, "tables")) =>
+          // URL path segments are wire input too: without the ident
+          // gate a '..' namespace resolves outside the root (ADVICE r11)
+          val ns = RestJson.requireIdent(ns0, "namespace")
+          val name = RestJson.requireIdent(
+            RestJson.field(body, "name").get, "table name")
+          val schema = DataType.fromJson(RestJson.field(body, "schema").get)
+            .asInstanceOf[StructType]
+          TableIO.createTableIfNotExists(root, ns, name, schema)
+          reply(200, s"""{"name":"$name"}""")
+        case ("GET", List("namespaces", ns0, "tables", t0)) =>
+          val ns = RestJson.requireIdent(ns0, "namespace")
+          val t = RestJson.requireIdent(t0, "table name")
+          val v = TableIO.currentVersion(root, ns, t)
+          val entries = TableIO.readManifestAt(root, ns, t, v)
+            .map(TableIO.entryToJson).mkString(",")
+          val schema = TableIO.readSchema(root, ns, t).json
+          reply(200,
+            s"""{"current-version":$v,"schema":$schema,"entries":[$entries]}""")
+        case ("GET", "files" :: rest) =>
+          // object-store-style data serving (the S3 half of the
+          // reference's config): whole-object GET or a ranged read —
+          // the access pattern a parquet footer/column scan performs
+          // against object storage. Traversal-guarded to the root.
+          val rel = rest.mkString("/")
+          val range = Option(ex.getRequestHeaders.getFirst("Range"))
+          if (fileLog.size < FileLogCap) fileLog.add((rel, range))
+          val base = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+          val p = base.resolve(rel).normalize
+          if (!p.startsWith(base) || !java.nio.file.Files.isRegularFile(p))
+            reply(404, s"""{"error":"no such object: $rel"}""")
+          else {
+            val size = java.nio.file.Files.size(p)
+            // full RFC-7233 single-range forms: bytes=a-b, bytes=a-
+            // (open-ended), bytes=-n (suffix — THE parquet-footer fetch)
+            val (lo, hi) = range match {
+              case Some(r) if r.startsWith("bytes=") =>
+                val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
+                if (a.isEmpty) (math.max(0L, size - b.toLong), size - 1)
+                else if (b.isEmpty) (a.toLong, size - 1)
+                else (a.toLong, math.min(b.toLong, size - 1))
+              case _ => (0L, size - 1)
+            }
+            // RFC-7233 unsatisfiable range (reversed, or start past
+            // EOF): 416 + the current size, never a 206 with a
+            // zero/negative Content-Length (ADVICE r11)
+            if (range.isDefined && (lo > hi || lo >= size)) {
+              ex.getResponseHeaders.set("Content-Range", s"bytes */$size")
+              reply(416, s"""{"error":"range not satisfiable: """ +
+                s"""${range.get} of $size bytes"}""")
+            } else {
+              val len = hi - lo + 1 // long: a >=2 GiB object must not wrap
+              ex.getResponseHeaders.set("Content-Type",
+                "application/octet-stream")
+              headersSent = true
+              if (range.isDefined) {
+                ex.getResponseHeaders.set("Content-Range",
+                  s"bytes $lo-$hi/$size")
+                ex.sendResponseHeaders(206, len)
+              } else ex.sendResponseHeaders(200, len)
+              // stream in bounded chunks: serving a data file must never
+              // buffer the object (an Iceberg data file is routinely GBs)
+              val ch = java.nio.channels.FileChannel.open(p)
+              val os = ex.getResponseBody
+              try {
+                ch.position(lo)
+                val buf = java.nio.ByteBuffer.allocate(
+                  math.min(len, 1L << 20).toInt)
+                var remaining = len
+                while (remaining > 0) {
+                  buf.clear()
+                  if (remaining < buf.capacity) buf.limit(remaining.toInt)
+                  val n = ch.read(buf)
+                  require(n > 0, s"short read serving $rel")
+                  os.write(buf.array(), 0, n)
+                  remaining -= n
+                }
+              } finally { ch.close(); os.close() }
+            }
+          }
+        case ("POST", List("namespaces", ns0, "tables", t0, "commit")) =>
+          val ns = RestJson.requireIdent(ns0, "namespace")
+          val t = RestJson.requireIdent(t0, "table name")
+          val expected = RestJson.field(body, "expected-version").map(_.toLong)
+          val current = TableIO.currentVersion(root, ns, t)
+          if (expected.exists(_ != current))
+            reply(409, s"""{"error":"commit conflict: expected """ +
+              s"""version ${expected.get} but table is at $current"}""")
+          else {
+            val entries = RestJson.objects(
+                RestJson.field(body, "entries").getOrElse("[]"))
+              .map(TableIO.entryFromJson)
+            entries.foreach(e => requireSafePath(e.path))
+            val v = TableIO.commit(root, ns, t, entries)
+            reply(200, s"""{"version":$v}""")
+          }
+        case _ =>
+          reply(404, s"""{"error":"no route: ${segs.mkString("/")}"}""")
+      }
+    } catch {
+      case e: Exception if !headersSent =>
+        respond(ex, 400,
+          s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\p{Cntrl}]", "'")}"}""")
+      case _: Exception =>
+        ex.close() // mid-stream failure: abort, headers are committed
+    }
   }
 }
 

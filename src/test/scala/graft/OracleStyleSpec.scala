@@ -113,8 +113,13 @@ class OracleStyleSpec extends AnyFunSuite {
         var o = sql.indexOf('(')
         while (o >= 0 && o < m.start && !found) {
           if (balancedEnd(sql, o) >= close) {
-            val prefix = sql.substring(0, o).replaceAll("\\s+", "")
-            if (prefix.toUpperCase.endsWith("CAST")) {
+            // token boundary required: BROADCAST(...) or a UDF named
+            // `recast` must not count as an enclosing CAST (ADVICE
+            // r11) — checked on the RAW prefix (stripping whitespace
+            // first would glue 'SELECT CAST' into SELECTCAST and
+            // reject the legitimate form too)
+            if ("(?is)(?:^|[^A-Za-z0-9_])CAST\\s*$".r
+                .findFirstIn(sql.substring(0, o)).isDefined) {
               val inner = sql
                 .substring(o + 1, balancedEnd(sql, o) - 1)
                 .replaceAll("\\s+", " ").trim.toUpperCase

@@ -131,6 +131,72 @@ class RestCatalogSpec extends AnyFunSuite {
       Seq("""{"p":1}""", """{"q":{"r":2}}"""))
   }
 
+  test("wire-input hardening: bad ranges get 416, traversal gets 4xx") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-rest-hard-").toString
+    val server = new RestCatalogServer(root)
+    try {
+      val client = new RestCatalogClient(server.uri)
+      client.createNamespace("hns")
+      client.createTable("hns", "ht", StructType(Seq(
+        StructField("k", LongType))))
+      val entry = TableIO.writeExactFile(spark, root, "hns", "ht",
+        "data/part-00000.parquet", (0L until 10L).toDF("k"), "data",
+        seq = 1L, recordCount = 10)
+      client.commitAppend("hns", "ht", Seq(entry))
+      val rel = "hns/ht/data/part-00000.parquet"
+      val size = Files.size(
+        TableIO.tableDir(root, "hns", "ht").resolve("data/part-00000.parquet"))
+      def raw(range: String): java.net.http.HttpResponse[String] = {
+        val rq = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${server.uri}/files/$rel"))
+          .header("Range", range).GET().build()
+        java.net.http.HttpClient.newHttpClient()
+          .send(rq, java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      // reversed and past-EOF ranges: RFC-7233 416 with the size, not
+      // a 206 with a zero/negative length (ADVICE r11)
+      val reversed = raw("bytes=100-50")
+      assert(reversed.statusCode() == 416)
+      assert(reversed.headers().firstValue("Content-Range")
+        .orElse("") == s"bytes */$size")
+      assert(raw(s"bytes=$size-").statusCode() == 416)
+      assert(raw(s"bytes=${size + 10}-${size + 20}").statusCode() == 416)
+      // a valid edge range still works
+      assert(raw(s"bytes=${size - 1}-${size - 1}").statusCode() == 206)
+
+      // URL path segments: a traversal namespace/table is rejected at
+      // the ident gate, never resolved (ADVICE r11)
+      def get(path: String): Int = {
+        val rq = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(server.uri).resolve(path)).GET().build()
+        java.net.http.HttpClient.newHttpClient()
+          .send(rq, java.net.http.HttpResponse.BodyHandlers.ofString())
+          .statusCode()
+      }
+      assert(get("/v1/namespaces/%2E%2E/tables/ht") >= 400)
+      assert(get("/v1/namespaces/hns/tables/%2E%2E") >= 400)
+
+      // wire-supplied manifest entry paths: absolute or '..' paths are
+      // rejected before the commit can plant them (ADVICE r11)
+      for (bad <- Seq("../../evil.parquet", "/etc/passwd",
+          "data/../../../x.parquet")) {
+        val body = s"""{"entries":[{"path":"$bad","content":"data",""" +
+          s""""seq":9,"recordCount":1}]}"""
+        val rq = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${server.uri}/namespaces/hns/tables/ht/commit"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        val resp = java.net.http.HttpClient.newHttpClient()
+          .send(rq, java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 400, s"path '$bad' => ${resp.body()}")
+      }
+      // the rejected commits left the table untouched
+      assert(client.loadTable("hns", "ht")._1 == 1L)
+    } finally server.close()
+  }
+
   test("operations on a missing table surface as explicit HTTP errors") {
     val root = Files.createTempDirectory("graft-rest-err-").toString
     val server = new RestCatalogServer(root)
