@@ -253,21 +253,46 @@ object Dedup {
 
   /** The unsorted LSH candidate pairs — consumers that post-process
     * (cluster resolution) skip the presentation sort. */
-  def minhashPairs(docs: DataFrame, n: Int = 4): DataFrame = {
-    val sig = minhashSignatures(docs, n)
-    // Single pass over the signatures: explode each row into its 4 band
-    // keys (a union of per-band selects would recompute the whole
-    // signature pipeline once per band — 4x the work).
-    val bandArray = array((0 until 4).map { bnd =>
-      concat_ws(":", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*)
-    }: _*)
-    val bands = sig.select(col("doc_id"),
-        posexplode(bandArray).as(Seq("band", "key")))
+  def minhashPairs(docs: DataFrame, n: Int = 4): DataFrame =
+    pairsFromSigs(minhashSignatures(docs, n))
+
+  /** Within-corpus LSH candidate pairs from an already-computed (or
+    * index-read) signature relation — the band self-join half of
+    * [[minhashPairs]], reused by the persisted cluster index
+    * (PipelineOps.buildClusterIndex), where signatures come back from
+    * a governed table instead of a fresh shingle pass. One pass over
+    * the signatures: [[sigBands]] explodes each row into its 4 band
+    * keys (a union of per-band selects would recompute the whole
+    * signature pipeline once per band — 4x the work).
+    */
+  def pairsFromSigs(sig: DataFrame): DataFrame = {
+    val bands = sigBands(sig)
     val a = bands.toDF("doc_a", "band", "key")
     val b = bands.toDF("doc_b", "band", "key")
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The candidate pairs involving at least one DELTA document: band
+    * keys of the delta's signatures joined against the FULL signature
+    * set (which includes the delta — so delta–delta pairs surface
+    * too). Because a refreshed corpus's doc_ids are disjoint from the
+    * existing ones, this is EXACTLY the set-difference between the
+    * full corpus's [[pairsFromSigs]] and the pre-delta pair set —
+    * appending it to a persisted pair table reproduces the rebuild's
+    * pair set bit-for-bit while banding only the delta against the
+    * index. Cost per refresh: the delta's own signature pass + one
+    * band equi-join pruned to buckets the delta touches.
+    */
+  def deltaPairsFromSigs(deltaSig: DataFrame, allSig: DataFrame): DataFrame = {
+    val d = sigBands(deltaSig).toDF("doc_d", "band", "key")
+    val a = sigBands(allSig).toDF("doc_o", "band", "key")
+    d.join(a, Seq("band", "key"))
+      .filter(col("doc_d") =!= col("doc_o"))
+      .select(least(col("doc_d"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_d"), col("doc_o")).as("doc_b"))
+      .distinct()
   }
 
   /** Estimator-quality view of the MinHash sketch: for every LSH

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextHash
@@ -245,7 +245,15 @@ object PipelineOps {
     * CONSTRUCTION (one hash per group) — the spec asserts it anyway.
     */
   def leakageSafeSplit(docs: DataFrame): DataFrame =
-    leakageSafeAssignment(docs)
+    leakageSafeSplit(docs, dedupClusters(docs))
+
+  /** [[leakageSafeSplit]] over ALREADY-RESOLVED cluster labels — the
+    * production shape: labels come from the persisted cluster index
+    * ([[readClusterIndex]]), so consuming the split does not recluster
+    * the corpus. Identical answer (the label relation is identical).
+    */
+  def leakageSafeSplit(docs: DataFrame, labels: DataFrame): DataFrame =
+    leakageSafeAssignment(docs, labels)
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("grp")).as("n_groups"),
@@ -269,13 +277,25 @@ object PipelineOps {
     * stages. Every stage is ALSO individually oracle-checked by its
     * own query, so a composite mismatch localizes immediately.
     */
-  def e2eCuration(docs: DataFrame): DataFrame = {
+  def e2eCuration(docs: DataFrame): DataFrame =
+    e2eCuration(docs, dedupClusters(docs))
+
+  /** [[e2eCuration]] with the near-dup cluster labels supplied — since
+    * r12 the split stage groups by CORPUS-level clusters (the
+    * persisted index), not clusters recomputed on the survivor subset:
+    * two survivors that are both near-dups of the same GATED-OUT
+    * document are transitively contamination-related, and a
+    * survivor-only reclustering would silently put them in different
+    * splits (besides recomputing the most expensive stage per
+    * consumer, the r11 verdict's top item).
+    */
+  def e2eCuration(docs: DataFrame, labels: DataFrame): DataFrame = {
     val gated = docs.join(
       TextAnalysis.gopherRules(docs).filter(col("passes") === 1L)
         .select("doc_id"), "doc_id")
     val best = Dedup.keepBest(gated).select("doc_id")
     val survivors = docs.join(best, "doc_id")
-    leakageSafeAssignment(survivors)
+    leakageSafeAssignment(survivors, labels)
       .join(survivors.select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
@@ -288,8 +308,12 @@ object PipelineOps {
     * surface): (doc_id, grp, split, doc_split).
     */
   private[graft] def leakageSafeAssignment(docs: DataFrame): DataFrame =
+    leakageSafeAssignment(docs, dedupClusters(docs))
+
+  private[graft] def leakageSafeAssignment(docs: DataFrame,
+      labels: DataFrame): DataFrame =
     docs.select(col("doc_id"))
-      .join(dedupClusters(docs), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("grp"))
       .select(col("doc_id"), col("grp"),
@@ -501,12 +525,29 @@ object PipelineOps {
     * converges). Each round is one groupBy on the edge key: linear in
     * edges, the standard large-graph CC shape.
     */
-  def dedupClusters(docs: DataFrame, iters: Int = 3): DataFrame = {
-    // Cached: the propagation loop references the edge set 2 per round
+  def dedupClusters(docs: DataFrame, iters: Int = ClusterIters): DataFrame =
+    // Cached: the propagation loop references the edge set 2x per round
     // (plus once for the node list); without the cache each reference
     // re-evaluates the whole MinHash signature+band pipeline. Edges are
     // near-dup pairs — tiny relative to the corpus at any scale.
-    val pairs = graft.CacheScope.cached(Dedup.minhashPairs(docs))
+    labelPropagation(graft.CacheScope.cached(Dedup.minhashPairs(docs)), iters)
+      .orderBy("doc_id")
+
+  /** Propagation depth shared by every consumer of the cluster labels
+    * (from-scratch, index build, index refresh) AND the oracle's
+    * unrolled l0..l3 chain — one constant so the rule cannot drift.
+    */
+  val ClusterIters = 3
+
+  /** Min-label propagation over an undirected pair graph, a fixed
+    * `iters` rounds (deterministic, oracle-replayable; near-dup
+    * components are tiny — duplicate groups — so a small fixed hop
+    * count converges). Each round is one groupBy on the edge key:
+    * linear in edges, the standard large-graph CC shape. The caller
+    * caches `pairs` (each round references the edge set twice).
+    */
+  private[graft] def labelPropagation(pairs: DataFrame,
+      iters: Int = ClusterIters): DataFrame = {
     // undirected: both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -521,8 +562,105 @@ object PipelineOps {
         .select(col("doc_id"), least(col("lab"), col("nlab")).as("lab"))
     }
     labels.select(col("doc_id"), col("lab").as("cluster"))
-      .orderBy("doc_id")
   }
+
+  // --- persisted near-dup cluster index --------------------------------
+  // The r11 verdict's top item: dedup_cluster_stats, the leakage-safe
+  // split, and the e2e composite each recomputed the full MinHash →
+  // band → label-propagation chain per query once caches became
+  // query-scoped — at 100 TB a per-CONSUMER reclustering is a
+  // non-starter. The fix is the repo's own governed-index discipline
+  // (bloom/near/BM25/PQ indexes): cluster once into CAS-committed
+  // tables, let every downstream consumer read labels.
+  //
+  //   {t}_sig   (doc_id, s0..s15)   bucket(doc_id, 8)  append-only
+  //   {t}_pairs (doc_a, doc_b)      bucket(doc_a, 8)   append-only
+  //   {t}       (doc_id, cluster)   bucket(doc_id, 8)  REPLACED per refresh
+  //
+  // Signatures are the expensive pass (shingle + 16 rehashes over the
+  // corpus) and are never recomputed for existing docs; a refresh
+  // bands only the DELTA against the signature index (disjoint
+  // doc_ids make the appended delta-pairs exactly the rebuild's new
+  // pair set — see Dedup.deltaPairsFromSigs), then re-propagates
+  // labels over the pair table. Label propagation is linear in the
+  // pair set (near-dup pairs — tiny at any corpus scale), so the
+  // replace commit is cheap; it uses commitReplacing("overwrite")
+  // because reclustering is content-changing (a new doc can MERGE two
+  // old clusters, relabelling rows a plain append could never touch).
+
+  /** Build the cluster index from scratch. Refuses over an existing
+    * index (fold growth in via [[refreshClusterIndex]]; drop the
+    * tables to rebuild) — the bloom-index lesson: a blind rebuild
+    * would append duplicate signature/pair rows.
+    */
+  def buildClusterIndex(spark: SparkSession, docs: DataFrame, root: String,
+      ns: String, table: String, iters: Int = ClusterIters): Unit = {
+    import graft.plans.{PartitionSpec, Partitioning, TableIO}
+    require(TableIO.currentVersion(root, ns, table) == 0L &&
+        TableIO.currentVersion(root, ns, s"${table}_sig") == 0L,
+      s"$ns.$table already holds a committed cluster index — fold new " +
+        "docs in with refreshClusterIndex, or drop the index tables to " +
+        "rebuild")
+    Partitioning.preparePartitioned(spark, root, ns, s"${table}_sig",
+      Dedup.minhashSignatures(docs), PartitionSpec("bucket", "doc_id", 8))
+    val sigs = graft.plans.Mor.read(spark, root, ns, s"${table}_sig")
+    Partitioning.preparePartitioned(spark, root, ns, s"${table}_pairs",
+      Dedup.pairsFromSigs(sigs), PartitionSpec("bucket", "doc_a", 8))
+    relabelClusterIndex(spark, root, ns, table, iters, replace = false)
+  }
+
+  /** Fold a delta corpus (disjoint doc_ids) into the index: append its
+    * signatures, append its band-join pairs against the full signature
+    * set, re-propagate labels over the pair table, and REPLACE the
+    * label snapshot. Bit-identical to a from-scratch rebuild on the
+    * union corpus (pinned by ClusterIndexSpec): the pair SET equals
+    * the rebuild's, and propagation is a deterministic function of the
+    * pair set.
+    */
+  def refreshClusterIndex(spark: SparkSession, delta: DataFrame, root: String,
+      ns: String, table: String, iters: Int = ClusterIters): Unit = {
+    import graft.plans.Partitioning
+    // cached: referenced by both the signature append and the delta
+    // band join — without it the delta's shingle pass runs twice
+    val deltaSigs = graft.CacheScope.cached(Dedup.minhashSignatures(delta))
+    Partitioning.appendPartitioned(spark, root, ns, s"${table}_sig",
+      deltaSigs)
+    val all = graft.plans.Mor.read(spark, root, ns, s"${table}_sig")
+    Partitioning.appendPartitioned(spark, root, ns, s"${table}_pairs",
+      Dedup.deltaPairsFromSigs(deltaSigs, all))
+    relabelClusterIndex(spark, root, ns, table, iters, replace = true)
+  }
+
+  /** Re-run propagation over the committed pair table and publish the
+    * label snapshot — initial commit on build, replacing commit (with
+    * the "overwrite" changelog marker) on refresh.
+    */
+  private def relabelClusterIndex(spark: SparkSession, root: String,
+      ns: String, table: String, iters: Int, replace: Boolean): Unit = {
+    import graft.plans.{PartitionSpec, Partitioning, TableIO}
+    val pairs = graft.CacheScope.cached(
+      graft.plans.Mor.read(spark, root, ns, s"${table}_pairs"))
+    val labels = labelPropagation(pairs, iters)
+    if (!replace)
+      Partitioning.preparePartitioned(spark, root, ns, table, labels,
+        PartitionSpec("bucket", "doc_id", 8))
+    else {
+      val spec = Partitioning.readSpec(root, ns, table).getOrElse(
+        throw new IllegalStateException(s"$ns.$table has no partition spec"))
+      val entries = Partitioning.writePartitioned(spark, root, ns, table,
+        labels, spec, seq = TableIO.nextSeq(root, ns, table))
+      TableIO.commitReplacing(root, ns, table, entries,
+        operation = Some("overwrite"))
+    }
+  }
+
+  /** The committed (doc_id, cluster) labels — what every downstream
+    * consumer (stats, splits, composites) reads instead of
+    * reclustering.
+    */
+  def readClusterIndex(spark: SparkSession, root: String, ns: String,
+      table: String): DataFrame =
+    graft.plans.Mor.read(spark, root, ns, table)
 
   /** Deterministic round-robin interleave of corpus sources — the
     * training-order step after per-source curation: document i of each

@@ -36,6 +36,26 @@ object Extensions {
        |SELECT doc_id, CAST(sum(s_fp) AS DOUBLE) / 10000000.0 AS score
        |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
+  /** The persisted near-dup cluster index for a testdata dir — built
+    * once per JVM (the bm25/pq/bloom ensure pattern) and consumed by
+    * every downstream query that needs cluster labels
+    * (dedup_cluster_stats, pipe_split_leakage_safe, pipe_e2e_curation,
+    * dedup_clusters_indexed). The r11 verdict's top item: with caches
+    * query-scoped, each of those queries recomputed the full MinHash →
+    * band → label-propagation chain; at 100 TB clustering is built
+    * ONCE into governed tables and consumers read labels.
+    */
+  private def clusterIndexRoot(s: SparkSession, dir: String): String =
+    graft.plans.GeneratedTables.ensureCustom(dir + "#clusteridx") { root =>
+      PipelineOps.buildClusterIndex(s, rd(s, dir, "documents"),
+        root, "corp", "clusters")
+    }
+
+  /** Committed (doc_id, cluster) labels for the dir's corpus. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    PipelineOps.readClusterIndex(s, clusterIndexRoot(s, dir),
+      "corp", "clusters")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(rd(s, dir, "documents"))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprint(rd(s, dir, "documents"))),
@@ -255,13 +275,20 @@ object Extensions {
     "pipe_chunk" -> ((s, dir) => PipelineOps.chunkDocuments(rd(s, dir, "documents"))),
     "pipe_split" -> ((s, dir) => PipelineOps.trainValTest(rd(s, dir, "documents"))),
     // split by near-dup CLUSTER: duplicates never straddle train/test;
-    // n_leaky_docs counts what the doc-level rule would have leaked
+    // n_leaky_docs counts what the doc-level rule would have leaked.
+    // Labels come from the persisted index (r12) — consuming the split
+    // no longer reclusters the corpus.
     "pipe_split_leakage_safe" -> ((s, dir) =>
-      PipelineOps.leakageSafeSplit(rd(s, dir, "documents"))),
+      PipelineOps.leakageSafeSplit(rd(s, dir, "documents"),
+        clusterLabels(s, dir))),
     // the whole curation chain composed: gate -> keep-best dedup ->
-    // cluster-keyed split -> per-split dataset-card numbers
+    // cluster-keyed split -> per-split dataset-card numbers; the split
+    // stage groups by CORPUS-level clusters from the persisted index
+    // (r12 — see PipelineOps.e2eCuration for why survivor-only
+    // reclustering was also semantically weaker)
     "pipe_e2e_curation" -> ((s, dir) =>
-      PipelineOps.e2eCuration(rd(s, dir, "documents"))),
+      PipelineOps.e2eCuration(rd(s, dir, "documents"),
+        clusterLabels(s, dir))),
     "pipe_datacard" -> ((s, dir) => PipelineOps.dataCard(rd(s, dir, "documents"))),
     "pipe_token_budget" -> ((s, dir) => PipelineOps.tokenBudget(rd(s, dir, "documents"))),
     "pipe_interleave" -> ((s, dir) => PipelineOps.interleave(rd(s, dir, "documents"))),
@@ -281,9 +308,50 @@ object Extensions {
       PipelineOps.hllRegisters(rd(s, dir, "lineitem"), "l_partkey")),
     "dedup_clusters" -> ((s, dir) =>
       PipelineOps.dedupClusters(rd(s, dir, "documents"))),
+    // the same labels read from the PERSISTED cluster index (cluster
+    // once, consume many — the governed-index lifecycle applied to
+    // near-dup clustering); shares dedup_clusters' oracle verbatim
+    "dedup_clusters_indexed" -> ((s, dir) =>
+      clusterLabels(s, dir).orderBy("doc_id")),
+    // INCREMENTAL index maintenance under the oracle, composed with
+    // the change feed: the corpus lands as a governed table in TWO
+    // commits; the index is built after the first and REFRESHED with
+    // the second commit's change-feed inserts — then read. The oracle
+    // clusters the full corpus from scratch, so a refresh that missed
+    // a cross-batch pair, double-appended, or failed to re-merge
+    // clusters diverges.
+    "dedup_clusters_refreshed" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#clusteridxr") { root =>
+        import org.apache.spark.sql.functions.col
+        import graft.plans.{Mor, TableIO}
+        val d = rd(s, dir, "documents")
+        val ns = "corp"
+        val base = d.filter(col("doc_id") % 3 =!= 0)
+        TableIO.createNamespace(root, ns)
+        TableIO.createTableIfNotExists(root, ns, "docs", base.schema)
+        TableIO.commit(root, ns, "docs", Seq(TableIO.writeExactFile(s, root,
+          ns, "docs", "data/d0.parquet", base, "data",
+          TableIO.nextSeq(root, ns, "docs"))))
+        PipelineOps.buildClusterIndex(s, Mor.read(s, root, ns, "docs"),
+          root, ns, "clusters")
+        val late = d.filter(col("doc_id") % 3 === 0)
+        TableIO.commit(root, ns, "docs", Seq(TableIO.writeExactFile(s, root,
+          ns, "docs", "data/d1.parquet", late, "data",
+          TableIO.nextSeq(root, ns, "docs"))))
+        val delta = Mor.readChanges(s, root, ns, "docs", 1L, 2L)
+          .filter(col("_change_type") === "insert")
+          .drop("_change_type")
+        PipelineOps.refreshClusterIndex(s, delta, root, ns, "clusters")
+        ()
+      }
+      PipelineOps.readClusterIndex(s, r, "corp", "clusters")
+        .orderBy("doc_id")
+    }),
+    // derived view over the INDEX labels (was: a second full
+    // reclustering per the r11 verdict) — same oracle, same answer
     "dedup_cluster_stats" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, count, lit}
-      PipelineOps.dedupClusters(rd(s, dir, "documents"))
+      clusterLabels(s, dir)
         .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .select(col("cluster_size"), col("n_clusters"),
@@ -792,8 +860,12 @@ object Extensions {
 
   /** Oracle of the e2e curation composite: Gopher gate → keep-best
     * exact dedup → cluster-keyed split, each stage the SAME SQL its
-    * standalone oracle uses (gate thresholds inlined, clusters chain
-    * re-based onto the survivor set).
+    * standalone oracle uses (gate thresholds inlined). Since r12 the
+    * cluster chain runs over the FULL corpus — the split stage groups
+    * survivors by corpus-level near-dup cluster, matching the
+    * persisted-index consumption pattern (and closing the
+    * transitively-related-via-a-gated-doc leak of the survivor-only
+    * reclustering).
     */
   private lazy val e2eCurationSql: String = {
     def caseSql(b: String): String =
@@ -822,7 +894,7 @@ object Extensions {
        |         ORDER BY n_chars DESC, doc_id) AS rk FROM fb),
        |surv AS (SELECT d.* FROM documents d
        |         JOIN (SELECT doc_id FROM rb WHERE rk = 1) b USING (doc_id)),
-       |${clustersCtes("surv")},
+       |${clustersCtes("documents")},
        |gg AS (SELECT s.doc_id, s.n_chars, COALESCE(l3.lab, s.doc_id) AS grp
        |       FROM surv s LEFT JOIN l3 ON l3.doc_id = s.doc_id),
        |sp AS (SELECT doc_id, n_chars, grp,
@@ -1537,6 +1609,12 @@ object Extensions {
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "dedup_clusters" -> dedupClustersSql,
+    // persisted-index twins: the index's committed labels must equal a
+    // from-scratch clustering of the (full) corpus — build-once,
+    // build+refresh-via-change-feed, same oracle verbatim (playbook
+    // same-answer-rewrite rule)
+    "dedup_clusters_indexed" -> dedupClustersSql,
+    "dedup_clusters_refreshed" -> dedupClustersSql,
     "pipe_split_leakage_safe" -> leakageSafeSplitSql,
     "pipe_e2e_curation" -> e2eCurationSql,
 
