@@ -43,4 +43,39 @@ class BenchFlagSpec extends AnyFunSuite {
       Map("q_anchorless" -> 9.0, "q_mid" -> 1.8, "q_slow" -> 4.4), anchor)
     assert(f.map(_._1) == Seq("q_slow", "q_mid"))
   }
+
+  test("isolation re-run CONFIRMS a reproducible regression and CLEARS " +
+      "a transient suite hit") {
+    // the r11 scenario: two queries flag on suite times; in isolation
+    // one still runs 2x its anchor (real regression), the other drops
+    // back to ~anchor (steal window during the suite — variance)
+    val suiteFlags = Bench.flaggedQueries(
+      Map("q_mid" -> 2.20, "q_slow" -> 4.40), anchor)
+    assert(suiteFlags.map(_._1) == Seq("q_mid", "q_slow"))
+    val isolated = Map("q_mid" -> 2.10, "q_slow" -> 2.05)
+    val (confirmed, cleared) =
+      Bench.adjudicateFlags(suiteFlags, isolated, anchor)
+    assert(confirmed.map(_._1) == Seq("q_mid"))
+    val (_, cs, ci) = confirmed.head
+    assert(math.abs(cs - 2.2) < 1e-9 && math.abs(ci - 2.1) < 1e-9)
+    assert(cleared.map(_._1) == Seq("q_slow"))
+    assert(math.abs(cleared.head._3 - 1.025) < 1e-9)
+  }
+
+  test("isolation adjudication applies the same floor rule — a tiny " +
+      "query cannot confirm through ratio alone") {
+    // suite flagged via a big absolute excess, isolated run is 3x its
+    // anchor but only +0.05s over it: floor clears it
+    val suiteFlags = Seq("q_fast" -> 6.0)
+    val (confirmed, cleared) = Bench.adjudicateFlags(
+      suiteFlags, Map("q_fast" -> 0.15), anchor)
+    assert(confirmed.isEmpty && cleared.map(_._1) == Seq("q_fast"))
+  }
+
+  test("a flagged query with no isolated measurement is dropped, not " +
+      "silently confirmed") {
+    val (confirmed, cleared) = Bench.adjudicateFlags(
+      Seq("q_mid" -> 2.0), Map.empty, anchor)
+    assert(confirmed.isEmpty && cleared.isEmpty)
+  }
 }
