@@ -117,7 +117,8 @@ object Mor {
       pruneEq: Seq[PruneEq] = Nil,
       onlyPaths: Option[Set[String]] = None,
       pruneIn: Seq[PruneIn] = Nil,
-      keepFileRowId: Boolean = false): DataFrame = {
+      keepFileRowId: Boolean = false,
+      uriFor: String => String = identity): DataFrame = {
     val dataFiles0 =
       filesAt(root, ns, table, "data", version, prune, pruneEq, pruneIn)
     val dir = TableIO.tableDir(root, ns, table)
@@ -167,7 +168,7 @@ object Mor {
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val df = spark.read
       .schema(schema)
-      .parquet(dataFiles.map(_._1): _*)
+      .parquet(dataFiles.map(f => uriFor(f._1)): _*)
       .select(col("*"),
         // file name is unique within a table, so `data/<name>` equals the
         // manifest-relative path the delete files carry.
@@ -185,12 +186,13 @@ object Mor {
     * broadcast-join shape as the data side).
     */
   private[plans] def readDeletes(spark: SparkSession,
-      files: Seq[(String, Long)]): Option[DataFrame] = {
+      files: Seq[(String, Long)],
+      uriFor: String => String = identity): Option[DataFrame] = {
     if (files.isEmpty) None
     else {
       import spark.implicits._
       val seqDf = basenameSeqs(files).toDF("_dfname", "_dseq")
-      Some(spark.read.parquet(files.map(_._1): _*)
+      Some(spark.read.parquet(files.map(f => uriFor(f._1)): _*)
         .withColumn("_dfname", col("_metadata.file_name"))
         .join(broadcast(seqDf), Seq("_dfname"))
         .drop("_dfname"))
@@ -218,7 +220,13 @@ object Mor {
     * `bitmapThreshold` caps the deletion-vector strategy for positional
     * deletes (0 forces the anti-join fallback). `asOfVersion` time
     * travels: the scan, the deletes, and the seq gates all come from
-    * that snapshot's manifest (Iceberg `VERSION AS OF`).
+    * that snapshot's manifest (Iceberg `VERSION AS OF`). `uriFor`
+    * rewrites each resolved file path into the URI the scan opens —
+    * identity for local storage, a `graftrest://host:port/...`
+    * mapping to read the table's bytes THROUGH the loopback HTTP
+    * object store ([[RestObjectFileSystem]], the reference's
+    * consumer-side S3 configuration): the plan is unchanged, only the
+    * byte transport moves.
     */
   def read(spark: SparkSession, root: String, ns: String, table: String,
       bitmapThreshold: Long = BitmapDeleteThreshold,
@@ -228,9 +236,10 @@ object Mor {
       pruneEq: Seq[PruneEq] = Nil,
       onlyPaths: Option[Set[String]] = None,
       pruneIn: Seq[PruneIn] = Nil,
-      keepFileRowId: Boolean = false): DataFrame = {
+      keepFileRowId: Boolean = false,
+      uriFor: String => String = identity): DataFrame = {
     var df = scanWithProvenance(spark, root, ns, table, asOfVersion, prune,
-      pruneEq, onlyPaths, pruneIn, keepFileRowId)
+      pruneEq, onlyPaths, pruneIn, keepFileRowId, uriFor)
     val manifest = manifestAt(root, ns, table, asOfVersion)
 
     // R2: positional deletes apply to files committed at or before the
@@ -239,7 +248,7 @@ object Mor {
     val posTotal = manifest.filter(_.content == "pos_delete")
       .map(_.recordCount).sum
     if (posTotal > 0) {
-      val pd = readDeletes(spark, posFiles).get
+      val pd = readDeletes(spark, posFiles, uriFor).get
       // Positions are row indexes within a data file, so the manifest's
       // recordCounts bound them — the Int-wrap guard (ADVICE r1) and the
       // broadcast-size cap are pure metadata checks, no extra job. Under
@@ -280,10 +289,10 @@ object Mor {
     // O(#delete files) metadata — and each set anti-joins separately;
     // a single mixed-schema scan would silently drop columns.
     filesAt(root, ns, table, "eq_delete", asOfVersion)
-      .groupBy(f => spark.read.parquet(f._1).schema.fieldNames.toSeq)
+      .groupBy(f => spark.read.parquet(uriFor(f._1)).schema.fieldNames.toSeq)
       .toSeq.sortBy(_._1.mkString(","))
       .foreach { case (_, files) =>
-        val ed0 = readDeletes(spark, files).get
+        val ed0 = readDeletes(spark, files, uriFor).get
         // shuffle_hash: the delete side is much smaller than the data side
         // but can exceed the broadcast threshold; hashing it avoids the
         // sort-merge path's full sort of the data side.

@@ -39,6 +39,79 @@ object Generated {
     }
   }
 
+  /** The REST-prepared table shared by `gen_rest_catalog` (metadata
+    * over the wire) and `gen_rest_read` (data bytes over the object
+    * store): the reference's prepare pipeline — DDL + 3 append commits
+    * — with every METADATA operation carried over genuine loopback
+    * HTTP (CAS-aware commits with the load→commit optimistic loop);
+    * data files go to storage directly, Iceberg's division of labor.
+    */
+  private def restRoot(s: SparkSession, dir: String): String = {
+    import graft.plans.{RestCatalogClient, RestCatalogServer}
+    import graft.sources.{FixSchemaGen, FixSchemaGenerator}
+    val c2 = cfg.copy(tableName = "t1_rest")
+    GeneratedTables.ensureCustom(dir + "#rest") { root =>
+      val server = new RestCatalogServer(root)
+      try {
+        val client = new RestCatalogClient(server.uri)
+        client.createNamespace(c2.namespace)
+        client.createTable(c2.namespace, c2.tableName,
+          FixSchemaGenerator.schema)
+        val rpf = c2.data.rowsPerFile
+        // phase 1: data files to storage, manifest over the wire
+        val dataEntries = (0 until c2.data.fileCount).map { i =>
+          TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
+            FixSchemaGen.dataFilePath(i),
+            FixSchemaGenerator.dataFile(s, i, rpf), "data", seq = 1L,
+            recordCount = rpf,
+            bounds = FixSchemaGenerator.fileBounds(i, rpf))
+        }
+        def casCommit(entries: Seq[graft.plans.ManifestEntry]): Unit = {
+          // load → commit with expected version: the optimistic loop
+          // a real REST-catalog writer runs
+          val (v, _, _) = client.loadTable(c2.namespace, c2.tableName)
+          client.commitAppend(c2.namespace, c2.tableName, entries,
+            expectedVersion = Some(v)).fold(
+            conflict => throw new IllegalStateException(conflict),
+            _ => ())
+        }
+        casCommit(dataEntries)
+        // phases 2+3: the delete slices, same file arithmetic as
+        // Pipeline.prepareDeletes, committed over the wire
+        val pRpf = c2.posDelete.rowsPerFile
+        val pTotal = c2.actualPosDeletes
+        val pFiles =
+          if (pTotal == 0 || pRpf == 0) 0
+          else ((pTotal + pRpf - 1) / pRpf).toInt
+        casCommit((0 until pFiles).map { i =>
+          val lo = i * pRpf
+          val hi = math.min((i + 1) * pRpf, pTotal)
+          val slice = s.range(lo, hi).select(
+            format_string("data/part-%05d.parquet",
+              (col("id") / rpf).cast("int")).as("file_path"),
+            (col("id") % rpf).as("pos"))
+          TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
+            FixSchemaGen.posDeleteFilePath(i), slice, "pos_delete",
+            seq = 2L, recordCount = hi - lo)
+        })
+        val eTotal = c2.actualEqDeletes
+        val eRpf = c2.eqDelete.rowsPerFile
+        val eFiles =
+          if (eTotal == 0 || eRpf == 0) 0
+          else ((eTotal + eRpf - 1) / eRpf).toInt
+        val start = c2.actualPosDeletes
+        casCommit((0 until eFiles).map { i =>
+          val lo = start + i * eRpf
+          val hi = math.min(start + (i + 1) * eRpf, start + eTotal)
+          TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
+            FixSchemaGen.eqDeleteFilePath(i),
+            FixSchemaGenerator.eqDeleteKeys(s, lo, hi), "eq_delete",
+            seq = 3L, recordCount = hi - lo)
+        })
+      } finally server.close()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2-S6 + K1-K3: the committed data files, read back.
     "gen_data" -> ((s, dir) => {
@@ -130,70 +203,28 @@ object Generated {
     // Iceberg's division of labor prescribes. Shares mor_read's
     // oracle VERBATIM: transport must be invisible to the merged view.
     "gen_rest_catalog" -> ((s, dir) => {
-      import graft.plans.{RestCatalogClient, RestCatalogServer}
-      import graft.sources.{FixSchemaGen, FixSchemaGenerator}
       val c2 = cfg.copy(tableName = "t1_rest")
-      val r = GeneratedTables.ensureCustom(dir + "#rest") { root =>
-        val server = new RestCatalogServer(root)
-        try {
-          val client = new RestCatalogClient(server.uri)
-          client.createNamespace(c2.namespace)
-          client.createTable(c2.namespace, c2.tableName,
-            FixSchemaGenerator.schema)
-          val rpf = c2.data.rowsPerFile
-          // phase 1: data files to storage, manifest over the wire
-          val dataEntries = (0 until c2.data.fileCount).map { i =>
-            TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
-              FixSchemaGen.dataFilePath(i),
-              FixSchemaGenerator.dataFile(s, i, rpf), "data", seq = 1L,
-              recordCount = rpf,
-              bounds = FixSchemaGenerator.fileBounds(i, rpf))
-          }
-          def casCommit(entries: Seq[graft.plans.ManifestEntry]): Unit = {
-            // load → commit with expected version: the optimistic loop
-            // a real REST-catalog writer runs
-            val (v, _, _) = client.loadTable(c2.namespace, c2.tableName)
-            client.commitAppend(c2.namespace, c2.tableName, entries,
-              expectedVersion = Some(v)).fold(
-              conflict => throw new IllegalStateException(conflict),
-              _ => ())
-          }
-          casCommit(dataEntries)
-          // phases 2+3: the delete slices, same file arithmetic as
-          // Pipeline.prepareDeletes, committed over the wire
-          val pRpf = c2.posDelete.rowsPerFile
-          val pTotal = c2.actualPosDeletes
-          val pFiles =
-            if (pTotal == 0 || pRpf == 0) 0
-            else ((pTotal + pRpf - 1) / pRpf).toInt
-          casCommit((0 until pFiles).map { i =>
-            val lo = i * pRpf
-            val hi = math.min((i + 1) * pRpf, pTotal)
-            val slice = s.range(lo, hi).select(
-              format_string("data/part-%05d.parquet",
-                (col("id") / rpf).cast("int")).as("file_path"),
-              (col("id") % rpf).as("pos"))
-            TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
-              FixSchemaGen.posDeleteFilePath(i), slice, "pos_delete",
-              seq = 2L, recordCount = hi - lo)
-          })
-          val eTotal = c2.actualEqDeletes
-          val eRpf = c2.eqDelete.rowsPerFile
-          val eFiles =
-            if (eTotal == 0 || eRpf == 0) 0
-            else ((eTotal + eRpf - 1) / eRpf).toInt
-          val start = c2.actualPosDeletes
-          casCommit((0 until eFiles).map { i =>
-            val lo = start + i * eRpf
-            val hi = math.min(start + (i + 1) * eRpf, start + eTotal)
-            TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
-              FixSchemaGen.eqDeleteFilePath(i),
-              FixSchemaGenerator.eqDeleteKeys(s, lo, hi), "eq_delete",
-              seq = 3L, recordCount = hi - lo)
-          })
-        } finally server.close()
-      }
-      Mor.read(s, r, c2.namespace, c2.tableName).orderBy("bar")
+      Mor.read(s, restRoot(s, dir), c2.namespace, c2.tableName).orderBy("bar")
+    }),
+    // ... and the CONSUMER-side half of the reference's S3 config: the
+    // same REST-prepared table read back with every parquet byte
+    // fetched THROUGH the loopback object store — Spark's own scan
+    // opens graftrest:// URIs (RestObjectFileSystem), so footer and
+    // column-chunk reads arrive as RFC-7233 ranged GETs, exactly the
+    // reference engine's S3 read path. Shares mor_read's oracle
+    // verbatim: byte transport must be invisible to the merged view.
+    "gen_rest_read" -> ((s, dir) => {
+      import graft.plans.{RestObjectFileSystem, RestStore}
+      val c2 = cfg.copy(tableName = "t1_rest")
+      val r = restRoot(s, dir)
+      val store = RestStore.serverFor(r)
+      RestObjectFileSystem.install(s)
+      val base = java.nio.file.Paths.get(r).toAbsolutePath.normalize
+      Mor.read(s, r, c2.namespace, c2.tableName,
+        uriFor = abs => s"${RestObjectFileSystem.Scheme}://127.0.0.1:" +
+          s"${store.port}/" +
+          base.relativize(java.nio.file.Paths.get(abs)).toString)
+        .orderBy("bar")
     }),
     // Dead-file compaction CONSUMES the mor_delete_stats queue: the
     // two generated files whose rows are 100% pos-deleted are dropped
@@ -1263,6 +1294,10 @@ object Generated {
     // shares mor_read's oracle VERBATIM: REST transport must be
     // invisible to the merged view
     "gen_rest_catalog" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+         |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
+    // ... and so must the OBJECT-STORE byte transport on the read side
+    "gen_rest_read" ->
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
          |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
     // shares mor_read's oracle VERBATIM (same-answer-rewrite rule):

@@ -197,6 +197,51 @@ class RestCatalogSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("a Spark MOR scan through graftrest:// reads every byte as " +
+      "HTTP ranged GETs from the object store") {
+    import spark.implicits._
+    import graft.plans.{RestObjectFileSystem, RestStore}
+    val root = Files.createTempDirectory("graft-rest-scan-").toString
+    // a table with data + a positional delete, so the object-store
+    // read exercises the delete-application path too
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "s")
+    TableIO.createNamespace(root, "sns")
+    TableIO.createTableIfNotExists(root, "sns", "st", df.schema)
+    TableIO.commit(root, "sns", "st", Seq(TableIO.writeExactFile(spark,
+      root, "sns", "st", "data/part-00000.parquet", df, "data",
+      seq = 1L, recordCount = 1000)))
+    val pd = Seq(("data/part-00000.parquet", 7L),
+      ("data/part-00000.parquet", 13L)).toDF("file_path", "pos")
+    TableIO.commit(root, "sns", "st", Seq(TableIO.writeExactFile(spark,
+      root, "sns", "st", "deletes/pd-00000.parquet", pd, "pos_delete",
+      seq = 2L, recordCount = 2)))
+
+    val store = RestStore.serverFor(root)
+    RestObjectFileSystem.install(spark)
+    store.clearFileLog()
+    val base = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+    val got = graft.plans.Mor.read(spark, root, "sns", "st",
+      uriFor = abs => s"${RestObjectFileSystem.Scheme}://127.0.0.1:" +
+        s"${store.port}/" +
+        base.relativize(java.nio.file.Paths.get(abs)).toString)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(got.length == 998 && !got.contains(7L) && !got.contains(13L))
+
+    // the proof the bytes came over the wire: the store served the
+    // data AND delete objects, and the parquet reader's accesses were
+    // RFC-7233 ranged reads (footer probes + column chunks), not
+    // whole-object downloads
+    val reqs = store.fileRequests
+    val byPath = reqs.groupBy(_._1)
+    assert(byPath.contains("sns/st/data/part-00000.parquet"))
+    assert(byPath.contains("sns/st/deletes/pd-00000.parquet"))
+    val ranged = reqs.filter(_._2.exists(_.startsWith("bytes=")))
+    assert(ranged.nonEmpty, s"no ranged requests in: $reqs")
+    // local-FS reads of the same objects are impossible to mistake for
+    // this: every logged request went through the /v1/files route
+    assert(reqs.forall(_._1.startsWith("sns/st/")))
+  }
+
   test("operations on a missing table surface as explicit HTTP errors") {
     val root = Files.createTempDirectory("graft-rest-err-").toString
     val server = new RestCatalogServer(root)
