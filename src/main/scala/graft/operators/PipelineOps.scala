@@ -382,6 +382,65 @@ object PipelineOps {
        |FROM toks t LEFT JOIN vocab v ON t.w = v.w
        |GROUP BY t.source ORDER BY t.source""".stripMargin
 
+  /** Tokenizer-fertility eval per source — the corpus-card companion
+    * to [[vocabCoverage]]: with the same top-`vocabSize` document-
+    * frequency vocab standing in for a trained tokenizer, an in-vocab
+    * word costs ONE token and an out-of-vocab word fragments into
+    * byte-fallback pieces (ceil(len/4) — the deterministic stand-in
+    * for BPE fallback granularity). Fertility = tokens emitted per
+    * word, and chars-per-token = how much text a token carries; a
+    * source whose chars/token is low relative to the corpus will
+    * fragment badly under the tokenizer (code, non-Latin scripts,
+    * markup) — the number that drives vocab sizing and mixture
+    * weighting. All counts are exact integer sums; the two rates are
+    * one IEEE division each of identically-agreed longs.
+    *
+    * Scale: same shape as [[vocabCoverage]] — linear token pass, a
+    * TakeOrdered vocab broadcast back, one aggregation by source.
+    */
+  def vocabFertility(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val toks = docs.repartition(col("doc_id")).select(col("doc_id"),
+      col("source"), explode(split(lower(col("text")), " ")).as("w"))
+    val dfreq = toks.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val vocab = dfreq.orderBy(col("df").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("source"), length(col("w")).cast("long").as("wl"),
+        when(col("in_vocab").isNotNull, 1L)
+          .otherwise(expr("(length(w) + 3) div 4")).as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("toks").as("n_tokens"),
+        sum("wl").as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens"))
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
+
+  /** Oracle twin of [[vocabFertility]] (DuckDB `//` floors — safe
+    * here, all operands non-negative).
+    */
+  def vocabFertilitySql(vocabSize: Int = 256): String =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       |dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+       |vocab AS (SELECT w FROM dfq ORDER BY df DESC, w LIMIT $vocabSize),
+       |t AS (SELECT tk.source, length(tk.w) AS wl,
+       |    CASE WHEN v.w IS NOT NULL THEN 1
+       |         ELSE (length(tk.w) + 3) // 4 END AS toks
+       |  FROM toks tk LEFT JOIN vocab v ON tk.w = v.w)
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(wl) AS BIGINT) AS n_chars,
+       |  CAST(CAST(sum(toks) AS BIGINT) AS DOUBLE) / count(*) AS fertility,
+       |  CAST(CAST(sum(wl) AS BIGINT) AS DOUBLE) /
+       |    CAST(sum(toks) AS BIGINT) AS chars_per_token
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max |component|, components mapped to floor(e / scale *
     * 127). Emits per-vector summary stats (scale, sum/min/max of the

@@ -92,6 +92,10 @@ object Analytics {
     // community-quality eval: Newman Q of the 3-round label partition
     "graph_modularity" -> ((s, dir) =>
       Graph.modularity(s, rd(s, dir, "documents"))),
+    // one synchronous Louvain sweep refining the modularity seed
+    // partition — Q before/after with exact integer numerators
+    "graph_louvain" -> ((s, dir) =>
+      Graph.louvainRefine(s, rd(s, dir, "documents"))),
     // k-truss building block: per-edge triangle-support histogram
     "graph_edge_support" -> ((s, dir) =>
       Graph.edgeSupport(s, rd(s, dir, "documents"))),
@@ -170,6 +174,7 @@ object Analytics {
     "graph_link_prediction" -> Graph.linkPredictionSql(),
     "graph_kcore" -> Graph.kcoreSql(),
     "graph_modularity" -> Graph.modularitySql,
+    "graph_louvain" -> Graph.louvainRefineSql,
     "graph_edge_support" -> Graph.edgeSupportSql,
     "graph_ktruss" -> Graph.ktrussSql(),
     "ts_ewma" -> TimeSeriesOps.ewmaLastSql,

@@ -298,6 +298,11 @@ object Extensions {
     "pipe_mix" -> ((s, dir) => PipelineOps.mixtureRepeat(rd(s, dir, "documents"))),
     "pipe_vocab_coverage" -> ((s, dir) =>
       PipelineOps.vocabCoverage(rd(s, dir, "documents"))),
+    // tokenizer-fertility per source against the same stand-in vocab:
+    // tokens/word and chars/token — the corpus-card numbers that
+    // drive vocab sizing and mixture weighting
+    "pipe_fertility" -> ((s, dir) =>
+      PipelineOps.vocabFertility(rd(s, dir, "documents"))),
     "pipe_weighted_sample" -> ((s, dir) =>
       PipelineOps.weightedSample(rd(s, dir, "documents"))),
     "dedup_containment" -> ((s, dir) =>
@@ -975,6 +980,7 @@ object Extensions {
     "dedup_prefix_jaccard" -> ngramJaccardOracleSql,
 
     "pipe_vocab_coverage" -> PipelineOps.vocabCoverageSql(),
+    "pipe_fertility" -> PipelineOps.vocabFertilitySql(),
 
     "pipe_weighted_sample" -> PipelineOps.weightedSampleSql(),
 

@@ -299,6 +299,32 @@ object AnalyticsScaleSmoke {
     }
     require(mo.getLong(0) > 1, "modularity partition collapsed")
     println(s"[analyticsscale]   modularity=${mo.mkString(",")}")
+
+    // ---- round-12 additions: edge support + the k-truss peel on the
+    // same 2M-node/~6M-edge graph the other whole-graph ops smoke at.
+    // Support runs the degree-oriented wedge+closing join once; the
+    // peel repeats it on a monotonically SHRINKING survivor set, so
+    // the first round dominates — a peel needing more rounds than
+    // TrussRounds throws loudly here rather than silently diverging
+    // from the oracle's unroll depth.
+    val es = timed(s"edgeSupport ${nGraph / 1000000}M nodes") {
+      Graph.edgeSupport(spark, docs).collect()
+    }
+    require(es.nonEmpty && es.map(_.getLong(1)).sum > 0,
+      "edge support histogram empty")
+    println(s"[analyticsscale]   edgeSupport histogram=${es.mkString(",")}")
+    val kt = timed(s"ktruss ${nGraph / 1000000}M nodes") {
+      Graph.ktruss(spark, docs).collect().head
+    }
+    require(kt.getLong(1) >= 0 && kt.getLong(2) >= 0, "ktruss malformed")
+    println(s"[analyticsscale]   ktruss=${kt.mkString(",")}")
+    val lv = timed(s"louvainRefine ${nGraph / 1000000}M nodes x" +
+        s"${Graph.LouvainPhases} phases") {
+      Graph.louvainRefine(spark, docs).collect().head
+    }
+    require(lv.getLong(3) >= lv.getLong(2),
+      s"louvain refinement decreased Q: ${lv.mkString(",")}")
+    println(s"[analyticsscale]   louvain=${lv.mkString(",")}")
     spark.stop()
   }
 }

@@ -8,6 +8,23 @@ import org.apache.spark.sql.SparkSession
   * what the design claims.
   */
 object ExplainDump {
+  /** Queries ADDED in recent rounds — ExplainDumpSpec pins that every
+    * one of these is in [[headline]], making "each new query lands in
+    * the plan dump the same round it ships" a failing test instead of
+    * a round-close checklist item (r11 housekeeping: gen_sql_compact_dead
+    * shipped without a dump).
+    */
+  val recentAdditions: Map[Int, Seq[String]] = Map(
+    11 -> Seq("graph_wpagerank", "ts_session_funnel",
+      "ann_recall_eval_trained", "gen_compact_dead",
+      "gen_compact_dead_meta", "gen_sql_compact_dead", "graph_modularity",
+      "text_zipf", "sketch_hll_union", "pipe_split_leakage_safe",
+      "multimodal_audio", "ts_residual_anomaly", "ann_recall_eval_pq",
+      "pipe_e2e_curation", "graph_edge_support", "graph_ktruss",
+      "emb_outliers", "gen_rest_catalog"),
+    12 -> Seq("dedup_clusters_indexed", "dedup_clusters_refreshed",
+      "gen_rest_read", "graph_louvain", "pipe_fertility"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "/root/repo/PLANS.md"
@@ -15,7 +32,16 @@ object ExplainDump {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = Seq("q_filter_proj", "q_join_broadcast", "q1_agg",
+    val names = headline
+    runDump(spark, sfDir, out, names)
+  }
+
+  /** The curated plan-dump set (every entry has a green CORRECTNESS
+    * row; the dump is evidence, not coverage — RegistrySpec keeps the
+    * full query registry honest).
+    */
+  val headline: Seq[String] =
+    Seq("q_filter_proj", "q_join_broadcast", "q1_agg",
       "mor_read", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
       "dedup_ngram_jaccard", "ann_topk", "ann_knn_join", "q_range_join",
       "q_window_topk", "pipe_decontaminate", "pipe_sample", "pipe_pack",
@@ -66,7 +92,12 @@ object ExplainDump {
       "text_zipf", "sketch_hll_union", "pipe_split_leakage_safe",
       "multimodal_audio", "ts_residual_anomaly", "ann_recall_eval_pq",
       "pipe_e2e_curation", "graph_edge_support", "gen_rest_catalog",
-      "emb_outliers", "graph_ktruss")
+      "emb_outliers", "graph_ktruss", "gen_sql_compact_dead",
+      "dedup_clusters_indexed", "dedup_clusters_refreshed", "gen_rest_read",
+      "graph_louvain", "pipe_fertility")
+
+  private def runDump(spark: SparkSession, sfDir: String, out: String,
+      names: Seq[String]): Unit = {
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by " +
       "graft.tools.ExplainDump)\n\n")

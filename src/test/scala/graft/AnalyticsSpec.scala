@@ -445,6 +445,69 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(communities.size > 1 && qNum > 0)
   }
 
+  test("louvain refinement matches an exact local simulation of the " +
+      "colored sweep and does not decrease Q") {
+    val n = 200
+    val docs = docsDf(n)
+    val und = Graph.linkEdges(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toSeq
+    val sym = und ++ und.map(_.swap)
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = und.size.toLong
+    var lab = (0 until n).map(i => i.toLong -> i.toLong).toMap
+    for (_ <- 1 to Graph.ModularityRounds) {
+      lab = lab.map { case (v, l) =>
+        val nmin = adj.getOrElse(v, Seq.empty).map(lab).reduceOption(_ min _)
+        v -> math.min(l, nmin.getOrElse(l))
+      }
+    }
+    val seedLab = lab
+    // the colored sweep: phase k moves only nodes with id % phases == k,
+    // gains against the partition UPDATED by earlier phases
+    for (k <- 0 until Graph.LouvainPhases) {
+      val labNow = lab
+      // keys is a SET: map-to-degree would dedupe equal degrees
+      // before summing — toSeq first
+      val sig = labNow.keys.toSeq.groupBy(labNow).view
+        .mapValues(_.map(v => deg.getOrElse(v, 0L)).sum).toMap
+      val moves = labNow.keys
+        .filter(v => v % Graph.LouvainPhases == k)
+        .flatMap { i =>
+          val a = labNow(i)
+          val di = deg.getOrElse(i, 0L)
+          val kc = adj.getOrElse(i, Seq.empty).groupBy(labNow).view
+            .mapValues(_.size.toLong).toMap
+          val kia = kc.getOrElse(a, 0L)
+          val cands = kc.keys.filter(_ != a).map { c =>
+            (c, 4L * m * (kc(c) - kia)
+              - 2L * di * (sig(c) - (sig(a) - di)))
+          }.filter(_._2 > 0L)
+          if (cands.isEmpty) None
+          else Some(i -> cands.minBy { case (c, g) => (-g, c) }._1)
+        }.toMap
+      lab = labNow.map { case (v, l) => v -> moves.getOrElse(v, l) }
+    }
+    def qNumOf(lm: Map[Long, Long]): Long =
+      lm.values.toSet.toSeq.map { (c: Long) =>
+        val members = lm.collect { case (v, l) if l == c => v }.toSet
+        val ec = und.count { case (u, v) => members(u) && members(v) }.toLong
+        val dc = members.toSeq.map(v => deg.getOrElse(v, 0L)).sum
+        4L * m * ec - dc * dc
+      }.sum
+    val row = Graph.louvainRefine(spark, docs).collect().head
+    graft.CacheScope.drain()
+    assert(row.getLong(0) == seedLab.values.toSet.size.toLong)
+    assert(row.getLong(1) == lab.values.toSet.size.toLong)
+    assert(row.getLong(2) == qNumOf(seedLab))
+    assert(row.getLong(3) == qNumOf(lab))
+    // the colored sweep must not degrade the partition it refines —
+    // and on this corpus it should find genuine improvements
+    assert(row.getLong(3) >= row.getLong(2))
+  }
+
   test("personalized pagerank matches an exact local simulation " +
       "and concentrates mass near the seeds") {
     val n = 200
