@@ -445,6 +445,175 @@ object Similarity {
     pqSearch(emb, dims, cb, codes, queryId, k, rerank)
   }
 
+  /** IVF+PQ composite — the canonical billion-scale ANN index layout
+    * (FAISS `IVFADC`): a TRAINED coarse quantizer routes each vector
+    * to an inverted list, and product quantization encodes the
+    * RESIDUAL (vector − its list's centroid) — residuals concentrate
+    * near zero, so the same code budget quantizes them far more
+    * finely than raw vectors. Search: route the query to its `nprobe`
+    * nearest lists; within each probed list, ADC against that list's
+    * query RESIDUAL (the per-list lookup tables real IVFPQ builds)
+    * scores candidates from codes alone; the shortlist re-ranks
+    * exactly. At 100 TB this is the shape that matters: the scan
+    * touches nprobe/k of the corpus AND reads 8 bytes of codes per
+    * candidate instead of 256 bytes of floats — the full embeddings
+    * surface only for the `rerank` shortlist.
+    *
+    * Determinism: coarse k-means is the seeded fixed-point Lloyd of
+    * [[ivfTrainedTopK]] run on NORMALIZED dims (unit vectors make
+    * squared-L2 monotone with cosine, the re-rank metric); codebooks
+    * are [[pqTrain]] on residual dims; every distance accumulates
+    * scaled longs — the oracle replays training, routing, encoding,
+    * and both ADC tables bit-for-bit.
+    */
+  def ivfPqTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+      kClusters: Int = 8, iters: Int = 2, subDims: Int = 8,
+      kCodes: Int = 16, pqIters: Int = 1, nprobe: Int = 2,
+      rerank: Int = 80): DataFrame = {
+    val (nd, cent, assigned, cb, codes) =
+      ivfPqModel(emb, kClusters, iters, subDims, kCodes, pqIters)
+    // route the query: nprobe nearest lists by centroid distance
+    val qn = nd.filter(col("vec_id") === queryId)
+      .select(col("pos"), col("e").as("qe"))
+    val probes = localizedSmall(cent.join(broadcast(qn), "pos")
+      .groupBy("cid")
+      .agg(sum(floor((col("c") - col("qe")) * (col("c") - col("qe"))
+        * lit(1e12))).as("dist"))
+      .orderBy(col("dist").asc, col("cid").asc).limit(nprobe)
+      .select("cid"))
+    // per-probed-list query residuals (nprobe x dims rows)
+    val qres = cent.join(probes, "cid")
+      .join(broadcast(qn), "pos")
+      .select(col("cid").as("pcid"),
+        expr(s"CAST(pos div $subDims AS INT)").as("sub"),
+        expr(s"CAST(pos % $subDims AS INT)").as("spos"),
+        (col("qe") - col("c")).as("qe"))
+    // ADC tables: one per probed list (nprobe x subs x kCodes rows)
+    val adc = cb.join(broadcast(qres), Seq("sub", "spos"))
+      .groupBy("pcid", "sub", "cid")
+      .agg(sum(floor((col("c") - col("qe")) * (col("c") - col("qe"))
+        * lit(1e12))).as("d"))
+      .toDF("pcid", "asub", "acode", "d")
+    // candidates = vectors IN the probed lists, scored from codes only
+    val shortlist = codes.join(assigned, "vec_id")
+      .join(broadcast(adc),
+        col("cid") === col("pcid") && col("sub") === col("asub") &&
+          col("code") === col("acode"))
+      .groupBy("vec_id").agg(sum("d").as("adist"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("adist").asc, col("vec_id").asc).limit(rerank)
+      .select("vec_id")
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** The trained IVF+PQ model shared by the search and its recall
+    * eval: (normalized dims, coarse centroids, list assignment,
+    * residual codebook, residual codes).
+    */
+  private def ivfPqModel(emb: DataFrame, kClusters: Int, iters: Int,
+      subDims: Int, kCodes: Int, pqIters: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // normalized FULL dims (pos space) — shares pqNormalizedDims'
+    // arithmetic, before the subspace split
+    val raw = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("pos"), col("e").cast("double").as("e"))
+    val norms = raw.groupBy("vec_id")
+      .agg((sqrt(sum(floor(col("e") * lit(1e7)) * floor(col("e") * lit(1e7)))
+        .cast("double")) / lit(1e7)).as("nrm"))
+    val nd = raw.join(norms, "vec_id")
+      .select(col("vec_id"), col("pos"),
+        when(col("nrm") === 0d, 0d).otherwise(col("e") / col("nrm")).as("e"))
+      .repartition(col("vec_id"))
+    // coarse quantizer: seeded fixed-point Lloyd on normalized dims
+    var cent = nd.filter(col("vec_id") < kClusters)
+      .select(col("vec_id").as("cid"), col("pos"), col("e").as("c"))
+    for (_ <- 1 to iters) {
+      val a = assignClusters(nd, cent)
+      cent = localizedSmall(nd.join(a, "vec_id")
+        .groupBy("cid", "pos")
+        .agg((sum(floor(col("e") * lit(1e7))).cast("double") / lit(1e7) /
+          count(lit(1))).as("c")))
+    }
+    val assigned = assignClusters(nd, cent)
+    // residual encode: subtract each vector's own list centroid, then
+    // split into subspaces for the PQ
+    val rdims = nd.join(assigned, "vec_id")
+      .join(broadcast(cent), Seq("cid", "pos"))
+      .select(col("vec_id"),
+        expr(s"CAST(pos div $subDims AS INT)").as("sub"),
+        expr(s"CAST(pos % $subDims AS INT)").as("spos"),
+        (col("e") - col("c")).as("e"))
+      .repartition(col("vec_id"))
+    val cb = pqTrain(rdims, kCodes, pqIters)
+    val codes = pqAssign(rdims, cb).withColumnRenamed("cid", "code")
+    (nd, cent, assigned, cb, codes)
+  }
+
+  /** Recall@k of the IVF+PQ composite against brute-force ground
+    * truth — the eval that closes the ANN quartet (label-IVF, trained
+    * IVF, PQ, IVF+PQ each route-audited the same way): how much of
+    * the true top-k survives coarse routing AND residual compression
+    * together, the two losses a production IVFADC deployment tunes
+    * (nprobe vs. code budget) against each other.
+    */
+  def recallEvalIvfPq(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      kClusters: Int = 8, iters: Int = 2, subDims: Int = 8,
+      kCodes: Int = 16, pqIters: Int = 1, nprobe: Int = 2,
+      rerank: Int = 80): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (sims, exact, wq) = recallGroundTruth(emb, nQueries, k)
+    val (nd, cent, assigned, cb, codes) =
+      ivfPqModel(emb, kClusters, iters, subDims, kCodes, pqIters)
+    val qn = nd.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("pos"), col("e").as("qe"))
+    val wn = Window.partitionBy("qid")
+      .orderBy(col("dist").asc, col("cid").asc)
+    val probes = localizedSmall(cent.join(broadcast(qn), "pos")
+      .groupBy("qid", "cid")
+      .agg(sum(floor((col("c") - col("qe")) * (col("c") - col("qe"))
+        * lit(1e12))).as("dist"))
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "cid"))
+    val qres = cent.join(probes, "cid")
+      .join(broadcast(qn), Seq("qid", "pos"))
+      .select(col("qid"), col("cid").as("pcid"),
+        expr(s"CAST(pos div $subDims AS INT)").as("sub"),
+        expr(s"CAST(pos % $subDims AS INT)").as("spos"),
+        (col("qe") - col("c")).as("qe"))
+    val adc = cb.join(broadcast(qres), Seq("sub", "spos"))
+      .groupBy("qid", "pcid", "sub", "cid")
+      .agg(sum(floor((col("c") - col("qe")) * (col("c") - col("qe"))
+        * lit(1e12))).as("d"))
+      .toDF("qid", "pcid", "asub", "acode", "d")
+    val wa = Window.partitionBy("qid")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val shortlist = codes.join(assigned, "vec_id")
+      .join(broadcast(adc),
+        col("cid") === col("pcid") && col("sub") === col("asub") &&
+          col("code") === col("acode"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum("d").as("adist"))
+      .withColumn("rs", row_number().over(wa))
+      .filter(col("rs") <= rerank)
+      .select(col("qid").as("s_qid"), col("vec_id").as("s_vec"))
+    val approx = sims
+      .join(shortlist,
+        col("qid") === col("s_qid") && col("vec_id") === col("s_vec"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vec"))
+    recallReport(exact, approx, k)
+  }
+
   /** Unit-normalized subvector dimensions: squared L2 on unit vectors
     * is monotone with cosine, so the ADC ranking targets the same
     * metric the exact re-rank (and the brute baseline) uses. The norm

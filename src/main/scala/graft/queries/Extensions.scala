@@ -198,6 +198,13 @@ object Extensions {
     "ann_band_stats" -> ((s, dir) =>
       Similarity.bandCandidateStats(rdEmbeddings(s, dir))),
     "ann_pq" -> ((s, dir) => Similarity.pqTopK(rdEmbeddings(s, dir))),
+    // the IVF+PQ composite (FAISS IVFADC): trained coarse routing +
+    // product quantization of the RESIDUALS, per-list ADC tables
+    "ann_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(rdEmbeddings(s, dir))),
+    // ... and its recall eval: routing loss x compression loss
+    // audited together against brute force
+    "ann_recall_eval_ivfpq" -> ((s, dir) =>
+      Similarity.recallEvalIvfPq(rdEmbeddings(s, dir))),
     // the same search against a PERSISTED index (codebook + codes as
     // committed tables): train once, search many — identical results
     "ann_pq_indexed" -> ((s, dir) => {
@@ -690,6 +697,159 @@ object Extensions {
        |  FROM dims d JOIN a1 a ON d.vec_id = a.vec_id AND d.sub = a.sub
        |  GROUP BY d.sub, a.cid, d.spos),
        |codes AS (${pqAssignSql("cb1")})""".stripMargin
+
+  /** Oracle of the IVF+PQ composite (FAISS IVFADC): normalized dims →
+    * trained coarse quantizer (the assignSql/updateSql Lloyd chain) →
+    * residual dims → per-subspace residual codebooks → route the
+    * query to nprobe lists → per-list residual ADC → shortlist →
+    * exact re-rank. Every stage reuses a proven fixed-point pattern.
+    */
+  /** The shared IVF+PQ training chain (normalize → coarse Lloyd →
+    * residual dims → residual codebook → codes) as a CTE prefix —
+    * the top-k search and the recall eval replay it identically.
+    */
+  private lazy val ivfPqChainSql: String = {
+    // PQ E-step over the RESIDUAL dims relation
+    def rAssign(c: String): String =
+      s"""SELECT vec_id, sub, cid FROM (
+         |  SELECT vec_id, sub, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist ASC, cid ASC) AS rn
+         |  FROM (SELECT d.vec_id, d.sub, c.cid,
+         |          sum(CAST(floor((d.e - c.c) * (d.e - c.c)
+         |            * 1000000000000.0) AS BIGINT)) AS dist
+         |        FROM rdims d JOIN $c c ON d.sub = c.sub AND d.spos = c.spos
+         |        GROUP BY d.vec_id, d.sub, c.cid))
+         |WHERE rn = 1""".stripMargin
+    s"""raw AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+       |         CAST(embedding[i + 1] AS DOUBLE) AS e
+       |  FROM embeddings, range(0, 64) t(i)),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(sum(CAST(floor(e * 10000000.0) AS BIGINT)
+       |      * CAST(floor(e * 10000000.0) AS BIGINT)) AS DOUBLE)) / 10000000.0 AS nrm
+       |  FROM raw GROUP BY vec_id),
+       |dims AS (
+       |  SELECT vec_id, pos,
+       |         CASE WHEN nrm = 0 THEN 0 ELSE e / nrm END AS e
+       |  FROM raw JOIN norms USING (vec_id)),
+       |c0 AS (SELECT vec_id AS cid, pos, e AS c FROM dims WHERE vec_id < 8),
+       |a1 AS (${assignSql("c0")}),
+       |c1 AS (${updateSql("a1")}),
+       |a2 AS (${assignSql("c1")}),
+       |c2 AS (${updateSql("a2")}),
+       |a3 AS (${assignSql("c2")}),
+       |rdims AS (
+       |  SELECT d.vec_id, CAST(d.pos // 8 AS INTEGER) AS sub,
+       |         CAST(d.pos % 8 AS INTEGER) AS spos, d.e - c.c AS e
+       |  FROM dims d JOIN a3 USING (vec_id)
+       |       JOIN c2 c ON c.cid = a3.cid AND c.pos = d.pos),
+       |rcb0 AS (SELECT sub, vec_id AS cid, spos, e AS c
+       |         FROM rdims WHERE vec_id < 16),
+       |ra1 AS (${rAssign("rcb0")}),
+       |rcb1 AS (
+       |  SELECT d.sub, a.cid, d.spos,
+       |    CAST(sum(CAST(floor(d.e * 10000000.0) AS BIGINT)) AS DOUBLE)
+       |      / 10000000.0 / count(*) AS c
+       |  FROM rdims d JOIN ra1 a ON d.vec_id = a.vec_id AND d.sub = a.sub
+       |  GROUP BY d.sub, a.cid, d.spos),
+       |rcodes AS (${rAssign("rcb1")})""".stripMargin
+  }
+
+  private lazy val annIvfPqSql: String = {
+    s"""WITH $ivfPqChainSql,
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid,
+       |      sum(CAST(floor((c.c - q.e) * (c.c - q.e) * 1000000000000.0)
+       |        AS BIGINT)) AS dist
+       |    FROM c2 c JOIN dims q ON c.pos = q.pos AND q.vec_id = 0
+       |    GROUP BY c.cid)
+       |  ORDER BY dist ASC, cid ASC LIMIT 2),
+       |qres AS (
+       |  SELECT c.cid AS pcid, CAST(c.pos // 8 AS INTEGER) AS sub,
+       |         CAST(c.pos % 8 AS INTEGER) AS spos, q.e - c.c AS qe
+       |  FROM c2 c JOIN probes USING (cid)
+       |       JOIN dims q ON q.pos = c.pos AND q.vec_id = 0),
+       |adc AS (
+       |  SELECT r.pcid, b.sub, b.cid AS code,
+       |    sum(CAST(floor((b.c - r.qe) * (b.c - r.qe) * 1000000000000.0)
+       |      AS BIGINT)) AS d
+       |  FROM rcb1 b JOIN qres r ON b.sub = r.sub AND b.spos = r.spos
+       |  GROUP BY r.pcid, b.sub, b.cid),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT co.vec_id, CAST(sum(a.d) AS BIGINT) AS adist
+       |    FROM rcodes co JOIN a3 ON a3.vec_id = co.vec_id
+       |    JOIN adc a ON a.pcid = a3.cid AND a.sub = co.sub
+       |      AND a.code = co.cid
+       |    WHERE co.vec_id <> 0
+       |    GROUP BY co.vec_id)
+       |  ORDER BY adist ASC, vec_id ASC LIMIT 80),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+       |FROM e JOIN short USING (vec_id), q
+       |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** Oracle of the IVF+PQ recall eval: the shared chain, per-query
+    * routing + per-list residual ADC, shortlist, exact re-rank from
+    * the shared cosine relation, recall = overlap/k.
+    */
+  private lazy val annIvfPqRecallSql: String =
+    s"""WITH $ivfPqChainSql,
+       |qdists AS (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |    sum(CAST(floor((c.c - q.e) * (c.c - q.e) * 1000000000000.0)
+       |      AS BIGINT)) AS dist
+       |  FROM c2 c JOIN dims q ON c.pos = q.pos AND q.vec_id < 8
+       |  GROUP BY q.vec_id, c.cid),
+       |qprobes AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY dist ASC, cid ASC) AS rn FROM qdists)
+       |  WHERE rn <= 2),
+       |qres AS (
+       |  SELECT p.qid, c.cid AS pcid, CAST(c.pos // 8 AS INTEGER) AS sub,
+       |         CAST(c.pos % 8 AS INTEGER) AS spos, q.e - c.c AS qe
+       |  FROM c2 c JOIN qprobes p ON p.cid = c.cid
+       |       JOIN dims q ON q.pos = c.pos AND q.vec_id = p.qid),
+       |adc AS (
+       |  SELECT r.qid, r.pcid, b.sub, b.cid AS code,
+       |    sum(CAST(floor((b.c - r.qe) * (b.c - r.qe) * 1000000000000.0)
+       |      AS BIGINT)) AS d
+       |  FROM rcb1 b JOIN qres r ON b.sub = r.sub AND b.spos = r.spos
+       |  GROUP BY r.qid, r.pcid, b.sub, b.cid),
+       |short AS (SELECT qid, vec_id FROM (
+       |    SELECT a.qid, co.vec_id,
+       |      row_number() OVER (PARTITION BY a.qid
+       |        ORDER BY CAST(sum(a.d) AS BIGINT) ASC, co.vec_id ASC) AS rs
+       |    FROM rcodes co JOIN a3 ON a3.vec_id = co.vec_id
+       |    JOIN adc a ON a.pcid = a3.cid AND a.sub = co.sub
+       |      AND a.code = co.cid
+       |    WHERE co.vec_id <> a.qid
+       |    GROUP BY a.qid, co.vec_id)
+       |  WHERE rs <= 80),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+       |sims AS (
+       |  SELECT q.qid, e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+       |  FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid),
+       |exact AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id ASC) AS rk FROM sims) WHERE rk <= 10),
+       |ivfpq AS (SELECT qid, vec_id FROM (
+       |  SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+       |    ORDER BY s.sim DESC, s.vec_id ASC) AS rk
+       |  FROM sims s JOIN short sh ON sh.qid = s.qid
+       |    AND sh.vec_id = s.vec_id)
+       |  WHERE rk <= 10)
+       |SELECT exact.qid, 10 AS k, count(ivfpq.vec_id) AS n_hit,
+       |  CAST(count(ivfpq.vec_id) AS DOUBLE) / 10 AS recall
+       |FROM exact LEFT JOIN ivfpq
+       |  ON exact.qid = ivfpq.qid AND exact.vec_id = ivfpq.vec_id
+       |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
 
   private lazy val annPqSql: String =
     s"""WITH $pqTrainCtesSql,
@@ -1362,6 +1522,8 @@ object Extensions {
     // PQ: per-subspace seeded k-means (1 Lloyd iteration), encode,
     // ADC shortlist, exact re-rank — all fixed-point long arithmetic
     "ann_pq" -> annPqSql,
+    "ann_ivfpq" -> annIvfPqSql,
+    "ann_recall_eval_ivfpq" -> annIvfPqRecallSql,
     // identical algorithm over materialized index tables
     "ann_pq_indexed" -> annPqSql,
 

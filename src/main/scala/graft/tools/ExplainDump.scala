@@ -23,7 +23,8 @@ object ExplainDump {
       "pipe_e2e_curation", "graph_edge_support", "graph_ktruss",
       "emb_outliers", "gen_rest_catalog"),
     12 -> Seq("dedup_clusters_indexed", "dedup_clusters_refreshed",
-      "gen_rest_read", "graph_louvain", "pipe_fertility"))
+      "gen_rest_read", "graph_louvain", "pipe_fertility", "ann_ivfpq",
+      "ann_recall_eval_ivfpq"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -94,7 +95,8 @@ object ExplainDump {
       "pipe_e2e_curation", "graph_edge_support", "gen_rest_catalog",
       "emb_outliers", "graph_ktruss", "gen_sql_compact_dead",
       "dedup_clusters_indexed", "dedup_clusters_refreshed", "gen_rest_read",
-      "graph_louvain", "pipe_fertility")
+      "graph_louvain", "pipe_fertility", "ann_ivfpq",
+      "ann_recall_eval_ivfpq")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {
