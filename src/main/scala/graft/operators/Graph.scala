@@ -1175,12 +1175,18 @@ object Graph {
     for (k <- 0 until phases) {
       val sigma = refined.join(deg, "node")
         .groupBy(col("lab").as("c")).agg(sum("deg").as("sig"))
+      // gains are only evaluated for this phase's color class, so the
+      // |E| neighbor-community join probes only color-k sources (the
+      // full edge relation stays cached; this is a 1/phases slice)
       val kic = edges
+        .filter(pmod(col("src"), lit(phases.toLong)) === k.toLong)
         .join(refined.select(col("node").as("dst"), col("lab").as("c")),
           "dst")
         .groupBy(col("src").as("node"), col("c"))
         .agg(count(lit(1)).as("kic"))
-      val own = refined.select(col("node"), col("lab").as("a"))
+      val own = refined
+        .filter(pmod(col("node"), lit(phases.toLong)) === k.toLong)
+        .select(col("node"), col("lab").as("a"))
         .join(deg, "node")
       val kia = own
         .join(kic.toDF("node", "a", "kia"), Seq("node", "a"), "left")
@@ -1188,7 +1194,6 @@ object Graph {
       val moves = kic
         .join(own, "node")
         .filter(col("c") =!= col("a"))
-        .filter(pmod(col("node"), lit(phases.toLong)) === k.toLong)
         .join(kia, "node")
         .join(sigma.toDF("a", "sig_a"), "a")
         .join(sigma.toDF("c", "sig_b"), "c")

@@ -528,10 +528,13 @@ object Similarity {
     val norms = raw.groupBy("vec_id")
       .agg((sqrt(sum(floor(col("e") * lit(1e7)) * floor(col("e") * lit(1e7)))
         .cast("double")) / lit(1e7)).as("nrm"))
-    val nd = raw.join(norms, "vec_id")
+    // cached: the Lloyd/PQ training collects below each run an action
+    // over this corpus-scale relation — uncached, the explode+normalize
+    // lineage re-executes once per collect (measured 2x on the pair)
+    val nd = graft.CacheScope.cached(raw.join(norms, "vec_id")
       .select(col("vec_id"), col("pos"),
         when(col("nrm") === 0d, 0d).otherwise(col("e") / col("nrm")).as("e"))
-      .repartition(col("vec_id"))
+      .repartition(col("vec_id")))
     // coarse quantizer: seeded fixed-point Lloyd on normalized dims
     var cent = nd.filter(col("vec_id") < kClusters)
       .select(col("vec_id").as("cid"), col("pos"), col("e").as("c"))
@@ -545,13 +548,13 @@ object Similarity {
     val assigned = assignClusters(nd, cent)
     // residual encode: subtract each vector's own list centroid, then
     // split into subspaces for the PQ
-    val rdims = nd.join(assigned, "vec_id")
+    val rdims = graft.CacheScope.cached(nd.join(assigned, "vec_id")
       .join(broadcast(cent), Seq("cid", "pos"))
       .select(col("vec_id"),
         expr(s"CAST(pos div $subDims AS INT)").as("sub"),
         expr(s"CAST(pos % $subDims AS INT)").as("spos"),
         (col("e") - col("c")).as("e"))
-      .repartition(col("vec_id"))
+      .repartition(col("vec_id")))
     val cb = pqTrain(rdims, kCodes, pqIters)
     val codes = pqAssign(rdims, cb).withColumnRenamed("cid", "code")
     (nd, cent, assigned, cb, codes)
@@ -628,12 +631,14 @@ object Similarity {
     val norms = raw.groupBy("vec_id")
       .agg((sqrt(sum(floor(col("e") * lit(1e7)) * floor(col("e") * lit(1e7)))
         .cast("double")) / lit(1e7)).as("nrm"))
-    raw.join(norms, "vec_id")
+    // cached for the same reason as ivfPqModel's nd: pqTrain's
+    // codebook collects re-run this lineage once per iteration
+    graft.CacheScope.cached(raw.join(norms, "vec_id")
       .select(col("vec_id"),
         expr(s"CAST(pos div $subDims AS INT)").as("sub"),
         expr(s"CAST(pos % $subDims AS INT)").as("spos"),
         when(col("nrm") === 0d, 0d).otherwise(col("e") / col("nrm")).as("e"))
-      .repartition(col("vec_id"))
+      .repartition(col("vec_id")))
   }
 
   /** Per-subspace codebooks, seeded by the kCodes lowest vec_ids.

@@ -20,9 +20,11 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    val wanted = names.split(',').toSet
-    val sel = graft.SparkEntry.queries.filter(kv => wanted(kv._1))
-    sel.foreach { case (name, fn) =>
+    val wantedList = names.split(',').toSeq // duplicates = warm re-runs
+    val wanted = wantedList.toSet
+    wantedList.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       if (explain) df.explain("formatted")
