@@ -279,6 +279,57 @@ object Graph {
        |  FROM i GROUP BY degree)
        |ORDER BY side, degree""".stripMargin
 
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the undirected edge set (both orientations, the standard
+    * Newman definition) — positive means hubs link to hubs (social
+    * shape), negative means hubs link to leaves (web/biology shape); a
+    * one-number structural fingerprint next to [[degreeDist]]'s
+    * histogram. All five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    * accumulate as exact longs in ONE partial-aggregated pass over the
+    * degree-joined edges, so the corpus never sorts and the only float
+    * ops are the final two sqrt's and one division — identical IEEE
+    * steps in both engines. Scale: two broadcast-or-shuffle joins of
+    * the edge relation against the (≤ one row per node) degree
+    * relation, then a scalar aggregate.
+    */
+  def assortativity(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val ed = symmetricEdges(docs)
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val pairs = ed
+      .join(deg.select(col("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+    pairs
+      .agg(count(lit(1)).as("n"), sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(expr("n div 2").as("n_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("assortativity"))
+  }
+
+  /** Oracle twin of [[assortativity]]. */
+  def assortativitySql: String =
+    s"""WITH $linkEdgesSql,
+       |$symmetricEdgesSql,
+       |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |pr AS (SELECT d1.deg AS dx, d2.deg AS dy
+       |       FROM ed JOIN deg d1 ON ed.src = d1.src
+       |               JOIN deg d2 ON ed.dst = d2.src),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+       |         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+       |         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+       |         CAST(sum(dy * dy) AS BIGINT) AS syy
+       |       FROM pr)
+       |SELECT CAST((n - n % 2) / 2 AS BIGINT) AS n_edges,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+       |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+       |FROM st""".stripMargin
+
   /** Seed set for personalized PageRank: every 23rd document. */
   val PprSeedMod = 23L
 

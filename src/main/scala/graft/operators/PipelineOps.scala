@@ -205,6 +205,59 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Maximal duplicated-substring spans — the rolling-window
+    * exact-substring pass of the published training-data dedup recipe
+    * (ExactSubstr), re-expressed relationally: every `width`-token
+    * window (stride 1) fingerprints; a window that occurs at any OTHER
+    * (doc, position) is duplicated; per document, overlapping
+    * duplicated windows merge into maximal spans (gaps-and-islands
+    * over window starts — a new span opens when the next duplicated
+    * start clears the previous window entirely). Reports per-doc span
+    * count, duplicated-token mass, and ratio — the numbers that drive
+    * trim-the-span decisions, which the non-overlapping passage
+    * fingerprints of [[passageDupStats]] cannot see: a duplicated run
+    * straddling a passage boundary hashes as two unique passages
+    * there, but every interior window of the run collides here.
+    *
+    * Scale shape: one explode (~n_tokens rows per doc), one
+    * fingerprint-count shuffle, one join back, and one per-doc window
+    * (partitioned by doc_id — no global sort, no all-pairs, no suffix
+    * array). A 100 TB corpus pays 3 linear shuffles; the only
+    * superlinear structure a true suffix array would buy — finding
+    * duplicated runs SHORTER than `width` — is below the trim
+    * threshold by construction.
+    */
+  def substrSpans(docs: DataFrame, width: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col("text"), " ")
+    val wins = docs.repartition(col("doc_id"))
+      .filter(size(words) >= width)
+      .select(col("doc_id"), size(words).cast("long").as("n_tokens"),
+        posexplode(transform(sequence(lit(0), size(words) - width),
+          i => md5(concat_ws(" ", slice(words, i + 1, lit(width))))))
+          .as(Seq("p", "fp")))
+    val counts = wins.groupBy("fp").agg(count(lit(1)).as("cnt"))
+    val dup = wins.join(counts.filter(col("cnt") > 1), "fp")
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val spans = dup
+      .withColumn("newspan",
+        when(col("p") - lag("p", 1).over(byDoc) <= width - 1, 0L)
+          .otherwise(1L)) // NULL lag (first row) lands here too
+      .withColumn("isl", sum("newspan").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(max("n_tokens").as("n_tokens"), min("p").as("s"),
+        (max("p") + width - 1).as("e"))
+    spans.groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"), count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/valid/test assignment: an independent salted
     * hash draw per document (80/10/10), reported as a per-(split, lang)
     * census. A pure projection + one aggregation — the assignment
@@ -508,6 +561,43 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("w100"),
         explode(sequence(lit(1L), col("reps"))).as("copy_id"))
       .orderBy("doc_id", "copy_id")
+
+  /** Temperature-resampled mixture weights at alpha = 0.5 — the
+    * standard multi-source rebalance (sample source i proportional to
+    * n_i^alpha): down-weights the dominant web crawl, up-weights small
+    * high-quality sources, without the hard inversion of uniform
+    * sampling. alpha = 1/2 is chosen deliberately: n^0.5 is an
+    * IEEE-exact sqrt of an exact long (the one float op both engines
+    * round identically), so the weights need no pow() — each source's
+    * numerator is floor(sqrt(n_tokens)·1e6) as a long, the denominator
+    * their exact sum, and the published weight one agreed division.
+    * Emits per-source token mass, raw share, temperature weight, and
+    * the implied repeat factor (weight/raw-share — >1 means the source
+    * is over-sampled relative to its natural size).
+    *
+    * Scale: one groupBy(source) over the corpus (map-side partial),
+    * then arithmetic on a handful of rows.
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val perSrc = docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source").agg(sum("toks").as("n_tokens"))
+    val withNum = perSrc.withColumn("w_num",
+      floor(sqrt(col("n_tokens").cast("double")) * lit(1e6)).cast("long"))
+    val totals = withNum.agg(sum("n_tokens").as("tot_tokens"),
+      sum("w_num").as("tot_w"))
+    withNum.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("raw_share"),
+        round(col("w_num").cast("double") / col("tot_w"), 6)
+          .as("temp_weight"),
+        round((col("w_num").cast("double") / col("tot_w")) /
+          (col("n_tokens").cast("double") / col("tot_tokens")), 6)
+          .as("repeat_factor"))
+      .orderBy("source")
+  }
 
   /** Data-quality audit (the Deequ/Great-Expectations shape): declared
     * expectations evaluated corpus-wide in ONE aggregation pass — each

@@ -472,9 +472,22 @@ object Similarity {
       rerank: Int = 80): DataFrame = {
     val (nd, cent, assigned, cb, codes) =
       ivfPqModel(emb, kClusters, iters, subDims, kCodes, pqIters)
-    // route the query: nprobe nearest lists by centroid distance
     val qn = nd.filter(col("vec_id") === queryId)
       .select(col("pos"), col("e").as("qe"))
+    ivfPqSearch(emb, qn, cent, assigned, cb, codes, queryId, k, subDims,
+      nprobe, rerank)
+  }
+
+  /** The search half of the IVF+PQ composite against a given model —
+    * shared verbatim by the train-inline path ([[ivfPqTopK]]) and the
+    * persisted-index path ([[ivfPqSearchIndexed]]), so the two cannot
+    * drift. `qn` is the query's normalized full-dim relation
+    * (pos, qe).
+    */
+  private def ivfPqSearch(emb: DataFrame, qn: DataFrame, cent: DataFrame,
+      assigned: DataFrame, cb: DataFrame, codes: DataFrame, queryId: Long,
+      k: Int, subDims: Int, nprobe: Int, rerank: Int): DataFrame = {
+    // route the query: nprobe nearest lists by centroid distance
     val probes = localizedSmall(cent.join(broadcast(qn), "pos")
       .groupBy("cid")
       .agg(sum(floor((col("c") - col("qe")) * (col("c") - col("qe"))
@@ -513,6 +526,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Normalized FULL dims (pos space) — pqNormalizedDims' arithmetic
+    * before the subspace split. Per-vector, so applying it to a
+    * filtered single-query frame yields the same rows the corpus-wide
+    * relation carries for that vector.
+    */
+  private def normalizedFullDims(emb: DataFrame): DataFrame = {
+    val raw = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("pos"), col("e").cast("double").as("e"))
+    val norms = raw.groupBy("vec_id")
+      .agg((sqrt(sum(floor(col("e") * lit(1e7)) * floor(col("e") * lit(1e7)))
+        .cast("double")) / lit(1e7)).as("nrm"))
+    raw.join(norms, "vec_id")
+      .select(col("vec_id"), col("pos"),
+        when(col("nrm") === 0d, 0d).otherwise(col("e") / col("nrm")).as("e"))
+  }
+
   /** The trained IVF+PQ model shared by the search and its recall
     * eval: (normalized dims, coarse centroids, list assignment,
     * residual codebook, residual codes).
@@ -520,21 +550,11 @@ object Similarity {
   private def ivfPqModel(emb: DataFrame, kClusters: Int, iters: Int,
       subDims: Int, kCodes: Int, pqIters: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    // normalized FULL dims (pos space) — shares pqNormalizedDims'
-    // arithmetic, before the subspace split
-    val raw = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos", "e")))
-      .select(col("vec_id"), col("pos"), col("e").cast("double").as("e"))
-    val norms = raw.groupBy("vec_id")
-      .agg((sqrt(sum(floor(col("e") * lit(1e7)) * floor(col("e") * lit(1e7)))
-        .cast("double")) / lit(1e7)).as("nrm"))
     // cached: the Lloyd/PQ training collects below each run an action
     // over this corpus-scale relation — uncached, the explode+normalize
     // lineage re-executes once per collect (measured 2x on the pair)
-    val nd = graft.CacheScope.cached(raw.join(norms, "vec_id")
-      .select(col("vec_id"), col("pos"),
-        when(col("nrm") === 0d, 0d).otherwise(col("e") / col("nrm")).as("e"))
-      .repartition(col("vec_id")))
+    val nd = graft.CacheScope.cached(
+      normalizedFullDims(emb).repartition(col("vec_id")))
     // coarse quantizer: seeded fixed-point Lloyd on normalized dims
     var cent = nd.filter(col("vec_id") < kClusters)
       .select(col("vec_id").as("cid"), col("pos"), col("e").as("c"))
@@ -780,6 +800,56 @@ object Similarity {
     val codes = graft.plans.Mor.read(spark, root, ns, "pq_codes")
     val dims = pqNormalizedDims(emb.filter(col("vec_id") === queryId), subDims)
     pqSearch(emb, dims, cb, codes, queryId, k, rerank)
+  }
+
+  /** Persist the trained IVF+PQ composite ([[ivfPqTopK]]'s model) as
+    * committed tables — the full IVFADC index a 100 TB deployment
+    * trains once and serves many: coarse centroids and residual
+    * codebook (both broadcast-sized, single-file), and the two
+    * corpus-scale relations — list assignment and residual codes —
+    * bucket-partitioned on vec_id so builds write and searches scan
+    * them in parallel.
+    */
+  def buildIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, root: String, ns: String, kClusters: Int = 8,
+      iters: Int = 2, subDims: Int = 8, kCodes: Int = 16,
+      pqIters: Int = 1, idBuckets: Int = 8): Unit = {
+    import graft.plans.{PartitionSpec, Partitioning, TableIO}
+    val (_, cent, assigned, cb, codes) =
+      ivfPqModel(emb, kClusters, iters, subDims, kCodes, pqIters)
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, "ivf_centroids", cent.schema)
+    TableIO.commit(root, ns, "ivf_centroids",
+      Seq(TableIO.writeExactFile(spark, root, ns, "ivf_centroids",
+        "data/part-00000.parquet", cent, "data", 1L)))
+    TableIO.createTableIfNotExists(root, ns, "ivfpq_codebook", cb.schema)
+    TableIO.commit(root, ns, "ivfpq_codebook",
+      Seq(TableIO.writeExactFile(spark, root, ns, "ivfpq_codebook",
+        "data/part-00000.parquet", cb, "data", 1L)))
+    Partitioning.preparePartitioned(spark, root, ns, "ivf_assign", assigned,
+      PartitionSpec("bucket", "vec_id", idBuckets))
+    Partitioning.preparePartitioned(spark, root, ns, "ivfpq_codes", codes,
+      PartitionSpec("bucket", "vec_id", idBuckets))
+  }
+
+  /** Search against a persisted IVF+PQ index: identical results to
+    * [[ivfPqTopK]] (the search half is shared code; only the model
+    * relations come from committed tables). The query side normalizes
+    * ONE vector; the corpus embeddings surface only for the re-rank
+    * shortlist.
+    */
+  def ivfPqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      emb: DataFrame, root: String, ns: String, queryId: Long = 0L,
+      k: Int = 10, subDims: Int = 8, nprobe: Int = 2,
+      rerank: Int = 80): DataFrame = {
+    val cent = graft.plans.Mor.read(spark, root, ns, "ivf_centroids")
+    val assigned = graft.plans.Mor.read(spark, root, ns, "ivf_assign")
+    val cb = graft.plans.Mor.read(spark, root, ns, "ivfpq_codebook")
+    val codes = graft.plans.Mor.read(spark, root, ns, "ivfpq_codes")
+    val qn = normalizedFullDims(emb.filter(col("vec_id") === queryId))
+      .select(col("pos"), col("e").as("qe"))
+    ivfPqSearch(emb, qn, cent, assigned, cb, codes, queryId, k, subDims,
+      nprobe, rerank)
   }
 
   // --- incremental maintenance -----------------------------------------

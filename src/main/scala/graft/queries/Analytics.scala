@@ -82,6 +82,9 @@ object Analytics {
     "graph_sssp" -> ((s, dir) => Graph.sssp(s, rd(s, dir, "documents"))),
     "graph_degree_dist" -> ((s, dir) =>
       Graph.degreeDist(s, rd(s, dir, "documents"))),
+    // structural fingerprint: Pearson correlation of endpoint degrees
+    "graph_assortativity" -> ((s, dir) =>
+      Graph.assortativity(s, rd(s, dir, "documents"))),
     "graph_triangles" -> ((s, dir) => Graph.triangles(s, rd(s, dir, "documents"))),
     "graph_components" -> ((s, dir) =>
       Graph.connectedComponents(s, rd(s, dir, "documents"))),
@@ -168,6 +171,7 @@ object Analytics {
     "graph_hits" -> Graph.hitsSql,
     "graph_sssp" -> Graph.ssspSql(),
     "graph_degree_dist" -> Graph.degreeDistSql,
+    "graph_assortativity" -> Graph.assortativitySql,
     "graph_triangles" -> Graph.trianglesSql,
     "graph_components" -> Graph.connectedComponentsSql,
     "graph_bfs" -> Graph.bfsSql(),

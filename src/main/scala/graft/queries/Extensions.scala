@@ -201,6 +201,17 @@ object Extensions {
     // the IVF+PQ composite (FAISS IVFADC): trained coarse routing +
     // product quantization of the RESIDUALS, per-list ADC tables
     "ann_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(rdEmbeddings(s, dir))),
+    // the same composite against a PERSISTED index (centroids, list
+    // assignment, residual codebook + codes as committed tables):
+    // train once, search many — the search half is shared code, so
+    // results are identical and the oracle is shared verbatim
+    "ann_ivfpq_indexed" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#ivfpqindex") {
+        root =>
+          Similarity.buildIvfPqIndex(s, rdEmbeddings(s, dir), root, "ann")
+      }
+      Similarity.ivfPqSearchIndexed(s, rdEmbeddings(s, dir), r, "ann")
+    }),
     // ... and its recall eval: routing loss x compression loss
     // audited together against brute force
     "ann_recall_eval_ivfpq" -> ((s, dir) =>
@@ -302,7 +313,16 @@ object Extensions {
     "pipe_validate" -> ((s, dir) => PipelineOps.qualityAudit(rd(s, dir, "documents"))),
     "dedup_passages" -> ((s, dir) =>
       PipelineOps.passageDupStats(rd(s, dir, "documents"))),
+    // rolling-window exact-substring dedup (the ExactSubstr recipe):
+    // stride-1 window fingerprints -> corpus duplicate windows ->
+    // per-doc maximal spans via gaps-and-islands
+    "dedup_substr_spans" -> ((s, dir) =>
+      PipelineOps.substrSpans(rd(s, dir, "documents"))),
     "pipe_mix" -> ((s, dir) => PipelineOps.mixtureRepeat(rd(s, dir, "documents"))),
+    // temperature-resampled mixture weights at alpha=1/2 (exact sqrt
+    // fixed-point numerators, one agreed division per share)
+    "pipe_temperature" -> ((s, dir) =>
+      PipelineOps.temperatureMix(rd(s, dir, "documents"))),
     "pipe_vocab_coverage" -> ((s, dir) =>
       PipelineOps.vocabCoverage(rd(s, dir, "documents"))),
     // tokenizer-fertility per source against the same stand-in vocab:
@@ -1352,6 +1372,7 @@ object Extensions {
     "ann_recall_eval_nprobe4" -> Similarity.recallEvalSql(nprobe = 4),
     "ann_recall_eval_pq" -> annPqRecallSql,
 
+
     // the trained-IVF k-means replayed (same CTE chain as emb_kmeans /
     // ann_ivf_trained), then the recallEval harness over ITS routing:
     // c2 centroids rank clusters per query, a3 defines inverted lists
@@ -1523,6 +1544,7 @@ object Extensions {
     // ADC shortlist, exact re-rank — all fixed-point long arithmetic
     "ann_pq" -> annPqSql,
     "ann_ivfpq" -> annIvfPqSql,
+    "ann_ivfpq_indexed" -> annIvfPqSql,
     "ann_recall_eval_ivfpq" -> annIvfPqRecallSql,
     // identical algorithm over materialized index tables
     "ann_pq_indexed" -> annPqSql,
@@ -1628,6 +1650,36 @@ object Extensions {
         |FROM f JOIN c USING (fp)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // stride-1 5-token window fingerprints; duplicated windows merge
+    // into maximal per-doc spans (gaps-and-islands: a new span opens
+    // when the next duplicated start is > width-1 past the previous)
+    "dedup_substr_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (SELECT doc_id, len(w) AS n_tokens, i AS p,
+        |    md5(array_to_string(w[(i+1):(i+5)], ' ')) AS fp
+        |  FROM t, unnest(range(0, len(w) - 5 + 1)) r(i)
+        |  WHERE len(w) >= 5),
+        |c AS (SELECT fp, count(*) AS cnt FROM wins GROUP BY fp),
+        |dup AS (SELECT doc_id, n_tokens, p
+        |  FROM wins JOIN c USING (fp) WHERE cnt > 1),
+        |isl AS (SELECT doc_id, n_tokens, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 4
+        |         THEN 0 ELSE 1 END AS newspan
+        |  FROM dup),
+        |isl2 AS (SELECT doc_id, n_tokens, p,
+        |    CAST(sum(newspan) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS isl
+        |  FROM isl),
+        |sp AS (SELECT doc_id, max(n_tokens) AS n_tokens, isl,
+        |    min(p) AS s, max(p) + 4 AS e
+        |  FROM isl2 GROUP BY doc_id, isl)
+        |SELECT doc_id, max(n_tokens) AS n_tokens, count(*) AS n_spans,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |  round(CAST(CAST(sum(e - s + 1) AS BIGINT) AS DOUBLE)
+        |    / max(n_tokens), 6) AS dup_ratio
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // one-pass expectations audit: every rule a conditional count over
     // the same scan
     "pipe_validate" ->
@@ -1716,6 +1768,26 @@ object Extensions {
          |  CAST(unnest(range(1, reps + 1)) AS BIGINT) AS copy_id
          |FROM r WHERE reps > 0
          |ORDER BY doc_id, copy_id""".stripMargin,
+
+    // alpha=1/2 temperature weights: sqrt is IEEE-exact in both
+    // engines, numerators fixed-point longs, one division per share
+    "pipe_temperature" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS w_num
+        |  FROM s),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |             CAST(sum(w_num) AS BIGINT) AS tot_w FROM w)
+        |SELECT source, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS raw_share,
+        |  round(CAST(w_num AS DOUBLE) / tot_w, 6) AS temp_weight,
+        |  round((CAST(w_num AS DOUBLE) / tot_w) /
+        |        (CAST(n_tokens AS DOUBLE) / tot_tokens), 6)
+        |    AS repeat_factor
+        |FROM w, t ORDER BY source""".stripMargin,
 
     "pipe_pack" ->
       s"""WITH s AS (SELECT doc_id, lang, n_chars,

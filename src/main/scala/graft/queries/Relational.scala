@@ -436,6 +436,46 @@ object Relational {
         .orderBy("bucket", "event_type")
     }),
 
+    // the SAME aggregation replayed through Structured Streaming
+    // (readStream parquet source -> watermarked window agg ->
+    // AvailableNow drain -> memory sink); shares the batch oracle
+    "stream_window_counts" -> ((s, dir) =>
+      graft.streaming.EventsStream.replayWindowedCounts(s, dir)),
+
+    // watermark-bounded stateful dedup replayed over the finite table;
+    // first-occurrence state dedup must equal batch DISTINCT
+    "stream_dedup" -> ((s, dir) =>
+      graft.streaming.EventsStream.replayDedupCounts(s, dir)),
+
+    // stream-stream interval join (clicks x purchases within 1h)
+    // replayed; must equal the batch range join row-for-row
+    "stream_join" -> ((s, dir) =>
+      graft.streaming.EventsStream.replayIntervalJoin(s, dir)),
+
+    // event-time-timeout sessionization (flatMapGroupsWithState with
+    // order-free fixed-point sums) replayed; the oracle reproduces the
+    // emission contract with gaps-and-islands + the final watermark
+    "stream_sessions" -> ((s, dir) =>
+      graft.streaming.EventsStream.replaySessionStats(s, dir)),
+
+    // the PRODUCTION streaming sink under the gate: events replayed
+    // through writeStream.format("graft-table") (exactly-once snapshot
+    // commits), read back via the MOR scan, aggregated — must equal
+    // the same aggregate over the original table
+    "stream_ingest" -> ((s, dir) => {
+      val root = graft.plans.GeneratedTables.ensureCustom(
+        dir + "#streamingest") { root =>
+        graft.streaming.EventsStream.ingestAndAggregate(s, dir, root,
+          "stream", "events_ingest")
+      }
+      graft.plans.Mor.read(s, root, "stream", "events_ingest")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Hopping (sliding) windows: 1-hour windows every 30 minutes —
     // each event contributes to exactly two overlapping buckets.
     // Spark's window() expands the event to its covering windows
@@ -481,6 +521,15 @@ object Relational {
         .orderBy("n_name")
     })
   )
+
+  /** Shared by the batch query and its streaming replay — one oracle,
+    * two execution engines.
+    */
+  private val eventsWindowSql: String =
+    """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -691,11 +740,63 @@ object Relational {
         |  event_type AS typ, CAST(NULL AS INTEGER) AS absent
         |FROM events ORDER BY event_id""".stripMargin,
 
-    "q_events_window" ->
-      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
-        |  event_type, count(*) AS n,
+    "q_events_window" -> eventsWindowSql,
+    // identical oracle: a finite streaming replay MUST equal the batch
+    // aggregate (lambda-architecture collapse, checked to the hash)
+    "stream_window_counts" -> eventsWindowSql,
+
+    // streaming first-occurrence dedup == batch DISTINCT
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n_users
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the interval join's batch twin: purchases within [click, click+1h]
+    "stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  CAST(floor(p.value * 10000.0) AS BIGINT) AS value_fp
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+        |ORDER BY click_id, purchase_us, value_fp""".stripMargin,
+
+    // gaps-and-islands sessionization + the emission contract: a
+    // session is visible iff a later same-user event closed it (it is
+    // not the user's last island) OR the stream's final watermark
+    // (max event ms, zero delay) passed last_ts + gap
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t,
+        |    CAST(floor(value * 10000.0) AS BIGINT) AS value_fp
+        |  FROM events),
+        |mx AS (SELECT max(t) AS wm FROM e),
+        |s AS (SELECT user_id, t, value_fp,
+        |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |           > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s2 AS (SELECT user_id, t, value_fp,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM s),
+        |sess AS (SELECT user_id, sid, count(*) AS n_events,
+        |    CAST(sum(value_fp) AS BIGINT) AS value_fp, max(t) AS last_t
+        |  FROM s2 GROUP BY user_id, sid),
+        |em AS (SELECT user_id, n_events, value_fp
+        |  FROM sess, mx
+        |  WHERE sid < (SELECT max(s3.sid) FROM sess s3
+        |               WHERE s3.user_id = sess.user_id)
+        |     OR last_t + 1800000 < wm)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(value_fp) AS BIGINT) AS value_fp
+        |FROM em GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ingest -> exactly-once commits -> MOR scan must be lossless
+    "stream_ingest" ->
+      """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // each event covers starts floor30(ts) and floor30(ts) - 30min
     "q_hopping_window" ->

@@ -60,6 +60,219 @@ object EventsStream {
       }
   }
 
+  /** The tumbling-window aggregation replayed through the REAL
+    * streaming engine against the finite events table: a parquet file
+    * SOURCE (`readStream`), the watermarked [[windowedAgg]], one
+    * `Trigger.AvailableNow` drain into a memory sink, and the final
+    * complete-mode table returned as the result. A finite input makes
+    * the streaming aggregate equal the batch aggregate BY CONTRACT —
+    * which is exactly what registering this under the DuckDB oracle
+    * gate checks: incremental state fold == one-shot groupBy, to the
+    * hash. At scale this is the lambda-architecture collapse — the
+    * same code path serves the backfill (AvailableNow over history)
+    * and the live tail (continuous micro-batches), so the two can
+    * never disagree.
+    */
+  def replayWindowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val events = graft.queries.Util.normalizeEventsTs(
+      // events.parquet ships as a single FILE; the file source insists
+      // a non-glob path be a directory, so hand it a one-file GLOB
+      // (glob paths skip the directory check) rooted at the data dir
+      spark.readStream.schema(schema).option("basePath", sfDir)
+        .parquet(s"$sfDir/[e]vents.parquet"))
+    val out = windowedAgg(events)
+      .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = "stream_win_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("bucket", "event_type")
+  }
+
+  /** The events table as a bounded parquet STREAM (single-file glob —
+    * the file source insists a non-glob path be a directory; a glob
+    * skips the directory check), ts normalized exactly like the batch
+    * reader so stream and batch see identical rows.
+    */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.queries.Util.normalizeEventsTs(
+      spark.readStream.schema(schema).option("basePath", sfDir)
+        .parquet(s"$sfDir/[e]vents.parquet"))
+  }
+
+  /** Drain a streaming DataFrame into a fresh memory sink and return
+    * the sink table. Default trigger + `processAllAvailable` (not
+    * AvailableNow) so the engine runs the trailing NO-DATA micro-batch
+    * after the last data batch — that batch is what advances the
+    * watermark past the final rows and fires event-time timeouts;
+    * without it, stateful operators would hold their last windows
+    * open forever.
+    */
+  private def drainToTable(spark: SparkSession, out: DataFrame,
+      prefix: String, mode: String): DataFrame = {
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** [[streamingDedup]] replayed against the finite events table:
+    * fingerprint = (user_id, event_type), watermark horizon wider than
+    * the table's time span (nothing evicts mid-replay), append-mode
+    * drain, then a batch rollup of the survivors. Which PHYSICAL row
+    * wins a fingerprint is batch-order-dependent, so the gated result
+    * aggregates to what is order-free by construction: the surviving
+    * fingerprint SET — per event_type, the count of distinct users.
+    * The oracle is the batch `SELECT DISTINCT` twin: streaming
+    * first-occurrence state dedup == batch distinct, to the hash.
+    */
+  def replayDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = streamingDedupKeyed(eventsStream(spark, sfDir))
+    drainToTable(spark, deduped, "stream_dedup_", "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** [[streamingDedup]]'s shape with a composite business key instead
+    * of a content hash: suppress repeats of (user_id, event_type)
+    * across micro-batches. Same bounded-state contract — the watermark
+    * evicts fingerprints older than `horizon`.
+    */
+  def streamingDedupKeyed(events: DataFrame,
+      horizon: String = "3650 days"): DataFrame =
+    events
+      .withColumn("fp", md5(concat_ws(":", col("user_id"), col("event_type"))))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** The stream-stream interval join ([[clickPurchaseJoin]]) replayed
+    * against the finite events table: clicks and purchases are two
+    * filtered reads of the same bounded stream, joined on user within
+    * `windowSec` seconds after the click. Inner interval joins emit
+    * exactly the rows the batch range join produces; the watermark
+    * bounds buffered state on an infinite stream and is harmless on a
+    * finite one.
+    */
+  def replayIntervalJoin(spark: SparkSession, sfDir: String,
+      windowSec: Long = 3600): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+    val joined = clickPurchaseJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      watermarkDelay = "3650 days", windowSec = windowSec)
+    drainToTable(spark, joined, "stream_join_", "append")
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        floor(col("value") * lit(1e4)).cast("long").as("value_fp"))
+      .orderBy("click_id", "purchase_us", "value_fp")
+  }
+
+  final case class FpTimed(user_id: Long, ts: java.sql.Timestamp,
+      value_fp: Long)
+  final case class FpSessionState(nEvents: Long, totalFp: Long, lastTs: Long)
+  final case class FpSession(user_id: Long, n_events: Long, value_fp: Long)
+
+  /** [[sessionizeEventTime]] with ORDER-FREE arithmetic, for the oracle
+    * gate: per-session value mass is an exact long sum of
+    * floor(value·1e4) fixed-point terms, so equal-timestamp events
+    * within a user's fold can arrive in any order without changing the
+    * emitted session (double addition would not commute). Session
+    * BOUNDARIES only depend on the sorted millisecond timestamps, which
+    * ties cannot perturb either. Emission contract is the event-time
+    * timeout one: a session closes when the same user's next event
+    * gaps past `gapMs`, or when the stream watermark (max event time
+    * seen, minus zero delay) passes lastTs + gap.
+    */
+  def sessionizeEventTimeFp(events: Dataset[FpTimed],
+      gapMs: Long): Dataset[FpSession] = {
+    import events.sparkSession.implicits._
+    events.toDF().withWatermark("ts", "0 seconds").as[FpTimed]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FpSessionState, FpSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[FpTimed], state: GroupState[FpSessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(FpSession(user, st.nEvents, st.totalFp))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(
+              FpSessionState(0L, 0L, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer[FpSession]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.nEvents > 0 && t - st.lastTs > gapMs) {
+                out += FpSession(user, st.nEvents, st.totalFp)
+                st = FpSessionState(0L, 0L, Long.MinValue)
+              }
+              st = FpSessionState(st.nEvents + 1, st.totalFp + e.value_fp, t)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTs + gapMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** [[sessionizeEventTimeFp]] replayed against the finite events
+    * table, rolled up per user (session count, event mass, fixed-point
+    * value mass). The no-data micro-batch after the last file advances
+    * the watermark to the global max event time and fires the timeouts,
+    * so every session whose (lastTs + gap) lies strictly before that
+    * watermark emits; each user's final session stays in state iff it
+    * reaches the stream's end — exactly the condition the oracle's
+    * gaps-and-islands twin reproduces.
+    */
+  def replaySessionStats(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val src = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * lit(1e4)).cast("long").as("value_fp"))
+      .as[FpTimed]
+    val sessions = sessionizeEventTimeFp(src, gapMs = gapMinutes * 60000L)
+    drainToTable(spark, sessions.toDF(), "stream_sessions_", "append")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"),
+        sum("value_fp").as("value_fp"))
+      .orderBy("user_id")
+  }
+
+  /** The full streaming-ingest loop under the correctness gate: the
+    * events table replayed as a bounded stream through the PRODUCTION
+    * sink (`writeStream.format("graft-table")` — exactly-once snapshot
+    * commits, [[GraftTableSink]]), then read back through the MOR
+    * scan and aggregated. The oracle is the same aggregate over the
+    * original table: ingest → commit → scan must be lossless and
+    * duplicate-free, which is precisely the exactly-once claim.
+    */
+  def ingestAndAggregate(spark: SparkSession, sfDir: String, root: String,
+      ns: String, table: String): Unit = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ckpt-").toString
+    val q = eventsStream(spark, sfDir).writeStream
+      .format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", table)
+      .option("statsColumns", "event_id")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp,
       value: Double)
 

@@ -24,7 +24,10 @@ object ExplainDump {
       "emb_outliers", "gen_rest_catalog"),
     12 -> Seq("dedup_clusters_indexed", "dedup_clusters_refreshed",
       "gen_rest_read", "graph_louvain", "pipe_fertility", "ann_ivfpq",
-      "ann_recall_eval_ivfpq"))
+      "ann_recall_eval_ivfpq", "ann_ivfpq_indexed",
+      "dedup_substr_spans", "stream_window_counts", "pipe_temperature",
+      "graph_assortativity", "stream_dedup", "stream_join",
+      "stream_sessions", "stream_ingest"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -96,7 +99,10 @@ object ExplainDump {
       "emb_outliers", "graph_ktruss", "gen_sql_compact_dead",
       "dedup_clusters_indexed", "dedup_clusters_refreshed", "gen_rest_read",
       "graph_louvain", "pipe_fertility", "ann_ivfpq",
-      "ann_recall_eval_ivfpq")
+      "ann_recall_eval_ivfpq", "ann_ivfpq_indexed",
+      "dedup_substr_spans", "stream_window_counts", "pipe_temperature",
+      "graph_assortativity", "stream_dedup", "stream_join",
+      "stream_sessions", "stream_ingest")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {

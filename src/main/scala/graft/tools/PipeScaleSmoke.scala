@@ -82,6 +82,12 @@ object PipeScaleSmoke {
       graft.operators.TextAnalysis.gopherRules(docs).count())
     timed("sourceCap")(PipelineOps.sourceCap(docs, cap = 100000).count())
     timed("keepBest")(Dedup.keepBest(docs).count())
+    // round-12 additions: rolling-window duplicated spans (3 linear
+    // shuffles + a per-doc window), temperature mixture weights (one
+    // groupBy(source))
+    val nsp = timed("substrSpans")(PipelineOps.substrSpans(docs).count())
+    println(s"[pipescale] docs with duplicated spans: $nsp")
+    timed("temperatureMix")(PipelineOps.temperatureMix(docs).collect())
     println("[pipescale] OK")
     spark.stop()
   }

@@ -407,6 +407,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(hist.map(_._2).sum == tri.getAs[Long]("n_edges"))
   }
 
+  test("assortativity matches an exact local Pearson over endpoint degrees") {
+    val n = 200
+    val docs = docsDf(n)
+    val und = Graph.linkEdges(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toSeq
+    graft.CacheScope.drain()
+    val sym = und ++ und.map(_.swap)
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = sym.map { case (u, v) => (deg(u), deg(v)) }
+    val cnt = xs.size.toLong
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val syy = xs.map(p => p._2 * p._2).sum
+    val expected = (cnt * sxy - sx * sy).toDouble /
+      (math.sqrt((cnt * sxx - sx * sx).toDouble) *
+        math.sqrt((cnt * syy - sy * sy).toDouble))
+    val row = Graph.assortativity(spark, docs).collect().head
+    graft.CacheScope.drain()
+    assert(row.getLong(0) == und.size.toLong)
+    assert(math.abs(row.getDouble(1) - expected) < 1e-6)
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+  }
+
   test("modularity matches an exact local simulation") {
     val n = 200
     val docs = docsDf(n)

@@ -430,6 +430,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == direct)
   }
 
+  test("persisted ivf+pq index: four model tables, search == inline " +
+      "composite") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpqidx-")
+      .toString
+    Similarity.buildIvfPqIndex(spark, emb, root, "ann")
+    for (t <- Seq("ivf_centroids", "ivfpq_codebook", "ivf_assign",
+        "ivfpq_codes"))
+      assert(graft.plans.TableIO.filesOf(root, "ann", t, "data").nonEmpty, t)
+    // the corpus-scale relations are bucketed multi-file writes
+    assert(graft.plans.TableIO.filesOf(root, "ann", "ivfpq_codes", "data")
+      .size > 1)
+    val got = Similarity.ivfPqSearchIndexed(spark, emb, root, "ann")
+      .collect().map(_.getLong(0)).toSeq
+    val direct = Similarity.ivfPqTopK(emb).collect().map(_.getLong(0)).toSeq
+    assert(got == direct)
+  }
+
   test("bm25 refreshIndex folds corpus commits surgically: rebuilt-equal " +
       "results, untouched buckets keep their files") {
     import graft.operators.Retrieval

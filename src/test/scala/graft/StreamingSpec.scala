@@ -99,6 +99,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("fixed-point sessionizer: gap-closed sessions emit eagerly, the " +
+      "watermark closes idle ones, tied timestamps cannot reorder sums") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventsStream.{FpSession, FpTimed}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    val ts = (m: Long) => new java.sql.Timestamp(base + m * 60000L)
+    val src = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val sessions = EventsStream.sessionizeEventTimeFp(
+      src.toDF().toDF("user_id", "ts", "value_fp").as[FpTimed],
+      gapMs = 30L * 60000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("fp_sessions").start()
+    // user 1: two TIED timestamps (long sums are order-free), then a
+    // 40-min gap closes the session when the next event arrives
+    src.addData((1L, ts(0), 10L), (1L, ts(0), 7L), (1L, ts(40), 1L))
+    q.processAllAvailable()
+    val eager = spark.table("fp_sessions").as[FpSession].collect().toSeq
+    assert(eager == Seq(FpSession(1L, 2L, 17L)))
+    // a far-future event advances the watermark past user 1's open
+    // session; the no-data batch fires the event-time timeout
+    src.addData((2L, ts(1000), 3L))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("fp_sessions").as[FpSession].collect().toSeq
+    assert(all.contains(FpSession(1L, 1L, 1L)))
+    // user 2's own session reached end-of-stream still open: not emitted
+    assert(!all.exists(_.user_id == 2L))
+  }
+
   test("sessionize splits on gaps and accumulates state") {
     val m = 60L * 1000000L // one minute in micros
     val events = Seq(
