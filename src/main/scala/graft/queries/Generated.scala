@@ -709,6 +709,42 @@ object Generated {
         .agg(count(lit(1)).as("n_rows"), sum("bar").as("sum_bar"))
         .orderBy("_change_version", "_change_type")
     }),
+    // The same changelog TAILED through the production streaming source
+    // (readStream.format("graft-table"), cdc mode, one snapshot per
+    // micro-batch via admission control) — the streamed union of
+    // batches must equal the batch changelog read, so it shares
+    // gen_changes' oracle verbatim. Own fixture: tailing runs to the
+    // CURRENT version, so the table must never grow past v3.
+    "stream_cdc" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_cdc")
+      val r = GeneratedTables.ensureCustom(dir + "#streamcdc") { root =>
+        Pipeline.prepare(s, root, c2)
+      }
+      graft.streaming.EventsStream.tailChanges(s, r, c2.namespace,
+        c2.tableName)
+        .groupBy("_change_version", "_change_type")
+        .agg(count(lit(1)).as("n_rows"), sum("bar").as("sum_bar"))
+        .orderBy("_change_version", "_change_type")
+    }),
+    // CDC REPLICATION under the gate: the standard 3-version history
+    // (bulk insert, pos-deletes, seq-gated eq-deletes) mirrored into a
+    // second governed table by tailing the change stream and applying
+    // each batch as one upsert-shaped commit. The MIRROR's merged read
+    // must equal the SOURCE's — it shares mor_read's oracle verbatim.
+    "stream_replicate" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_repl")
+      val r = GeneratedTables.ensureCustom(dir + "#streamrepl") { root =>
+        Pipeline.prepare(s, root, c2)
+        TableIO.createTableIfNotExists(root, c2.namespace, "t1_mirror",
+          TableIO.readSchema(root, c2.namespace, c2.tableName))
+        val q = graft.streaming.Replication.replicate(s, root,
+          c2.namespace, c2.tableName, root, c2.namespace, "t1_mirror",
+          keyCols = Seq("bar"), checkpoint = s"$root/_repl_ckpt")
+        q.processAllAvailable()
+        q.stop()
+      }
+      Mor.read(s, r, cfg.namespace, "t1_mirror").orderBy("bar")
+    }),
     // Refs + rollback (Iceberg branches/tags + rollback_to_snapshot): a
     // tag pins the data-only snapshot; rollback publishes a NEW version
     // (v4) whose manifest equals v1 — so the current read sees all N rows
@@ -1300,6 +1336,10 @@ object Generated {
     "gen_rest_read" ->
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
          |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
+    // ... and so must CDC replication: the mirror IS the source's view
+    "stream_replicate" ->
+      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+         |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
     // shares mor_read's oracle VERBATIM (same-answer-rewrite rule):
     // dropping fully-dead files must be invisible to the merged view
     "gen_compact_dead" ->
@@ -1469,6 +1509,19 @@ object Generated {
          |       CAST(${P + 100} AS BIGINT) AS n_pos_rows""".stripMargin,
     // v1 inserts [0,N); v2 pos-deletes [0,P); v3 eq-deletes [P,P+E)
     "gen_changes" ->
+      s"""SELECT * FROM (
+         |  SELECT 1 AS _change_version, 'insert' AS _change_type,
+         |    count(*) AS n_rows, CAST(sum(g) AS BIGINT) AS sum_bar
+         |  FROM range(0, $N) t(g)
+         |  UNION ALL
+         |  SELECT 2, 'delete', count(*), CAST(sum(g) AS BIGINT)
+         |  FROM range(0, $P) t(g)
+         |  UNION ALL
+         |  SELECT 3, 'delete', count(*), CAST(sum(g) AS BIGINT)
+         |  FROM range($P, ${P + E}) t(g))
+         |ORDER BY _change_version""".stripMargin,
+    // identical oracle: streaming cdc tail == batch changelog read
+    "stream_cdc" ->
       s"""SELECT * FROM (
          |  SELECT 1 AS _change_version, 'insert' AS _change_type,
          |    count(*) AS n_rows, CAST(sum(g) AS BIGINT) AS sum_bar

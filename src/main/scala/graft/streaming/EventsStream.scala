@@ -250,6 +250,25 @@ object EventsStream {
       .orderBy("user_id")
   }
 
+  /** Tail a governed table's snapshot log through the PRODUCTION
+    * streaming source (`readStream.format("graft-table")`, cdc mode)
+    * and drain the finite backlog to a table: each committed snapshot
+    * arrives as its own micro-batch (`maxVersionsPerBatch=1` exercises
+    * the admission-control path a 10k-commit backlog needs), carrying
+    * the full change rows. On a finite log the union of the tailed
+    * batches must equal the BATCH changelog read over the same version
+    * range — which is what the oracle gate checks.
+    */
+  def tailChanges(spark: SparkSession, root: String, ns: String,
+      table: String, maxVersionsPerBatch: Int = 1): DataFrame = {
+    val src = spark.readStream.format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", table)
+      .option("mode", "cdc")
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
+      .load()
+    drainToTable(spark, src, "stream_cdc_", "append")
+  }
+
   /** The full streaming-ingest loop under the correctness gate: the
     * events table replayed as a bounded stream through the PRODUCTION
     * sink (`writeStream.format("graft-table")` — exactly-once snapshot

@@ -325,6 +325,16 @@ object AnalyticsScaleSmoke {
     require(lv.getLong(3) >= lv.getLong(2),
       s"louvain refinement decreased Q: ${lv.mkString(",")}")
     println(s"[analyticsscale]   louvain=${lv.mkString(",")}")
+
+    // ---- round-12: degree assortativity — one pass of exact long
+    // sufficient statistics over the degree-joined edges
+    val as = timed(s"assortativity ${nGraph / 1000000}M nodes") {
+      Graph.assortativity(spark, docs).collect().head
+    }
+    require(as.getLong(0) > 0 &&
+      as.getDouble(1) >= -1.0 && as.getDouble(1) <= 1.0,
+      s"assortativity out of range: ${as.mkString(",")}")
+    println(s"[analyticsscale]   assortativity=${as.mkString(",")}")
     spark.stop()
   }
 }

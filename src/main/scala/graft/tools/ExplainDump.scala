@@ -27,7 +27,8 @@ object ExplainDump {
       "ann_recall_eval_ivfpq", "ann_ivfpq_indexed",
       "dedup_substr_spans", "stream_window_counts", "pipe_temperature",
       "graph_assortativity", "stream_dedup", "stream_join",
-      "stream_sessions", "stream_ingest"))
+      "stream_sessions", "stream_ingest", "stream_cdc",
+      "stream_replicate"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -102,7 +103,8 @@ object ExplainDump {
       "ann_recall_eval_ivfpq", "ann_ivfpq_indexed",
       "dedup_substr_spans", "stream_window_counts", "pipe_temperature",
       "graph_assortativity", "stream_dedup", "stream_join",
-      "stream_sessions", "stream_ingest")
+      "stream_sessions", "stream_ingest", "stream_cdc",
+      "stream_replicate")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {
