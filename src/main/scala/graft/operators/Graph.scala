@@ -286,11 +286,15 @@ object Graph {
     * one-number structural fingerprint next to [[degreeDist]]'s
     * histogram. All five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
     * accumulate as exact longs in ONE partial-aggregated pass over the
-    * degree-joined edges, so the corpus never sorts and the only float
-    * ops are the final two sqrt's and one division — identical IEEE
-    * steps in both engines. Scale: two broadcast-or-shuffle joins of
-    * the edge relation against the (≤ one row per node) degree
-    * relation, then a scalar aggregate.
+    * degree-joined edges, so the corpus never sorts; the final
+    * COMBINATION of the statistics runs in double (the cross products
+    * n·Σxy etc. would silently wrap int64 on a hub-heavy 1e8-edge
+    * graph — Σx is a sum of squared degrees), which both engines
+    * round through the identical IEEE steps. A zero-variance graph
+    * (every endpoint the same degree) has no defined correlation and
+    * yields NULL in both engines. Scale: two broadcast-or-shuffle
+    * joins of the edge relation against the (≤ one row per node)
+    * degree relation, then a scalar aggregate.
     */
   def assortativity(spark: SparkSession, docs: DataFrame): DataFrame = {
     val ed = symmetricEdges(docs)
@@ -298,16 +302,18 @@ object Graph {
     val pairs = ed
       .join(deg.select(col("src"), col("deg").as("dx")), "src")
       .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
-    pairs
+    val st = pairs
       .agg(count(lit(1)).as("n"), sum("dx").as("sx"), sum("dy").as("sy"),
         sum(col("dx") * col("dy")).as("sxy"),
         sum(col("dx") * col("dx")).as("sxx"),
         sum(col("dy") * col("dy")).as("syy"))
-      .select(expr("n div 2").as("n_edges"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
-          6).as("assortativity"))
+    def d(c: String) = col(c).cast("double")
+    val den = sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+      sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+    st.select(expr("n div 2").as("n_edges"),
+      when(den === 0d, lit(null).cast("double"))
+        .otherwise(round((d("n") * d("sxy") - d("sx") * d("sy")) / den, 6))
+        .as("assortativity"))
   }
 
   /** Oracle twin of [[assortativity]]. */
@@ -318,17 +324,20 @@ object Graph {
        |pr AS (SELECT d1.deg AS dx, d2.deg AS dy
        |       FROM ed JOIN deg d1 ON ed.src = d1.src
        |               JOIN deg d2 ON ed.dst = d2.src),
-       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-       |         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
-       |         CAST(sum(dx * dy) AS BIGINT) AS sxy,
-       |         CAST(sum(dx * dx) AS BIGINT) AS sxx,
-       |         CAST(sum(dy * dy) AS BIGINT) AS syy
-       |       FROM pr)
-       |SELECT CAST((n - n % 2) / 2 AS BIGINT) AS n_edges,
-       |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-       |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
-       |FROM st""".stripMargin
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+       |         CAST(sum(dx * dy) AS DOUBLE) AS sxy,
+       |         CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+       |         CAST(sum(dy * dy) AS DOUBLE) AS syy,
+       |         CAST(count(*) AS BIGINT) AS nn
+       |       FROM pr),
+       |dn AS (SELECT nn, n, sx, sy, sxy,
+       |         sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) AS den
+       |       FROM st)
+       |SELECT CAST((nn - nn % 2) / 2 AS BIGINT) AS n_edges,
+       |  CASE WHEN den = 0 THEN NULL
+       |       ELSE round((n * sxy - sx * sy) / den, 6) END AS assortativity
+       |FROM dn""".stripMargin
 
   /** Seed set for personalized PageRank: every 23rd document. */
   val PprSeedMod = 23L

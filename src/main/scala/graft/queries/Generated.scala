@@ -1290,6 +1290,32 @@ object Generated {
     })
   )
 
+  /** The merged MOR view of the standard 3-version table — shared by
+    * every query whose claim is "this mechanism is invisible to the
+    * merged read" (REST transport, object-store bytes, dead-file
+    * compaction, CDC replication). ONE string so the twins cannot
+    * drift from mor_read.
+    */
+  private val morReadOracle: String =
+    s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
+       |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin
+
+  /** The per-version changelog checksum — shared by the batch
+    * changelog read and its streaming-source tail.
+    */
+  private val changesOracle: String =
+    s"""SELECT * FROM (
+       |  SELECT 1 AS _change_version, 'insert' AS _change_type,
+       |    count(*) AS n_rows, CAST(sum(g) AS BIGINT) AS sum_bar
+       |  FROM range(0, $N) t(g)
+       |  UNION ALL
+       |  SELECT 2, 'delete', count(*), CAST(sum(g) AS BIGINT)
+       |  FROM range(0, $P) t(g)
+       |  UNION ALL
+       |  SELECT 3, 'delete', count(*), CAST(sum(g) AS BIGINT)
+       |  FROM range($P, ${P + E}) t(g))
+       |ORDER BY _change_version""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "gen_data" ->
       s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
@@ -1324,27 +1350,16 @@ object Generated {
          |  CAST(coalesce(n, 0) AS DOUBLE) / record_count AS deleted_frac
          |FROM f LEFT JOIN d USING (file_path)
          |ORDER BY f.file_path""".stripMargin,
-    "mor_read" ->
-      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
-         |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
+    "mor_read" -> morReadOracle,
     // shares mor_read's oracle VERBATIM: REST transport must be
     // invisible to the merged view
-    "gen_rest_catalog" ->
-      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
-         |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
+    "gen_rest_catalog" -> morReadOracle,
     // ... and so must the OBJECT-STORE byte transport on the read side
-    "gen_rest_read" ->
-      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
-         |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
+    "gen_rest_read" -> morReadOracle,
     // ... and so must CDC replication: the mirror IS the source's view
-    "stream_replicate" ->
-      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
-         |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
-    // shares mor_read's oracle VERBATIM (same-answer-rewrite rule):
-    // dropping fully-dead files must be invisible to the merged view
-    "gen_compact_dead" ->
-      s"""SELECT CAST(g AS VARCHAR) AS foo, CAST(g AS INTEGER) AS bar, true AS baz
-         |FROM range(${P + E}, $N) t(g) ORDER BY bar""".stripMargin,
+    "stream_replicate" -> morReadOracle,
+    // ... and dropping fully-dead files (same-answer-rewrite rule)
+    "gen_compact_dead" -> morReadOracle,
     // generation arithmetic: rows [0, P) fully kill files 0..P/RPF-1,
     // every pos-delete targets those files (purged with them), eq
     // files untouched; version = 3 generation commits + drop + rewrite
@@ -1508,31 +1523,9 @@ object Generated {
          |       CAST(2 AS BIGINT) AS n_pos_files,
          |       CAST(${P + 100} AS BIGINT) AS n_pos_rows""".stripMargin,
     // v1 inserts [0,N); v2 pos-deletes [0,P); v3 eq-deletes [P,P+E)
-    "gen_changes" ->
-      s"""SELECT * FROM (
-         |  SELECT 1 AS _change_version, 'insert' AS _change_type,
-         |    count(*) AS n_rows, CAST(sum(g) AS BIGINT) AS sum_bar
-         |  FROM range(0, $N) t(g)
-         |  UNION ALL
-         |  SELECT 2, 'delete', count(*), CAST(sum(g) AS BIGINT)
-         |  FROM range(0, $P) t(g)
-         |  UNION ALL
-         |  SELECT 3, 'delete', count(*), CAST(sum(g) AS BIGINT)
-         |  FROM range($P, ${P + E}) t(g))
-         |ORDER BY _change_version""".stripMargin,
+    "gen_changes" -> changesOracle,
     // identical oracle: streaming cdc tail == batch changelog read
-    "stream_cdc" ->
-      s"""SELECT * FROM (
-         |  SELECT 1 AS _change_version, 'insert' AS _change_type,
-         |    count(*) AS n_rows, CAST(sum(g) AS BIGINT) AS sum_bar
-         |  FROM range(0, $N) t(g)
-         |  UNION ALL
-         |  SELECT 2, 'delete', count(*), CAST(sum(g) AS BIGINT)
-         |  FROM range(0, $P) t(g)
-         |  UNION ALL
-         |  SELECT 3, 'delete', count(*), CAST(sum(g) AS BIGINT)
-         |  FROM range($P, ${P + E}) t(g))
-         |ORDER BY _change_version""".stripMargin,
+    "stream_cdc" -> changesOracle,
     // rollback to v1 restores all N rows; the tag at v1 reads the same;
     // v3 (fully deleted view) stays readable; 4 versions exist
     "gen_rollback" ->

@@ -74,25 +74,11 @@ object EventsStream {
     * never disagree.
     */
   def replayWindowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val events = graft.queries.Util.normalizeEventsTs(
-      // events.parquet ships as a single FILE; the file source insists
-      // a non-glob path be a directory, so hand it a one-file GLOB
-      // (glob paths skip the directory check) rooted at the data dir
-      spark.readStream.schema(schema).option("basePath", sfDir)
-        .parquet(s"$sfDir/[e]vents.parquet"))
-    val out = windowedAgg(events)
+    val out = windowedAgg(eventsStream(spark, sfDir))
       .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
-    val name = "stream_win_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name).orderBy("bucket", "event_type")
+    drainToTable(spark, out, "stream_win_", "complete")
+      .orderBy("bucket", "event_type")
   }
 
   /** The events table as a bounded parquet STREAM (single-file glob —
@@ -220,7 +206,9 @@ object EventsStream {
               st = FpSessionState(st.nEvents + 1, st.totalFp + e.value_fp, t)
             }
             state.update(st)
-            state.setTimeoutTimestamp(st.lastTs + gapMs)
+            // defensive clamp, same rationale as [[sessionizeEventTime]]
+            state.setTimeoutTimestamp(math.max(st.lastTs + gapMs,
+              state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }
@@ -334,7 +322,13 @@ object EventsStream {
               st = SessionState(st.nEvents + 1, st.total + e.value, t)
             }
             state.update(st)
-            state.setTimeoutTimestamp(st.lastTs + gapMs)
+            // defensive clamp: the engine REJECTS a timeout at/below
+            // the pre-batch watermark. Late-row filtering upstream
+            // normally guarantees lastTs >= watermark, but clamping
+            // makes the invariant local instead of an assumption about
+            // the operator's input pipeline
+            state.setTimeoutTimestamp(math.max(st.lastTs + gapMs,
+              state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

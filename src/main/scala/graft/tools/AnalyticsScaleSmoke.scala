@@ -331,7 +331,7 @@ object AnalyticsScaleSmoke {
     val as = timed(s"assortativity ${nGraph / 1000000}M nodes") {
       Graph.assortativity(spark, docs).collect().head
     }
-    require(as.getLong(0) > 0 &&
+    require(as.getLong(0) > 0 && !as.isNullAt(1) &&
       as.getDouble(1) >= -1.0 && as.getDouble(1) <= 1.0,
       s"assortativity out of range: ${as.mkString(",")}")
     println(s"[analyticsscale]   assortativity=${as.mkString(",")}")

@@ -129,6 +129,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(!all.exists(_.user_id == 2L))
   }
 
+  test("fixed-point sessionizer survives cross-batch disorder: rows " +
+      "behind the watermark are dropped, the query keeps running") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventsStream.{FpSession, FpTimed}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    val ts = (m: Long) => new java.sql.Timestamp(base + m * 60000L)
+    val src = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val sessions = EventsStream.sessionizeEventTimeFp(
+      src.toDF().toDF("user_id", "ts", "value_fp").as[FpTimed],
+      gapMs = 30L * 60000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("fp_disorder").start()
+    src.addData((30L, ts(100), 5L)) // batch 1: watermark -> ts(100)
+    q.processAllAvailable()
+    // batch 2: user 10's events are ALL older than the watermark — the
+    // stateful operator drops late rows (the watermark contract), so
+    // no session forms for user 10 and the query keeps running
+    src.addData((10L, ts(0), 2L), (10L, ts(1), 3L))
+    q.processAllAvailable()
+    // batch 3: the 100-min gap splits user 30's sessions eagerly
+    src.addData((30L, ts(200), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("fp_disorder").as[FpSession].collect().toSeq
+    assert(!all.exists(_.user_id == 10L)) // late rows dropped, not folded
+    assert(all.contains(FpSession(30L, 1L, 5L)))
+  }
+
   test("sessionize splits on gaps and accumulates state") {
     val m = 60L * 1000000L // one minute in micros
     val events = Seq(
