@@ -77,6 +77,75 @@ object Relational {
         .orderBy("r_name")
     }),
 
+    // TPC-H Q3 (shipping priority, adapted to the test schema): the
+    // classic filter-early / join-narrow / limit-late plan — selective
+    // predicates on BOTH fact sides push to the scans, the filtered
+    // customer dim broadcasts, and a top-10 WindowGroupLimit-free
+    // global sort runs over the (small) aggregated result. Revenue
+    // accumulates as DECIMAL (order-free exact sums), cast to double
+    // only at output.
+    "q_tpch_q3" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = rd(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-01"))
+      val l = rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-01"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 (local supplier volume): the 6-table join with the
+    // non-key c_nationkey = s_nationkey condition that forces the
+    // planner to place the customer join AFTER supplier resolves its
+    // nation — dims broadcast, facts shuffle once on orderkey.
+    "q_tpch_q5" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+      val o = rd(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val l = rd(s, dir, "lineitem")
+      val su = rd(s, dir, "supplier")
+      val n = rd(s, dir, "nation")
+      val r = rd(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    // lost to returns — a big-group aggregate (one group per customer)
+    // followed by a global top-k, the shape where the aggregate must
+    // partial-combine map-side before the shuffle.
+    "q_tpch_q10" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+      val o = rd(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-07-01"))
+      val l = rd(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = rd(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Semi join (EXISTS).
     "q_semi_join" -> ((s, dir) => {
       val o = rd(s, dir, "orders")
@@ -567,6 +636,51 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1998-06-01'
+        |  AND l_shipdate > DATE '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q_semi_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders
