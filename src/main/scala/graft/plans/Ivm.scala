@@ -38,6 +38,50 @@ object Ivm {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private val stateSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("sum_v", LongType, nullable = false)))
+  }
+
+  /** Fold ONE batch of change rows into the state table as one CAS
+    * commit at `expectedVersion`. Shared by the polling [[catchUp]]
+    * loop and the streaming [[streamMaintain]] driver, so the two
+    * maintenance cadences cannot drift semantically.
+    */
+  private def foldDelta(spark: SparkSession, root: String, ns: String,
+      stateTable: String, changes: DataFrame,
+      keyOf: org.apache.spark.sql.Column, valueCol: String,
+      expectedVersion: Long): Unit = {
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = changes
+      .select(keyOf.cast("long").as("k"), sign.as("d"),
+        (sign * col(valueCol)).as("dv"))
+      .groupBy("k").agg(sum("d").as("dn"), sum("dv").as("dsum"))
+    // v0 state (no commit yet) bootstraps as the empty relation
+    val cur =
+      if (TableIO.currentVersion(root, ns, stateTable) == 0L)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+      else Mor.read(spark, root, ns, stateTable)
+    val next = cur.join(delta, Seq("k"), "full_outer")
+      .select(col("k"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
+          .as("sum_v"))
+      .filter(col("n") > 0)
+    // full state rewrite per batch: the state is O(#keys), not O(base)
+    val seq = TableIO.nextSeq(root, ns, stateTable)
+    val entry = TableIO.writeExactFile(spark, root, ns, stateTable,
+      s"data/state-v$seq.parquet", next, "data", seq)
+    // CAS on the batch count: a replay of this batch (or a concurrent
+    // maintainer) sees version != expected and fails instead of refolding
+    TableIO.commitReplacing(root, ns, stateTable, Seq(entry),
+      expectedVersion = Some(expectedVersion), operation = Some("overwrite"))
+  }
+
   /** Catch the state table up to the base table's current version,
     * strictly one snapshot per batch (the micro-batch CDC cadence).
     * `keyOf` maps a base row to its group key; maintained aggregates
@@ -46,11 +90,6 @@ object Ivm {
   def catchUp(spark: SparkSession, root: String, ns: String,
       baseTable: String, stateTable: String, checkpoint: Path,
       keyOf: org.apache.spark.sql.Column, valueCol: String): Unit = {
-    import org.apache.spark.sql.types._
-    val stateSchema = StructType(Seq(
-      StructField("k", LongType, nullable = false),
-      StructField("n", LongType, nullable = false),
-      StructField("sum_v", LongType, nullable = false)))
     TableIO.createTableIfNotExists(root, ns, stateTable, stateSchema)
     var from = ChangeFeed.offsetOf(checkpoint)
     // Reconcile forward: state version counts batches actually applied.
@@ -64,34 +103,49 @@ object Ivm {
     val to = TableIO.currentVersion(root, ns, baseTable)
     while (from < to) {
       val changes = Mor.readChanges(spark, root, ns, baseTable, from, from + 1)
-      val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-      val delta = changes
-        .select(keyOf.cast("long").as("k"), sign.as("d"),
-          (sign * col(valueCol)).as("dv"))
-        .groupBy("k").agg(sum("d").as("dn"), sum("dv").as("dsum"))
-      // v0 state (no commit yet) bootstraps as the empty relation
-      val cur =
-        if (TableIO.currentVersion(root, ns, stateTable) == 0L)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
-        else Mor.read(spark, root, ns, stateTable)
-      val next = cur.join(delta, Seq("k"), "full_outer")
-        .select(col("k"),
-          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-          (coalesce(col("sum_v"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
-            .as("sum_v"))
-        .filter(col("n") > 0)
-      // full state rewrite per batch: the state is O(#keys), not O(base)
-      val seq = TableIO.nextSeq(root, ns, stateTable)
-      val entry = TableIO.writeExactFile(spark, root, ns, stateTable,
-        s"data/state-v$seq.parquet", next, "data", seq)
-      // CAS on the batch count: a replay of this batch (or a concurrent
-      // maintainer) sees version != from and fails instead of refolding
-      TableIO.commitReplacing(root, ns, stateTable, Seq(entry),
-        expectedVersion = Some(from), operation = Some("overwrite"))
+      foldDelta(spark, root, ns, stateTable, changes, keyOf, valueCol,
+        expectedVersion = from)
       writeOffset(checkpoint, from + 1)
       from += 1
     }
+  }
+
+  /** The same maintenance driven by the STREAMING engine: tail the base
+    * table's CDC stream (`readStream.format("graft-table")`, one base
+    * snapshot per micro-batch) and fold each batch through the shared
+    * [[foldDelta]]. Spark's offset log gives at-least-once foreachBatch
+    * delivery; exactly-once CONTENT follows the sink discipline — the
+    * state table's version counts folded batches, a re-delivered batch
+    * id behind it returns without folding, and the CAS expected-version
+    * turns any remaining race into a loud failure instead of a silent
+    * double-application. Drains the available backlog, then returns
+    * (the continuous deployment just keeps the query running).
+    */
+  def streamMaintain(spark: SparkSession, root: String, ns: String,
+      baseTable: String, stateTable: String,
+      keyOf: org.apache.spark.sql.Column, valueCol: String): Unit = {
+    TableIO.createTableIfNotExists(root, ns, stateTable, stateSchema)
+    val ckpt = Files.createTempDirectory("graft-sivm-ckpt-").toString
+    val q = spark.readStream.format("graft-table")
+      .option("root", root).option("namespace", ns)
+      .option("table", baseTable).option("mode", "cdc")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val applied = TableIO.currentVersion(root, ns, stateTable)
+        if (batchId >= applied) {
+          require(batchId == applied, s"stream IVM gap: batch $batchId " +
+            s"arrived with only $applied folded — lost checkpoint?")
+          foldDelta(spark, root, ns, stateTable, b, keyOf, valueCol,
+            expectedVersion = applied)
+        } // batchId < applied: re-delivered batch, already folded
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
   }
 
   /** Join-view IVM: keep V = A join_k B materialized from BOTH base

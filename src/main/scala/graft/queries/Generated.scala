@@ -1007,6 +1007,19 @@ object Generated {
       }
       Mor.read(s, r, c2.namespace, "agg_t1_ivm").orderBy("k")
     }),
+    // the SAME materialized view maintained by the STREAMING engine —
+    // the graft-table CDC source delivers one base snapshot per
+    // micro-batch into the shared foldDelta (exactly-once content via
+    // the state-version replay guard + CAS); state == gen_ivm's
+    "stream_ivm" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_sivm")
+      val r = GeneratedTables.ensureCustom(dir + "#streamivm") { root =>
+        Pipeline.prepare(s, root, c2)
+        graft.plans.Ivm.streamMaintain(s, root, c2.namespace, c2.tableName,
+          "agg_t1_sivm", pmod(col("bar"), lit(5)), "bar")
+      }
+      Mor.read(s, r, c2.namespace, "agg_t1_sivm").orderBy("k")
+    }),
     // JOIN-view IVM: V = A join_k B maintained from both changelogs
     // with time-travel co-offset reads and transactional (va, vb)
     // offsets inside each state commit. The construction exercises
@@ -1315,6 +1328,13 @@ object Generated {
        |  SELECT 3, 'delete', count(*), CAST(sum(g) AS BIGINT)
        |  FROM range($P, ${P + E}) t(g))
        |ORDER BY _change_version""".stripMargin
+
+  /** MV state == from-scratch aggregation of the surviving base rows —
+    * shared by the polling and the streaming maintenance drivers.
+    */
+  private val ivmOracle: String =
+    s"""SELECT g % 5 AS k, count(*) AS n, CAST(sum(g) AS BIGINT) AS sum_v
+       |FROM range(${P + E}, $N) t(g) GROUP BY k ORDER BY k""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "gen_data" ->
@@ -1697,9 +1717,10 @@ object Generated {
          |  t(snap, n)
          |ORDER BY snap""".stripMargin,
     // incremental state == from-scratch aggregation of the survivors
-    "gen_ivm" ->
-      s"""SELECT g % 5 AS k, count(*) AS n, CAST(sum(g) AS BIGINT) AS sum_v
-         |FROM range(${P + E}, $N) t(g) GROUP BY k ORDER BY k""".stripMargin,
+    "gen_ivm" -> ivmOracle,
+    // identical oracle: the STREAMING-driven maintenance folds the same
+    // deltas through the same shared foldDelta
+    "stream_ivm" -> ivmOracle,
 
     // final view = A{rid 0..59} join_k B{rid 0..49} with multiplicities
     // (the delete retracted rid 60..99 from A)

@@ -28,7 +28,8 @@ object ExplainDump {
       "dedup_substr_spans", "stream_window_counts", "pipe_temperature",
       "graph_assortativity", "stream_dedup", "stream_join",
       "stream_sessions", "stream_ingest", "stream_cdc",
-      "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10"))
+      "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
+      "stream_ivm"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -104,7 +105,8 @@ object ExplainDump {
       "dedup_substr_spans", "stream_window_counts", "pipe_temperature",
       "graph_assortativity", "stream_dedup", "stream_join",
       "stream_sessions", "stream_ingest", "stream_cdc",
-      "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10")
+      "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
+      "stream_ivm")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {
