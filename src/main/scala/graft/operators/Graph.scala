@@ -339,6 +339,66 @@ object Graph {
        |       ELSE round((n * sxy - sx * sy) / den, 6) END AS assortativity
        |FROM dn""".stripMargin
 
+  /** Item co-occurrence with lift — the bipartite (basket, item) graph
+    * projected onto item pairs (market-basket association, the
+    * recommendation / query-expansion primitive). For each pair that
+    * shares >= `minSupport` baskets: support (co-basket count) and
+    * lift = support·N / (cnt_a·cnt_b) (>1 = the pair co-occurs more
+    * than independence predicts). Top-`topK` by (support, item_a,
+    * item_b) — a total order, so the cut is deterministic.
+    *
+    * Scale: the self-join fans out per basket as C(basket_size, 2) —
+    * bounded by the basket size cap that order-shaped data has
+    * naturally (a pathological mega-basket would need the same
+    * degree-cap/salting treatment the wedge joins use). Everything
+    * else is linear: one distinct, one count per item, one
+    * partial-aggregated pair count. All-integer until the single lift
+    * division.
+    */
+  def cooccurrence(lineitem: DataFrame, minSupport: Int = 2,
+      topK: Int = 20): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val nOrders = items.agg(
+      countDistinct(col("okey")).cast("long").as("n_orders"))
+    val freq = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(freq.select(col("item").as("item_a"), col("cnt").as("cnt_a")),
+        "item_a")
+      .join(freq.select(col("item").as("item_b"), col("cnt").as("cnt_b")),
+        "item_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("item_a"), col("item_b"), col("support"),
+        round((col("support") * col("n_orders")).cast("double") /
+          (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("support").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[cooccurrence]]. */
+  def cooccurrenceSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+      |            FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM it),
+      |f AS (SELECT item, count(*) AS cnt FROM it GROUP BY item),
+      |p AS (SELECT a.item AS item_a, b.item AS item_b,
+      |        count(*) AS support
+      |      FROM it a JOIN it b ON a.okey = b.okey AND a.item < b.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT item_a, item_b, support,
+      |  round(CAST(support * n_orders AS DOUBLE) /
+      |        CAST(fa.cnt * fb.cnt AS DOUBLE), 6) AS lift
+      |FROM p JOIN f fa ON fa.item = item_a
+      |       JOIN f fb ON fb.item = item_b, n
+      |ORDER BY support DESC, item_a, item_b LIMIT 20""".stripMargin
+
   /** Seed set for personalized PageRank: every 23rd document. */
   val PprSeedMod = 23L
 

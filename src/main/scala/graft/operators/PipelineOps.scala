@@ -599,6 +599,35 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Quality-gate operating curve: survivor count, keep rate, and
+    * surviving token mass as the min-words threshold sweeps a grid —
+    * the curve a pipeline owner reads before committing to a gate
+    * value (every threshold is a (docs kept) x (tokens kept) tradeoff;
+    * picking one blind either starves the corpus or keeps junk). ONE
+    * pass over the corpus: per-doc word counts explode against the
+    * literal threshold grid (|grid| rows per doc) and aggregate —
+    * sweeping ten thresholds costs one scan, not ten.
+    */
+  def gateSweep(docs: DataFrame,
+      thresholds: Seq[Int] = Seq(10, 25, 50, 100, 200)): DataFrame = {
+    val nw = size(split(trim(col("text")), "\\s+")).cast("long")
+    docs.select(nw.as("n_words"))
+      .select(col("n_words"),
+        explode(array(thresholds.map(lit(_)): _*)).as("min_words"))
+      .groupBy("min_words")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_words") >= col("min_words"), 1L).otherwise(0L))
+          .as("survivors"),
+        sum(when(col("n_words") >= col("min_words"), col("n_words"))
+          .otherwise(0L)).as("surviving_tokens"))
+      .select(col("min_words").cast("long").as("min_words"),
+        col("survivors"),
+        round(col("survivors").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"),
+        col("surviving_tokens"))
+      .orderBy("min_words")
+  }
+
   /** Data-quality audit (the Deequ/Great-Expectations shape): declared
     * expectations evaluated corpus-wide in ONE aggregation pass — each
     * rule is a conditional count over the same scan, so auditing ten

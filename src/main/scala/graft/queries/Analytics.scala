@@ -85,6 +85,9 @@ object Analytics {
     // structural fingerprint: Pearson correlation of endpoint degrees
     "graph_assortativity" -> ((s, dir) =>
       Graph.assortativity(s, rd(s, dir, "documents"))),
+    // bipartite (order, part) projection: co-purchase support + lift
+    "graph_cooccurrence" -> ((s, dir) =>
+      Graph.cooccurrence(rd(s, dir, "lineitem"))),
     "graph_triangles" -> ((s, dir) => Graph.triangles(s, rd(s, dir, "documents"))),
     "graph_components" -> ((s, dir) =>
       Graph.connectedComponents(s, rd(s, dir, "documents"))),
@@ -172,6 +175,7 @@ object Analytics {
     "graph_sssp" -> Graph.ssspSql(),
     "graph_degree_dist" -> Graph.degreeDistSql,
     "graph_assortativity" -> Graph.assortativitySql,
+    "graph_cooccurrence" -> Graph.cooccurrenceSql,
     "graph_triangles" -> Graph.trianglesSql,
     "graph_components" -> Graph.connectedComponentsSql,
     "graph_bfs" -> Graph.bfsSql(),

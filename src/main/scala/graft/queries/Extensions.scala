@@ -418,6 +418,10 @@ object Extensions {
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(rd(s, dir, "documents"))),
     "text_lm_buckets" -> ((s, dir) => TextAnalysis.lmBuckets(rd(s, dir, "documents"))),
     "text_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(rd(s, dir, "documents"))),
+    // the gate's operating curve: survivors/keep-rate/token mass per
+    // candidate min-words threshold, ten thresholds for one scan
+    "pipe_gate_sweep" -> ((s, dir) =>
+      PipelineOps.gateSweep(rd(s, dir, "documents"))),
     "text_classifier_score" -> ((s, dir) =>
       TextAnalysis.classifierScore(rd(s, dir, "documents"))),
     "pipe_source_cap" -> ((s, dir) => PipelineOps.sourceCap(rd(s, dir, "documents"))),
@@ -1932,6 +1936,22 @@ object Extensions {
         |    ORDER BY avg_fp DESC, k.doc_id) AS BIGINT) AS bucket
         |FROM k JOIN documents d ON k.doc_id = d.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+
+    // one scan swept over the threshold grid; int/int keep-rate is the
+    // single division
+    "pipe_gate_sweep" ->
+      """WITH d AS (SELECT CAST(len(string_split_regex(trim(text), '\s+'))
+        |      AS BIGINT) AS n_words FROM documents),
+        |g AS (SELECT CAST(unnest([10, 25, 50, 100, 200]) AS BIGINT)
+        |        AS min_words)
+        |SELECT min_words,
+        |  CAST(sum(CASE WHEN n_words >= min_words THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS survivors,
+        |  round(CAST(sum(CASE WHEN n_words >= min_words THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS keep_rate,
+        |  CAST(sum(CASE WHEN n_words >= min_words THEN n_words ELSE 0 END)
+        |    AS BIGINT) AS surviving_tokens
+        |FROM d, g GROUP BY min_words ORDER BY min_words""".stripMargin,
 
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text,

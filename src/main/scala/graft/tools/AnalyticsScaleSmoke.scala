@@ -335,6 +335,20 @@ object AnalyticsScaleSmoke {
       as.getDouble(1) >= -1.0 && as.getDouble(1) <= 1.0,
       s"assortativity out of range: ${as.mkString(",")}")
     println(s"[analyticsscale]   assortativity=${as.mkString(",")}")
+
+    // ---- round-12: market-basket co-occurrence — 4M baskets x 5 items
+    // = 20M basket rows, C(5,2) = 10 pair rows per basket
+    val nBaskets = (4e6 * m).toLong
+    val baskets = spark.range(nBaskets * 5).selectExpr(
+      "id DIV 5 AS l_orderkey",
+      // ~2000 items, skewed co-membership via the shared residue
+      "(id % 5) * 400 + (id DIV 5) % 400 AS l_partkey")
+    val cooc = timed(s"cooccurrence ${nBaskets / 1000000}M baskets") {
+      Graph.cooccurrence(baskets).collect()
+    }
+    require(cooc.length == 20 && cooc.forall(_.getDouble(3) > 0),
+      "cooccurrence top-20 malformed")
+    println(s"[analyticsscale]   top pair support=${cooc.head.getLong(2)}")
     spark.stop()
   }
 }

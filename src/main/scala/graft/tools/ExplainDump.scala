@@ -29,7 +29,7 @@ object ExplainDump {
       "graph_assortativity", "stream_dedup", "stream_join",
       "stream_sessions", "stream_ingest", "stream_cdc",
       "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
-      "stream_ivm"))
+      "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -106,7 +106,7 @@ object ExplainDump {
       "graph_assortativity", "stream_dedup", "stream_join",
       "stream_sessions", "stream_ingest", "stream_cdc",
       "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
-      "stream_ivm")
+      "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {

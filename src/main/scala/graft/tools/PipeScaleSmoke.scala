@@ -88,6 +88,7 @@ object PipeScaleSmoke {
     val nsp = timed("substrSpans")(PipelineOps.substrSpans(docs).count())
     println(s"[pipescale] docs with duplicated spans: $nsp")
     timed("temperatureMix")(PipelineOps.temperatureMix(docs).collect())
+    timed("gateSweep")(PipelineOps.gateSweep(docs).collect())
     println("[pipescale] OK")
     spark.stop()
   }
