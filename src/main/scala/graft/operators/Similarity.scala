@@ -39,6 +39,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-FILTERED vector search (the pre-filter shape every
+    * vector store names): top-k cosine restricted to vectors whose
+    * joined document metadata passes the predicate. The filter applies
+    * BEFORE scoring — a semi-join against the qualifying doc ids, so
+    * distance work is spent only on candidates that can be returned
+    * (post-filtering a plain top-k under-fills k whenever the filter
+    * is selective). At 100 TB the same semi-join intersects the IVF
+    * inverted lists with the filter's id set; the brute baseline here
+    * pins the exact semantics the indexed path must reproduce.
+    */
+  def filteredTopK(emb: DataFrame, docs: DataFrame, queryId: Long = 0L,
+      k: Int = 20): DataFrame = {
+    val allowed = docs.filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    emb.join(allowed, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** IVF ANN: inverted lists keyed by cluster id (here the `label`
     * column — in production the assignment comes from an offline
     * trainer), centroid per cluster = exact per-dimension mean. A query

@@ -166,6 +166,10 @@ object Extensions {
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimate(rd(s, dir, "documents"))),
     "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rdEmbeddings(s, dir))),
+    // metadata-filtered vector search: the filter semi-joins BEFORE
+    // scoring (pre-filter), so k fills from qualifying vectors only
+    "ann_filtered" -> ((s, dir) => Similarity.filteredTopK(
+      rdEmbeddings(s, dir), rd(s, dir, "documents"))),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rdEmbeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rdEmbeddings(s, dir))),
     "ann_recall_eval" -> ((s, dir) =>
@@ -1346,6 +1350,18 @@ object Extensions {
     "ann_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |FROM e, q WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // the pre-filter twin: candidates restricted by doc metadata
+    // BEFORE scoring (vec_id and doc_id share the id space)
+    "ann_filtered" ->
+      s"""WITH a AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |      FROM embeddings JOIN a ON vec_id = doc_id),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+         |      WHERE vec_id = 0)
          |SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS sim
          |FROM e, q WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin,

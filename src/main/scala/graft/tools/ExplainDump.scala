@@ -29,7 +29,8 @@ object ExplainDump {
       "graph_assortativity", "stream_dedup", "stream_join",
       "stream_sessions", "stream_ingest", "stream_cdc",
       "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
-      "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep"))
+      "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep",
+      "ann_filtered"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -106,7 +107,8 @@ object ExplainDump {
       "graph_assortativity", "stream_dedup", "stream_join",
       "stream_sessions", "stream_ingest", "stream_cdc",
       "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
-      "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep")
+      "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep",
+      "ann_filtered")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {
