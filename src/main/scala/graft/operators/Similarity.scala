@@ -307,7 +307,8 @@ object Similarity {
     * cluster id.
     */
   def ivfTrainedTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
-      kClusters: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+      kClusters: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      allowedIds: Option[DataFrame] = None): DataFrame = {
     // repartition by vec_id: spreads every E-step's broadcast join +
     // decimal distance aggregation across cores (single-file scan = one
     // partition locally), and the shuffle output is reused by each
@@ -337,7 +338,14 @@ object Similarity {
       .select("cid")
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qv"))
-    emb.join(assigned, "vec_id").join(broadcast(probes), "cid")
+    // filtered search (ann_filtered_ivf): the metadata filter's id set
+    // intersects the probed inverted lists BEFORE scoring — the
+    // index-side twin of the brute pre-filter, so a selective filter
+    // cuts scoring work instead of under-filling k afterwards
+    val candidates = allowedIds.foldLeft(
+      emb.join(assigned, "vec_id").join(broadcast(probes), "cid"))(
+      (c, a) => c.join(a, Seq("vec_id"), "left_semi"))
+    candidates
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cid"),

@@ -170,6 +170,15 @@ object Extensions {
     // scoring (pre-filter), so k fills from qualifying vectors only
     "ann_filtered" -> ((s, dir) => Similarity.filteredTopK(
       rdEmbeddings(s, dir), rd(s, dir, "documents"))),
+    // the index-side twin: the filter's id set intersects the probed
+    // inverted lists before any distance is computed
+    "ann_filtered_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Similarity.ivfTrainedTopK(rdEmbeddings(s, dir),
+        allowedIds = Some(rd(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))))
+    }),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rdEmbeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rdEmbeddings(s, dir))),
     "ann_recall_eval" -> ((s, dir) =>
@@ -1486,6 +1495,35 @@ object Extensions {
          |  ORDER BY dist ASC, cid ASC LIMIT 2),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, a3.cid, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |FROM e JOIN a3 USING (vec_id) JOIN probes USING (cid), q
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // the same trained routing, with the metadata filter's id set
+    // intersecting the probed lists before scoring
+    "ann_filtered_ivf" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS e
+         |  FROM embeddings, range(0, 64) t(i)),
+         |c0 AS (SELECT vec_id AS cid, pos, e AS c FROM dims WHERE vec_id < 8),
+         |a1 AS (${assignSql("c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |a3 AS (${assignSql("c2")}),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid,
+         |      sum(CAST(floor((c.c - q.e) * (c.c - q.e) * 1000000000000.0) AS BIGINT)) AS dist
+         |    FROM c2 c JOIN dims q ON c.pos = q.pos AND q.vec_id = 0
+         |    GROUP BY c.cid)
+         |  ORDER BY dist ASC, cid ASC LIMIT 2),
+         |al AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |      FROM embeddings JOIN al ON vec_id = doc_id),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+         |      WHERE vec_id = 0)
          |SELECT e.vec_id, a3.cid, round(${cosSql("e.v", "qv")}, 6) AS sim
          |FROM e JOIN a3 USING (vec_id) JOIN probes USING (cid), q
          |WHERE e.vec_id <> 0
