@@ -146,6 +146,41 @@ object Relational {
         .limit(20)
     }),
 
+    // Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter):
+    // the selective orders filter builds a bloom filter at runtime that
+    // prunes lineitem rows BEFORE the join shuffle — the row-level
+    // runtime filter that complements q_dpp's partition-level pruning.
+    // The merge hint keeps the join a shuffle join (broadcast joins
+    // don't need the filter); at 100 TB this is the difference between
+    // shuffling the full fact table and shuffling the ~1/5 that can
+    // match.
+    "q_runtime_bloom" -> ((s, dir) => {
+      // a CLONED session scopes the thresholds to this query: the test
+      // tables are MBs, so at session defaults both join sides are
+      // broadcastable-by-size and InjectRuntimeFilter rightly skips
+      // (broadcast joins don't need the filter). Production keeps the
+      // defaults — a 100 TB fact side passes the gates on its own.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      // raw scans (no post-scan repartition): InjectRuntimeFilter
+      // pattern-matches a selective Filter DIRECTLY over the creation
+      // scan and sizes the application side by its scan
+      val l = s2.read.parquet(s"$dir/lineitem.parquet")
+      val o = s2.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Semi join (EXISTS).
     "q_semi_join" -> ((s, dir) => {
       val o = rd(s, dir, "orders")
@@ -636,6 +671,14 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_runtime_bloom" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
