@@ -403,6 +403,57 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // AQE skew-join: the RUNTIME answer to the same skew q_skew_join
+    // solves statically with salting — Spark measures the shuffle's
+    // actual partition sizes and splits the oversized ones into
+    // parallel sub-joins (skew=true on the final SortMergeJoin,
+    // spec-pinned in AqeSkewSpec). 80% of the fact rows collapse onto
+    // one synthetic hot key; thresholds are scoped to a cloned session
+    // because the MB-scale test shuffle sits far under the production
+    // defaults (256MB / 5x median).
+    "q_aqe_skew" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "800b")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "800b")
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "1b")
+      // the join feeds an aggregation, which imposes a distribution
+      // requirement on the join's output; without force, AQE declines
+      // to split (the split breaks that distribution and needs an
+      // extra shuffle — the right trade when one straggler partition
+      // holds 80% of the data)
+      s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.shuffle.partitions", "100")
+      def skey(c: org.apache.spark.sql.Column) =
+        when(pmod(c, lit(10)) < 8, 0L).otherwise(c)
+      // the single-file test scan is ONE map task, and AQE splits a
+      // skewed reduce partition by MAPPER ranges — one mapper means
+      // nothing to split. Spread the scan first (production fact
+      // tables arrive as many files; this exchange doesn't exist
+      // there).
+      val l = s2.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(8)
+        .select(skey(col("l_orderkey")).as("skey"),
+          dec(col("l_extendedprice"), 4).as("price"))
+      // dim without an aggregate: OptimizeSkewedJoin pattern-matches
+      // Sort-over-shuffle on BOTH join inputs, and a distinct's final
+      // HashAggregate between them defeats the match. The tail keys
+      // are unique already (o_orderkey is the key); the hot key is one
+      // literal row.
+      val d = s2.read.parquet(s"$dir/orders.parquet")
+        .filter(pmod(col("o_orderkey"), lit(10)) >= 8)
+        .select(col("o_orderkey").as("skey"))
+        .union(s2.range(1).select(lit(0L).as("skey")))
+      l.join(d, "skey")
+        .groupBy(when(col("skey") === 0L, "hot").otherwise("tail")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price")).cast("double").as("total"))
+        .orderBy("bucket")
+    }),
+
     // --- materialized-view query rewrite ---------------------------------
     // The aggregate below never executes against lineitem: the MV
     // substitution rule (plans/MvRewrite.scala) recognizes the exact
@@ -671,6 +722,20 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // the salted join's runtime twin: same skew, same answer
+    "q_aqe_skew" ->
+      """WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+        |      ELSE l_orderkey END AS skey,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+        |  FROM lineitem),
+        |d AS (SELECT o_orderkey AS skey FROM orders
+        |      WHERE o_orderkey % 10 >= 8
+        |      UNION ALL SELECT 0)
+        |SELECT CASE WHEN skey = 0 THEN 'hot' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_items, CAST(sum(price) AS DOUBLE) AS total
+        |FROM l JOIN d USING (skey)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_runtime_bloom" ->
       """SELECT o_orderpriority, count(*) AS n_items,

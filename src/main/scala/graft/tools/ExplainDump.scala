@@ -30,7 +30,8 @@ object ExplainDump {
       "stream_sessions", "stream_ingest", "stream_cdc",
       "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
       "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep",
-      "ann_filtered", "ann_filtered_ivf", "q_runtime_bloom"))
+      "ann_filtered", "ann_filtered_ivf", "q_runtime_bloom",
+      "q_aqe_skew"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -108,7 +109,8 @@ object ExplainDump {
       "stream_sessions", "stream_ingest", "stream_cdc",
       "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
       "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep",
-      "ann_filtered", "ann_filtered_ivf", "q_runtime_bloom")
+      "ann_filtered", "ann_filtered_ivf", "q_runtime_bloom",
+      "q_aqe_skew")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {

@@ -23,4 +23,18 @@ class SkewJoinSpec extends AnyFunSuite {
       .select("k", "v", "name").collect().map(_.toSeq).sortBy(_.toString)
     assert(salted.length == plain.length && salted.sameElements(plain))
   }
+
+  test("q_aqe_skew actually exercises AQE's skew split: the final " +
+      "adaptive plan marks the join skew=true") {
+    val df = graft.SparkEntry.queries("q_aqe_skew")(spark,
+      "/root/testdata/sf0.01")
+    val rows = df.collect()
+    graft.CacheScope.drain()
+    assert(rows.nonEmpty)
+    // the executed (post-AQE) plan — the initial plan can't show the
+    // split because skew is measured from the real shuffle sizes
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"no skew-split join in the final plan:\n$finalPlan")
+  }
 }
