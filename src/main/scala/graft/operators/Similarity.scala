@@ -174,6 +174,35 @@ object Similarity {
         (col("n_hit").cast("double") / k).as("recall"))
       .orderBy("qid")
 
+  /** Matryoshka / truncated-dimension recall: score candidates by
+    * cosine over only the FIRST `prefixDims` dimensions and measure
+    * recall@k against the full-dimension ground truth — the eval that
+    * decides how many dimensions a serving tier can drop (a
+    * Matryoshka-trained embedding concentrates information in the
+    * prefix; storage and distance cost scale linearly with the kept
+    * dims). Same harness as the IVF/PQ recalls, so the four evals
+    * read as one routing/compression/truncation loss ledger.
+    */
+  def recallEvalMatryoshka(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      prefixDims: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, exact, _) = recallGroundTruth(emb, nQueries, k)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"),
+        slice(col("embedding"), 1, prefixDims).as("qv"))
+    val pre = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.cosine(slice(col("embedding"), 1, prefixDims),
+          col("qv")), 6).as("sim"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val approx = pre.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("a_qid"), col("vec_id").as("a_vec"))
+    recallReport(exact, approx, k)
+  }
+
   def recallEval(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
       nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -183,6 +183,10 @@ object Extensions {
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rdEmbeddings(s, dir))),
     "ann_recall_eval" -> ((s, dir) =>
       Similarity.recallEval(rdEmbeddings(s, dir))),
+    // truncation loss: recall@10 of 16-dim prefix cosine vs the
+    // full-64-dim ground truth (the Matryoshka serving question)
+    "ann_recall_eval_matryoshka" -> ((s, dir) =>
+      Similarity.recallEvalMatryoshka(rdEmbeddings(s, dir))),
     "ann_sim_histogram" -> ((s, dir) =>
       Similarity.simHistogram(rdEmbeddings(s, dir))),
     "emb_norm_hist" -> ((s, dir) =>
@@ -1376,6 +1380,30 @@ object Extensions {
          |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "ann_recall_eval" -> Similarity.recallEvalSql(),
+
+    // prefix-cosine candidates vs full-dim exact: v[1:16] keeps list
+    // order, so the sequential double sums match the codegen dot
+    "ann_recall_eval_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT q.qid, e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |exact AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id ASC) AS rk FROM sims) WHERE rk <= 10),
+         |pre AS (
+         |  SELECT q.qid, e.vec_id,
+         |    round(${cosSql("(e.v[1:16])", "(qv[1:16])")}, 6) AS sim
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |approx AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id ASC) AS rk FROM pre) WHERE rk <= 10)
+         |SELECT exact.qid, 10 AS k, count(approx.vec_id) AS n_hit,
+         |  CAST(count(approx.vec_id) AS DOUBLE) / 10 AS recall
+         |FROM exact LEFT JOIN approx
+         |  ON exact.qid = approx.qid AND exact.vec_id = approx.vec_id
+         |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin,
 
     // vector QC: exact fixed-point norm-squared histogram
     "emb_norm_hist" -> Similarity.normHistSql,
