@@ -357,9 +357,13 @@ object Graph {
     */
   def cooccurrence(lineitem: DataFrame, minSupport: Int = 2,
       topK: Int = 20): DataFrame = {
-    val items = lineitem
+    // cached: the distinct (basket, item) relation feeds FOUR
+    // consumers below (the order count, the item frequencies, and both
+    // self-join inputs) — uncached, each re-runs the full scan +
+    // distinct shuffle
+    val items = graft.CacheScope.cached(lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
-      .distinct()
+      .distinct())
     val nOrders = items.agg(
       countDistinct(col("okey")).cast("long").as("n_orders"))
     val freq = items.groupBy("item").agg(count(lit(1)).as("cnt"))
@@ -382,22 +386,24 @@ object Graph {
       .limit(topK)
   }
 
-  /** Oracle twin of [[cooccurrence]]. */
-  def cooccurrenceSql: String =
-    """WITH it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
-      |            FROM lineitem),
-      |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM it),
-      |f AS (SELECT item, count(*) AS cnt FROM it GROUP BY item),
-      |p AS (SELECT a.item AS item_a, b.item AS item_b,
-      |        count(*) AS support
-      |      FROM it a JOIN it b ON a.okey = b.okey AND a.item < b.item
-      |      GROUP BY 1, 2 HAVING count(*) >= 2)
-      |SELECT item_a, item_b, support,
-      |  round(CAST(support * n_orders AS DOUBLE) /
-      |        CAST(fa.cnt * fb.cnt AS DOUBLE), 6) AS lift
-      |FROM p JOIN f fa ON fa.item = item_a
-      |       JOIN f fb ON fb.item = item_b, n
-      |ORDER BY support DESC, item_a, item_b LIMIT 20""".stripMargin
+  /** Oracle twin of [[cooccurrence]] — parameterized like its
+    * DataFrame twin so a non-default call cannot silently diverge.
+    */
+  def cooccurrenceSql(minSupport: Int = 2, topK: Int = 20): String =
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+       |            FROM lineitem),
+       |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM it),
+       |f AS (SELECT item, count(*) AS cnt FROM it GROUP BY item),
+       |p AS (SELECT a.item AS item_a, b.item AS item_b,
+       |        count(*) AS support
+       |      FROM it a JOIN it b ON a.okey = b.okey AND a.item < b.item
+       |      GROUP BY 1, 2 HAVING count(*) >= $minSupport)
+       |SELECT item_a, item_b, support,
+       |  round(CAST(support * n_orders AS DOUBLE) /
+       |        CAST(fa.cnt * fb.cnt AS DOUBLE), 6) AS lift
+       |FROM p JOIN f fa ON fa.item = item_a
+       |       JOIN f fb ON fb.item = item_b, n
+       |ORDER BY support DESC, item_a, item_b LIMIT $topK""".stripMargin
 
   /** Seed set for personalized PageRank: every 23rd document. */
   val PprSeedMod = 23L

@@ -48,11 +48,12 @@ object Similarity {
     * is selective). At 100 TB the same semi-join intersects the IVF
     * inverted lists with the filter's id set; the brute baseline here
     * pins the exact semantics the indexed path must reproduce.
+    * `allowed` is the qualifying id relation (one `vec_id` column);
+    * the metadata PREDICATE lives at the call site — the same contract
+    * as [[ivfTrainedTopK]]'s `allowedIds`, so any filter composes.
     */
-  def filteredTopK(emb: DataFrame, docs: DataFrame, queryId: Long = 0L,
+  def filteredTopK(emb: DataFrame, allowed: DataFrame, queryId: Long = 0L,
       k: Int = 20): DataFrame = {
-    val allowed = docs.filter(col("lang") === "en")
-      .select(col("doc_id").as("vec_id"))
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qv"))
     emb.join(allowed, Seq("vec_id"), "left_semi")

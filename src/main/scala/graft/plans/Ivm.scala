@@ -120,12 +120,26 @@ object Ivm {
     * turns any remaining race into a loud failure instead of a silent
     * double-application. Drains the available backlog, then returns
     * (the continuous deployment just keeps the query running).
+    *
+    * The checkpoint DEFAULTS to a stable directory next to the state
+    * table, so successive calls resume from the offset log's frontier
+    * instead of replaying the whole snapshot history — replaying is
+    * not just wasted planning: once `expireSnapshots` has retired the
+    * early base versions, a from-zero restart would fail planning
+    * batch 0 over expired snapshots and wedge maintenance forever.
+    * Pass an explicit fresh checkpoint only to exercise the replay
+    * guard (the batch ids then restart at 0 and every one is skipped).
     */
   def streamMaintain(spark: SparkSession, root: String, ns: String,
       baseTable: String, stateTable: String,
-      keyOf: org.apache.spark.sql.Column, valueCol: String): Unit = {
+      keyOf: org.apache.spark.sql.Column, valueCol: String,
+      checkpoint: Option[String] = None): Unit = {
     TableIO.createTableIfNotExists(root, ns, stateTable, stateSchema)
-    val ckpt = Files.createTempDirectory("graft-sivm-ckpt-").toString
+    val ckpt = checkpoint.getOrElse {
+      val p = java.nio.file.Paths.get(root, s"_sivm_ckpt_$stateTable")
+      Files.createDirectories(p)
+      p.toString
+    }
     val q = spark.readStream.format("graft-table")
       .option("root", root).option("namespace", ns)
       .option("table", baseTable).option("mode", "cdc")
@@ -144,8 +158,8 @@ object Ivm {
         ()
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
   }
 
   /** Join-view IVM: keep V = A join_k B materialized from BOTH base

@@ -175,7 +175,7 @@ object Analytics {
     "graph_sssp" -> Graph.ssspSql(),
     "graph_degree_dist" -> Graph.degreeDistSql,
     "graph_assortativity" -> Graph.assortativitySql,
-    "graph_cooccurrence" -> Graph.cooccurrenceSql,
+    "graph_cooccurrence" -> Graph.cooccurrenceSql(),
     "graph_triangles" -> Graph.trianglesSql,
     "graph_components" -> Graph.connectedComponentsSql,
     "graph_bfs" -> Graph.bfsSql(),

@@ -14,6 +14,16 @@ object Extensions {
   /** Fixed BM25 probe query (terms present in the synthetic corpus). */
   private val bm25Terms = Seq("spark", "hash", "join")
 
+  /** The filtered-ANN queries' shared metadata predicate: English
+    * documents, projected to the vec_id space (doc_id and vec_id share
+    * the 0..N id range in the fixtures).
+    */
+  private def englishDocIds(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    rd(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+  }
+
   /** BM25 oracle, shared by the scan and indexed paths (identical
     * scoring arithmetic over the same postings).
     */
@@ -169,16 +179,11 @@ object Extensions {
     // metadata-filtered vector search: the filter semi-joins BEFORE
     // scoring (pre-filter), so k fills from qualifying vectors only
     "ann_filtered" -> ((s, dir) => Similarity.filteredTopK(
-      rdEmbeddings(s, dir), rd(s, dir, "documents"))),
+      rdEmbeddings(s, dir), englishDocIds(s, dir))),
     // the index-side twin: the filter's id set intersects the probed
     // inverted lists before any distance is computed
-    "ann_filtered_ivf" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.col
-      Similarity.ivfTrainedTopK(rdEmbeddings(s, dir),
-        allowedIds = Some(rd(s, dir, "documents")
-          .filter(col("lang") === "en")
-          .select(col("doc_id").as("vec_id"))))
-    }),
+    "ann_filtered_ivf" -> ((s, dir) => Similarity.ivfTrainedTopK(
+      rdEmbeddings(s, dir), allowedIds = Some(englishDocIds(s, dir)))),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(rdEmbeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rdEmbeddings(s, dir))),
     "ann_recall_eval" -> ((s, dir) =>

@@ -740,8 +740,8 @@ object Generated {
         val q = graft.streaming.Replication.replicate(s, root,
           c2.namespace, c2.tableName, root, c2.namespace, "t1_mirror",
           keyCols = Seq("bar"), checkpoint = s"$root/_repl_ckpt")
-        q.processAllAvailable()
-        q.stop()
+        try q.processAllAvailable()
+        finally q.stop()
       }
       Mor.read(s, r, cfg.namespace, "t1_mirror").orderBy("bar")
     }),

@@ -150,10 +150,11 @@ object Relational {
     // the selective orders filter builds a bloom filter at runtime that
     // prunes lineitem rows BEFORE the join shuffle — the row-level
     // runtime filter that complements q_dpp's partition-level pruning.
-    // The merge hint keeps the join a shuffle join (broadcast joins
-    // don't need the filter); at 100 TB this is the difference between
-    // shuffling the full fact table and shuffling the ~1/5 that can
-    // match.
+    // Disabling size-based broadcast (in the clone only) keeps the
+    // join a shuffle join, which is what the filter exists for; at
+    // 100 TB this is the difference between shuffling the full fact
+    // table and shuffling the ~1/5 that can match. SkewJoinSpec pins
+    // that might_contain is actually in the plan.
     "q_runtime_bloom" -> ((s, dir) => {
       // a CLONED session scopes the thresholds to this query: the test
       // tables are MBs, so at session defaults both join sides are

@@ -107,8 +107,10 @@ object EventsStream {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
-    q.processAllAvailable()
-    q.stop()
+    // stop in finally: an interrupted drain must not leak a live
+    // streaming query into the shared session
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(name)
   }
 
@@ -276,8 +278,8 @@ object EventsStream {
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
   }
 
   final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp,

@@ -143,9 +143,11 @@ class IvmMetaSpec extends AnyFunSuite {
     assert(stateRows() == expected)
     // a rerun with a FRESH checkpoint re-delivers every batch with ids
     // restarting at 0 — all behind the state version: the replay guard
-    // must skip them all, leaving the state bit-identical
+    // must skip them all, leaving the state bit-identical. (The default
+    // checkpoint RESUMES — a fresh one is the worst case.)
     Ivm.streamMaintain(spark, root, "ns", "t", "agg",
-      pmod(col("bar"), lit(7)), "bar")
+      pmod(col("bar"), lit(7)), "bar",
+      checkpoint = Some(Files.createTempDirectory("sivm-fresh-").toString))
     assert(TableIO.currentVersion(root, "ns", "agg") == 3L)
     assert(stateRows() == expected)
   }

@@ -24,6 +24,18 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(salted.length == plain.length && salted.sameElements(plain))
   }
 
+  test("q_runtime_bloom actually injects the runtime bloom filter: " +
+      "might_contain guards the fact scan") {
+    val df = graft.SparkEntry.queries("q_runtime_bloom")(spark,
+      "/root/testdata/sf0.01")
+    // injection happens at logical optimization — visible pre-action
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no runtime bloom filter in the plan:\n${plan.take(3000)}")
+    assert(df.collect().nonEmpty)
+    graft.CacheScope.drain()
+  }
+
   test("q_aqe_skew actually exercises AQE's skew split: the final " +
       "adaptive plan marks the join skew=true") {
     val df = graft.SparkEntry.queries("q_aqe_skew")(spark,
