@@ -182,6 +182,31 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // TPC-H Q18 (large-volume customers): aggregate the fact, filter
+    // the GROUPS (HAVING), then semi-join the qualifying keys back
+    // into a 3-table join — the plan where the optimizer must reuse
+    // the aggregation's partitioning instead of re-shuffling, and the
+    // group-filter must run BEFORE the wide join. Quantities are
+    // integer-valued doubles, so their sums are exact and order-free.
+    "q_tpch_q18" -> ((s, dir) => {
+      val l = rd(s, dir, "lineitem")
+      val big = l.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+        .select(col("l_orderkey").as("big_okey"))
+      val o = rd(s, dir, "orders")
+      val c = rd(s, dir, "customer")
+      l.join(big, l("l_orderkey") === col("big_okey"), "left_semi")
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Semi join (EXISTS).
     "q_semi_join" -> ((s, dir) => {
       val o = rd(s, dir, "orders")
@@ -745,6 +770,19 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,

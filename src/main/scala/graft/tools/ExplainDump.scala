@@ -31,7 +31,7 @@ object ExplainDump {
       "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
       "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep",
       "ann_filtered", "ann_filtered_ivf", "q_runtime_bloom",
-      "q_aqe_skew", "ann_recall_eval_matryoshka"))
+      "q_aqe_skew", "ann_recall_eval_matryoshka", "q_tpch_q18"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -110,7 +110,7 @@ object ExplainDump {
       "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
       "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep",
       "ann_filtered", "ann_filtered_ivf", "q_runtime_bloom",
-      "q_aqe_skew", "ann_recall_eval_matryoshka")
+      "q_aqe_skew", "ann_recall_eval_matryoshka", "q_tpch_q18")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {
