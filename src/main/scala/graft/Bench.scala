@@ -31,6 +31,19 @@ object Bench {
       }
       .sortBy { case (n, r) => (-r, n) }
 
+  /** Isolated re-measurement of flagged queries: each runs `repeat`
+    * times and the MIN is the isolated timing — the same min-of-N
+    * discipline as the suite passes (r12 verdict item 2: a single-shot
+    * isolation run turned a one-sample GC/state-store tail into a
+    * CONFIRMED regression — `graph_degree_dist` "5.5x isolated" on a
+    * 0.596s-anchor query). Pure over the injected runner; spec-pinned.
+    */
+  def isolatedTimes(flags: Seq[(String, Double)], repeat: Int,
+      run: String => Double): Map[String, Double] =
+    flags.map { case (n, _) =>
+      n -> (1 to repeat.max(1)).map(_ => run(n)).min
+    }.toMap
+
   /** Adjudicate suite-time flags against an end-of-suite ISOLATED
     * re-run of each flagged query (r11 verdict item 2: four driver-run
     * flags were adjudicated as environment variance by a human reading
@@ -192,10 +205,11 @@ object Bench {
     // run is the measurement).
     val suiteFlags = flaggedQueries(
       results.filterNot(r => failed.contains(r._1)).toMap, anchor)
-    val isolated: Map[String, Double] = suiteFlags.map { case (n, _) =>
-      System.err.println(f"[bench] isolation re-run for flagged $n")
-      n -> runOnce(n, SparkEntry.queries(n))
-    }.toMap
+    val isolated: Map[String, Double] = isolatedTimes(suiteFlags, repeat,
+      n => {
+        System.err.println(f"[bench] isolation re-run for flagged $n")
+        runOnce(n, SparkEntry.queries(n))
+      })
     val (confirmed, cleared) = adjudicateFlags(suiteFlags, isolated, anchor)
     val finalResults = results.map { case (n, t) =>
       n -> isolated.get(n).fold(t)(math.min(t, _))

@@ -1248,6 +1248,20 @@ object Graph {
     * standard parallel-Louvain compromise: within a phase far fewer
     * movers interact, and the phase schedule is a deterministic
     * function of ids that DuckDB replays exactly.
+    *
+    * Caveat (ADVICE r12): `id % LouvainPhases` is a residue schedule,
+    * NOT a proper graph coloring — two adjacent nodes in the same
+    * residue class still move simultaneously against a stale partition
+    * within a phase, so the aggregate gain of one phase can in
+    * principle be negative on an adversarial corpus. Q_refined >=
+    * Q_seed is therefore a corpus-dependent expectation (it holds on
+    * every corpus and scale tested, where far fewer than 1/phases of
+    * movers are adjacent), not an algorithmic invariant — scale smokes
+    * WARN rather than abort when it fails, while engine-vs-oracle
+    * determinism is unconditional (both replay the identical schedule).
+    * A guarantee would accept a phase's moves only when the recomputed
+    * Q does not decrease — one extra aggregate per phase that has
+    * never fired in practice, so it stays documented instead of paid.
     */
   val LouvainPhases = 4
 

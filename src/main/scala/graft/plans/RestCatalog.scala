@@ -48,6 +48,11 @@ object RestJson {
     require(s.nonEmpty && s.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
       s"$what must match [A-Za-z0-9_.-]+, got '$s'")
+    // the character class alone admits the all-dots strings '.' and
+    // '..', which Paths.get(root, ns, table) resolves OUTSIDE the
+    // catalog root (ADVICE r12) — mirror requireSafePath's segment rule
+    require(s.exists(_ != '.'),
+      s"$what must contain a non-dot character, got '$s'")
     s
   }
   /** End index (exclusive) of the {...} or [...] group opened at
@@ -135,12 +140,28 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
     */
   private val fileLog =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Option[String])]()
+  // ConcurrentLinkedQueue.size is O(n) — calling it per ranged GET on
+  // the hot object-store path walks the whole queue once the log nears
+  // the cap (ADVICE r12); the count rides an AtomicInteger instead
+  private val fileLogCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private val FileLogCap = 10000
   def fileRequests: Seq[(String, Option[String])] = {
     import scala.jdk.CollectionConverters._
     fileLog.iterator().asScala.toSeq
   }
-  def clearFileLog(): Unit = fileLog.clear()
+  def clearFileLog(): Unit = { fileLog.clear(); fileLogCount.set(0) }
+
+  /** Access log of the object-store WRITE route — (relative path,
+    * byte count). Lets a spec prove a producer's parquet bytes really
+    * travelled over HTTP PUTs, not local file IO.
+    */
+  private val putLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+  private val putLogCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  def putRequests: Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    putLog.iterator().asScala.toSeq
+  }
 
   override def close(): Unit = server.stop(0)
 
@@ -217,7 +238,8 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
           // against object storage. Traversal-guarded to the root.
           val rel = rest.mkString("/")
           val range = Option(ex.getRequestHeaders.getFirst("Range"))
-          if (fileLog.size < FileLogCap) fileLog.add((rel, range))
+          if (fileLogCount.incrementAndGet() <= FileLogCap)
+            fileLog.add((rel, range))
           val base = java.nio.file.Paths.get(root).toAbsolutePath.normalize
           val p = base.resolve(rel).normalize
           if (!p.startsWith(base) || !java.nio.file.Files.isRegularFile(p))
@@ -271,21 +293,56 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
               } finally { ch.close(); os.close() }
             }
           }
+        case ("PUT", "files" :: rest) =>
+          // object-store-style data UPLOAD (the write half of the
+          // reference's S3 config: its writer PUTs every parquet file
+          // through the catalog's FileIO before committing). The body
+          // streams to a temp file and publishes with an atomic move —
+          // an object store never exposes a half-written object.
+          val rel = rest.mkString("/")
+          requireSafePath(rel)
+          val base = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+          val p = base.resolve(rel).normalize
+          require(p.startsWith(base), s"object path escapes the root: $rel")
+          java.nio.file.Files.createDirectories(p.getParent)
+          val tmp = java.nio.file.Files.createTempFile(
+            p.getParent, ".upload", ".tmp")
+          val n = try {
+            val in = ex.getRequestBody
+            val written = java.nio.file.Files.copy(in, tmp,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            written
+          } finally java.nio.file.Files.deleteIfExists(tmp)
+          if (putLogCount.incrementAndGet() <= FileLogCap)
+            putLog.add((rel, n))
+          reply(200, s"""{"path":"$rel","size":$n}""")
         case ("POST", List("namespaces", ns0, "tables", t0, "commit")) =>
           val ns = RestJson.requireIdent(ns0, "namespace")
           val t = RestJson.requireIdent(t0, "table name")
           val expected = RestJson.field(body, "expected-version").map(_.toLong)
-          val current = TableIO.currentVersion(root, ns, t)
-          if (expected.exists(_ != current))
-            reply(409, s"""{"error":"commit conflict: expected """ +
-              s"""version ${expected.get} but table is at $current"}""")
-          else {
-            val entries = RestJson.objects(
-                RestJson.field(body, "entries").getOrElse("[]"))
-              .map(TableIO.entryFromJson)
-            entries.foreach(e => requireSafePath(e.path))
-            val v = TableIO.commit(root, ns, t, entries)
-            reply(200, s"""{"version":$v}""")
+          val entries = RestJson.objects(
+              RestJson.field(body, "entries").getOrElse("[]"))
+            .map(TableIO.entryFromJson)
+          entries.foreach(e => requireSafePath(e.path))
+          expected match {
+            case Some(e) =>
+              // the expected-version check must be ATOMIC with the
+              // publish: a read-compare-then-commit on an 8-thread
+              // handler pool let two commits carrying the same
+              // expected version BOTH land (ADVICE r12) — the manifest
+              // hard-link inside commitAppendExpecting is the CAS
+              TableIO.commitAppendExpecting(root, ns, t, entries, e) match {
+                case Right(v) => reply(200, s"""{"version":$v}""")
+                case Left(cur) =>
+                  reply(409, s"""{"error":"commit conflict: expected """ +
+                    s"""version $e but table is at $cur"}""")
+              }
+            case None =>
+              val v = TableIO.commit(root, ns, t, entries)
+              reply(200, s"""{"version":$v}""")
           }
         case _ =>
           reply(404, s"""{"error":"no route: ${segs.mkString("/")}"}""")
@@ -330,6 +387,21 @@ final class RestCatalogClient(baseUri: String) {
     require(resp.statusCode() == 200,
       s"getObject($relPath) failed ${resp.statusCode()}")
     resp.body()
+  }
+
+  /** Object upload (S3-PUT style): the producer-side twin of
+    * [[getObject]]. The reference's writer sends every parquet file
+    * through the catalog's FileIO to object storage before the commit
+    * references it; this is that route.
+    */
+  def putObject(relPath: String, bytes: Array[Byte]): Unit = {
+    val req = HttpRequest.newBuilder(
+      URI.create(s"$baseUri/files/$relPath"))
+      .header("Content-Type", "application/octet-stream")
+      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"putObject($relPath) failed ${resp.statusCode()}: ${resp.body()}")
   }
 
   /** Ranged GET `bytes=[lo, hi]` — the parquet footer/column access

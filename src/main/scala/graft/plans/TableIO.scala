@@ -440,6 +440,33 @@ object TableIO {
       s"commit to $ns.$table lost ${attempts} publish races — aborting")
   }
 
+  /** One-shot append that lands ONLY as version `expected + 1`: the
+    * manifest hard-link ([[tryPublish]]) IS the compare-and-swap, so
+    * two concurrent commits carrying the same expected version cannot
+    * both succeed — exactly one wins the link, the other gets
+    * Left(current) and must re-plan. This is the REST commit route's
+    * primitive (ADVICE r12): a read-compare-then-[[commit]] sequence on
+    * a threaded handler pool is check-then-act, and [[commit]]'s blind
+    * retry would let the loser land as expected + 2, silently voiding
+    * the 409 contract the route advertises. The base manifest is read
+    * AT `expected` (immutable once published), so a racer advancing the
+    * table mid-flight cannot skew what this commit appends onto.
+    */
+  def commitAppendExpecting(root: String, ns: String, table: String,
+      newEntries: Seq[ManifestEntry],
+      expected: Long): Either[Long, Long] = {
+    val dir = tableDir(root, ns, table)
+    val cur = currentVersion(root, ns, table)
+    if (cur != expected) return Left(cur)
+    val assigned = assignRowIds(root, ns, table, newEntries)
+    val all = readManifestAt(root, ns, table, expected) ++ assigned
+    if (tryPublish(dir, expected + 1, all.map(entryToJson).mkString("\n"))) {
+      advanceRowIdMark(root, ns, table, assigned)
+      atomicWrite(dir.resolve("version-hint.text"), (expected + 1).toString)
+      Right(expected + 1)
+    } else Left(currentVersion(root, ns, table))
+  }
+
   // --- row lineage (Iceberg v3) ----------------------------------------
   // Every committed data file gets a `firstRowId` from a monotonic
   // per-table high-water mark, so row N of the file has the STABLE id

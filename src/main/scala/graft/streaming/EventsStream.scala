@@ -94,6 +94,33 @@ object EventsStream {
         .parquet(s"$sfDir/[e]vents.parquet"))
   }
 
+  /** Scratch checkpoint dir for FINITE replays: tmpfs when available.
+    * Every micro-batch fsyncs offset/commit logs plus HDFS-state-store
+    * snapshot files into the checkpoint; on a disk-backed temp dir that
+    * fsync + page-cache variance swung `stream_*` bench wall-clock 3x
+    * between same-code runs (r12 verdict item 3). A one-shot drain's
+    * checkpoint has zero durability value, so it belongs on tmpfs;
+    * production streams (e.g. [[Replication.replicate]]) keep their
+    * caller-provided durable locations.
+    */
+  def scratchCheckpoint(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+
   /** Drain a streaming DataFrame into a fresh memory sink and return
     * the sink table. Default trigger + `processAllAvailable` (not
     * AvailableNow) so the engine runs the trailing NO-DATA micro-batch
@@ -105,12 +132,14 @@ object EventsStream {
   private def drainToTable(spark: SparkSession, out: DataFrame,
       prefix: String, mode: String): DataFrame = {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = scratchCheckpoint(prefix)
     val q = out.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode(mode).start()
     // stop in finally: an interrupted drain must not leak a live
     // streaming query into the shared session
     try q.processAllAvailable()
-    finally q.stop()
+    finally { q.stop(); deleteRecursively(ckpt) }
     spark.table(name)
   }
 
@@ -269,8 +298,7 @@ object EventsStream {
     */
   def ingestAndAggregate(spark: SparkSession, sfDir: String, root: String,
       ns: String, table: String): Unit = {
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-ingest-ckpt-").toString
+    val ckpt = scratchCheckpoint("graft-ingest-ckpt-").toString
     val q = eventsStream(spark, sfDir).writeStream
       .format("graft-table")
       .option("root", root).option("namespace", ns).option("table", table)
@@ -391,6 +419,8 @@ object EventsStream {
     TableIO.createTableIfNotExists(root, ns, table, source.schema)
     var commits = 0L
     val q = source.writeStream
+      .option("checkpointLocation",
+        scratchCheckpoint("graft-into-table-ckpt-").toString)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -437,6 +467,8 @@ object EventsStream {
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
+      .option("checkpointLocation",
+        scratchCheckpoint("graft-win-ckpt-").toString)
       .start()
     q.processAllAvailable()
     q.stop()

@@ -322,8 +322,13 @@ object AnalyticsScaleSmoke {
         s"${Graph.LouvainPhases} phases") {
       Graph.louvainRefine(spark, docs).collect().head
     }
-    require(lv.getLong(3) >= lv.getLong(2),
-      s"louvain refinement decreased Q: ${lv.mkString(",")}")
+    // Q_refined >= Q_seed is corpus-dependent, not an invariant: the
+    // residue schedule is not a proper coloring, so an adversarial
+    // corpus could make a phase's aggregate gain negative (ADVICE r12,
+    // documented at Graph.LouvainPhases) — warn, don't abort the smoke
+    if (lv.getLong(3) < lv.getLong(2))
+      println(s"[analyticsscale]   WARN louvain refinement decreased Q " +
+        s"on this corpus: ${lv.mkString(",")}")
     println(s"[analyticsscale]   louvain=${lv.mkString(",")}")
 
     // ---- round-12: degree assortativity — one pass of exact long

@@ -78,4 +78,29 @@ class BenchFlagSpec extends AnyFunSuite {
       Seq("q_mid" -> 2.0), Map.empty, anchor)
     assert(confirmed.isEmpty && cleared.isEmpty)
   }
+
+  test("isolation re-runs use the suite's min-of-REPEAT discipline — " +
+      "one tail sample cannot confirm a flag") {
+    // r12 asymmetry: suite times were min-of-2 but isolation was a
+    // single runOnce, so a one-shot GC tail became a CONFIRMED verdict
+    val flags = Seq("q_mid" -> 2.0, "q_slow" -> 1.8)
+    val calls = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    // first sample is a 5.5x tail, second is clean — min must win
+    val samples = Map("q_mid" -> Seq(5.5, 1.05), "q_slow" -> Seq(2.2, 2.1))
+    val isolated = Bench.isolatedTimes(flags, repeat = 2, run = n => {
+      val t = samples(n)(calls(n)); calls(n) += 1; t
+    })
+    assert(calls("q_mid") == 2 && calls("q_slow") == 2)
+    assert(isolated == Map("q_mid" -> 1.05, "q_slow" -> 2.1))
+    // and the adjudication then clears the tail, confirms the real one
+    val (confirmed, cleared) = Bench.adjudicateFlags(flags, isolated, anchor)
+    assert(confirmed.map(_._1) == Seq("q_slow"))
+    assert(cleared.map(_._1) == Seq("q_mid"))
+  }
+
+  test("isolatedTimes clamps a non-positive repeat to one run") {
+    val isolated = Bench.isolatedTimes(Seq("q_mid" -> 2.0), repeat = 0,
+      run = _ => 1.7)
+    assert(isolated == Map("q_mid" -> 1.7))
+  }
 }
