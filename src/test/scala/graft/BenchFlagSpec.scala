@@ -85,13 +85,19 @@ class BenchFlagSpec extends AnyFunSuite {
     // single runOnce, so a one-shot GC tail became a CONFIRMED verdict
     val flags = Seq("q_mid" -> 2.0, "q_slow" -> 1.8)
     val calls = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-    // first sample is a 5.5x tail, second is clean — min must win
-    val samples = Map("q_mid" -> Seq(5.5, 1.05), "q_slow" -> Seq(2.2, 2.1))
+    // q_mid: first sample is a 5.5x tail, second is clean — min must
+    // win and clear it. q_slow: BOTH samples regressed (min 4.2 →
+    // 2.1x its 2.0 anchor, excess 2.2s) — a real regression that
+    // survives the min fold and confirms. (r13 shipped this fixture
+    // with q_slow samples 2.2/2.1 whose min 2.1 is only 1.05x the
+    // anchor — adjudicateFlags correctly CLEARED it and the suite ran
+    // red; the fixture, not the production logic, was wrong.)
+    val samples = Map("q_mid" -> Seq(5.5, 1.05), "q_slow" -> Seq(4.4, 4.2))
     val isolated = Bench.isolatedTimes(flags, repeat = 2, run = n => {
       val t = samples(n)(calls(n)); calls(n) += 1; t
     })
     assert(calls("q_mid") == 2 && calls("q_slow") == 2)
-    assert(isolated == Map("q_mid" -> 1.05, "q_slow" -> 2.1))
+    assert(isolated == Map("q_mid" -> 1.05, "q_slow" -> 4.2))
     // and the adjudication then clears the tail, confirms the real one
     val (confirmed, cleared) = Bench.adjudicateFlags(flags, isolated, anchor)
     assert(confirmed.map(_._1) == Seq("q_slow"))
