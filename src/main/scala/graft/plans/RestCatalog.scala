@@ -177,13 +177,22 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
     * table-dir resolution on commit — a '..' segment or absolute path
     * could plant an entry resolving OUTSIDE the catalog root (ADVICE
     * r11; the /files route already traversal-guards reads, this guards
-    * the write side).
+    * the write side). Each segment is further held to requireIdent's
+    * character class: these paths are echoed inside JSON string
+    * literals with no escaping layer (the PUT 200 reply, the GET 404
+    * echo), so a quote or backslash in a segment would break the
+    * response JSON — the same rationale requireIdent documents for
+    * catalog names (ADVICE r13). Every path the engine itself writes
+    * (data/part-NNNNN.parquet, deletes/..., props/..., partitioned
+    * part-sN-pV names) is already inside this class.
     */
   private def requireSafePath(p: String): String = {
     val segs = p.split('/')
     require(!p.startsWith("/") && p.nonEmpty &&
-      segs.forall(s => s.nonEmpty && s != ".." && s != "."),
-      s"manifest entry path must be table-relative: '$p'")
+      segs.forall(s => s.nonEmpty && s.exists(_ != '.') &&
+        s.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.')),
+      s"object path must be /-joined [A-Za-z0-9_.-]+ segments " +
+        s"(no '.'/'..'), got a path of ${segs.length} segment(s)")
     p
   }
 
@@ -200,7 +209,12 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
     try {
       val segs = ex.getRequestURI.getPath.stripPrefix("/v1")
         .split('/').filter(_.nonEmpty).toList
-      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      // the JSON body is read ON DEMAND: an eager readAllBytes here
+      // exhausted the request stream before the PUT /files route could
+      // stream it to storage, silently publishing 0-byte objects (the
+      // r13 route shipped with no spec; the r14 spec caught it on its
+      // first run). lazy val: each metadata route reads it at most once.
+      lazy val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       (ex.getRequestMethod, segs) match {
         case ("GET", List("config")) =>
           reply(200, """{"defaults":{},"overrides":{}}""")
@@ -243,7 +257,10 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
           val base = java.nio.file.Paths.get(root).toAbsolutePath.normalize
           val p = base.resolve(rel).normalize
           if (!p.startsWith(base) || !java.nio.file.Files.isRegularFile(p))
-            reply(404, s"""{"error":"no such object: $rel"}""")
+            // the echoed path is wire input: strip JSON-breaking chars
+            // (quote/backslash/control) exactly as the catch-all does
+            reply(404, s"""{"error":"no such object: ${
+              rel.replaceAll("[\"\\\\\\p{Cntrl}]", "'")}"}""")
           else {
             val size = java.nio.file.Files.size(p)
             // full RFC-7233 single-range forms: bytes=a-b, bytes=a-

@@ -458,8 +458,18 @@ object TableIO {
     val dir = tableDir(root, ns, table)
     val cur = currentVersion(root, ns, table)
     if (cur != expected) return Left(cur)
-    val assigned = assignRowIds(root, ns, table, newEntries)
-    val all = readManifestAt(root, ns, table, expected) ++ assigned
+    // row-id assignment floors at the BASE manifest's own high-water
+    // mark, not just the separately-written next-row-id.text: a racer
+    // observing the winner's published manifest before the winner's
+    // mark advance (or a writer that crashed between the two) must
+    // still never publish firstRowId ranges overlapping the entries it
+    // appends onto (ADVICE r13) — the floor makes non-overlap a
+    // property of THIS commit's inputs, not of mark-write timing.
+    val base = readManifestAt(root, ns, table, expected)
+    val floor = base.flatMap(e => e.firstRowId.map(_ + e.recordCount))
+      .foldLeft(0L)(math.max)
+    val assigned = assignRowIds(root, ns, table, newEntries, floor)
+    val all = base ++ assigned
     if (tryPublish(dir, expected + 1, all.map(entryToJson).mkString("\n"))) {
       advanceRowIdMark(root, ns, table, assigned)
       atomicWrite(dir.resolve("version-hint.text"), (expected + 1).toString)
@@ -489,8 +499,9 @@ object TableIO {
     * high-water mark (delete files carry no lineage).
     */
   private def assignRowIds(root: String, ns: String, table: String,
-      entries: Seq[ManifestEntry]): Seq[ManifestEntry] = {
-    var next = rowIdMark(root, ns, table)
+      entries: Seq[ManifestEntry],
+      floor: Long = 0L): Seq[ManifestEntry] = {
+    var next = math.max(rowIdMark(root, ns, table), floor)
     entries.map { e =>
       if (e.content != "data" || e.firstRowId.isDefined || e.recordCount < 0) e
       else {
@@ -934,7 +945,7 @@ object TableIO {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)

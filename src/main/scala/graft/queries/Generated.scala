@@ -46,69 +46,126 @@ object Generated {
     * HTTP (CAS-aware commits with the load→commit optimistic loop);
     * data files go to storage directly, Iceberg's division of labor.
     */
+  /** The reference's prepare pipeline (DDL + 3 CAS append commits)
+    * against a REST catalog client, with the per-file WRITE step
+    * injected: `restRoot` writes files straight to storage (Iceberg's
+    * division of labor), `restWriteRoot` routes every parquet byte
+    * through the object-store PUT route first. `writeFile(relPath, df,
+    * content, seq, recordCount, bounds)` must make the file readable
+    * at `relPath` under the served table dir and return its entry.
+    */
+  private def restPrepare(s: SparkSession, c2: GenConfig,
+      client: graft.plans.RestCatalogClient,
+      writeFile: (String, DataFrame, String, Long, Long,
+        Map[String, (Long, Long)]) => graft.plans.ManifestEntry): Unit = {
+    import graft.sources.{FixSchemaGen, FixSchemaGenerator}
+    client.createNamespace(c2.namespace)
+    client.createTable(c2.namespace, c2.tableName,
+      FixSchemaGenerator.schema)
+    val rpf = c2.data.rowsPerFile
+    def casCommit(entries: Seq[graft.plans.ManifestEntry]): Unit = {
+      // load → commit with expected version: the optimistic loop
+      // a real REST-catalog writer runs
+      val (v, _, _) = client.loadTable(c2.namespace, c2.tableName)
+      client.commitAppend(c2.namespace, c2.tableName, entries,
+        expectedVersion = Some(v)).fold(
+        conflict => throw new IllegalStateException(conflict),
+        _ => ())
+    }
+    // phase 1: data files via writeFile, manifest over the wire
+    casCommit((0 until c2.data.fileCount).map { i =>
+      writeFile(FixSchemaGen.dataFilePath(i),
+        FixSchemaGenerator.dataFile(s, i, rpf), "data", 1L, rpf,
+        FixSchemaGenerator.fileBounds(i, rpf))
+    })
+    // phases 2+3: the delete slices, same file arithmetic as
+    // Pipeline.prepareDeletes, committed over the wire
+    val pRpf = c2.posDelete.rowsPerFile
+    val pTotal = c2.actualPosDeletes
+    val pFiles =
+      if (pTotal == 0 || pRpf == 0) 0
+      else ((pTotal + pRpf - 1) / pRpf).toInt
+    casCommit((0 until pFiles).map { i =>
+      val lo = i * pRpf
+      val hi = math.min((i + 1) * pRpf, pTotal)
+      val slice = s.range(lo, hi).select(
+        format_string("data/part-%05d.parquet",
+          (col("id") / rpf).cast("int")).as("file_path"),
+        (col("id") % rpf).as("pos"))
+      writeFile(FixSchemaGen.posDeleteFilePath(i), slice, "pos_delete",
+        2L, hi - lo, Map.empty)
+    })
+    val eTotal = c2.actualEqDeletes
+    val eRpf = c2.eqDelete.rowsPerFile
+    val eFiles =
+      if (eTotal == 0 || eRpf == 0) 0
+      else ((eTotal + eRpf - 1) / eRpf).toInt
+    val start = c2.actualPosDeletes
+    casCommit((0 until eFiles).map { i =>
+      val lo = start + i * eRpf
+      val hi = math.min(start + (i + 1) * eRpf, start + eTotal)
+      writeFile(FixSchemaGen.eqDeleteFilePath(i),
+        FixSchemaGenerator.eqDeleteKeys(s, lo, hi), "eq_delete",
+        3L, hi - lo, Map.empty)
+    })
+  }
+
   private def restRoot(s: SparkSession, dir: String): String = {
     import graft.plans.{RestCatalogClient, RestCatalogServer}
-    import graft.sources.{FixSchemaGen, FixSchemaGenerator}
     val c2 = cfg.copy(tableName = "t1_rest")
     GeneratedTables.ensureCustom(dir + "#rest") { root =>
       val server = new RestCatalogServer(root)
       try {
         val client = new RestCatalogClient(server.uri)
-        client.createNamespace(c2.namespace)
-        client.createTable(c2.namespace, c2.tableName,
-          FixSchemaGenerator.schema)
-        val rpf = c2.data.rowsPerFile
-        // phase 1: data files to storage, manifest over the wire
-        val dataEntries = (0 until c2.data.fileCount).map { i =>
+        restPrepare(s, c2, client, (rel, df, content, seq, n, bounds) =>
           TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
-            FixSchemaGen.dataFilePath(i),
-            FixSchemaGenerator.dataFile(s, i, rpf), "data", seq = 1L,
-            recordCount = rpf,
-            bounds = FixSchemaGenerator.fileBounds(i, rpf))
-        }
-        def casCommit(entries: Seq[graft.plans.ManifestEntry]): Unit = {
-          // load → commit with expected version: the optimistic loop
-          // a real REST-catalog writer runs
-          val (v, _, _) = client.loadTable(c2.namespace, c2.tableName)
-          client.commitAppend(c2.namespace, c2.tableName, entries,
-            expectedVersion = Some(v)).fold(
-            conflict => throw new IllegalStateException(conflict),
-            _ => ())
-        }
-        casCommit(dataEntries)
-        // phases 2+3: the delete slices, same file arithmetic as
-        // Pipeline.prepareDeletes, committed over the wire
-        val pRpf = c2.posDelete.rowsPerFile
-        val pTotal = c2.actualPosDeletes
-        val pFiles =
-          if (pTotal == 0 || pRpf == 0) 0
-          else ((pTotal + pRpf - 1) / pRpf).toInt
-        casCommit((0 until pFiles).map { i =>
-          val lo = i * pRpf
-          val hi = math.min((i + 1) * pRpf, pTotal)
-          val slice = s.range(lo, hi).select(
-            format_string("data/part-%05d.parquet",
-              (col("id") / rpf).cast("int")).as("file_path"),
-            (col("id") % rpf).as("pos"))
-          TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
-            FixSchemaGen.posDeleteFilePath(i), slice, "pos_delete",
-            seq = 2L, recordCount = hi - lo)
-        })
-        val eTotal = c2.actualEqDeletes
-        val eRpf = c2.eqDelete.rowsPerFile
-        val eFiles =
-          if (eTotal == 0 || eRpf == 0) 0
-          else ((eTotal + eRpf - 1) / eRpf).toInt
-        val start = c2.actualPosDeletes
-        casCommit((0 until eFiles).map { i =>
-          val lo = start + i * eRpf
-          val hi = math.min(start + (i + 1) * eRpf, start + eTotal)
-          TableIO.writeExactFile(s, root, c2.namespace, c2.tableName,
-            FixSchemaGen.eqDeleteFilePath(i),
-            FixSchemaGenerator.eqDeleteKeys(s, lo, hi), "eq_delete",
-            seq = 3L, recordCount = hi - lo)
-        })
+            rel, df, content, seq, n, bounds = bounds))
       } finally server.close()
+    }
+  }
+
+  /** The `gen_rest_write` root: the same pipeline with every parquet
+    * file STAGED locally and its bytes uploaded over HTTP
+    * `PUT /files/...` into the object store BEFORE the CAS commit
+    * references them — the producer half of the reference's S3 config
+    * (`/root/reference/src/main.rs:137-158`: each writer sends its
+    * file through the catalog's FileIO to object storage, and only the
+    * returned metadata enters the append transaction). The build
+    * self-checks that every committed file's bytes travelled the PUT
+    * route; [[RestCatalogSpec]] pins the route's atomic-publish,
+    * traversal-guard, and read-back semantics directly.
+    */
+  private def restWriteRoot(s: SparkSession, dir: String): String = {
+    import graft.plans.{RestCatalogClient, RestCatalogServer}
+    import graft.sources.FixSchemaGenerator
+    val c2 = cfg.copy(tableName = "t1_restw")
+    GeneratedTables.ensureCustom(dir + "#restw") { root =>
+      val server = new RestCatalogServer(root)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-restw-")
+      try {
+        val client = new RestCatalogClient(server.uri)
+        // the staging table mirrors the served table's DDL, so the
+        // staged parquet embeds the same field ids a direct write would
+        TableIO.createNamespace(scratch.toString, c2.namespace)
+        TableIO.createTableIfNotExists(scratch.toString, c2.namespace,
+          c2.tableName, FixSchemaGenerator.schema)
+        restPrepare(s, c2, client, (rel, df, content, seq, n, bounds) => {
+          val e = TableIO.writeExactFile(s, scratch.toString, c2.namespace,
+            c2.tableName, rel, df, content, seq, n, bounds = bounds)
+          val bytes = java.nio.file.Files.readAllBytes(TableIO.tableDir(
+            scratch.toString, c2.namespace, c2.tableName).resolve(rel))
+          client.putObject(s"${c2.namespace}/${c2.tableName}/$rel", bytes)
+          e
+        })
+        // the claim this query makes is only true if every committed
+        // file's bytes actually arrived via the PUT route — assert it
+        val puts = server.putRequests
+        require(puts.size == totalFileCount && puts.forall(_._2 > 0L),
+          s"expected $totalFileCount PUT uploads, saw ${puts.size}")
+      } finally {
+        server.close()
+        TableIO.deleteRecursively(scratch)
+      }
     }
   }
 
@@ -213,6 +270,18 @@ object Generated {
     // column-chunk reads arrive as RFC-7233 ranged GETs, exactly the
     // reference engine's S3 read path. Shares mor_read's oracle
     // verbatim: byte transport must be invisible to the merged view.
+    // ... and the PRODUCER-side half of the same S3 config: the
+    // pipeline re-run with every parquet file's BYTES uploaded over
+    // HTTP PUT /files/* into the object store BEFORE the CAS commit
+    // references them (`main.rs:137-158` — the writer hands each file
+    // to the catalog's FileIO; only returned metadata enters the
+    // append). Shares mor_read's oracle verbatim: upload transport
+    // must be invisible to the merged view.
+    "gen_rest_write" -> ((s, dir) => {
+      val c2 = cfg.copy(tableName = "t1_restw")
+      Mor.read(s, restWriteRoot(s, dir), c2.namespace, c2.tableName)
+        .orderBy("bar")
+    }),
     "gen_rest_read" -> ((s, dir) => {
       import graft.plans.{RestObjectFileSystem, RestStore}
       val c2 = cfg.copy(tableName = "t1_rest")
@@ -1376,6 +1445,8 @@ object Generated {
     "gen_rest_catalog" -> morReadOracle,
     // ... and so must the OBJECT-STORE byte transport on the read side
     "gen_rest_read" -> morReadOracle,
+    // ... and on the WRITE side (every file uploaded via PUT /files/*)
+    "gen_rest_write" -> morReadOracle,
     // ... and so must CDC replication: the mirror IS the source's view
     "stream_replicate" -> morReadOracle,
     // ... and dropping fully-dead files (same-answer-rewrite rule)

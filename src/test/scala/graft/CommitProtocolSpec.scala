@@ -58,6 +58,49 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(paths == Set("data/a.parquet", "data/b.parquet"))
   }
 
+  test("commitAppendExpecting: exactly one of two same-expected racers " +
+      "lands, and row ids never overlap the base — even with a stale " +
+      "row-id mark") {
+    val root = newTable()
+    // two racers both planned against v0, started together: the
+    // manifest hard-link is the CAS, so exactly one Right(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[Either[Long, Long]]()
+    val ts = (0 until 2).map { t =>
+      new Thread(() => {
+        gate.await()
+        results.add(TableIO.commitAppendExpecting(root, "ns", "t",
+          Seq(ManifestEntry(s"data/r$t.parquet", "data", 1L, 10L)),
+          expected = 0L))
+      })
+    }
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val rs = results.iterator().asScala.toSeq
+    assert(rs.count(_ == Right(1L)) == 1, s"results: $rs")
+    assert(rs.count(_.isLeft) == 1, s"results: $rs")
+    assert(TableIO.currentVersion(root, "ns", "t") == 1L)
+
+    // stale-mark scenario (ADVICE r13): a crashed writer left
+    // next-row-id.text behind its published manifest. The next
+    // expecting-append must still assign ids ABOVE the base manifest's
+    // high-water mark — non-overlap is a property of the commit's
+    // inputs, not of mark-write timing.
+    val dir = TableIO.tableDir(root, "ns", "t")
+    Files.writeString(dir.resolve("next-row-id.text"), "0")
+    assert(TableIO.commitAppendExpecting(root, "ns", "t",
+      Seq(ManifestEntry("data/next.parquet", "data", 2L, 10L)),
+      expected = 1L) == Right(2L))
+    val ranges = TableIO.readManifest(root, "ns", "t")
+      .flatMap(e => e.firstRowId.map(id => (id, id + e.recordCount)))
+      .sortBy(_._1)
+    assert(ranges.size == 2)
+    ranges.sliding(2).foreach { case Seq((_, hiA), (loB, _)) =>
+      assert(loB >= hiA, s"overlapping firstRowId ranges: $ranges")
+    }
+  }
+
   test("replacing commit refuses when the base snapshot moved") {
     val root = newTable()
     TableIO.commit(root, "ns", "t",

@@ -242,6 +242,151 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(reqs.forall(_._1.startsWith("sns/st/")))
   }
 
+  test("object-store PUT: atomic publish, byte-identical read-back, " +
+      "access log, and wire-input rejection") {
+    val root = Files.createTempDirectory("graft-rest-put-").toString
+    val server = new RestCatalogServer(root)
+    try {
+      val client = new RestCatalogClient(server.uri)
+      val rel = "wns/wt/data/part-00000.parquet"
+      val payload = Array.tabulate[Byte](100000)(i => (i * 31 % 251).toByte)
+      client.putObject(rel, payload)
+      // the upload is logged with its byte count (the proof surface
+      // gen_rest_write's build asserts against)
+      assert(server.putRequests == Seq((rel, payload.length.toLong)))
+      // read-back over the same wire: whole object and a ranged slice,
+      // byte-identical to what was sent
+      assert(java.util.Arrays.equals(client.getObject(rel), payload))
+      assert(java.util.Arrays.equals(client.getRange(rel, 10L, 41L),
+        java.util.Arrays.copyOfRange(payload, 10, 42)))
+      // ... and byte-identical ON STORAGE (the commit will reference
+      // this exact file)
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(java.nio.file.Paths.get(root).resolve(rel)),
+        payload))
+      // overwrite replaces atomically — last write wins, whole
+      val p2 = Array.tabulate[Byte](64)(_.toByte)
+      client.putObject(rel, p2)
+      assert(java.util.Arrays.equals(client.getObject(rel), p2))
+      // the temp-file staging never leaks .upload files
+      val dataDir = java.nio.file.Paths.get(root, "wns", "wt", "data")
+      val leftovers = Files.list(dataDir).iterator()
+      val names = Iterator.continually(leftovers)
+        .takeWhile(_.hasNext).map(_.next().getFileName.toString).toSeq
+      assert(names == Seq("part-00000.parquet"))
+
+      def rawPut(path: String): java.net.http.HttpResponse[String] = {
+        val rq = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${server.uri}/files/$path"))
+          .PUT(java.net.http.HttpRequest.BodyPublishers
+            .ofByteArray(Array[Byte](1, 2, 3))).build()
+        java.net.http.HttpClient.newHttpClient()
+          .send(rq, java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      // traversal is rejected before any path resolve
+      assert(rawPut("%2E%2E/evil.parquet").statusCode() == 400)
+      assert(rawPut("wns/wt/%2E%2E/%2E%2E/evil.parquet").statusCode() == 400)
+      // a quote in a segment is rejected AND the error reply is still
+      // well-formed JSON (ADVICE r13: unescaped interpolation)
+      val quoted = rawPut("wns/wt/we%22ird.parquet")
+      assert(quoted.statusCode() == 400)
+      assert(graft.plans.RestJson.field(quoted.body(), "error").isDefined)
+      // exactly the four structural quotes of {"error":"..."} — the
+      // sanitizer turned any echoed quote into a harmless apostrophe
+      assert(quoted.body().count(_ == '"') == 4, quoted.body())
+      // nothing from the rejected PUTs reached storage or the log
+      assert(server.putRequests.size == 2)
+      assert(!Files.exists(java.nio.file.Paths.get(root)
+        .getParent.resolve("evil.parquet")))
+    } finally server.close()
+  }
+
+  test("concurrent commits with the same expected version: exactly one " +
+      "200, one 409, and no version past expected+1") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-rest-race-").toString
+    val server = new RestCatalogServer(root)
+    try {
+      val client = new RestCatalogClient(server.uri)
+      client.createNamespace("cns")
+      client.createTable("cns", "ct", StructType(Seq(
+        StructField("k", LongType))))
+      val df = (0L until 10L).toDF("k")
+      val entries = (0 until 2).map(i => TableIO.writeExactFile(spark,
+        root, "cns", "ct", f"data/part-$i%05d.parquet", df, "data",
+        seq = 1L, recordCount = 10))
+      // two racers, both planned against version 0, released together;
+      // the manifest hard-link inside commitAppendExpecting is the CAS,
+      // so exactly one can land as v1 — the loser must see a 409, and
+      // the table must never reach v2 (the r12 bug: a threaded
+      // read-compare-then-commit let the loser land as expected+2)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futures = entries.map { e =>
+          pool.submit(new java.util.concurrent.Callable[Either[String, Long]] {
+            def call(): Either[String, Long] = {
+              gate.await()
+              // each racer gets its own client: one shared HttpClient
+              // would serialize on its connection pool
+              new RestCatalogClient(server.uri)
+                .commitAppend("cns", "ct", Seq(e),
+                  expectedVersion = Some(0L))
+            }
+          })
+        }
+        gate.countDown()
+        val results = futures.map(_.get(30,
+          java.util.concurrent.TimeUnit.SECONDS))
+        assert(results.count(_ == Right(1L)) == 1, s"results: $results")
+        assert(results.count(_.isLeft) == 1, s"results: $results")
+        assert(results.collect { case Left(msg) => msg }
+          .forall(_.contains("conflict")))
+      } finally pool.shutdownNow()
+      // the table is at v1 with exactly the winner's entry
+      val (v, live, _) = client.loadTable("cns", "ct")
+      assert(v == 1L && live.size == 1)
+      assert(TableIO.currentVersion(root, "cns", "ct") == 1L)
+      // the loser retries against the observed head and lands as v2 —
+      // the documented conflict protocol, now with both entries live
+      val loser = entries.find(e => !live.exists(_.path == e.path)).get
+      assert(client.commitAppend("cns", "ct", Seq(loser),
+        expectedVersion = Some(1L)) == Right(2L))
+      assert(client.loadTable("cns", "ct")._2.size == 2)
+    } finally server.close()
+  }
+
+  test("create-table and create-namespace with a '..' identifier are " +
+      "rejected at the ident gate, before any path resolve") {
+    val root = Files.createTempDirectory("graft-rest-dots-").toString
+    val server = new RestCatalogServer(root)
+    try {
+      def post(path: String, body: String): Int = {
+        val rq = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(server.uri + path))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        java.net.http.HttpClient.newHttpClient()
+          .send(rq, java.net.http.HttpResponse.BodyHandlers.ofString())
+          .statusCode()
+      }
+      val schemaJson = StructType(Seq(StructField("k", LongType))).json
+      // '..' arriving as a URL segment (create table under it) and as
+      // a JSON body value (create namespace): both die at requireIdent
+      assert(post("/namespaces/%2E%2E/tables",
+        s"""{"name":"t","schema":$schemaJson}""") == 400)
+      assert(post("""/namespaces""", """{"namespace":[".."]}""") == 400)
+      // ... and a table NAME of '..' via a valid namespace
+      TableIO.createNamespace(root, "okns")
+      assert(post("/namespaces/okns/tables",
+        s"""{"name":"..","schema":$schemaJson}""") == 400)
+      // nothing escaped the root: the parent of root gained no entries
+      assert(!Files.exists(java.nio.file.Paths.get(root)
+        .getParent.resolve("tables")))
+    } finally server.close()
+  }
+
   test("operations on a missing table surface as explicit HTTP errors") {
     val root = Files.createTempDirectory("graft-rest-err-").toString
     val server = new RestCatalogServer(root)
