@@ -137,9 +137,12 @@ object EventsStream {
       .option("checkpointLocation", ckpt.toString)
       .outputMode(mode).start()
     // stop in finally: an interrupted drain must not leak a live
-    // streaming query into the shared session
+    // streaming query into the shared session. stop() and the
+    // checkpoint delete nest so a stop() exception cannot skip the
+    // delete (ADVICE r13: scratch checkpoints prefer tmpfs, where a
+    // leak accumulates in RAM across bench/smoke iterations)
     try q.processAllAvailable()
-    finally { q.stop(); deleteRecursively(ckpt) }
+    finally { try q.stop() finally deleteRecursively(ckpt) }
     spark.table(name)
   }
 
@@ -298,16 +301,19 @@ object EventsStream {
     */
   def ingestAndAggregate(spark: SparkSession, sfDir: String, root: String,
       ns: String, table: String): Unit = {
-    val ckpt = scratchCheckpoint("graft-ingest-ckpt-").toString
+    val ckpt = scratchCheckpoint("graft-ingest-ckpt-")
     val q = eventsStream(spark, sfDir).writeStream
       .format("graft-table")
       .option("root", root).option("namespace", ns).option("table", table)
       .option("statsColumns", "event_id")
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode("append")
       .start()
+    // one-shot drain: the checkpoint has no durability value, so it is
+    // deleted even when stop() throws (ADVICE r13 — a tmpfs leak is a
+    // RAM leak)
     try q.processAllAvailable()
-    finally q.stop()
+    finally { try q.stop() finally deleteRecursively(ckpt) }
   }
 
   final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp,
@@ -418,9 +424,9 @@ object EventsStream {
     TableIO.createNamespace(root, ns)
     TableIO.createTableIfNotExists(root, ns, table, source.schema)
     var commits = 0L
+    val ckpt = scratchCheckpoint("graft-into-table-ckpt-")
     val q = source.writeStream
-      .option("checkpointLocation",
-        scratchCheckpoint("graft-into-table-ckpt-").toString)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -444,8 +450,8 @@ object EventsStream {
         }
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally { try q.stop() finally deleteRecursively(ckpt) }
     commits
   }
 
@@ -463,15 +469,15 @@ object EventsStream {
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$sfDir/events.*")) // glob: the file source needs a dir/glob
+    val ckpt = scratchCheckpoint("graft-win-ckpt-")
     val q = windowedAgg(src).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
-      .option("checkpointLocation",
-        scratchCheckpoint("graft-win-ckpt-").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally { try q.stop() finally deleteRecursively(ckpt) }
     spark.table(queryName)
   }
 }

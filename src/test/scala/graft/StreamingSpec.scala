@@ -30,6 +30,34 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("one-shot drains delete their scratch checkpoints, even on tmpfs") {
+    // scratchCheckpoint prefers /dev/shm: a leaked checkpoint there is
+    // a RAM leak that accumulates across bench/smoke iterations
+    // (ADVICE r13 — three of the four drain paths never cleaned up).
+    // Count prefix-matched dirs in the scratch base before and after a
+    // drain: the drain must not leave a new one behind.
+    val base = EventsStream.scratchCheckpoint("graft-ckpt-probe-")
+    val scratchDir = base.getParent
+    java.nio.file.Files.delete(base)
+    def count(prefix: String): Long = {
+      val s = java.nio.file.Files.list(scratchDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .count(_.getFileName.toString.startsWith(prefix)).toLong
+      } finally s.close()
+    }
+    val before = count("graft-win-ckpt-")
+    EventsStream.runWindowedOverParquet(spark, "/root/testdata/sf0.001",
+      "ws_ckpt_probe")
+    assert(count("graft-win-ckpt-") == before,
+      s"runWindowedOverParquet leaked a checkpoint under $scratchDir")
+    val beforeDrain = count("stream_dedup_")
+    EventsStream.replayDedupCounts(spark, "/root/testdata/sf0.001").collect()
+    assert(count("stream_dedup_") == beforeDrain,
+      s"drainToTable leaked a checkpoint under $scratchDir")
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
