@@ -239,7 +239,26 @@ object Bench {
     // parsed:null. Stdout gets a size-capped line (per-family totals + as
     // many of the slowest individual queries as fit); the complete per-query
     // map goes to BENCH_FULL.json next to the repo (and to stderr).
-    val fullLine = line(finalResults, "")
+    // Stream-drain telemetry (r13 verdict item 4: stream_join measured
+    // 3.1x its anchor on the driver host, 1.1x on the build host, and
+    // the artifact could not say why): the FULL artifact records where
+    // scratch checkpoints landed on THIS host (tmpfs vs disk) and, per
+    // drained stream query, the micro-batch count, input rows, and
+    // per-batch triggerExecution millis — so drain-scheduling cost vs
+    // state-store-IO cost vs post-drain query cost is read off the
+    // artifact instead of theorized about.
+    val diagExtra = {
+      val ds = graft.streaming.EventsStream.drainDiags.toSeq.sortBy(_._1)
+      val items = ds.map { case (k, d) =>
+        "\"" + k + "\":{\"batches\":" + d.nBatches + ",\"rows\":" +
+          d.inputRows + ",\"batch_ms\":[" + d.batchMs.mkString(",") + "]}"
+      }.mkString("{", ",", "}")
+      val base = try graft.streaming.EventsStream.scratchBase
+        catch { case _: Exception => "unknown" }
+      System.err.println(s"[bench] scratch_base=$base stream_diag=$items")
+      s""""scratch_base":"$base","stream_diag":$items,"""
+    }
+    val fullLine = line(finalResults, diagExtra)
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json"))
     // a dev micro-bench (SPARK_GRAFT_ONLY subset) must never overwrite

@@ -112,6 +112,48 @@ object EventsStream {
     java.nio.file.Files.createTempDirectory(base, prefix)
   }
 
+  /** Where [[scratchCheckpoint]] lands on THIS host — recorded into the
+    * bench artifact so a cross-host timing dispute (r13: `stream_join`
+    * 3.1x its anchor on the driver host, 1.1x on the build host, tmpfs
+    * hypothesis unfalsifiable from the artifact) is settled by the
+    * artifact itself.
+    */
+  def scratchBase: String = {
+    val p = scratchCheckpoint("graft-probe-")
+    try p.getParent.toString finally java.nio.file.Files.delete(p)
+  }
+
+  /** Micro-batch telemetry of one finished drain: batch count, input
+    * rows, and per-batch triggerExecution millis. The drain cost of a
+    * finite replay is scheduling + state-store commit overhead per
+    * micro-batch; this makes that cost visible per bench query instead
+    * of theorized about (r13 verdict item 4).
+    */
+  final case class DrainDiag(nBatches: Int, inputRows: Long,
+      batchMs: Seq[Long]) {
+    def totalMs: Long = batchMs.sum
+  }
+
+  private val drainDiagRef =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, DrainDiag]](
+      Map.empty)
+
+  /** Diagnostics of the most recent drain per checkpoint prefix
+    * (`stream_win_`, `stream_join_`, ...) — read by [[graft.Bench]]
+    * after each stream query and folded into BENCH_FULL.json.
+    */
+  def drainDiags: Map[String, DrainDiag] = drainDiagRef.get()
+
+  private def recordDiag(prefix: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      val ps = q.recentProgress.toSeq
+      val diag = DrainDiag(ps.size, ps.map(_.numInputRows).sum,
+        ps.map(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L)))
+      drainDiagRef.updateAndGet(m => m + (prefix.stripSuffix("_") -> diag))
+    } catch { case _: Exception => () } // telemetry must never fail a drain
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -141,7 +183,7 @@ object EventsStream {
     // checkpoint delete nest so a stop() exception cannot skip the
     // delete (ADVICE r13: scratch checkpoints prefer tmpfs, where a
     // leak accumulates in RAM across bench/smoke iterations)
-    try q.processAllAvailable()
+    try { q.processAllAvailable(); recordDiag(prefix, q) }
     finally { try q.stop() finally deleteRecursively(ckpt) }
     spark.table(name)
   }
