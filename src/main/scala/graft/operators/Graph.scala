@@ -1249,19 +1249,19 @@ object Graph {
     * movers interact, and the phase schedule is a deterministic
     * function of ids that DuckDB replays exactly.
     *
-    * Caveat (ADVICE r12): `id % LouvainPhases` is a residue schedule,
-    * NOT a proper graph coloring — two adjacent nodes in the same
-    * residue class still move simultaneously against a stale partition
-    * within a phase, so the aggregate gain of one phase can in
-    * principle be negative on an adversarial corpus. Q_refined >=
-    * Q_seed is therefore a corpus-dependent expectation (it holds on
-    * every corpus and scale tested, where far fewer than 1/phases of
-    * movers are adjacent), not an algorithmic invariant — scale smokes
-    * WARN rather than abort when it fails, while engine-vs-oracle
-    * determinism is unconditional (both replay the identical schedule).
-    * A guarantee would accept a phase's moves only when the recomputed
-    * Q does not decrease — one extra aggregate per phase that has
-    * never fired in practice, so it stays documented instead of paid.
+    * `id % LouvainPhases` is a residue schedule, NOT a proper graph
+    * coloring — two adjacent nodes in the same residue class can still
+    * move simultaneously against a stale partition within a phase, so
+    * the aggregate gain of one phase can in principle be negative on
+    * an adversarial corpus (ADVICE r12). Since r14 that cannot reach
+    * the output: each phase's candidate partition is ACCEPTED only
+    * when its exactly-recomputed integer Q does not decrease (one
+    * extra linear scoring aggregate per phase); a rejected phase keeps
+    * the previous partition, and the rejection count is an output
+    * column (`n_rejected_phases`) the oracle reproduces — so
+    * Q_refined >= Q_seed is now an algorithmic invariant, and
+    * engine-vs-oracle parity of the accept/reject decisions rides the
+    * correctness gate on every corpus it runs.
     */
   val LouvainPhases = 4
 
@@ -1289,7 +1289,17 @@ object Graph {
     */
   def louvainRefine(spark: SparkSession, docs: DataFrame,
       rounds: Int = ModularityRounds,
-      phases: Int = LouvainPhases): DataFrame = {
+      phases: Int = LouvainPhases): DataFrame =
+    louvainRefineImpl(spark, docs, rounds, phases, guard = true)
+
+  /** [[louvainRefine]] with the monotonicity guard switchable — OFF is
+    * test-only, to demonstrate on an adversarial corpus that an
+    * unguarded colored sweep really can decrease Q (the failure mode
+    * the guard exists for).
+    */
+  private[graft] def louvainRefineImpl(spark: SparkSession, docs: DataFrame,
+      rounds: Int = ModularityRounds,
+      phases: Int = LouvainPhases, guard: Boolean = true): DataFrame = {
     val edges = symmetricEdges(docs, partitionKey = "dst")
     var labels = docs.select(col("doc_id").as("node"))
       .withColumn("lab", col("node"))
@@ -1311,7 +1321,31 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
     val mDf = edges.agg((count(lit(1)) / 2).cast("long").as("m"))
 
+    // per-community q_num terms of a labeling — shared by the final
+    // scoring and by the per-phase monotonicity guard
+    def perQc(ls: DataFrame): DataFrame = {
+      val labeled = edges
+        .join(ls.select(col("node").as("src"), col("lab").as("ls")), "src")
+        .join(ls.select(col("node").as("dst"), col("lab").as("ld")), "dst")
+      val intra = labeled.filter(col("ls") === col("ld"))
+        .groupBy(col("ls").as("c")).agg(count(lit(1)).as("e2"))
+      val dsum = ls.join(deg, "node")
+        .groupBy(col("lab").as("c")).agg(sum("deg").as("dc"))
+      dsum.join(intra, Seq("c"), "left")
+        .crossJoin(broadcast(mDf))
+        .select((lit(2L) * col("m") * coalesce(col("e2"), lit(0L))
+          - col("dc") * col("dc")).as("qc"))
+    }
+    // exact integer Q numerator as ONE driver long (a 1-row aggregate
+    // — bounded metadata, never data rows)
+    def qNumOf(ls: DataFrame): Long = {
+      val r = perQc(ls).agg(sum("qc")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+
     var refined = seed
+    var qPrev = if (guard) qNumOf(seed) else 0L
+    var rejected = 0L
     for (k <- 0 until phases) {
       val sigma = refined.join(deg, "node")
         .groupBy(col("lab").as("c")).agg(sum("deg").as("sig"))
@@ -1348,26 +1382,25 @@ object Graph {
         // (gain, -c) — a partial-aggregating shape, no per-node window
         .agg(max(struct(col("gain"), (-col("c")).as("negc"))).as("best"))
         .select(col("node"), (-col("best.negc")).as("moved"))
-      refined = refined.join(moves, Seq("node"), "left")
+      val cand = refined.join(moves, Seq("node"), "left")
         .select(col("node"), coalesce(col("moved"), col("lab")).as("lab"))
         .localCheckpoint(true)
+      if (!guard) refined = cand
+      else {
+        // monotonicity guard: per-move gains are estimates against a
+        // stale partition when same-residue neighbors move together,
+        // so accept the phase only if the EXACT recomputed Q did not
+        // drop. The comparison is on agreed integers, so the oracle
+        // replays the identical accept/reject sequence.
+        val qCand = qNumOf(cand)
+        if (qCand >= qPrev) { refined = cand; qPrev = qCand }
+        else rejected += 1L
+      }
     }
 
-    def score(ls: DataFrame) = {
-      val labeled = edges
-        .join(ls.select(col("node").as("src"), col("lab").as("ls")), "src")
-        .join(ls.select(col("node").as("dst"), col("lab").as("ld")), "dst")
-      val intra = labeled.filter(col("ls") === col("ld"))
-        .groupBy(col("ls").as("c")).agg(count(lit(1)).as("e2"))
-      val dsum = ls.join(deg, "node")
-        .groupBy(col("lab").as("c")).agg(sum("deg").as("dc"))
-      val per = dsum.join(intra, Seq("c"), "left")
-        .crossJoin(broadcast(mDf))
-        .select((lit(2L) * col("m") * coalesce(col("e2"), lit(0L))
-          - col("dc") * col("dc")).as("qc"))
+    def score(ls: DataFrame) =
       ls.agg(count_distinct(col("lab")).as("nc"))
-        .crossJoin(per.agg(sum("qc").as("qn")))
-    }
+        .crossJoin(perQc(ls).agg(sum("qc").as("qn")))
     score(labels).toDF("n_communities", "q_num")
       .crossJoin(score(refined).toDF("n_refined", "q_num_refined"))
       .crossJoin(broadcast(mDf))
@@ -1376,7 +1409,8 @@ object Graph {
         (col("q_num").cast("double") /
           (lit(4.0) * col("m") * col("m"))).as("modularity"),
         (col("q_num_refined").cast("double") /
-          (lit(4.0) * col("m") * col("m"))).as("modularity_refined"))
+          (lit(4.0) * col("m") * col("m"))).as("modularity_refined"),
+        lit(rejected).as("n_rejected_phases"))
   }
 
   /** Oracle twin of [[louvainRefine]]: the seed rounds unrolled as in
@@ -1397,7 +1431,22 @@ object Graph {
          |  ON l.node = x.node)""".stripMargin
     }.mkString(",\n")
     val seed = s"l$ModularityRounds"
-    def phaseCtes(k: Int, prev: String, cur: String): String =
+    def scoreCtes(tag: String, rel: String): String =
+      s"""intra$tag AS (SELECT a.lab AS c, count(*) AS e2
+         |  FROM ed JOIN $rel a ON ed.src = a.node
+         |          JOIN $rel b ON ed.dst = b.node
+         |  WHERE a.lab = b.lab GROUP BY 1),
+         |dsum$tag AS (SELECT l.lab AS c, CAST(sum(d.deg) AS BIGINT) AS dc
+         |  FROM $rel l JOIN deg d ON l.node = d.node GROUP BY 1),
+         |per$tag AS (SELECT 2 * mm.m * COALESCE(i.e2, 0) - dsum$tag.dc
+         |    * dsum$tag.dc AS qc
+         |  FROM dsum$tag LEFT JOIN intra$tag i USING (c), mm)""".stripMargin
+    // phase k: gains and moves against prev, CANDIDATE partition,
+    // exact rescoring of the candidate, and the monotonicity gate —
+    // p$k is the candidate iff its integer Q did not drop below the
+    // running accepted score `qprev` (qnp$k carries the accepted score
+    // forward). Mirrors louvainRefineImpl's guard on agreed integers.
+    def phaseCtes(k: Int, prev: String, qprev: String, cur: String): String =
       s"""sig$k AS MATERIALIZED (SELECT l.lab AS c,
          |    CAST(sum(d.deg) AS BIGINT) AS sig
          |  FROM $prev l JOIN deg d ON l.node = d.node GROUP BY 1),
@@ -1420,22 +1469,28 @@ object Graph {
          |    SELECT node, c, row_number() OVER (PARTITION BY node
          |      ORDER BY gain DESC, c ASC) AS rk
          |    FROM g$k WHERE gain > 0) WHERE rk = 1),
-         |$cur AS MATERIALIZED (SELECT l.node, COALESCE(mv$k.c, l.lab) AS lab
-         |  FROM $prev l LEFT JOIN mv$k ON l.node = mv$k.node)""".stripMargin
+         |cand$k AS MATERIALIZED (SELECT l.node,
+         |    COALESCE(mv$k.c, l.lab) AS lab
+         |  FROM $prev l LEFT JOIN mv$k ON l.node = mv$k.node),
+         |${scoreCtes(s"c$k", s"cand$k")},
+         |qc$k AS (SELECT CAST(sum(qc) AS BIGINT) AS qn FROM perc$k),
+         |acc$k AS (SELECT (SELECT qn FROM qc$k) >= (SELECT qn FROM $qprev)
+         |    AS v),
+         |qnp$k AS (SELECT CASE WHEN (SELECT v FROM acc$k)
+         |    THEN (SELECT qn FROM qc$k) ELSE (SELECT qn FROM $qprev) END
+         |    AS qn),
+         |$cur AS MATERIALIZED (SELECT l.node,
+         |    CASE WHEN (SELECT v FROM acc$k) THEN c.lab ELSE l.lab END
+         |      AS lab
+         |  FROM $prev l JOIN cand$k c ON l.node = c.node)""".stripMargin
     val phasesSql = (0 until LouvainPhases).map { k =>
-      phaseCtes(k, if (k == 0) seed else s"p${k - 1}", s"p$k")
+      phaseCtes(k, if (k == 0) seed else s"p${k - 1}",
+        if (k == 0) "qs" else s"qnp${k - 1}", s"p$k")
     }.mkString(",\n")
     val last = s"p${LouvainPhases - 1}"
-    def scoreCtes(tag: String, rel: String): String =
-      s"""intra$tag AS (SELECT a.lab AS c, count(*) AS e2
-         |  FROM ed JOIN $rel a ON ed.src = a.node
-         |          JOIN $rel b ON ed.dst = b.node
-         |  WHERE a.lab = b.lab GROUP BY 1),
-         |dsum$tag AS (SELECT l.lab AS c, CAST(sum(d.deg) AS BIGINT) AS dc
-         |  FROM $rel l JOIN deg d ON l.node = d.node GROUP BY 1),
-         |per$tag AS (SELECT 2 * mm.m * COALESCE(i.e2, 0) - dsum$tag.dc
-         |    * dsum$tag.dc AS qc
-         |  FROM dsum$tag LEFT JOIN intra$tag i USING (c), mm)""".stripMargin
+    val rejectedSql = (0 until LouvainPhases)
+      .map(k => s"CASE WHEN (SELECT v FROM acc$k) THEN 0 ELSE 1 END")
+      .mkString(" + ")
     s"""WITH $linkEdgesSql,
        |$symmetricEdgesSql,
        |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lab
@@ -1443,19 +1498,21 @@ object Graph {
        |$roundsSql,
        |deg AS (SELECT src AS node, count(*) AS deg FROM ed GROUP BY 1),
        |mm AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM ed),
-       |$phasesSql,
        |${scoreCtes("s", seed)},
+       |qs AS (SELECT CAST(sum(qc) AS BIGINT) AS qn FROM pers),
+       |$phasesSql,
        |${scoreCtes("r", last)}
        |SELECT
        |  (SELECT count(DISTINCT lab) FROM $seed) AS n_communities,
        |  (SELECT count(DISTINCT lab) FROM $last) AS n_refined,
-       |  (SELECT CAST(sum(qc) AS BIGINT) FROM pers) AS q_num,
+       |  (SELECT qn FROM qs) AS q_num,
        |  (SELECT CAST(sum(qc) AS BIGINT) FROM perr) AS q_num_refined,
-       |  (SELECT CAST(CAST(sum(qc) AS BIGINT) AS DOUBLE) FROM pers) /
+       |  (SELECT CAST(qn AS DOUBLE) FROM qs) /
        |    (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS modularity,
        |  (SELECT CAST(CAST(sum(qc) AS BIGINT) AS DOUBLE) FROM perr) /
        |    (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm))
-       |    AS modularity_refined""".stripMargin
+       |    AS modularity_refined,
+       |  CAST($rejectedSql AS BIGINT) AS n_rejected_phases""".stripMargin
   }
 
   /** Link prediction by common-neighbor count (with the Jaccard

@@ -322,14 +322,13 @@ object AnalyticsScaleSmoke {
         s"${Graph.LouvainPhases} phases") {
       Graph.louvainRefine(spark, docs).collect().head
     }
-    // Q_refined >= Q_seed is corpus-dependent, not an invariant: the
-    // residue schedule is not a proper coloring, so an adversarial
-    // corpus could make a phase's aggregate gain negative (ADVICE r12,
-    // documented at Graph.LouvainPhases) — warn, don't abort the smoke
-    if (lv.getLong(3) < lv.getLong(2))
-      println(s"[analyticsscale]   WARN louvain refinement decreased Q " +
-        s"on this corpus: ${lv.mkString(",")}")
-    println(s"[analyticsscale]   louvain=${lv.mkString(",")}")
+    // Q_refined >= Q_seed is an INVARIANT since r14: each phase's
+    // candidate is accepted only when its exactly-recomputed Q does
+    // not decrease (Graph.LouvainPhases doc) — so the smoke asserts it
+    require(lv.getLong(3) >= lv.getLong(2),
+      s"louvain monotonicity guard violated: ${lv.mkString(",")}")
+    println(s"[analyticsscale]   louvain=${lv.mkString(",")} " +
+      s"(rejected_phases=${lv.getLong(6)})")
 
     // ---- round-12: degree assortativity — one pass of exact long
     // sufficient statistics over the degree-joined edges

@@ -491,8 +491,19 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
     val seedLab = lab
+    def qNumOf(lm: Map[Long, Long]): Long =
+      lm.values.toSet.toSeq.map { (c: Long) =>
+        val members = lm.collect { case (v, l) if l == c => v }.toSet
+        val ec = und.count { case (u, v) => members(u) && members(v) }.toLong
+        val dc = members.toSeq.map(v => deg.getOrElse(v, 0L)).sum
+        4L * m * ec - dc * dc
+      }.sum
     // the colored sweep: phase k moves only nodes with id % phases == k,
-    // gains against the partition UPDATED by earlier phases
+    // gains against the partition UPDATED by earlier phases; each
+    // phase's candidate is accepted only if exact Q does not drop
+    // (the r14 monotonicity guard)
+    var qPrev = qNumOf(lab)
+    var rejected = 0L
     for (k <- 0 until Graph.LouvainPhases) {
       val labNow = lab
       // keys is a SET: map-to-degree would dedupe equal degrees
@@ -514,23 +525,20 @@ class AnalyticsSpec extends AnyFunSuite {
           if (cands.isEmpty) None
           else Some(i -> cands.minBy { case (c, g) => (-g, c) }._1)
         }.toMap
-      lab = labNow.map { case (v, l) => v -> moves.getOrElse(v, l) }
+      val cand = labNow.map { case (v, l) => v -> moves.getOrElse(v, l) }
+      val qc = qNumOf(cand)
+      if (qc >= qPrev) { lab = cand; qPrev = qc } else rejected += 1L
     }
-    def qNumOf(lm: Map[Long, Long]): Long =
-      lm.values.toSet.toSeq.map { (c: Long) =>
-        val members = lm.collect { case (v, l) if l == c => v }.toSet
-        val ec = und.count { case (u, v) => members(u) && members(v) }.toLong
-        val dc = members.toSeq.map(v => deg.getOrElse(v, 0L)).sum
-        4L * m * ec - dc * dc
-      }.sum
     val row = Graph.louvainRefine(spark, docs).collect().head
     graft.CacheScope.drain()
     assert(row.getLong(0) == seedLab.values.toSet.size.toLong)
     assert(row.getLong(1) == lab.values.toSet.size.toLong)
     assert(row.getLong(2) == qNumOf(seedLab))
     assert(row.getLong(3) == qNumOf(lab))
-    // the colored sweep must not degrade the partition it refines —
-    // and on this corpus it should find genuine improvements
+    assert(row.getLong(6) == rejected)
+    // with the guard, not degrading the seed partition is an
+    // INVARIANT — and on this corpus the sweep should also find
+    // genuine improvements
     assert(row.getLong(3) >= row.getLong(2))
   }
 
