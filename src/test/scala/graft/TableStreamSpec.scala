@@ -137,6 +137,72 @@ class TableStreamSpec extends AnyFunSuite {
     q2.stop()
   }
 
+  test("CDC offsets survive a concurrent compactSmall + expireSnapshots " +
+      "cycle: the replace commit delivers zero rows, later appends flow") {
+    import graft.plans.Maintenance
+    val ns = "mns"; val t = "cdc_maint"
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcm-").toString
+    TableIO.createNamespace(root, ns)
+    val schema = spark.range(0, 1).select(
+      col("id").cast("string").as("foo"), col("id").cast("int").as("bar"),
+      lit(true).as("baz")).schema
+    TableIO.createTableIfNotExists(root, ns, t, schema)
+    // v1: ONE commit carrying TWO small same-seq files — the shape
+    // compactSmall merges (it groups by commit seq, minGroup 2)
+    def sliceDf(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").cast("string").as("foo"), col("id").cast("int").as("bar"),
+      lit(true).as("baz"))
+    TableIO.commit(root, ns, t, (0 until 2).map(i =>
+      TableIO.writeExactFile(spark, root, ns, t, FixSchemaGen.dataFilePath(i),
+        sliceDf(i * 10L, i * 10L + 10), "data", seq = 1L, recordCount = 10)))
+    // v2: a second append, so the consumed history spans two offsets
+    appendRange(root, ns, t, 2, 100L, 110L)
+
+    val ckpt = s"$root/_ckpt"
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (batch rows, batch id)
+    def startQuery() = spark.readStream.format("graft-table")
+      .option("root", root).option("namespace", ns).option("table", t)
+      .option("mode", "cdc").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen += ((df.count(), id)); ()
+      }.start()
+
+    val q = startQuery()
+    q.processAllAvailable()
+    assert(seen.map(_._1).sum == 30L, s"initial backlog: $seen")
+
+    // maintenance WHILE the consumer is live: compaction publishes a
+    // replace-marked v3 (two v1 files merged, content preserved) and
+    // expiry drops everything before the consumer's committed offset
+    val v3 = Maintenance.compactSmall(spark, root, ns, t)
+    assert(v3 == 3L)
+    Maintenance.expireSnapshots(root, ns, t, keepFromVersion = 2L)
+    // plus a real append AFTER the maintenance cycle
+    appendRange(root, ns, t, 3, 200L, 207L)
+    seen.clear()
+    q.processAllAvailable()
+    // exactly the append's rows arrive; the replace commit contributes
+    // ZERO change rows (content-preserving rewrite must be invisible
+    // to CDC), and the expired v1 never disturbs the live offsets
+    assert(seen.map(_._1).sum == 7L,
+      s"post-maintenance batches should carry only the append: $seen")
+    q.stop()
+
+    // restart from the checkpoint across the maintenance boundary:
+    // only NEW commits are delivered — offsets survived intact
+    appendRange(root, ns, t, 4, 300L, 305L)
+    seen.clear()
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    assert(seen.map(_._1).sum == 5L,
+      s"restart should deliver only the new append: $seen")
+    q2.stop()
+    // and the merged view agrees with all appends (20 + 10 + 7 + 5)
+    assert(graft.plans.Mor.read(spark, root, ns, t).count() == 42L)
+  }
+
   test("sink commits micro-batches as snapshots; replayed batch id drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
