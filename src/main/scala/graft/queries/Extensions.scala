@@ -246,6 +246,48 @@ object Extensions {
       }
       Similarity.pqSearchIndexed(s, rdEmbeddings(s, dir), r, "ann")
     }),
+    // INCREMENTAL ANN-index maintenance under the oracle (r14): the
+    // embeddings land as a GOVERNED table, the PQ index is built from
+    // it (codebook trained once, source version checkpointed), then
+    // the table churns — an eq-delete of a vector slice plus a
+    // re-insert of the same rows, two more commits — and
+    // refreshPqIndex replays the change feed against the FROZEN
+    // codebook, collapsing each vector to its latest change and
+    // rewriting only the touched id buckets. Content converged back to
+    // the full corpus, so the search shares ann_pq_indexed's oracle
+    // VERBATIM: incremental maintenance must be invisible
+    // (the same-answer-rewrite rule; OperatorsSpec pins the surgical
+    // bucket-rewrite and frozen-codebook invariants directly).
+    "ann_pq_refreshed" -> ((s, dir) => {
+      import graft.plans.TableIO
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#pqrefresh") {
+        root =>
+          val all = rdEmbeddings(s, dir).select("vec_id", "embedding")
+          TableIO.createNamespace(root, "embsrc")
+          TableIO.createTableIfNotExists(root, "embsrc", "emb", all.schema)
+          TableIO.commit(root, "embsrc", "emb",
+            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
+              "data/e0.parquet", all, "data", 1L)))
+          Similarity.buildPqIndexFromTable(s, root, "embsrc", "emb",
+            root, "ann")
+          // churn: vectors [0, 40) leave and re-enter unchanged
+          val slice =
+            all.filter(org.apache.spark.sql.functions.col("vec_id") < 40L)
+          TableIO.commit(root, "embsrc", "emb",
+            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
+              "deletes/eq-churn.parquet",
+              slice.select("vec_id"), "eq_delete",
+              TableIO.nextSeq(root, "embsrc", "emb"))))
+          TableIO.commit(root, "embsrc", "emb",
+            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
+              "data/e1.parquet", slice, "data",
+              TableIO.nextSeq(root, "embsrc", "emb"))))
+          val (from, to) = Similarity.refreshPqIndex(s, root, "embsrc",
+            "emb", root, "ann")
+          require(to == from + 2, s"refresh consumed [$from, $to]")
+      }
+      Similarity.pqSearchIndexed(s, rdEmbeddings(s, dir), r, "ann")
+    }),
     "ann_range" -> ((s, dir) => Similarity.rangeSearch(rdEmbeddings(s, dir))),
     "emb_kmeans" -> ((s, dir) => Similarity.kmeansCensus(rdEmbeddings(s, dir))),
     // embedding QC: per-cluster centroid-distance outlier screen
@@ -1639,6 +1681,9 @@ object Extensions {
     "ann_recall_eval_ivfpq" -> annIvfPqRecallSql,
     // identical algorithm over materialized index tables
     "ann_pq_indexed" -> annPqSql,
+    // ... and shared by the incrementally-REFRESHED index: churn whose
+    // content converges back must be invisible to the search
+    "ann_pq_refreshed" -> annPqSql,
 
     "ann_knn_join" -> annKnnSql,
     // identical pair set by construction — salting only re-blocks the
