@@ -989,6 +989,90 @@ object Similarity {
     } finally touchedIds.unpersist()
   }
 
+  private def ivfPqSrcVersionFile(root: String, ns: String) =
+    graft.plans.TableIO.tableDir(root, ns, "ivfpq_codes")
+      .resolve("src-version.text")
+
+  /** [[buildIvfPqIndex]] from a governed embeddings table,
+    * checkpointing the indexed snapshot version for
+    * [[refreshIvfPqIndex]] — the IVFADC twin of
+    * [[buildPqIndexFromTable]].
+    */
+  def buildIvfPqIndexFromTable(spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String, srcNs: String, srcTable: String,
+      root: String, ns: String, kClusters: Int = 8, iters: Int = 2,
+      subDims: Int = 8, kCodes: Int = 16, pqIters: Int = 1,
+      idBuckets: Int = 8): Unit = {
+    import graft.plans.{Mor, TableIO}
+    val v = TableIO.currentVersion(srcRoot, srcNs, srcTable)
+    buildIvfPqIndex(spark, Mor.read(spark, srcRoot, srcNs, srcTable),
+      root, ns, kClusters, iters, subDims, kCodes, pqIters, idBuckets)
+    java.nio.file.Files.writeString(ivfPqSrcVersionFile(root, ns), v.toString)
+  }
+
+  /** Catch the persisted IVF+PQ index up to the embeddings table's
+    * current version: changed vectors are re-routed to their nearest
+    * FROZEN coarse centroid and their residuals re-encoded against the
+    * FROZEN codebook (no retrain — the incremental-ingest trade, as
+    * [[refreshPqIndex]]); only the touched id buckets of BOTH
+    * corpus-scale relations (`ivf_assign`, `ivfpq_codes`) are
+    * rewritten. Work is O(changed vectors x dims) + the bucket
+    * rewrites. Returns (fromVersion, toVersion).
+    */
+  def refreshIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String, srcNs: String, srcTable: String,
+      root: String, ns: String, subDims: Int = 8): (Long, Long) = {
+    graft.plans.ChangeFeed.processAvailable(spark, srcRoot, srcNs, srcTable,
+      ivfPqSrcVersionFile(root, ns)) { changes =>
+      applyIvfPqDelta(spark, changes, root, ns, subDims)
+    }
+  }
+
+  private def applyIvfPqDelta(spark: org.apache.spark.sql.SparkSession,
+      changes: DataFrame, root: String, ns: String, subDims: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.{Mor, Partitioning, TableIO}
+    val byKey = Window.partitionBy("vec_id")
+    val inserts = changes
+      .withColumn("_lv", max(col("_change_version")).over(byKey))
+      .filter(col("_change_version") === col("_lv") &&
+        col("_change_type") === "insert")
+      .select("vec_id", "embedding")
+    val touchedIds = changes.select("vec_id").distinct().cache()
+    try {
+      val cent = Mor.read(spark, root, ns, "ivf_centroids")
+      val cb = Mor.read(spark, root, ns, "ivfpq_codebook")
+      val nd = normalizedFullDims(inserts)
+      val assignedNew = assignClusters(nd, cent)
+      val rdims = nd.join(assignedNew, "vec_id")
+        .join(broadcast(cent), Seq("cid", "pos"))
+        .select(col("vec_id"),
+          expr(s"CAST(pos div $subDims AS INT)").as("sub"),
+          expr(s"CAST(pos % $subDims AS INT)").as("spos"),
+          (col("e") - col("c")).as("e"))
+      val codesNew = pqAssign(rdims, cb).withColumnRenamed("cid", "code")
+      // surgical rewrite of each corpus-scale relation: changed
+      // vectors' old rows die, latest-insert ones re-enter — same
+      // replacePartitions discipline as applyPqDelta
+      Seq("ivf_assign" -> assignedNew, "ivfpq_codes" -> codesNew)
+        .foreach { case (table, fresh) =>
+          val spec = Partitioning.readSpec(root, ns, table).getOrElse(
+            throw new IllegalStateException(
+              s"$ns.$table has no bucket spec — not a built index"))
+          val touched = touchedIds
+            .select(spec.sparkValue(col("vec_id")).as("b")).distinct()
+            .collect().map(_.getLong(0)).toSet // <= idBuckets values
+          val cur = Mor.read(spark, root, ns, table,
+            pruneIn = Seq(Mor.PruneIn(spec.fieldName, touched.toSeq)))
+          val merged = cur.join(touchedIds, Seq("vec_id"), "left_anti")
+            .unionByName(fresh)
+          Partitioning.replacePartitions(spark, root, ns, table, merged,
+            spec, touched,
+            expected = TableIO.currentVersion(root, ns, table))
+        }
+    } finally touchedIds.unpersist()
+  }
+
   /** Per-subspace E-step: nearest code per (vector, subspace) —
     * fixed-point-exact squared distance, ties on cid, argmin via
     * `min(struct)` (one shuffle, same as [[assignClusters]]).

@@ -234,6 +234,42 @@ object Extensions {
       }
       Similarity.ivfPqSearchIndexed(s, rdEmbeddings(s, dir), r, "ann")
     }),
+    // ... and the INCREMENTALLY-MAINTAINED composite (r14): the
+    // governed embeddings table churns after the index build
+    // (eq-delete + re-insert of a vector slice), and refreshIvfPqIndex
+    // re-routes the changed vectors to their nearest FROZEN centroid,
+    // re-encodes their residuals against the FROZEN codebook, and
+    // rewrites only the touched id buckets of ivf_assign AND
+    // ivfpq_codes. Content converged back, so the oracle is shared
+    // verbatim: maintenance must be invisible to the search.
+    "ann_ivfpq_refreshed" -> ((s, dir) => {
+      import graft.plans.TableIO
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#ivfpqrefresh") {
+        root =>
+          val all = rdEmbeddings(s, dir).select("vec_id", "embedding")
+          TableIO.createNamespace(root, "embsrc")
+          TableIO.createTableIfNotExists(root, "embsrc", "emb", all.schema)
+          TableIO.commit(root, "embsrc", "emb",
+            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
+              "data/e0.parquet", all, "data", 1L)))
+          Similarity.buildIvfPqIndexFromTable(s, root, "embsrc", "emb",
+            root, "ann")
+          val slice =
+            all.filter(org.apache.spark.sql.functions.col("vec_id") < 40L)
+          TableIO.commit(root, "embsrc", "emb",
+            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
+              "deletes/eq-churn.parquet", slice.select("vec_id"),
+              "eq_delete", TableIO.nextSeq(root, "embsrc", "emb"))))
+          TableIO.commit(root, "embsrc", "emb",
+            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
+              "data/e1.parquet", slice, "data",
+              TableIO.nextSeq(root, "embsrc", "emb"))))
+          val (from, to) = Similarity.refreshIvfPqIndex(s, root, "embsrc",
+            "emb", root, "ann")
+          require(to == from + 2, s"refresh consumed [$from, $to]")
+      }
+      Similarity.ivfPqSearchIndexed(s, rdEmbeddings(s, dir), r, "ann")
+    }),
     // ... and its recall eval: routing loss x compression loss
     // audited together against brute force
     "ann_recall_eval_ivfpq" -> ((s, dir) =>
@@ -1678,6 +1714,8 @@ object Extensions {
     "ann_pq" -> annPqSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_ivfpq_indexed" -> annIvfPqSql,
+    // converged churn + frozen-model refresh must be invisible
+    "ann_ivfpq_refreshed" -> annIvfPqSql,
     "ann_recall_eval_ivfpq" -> annIvfPqRecallSql,
     // identical algorithm over materialized index tables
     "ann_pq_indexed" -> annPqSql,

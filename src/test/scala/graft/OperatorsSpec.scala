@@ -571,6 +571,73 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq refreshIvfPqIndex re-routes changed vectors against the " +
+      "frozen centroids and codebook, rewriting only their id buckets " +
+      "in BOTH corpus-scale relations") {
+    import graft.plans.{Mor, Partitioning, TableIO}
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfinc-").toString
+    val ns = "embt"
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = all.filter($"vec_id" < 60)
+    TableIO.createNamespace(root, ns)
+    TableIO.createTableIfNotExists(root, ns, "emb", base.schema)
+    TableIO.commit(root, ns, "emb", Seq(TableIO.writeExactFile(spark, root,
+      ns, "emb", "data/e0.parquet", base, "data",
+      TableIO.nextSeq(root, ns, "emb"))))
+    Similarity.buildIvfPqIndexFromTable(spark, root, ns, "emb", root, "ivfi")
+    val centBefore = Mor.read(spark, root, "ivfi", "ivf_centroids")
+      .collect().toSet
+    val cbBefore = Mor.read(spark, root, "ivfi", "ivfpq_codebook")
+      .collect().toSet
+    def files(t: String) = {
+      val spec = Partitioning.readSpec(root, "ivfi", t).get
+      TableIO.readManifest(root, "ivfi", t).filter(_.content == "data")
+        .map(e => e.bounds(spec.fieldName)._1 -> e.path).toMap
+    }
+    val beforeFiles = Map("ivf_assign" -> files("ivf_assign"),
+      "ivfpq_codes" -> files("ivfpq_codes"))
+
+    // append 5 vectors, delete vector 3 by key — a SMALL churn, so
+    // some id buckets are provably untouched (20 appended ids hash
+    // across all 8 buckets and would make the surgical check vacuous)
+    val extra = all.filter($"vec_id" >= 60 && $"vec_id" < 65)
+    TableIO.commit(root, ns, "emb", Seq(TableIO.writeExactFile(spark, root,
+      ns, "emb", "data/e1.parquet", extra, "data",
+      TableIO.nextSeq(root, ns, "emb"))))
+    TableIO.commit(root, ns, "emb", Seq(TableIO.writeExactFile(spark, root,
+      ns, "emb", "deletes/eq-v3.parquet", Seq(3L).toDF("vec_id"),
+      "eq_delete", TableIO.nextSeq(root, ns, "emb"))))
+    val (from, to) = Similarity.refreshIvfPqIndex(spark, root, ns, "emb",
+      root, "ivfi")
+    assert(to == from + 2)
+
+    // the model is FROZEN: centroids and codebook byte-identical
+    assert(Mor.read(spark, root, "ivfi", "ivf_centroids").collect().toSet
+      == centBefore)
+    assert(Mor.read(spark, root, "ivfi", "ivfpq_codebook").collect().toSet
+      == cbBefore)
+    // membership: deleted vector gone, appended ones present, in both
+    val assignIds = Mor.read(spark, root, "ivfi", "ivf_assign")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val codeIds = Mor.read(spark, root, "ivfi", "ivfpq_codes")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expectIds = ((0L until 60L) ++ (60L until 65L)).toSet - 3L
+    assert(assignIds == expectIds && codeIds == expectIds)
+    // surgical: untouched id buckets kept their exact files, per table
+    Seq("ivf_assign", "ivfpq_codes").foreach { t =>
+      val spec = Partitioning.readSpec(root, "ivfi", t).get
+      val touchedB = ((60L until 65L) :+ 3L).map(spec.valueOf).toSet
+      val after = files(t)
+      val untouched = beforeFiles(t).keySet.filterNot(touchedB)
+      assert(untouched.nonEmpty, s"fixture touched every $t bucket")
+      untouched.foreach { b =>
+        assert(after.get(b).contains(beforeFiles(t)(b)),
+          s"untouched $t bucket $b was rewritten")
+      }
+    }
+  }
+
   test("near-dup plans are banded equi-joins, never all-pairs") {
     // VERDICT r1 finding 1/2: simhash + embedding near-dup shipped
     // BroadcastNestedLoopJoin over n² pairs. Candidates must come from
