@@ -251,7 +251,8 @@ object Bench {
       val ds = graft.streaming.EventsStream.drainDiags.toSeq.sortBy(_._1)
       val items = ds.map { case (k, d) =>
         "\"" + k + "\":{\"batches\":" + d.nBatches + ",\"rows\":" +
-          d.inputRows + ",\"batch_ms\":[" + d.batchMs.mkString(",") + "]}"
+          d.inputRows + ",\"batch_ms\":[" + d.batchMs.mkString(",") + "]" +
+          (if (d.truncated) ",\"truncated\":true" else "") + "}"
       }.mkString("{", ",", "}")
       val base = try graft.streaming.EventsStream.scratchBase
         catch { case _: Exception => "unknown" }

@@ -1337,7 +1337,10 @@ object Graph {
           - col("dc") * col("dc")).as("qc"))
     }
     // exact integer Q numerator as ONE driver long (a 1-row aggregate
-    // — bounded metadata, never data rows)
+    // — bounded metadata, never data rows). Empty relation (edgeless
+    // corpus) coerces to 0 — the oracle's gate sums COALESCE to 0 for
+    // the same reason, else its NULL >= NULL gate rejects every phase
+    // while this side accepts them.
     def qNumOf(ls: DataFrame): Long = {
       val r = perQc(ls).agg(sum("qc")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -1473,7 +1476,8 @@ object Graph {
          |    COALESCE(mv$k.c, l.lab) AS lab
          |  FROM $prev l LEFT JOIN mv$k ON l.node = mv$k.node),
          |${scoreCtes(s"c$k", s"cand$k")},
-         |qc$k AS (SELECT CAST(sum(qc) AS BIGINT) AS qn FROM perc$k),
+         |qc$k AS (SELECT CAST(COALESCE(sum(qc), 0) AS BIGINT) AS qn
+       |    FROM perc$k),
          |acc$k AS (SELECT (SELECT qn FROM qc$k) >= (SELECT qn FROM $qprev)
          |    AS v),
          |qnp$k AS (SELECT CASE WHEN (SELECT v FROM acc$k)
@@ -1499,7 +1503,8 @@ object Graph {
        |deg AS (SELECT src AS node, count(*) AS deg FROM ed GROUP BY 1),
        |mm AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM ed),
        |${scoreCtes("s", seed)},
-       |qs AS (SELECT CAST(sum(qc) AS BIGINT) AS qn FROM pers),
+       |qs AS (SELECT CAST(COALESCE(sum(qc), 0) AS BIGINT) AS qn
+       |    FROM pers),
        |$phasesSql,
        |${scoreCtes("r", last)}
        |SELECT

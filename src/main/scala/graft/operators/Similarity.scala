@@ -1039,11 +1039,14 @@ object Similarity {
         col("_change_type") === "insert")
       .select("vec_id", "embedding")
     val touchedIds = changes.select("vec_id").distinct().cache()
+    // routing is referenced twice (written as ivf_assign AND joined
+    // into the residual lineage of ivfpq_codes) — cached, or the
+    // second write re-runs normalize+assign over the inserts
+    val cent = Mor.read(spark, root, ns, "ivf_centroids")
+    val nd = normalizedFullDims(inserts)
+    val assignedNew = assignClusters(nd, cent).cache()
     try {
-      val cent = Mor.read(spark, root, ns, "ivf_centroids")
       val cb = Mor.read(spark, root, ns, "ivfpq_codebook")
-      val nd = normalizedFullDims(inserts)
-      val assignedNew = assignClusters(nd, cent)
       val rdims = nd.join(assignedNew, "vec_id")
         .join(broadcast(cent), Seq("cid", "pos"))
         .select(col("vec_id"),
@@ -1051,6 +1054,11 @@ object Similarity {
           expr(s"CAST(pos % $subDims AS INT)").as("spos"),
           (col("e") - col("c")).as("e"))
       val codesNew = pqAssign(rdims, cb).withColumnRenamed("cid", "code")
+      // both relations are bucketed by the build with the same spec,
+      // so the (<= idBuckets values) touched-bucket collect runs once
+      // and is reused when the specs agree
+      val touchedOf = scala.collection.mutable.Map.empty[
+        graft.plans.PartitionSpec, Set[Long]]
       // surgical rewrite of each corpus-scale relation: changed
       // vectors' old rows die, latest-insert ones re-enter — same
       // replacePartitions discipline as applyPqDelta
@@ -1059,9 +1067,9 @@ object Similarity {
           val spec = Partitioning.readSpec(root, ns, table).getOrElse(
             throw new IllegalStateException(
               s"$ns.$table has no bucket spec — not a built index"))
-          val touched = touchedIds
+          val touched = touchedOf.getOrElseUpdate(spec, touchedIds
             .select(spec.sparkValue(col("vec_id")).as("b")).distinct()
-            .collect().map(_.getLong(0)).toSet // <= idBuckets values
+            .collect().map(_.getLong(0)).toSet)
           val cur = Mor.read(spark, root, ns, table,
             pruneIn = Seq(Mor.PruneIn(spec.fieldName, touched.toSeq)))
           val merged = cur.join(touchedIds, Seq("vec_id"), "left_anti")
@@ -1070,7 +1078,7 @@ object Similarity {
             spec, touched,
             expected = TableIO.currentVersion(root, ns, table))
         }
-    } finally touchedIds.unpersist()
+    } finally { assignedNew.unpersist(); touchedIds.unpersist() }
   }
 
   /** Per-subspace E-step: nearest code per (vector, subspace) —
@@ -1212,6 +1220,56 @@ object Similarity {
         .filter(col("vec_a") =!= col("vec_b"))
         .select("vec_a", "vec_b").distinct()
     }
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.toDF("vec_a", "emb_a"), "vec_a")
+      .join(e.toDF("vec_b", "emb_b"), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        VectorOps.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b").asc)))
+      .filter(col("rank") <= k)
+      .select(col("vec_a"), col("rank"), col("vec_b"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy("vec_a", "rank")
+  }
+
+  /** [[knnJoin]] with a DENSE-BUCKET CAP — the linear-scale variant
+    * for clustered corpora. Exact banded kNN must score every
+    * candidate pair, so its cost is sum(|bucket|²) over the LSH
+    * buckets: a corpus that masses in sign space (measured: the sf1
+    * scale-up's 10 near-identical copies of every vector made every
+    * bucket 10x denser and the pair volume 100x — 3.3s → 334s) is
+    * quadratic in bucket density no matter how the join is blocked.
+    * The production mitigation is a candidate BUDGET: each (band, key)
+    * bucket keeps at most `cap` members, so pair volume is bounded by
+    * buckets x cap² — linear in the corpus. Which members survive is a
+    * deterministic pseudo-random choice (rank by a Knuth
+    * multiplicative hash of (vec_id, band, key) — salted per bucket so
+    * a vector dropped from one dense bucket still competes in its
+    * other bands-1 buckets), making the recall loss unbiased by id
+    * locality AND the result oracle-replayable. Buckets at or under
+    * the cap are untouched — on a corpus with sane bucket occupancy
+    * the result equals [[knnJoin]]'s exactly (spec-pinned). Spark 4
+    * pushes the rank limit into WindowGroupLimit before the window
+    * shuffle, so the cap also BOUNDS the shuffle, not just the join.
+    */
+  def knnJoinCapped(emb: DataFrame, k: Int = 3, bands: Int = 16,
+      r: Int = 4, cap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bandDf = bandKeys(emb, bands, r)
+    val capped = bandDf
+      .withColumn("bn", row_number().over(
+        Window.partitionBy("band", "key").orderBy(
+          pmod(col("vec_id") * lit(2654435761L) + col("band") * lit(40503L)
+            + col("key") * lit(69069L), lit(4294967296L)).asc,
+          col("vec_id").asc)))
+      .filter(col("bn") <= cap).drop("bn")
+    val cand = capped.toDF("vec_a", "band", "key")
+      .repartition(col("band"), col("key"))
+      .join(capped.toDF("vec_b", "band", "key"), Seq("band", "key"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
     val e = emb.select(col("vec_id"), col("embedding"))
     cand
       .join(e.toDF("vec_a", "emb_a"), "vec_a")

@@ -24,6 +24,41 @@ object Extensions {
       .select(col("doc_id").as("vec_id"))
   }
 
+  /** Shared churn fixture for the refreshed-index queries (r14): land
+    * the embeddings as a governed table, `build` an index from it,
+    * churn the table — an eq-delete of vectors [0, 40) plus a
+    * re-insert of the same rows, two more commits — then `refresh`
+    * catches the index up through the change feed (frozen
+    * codebook/centroids, touched-bucket rewrites only). Content
+    * converges back to the full corpus, so each caller's search shares
+    * its one-shot twin's oracle verbatim: incremental maintenance must
+    * be invisible to the search.
+    */
+  private def churnedIndexRoot(s: SparkSession, dir: String, tag: String)(
+      build: String => Unit)(refresh: String => (Long, Long)): String =
+    graft.plans.GeneratedTables.ensureCustom(dir + "#" + tag) { root =>
+      import graft.plans.TableIO
+      import org.apache.spark.sql.functions.col
+      val all = rdEmbeddings(s, dir).select("vec_id", "embedding")
+      TableIO.createNamespace(root, "embsrc")
+      TableIO.createTableIfNotExists(root, "embsrc", "emb", all.schema)
+      TableIO.commit(root, "embsrc", "emb",
+        Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
+          "data/e0.parquet", all, "data", 1L)))
+      build(root)
+      val slice = all.filter(col("vec_id") < 40L)
+      TableIO.commit(root, "embsrc", "emb",
+        Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
+          "deletes/eq-churn.parquet", slice.select("vec_id"), "eq_delete",
+          TableIO.nextSeq(root, "embsrc", "emb"))))
+      TableIO.commit(root, "embsrc", "emb",
+        Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
+          "data/e1.parquet", slice, "data",
+          TableIO.nextSeq(root, "embsrc", "emb"))))
+      val (from, to) = refresh(root)
+      require(to == from + 2, s"refresh consumed [$from, $to]")
+    }
+
   /** BM25 oracle, shared by the scan and indexed paths (identical
     * scoring arithmetic over the same postings).
     */
@@ -214,6 +249,13 @@ object Extensions {
     // shares ann_knn_join's oracle)
     "ann_knn_join_salted" -> ((s, dir) =>
       Similarity.knnJoin(rdEmbeddings(s, dir), saltShards = 4)),
+    // the LINEAR-SCALE variant for clustered corpora (r14): each LSH
+    // bucket keeps at most `cap` deterministically pseudo-randomly
+    // chosen members, bounding candidate pairs at buckets x cap² —
+    // the measured sf1 scale-up (10 near-dup copies per vector) made
+    // the exact join's pair volume quadratic; the cap restores linear
+    "ann_knn_join_capped" -> ((s, dir) =>
+      Similarity.knnJoinCapped(rdEmbeddings(s, dir))),
     // candidate-volume guard a pipeline runs BEFORE the banded
     // self-join: band_pairs ~ n^2 means the banding degenerated for
     // this corpus and the join should be re-parameterized, not launched
@@ -243,31 +285,10 @@ object Extensions {
     // ivfpq_codes. Content converged back, so the oracle is shared
     // verbatim: maintenance must be invisible to the search.
     "ann_ivfpq_refreshed" -> ((s, dir) => {
-      import graft.plans.TableIO
-      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#ivfpqrefresh") {
-        root =>
-          val all = rdEmbeddings(s, dir).select("vec_id", "embedding")
-          TableIO.createNamespace(root, "embsrc")
-          TableIO.createTableIfNotExists(root, "embsrc", "emb", all.schema)
-          TableIO.commit(root, "embsrc", "emb",
-            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
-              "data/e0.parquet", all, "data", 1L)))
-          Similarity.buildIvfPqIndexFromTable(s, root, "embsrc", "emb",
-            root, "ann")
-          val slice =
-            all.filter(org.apache.spark.sql.functions.col("vec_id") < 40L)
-          TableIO.commit(root, "embsrc", "emb",
-            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
-              "deletes/eq-churn.parquet", slice.select("vec_id"),
-              "eq_delete", TableIO.nextSeq(root, "embsrc", "emb"))))
-          TableIO.commit(root, "embsrc", "emb",
-            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
-              "data/e1.parquet", slice, "data",
-              TableIO.nextSeq(root, "embsrc", "emb"))))
-          val (from, to) = Similarity.refreshIvfPqIndex(s, root, "embsrc",
-            "emb", root, "ann")
-          require(to == from + 2, s"refresh consumed [$from, $to]")
-      }
+      val r = churnedIndexRoot(s, dir, "ivfpqrefresh")(root =>
+        Similarity.buildIvfPqIndexFromTable(s, root, "embsrc", "emb",
+          root, "ann"))(root =>
+        Similarity.refreshIvfPqIndex(s, root, "embsrc", "emb", root, "ann"))
       Similarity.ivfPqSearchIndexed(s, rdEmbeddings(s, dir), r, "ann")
     }),
     // ... and its recall eval: routing loss x compression loss
@@ -295,33 +316,10 @@ object Extensions {
     // (the same-answer-rewrite rule; OperatorsSpec pins the surgical
     // bucket-rewrite and frozen-codebook invariants directly).
     "ann_pq_refreshed" -> ((s, dir) => {
-      import graft.plans.TableIO
-      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#pqrefresh") {
-        root =>
-          val all = rdEmbeddings(s, dir).select("vec_id", "embedding")
-          TableIO.createNamespace(root, "embsrc")
-          TableIO.createTableIfNotExists(root, "embsrc", "emb", all.schema)
-          TableIO.commit(root, "embsrc", "emb",
-            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
-              "data/e0.parquet", all, "data", 1L)))
-          Similarity.buildPqIndexFromTable(s, root, "embsrc", "emb",
-            root, "ann")
-          // churn: vectors [0, 40) leave and re-enter unchanged
-          val slice =
-            all.filter(org.apache.spark.sql.functions.col("vec_id") < 40L)
-          TableIO.commit(root, "embsrc", "emb",
-            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
-              "deletes/eq-churn.parquet",
-              slice.select("vec_id"), "eq_delete",
-              TableIO.nextSeq(root, "embsrc", "emb"))))
-          TableIO.commit(root, "embsrc", "emb",
-            Seq(TableIO.writeExactFile(s, root, "embsrc", "emb",
-              "data/e1.parquet", slice, "data",
-              TableIO.nextSeq(root, "embsrc", "emb"))))
-          val (from, to) = Similarity.refreshPqIndex(s, root, "embsrc",
-            "emb", root, "ann")
-          require(to == from + 2, s"refresh consumed [$from, $to]")
-      }
+      val r = churnedIndexRoot(s, dir, "pqrefresh")(root =>
+        Similarity.buildPqIndexFromTable(s, root, "embsrc", "emb",
+          root, "ann"))(root =>
+        Similarity.refreshPqIndex(s, root, "embsrc", "emb", root, "ann"))
       Similarity.pqSearchIndexed(s, rdEmbeddings(s, dir), r, "ann")
     }),
     "ann_range" -> ((s, dir) => Similarity.rangeSearch(rdEmbeddings(s, dir))),
@@ -775,6 +773,34 @@ object Extensions {
     s"""WITH bands AS ($embBandsSql),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey
+       |          AND a.vec_id <> b.vec_id),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |j AS (SELECT vec_a, vec_b, ${cosSql("x.v", "y.v")} AS cos
+       |      FROM cand JOIN e x ON x.vec_id = vec_a
+       |                JOIN e y ON y.vec_id = vec_b),
+       |rk AS (SELECT vec_a, vec_b, cos,
+       |         row_number() OVER (PARTITION BY vec_a
+       |           ORDER BY cos DESC, vec_b ASC) AS rank FROM j)
+       |SELECT vec_a, CAST(rank AS INTEGER) AS rank, vec_b,
+       |  round(cos, 6) AS sim
+       |FROM rk WHERE rank <= 3 ORDER BY vec_a, rank""".stripMargin
+
+  /** [[annKnnSql]] with the dense-bucket cap replayed: each (band,
+    * bkey) bucket keeps its 8 lowest members by the same per-bucket
+    * Knuth multiplicative hash the engine ranks on (all-positive
+    * operands, so DuckDB's % == Spark's pmod).
+    */
+  private lazy val annKnnCappedSql: String =
+    s"""WITH bands AS ($embBandsSql),
+       |capped AS (SELECT vec_id, band, bkey FROM (
+       |    SELECT vec_id, band, bkey, row_number() OVER (
+       |        PARTITION BY band, bkey ORDER BY
+       |          (vec_id * 2654435761 + band * 40503 + bkey * 69069)
+       |            % 4294967296 ASC, vec_id ASC) AS bn
+       |    FROM bands) WHERE bn <= 8),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM capped a JOIN capped b
        |           ON a.band = b.band AND a.bkey = b.bkey
        |          AND a.vec_id <> b.vec_id),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1727,6 +1753,7 @@ object Extensions {
     // identical pair set by construction — salting only re-blocks the
     // band join's shuffle, so the oracle is shared
     "ann_knn_join_salted" -> annKnnSql,
+    "ann_knn_join_capped" -> annKnnCappedSql,
 
     "ann_band_stats" ->
       s"""WITH bands AS ($embBandsSql),

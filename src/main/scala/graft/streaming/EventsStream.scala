@@ -130,7 +130,7 @@ object EventsStream {
     * of theorized about (r13 verdict item 4).
     */
   final case class DrainDiag(nBatches: Int, inputRows: Long,
-      batchMs: Seq[Long]) {
+      batchMs: Seq[Long], truncated: Boolean = false) {
     def totalMs: Long = batchMs.sum
   }
 
@@ -148,9 +148,18 @@ object EventsStream {
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try {
       val ps = q.recentProgress.toSeq
-      val diag = DrainDiag(ps.size, ps.map(_.numInputRows).sum,
+      // recentProgress is a ring buffer capped by
+      // spark.sql.streaming.numRecentProgressUpdates (default 100); a
+      // drain with more micro-batches silently loses its head there.
+      // Every drain starts from a FRESH scratch checkpoint, so
+      // lastProgress.batchId + 1 is the true batch count — record that,
+      // and flag rows/batchMs as truncated when the buffer dropped any.
+      val total = Option(q.lastProgress).map(_.batchId + 1)
+        .getOrElse(ps.size.toLong)
+      val diag = DrainDiag(total.toInt, ps.map(_.numInputRows).sum,
         ps.map(p => Option(p.durationMs.get("triggerExecution"))
-          .map(_.longValue).getOrElse(0L)))
+          .map(_.longValue).getOrElse(0L)),
+        truncated = ps.size < total)
       drainDiagRef.updateAndGet(m => m + (prefix.stripSuffix("_") -> diag))
     } catch { case _: Exception => () } // telemetry must never fail a drain
 

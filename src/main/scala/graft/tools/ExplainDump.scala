@@ -31,7 +31,9 @@ object ExplainDump {
       "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
       "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep",
       "ann_filtered", "ann_filtered_ivf", "q_runtime_bloom",
-      "q_aqe_skew", "ann_recall_eval_matryoshka", "q_tpch_q18"))
+      "q_aqe_skew", "ann_recall_eval_matryoshka", "q_tpch_q18"),
+    14 -> Seq("gen_rest_write", "ann_pq_refreshed", "ann_ivfpq_refreshed",
+      "ann_knn_join_capped"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -110,7 +112,9 @@ object ExplainDump {
       "stream_replicate", "q_tpch_q3", "q_tpch_q5", "q_tpch_q10",
       "stream_ivm", "graph_cooccurrence", "pipe_gate_sweep",
       "ann_filtered", "ann_filtered_ivf", "q_runtime_bloom",
-      "q_aqe_skew", "ann_recall_eval_matryoshka", "q_tpch_q18")
+      "q_aqe_skew", "ann_recall_eval_matryoshka", "q_tpch_q18",
+      "gen_rest_write", "ann_pq_refreshed", "ann_ivfpq_refreshed",
+      "ann_knn_join_capped")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {

@@ -96,8 +96,13 @@ object ScaleUp {
         .otherwise(concat(col("text"), lit(" rev"), col("_copy")))
         .as("text"),
       col("lang"), col("source"),
+      // keep n_chars == length(text): the suffix is " rev"+copy, whose
+      // length depends on the copy number's digit count (K > 10 gets
+      // two-digit copies — a constant +5 was wrong there)
       when(col("_copy") === 0L, col("n_chars"))
-        .otherwise(col("n_chars") + lit(5L)).as("n_chars")))
+        .otherwise(col("n_chars") +
+          length(concat(lit(" rev"), col("_copy").cast("string")))
+            .cast("long")).as("n_chars")))
 
     val emb = rd("embeddings")
     val vecOff = offsetOf(emb, "vec_id")

@@ -110,6 +110,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dense-bucket cap: under-cap corpora are exact; an over-cap " +
+      "bucket is bounded to cap survivors") {
+    // every bucket under the cap -> identical to the exact banded join
+    val emb = Seq(
+      (1L, Array(1f, 1f)), (2L, Array(2f, 3f)),
+      (3L, Array(-1f, 1f)), (4L, Array(-1f, -2f)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.knnJoin(emb, k = 1, bands = 1, r = 2)
+      .collect().map(row => (row.getLong(0), row.getLong(2))).toSeq
+    val capped = Similarity.knnJoinCapped(emb, k = 1, bands = 1, r = 2,
+      cap = 8).collect().map(row => (row.getLong(0), row.getLong(2))).toSeq
+    assert(capped == exact)
+    // 100 all-positive vectors land in ONE bucket: the exact join
+    // scores 100*99 candidate pairs and returns 100 rows; the cap
+    // keeps 8 deterministic survivors -> 8*7 pairs, 8 rows
+    val dense = (0 until 100).map(i => (i.toLong, Array(1f + i / 1000f, 1f)))
+      .toDF("vec_id", "embedding")
+    val exactRows = Similarity.knnJoin(dense, k = 1, bands = 1, r = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exactRows.size == 100)
+    val cappedRows = Similarity.knnJoinCapped(dense, k = 1, bands = 1,
+      r = 2, cap = 8).collect().map(_.getLong(0)).toSeq
+    assert(cappedRows.size == 8)
+    // deterministic across runs (the survivor choice is a pure hash)
+    val again = Similarity.knnJoinCapped(dense, k = 1, bands = 1,
+      r = 2, cap = 8).collect().map(_.getLong(0)).toSeq
+    assert(again == cappedRows)
+  }
+
   test("persisted bloom index: incremental refresh folds bit-identical " +
       "to a from-scratch rebuild, and the indexed probe matches") {
     val base = docs((1L, "hello   world"), (2L, "other corpus doc"))
