@@ -1257,19 +1257,7 @@ object Similarity {
   def knnJoinCapped(emb: DataFrame, k: Int = 3, bands: Int = 16,
       r: Int = 4, cap: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bandDf = bandKeys(emb, bands, r)
-    val capped = bandDf
-      .withColumn("bn", row_number().over(
-        Window.partitionBy("band", "key").orderBy(
-          pmod(col("vec_id") * lit(2654435761L) + col("band") * lit(40503L)
-            + col("key") * lit(69069L), lit(4294967296L)).asc,
-          col("vec_id").asc)))
-      .filter(col("bn") <= cap).drop("bn")
-    val cand = capped.toDF("vec_a", "band", "key")
-      .repartition(col("band"), col("key"))
-      .join(capped.toDF("vec_b", "band", "key"), Seq("band", "key"))
-      .filter(col("vec_a") =!= col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+    val cand = cappedCandidates(emb, bands, r, cap)
     val e = emb.select(col("vec_id"), col("embedding"))
     cand
       .join(e.toDF("vec_a", "emb_a"), "vec_a")
@@ -1282,6 +1270,57 @@ object Similarity {
       .select(col("vec_a"), col("rank"), col("vec_b"),
         round(col("cos"), 6).as("sim"))
       .orderBy("vec_a", "rank")
+  }
+
+  /** Bucket-capped candidate pairs — the shared primitive behind
+    * [[knnJoinCapped]] and [[simHistogramCapped]]: band rows ranked by
+    * the per-bucket Knuth multiplicative hash, at most `cap` survivors
+    * per (band, key), distinct ordered pairs among survivors. Pair
+    * volume is bounded by buckets x cap² regardless of how the corpus
+    * masses in sign space.
+    */
+  private def cappedCandidates(emb: DataFrame, bands: Int, r: Int,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = bandKeys(emb, bands, r)
+      .withColumn("bn", row_number().over(
+        Window.partitionBy("band", "key").orderBy(
+          pmod(col("vec_id") * lit(2654435761L) + col("band") * lit(40503L)
+            + col("key") * lit(69069L), lit(4294967296L)).asc,
+          col("vec_id").asc)))
+      .filter(col("bn") <= cap).drop("bn")
+    capped.toDF("vec_a", "band", "key")
+      .repartition(col("band"), col("key"))
+      .join(capped.toDF("vec_b", "band", "key"), Seq("band", "key"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
+
+  /** [[simHistogram]] over the CAPPED candidate set — the
+    * threshold-calibration view at scale: the histogram's purpose is
+    * picking a cosine cutoff for the banded join, and on a clustered
+    * corpus the exact candidate set is quadratic in bucket density
+    * (measured on the sf1 scale-up), so calibration reads the same
+    * bounded candidate sample the capped join would score. Ordered
+    * pairs are collapsed to unordered before bucketing so each pair
+    * counts once, like [[simHistogram]]'s `vec_a < vec_b` convention.
+    */
+  def simHistogramCapped(emb: DataFrame, bands: Int = 16, r: Int = 4,
+      cap: Int = 8): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cappedCandidates(emb, bands, r, cap)
+      .filter(col("vec_a") < col("vec_b"))
+      .join(e.toDF("vec_a", "emb_a"), "vec_a")
+      .join(e.toDF("vec_b", "emb_b"), "vec_b")
+      .select(round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6)
+        .as("sim"))
+      .select(col("sim"),
+        least(floor((col("sim") + lit(1.0)) * lit(10.0)), lit(19.0))
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), min("sim").as("min_sim"),
+        max("sim").as("max_sim"))
+      .orderBy("bucket")
   }
 
   /** Narrow (vec_id, band, key) sign-LSH band rows — the shared

@@ -229,6 +229,10 @@ object Extensions {
       Similarity.recallEvalMatryoshka(rdEmbeddings(s, dir))),
     "ann_sim_histogram" -> ((s, dir) =>
       Similarity.simHistogram(rdEmbeddings(s, dir))),
+    // threshold calibration at scale: the histogram over the CAPPED
+    // candidate set (what ann_knn_join_capped actually scores)
+    "ann_sim_histogram_capped" -> ((s, dir) =>
+      Similarity.simHistogramCapped(rdEmbeddings(s, dir))),
     "emb_norm_hist" -> ((s, dir) =>
       Similarity.normHist(rdEmbeddings(s, dir))),
     "ann_recall_eval_nprobe4" -> ((s, dir) =>
@@ -1523,6 +1527,30 @@ object Extensions {
       s"""WITH bands AS ($embBandsSql),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.vec_id < b.vec_id),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |j AS (SELECT round(${cosSql("x.v", "y.v")}, 6) AS sim
+         |      FROM cand JOIN e x ON x.vec_id = vec_a
+         |                JOIN e y ON y.vec_id = vec_b),
+         |b AS (SELECT sim,
+         |        CAST(least(floor((sim + 1.0) * 10.0), 19.0) AS BIGINT)
+         |          AS bucket FROM j)
+         |SELECT bucket, count(*) AS n_pairs,
+         |  min(sim) AS min_sim, max(sim) AS max_sim
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // capped calibration twin: the same histogram over the bounded
+    // candidate set ann_knn_join_capped scores
+    "ann_sim_histogram_capped" ->
+      s"""WITH bands AS ($embBandsSql),
+         |capped AS (SELECT vec_id, band, bkey FROM (
+         |    SELECT vec_id, band, bkey, row_number() OVER (
+         |        PARTITION BY band, bkey ORDER BY
+         |          (vec_id * 2654435761 + band * 40503 + bkey * 69069)
+         |            % 4294967296 ASC, vec_id ASC) AS bn
+         |    FROM bands) WHERE bn <= 8),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM capped a JOIN capped b
          |           ON a.band = b.band AND a.bkey = b.bkey
          |          AND a.vec_id < b.vec_id),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

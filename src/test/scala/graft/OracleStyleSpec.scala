@@ -41,6 +41,8 @@ class OracleStyleSpec extends AnyFunSuite {
     // ADC distance used only for ORDER BY ... LIMIT shortlisting
     "ann_pq" -> Set("adist"),
     "ann_pq_indexed" -> Set("adist"),
+    // shares annPqSql verbatim (refreshed index == one-shot index)
+    "ann_pq_refreshed" -> Set("adist"),
     // image mean*64 compared against cell values only
     "multimodal_phash" -> Set("sv"),
     "multimodal_phash_near" -> Set("sv"),
