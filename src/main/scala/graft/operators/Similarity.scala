@@ -1039,46 +1039,48 @@ object Similarity {
         col("_change_type") === "insert")
       .select("vec_id", "embedding")
     val touchedIds = changes.select("vec_id").distinct().cache()
-    // routing is referenced twice (written as ivf_assign AND joined
-    // into the residual lineage of ivfpq_codes) — cached, or the
-    // second write re-runs normalize+assign over the inserts
-    val cent = Mor.read(spark, root, ns, "ivf_centroids")
-    val nd = normalizedFullDims(inserts)
-    val assignedNew = assignClusters(nd, cent).cache()
     try {
-      val cb = Mor.read(spark, root, ns, "ivfpq_codebook")
-      val rdims = nd.join(assignedNew, "vec_id")
-        .join(broadcast(cent), Seq("cid", "pos"))
-        .select(col("vec_id"),
-          expr(s"CAST(pos div $subDims AS INT)").as("sub"),
-          expr(s"CAST(pos % $subDims AS INT)").as("spos"),
-          (col("e") - col("c")).as("e"))
-      val codesNew = pqAssign(rdims, cb).withColumnRenamed("cid", "code")
-      // both relations are bucketed by the build with the same spec,
-      // so the (<= idBuckets values) touched-bucket collect runs once
-      // and is reused when the specs agree
-      val touchedOf = scala.collection.mutable.Map.empty[
-        graft.plans.PartitionSpec, Set[Long]]
-      // surgical rewrite of each corpus-scale relation: changed
-      // vectors' old rows die, latest-insert ones re-enter — same
-      // replacePartitions discipline as applyPqDelta
-      Seq("ivf_assign" -> assignedNew, "ivfpq_codes" -> codesNew)
-        .foreach { case (table, fresh) =>
-          val spec = Partitioning.readSpec(root, ns, table).getOrElse(
-            throw new IllegalStateException(
-              s"$ns.$table has no bucket spec — not a built index"))
-          val touched = touchedOf.getOrElseUpdate(spec, touchedIds
-            .select(spec.sparkValue(col("vec_id")).as("b")).distinct()
-            .collect().map(_.getLong(0)).toSet)
-          val cur = Mor.read(spark, root, ns, table,
-            pruneIn = Seq(Mor.PruneIn(spec.fieldName, touched.toSeq)))
-          val merged = cur.join(touchedIds, Seq("vec_id"), "left_anti")
-            .unionByName(fresh)
-          Partitioning.replacePartitions(spark, root, ns, table, merged,
-            spec, touched,
-            expected = TableIO.currentVersion(root, ns, table))
-        }
-    } finally { assignedNew.unpersist(); touchedIds.unpersist() }
+      val cent = Mor.read(spark, root, ns, "ivf_centroids")
+      val nd = normalizedFullDims(inserts)
+      // routing is referenced twice (written as ivf_assign AND joined
+      // into the residual lineage of ivfpq_codes) — cached, or the
+      // second write re-runs normalize+assign over the inserts
+      val assignedNew = assignClusters(nd, cent).cache()
+      try {
+        val cb = Mor.read(spark, root, ns, "ivfpq_codebook")
+        val rdims = nd.join(assignedNew, "vec_id")
+          .join(broadcast(cent), Seq("cid", "pos"))
+          .select(col("vec_id"),
+            expr(s"CAST(pos div $subDims AS INT)").as("sub"),
+            expr(s"CAST(pos % $subDims AS INT)").as("spos"),
+            (col("e") - col("c")).as("e"))
+        val codesNew = pqAssign(rdims, cb).withColumnRenamed("cid", "code")
+        // both relations are bucketed by the build with the same spec,
+        // so the (<= idBuckets values) touched-bucket collect runs once
+        // and is reused when the specs agree
+        val touchedOf = scala.collection.mutable.Map.empty[
+          graft.plans.PartitionSpec, Set[Long]]
+        // surgical rewrite of each corpus-scale relation: changed
+        // vectors' old rows die, latest-insert ones re-enter — same
+        // replacePartitions discipline as applyPqDelta
+        Seq("ivf_assign" -> assignedNew, "ivfpq_codes" -> codesNew)
+          .foreach { case (table, fresh) =>
+            val spec = Partitioning.readSpec(root, ns, table).getOrElse(
+              throw new IllegalStateException(
+                s"$ns.$table has no bucket spec — not a built index"))
+            val touched = touchedOf.getOrElseUpdate(spec, touchedIds
+              .select(spec.sparkValue(col("vec_id")).as("b")).distinct()
+              .collect().map(_.getLong(0)).toSet)
+            val cur = Mor.read(spark, root, ns, table,
+              pruneIn = Seq(Mor.PruneIn(spec.fieldName, touched.toSeq)))
+            val merged = cur.join(touchedIds, Seq("vec_id"), "left_anti")
+              .unionByName(fresh)
+            Partitioning.replacePartitions(spark, root, ns, table, merged,
+              spec, touched,
+              expected = TableIO.currentVersion(root, ns, table))
+          }
+      } finally assignedNew.unpersist()
+    } finally touchedIds.unpersist()
   }
 
   /** Per-subspace E-step: nearest code per (vector, subspace) —
@@ -1151,8 +1153,17 @@ object Similarity {
       .join(bandDf.toDF("vec_b", "band", "key"), Seq("band", "key"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
+    cosineHistogram(cand, emb)
+  }
+
+  /** Shared histogram tail of [[simHistogram]] / [[simHistogramCapped]]:
+    * one cosine per unordered pair, 20 buckets over [-1, 1], order-free
+    * per-bucket aggregates. One copy keeps the bucket arithmetic the
+    * oracles replay from drifting between the exact and capped twins.
+    */
+  private def cosineHistogram(pairs: DataFrame, emb: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    cand
+    pairs
       .join(e.toDF("vec_a", "emb_a"), "vec_a")
       .join(e.toDF("vec_b", "emb_b"), "vec_b")
       .select(round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6)
@@ -1189,7 +1200,6 @@ object Similarity {
     */
   def knnJoin(emb: DataFrame, k: Int = 3, bands: Int = 16, r: Int = 4,
       saltShards: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bandDf = bandKeys(emb, bands, r)
     // spread the probe side across cores: a single-file scan is one
     // partition, and everything up to the first exchange (join, distinct
@@ -1220,18 +1230,7 @@ object Similarity {
         .filter(col("vec_a") =!= col("vec_b"))
         .select("vec_a", "vec_b").distinct()
     }
-    val e = emb.select(col("vec_id"), col("embedding"))
-    cand
-      .join(e.toDF("vec_a", "emb_a"), "vec_a")
-      .join(e.toDF("vec_b", "emb_b"), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        VectorOps.cosine(col("emb_a"), col("emb_b")).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b").asc)))
-      .filter(col("rank") <= k)
-      .select(col("vec_a"), col("rank"), col("vec_b"),
-        round(col("cos"), 6).as("sim"))
-      .orderBy("vec_a", "rank")
+    scoreTopK(cand, emb, k)
   }
 
   /** [[knnJoin]] with a DENSE-BUCKET CAP — the linear-scale variant
@@ -1255,9 +1254,17 @@ object Similarity {
     * shuffle, so the cap also BOUNDS the shuffle, not just the join.
     */
   def knnJoinCapped(emb: DataFrame, k: Int = 3, bands: Int = 16,
-      r: Int = 4, cap: Int = 8): DataFrame = {
+      r: Int = 4, cap: Int = 8): DataFrame =
+    scoreTopK(cappedCandidates(emb, bands, r, cap), emb, k)
+
+  /** Shared scoring/ranking tail of [[knnJoin]] / [[knnJoinCapped]]:
+    * one cosine per (distinct) candidate pair, per-vec_a rank window
+    * with ties on vec_b, top-k. One copy keeps the tie-break and
+    * rounding the oracles replay from drifting between the twins.
+    */
+  private def scoreTopK(cand: DataFrame, emb: DataFrame,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = cappedCandidates(emb, bands, r, cap)
     val e = emb.select(col("vec_id"), col("embedding"))
     cand
       .join(e.toDF("vec_a", "emb_a"), "vec_a")
@@ -1282,13 +1289,24 @@ object Similarity {
   private def cappedCandidates(emb: DataFrame, bands: Int, r: Int,
       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = bandKeys(emb, bands, r)
+    // vec_id pre-reduced mod 2^31 before the multiply: the raw product
+    // overflows Int64 for vec_id >= ~3.5e9 — exactly the huge-corpus
+    // regime this operator exists for (ANSI would throw; non-ANSI
+    // would silently diverge from the oracle). The reduction is an
+    // identity for every id below 2^31, and the oracle mirrors it.
+    val bucketHash = pmod(
+      pmod(col("vec_id"), lit(2147483648L)) * lit(2654435761L)
+        + col("band") * lit(40503L) + col("key") * lit(69069L),
+      lit(4294967296L))
+    // the capping pipeline (band explode, per-bucket hash rank) is the
+    // expensive pre-join stage and both sides of the self-join read it
+    // — cached under CacheScope so it runs once per query, drained by
+    // the consuming harness
+    val capped = graft.CacheScope.cached(bandKeys(emb, bands, r)
       .withColumn("bn", row_number().over(
         Window.partitionBy("band", "key").orderBy(
-          pmod(col("vec_id") * lit(2654435761L) + col("band") * lit(40503L)
-            + col("key") * lit(69069L), lit(4294967296L)).asc,
-          col("vec_id").asc)))
-      .filter(col("bn") <= cap).drop("bn")
+          bucketHash.asc, col("vec_id").asc)))
+      .filter(col("bn") <= cap).drop("bn"))
     capped.toDF("vec_a", "band", "key")
       .repartition(col("band"), col("key"))
       .join(capped.toDF("vec_b", "band", "key"), Seq("band", "key"))
@@ -1306,22 +1324,10 @@ object Similarity {
     * counts once, like [[simHistogram]]'s `vec_a < vec_b` convention.
     */
   def simHistogramCapped(emb: DataFrame, bands: Int = 16, r: Int = 4,
-      cap: Int = 8): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"))
-    cappedCandidates(emb, bands, r, cap)
-      .filter(col("vec_a") < col("vec_b"))
-      .join(e.toDF("vec_a", "emb_a"), "vec_a")
-      .join(e.toDF("vec_b", "emb_b"), "vec_b")
-      .select(round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6)
-        .as("sim"))
-      .select(col("sim"),
-        least(floor((col("sim") + lit(1.0)) * lit(10.0)), lit(19.0))
-          .cast("long").as("bucket"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_pairs"), min("sim").as("min_sim"),
-        max("sim").as("max_sim"))
-      .orderBy("bucket")
-  }
+      cap: Int = 8): DataFrame =
+    cosineHistogram(
+      cappedCandidates(emb, bands, r, cap).filter(col("vec_a") < col("vec_b")),
+      emb)
 
   /** Narrow (vec_id, band, key) sign-LSH band rows — the shared
     * candidate-generation primitive for [[knnJoin]] and the guard

@@ -790,19 +790,27 @@ object Extensions {
        |  round(cos, 6) AS sim
        |FROM rk WHERE rank <= 3 ORDER BY vec_a, rank""".stripMargin
 
-  /** [[annKnnSql]] with the dense-bucket cap replayed: each (band,
-    * bkey) bucket keeps its 8 lowest members by the same per-bucket
-    * Knuth multiplicative hash the engine ranks on (all-positive
-    * operands, so DuckDB's % == Spark's pmod).
+  /** The dense-bucket-cap CTE prefix shared by the capped join and
+    * capped histogram oracles: each (band, bkey) bucket keeps its 8
+    * lowest members by the same per-bucket Knuth multiplicative hash
+    * the engine ranks on (vec_id pre-reduced mod 2^31 so the product
+    * cannot overflow Int64; all-positive operands, so DuckDB's % ==
+    * Spark's pmod). One copy: the hash constants and the cap must
+    * match `Similarity.cappedCandidates` exactly.
     */
-  private lazy val annKnnCappedSql: String =
-    s"""WITH bands AS ($embBandsSql),
+  private lazy val cappedBandsSql: String =
+    s"""bands AS ($embBandsSql),
        |capped AS (SELECT vec_id, band, bkey FROM (
        |    SELECT vec_id, band, bkey, row_number() OVER (
        |        PARTITION BY band, bkey ORDER BY
-       |          (vec_id * 2654435761 + band * 40503 + bkey * 69069)
+       |          ((vec_id % 2147483648) * 2654435761
+       |            + band * 40503 + bkey * 69069)
        |            % 4294967296 ASC, vec_id ASC) AS bn
-       |    FROM bands) WHERE bn <= 8),
+       |    FROM bands) WHERE bn <= 8)""".stripMargin
+
+  /** [[annKnnSql]] with the dense-bucket cap replayed. */
+  private lazy val annKnnCappedSql: String =
+    s"""WITH $cappedBandsSql,
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |         FROM capped a JOIN capped b
        |           ON a.band = b.band AND a.bkey = b.bkey
@@ -1542,13 +1550,7 @@ object Extensions {
     // capped calibration twin: the same histogram over the bounded
     // candidate set ann_knn_join_capped scores
     "ann_sim_histogram_capped" ->
-      s"""WITH bands AS ($embBandsSql),
-         |capped AS (SELECT vec_id, band, bkey FROM (
-         |    SELECT vec_id, band, bkey, row_number() OVER (
-         |        PARTITION BY band, bkey ORDER BY
-         |          (vec_id * 2654435761 + band * 40503 + bkey * 69069)
-         |            % 4294967296 ASC, vec_id ASC) AS bn
-         |    FROM bands) WHERE bn <= 8),
+      s"""WITH $cappedBandsSql,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM capped a JOIN capped b
          |           ON a.band = b.band AND a.bkey = b.bkey

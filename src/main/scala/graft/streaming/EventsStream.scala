@@ -184,6 +184,12 @@ object EventsStream {
       prefix: String, mode: String): DataFrame = {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = scratchCheckpoint(prefix)
+    // recentProgress defaults to a 100-entry ring; a finite replay's
+    // drain is bounded, so a larger buffer keeps the telemetry's
+    // rows/batch_ms complete instead of covering only the newest 100
+    // batches (the `truncated` flag in recordDiag stays as the
+    // belt-and-braces marker for drains that exceed even this)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "4096")
     val q = out.writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt.toString)
       .outputMode(mode).start()
