@@ -77,7 +77,7 @@ object EventsStream {
     val out = windowedAgg(eventsStream(spark, sfDir))
       .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
-    drainToTable(spark, out, "stream_win_", "complete")
+    drainToTable(out, "stream_win_", "complete")
       .orderBy("bucket", "event_type")
   }
 
@@ -87,10 +87,22 @@ object EventsStream {
     * reader so stream and batch see identical rows.
     */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // bounded replays run on a config CLONE with a small state
+    // partition count: state-store partitioning is a CAPACITY knob
+    // (keys x state bytes), not a parallelism default. Every
+    // micro-batch snapshots/commits one state store PER shuffle
+    // partition, so at local[32] the inherited 32 partitions make a
+    // ~100k-row replay pay 32 store commits per batch — measured
+    // stream_join 2.1s at 8 partitions vs 7-8s at 32, same results
+    // (order-free aggregates). Production streams size this to key
+    // cardinality; the clone leaves the caller's session untouched
+    // (the repo's q_runtime_bloom/q_aqe_skew conf-scoping pattern).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = ss.read.parquet(s"$sfDir/events.parquet").schema
     graft.queries.Util.normalizeEventsTs(
-      spark.readStream.schema(schema).option("basePath", sfDir)
+      ss.readStream.schema(schema).option("basePath", sfDir)
         .parquet(s"$sfDir/[e]vents.parquet"))
   }
 
@@ -180,8 +192,13 @@ object EventsStream {
     * without it, stateful operators would hold their last windows
     * open forever.
     */
-  private def drainToTable(spark: SparkSession, out: DataFrame,
+  private def drainToTable(out: DataFrame,
       prefix: String, mode: String): DataFrame = {
+    // the stream may have been built on a config clone
+    // ([[eventsStream]]); the memory sink registers its table and runs
+    // its micro-batches under the stream's OWN session, so conf + the
+    // readback must target that one, not the caller's
+    val ss = out.sparkSession
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = scratchCheckpoint(prefix)
     // recentProgress defaults to a 100-entry ring; a finite replay's
@@ -189,7 +206,7 @@ object EventsStream {
     // rows/batch_ms complete instead of covering only the newest 100
     // batches (the `truncated` flag in recordDiag stays as the
     // belt-and-braces marker for drains that exceed even this)
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "4096")
+    ss.conf.set("spark.sql.streaming.numRecentProgressUpdates", "4096")
     val q = out.writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt.toString)
       .outputMode(mode).start()
@@ -200,7 +217,7 @@ object EventsStream {
     // leak accumulates in RAM across bench/smoke iterations)
     try { q.processAllAvailable(); recordDiag(prefix, q) }
     finally { try q.stop() finally deleteRecursively(ckpt) }
-    spark.table(name)
+    ss.table(name)
   }
 
   /** [[streamingDedup]] replayed against the finite events table:
@@ -215,7 +232,7 @@ object EventsStream {
     */
   def replayDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val deduped = streamingDedupKeyed(eventsStream(spark, sfDir))
-    drainToTable(spark, deduped, "stream_dedup_", "append")
+    drainToTable(deduped, "stream_dedup_", "append")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")
@@ -248,7 +265,7 @@ object EventsStream {
       ev.filter(col("event_type") === "click"),
       ev.filter(col("event_type") === "purchase"),
       watermarkDelay = "3650 days", windowSec = windowSec)
-    drainToTable(spark, joined, "stream_join_", "append")
+    drainToTable(joined, "stream_join_", "append")
       .select(col("click_id"), col("user_id"),
         unix_micros(col("purchase_ts")).as("purchase_us"),
         floor(col("value") * lit(1e4)).cast("long").as("value_fp"))
@@ -322,7 +339,7 @@ object EventsStream {
         floor(col("value") * lit(1e4)).cast("long").as("value_fp"))
       .as[FpTimed]
     val sessions = sessionizeEventTimeFp(src, gapMs = gapMinutes * 60000L)
-    drainToTable(spark, sessions.toDF(), "stream_sessions_", "append")
+    drainToTable(sessions.toDF(), "stream_sessions_", "append")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"),
         sum("value_fp").as("value_fp"))
@@ -345,7 +362,7 @@ object EventsStream {
       .option("mode", "cdc")
       .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
       .load()
-    drainToTable(spark, src, "stream_cdc_", "append")
+    drainToTable(src, "stream_cdc_", "append")
   }
 
   /** The full streaming-ingest loop under the correctness gate: the
