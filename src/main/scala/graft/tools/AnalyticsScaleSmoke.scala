@@ -353,6 +353,38 @@ object AnalyticsScaleSmoke {
     require(cooc.length == 20 && cooc.forall(_.getDouble(3) > 0),
       "cooccurrence top-20 malformed")
     println(s"[analyticsscale]   top pair support=${cooc.head.getLong(2)}")
+
+    // ---- round-14: the dense-bucket cap on an ADVERSARIALLY clustered
+    // corpus. 2M 64-dim vectors with only 1024 distinct sign backbones
+    // (~2k members per cluster), so sign-LSH buckets are ~125k deep and
+    // the EXACT banded join implies sum(cnt²) ~ 1e12 candidate pairs —
+    // uncomputable by any blocking. The volume guard must SEE that, and
+    // knnJoinCapped must complete with bounded work anyway (pair volume
+    // <= bands x keys x cap² = 16x16x64 = 16,384 before dedup).
+    val nKnn = (2e6 * m).toLong
+    val embC = spark.range(nKnn).selectExpr("id AS vec_id",
+      """transform(sequence(0, 63),
+        |  i -> CAST((pmod(hash((id % 1024) * 67 + i), 2000) - 1000)
+        |         / 2000.0
+        |       + (pmod(hash(id * 13 + i), 100)) / 1e6 AS FLOAT))
+        |  AS embedding""".stripMargin)
+    val bs = timed(s"bandCandidateStats ${nKnn / 1000000}M clustered vecs") {
+      Similarity.bandCandidateStats(embC).collect().head
+    }
+    require(bs.getLong(0) > nKnn * 100,
+      s"expected a degenerate banding (pairs >> n), got ${bs.mkString(",")}")
+    println(s"[analyticsscale]   band_pairs=${bs.getLong(0)} " +
+      s"max_bucket=${bs.getLong(2)} (exact join uncomputable here)")
+    val kj = timed(s"knnJoinCapped ${nKnn / 1000000}M clustered vecs") {
+      val r = Similarity.knnJoinCapped(embC).collect()
+      graft.CacheScope.drain()
+      r
+    }
+    // every surviving vec_a emits <= k rows; survivors <= bands x keys
+    // x cap distinct ids
+    require(kj.nonEmpty && kj.length <= 16 * 16 * 8 * 3,
+      s"capped join emitted ${kj.length} rows — cap not bounding")
+    println(s"[analyticsscale]   knnJoinCapped rows=${kj.length}")
     spark.stop()
   }
 }
