@@ -376,13 +376,12 @@ object AnalyticsScaleSmoke {
     println(s"[analyticsscale]   band_pairs=${bs.getLong(0)} " +
       s"max_bucket=${bs.getLong(2)} (exact join uncomputable here)")
     val kj = timed(s"knnJoinCapped ${nKnn / 1000000}M clustered vecs") {
-      val r = Similarity.knnJoinCapped(embC).collect()
-      graft.CacheScope.drain()
-      r
+      Similarity.knnJoinCapped(embC).collect()
     }
+    require(kj.nonEmpty, "capped join emitted no rows")
     // every surviving vec_a emits <= k rows; survivors <= bands x keys
     // x cap distinct ids
-    require(kj.nonEmpty && kj.length <= 16 * 16 * 8 * 3,
+    require(kj.length <= 16 * 16 * 8 * 3,
       s"capped join emitted ${kj.length} rows — cap not bounding")
     println(s"[analyticsscale]   knnJoinCapped rows=${kj.length}")
     spark.stop()
