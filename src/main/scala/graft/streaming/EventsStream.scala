@@ -108,7 +108,7 @@ object EventsStream {
     * cardinality; the clone leaves the caller's session untouched
     * (the repo's q_runtime_bloom/q_aqe_skew conf-scoping pattern).
     */
-  private def replaySession(spark: SparkSession): SparkSession =
+  private[graft] def replaySession(spark: SparkSession): SparkSession =
     replaySessions.computeIfAbsent(spark, s => {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")

@@ -58,6 +58,23 @@ class StreamingSpec extends AnyFunSuite {
       s"drainToTable leaked a checkpoint under $scratchDir")
   }
 
+  test("bounded replays reuse ONE cached session clone per base session") {
+    // a session's first streaming query permanently registers a
+    // listener on the shared LiveListenerBus; a clone per drain leaked
+    // one registration per bench/smoke iteration (r14 review finding).
+    // The clone must be reused, distinct from the caller's session,
+    // and carry the replay state-partition sizing.
+    val basePartsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = EventsStream.replaySession(spark)
+    val b = EventsStream.replaySession(spark)
+    assert(a eq b, "replaySession must reuse the cached clone")
+    assert(!(a eq spark), "the replay clone must not be the base session")
+    assert(a.conf.get("spark.sql.shuffle.partitions") == "8")
+    assert(a.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // the base session's own conf is untouched by the clone's sizing
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == basePartsBefore)
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
