@@ -788,6 +788,32 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** [[embeddingCosine]] over the DENSE-BUCKET-CAPPED candidate set
+    * ([[Similarity.cappedCandidates]]) — the linear-scale variant for
+    * clustered corpora, the dedup-side twin of the capped kNN join.
+    * The exact variant must score one cosine per band COLLISION, so
+    * its work is sum(|bucket|²) and a corpus that masses in sign space
+    * goes quadratic (measured on the sf1 scale-up); the cap bounds
+    * candidate pairs at buckets × cap², trading recall (which banded
+    * LSH already trades) for a hard work bound. Scores ONE cosine per
+    * distinct capped pair. Deterministic and oracle-replayable — the
+    * survivor choice is the shared per-bucket Knuth hash.
+    */
+  def embeddingCosineCapped(emb: DataFrame, tau: Double = 0.4,
+      bands: Int = 16, r: Int = 4, cap: Int = 8): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    Similarity.cappedCandidates(emb, bands, r, cap)
+      .filter(col("vec_a") < col("vec_b"))
+      .join(e.toDF("vec_a", "emb_a", "norm_a"), "vec_a")
+      .join(e.toDF("vec_b", "emb_b", "norm_b"), "vec_b")
+      .filter(VectorOps.cosinePre(
+        VectorOps.dot(col("emb_a"), col("emb_b")),
+        col("norm_a"), col("norm_b")) >= tau)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space with the deterministic
     * seeded k-means ([[Similarity.kmeansAssign]]), then prune WITHIN

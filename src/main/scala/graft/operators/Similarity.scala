@@ -1286,8 +1286,8 @@ object Similarity {
     * volume is bounded by buckets x cap² regardless of how the corpus
     * masses in sign space.
     */
-  private def cappedCandidates(emb: DataFrame, bands: Int, r: Int,
-      cap: Int): DataFrame = {
+  private[operators] def cappedCandidates(emb: DataFrame, bands: Int,
+      r: Int, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // vec_id pre-reduced mod 2^31 before the multiply: the raw product
     // overflows Int64 for vec_id >= ~3.5e9 — exactly the huge-corpus

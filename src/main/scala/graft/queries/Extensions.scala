@@ -135,6 +135,11 @@ object Extensions {
     }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(rd(s, dir, "documents"))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosine(rdEmbeddings(s, dir))),
+    // the dedup-side twin of ann_knn_join_capped (r14): near-dup pairs
+    // among the bucket-capped candidates — bounded work on corpora
+    // whose sign-LSH buckets run deep
+    "dedup_embedding_capped" -> ((s, dir) =>
+      Dedup.embeddingCosineCapped(rdEmbeddings(s, dir))),
     "dedup_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(rd(s, dir, "documents"))),
     // incoming = even doc_ids, existing = doc_ids % 4 == 0: half the
@@ -1475,6 +1480,19 @@ object Extensions {
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM bands a JOIN bands b
          |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_a, vec_b
+         |FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b
+         |WHERE ${cosSql("x.v", "y.v")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // the capped twin: identical tail over the bucket-capped candidates
+    "dedup_embedding_capped" ->
+      s"""WITH $cappedBandsSql,
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM capped a JOIN capped b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.vec_id < b.vec_id),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT vec_a, vec_b
          |FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b

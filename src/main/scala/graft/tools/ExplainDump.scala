@@ -33,7 +33,8 @@ object ExplainDump {
       "ann_filtered", "ann_filtered_ivf", "q_runtime_bloom",
       "q_aqe_skew", "ann_recall_eval_matryoshka", "q_tpch_q18"),
     14 -> Seq("gen_rest_write", "ann_pq_refreshed", "ann_ivfpq_refreshed",
-      "ann_knn_join_capped", "ann_sim_histogram_capped"))
+      "ann_knn_join_capped", "ann_sim_histogram_capped",
+      "dedup_embedding_capped"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -114,7 +115,8 @@ object ExplainDump {
       "ann_filtered", "ann_filtered_ivf", "q_runtime_bloom",
       "q_aqe_skew", "ann_recall_eval_matryoshka", "q_tpch_q18",
       "gen_rest_write", "ann_pq_refreshed", "ann_ivfpq_refreshed",
-      "ann_knn_join_capped", "ann_sim_histogram_capped")
+      "ann_knn_join_capped", "ann_sim_histogram_capped",
+      "dedup_embedding_capped")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {

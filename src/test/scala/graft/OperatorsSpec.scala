@@ -137,6 +137,16 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Similarity.knnJoinCapped(dense, k = 1, bands = 1,
       r = 2, cap = 8).collect().map(_.getLong(0)).toSeq
     assert(again == cappedRows)
+    // the dedup-side twin: under the cap it equals the exact near-dup
+    // pair set; on the dense bucket its pair count is cap-bounded
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    assert(pairs(Dedup.embeddingCosineCapped(emb, bands = 1, r = 2,
+        cap = 8)) == pairs(Dedup.embeddingCosine(emb, bands = 1, r = 2)))
+    val densePairs = pairs(Dedup.embeddingCosineCapped(dense,
+      bands = 1, r = 2, cap = 8))
+    assert(densePairs.nonEmpty && densePairs.size <= 8 * 7 / 2,
+      s"capped near-dup emitted ${densePairs.size} pairs")
   }
 
   test("persisted bloom index: incremental refresh folds bit-identical " +
