@@ -248,10 +248,18 @@ object Bench {
     // state-store-IO cost vs post-drain query cost is read off the
     // artifact instead of theorized about.
     val diagExtra = {
-      val ds = graft.streaming.EventsStream.drainDiags.toSeq.sortBy(_._1)
-      val items = ds.map { case (k, d) =>
+      // batches/rows/batch_ms come from the LAST drain; with repeat>1
+      // that alone can misattribute a one-off slow drain, so drains +
+      // min/max total trigger millis across the WHOLE history ride
+      // along (ADVICE r14) — a one-off tail shows as max >> min
+      val ds = graft.streaming.EventsStream.drainDiagHistory.toSeq.sortBy(_._1)
+      val items = ds.map { case (k, hist) =>
+        val d = hist.last
+        val totals = hist.map(_.totalMs)
         "\"" + k + "\":{\"batches\":" + d.nBatches + ",\"rows\":" +
           d.inputRows + ",\"batch_ms\":[" + d.batchMs.mkString(",") + "]" +
+          ",\"drains\":" + hist.size + ",\"total_ms_min\":" + totals.min +
+          ",\"total_ms_max\":" + totals.max +
           (if (d.truncated) ",\"truncated\":true" else "") + "}"
       }.mkString("{", ",", "}")
       val base = try graft.streaming.EventsStream.scratchBase

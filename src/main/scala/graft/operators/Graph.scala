@@ -1286,6 +1286,15 @@ object Graph {
     * doubly-referencing loop rule). Scoring reuses the linear
     * modularity machinery. Nothing exceeds O(|E|) rows; products stay
     * under 2^53 to ~4.7e7 edges like [[modularity]]'s q_num.
+    *
+    * CONSTRUCTION IS EAGER (ADVICE r14): the monotonicity guard runs
+    * 1 + phases exact-Q driver aggregates (and the per-phase
+    * localCheckpoints) while BUILDING the returned DataFrame, so
+    * merely constructing the plan executes Spark jobs — callers that
+    * construct-and-discard still pay the sweep. This is the accepted
+    * price of the Q-never-drops invariant (the guard's accept/reject
+    * decisions steer which plan is built, so they cannot be deferred
+    * into the plan itself).
     */
   def louvainRefine(spark: SparkSession, docs: DataFrame,
       rounds: Int = ModularityRounds,

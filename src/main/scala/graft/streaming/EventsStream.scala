@@ -97,23 +97,34 @@ object EventsStream {
   private val replaySessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
-  /** The bounded-replay session: a config CLONE of the caller's with a
-    * small state partition count. State-store partitioning is a
-    * CAPACITY knob (keys x state bytes), not a parallelism default —
-    * every micro-batch snapshots/commits one state store PER shuffle
-    * partition, so at local[32] the inherited 32 partitions make a
-    * ~100k-row replay pay 32 store commits per batch (measured:
-    * stream_join 2.4s at 8 partitions vs 7-8s at 32, same results —
-    * order-free aggregates). Production streams size this to key
-    * cardinality; the clone leaves the caller's session untouched
-    * (the repo's q_runtime_bloom/q_aqe_skew conf-scoping pattern).
+  /** The bounded-replay session: a FRESH session sharing the caller's
+    * SparkContext, with a small state partition count. State-store
+    * partitioning is a CAPACITY knob (keys x state bytes), not a
+    * parallelism default — every micro-batch snapshots/commits one
+    * state store PER shuffle partition, so at local[32] the inherited
+    * 32 partitions make a ~100k-row replay pay 32 store commits per
+    * batch (measured: stream_join 2.4s at 8 partitions vs 7-8s at 32,
+    * same results — order-free aggregates). Production streams size
+    * this to key cardinality; the fresh session leaves the caller's
+    * session untouched (the repo's q_runtime_bloom/q_aqe_skew
+    * conf-scoping pattern). NOTE: `newSession()` initializes from the
+    * shared SparkConf and does NOT inherit runtime conf the caller set
+    * via `spark.conf.set` — every conf the replay path depends on is
+    * re-set explicitly below (ADVICE r14); a replay query that starts
+    * needing another caller-side runtime conf must add it here.
     */
   private[graft] def replaySession(spark: SparkSession): SparkSession =
-    replaySessions.computeIfAbsent(spark, s => {
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
-      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      ss
+    // recompute when a cached clone's context has been stopped (a spec
+    // that stops/restarts Spark would otherwise be handed a dead clone
+    // for the same base-session object — ADVICE r14)
+    replaySessions.compute(spark, (s, cached) => {
+      if (cached != null && !cached.sparkContext.isStopped) cached
+      else {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ss
+      }
     })
 
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -165,14 +176,25 @@ object EventsStream {
   }
 
   private val drainDiagRef =
-    new java.util.concurrent.atomic.AtomicReference[Map[String, DrainDiag]](
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Vector[DrainDiag]]](
       Map.empty)
 
   /** Diagnostics of the most recent drain per checkpoint prefix
     * (`stream_win_`, `stream_join_`, ...) — read by [[graft.Bench]]
     * after each stream query and folded into BENCH_FULL.json.
     */
-  def drainDiags: Map[String, DrainDiag] = drainDiagRef.get()
+  def drainDiags: Map[String, DrainDiag] =
+    drainDiagRef.get().map { case (k, v) => k -> v.last }
+
+  /** EVERY drain this JVM ran, per prefix, oldest first (bounded at
+    * [[MaxDiagHistory]]) — with repeat>1 bench iterations the
+    * last-drain view above can misattribute a one-off slow drain (the
+    * exact cross-host dispute the telemetry exists to settle, ADVICE
+    * r14); the artifact reads min/max across the history instead.
+    */
+  def drainDiagHistory: Map[String, Seq[DrainDiag]] = drainDiagRef.get()
+
+  private val MaxDiagHistory = 64
 
   private def recordDiag(prefix: String,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
@@ -190,7 +212,10 @@ object EventsStream {
         ps.map(p => Option(p.durationMs.get("triggerExecution"))
           .map(_.longValue).getOrElse(0L)),
         truncated = ps.size < total)
-      drainDiagRef.updateAndGet(m => m + (prefix.stripSuffix("_") -> diag))
+      drainDiagRef.updateAndGet { m =>
+        val k = prefix.stripSuffix("_")
+        m + (k -> (m.getOrElse(k, Vector.empty) :+ diag).takeRight(MaxDiagHistory))
+      }
     } catch { case _: Exception => () } // telemetry must never fail a drain
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -223,18 +248,29 @@ object EventsStream {
     // drain is bounded, so a larger buffer keeps the telemetry's
     // rows/batch_ms complete instead of covering only the newest 100
     // batches (the `truncated` flag in recordDiag stays as the
-    // belt-and-braces marker for drains that exceed even this)
-    ss.conf.set("spark.sql.streaming.numRecentProgressUpdates", "4096")
-    val q = out.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode(mode).start()
+    // belt-and-braces marker for drains that exceed even this).
+    // Save/restore: some drained streams (the stream_cdc/replicate
+    // paths) are built on the CALLER's session, not a replay clone —
+    // an unrestored set would permanently mutate the shared session's
+    // conf, against the repo's conf-scoping pattern (ADVICE r14).
+    val progressKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val priorProgress = ss.conf.getOption(progressKey)
+    ss.conf.set(progressKey, "4096")
     // stop in finally: an interrupted drain must not leak a live
     // streaming query into the shared session. stop() and the
     // checkpoint delete nest so a stop() exception cannot skip the
     // delete (ADVICE r13: scratch checkpoints prefer tmpfs, where a
     // leak accumulates in RAM across bench/smoke iterations)
-    try { q.processAllAvailable(); recordDiag(prefix, q) }
-    finally { try q.stop() finally deleteRecursively(ckpt) }
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(mode).start()
+      try { q.processAllAvailable(); recordDiag(prefix, q) }
+      finally { try q.stop() finally deleteRecursively(ckpt) }
+    } finally priorProgress match {
+      case Some(v) => ss.conf.set(progressKey, v)
+      case None => ss.conf.unset(progressKey)
+    }
     ss.table(name)
   }
 
