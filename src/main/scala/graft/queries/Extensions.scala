@@ -250,6 +250,19 @@ object Extensions {
     // top-k survives ADC shortlisting + exact re-rank
     "ann_recall_eval_pq" -> ((s, dir) =>
       Similarity.recallEvalPq(rdEmbeddings(s, dir))),
+    // what the dense-bucket cap drops (r15, closing the loss ledger):
+    // near-dup pair recall of the capped candidate set vs the exact
+    // banded join, on a synthesized ADVERSARIALLY dense corpus (every
+    // 10th vector x10 identical copies — the sf1 scale-up shape that
+    // made the exact join quadratic), at cap 4 / 8 / 16
+    "ann_recall_eval_capped" -> ((s, dir) =>
+      Similarity.recallEvalCapped(rdEmbeddings(s, dir))),
+    // ...and the mitigation, measured against TRUE near-dup pairs:
+    // exact 16x4 banding (LSH loss alone) vs capped 16x4 (the deep-
+    // bucket collapse) vs RE-BANDED 8x8 + cap (the recovery the
+    // band-stats guard prescribes: more bits -> 16x shallower buckets)
+    "ann_recall_eval_rebanded" -> ((s, dir) =>
+      Similarity.recallEvalRebanded(rdEmbeddings(s, dir))),
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedTopK(rdEmbeddings(s, dir))),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rdEmbeddings(s, dir))),
@@ -761,13 +774,19 @@ object Extensions {
     s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
   }.mkString(" + ")
 
-  /** DuckDB twin of Dedup.embeddingCosine's 16x4-bit sign-LSH bands. */
-  private val embBandsSql = (0 until 16).map { bnd =>
-    val key = (0 until 4).map { i =>
-      s"(CASE WHEN embedding[${bnd * 4 + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+  /** DuckDB twin of Dedup.embeddingCosine's 16x4-bit sign-LSH bands,
+    * over an arbitrary (vec_id, embedding) relation — the recall eval
+    * bands a synthesized dense corpus, everything else the base table.
+    */
+  private def embBandsSqlOver(rel: String, bands: Int = 16,
+      r: Int = 4): String = (0 until bands).map { bnd =>
+    val key = (0 until r).map { i =>
+      s"(CASE WHEN embedding[${bnd * r + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
-    s"SELECT vec_id, $bnd AS band, $key AS bkey FROM embeddings"
+    s"SELECT vec_id, $bnd AS band, $key AS bkey FROM $rel"
   }.mkString(" UNION ALL ")
+
+  private lazy val embBandsSql = embBandsSqlOver("embeddings")
 
   /** DuckDB k-means E-step: nearest centroid per vector from centroid
     * CTE `c`, fixed-point-exact distances (scaled-long, the twin of
@@ -803,15 +822,23 @@ object Extensions {
     * Spark's pmod). One copy: the hash constants and the cap must
     * match `Similarity.cappedCandidates` exactly.
     */
-  private lazy val cappedBandsSql: String =
-    s"""bands AS ($embBandsSql),
-       |capped AS (SELECT vec_id, band, bkey FROM (
+  /** One bucket-capped CTE (named `name`, cap parameterized) over a
+    * `bands` CTE — the recall eval instantiates it at several caps in
+    * one query; [[cappedBandsSql]] is the cap-8 production instance.
+    */
+  private def cappedCteOver(name: String, cap: Int,
+      src: String = "bands"): String =
+    s"""$name AS (SELECT vec_id, band, bkey FROM (
        |    SELECT vec_id, band, bkey, row_number() OVER (
        |        PARTITION BY band, bkey ORDER BY
        |          ((vec_id % 2147483648) * 2654435761
        |            + band * 40503 + bkey * 69069)
        |            % 4294967296 ASC, vec_id ASC) AS bn
-       |    FROM bands) WHERE bn <= 8)""".stripMargin
+       |    FROM $src) WHERE bn <= $cap)""".stripMargin
+
+  private lazy val cappedBandsSql: String =
+    s"""bands AS ($embBandsSql),
+       |${cappedCteOver("capped", 8)}""".stripMargin
 
   /** [[annKnnSql]] with the dense-bucket cap replayed. */
   private lazy val annKnnCappedSql: String =
@@ -1519,6 +1546,77 @@ object Extensions {
          |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "ann_recall_eval" -> Similarity.recallEvalSql(),
+
+    // the capped family's loss-ledger row: dense corpus synthesized in
+    // SQL (10 identical copies of every 10th vector), exact banded
+    // near-dup pairs as ground truth, one capped pass per cap value.
+    // The capped pair set is a subset of the exact one by construction,
+    // so recall = n_capped / n_exact — two agreed counts, one division.
+    "ann_recall_eval_capped" -> {
+      val pairCountSql = (rel: String) =>
+        s"""SELECT count(*) AS n FROM (
+           |    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |    FROM $rel a JOIN $rel b
+           |      ON a.band = b.band AND a.bkey = b.bkey
+           |     AND a.vec_id < b.vec_id) cand
+           |  JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b
+           |  WHERE ${cosSql("x.v", "y.v")} >= 0.4""".stripMargin
+      val caps = Seq(4, 8, 16)
+      val capCtes = caps.map { c =>
+        s"""${cappedCteOver(s"cap$c", c)},
+           |p$c AS (${pairCountSql(s"cap$c")})""".stripMargin
+      }.mkString(",\n")
+      val capRows = caps.map(c => s"SELECT $c AS cap, n FROM p$c")
+        .mkString("\n      UNION ALL ")
+      s"""WITH dense AS (
+         |  SELECT vec_id * 10 + c AS vec_id, embedding
+         |  FROM embeddings, range(0, 10) t(c) WHERE vec_id % 10 = 0),
+         |bands AS (${embBandsSqlOver("dense")}),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM dense),
+         |ex AS (SELECT n AS n_exact_pairs FROM (${pairCountSql("bands")})),
+         |$capCtes
+         |SELECT cap, n_exact_pairs, n AS n_capped_pairs,
+         |  CASE WHEN n_exact_pairs = 0 THEN NULL
+         |       ELSE CAST(n AS DOUBLE) / n_exact_pairs END AS pair_recall
+         |FROM ($capRows) s, ex
+         |ORDER BY cap""".stripMargin
+    },
+
+    // the mitigation eval: the same dense corpus, three candidate
+    // configurations counted against the TRUE pair set (all-pairs
+    // cosine >= tau — every config's pairs pass the same tau, so each
+    // is a subset and recall is a ratio of counts)
+    "ann_recall_eval_rebanded" -> {
+      val pairCountSql = (rel: String) =>
+        s"""SELECT count(*) AS n FROM (
+           |    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |    FROM $rel a JOIN $rel b
+           |      ON a.band = b.band AND a.bkey = b.bkey
+           |     AND a.vec_id < b.vec_id) cand
+           |  JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b
+           |  WHERE ${cosSql("x.v", "y.v")} >= 0.4""".stripMargin
+      s"""WITH dense AS (
+         |  SELECT vec_id * 10 + c AS vec_id, embedding
+         |  FROM embeddings, range(0, 10) t(c) WHERE vec_id % 10 = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM dense),
+         |tr AS (SELECT count(*) AS n_true_pairs
+         |       FROM e x JOIN e y ON x.vec_id < y.vec_id
+         |       WHERE ${cosSql("x.v", "y.v")} >= 0.4),
+         |bands AS (${embBandsSqlOver("dense")}),
+         |p_banded AS (${pairCountSql("bands")}),
+         |${cappedCteOver("cap16x4", 8)},
+         |p_capped AS (${pairCountSql("cap16x4")}),
+         |bands8 AS (${embBandsSqlOver("dense", 8, 8)}),
+         |${cappedCteOver("cap8x8", 8, "bands8")},
+         |p_rebanded AS (${pairCountSql("cap8x8")})
+         |SELECT config, n_true_pairs, n AS n_pairs,
+         |  CASE WHEN n_true_pairs = 0 THEN NULL
+         |       ELSE CAST(n AS DOUBLE) / n_true_pairs END AS pair_recall
+         |FROM (SELECT 'banded_16x4' AS config, n FROM p_banded
+         |      UNION ALL SELECT 'capped_16x4_c8', n FROM p_capped
+         |      UNION ALL SELECT 'rebanded_8x8_c8', n FROM p_rebanded) s, tr
+         |ORDER BY config""".stripMargin
+    },
 
     // prefix-cosine candidates vs full-dim exact: v[1:16] keeps list
     // order, so the sequential double sums match the codegen dot

@@ -34,7 +34,8 @@ object ExplainDump {
       "q_aqe_skew", "ann_recall_eval_matryoshka", "q_tpch_q18"),
     14 -> Seq("gen_rest_write", "ann_pq_refreshed", "ann_ivfpq_refreshed",
       "ann_knn_join_capped", "ann_sim_histogram_capped",
-      "dedup_embedding_capped"))
+      "dedup_embedding_capped"),
+    15 -> Seq("ann_recall_eval_capped", "ann_recall_eval_rebanded"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -116,7 +117,8 @@ object ExplainDump {
       "q_aqe_skew", "ann_recall_eval_matryoshka", "q_tpch_q18",
       "gen_rest_write", "ann_pq_refreshed", "ann_ivfpq_refreshed",
       "ann_knn_join_capped", "ann_sim_histogram_capped",
-      "dedup_embedding_capped")
+      "dedup_embedding_capped", "ann_recall_eval_capped",
+      "ann_recall_eval_rebanded")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {

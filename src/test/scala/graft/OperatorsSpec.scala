@@ -149,6 +149,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"capped near-dup emitted ${densePairs.size} pairs")
   }
 
+  test("capped recall eval: capped pairs are a subset of exact, recall " +
+      "is monotone in cap and reaches 1.0 once the cap covers the bucket") {
+    // 8 base vectors, every one replicated (stride 1 keeps all): the
+    // synthesized dense corpus is 8 x copies identical clones per sign
+    // bucket — the adversarial shape the eval exists to measure
+    val emb = (0 until 8).map { i =>
+      (i.toLong, Array(1f + i / 100f, if (i % 2 == 0) 1f else -1f))
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.recallEvalCapped(emb, caps = Seq(2, 4, 64),
+        copies = 4, stride = 1, bands = 1, r = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    graft.CacheScope.drain()
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 64))
+    // subset property: capped never exceeds exact
+    rows.foreach { case (cap, ex, cp, rec) =>
+      assert(cp <= ex && rec == cp.toDouble / ex, s"cap=$cap")
+    }
+    // monotone in cap; a cap >= the densest bucket (4 clones x 4 base
+    // per sign bucket = 16 <= 64) is exact -> recall 1.0
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    assert(rows.last._4 == 1.0)
+    assert(rows.head._4 < 1.0, "cap=2 on a 16-deep bucket cannot be exact")
+  }
+
   test("persisted bloom index: incremental refresh folds bit-identical " +
       "to a from-scratch rebuild, and the indexed probe matches") {
     val base = docs((1L, "hello   world"), (2L, "other corpus doc"))
