@@ -1144,7 +1144,11 @@ object Similarity {
     *
     * Scale: identical candidate shape to [[knnJoin]] (narrow band
     * rows, distinct pairs, one cosine per pair); output is a constant
-    * 20 rows.
+    * 20 rows. EVAL / GROUND-TRUTH OPERATOR (r15): it inherits the
+    * exact join's quadratic bucket-density exposure (measured 76x at
+    * the sf1 10x step) — calibration at scale reads
+    * [[simHistogramCapped]], the bounded candidate set the capped
+    * join actually scores.
     */
   def simHistogram(emb: DataFrame, bands: Int = 16, r: Int = 4): DataFrame = {
     val bandDf = bandKeys(emb, bands, r)
@@ -1184,7 +1188,17 @@ object Similarity {
     * candidate pairs, pairs seen in several bands collapse in a
     * distinct, and only then do the (distinct) pairs join the
     * embedding relation twice to score ONE cosine per pair — the
-    * oracle's own shape. The alternative (embeddings riding along on
+    * oracle's own shape.
+    *
+    * EVAL / GROUND-TRUTH OPERATOR (r15): the exact banded join's work
+    * is sum(|bucket|²) — measured 100.6x wall for 10x data on a
+    * clustered corpus (README sf1 table) — so this is the
+    * gold-standard generator recall evals compare against, NOT the
+    * 100-TB production path; ship [[knnJoinCapped]] (bounded work;
+    * equal on under-cap corpora) and size the banding per
+    * [[bandCandidateStats]] / `ann_recall_eval_rebanded`.
+    *
+    * The alternative (embeddings riding along on
     * the band rows, cosine fused into the join, groupBy-max dedup)
     * computes a cosine per band-COLLISION and shuttles ~500-byte rows
     * through the band shuffle; it wins only when collisions are rare,
@@ -1455,13 +1469,23 @@ object Similarity {
     * assertion, so callers choose log / abort / re-band.
     */
   def bandCandidateStats(emb: DataFrame, bands: Int = 16, r: Int = 4): DataFrame =
+    bandStatsRaw(emb, bands, r)
+      .select(col("band_pairs"), (col("band_rows") / bands).as("n_vectors"),
+        col("max_bucket"))
+
+  /** The raw guard aggregate (band_pairs, band_rows, max_bucket) —
+    * shared by [[bandCandidateStats]] and the density router
+    * `Dedup.embeddingCosineAuto`, which compares band_pairs (the exact
+    * join's candidate volume) against the capped join's
+    * band_rows x cap bound.
+    */
+  private[operators] def bandStatsRaw(emb: DataFrame, bands: Int,
+      r: Int): DataFrame =
     bandKeys(emb, bands, r)
       .groupBy("band", "key").agg(count(lit(1)).as("cnt"))
       .agg(sum(col("cnt") * col("cnt")).as("band_pairs"),
         sum(col("cnt")).as("band_rows"),
         max(col("cnt")).as("max_bucket"))
-      .select(col("band_pairs"), (col("band_rows") / bands).as("n_vectors"),
-        col("max_bucket"))
 
   /** Radius (epsilon-neighborhood) search: every corpus vector within
     * cosine >= tau of each query vector, for a SET of queries — the

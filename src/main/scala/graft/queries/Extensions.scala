@@ -140,6 +140,13 @@ object Extensions {
     // whose sign-LSH buckets run deep
     "dedup_embedding_capped" -> ((s, dir) =>
       Dedup.embeddingCosineCapped(rdEmbeddings(s, dir))),
+    // the density-ROUTED production entry point (r15): a one-aggregate
+    // guard picks exact (full recall) while the exact candidate volume
+    // is within 8x the capped bound, capped past that; the oracle
+    // replays the same integer decision, so route and gate cannot
+    // silently diverge
+    "dedup_embedding_auto" -> ((s, dir) =>
+      Dedup.embeddingCosineAuto(rdEmbeddings(s, dir))),
     "dedup_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(rd(s, dir, "documents"))),
     // incoming = even doc_ids, existing = doc_ids % 4 == 0: half the
@@ -1511,6 +1518,40 @@ object Extensions {
          |SELECT vec_a, vec_b
          |FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b
          |WHERE ${cosSql("x.v", "y.v")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // the density router's oracle REPLAYS the routing decision: both
+    // branches computed, the same integer comparison the engine makes
+    // (exact volume = sum cnt², capped bound = rows x cap x slack)
+    // gates which branch emits rows — testdata regeneration cannot
+    // silently desynchronize route and oracle
+    "dedup_embedding_auto" ->
+      s"""WITH $cappedBandsSql,
+         |st AS (SELECT CAST(COALESCE(sum(cnt * cnt), 0) AS BIGINT) AS bp,
+         |              CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS br
+         |       FROM (SELECT band, bkey, count(*) AS cnt
+         |             FROM bands GROUP BY 1, 2)),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |exact_cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.vec_id < b.vec_id),
+         |capped_cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM capped a JOIN capped b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b FROM (
+         |  SELECT vec_a, vec_b
+         |  FROM exact_cand JOIN e x ON x.vec_id = vec_a
+         |                  JOIN e y ON y.vec_id = vec_b
+         |  WHERE ${cosSql("x.v", "y.v")} >= 0.4
+         |    AND (SELECT bp <= br * 64 FROM st)
+         |  UNION ALL
+         |  SELECT vec_a, vec_b
+         |  FROM capped_cand JOIN e x ON x.vec_id = vec_a
+         |                   JOIN e y ON y.vec_id = vec_b
+         |  WHERE ${cosSql("x.v", "y.v")} >= 0.4
+         |    AND (SELECT bp > br * 64 FROM st))
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     // the capped twin: identical tail over the bucket-capped candidates

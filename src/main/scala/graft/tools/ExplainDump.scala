@@ -35,7 +35,8 @@ object ExplainDump {
     14 -> Seq("gen_rest_write", "ann_pq_refreshed", "ann_ivfpq_refreshed",
       "ann_knn_join_capped", "ann_sim_histogram_capped",
       "dedup_embedding_capped"),
-    15 -> Seq("ann_recall_eval_capped", "ann_recall_eval_rebanded"))
+    15 -> Seq("ann_recall_eval_capped", "ann_recall_eval_rebanded",
+      "dedup_embedding_auto"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -118,7 +119,7 @@ object ExplainDump {
       "gen_rest_write", "ann_pq_refreshed", "ann_ivfpq_refreshed",
       "ann_knn_join_capped", "ann_sim_histogram_capped",
       "dedup_embedding_capped", "ann_recall_eval_capped",
-      "ann_recall_eval_rebanded")
+      "ann_recall_eval_rebanded", "dedup_embedding_auto")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {

@@ -149,6 +149,29 @@ class OperatorsSpec extends AnyFunSuite {
       s"capped near-dup emitted ${densePairs.size} pairs")
   }
 
+  test("density router: a sparse corpus routes EXACT (equals " +
+      "embeddingCosine), the dense fixture routes CAPPED (bounded pairs)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    // sparse: buckets 2-deep, exact volume well under the capped bound
+    val emb = Seq(
+      (1L, Array(1f, 1f)), (2L, Array(2f, 3f)),
+      (3L, Array(-1f, 1f)), (4L, Array(-1f, -2f)))
+      .toDF("vec_id", "embedding")
+    assert(pairs(Dedup.embeddingCosineAuto(emb, bands = 1, r = 2)) ==
+      pairs(Dedup.embeddingCosine(emb, bands = 1, r = 2)))
+    // dense: one 100-deep bucket -> exact volume 10000 > 100*8*8 ->
+    // routes capped, identical to the capped twin, pair count bounded
+    val dense = (0 until 100).map(i => (i.toLong, Array(1f + i / 1000f, 1f)))
+      .toDF("vec_id", "embedding")
+    val auto = pairs(Dedup.embeddingCosineAuto(dense, bands = 1, r = 2))
+    assert(auto == pairs(Dedup.embeddingCosineCapped(dense, bands = 1, r = 2)))
+    assert(auto.nonEmpty && auto.size <= 8 * 7 / 2)
+    // empty corpus: trivially exact, no candidates, no crash
+    assert(pairs(Dedup.embeddingCosineAuto(emb.filter("vec_id < 0"),
+      bands = 1, r = 2)).isEmpty)
+  }
+
   test("capped recall eval: capped pairs are a subset of exact, recall " +
       "is monotone in cap and reaches 1.0 once the cap covers the bucket") {
     // 8 base vectors, every one replicated (stride 1 keeps all): the
