@@ -421,6 +421,25 @@ final class RestCatalogClient(baseUri: String) {
       s"putObject($relPath) failed ${resp.statusCode()}: ${resp.body()}")
   }
 
+  /** STREAMING object upload — the scale-safe form of [[putObject]]
+    * (VERDICT r14 item 4): `BodyPublishers.ofFile` feeds the request
+    * body from the file in bounded chunks, so a multi-GB parquet
+    * upload costs constant driver memory instead of a whole-file
+    * byte[] (the server side already streams the body to a temp file
+    * and publishes with an atomic move, so neither end ever holds the
+    * object in memory). `putObject(bytes)` stays for the in-memory
+    * fixtures specs synthesize.
+    */
+  def putFile(relPath: String, file: java.nio.file.Path): Unit = {
+    val req = HttpRequest.newBuilder(
+      URI.create(s"$baseUri/files/$relPath"))
+      .header("Content-Type", "application/octet-stream")
+      .PUT(HttpRequest.BodyPublishers.ofFile(file)).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"putFile($relPath) failed ${resp.statusCode()}: ${resp.body()}")
+  }
+
   /** Ranged GET `bytes=[lo, hi]` — the parquet footer/column access
     * pattern against object storage.
     */

@@ -152,9 +152,12 @@ object Generated {
         restPrepare(s, c2, client, (rel, df, content, seq, n, bounds) => {
           val e = TableIO.writeExactFile(s, scratch.toString, c2.namespace,
             c2.tableName, rel, df, content, seq, n, bounds = bounds)
-          val bytes = java.nio.file.Files.readAllBytes(TableIO.tableDir(
-            scratch.toString, c2.namespace, c2.tableName).resolve(rel))
-          client.putObject(s"${c2.namespace}/${c2.tableName}/$rel", bytes)
+          // STREAMED upload (VERDICT r14 item 4): the staged file's
+          // bytes feed the PUT body in bounded chunks — a 1 GB parquet
+          // upload no longer buffers whole in driver heap
+          client.putFile(s"${c2.namespace}/${c2.tableName}/$rel",
+            TableIO.tableDir(scratch.toString, c2.namespace,
+              c2.tableName).resolve(rel))
           e
         })
         // the claim this query makes is only true if every committed
