@@ -1404,6 +1404,20 @@ object Graph {
         // so accept the phase only if the EXACT recomputed Q did not
         // drop. The comparison is on agreed integers, so the oracle
         // replays the identical accept/reject sequence.
+        //
+        // NEGATIVE RESULT #2 (r15, measurement-gated like the r14
+        // delta-form gate): FUSING the checkpoint and rescore into one
+        // job — candidate labeling cache()d instead of eagerly
+        // localCheckpoint()ed, the rescore's action materializing the
+        // cache — benched 508s vs 9.8s for this query at sf0.1
+        // local[32], a 52x REGRESSION. A cache does not truncate
+        // lineage: until its partitions land, the rescore's three scan
+        // branches each recompute the candidate through the phase's
+        // full nested pipeline (moves/kic/own/kia over the previous
+        // phase's equally-lazy chain), compounding per phase — the
+        // iterative-DataFrame rule. The two-job shape (eager O(|V|)
+        // checkpoint, then the O(|E|) rescore) is the fast form;
+        // do not re-attempt without a plan-level fix.
         val qCand = qNumOf(cand)
         if (qCand >= qPrev) { refined = cand; qPrev = qCand }
         else rejected += 1L
