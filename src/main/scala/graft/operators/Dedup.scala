@@ -274,6 +274,77 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** [[pairsFromSigs]] with the DENSE-BUCKET CAP — the text-side twin
+    * of `Similarity.cappedCandidates` (r15): MinHash band buckets are
+    * near-dup groups, so a corpus with massive boilerplate duplication
+    * (the exact shape a web-scale crawl has) runs buckets thousands
+    * deep and the band self-join's pair volume sum(|bucket|²) goes
+    * quadratic — the same measured phenomenon as the embedding side.
+    * Each (band, key) bucket keeps at most `cap` members, ranked by
+    * the same deterministic Knuth multiplicative hash the embedding
+    * cap uses (one convention, one oracle shape); the key needs no
+    * hash term because a document occupies exactly one bucket per
+    * band. HONEST LIMIT of the additive band salt (same on the
+    * embedding side): it only reorders members across bands via the
+    * mod-2³² wraparound, so a clone group (identical signatures) keeps
+    * largely the SAME cap survivors in every band. For cluster dedup
+    * that is the benign direction — a consistent survivor subset
+    * still forms one connected component that marks the clone cluster
+    * for representative-based dropping — but it is part of why
+    * per-PAIR recall collapses on deep buckets
+    * (`ann_recall_eval_capped`); pair volume stays bounded at
+    * buckets × cap², and buckets at or under the cap are untouched,
+    * so on sane corpora the result equals [[pairsFromSigs]] exactly
+    * (spec-pinned).
+    */
+  def pairsFromSigsCapped(sig: DataFrame, cap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // doc_id pre-reduced mod 2^31: the raw product overflows Int64 in
+    // exactly the huge-corpus regime the cap exists for (the
+    // cappedCandidates rationale; the oracle mirrors the reduction)
+    val rankHash = pmod(
+      pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)
+        + col("band") * lit(40503L), lit(4294967296L))
+    val capped = graft.CacheScope.cached(sigBands(sig)
+      .withColumn("bn", row_number().over(
+        Window.partitionBy("band", "key")
+          .orderBy(rankHash.asc, col("doc_id").asc)))
+      .filter(col("bn") <= cap).drop("bn"))
+    capped.toDF("doc_a", "band", "key")
+      .repartition(col("band"), col("key"))
+      .join(capped.toDF("doc_b", "band", "key"), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** [[minhashLsh]] over the bucket-capped candidate set. */
+  def minhashLshCapped(docs: DataFrame, n: Int = 4, cap: Int = 8): DataFrame =
+    pairsFromSigsCapped(minhashSignatures(docs, n), cap)
+      .orderBy("doc_a", "doc_b")
+
+  /** The DENSITY-ROUTED text near-dup entry point — the MinHash twin
+    * of [[embeddingCosineAuto]], same decision rule: the exact band
+    * join's candidate volume is band_pairs (sum of squared bucket
+    * depths, one constant-size guard aggregate), the capped join's is
+    * at most band_rows × cap; route exact within `slack`× that bound
+    * (full recall while it costs no more than a few capped passes),
+    * cap past it. Deterministic function of the data — the oracle
+    * replays the identical integer comparison gating both branches.
+    */
+  def minhashLshAuto(docs: DataFrame, n: Int = 4, cap: Int = 8,
+      slack: Int = 8): DataFrame = {
+    val sig = graft.CacheScope.cached(minhashSignatures(docs, n))
+    val st = sigBands(sig)
+      .groupBy("band", "key").agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt") * col("cnt")).as("bp"), sum(col("cnt")).as("br"))
+      .head()
+    val exactVolume = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val cappedBound = if (st.isNullAt(1)) 0L else st.getLong(1) * cap * slack
+    val pairs = if (exactVolume <= cappedBound) pairsFromSigs(sig)
+      else pairsFromSigsCapped(sig, cap)
+    pairs.orderBy("doc_a", "doc_b")
+  }
+
   /** The candidate pairs involving at least one DELTA document: band
     * keys of the delta's signatures joined against the FULL signature
     * set (which includes the delta — so delta–delta pairs surface

@@ -1258,10 +1258,17 @@ object Similarity {
     * bucket keeps at most `cap` members, so pair volume is bounded by
     * buckets x cap² — linear in the corpus. Which members survive is a
     * deterministic pseudo-random choice (rank by a Knuth
-    * multiplicative hash of (vec_id, band, key) — salted per bucket so
-    * a vector dropped from one dense bucket still competes in its
-    * other bands-1 buckets), making the recall loss unbiased by id
-    * locality AND the result oracle-replayable. Buckets at or under
+    * multiplicative hash of (vec_id, band, key)), unbiased by id
+    * locality AND oracle-replayable. HONEST LIMIT (found by the r15
+    * ledger): the band/key salt is ADDITIVE, so it reorders a bucket's
+    * members across bands only via the mod-2³² wraparound — a clone
+    * group (identical vectors, hence identical buckets in every band)
+    * keeps largely the same cap survivors in all bands, which is part
+    * of why per-pair recall collapses ~(cap/depth)² on deep buckets
+    * (`ann_recall_eval_capped`); the measured fix is re-banding
+    * (`ann_recall_eval_rebanded`), not a different salt — survivors
+    * rotating per band would scatter a clone cluster into
+    * per-band fragments without bounding depth. Buckets at or under
     * the cap are untouched — on a corpus with sane bucket occupancy
     * the result equals [[knnJoin]]'s exactly (spec-pinned). Spark 4
     * pushes the rank limit into WindowGroupLimit before the window

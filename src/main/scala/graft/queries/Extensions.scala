@@ -109,6 +109,17 @@ object Extensions {
     // candidate path (PPJoin) — the oracle SQL is shared
     "dedup_prefix_jaccard" -> ((s, dir) => Dedup.prefixJaccard(rd(s, dir, "documents"))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(rd(s, dir, "documents"))),
+    // text-side dense-bucket cap (r15): MinHash buckets ARE near-dup
+    // groups, so boilerplate-heavy corpora run them thousands deep and
+    // the exact band join goes quadratic exactly like the embedding
+    // side; the cap bounds pair volume at buckets x cap^2
+    "dedup_minhash_capped" -> ((s, dir) =>
+      Dedup.minhashLshCapped(rd(s, dir, "documents"))),
+    // ...and the density-routed text entry point: the guard aggregate
+    // picks exact within 8x the capped bound, capped past it; the
+    // oracle replays the same integer decision
+    "dedup_minhash_auto" -> ((s, dir) =>
+      Dedup.minhashLshAuto(rd(s, dir, "documents"))),
     // banding-quality evaluation: LSH candidate pairs scored against
     // the exact-Jaccard ground truth (the ann_recall_eval pattern for
     // the dedup family) — candidate recall says how much real
@@ -773,6 +784,18 @@ object Extensions {
     s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
   }.mkString(" UNION ALL ")
 
+  /** DuckDB twin of Dedup.pairsFromSigsCapped's bucket cap over the
+    * minhash `bands` CTE — the (doc_id, band) Knuth rank (no key term:
+    * one bucket per band per doc), cap 8.
+    */
+  private lazy val minhashCappedCteSql: String =
+    s"""capped AS (SELECT doc_id, band, bkey FROM (
+       |    SELECT doc_id, band, bkey, row_number() OVER (
+       |        PARTITION BY band, bkey ORDER BY
+       |          ((doc_id % 2147483648) * 2654435761 + band * 40503)
+       |            % 4294967296 ASC, doc_id ASC) AS bn
+       |    FROM bands) WHERE bn <= 8)""".stripMargin
+
   private val simhashBitsSql = (0 until 32).map { i =>
     s"(CASE WHEN 2 * list_sum(list_transform(hs, v -> (v >> $i) % 2)) > len(hs) THEN ${1L << i} ELSE 0 END)"
   }.mkString(" + ")
@@ -1368,6 +1391,38 @@ object Extensions {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the text-side capped twin: same Knuth rank the embedding cap
+    // uses, minus the key term (one bucket per band per doc)
+    "dedup_minhash_capped" ->
+      s"""WITH $minhashCtesSql,
+         |$minhashCappedCteSql
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM capped a JOIN capped b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the text density router's oracle replays the routing decision —
+    // both branches gated by the same integer comparison the engine
+    // makes over the band-bucket stats
+    "dedup_minhash_auto" ->
+      s"""WITH $minhashCtesSql,
+         |$minhashCappedCteSql,
+         |st AS (SELECT CAST(COALESCE(sum(cnt * cnt), 0) AS BIGINT) AS bp,
+         |              CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS br
+         |       FROM (SELECT band, bkey, count(*) AS cnt
+         |             FROM bands GROUP BY 1, 2))
+         |SELECT doc_a, doc_b FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE (SELECT bp <= br * 64 FROM st)
+         |  UNION ALL
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE (SELECT bp > br * 64 FROM st))
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // LSH candidates scored against exact-Jaccard ground truth: both

@@ -36,7 +36,7 @@ object ExplainDump {
       "ann_knn_join_capped", "ann_sim_histogram_capped",
       "dedup_embedding_capped"),
     15 -> Seq("ann_recall_eval_capped", "ann_recall_eval_rebanded",
-      "dedup_embedding_auto"))
+      "dedup_embedding_auto", "dedup_minhash_capped", "dedup_minhash_auto"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -119,7 +119,8 @@ object ExplainDump {
       "gen_rest_write", "ann_pq_refreshed", "ann_ivfpq_refreshed",
       "ann_knn_join_capped", "ann_sim_histogram_capped",
       "dedup_embedding_capped", "ann_recall_eval_capped",
-      "ann_recall_eval_rebanded", "dedup_embedding_auto")
+      "ann_recall_eval_rebanded", "dedup_embedding_auto",
+      "dedup_minhash_capped", "dedup_minhash_auto")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {

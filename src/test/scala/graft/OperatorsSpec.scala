@@ -172,6 +172,33 @@ class OperatorsSpec extends AnyFunSuite {
       bands = 1, r = 2)).isEmpty)
   }
 
+  test("text-side cap + router: under-cap corpora are exact; a " +
+      "boilerplate cluster routes capped with bounded pairs") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    // sparse: distinct texts, shallow buckets -> capped == auto == exact
+    val sparse = docs((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "one two three four five six"),
+      (4L, "completely different words here now"))
+    val exact = pairs(Dedup.minhashLsh(sparse))
+    assert(pairs(Dedup.minhashLshCapped(sparse)) == exact)
+    assert(pairs(Dedup.minhashLshAuto(sparse)) == exact)
+    // dense: 100 identical docs -> one 100-deep bucket per band; exact
+    // volume 4*100^2 = 40000 > the routing bound 4*100*8*8 = 25600 ->
+    // auto routes capped; pair volume is bounded by bands x C(cap,2)
+    // vs the exact C(100,2) = 4950
+    val dense = docs((0L until 100L).map(i => (i, "same boilerplate text " +
+      "repeated across the whole crawl segment")): _*)
+    val exactDense = pairs(Dedup.minhashLsh(dense))
+    assert(exactDense.size == 99 * 100 / 2)
+    val capped = pairs(Dedup.minhashLshCapped(dense))
+    assert(capped.nonEmpty && capped.size <= 4 * 8 * 7 / 2,
+      s"capped emitted ${capped.size} pairs")
+    assert(pairs(Dedup.minhashLshAuto(dense)) == capped)
+    graft.CacheScope.drain()
+  }
+
   test("capped recall eval: capped pairs are a subset of exact, recall " +
       "is monotone in cap and reaches 1.0 once the cap covers the bucket") {
     // 8 base vectors, every one replicated (stride 1 keeps all): the
