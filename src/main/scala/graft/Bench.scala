@@ -256,11 +256,16 @@ object Bench {
       val items = ds.map { case (k, hist) =>
         val d = hist.last
         val totals = hist.map(_.totalMs)
+        // truncated marks ANY drain in the history: a truncated drain's
+        // totalMs undercounts (the progress ring dropped its head), so
+        // min/max over the history are only trustworthy when no drain
+        // truncated — the flag must not hide behind the last drain
+        val anyTrunc = hist.exists(_.truncated)
         "\"" + k + "\":{\"batches\":" + d.nBatches + ",\"rows\":" +
           d.inputRows + ",\"batch_ms\":[" + d.batchMs.mkString(",") + "]" +
           ",\"drains\":" + hist.size + ",\"total_ms_min\":" + totals.min +
           ",\"total_ms_max\":" + totals.max +
-          (if (d.truncated) ",\"truncated\":true" else "") + "}"
+          (if (anyTrunc) ",\"truncated\":true" else "") + "}"
       }.mkString("{", ",", "}")
       val base = try graft.streaming.EventsStream.scratchBase
         catch { case _: Exception => "unknown" }

@@ -298,18 +298,11 @@ object Dedup {
     * (spec-pinned).
     */
   def pairsFromSigsCapped(sig: DataFrame, cap: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // doc_id pre-reduced mod 2^31: the raw product overflows Int64 in
-    // exactly the huge-corpus regime the cap exists for (the
-    // cappedCandidates rationale; the oracle mirrors the reduction)
-    val rankHash = pmod(
-      pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)
-        + col("band") * lit(40503L), lit(4294967296L))
-    val capped = graft.CacheScope.cached(sigBands(sig)
-      .withColumn("bn", row_number().over(
-        Window.partitionBy("band", "key")
-          .orderBy(rankHash.asc, col("doc_id").asc)))
-      .filter(col("bn") <= cap).drop("bn"))
+    // shared Knuth rank primitive (one Scala copy of the constants);
+    // keyTerm zero — a doc occupies exactly one bucket per band, so
+    // the band term already salts the survivor choice
+    val capped = graft.CacheScope.cached(Similarity.capBuckets(
+      sigBands(sig), "doc_id", cap, lit(0L)))
     capped.toDF("doc_a", "band", "key")
       .repartition(col("band"), col("key"))
       .join(capped.toDF("doc_b", "band", "key"), Seq("band", "key"))

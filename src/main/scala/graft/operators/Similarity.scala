@@ -1309,30 +1309,45 @@ object Similarity {
     */
   private[operators] def cappedCandidates(emb: DataFrame, bands: Int,
       r: Int, cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // vec_id pre-reduced mod 2^31 before the multiply: the raw product
-    // overflows Int64 for vec_id >= ~3.5e9 — exactly the huge-corpus
-    // regime this operator exists for (ANSI would throw; non-ANSI
-    // would silently diverge from the oracle). The reduction is an
-    // identity for every id below 2^31, and the oracle mirrors it.
-    val bucketHash = pmod(
-      pmod(col("vec_id"), lit(2147483648L)) * lit(2654435761L)
-        + col("band") * lit(40503L) + col("key") * lit(69069L),
-      lit(4294967296L))
     // the capping pipeline (band explode, per-bucket hash rank) is the
     // expensive pre-join stage and both sides of the self-join read it
     // — cached under CacheScope so it runs once per query, drained by
     // the consuming harness
-    val capped = graft.CacheScope.cached(bandKeys(emb, bands, r)
-      .withColumn("bn", row_number().over(
-        Window.partitionBy("band", "key").orderBy(
-          bucketHash.asc, col("vec_id").asc)))
-      .filter(col("bn") <= cap).drop("bn"))
+    val capped = graft.CacheScope.cached(capBuckets(
+      bandKeys(emb, bands, r), "vec_id", cap, col("key") * lit(69069L)))
     capped.toDF("vec_a", "band", "key")
       .repartition(col("band"), col("key"))
       .join(capped.toDF("vec_b", "band", "key"), Seq("band", "key"))
       .filter(col("vec_a") =!= col("vec_b"))
       .select("vec_a", "vec_b").distinct()
+  }
+
+  /** THE per-bucket cap primitive — one Scala copy of the Knuth rank
+    * convention both capped families (embedding `cappedCandidates`,
+    * text `Dedup.pairsFromSigsCapped`) and their SQL twins replay
+    * (r15 review: the constants lived in four places that must stay
+    * bit-identical). `bands` is an (idCol, band, key) relation; at
+    * most `cap` rows survive per (band, key), ranked by
+    * (id mod 2^31) * 2654435761 + band * 40503 + keyTerm, mod 2^32.
+    * The id pre-reduction keeps the product inside Int64 for ids
+    * >= ~3.5e9 — exactly the huge-corpus regime the cap exists for
+    * (ANSI would throw; non-ANSI would silently diverge from the
+    * oracle); it is an identity below 2^31, and the oracles mirror it.
+    * `keyTerm` is the per-bucket salt contribution of the key column
+    * (zero where a row occupies exactly one bucket per band, so the
+    * band term already salts).
+    */
+  private[operators] def capBuckets(bands: DataFrame, idCol: String,
+      cap: Int, keyTerm: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketHash = pmod(
+      pmod(col(idCol), lit(2147483648L)) * lit(2654435761L)
+        + col("band") * lit(40503L) + keyTerm,
+      lit(4294967296L))
+    bands.withColumn("bn", row_number().over(
+      Window.partitionBy("band", "key").orderBy(
+        bucketHash.asc, col(idCol).asc)))
+      .filter(col("bn") <= cap).drop("bn")
   }
 
   /** [[simHistogram]] over the CAPPED candidate set — the
@@ -1371,17 +1386,26 @@ object Similarity {
     * the eval's cost is the gold-label generation, as in
     * [[recallEval]]); each capped pass is the linear bounded join.
     */
-  def recallEvalCapped(emb: DataFrame, caps: Seq[Int] = Seq(4, 8, 16),
-      copies: Int = 10, stride: Int = 10, tau: Double = 0.4,
-      bands: Int = 16, r: Int = 4): DataFrame = {
-    // the dense corpus is read by the exact pass plus one pass per cap
-    // — cached under CacheScope, drained by the consuming harness
-    val dense = graft.CacheScope.cached(
+  /** The synthesized ADVERSARIALLY dense eval corpus both capped-recall
+    * evals share (one Scala copy — the SQL oracles hardcode its twin
+    * `vec_id * copies + c ... WHERE vec_id % stride = 0`, so the
+    * synthesis must not fork): every `stride`-th vector replicated
+    * `copies` times under fresh ids. Cached under CacheScope (read by
+    * several passes per eval), drained by the consuming harness.
+    */
+  private def denseEvalCorpus(emb: DataFrame, copies: Int,
+      stride: Int): DataFrame =
+    graft.CacheScope.cached(
       emb.filter(pmod(col("vec_id"), lit(stride.toLong)) === 0L)
         .select(col("vec_id"), col("embedding"),
           explode(array((0 until copies).map(lit): _*)).as("c"))
         .select((col("vec_id") * copies + col("c")).as("vec_id"),
           col("embedding")))
+
+  def recallEvalCapped(emb: DataFrame, caps: Seq[Int] = Seq(4, 8, 16),
+      copies: Int = 10, stride: Int = 10, tau: Double = 0.4,
+      bands: Int = 16, r: Int = 4): DataFrame = {
+    val dense = denseEvalCorpus(emb, copies, stride)
     val nExact = Dedup.embeddingCosine(dense, tau, bands, r)
       .agg(count(lit(1)).as("n_exact_pairs"))
     val perCap = caps.map { c =>
@@ -1420,12 +1444,7 @@ object Similarity {
     */
   def recallEvalRebanded(emb: DataFrame, copies: Int = 10,
       stride: Int = 10, tau: Double = 0.4): DataFrame = {
-    val dense = graft.CacheScope.cached(
-      emb.filter(pmod(col("vec_id"), lit(stride.toLong)) === 0L)
-        .select(col("vec_id"), col("embedding"),
-          explode(array((0 until copies).map(lit): _*)).as("c"))
-        .select((col("vec_id") * copies + col("c")).as("vec_id"),
-          col("embedding")))
+    val dense = denseEvalCorpus(emb, copies, stride)
     val e = dense.select(col("vec_id"), col("embedding"),
       VectorOps.norm(col("embedding")).as("nrm"))
     val truth = e.toDF("vec_a", "emb_a", "norm_a")

@@ -113,19 +113,26 @@ object EventsStream {
     * re-set explicitly below (ADVICE r14); a replay query that starts
     * needing another caller-side runtime conf must add it here.
     */
-  private[graft] def replaySession(spark: SparkSession): SparkSession =
-    // recompute when a cached clone's context has been stopped (a spec
-    // that stops/restarts Spark would otherwise be handed a dead clone
-    // for the same base-session object — ADVICE r14)
-    replaySessions.compute(spark, (s, cached) => {
-      if (cached != null && !cached.sparkContext.isStopped) cached
-      else {
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
-        ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ss
-      }
+  private[graft] def replaySession(spark: SparkSession): SparkSession = {
+    // a cached clone shares the base session's SparkContext, so a
+    // stopped clone means the BASE is stopped too — recreating via
+    // newSession() would just mint another dead clone (r15 review of
+    // the ADVICE-r14 guard). Fail fast with the real cause instead of
+    // handing back a session that breaks on first use, and evict the
+    // dead entry so it no longer pins the stopped session pair.
+    if (spark.sparkContext.isStopped) {
+      replaySessions.remove(spark)
+      throw new IllegalStateException(
+        "replaySession: the base session's SparkContext is stopped — " +
+          "streaming replays need a live session")
+    }
+    replaySessions.computeIfAbsent(spark, s => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ss
     })
+  }
 
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = replaySession(spark)
@@ -179,9 +186,9 @@ object EventsStream {
     new java.util.concurrent.atomic.AtomicReference[Map[String, Vector[DrainDiag]]](
       Map.empty)
 
-  /** Diagnostics of the most recent drain per checkpoint prefix
-    * (`stream_win_`, `stream_join_`, ...) — read by [[graft.Bench]]
-    * after each stream query and folded into BENCH_FULL.json.
+  /** Convenience view over [[drainDiagHistory]]: the most recent drain
+    * per checkpoint prefix (`stream_win_`, `stream_join_`, ...). Kept
+    * for smokes/specs; [[graft.Bench]] reads the full history.
     */
   def drainDiags: Map[String, DrainDiag] =
     drainDiagRef.get().map { case (k, v) => k -> v.last }

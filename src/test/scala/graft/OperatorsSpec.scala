@@ -170,6 +170,7 @@ class OperatorsSpec extends AnyFunSuite {
     // empty corpus: trivially exact, no candidates, no crash
     assert(pairs(Dedup.embeddingCosineAuto(emb.filter("vec_id < 0"),
       bands = 1, r = 2)).isEmpty)
+    graft.CacheScope.drain() // capped route registers caches
   }
 
   test("text-side cap + router: under-cap corpora are exact; a " +
