@@ -132,6 +132,41 @@ object DedupScaleSmoke {
     require(fullJ == prefJ, s"prefix path diverged: $fullJ vs $prefJ")
     require(fullJ == k2 / 2, s"expected ${k2 / 2} sibling pairs, got $fullJ")
     println(s"[dedupscale] jaccard pairs: $fullJ (paths agree)")
+
+    // ---- boilerplate-heavy corpus: the text-side dense-bucket regime
+    // (r15). 10% of docs are exact copies of only 1000 templates, so
+    // those MinHash buckets run ~n/10000 deep and the EXACT band join
+    // is quadratic in copy multiplicity; the capped path bounds pair
+    // volume at buckets x cap^2 and the auto router must pick it from
+    // the guard aggregate alone. Exact runs on a 10x smaller slice for
+    // the growth contrast (on the full corpus it would be the 100x
+    // blow-up this family exists to avoid).
+    val nb = math.max(n / 2, 10000L) // boilerplate corpus size
+    spark.range(nb).selectExpr("id AS doc_id",
+        """CASE WHEN id % 10 = 0
+          |  THEN concat('boilerplate template number ', id % 1000,
+          |              ' repeated across the crawl')
+          |  ELSE concat('unique document ', id, ' body text words here')
+          |END AS text""".stripMargin)
+      .write.parquet(s"$dir/boiler")
+    val boiler = spark.read.parquet(s"$dir/boiler")
+    val slice = boiler.filter(s"doc_id < ${nb / 10}")
+    val exSlice = timed(s"minhashLsh ${nb / 10} boilerplate docs (EXACT)")(
+      Dedup.minhashLsh(slice).count())
+    graft.CacheScope.drain()
+    val capSlice = timed(s"minhashLshCapped ${nb / 10} (capped twin)")(
+      Dedup.minhashLshCapped(slice).count())
+    graft.CacheScope.drain()
+    val capFull = timed(s"minhashLshCapped $nb boilerplate docs")(
+      Dedup.minhashLshCapped(boiler).count())
+    graft.CacheScope.drain()
+    val autoFull = timed(s"minhashLshAuto $nb (guard + routed)")(
+      Dedup.minhashLshAuto(boiler).count())
+    graft.CacheScope.drain()
+    require(autoFull == capFull,
+      s"auto router did not take the capped path: $autoFull vs $capFull")
+    println(s"[dedupscale] boilerplate: exact@${nb / 10}=$exSlice pairs, " +
+      s"capped@${nb / 10}=$capSlice, capped@$nb=$capFull (auto agrees)")
     println("[dedupscale] OK")
     spark.stop()
   }
