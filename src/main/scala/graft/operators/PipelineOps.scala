@@ -765,6 +765,18 @@ object PipelineOps {
   // replace commit is cheap; it uses commitReplacing("overwrite")
   // because reclustering is content-changing (a new doc can MERGE two
   // old clusters, relabelling rows a plain append could never touch).
+  //
+  // DENSITY CAVEAT (r15): the pair table is the EXACT band join
+  // (Dedup.pairsFromSigs) — the refresh-equals-rebuild contract
+  // depends on it (a capped pair set's survivors shift as the corpus
+  // grows, so delta banding could not reproduce a capped rebuild).
+  // On a boilerplate-heavy corpus whose band buckets run deep
+  // (Dedup.crossBandStats is the pre-launch guard), the exact join is
+  // quadratic in bucket depth; the density-routed entry point
+  // (Dedup.minhashLshAuto / pairsFromSigsCapped) bounds it, at the
+  // price of FULL rebuilds instead of delta refreshes — cap at
+  // ingest, or dedup the boilerplate exactly (Dedup.exact) before
+  // indexing, which restores shallow buckets and the delta contract.
 
   /** Build the cluster index from scratch. Refuses over an existing
     * index (fold growth in via [[refreshClusterIndex]]; drop the
