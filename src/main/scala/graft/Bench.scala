@@ -256,16 +256,21 @@ object Bench {
       val items = ds.map { case (k, hist) =>
         val d = hist.last
         val totals = hist.map(_.totalMs)
-        // truncated marks ANY drain in the history: a truncated drain's
-        // totalMs undercounts (the progress ring dropped its head), so
-        // min/max over the history are only trustworthy when no drain
-        // truncated — the flag must not hide behind the last drain
-        val anyTrunc = hist.exists(_.truncated)
+        // a truncated drain's totalMs undercounts (the progress ring
+        // dropped its head), so min/max over the history are only
+        // trustworthy when no drain truncated. A single boolean can't
+        // say WHICH extreme is the artifact (ADVICE r15), so the COUNT
+        // of truncated drains rides along: n_trunc == drains means
+        // both extremes undercount, 0 < n_trunc < drains means min may
+        // be a truncation artifact while max is a real measurement
+        val nTrunc = hist.count(_.truncated)
         "\"" + k + "\":{\"batches\":" + d.nBatches + ",\"rows\":" +
           d.inputRows + ",\"batch_ms\":[" + d.batchMs.mkString(",") + "]" +
           ",\"drains\":" + hist.size + ",\"total_ms_min\":" + totals.min +
           ",\"total_ms_max\":" + totals.max +
-          (if (anyTrunc) ",\"truncated\":true" else "") + "}"
+          (if (nTrunc > 0)
+            ",\"truncated\":true,\"truncated_drains\":" + nTrunc
+           else "") + "}"
       }.mkString("{", ",", "}")
       val base = try graft.streaming.EventsStream.scratchBase
         catch { case _: Exception => "unknown" }

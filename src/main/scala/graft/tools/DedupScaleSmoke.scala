@@ -134,8 +134,10 @@ object DedupScaleSmoke {
     println(s"[dedupscale] jaccard pairs: $fullJ (paths agree)")
 
     // ---- boilerplate-heavy corpus: the text-side dense-bucket regime
-    // (r15). 10% of docs are exact copies of only 1000 templates, so
-    // those MinHash buckets run ~n/10000 deep and the EXACT band join
+    // (r15). 10% of docs are exact copies of only 100 templates (the
+    // copy ids are multiples of 10, so `id % 1000` hits just the 100
+    // multiples of 10 — ADVICE r15), so those MinHash buckets run
+    // ~nb/1000 deep and the EXACT band join
     // is quadratic in copy multiplicity; the capped path bounds pair
     // volume at buckets x cap^2 and the auto router must pick it from
     // the guard aggregate alone. Exact runs on a 10x smaller slice for
