@@ -327,15 +327,26 @@ object Dedup {
   def minhashLshAuto(docs: DataFrame, n: Int = 4, cap: Int = 8,
       slack: Int = 8): DataFrame = {
     val sig = graft.CacheScope.cached(minhashSignatures(docs, n))
+    val (exactVolume, bandRows) = sigBandVolume(sig)
+    val pairs = if (exactVolume <= bandRows * cap * slack) pairsFromSigs(sig)
+      else pairsFromSigsCapped(sig, cap)
+    pairs.orderBy("doc_a", "doc_b")
+  }
+
+  /** The router/guard aggregate over a signature relation:
+    * (exact band join candidate volume = Σ|bucket|², total band rows).
+    * One constant-size aggregate — the same integer evidence
+    * [[minhashLshAuto]] routes on and the persisted cluster index's
+    * pre-launch density guard refuses on
+    * (PipelineOps.buildClusterIndex).
+    */
+  private[operators] def sigBandVolume(sig: DataFrame): (Long, Long) = {
     val st = sigBands(sig)
       .groupBy("band", "key").agg(count(lit(1)).as("cnt"))
       .agg(sum(col("cnt") * col("cnt")).as("bp"), sum(col("cnt")).as("br"))
       .head()
-    val exactVolume = if (st.isNullAt(0)) 0L else st.getLong(0)
-    val cappedBound = if (st.isNullAt(1)) 0L else st.getLong(1) * cap * slack
-    val pairs = if (exactVolume <= cappedBound) pairsFromSigs(sig)
-      else pairsFromSigsCapped(sig, cap)
-    pairs.orderBy("doc_a", "doc_b")
+    (if (st.isNullAt(0)) 0L else st.getLong(0),
+      if (st.isNullAt(1)) 0L else st.getLong(1))
   }
 
   /** The candidate pairs involving at least one DELTA document: band
@@ -571,9 +582,11 @@ object Dedup {
 
   /** (doc_id, band, key) rows of a 16-component signature relation —
     * the 4×4 banding both the candidate join and the volume guard
-    * below derive keys from.
+    * below derive keys from. `private[operators]`: the capped cluster
+    * index (PipelineOps) persists these rows' per-bucket cap survivors
+    * as index state.
     */
-  private def sigBands(sig: DataFrame): DataFrame = {
+  private[operators] def sigBands(sig: DataFrame): DataFrame = {
     val bandArray = array((0 until 4).map { bnd =>
       concat_ws(":", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*)
     }: _*)

@@ -770,18 +770,36 @@ object PipelineOps {
   // (Dedup.pairsFromSigs) — the refresh-equals-rebuild contract
   // depends on it (a capped pair set's survivors shift as the corpus
   // grows, so delta banding could not reproduce a capped rebuild).
-  // On a boilerplate-heavy corpus whose band buckets run deep
-  // (Dedup.crossBandStats is the pre-launch guard), the exact join is
-  // quadratic in bucket depth; the density-routed entry point
-  // (Dedup.minhashLshAuto / pairsFromSigsCapped) bounds it, at the
-  // price of FULL rebuilds instead of delta refreshes — cap at
-  // ingest, or dedup the boilerplate exactly (Dedup.exact) before
-  // indexing, which restores shallow buckets and the delta contract.
+  // On a boilerplate-heavy corpus whose band buckets run deep, the
+  // exact join is quadratic in bucket depth; buildClusterIndex now
+  // REFUSES such a corpus up front (r16 — the guard aggregate runs
+  // before any table is committed) and points at the bounded-work
+  // path: [[buildClusterIndexCapped]], whose per-bucket cap-survivor
+  // state restores the refresh-equals-rebuild contract WITH bounded
+  // work (top-cap by a static per-row rank is a semilattice:
+  // top-cap(A ∪ B) = top-cap(top-cap(A) ∪ B), so persisted survivors
+  // are sufficient state for an incremental fold). Alternatively,
+  // exact-dedup the boilerplate first (Dedup.exact), which restores
+  // shallow buckets and the exact index's full recall.
+
+  /** The exact index's density-refusal threshold: the same integer
+    * rule `Dedup.minhashLshAuto` routes on at its defaults
+    * (cap 8 × slack 8) — the exact band join may cost at most 64×
+    * the capped join's bounded candidate volume.
+    */
+  val ClusterIndexGuardCapSlack = 64L
 
   /** Build the cluster index from scratch. Refuses over an existing
     * index (fold growth in via [[refreshClusterIndex]]; drop the
     * tables to rebuild) — the bloom-index lesson: a blind rebuild
-    * would append duplicate signature/pair rows.
+    * would append duplicate signature/pair rows. Also refuses a
+    * DENSE corpus loudly (VERDICT r15 item 8): the pair table is the
+    * exact band join, quadratic in bucket depth, so a corpus whose
+    * measured candidate volume exceeds [[ClusterIndexGuardCapSlack]]×
+    * the capped bound must use [[buildClusterIndexCapped]] (bounded
+    * work, same refresh contract) or be exact-deduped first. The
+    * guard runs BEFORE any table is committed, so a refusal leaves no
+    * half-built index behind.
     */
   def buildClusterIndex(spark: SparkSession, docs: DataFrame, root: String,
       ns: String, table: String, iters: Int = ClusterIters): Unit = {
@@ -791,8 +809,19 @@ object PipelineOps {
       s"$ns.$table already holds a committed cluster index — fold new " +
         "docs in with refreshClusterIndex, or drop the index tables to " +
         "rebuild")
+    // cached: the guard aggregate and the committed write both read
+    // the signature pass (the corpus-scale shingle+rehash cost)
+    val sigsIn = graft.CacheScope.cached(Dedup.minhashSignatures(docs))
+    val (exactVolume, bandRows) = Dedup.sigBandVolume(sigsIn)
+    require(exactVolume <= bandRows * ClusterIndexGuardCapSlack,
+      s"$ns.$table: this corpus's MinHash band buckets are too deep for " +
+        s"the EXACT pair join (measured candidate volume $exactVolume > " +
+        s"${bandRows * ClusterIndexGuardCapSlack} = band_rows × " +
+        s"$ClusterIndexGuardCapSlack) — build a bounded-work index with " +
+        "buildClusterIndexCapped, or exact-dedup the boilerplate first " +
+        "(Dedup.exact) to restore shallow buckets")
     Partitioning.preparePartitioned(spark, root, ns, s"${table}_sig",
-      Dedup.minhashSignatures(docs), PartitionSpec("bucket", "doc_id", 8))
+      sigsIn, PartitionSpec("bucket", "doc_id", 8))
     val sigs = graft.plans.Mor.read(spark, root, ns, s"${table}_sig")
     Partitioning.preparePartitioned(spark, root, ns, s"${table}_pairs",
       Dedup.pairsFromSigs(sigs), PartitionSpec("bucket", "doc_a", 8))
@@ -827,10 +856,20 @@ object PipelineOps {
     */
   private def relabelClusterIndex(spark: SparkSession, root: String,
       ns: String, table: String, iters: Int, replace: Boolean): Unit = {
-    import graft.plans.{PartitionSpec, Partitioning, TableIO}
     val pairs = graft.CacheScope.cached(
       graft.plans.Mor.read(spark, root, ns, s"${table}_pairs"))
-    val labels = labelPropagation(pairs, iters)
+    publishLabels(spark, root, ns, table, labelPropagation(pairs, iters),
+      replace)
+  }
+
+  /** Shared label-snapshot publish: initial partitioned commit on
+    * build, replacing commit (content-changing "overwrite" marker) on
+    * refresh — a new doc can MERGE clusters, relabelling rows a plain
+    * append could never touch.
+    */
+  private def publishLabels(spark: SparkSession, root: String, ns: String,
+      table: String, labels: DataFrame, replace: Boolean): Unit = {
+    import graft.plans.{PartitionSpec, Partitioning, TableIO}
     if (!replace)
       Partitioning.preparePartitioned(spark, root, ns, table, labels,
         PartitionSpec("bucket", "doc_id", 8))
@@ -842,6 +881,151 @@ object PipelineOps {
       TableIO.commitReplacing(root, ns, table, entries,
         operation = Some("overwrite"))
     }
+  }
+
+  // --- CAPPED cluster index: the dense-corpus scale path (r16) ----------
+  // VERDICT r15 item 1: the exact index above gives dense corpora
+  // EITHER incremental refresh OR bounded work, never both. The capped
+  // index gives both by persisting the per-bucket CAP SURVIVORS as
+  // index state instead of full signatures:
+  //
+  //   {t}_surv (doc_id, band, key)  bucket(doc_id, 8)  REPLACED per refresh
+  //   {t}      (doc_id, cluster)    bucket(doc_id, 8)  REPLACED per refresh
+  //
+  // Why survivors are sufficient state: capBuckets keeps the top-`cap`
+  // rows per (band, key) under a STATIC total order (the Knuth rank is
+  // a pure function of (doc_id, band); ties on doc_id) — and top-k
+  // under a static total order is a semilattice,
+  //   top-cap(A ∪ B) = top-cap(top-cap(A) ∪ B),
+  // so re-capping (old survivors ∪ delta band rows) reproduces the
+  // from-scratch capped banding of the union corpus BIT-FOR-BIT,
+  // without ever re-touching old documents' text. A refresh therefore
+  // costs: the delta's shingle pass, one window over (touched-bucket
+  // survivors ∪ delta rows) — untouched buckets keep their frozen
+  // survivors verbatim — and a label propagation over the survivor
+  // self-join, whose pair volume is ≤ buckets × cap² by construction.
+  // The survivor and label snapshots are both index-sized (≤ 4 band
+  // rows per doc, ≤ cap per bucket), far smaller than the corpus, so
+  // their replace commits are cheap at any scale.
+  //
+  // TRADE vs the exact index: recall. The capped pair set is the exact
+  // set on corpora whose buckets are at or under the cap (spec-pinned
+  // equivalence); past the cap it keeps a bounded survivor clique per
+  // bucket — the measured loss and its re-banding mitigation live in
+  // the ann_recall_eval_capped / _rebanded ledger rows.
+
+  /** The cap is INDEX state, not a per-call knob: chosen at build,
+    * recorded next to the survivor table, replayed by every refresh —
+    * a refresh under a different cap would silently break the
+    * refresh-equals-rebuild contract.
+    */
+  private def writeClusterCap(root: String, ns: String, table: String,
+      cap: Int): Unit =
+    java.nio.file.Files.writeString(
+      graft.plans.TableIO.tableDir(root, ns, s"${table}_surv")
+        .resolve("cluster-cap.json"),
+      s"""{"cap":$cap}""")
+
+  private[graft] def readClusterCap(root: String, ns: String,
+      table: String): Int = {
+    val f = graft.plans.TableIO.tableDir(root, ns, s"${table}_surv")
+      .resolve("cluster-cap.json")
+    require(java.nio.file.Files.isRegularFile(f),
+      s"$ns.${table}_surv has no cluster-cap.json — not a capped cluster " +
+        "index (exact indexes refresh via refreshClusterIndex)")
+    val body = java.nio.file.Files.readString(f)
+    """"cap":(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"bad cluster-cap.json: $body"))
+  }
+
+  /** Build the CAPPED cluster index from scratch: per-bucket cap
+    * survivors of the corpus's MinHash band rows, committed as the
+    * index state, then labels propagated over the survivor self-join.
+    * Bounded work on ANY corpus density (pair volume ≤ buckets × cap²)
+    * — the production path [[buildClusterIndex]]'s density guard
+    * points at. Refuses over an existing index, like the exact build.
+    */
+  def buildClusterIndexCapped(spark: SparkSession, docs: DataFrame,
+      root: String, ns: String, table: String, cap: Int = 8,
+      iters: Int = ClusterIters): Unit = {
+    import graft.plans.{PartitionSpec, Partitioning, TableIO}
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(TableIO.currentVersion(root, ns, table) == 0L &&
+        TableIO.currentVersion(root, ns, s"${table}_surv") == 0L,
+      s"$ns.$table already holds a committed cluster index — fold new " +
+        "docs in with refreshClusterIndexCapped, or drop the index " +
+        "tables to rebuild")
+    val surv = Similarity.capBuckets(
+      Dedup.sigBands(Dedup.minhashSignatures(docs)), "doc_id", cap, lit(0L))
+      .select("doc_id", "band", "key")
+    Partitioning.preparePartitioned(spark, root, ns, s"${table}_surv",
+      surv, PartitionSpec("bucket", "doc_id", 8))
+    writeClusterCap(root, ns, table, cap)
+    relabelClusterIndexCapped(spark, root, ns, table, iters,
+      replace = false)
+  }
+
+  /** Fold a delta corpus (disjoint doc_ids — same contract as
+    * [[refreshClusterIndex]]) into the capped index: band the DELTA
+    * only, re-cap just the buckets the delta touches against their
+    * frozen survivors (the semilattice fold — see the block comment
+    * above), REPLACE the survivor snapshot, and re-propagate labels.
+    * Bit-identical to [[buildClusterIndexCapped]] on the union corpus
+    * (pinned by CappedClusterIndexSpec).
+    */
+  def refreshClusterIndexCapped(spark: SparkSession, delta: DataFrame,
+      root: String, ns: String, table: String,
+      iters: Int = ClusterIters): Unit = {
+    import graft.plans.{Partitioning, TableIO}
+    val cap = readClusterCap(root, ns, table)
+    // cached: read by the touched-bucket semi-join key set and the
+    // re-cap union — one shingle pass over the delta, not two
+    val deltaBands = graft.CacheScope.cached(
+      Dedup.sigBands(Dedup.minhashSignatures(delta))
+        .select("doc_id", "band", "key"))
+    val old = graft.plans.Mor.read(spark, root, ns, s"${table}_surv")
+      .select("doc_id", "band", "key")
+    val touchedKeys = deltaBands.select("band", "key").distinct()
+    // untouched buckets: no delta member — frozen survivors verbatim
+    val untouched = old.join(touchedKeys, Seq("band", "key"), "left_anti")
+    val touched = old.join(touchedKeys, Seq("band", "key"), "left_semi")
+    val recapped = Similarity.capBuckets(
+      touched.unionByName(deltaBands), "doc_id", cap, lit(0L))
+      .select("doc_id", "band", "key")
+    val surv = untouched.unionByName(recapped)
+    val spec = Partitioning.readSpec(root, ns, s"${table}_surv").getOrElse(
+      throw new IllegalStateException(
+        s"$ns.${table}_surv has no partition spec"))
+    val entries = Partitioning.writePartitioned(spark, root, ns,
+      s"${table}_surv", surv, spec,
+      seq = TableIO.nextSeq(root, ns, s"${table}_surv"))
+    TableIO.commitReplacing(root, ns, s"${table}_surv", entries,
+      operation = Some("overwrite"))
+    relabelClusterIndexCapped(spark, root, ns, table, iters,
+      replace = true)
+  }
+
+  /** Labels from the committed survivor snapshot: survivor self-join
+    * on (band, key) — pair volume ≤ buckets × cap² by construction —
+    * then the same fixed-round propagation and publish as the exact
+    * index. The pair set equals `Dedup.pairsFromSigsCapped` over the
+    * union corpus's signatures, so the one capped-clusters oracle
+    * covers build and refresh alike.
+    */
+  private def relabelClusterIndexCapped(spark: SparkSession, root: String,
+      ns: String, table: String, iters: Int, replace: Boolean): Unit = {
+    val surv = graft.CacheScope.cached(
+      graft.plans.Mor.read(spark, root, ns, s"${table}_surv")
+        .select("doc_id", "band", "key"))
+    val pairs = graft.CacheScope.cached(
+      surv.toDF("doc_a", "band", "key")
+        .repartition(col("band"), col("key"))
+        .join(surv.toDF("doc_b", "band", "key"), Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct())
+    publishLabels(spark, root, ns, table, labelPropagation(pairs, iters),
+      replace)
   }
 
   /** The committed (doc_id, cluster) labels — what every downstream

@@ -517,6 +517,53 @@ object Extensions {
       PipelineOps.readClusterIndex(s, r, "corp", "clusters")
         .orderBy("doc_id")
     }),
+    // the CAPPED cluster index (r16): per-bucket cap survivors ARE the
+    // index state, so dense corpora get bounded work AND incremental
+    // refresh together; the oracle replays the same cap before the
+    // pair join
+    "dedup_clusters_capped" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#clidxcap") {
+        root =>
+          PipelineOps.buildClusterIndexCapped(s, rd(s, dir, "documents"),
+            root, "corp", "clusters")
+      }
+      PipelineOps.readClusterIndex(s, r, "corp", "clusters")
+        .orderBy("doc_id")
+    }),
+    // the survivor-folding refresh under the SAME oracle: built on
+    // two-thirds of the corpus, refreshed with the last third's
+    // change-feed inserts — a fold that shifted a frozen survivor,
+    // dropped an eviction, or missed a cross-batch pair diverges from
+    // the from-scratch capped clustering
+    "dedup_clusters_capped_refreshed" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#clidxcapr") {
+        root =>
+          import org.apache.spark.sql.functions.col
+          import graft.plans.{Mor, TableIO}
+          val d = rd(s, dir, "documents")
+          val ns = "corp"
+          val base = d.filter(col("doc_id") % 3 =!= 0)
+          TableIO.createNamespace(root, ns)
+          TableIO.createTableIfNotExists(root, ns, "docs", base.schema)
+          TableIO.commit(root, ns, "docs", Seq(TableIO.writeExactFile(s,
+            root, ns, "docs", "data/d0.parquet", base, "data",
+            TableIO.nextSeq(root, ns, "docs"))))
+          PipelineOps.buildClusterIndexCapped(s,
+            Mor.read(s, root, ns, "docs"), root, ns, "clusters")
+          val late = d.filter(col("doc_id") % 3 === 0)
+          TableIO.commit(root, ns, "docs", Seq(TableIO.writeExactFile(s,
+            root, ns, "docs", "data/d1.parquet", late, "data",
+            TableIO.nextSeq(root, ns, "docs"))))
+          val delta = Mor.readChanges(s, root, ns, "docs", 1L, 2L)
+            .filter(col("_change_type") === "insert")
+            .drop("_change_type")
+          PipelineOps.refreshClusterIndexCapped(s, delta, root, ns,
+            "clusters")
+          ()
+      }
+      PipelineOps.readClusterIndex(s, r, "corp", "clusters")
+        .orderBy("doc_id")
+    }),
     // derived view over the INDEX labels (was: a second full
     // reclustering per the r11 verdict) — same oracle, same answer
     "dedup_cluster_stats" -> ((s, dir) => {
@@ -1214,17 +1261,23 @@ object Extensions {
   /** The near-dup pair graph + 3-round min-label propagation as a CTE
     * prefix (through `l3`) over the given base relation — shared by
     * the clusters oracle, the leakage-safe-split oracle, and the e2e
-    * curation composite.
+    * curation composite. `capped = true` replays the dense-bucket cap
+    * (the same Knuth-rank CTE as dedup_minhash_capped) before the
+    * pair join — the oracle of the CAPPED cluster index, whose
+    * survivor-folding refresh must equal this from-scratch capped
+    * clustering of the full corpus.
     */
-  private def clustersCtes(base: String): String =
+  private def clustersCtes(base: String, capped: Boolean = false): String = {
+    val pairSrc = if (capped) "capped" else "bands"
+    val capCte = if (capped) s"$minhashCappedCteSql,\n" else ""
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $base),
          |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
          |        FROM t WHERE len(w) >= 4),
          |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
          |sig AS (SELECT doc_id, $minhashSigCols FROM h GROUP BY doc_id),
          |bands AS ($bandsSql),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b
+         |${capCte}pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM $pairSrc a JOIN $pairSrc b
          |            ON a.band = b.band AND a.bkey = b.bkey
          |           AND a.doc_id < b.doc_id),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -1242,9 +1295,18 @@ object Extensions {
          |       FROM edges e JOIN l2 l ON l.doc_id = e.dst GROUP BY e.src),
          |l3 AS (SELECT l2.doc_id, least(l2.lab, n3.nlab) AS lab
          |       FROM l2 JOIN n3 USING (doc_id))""".stripMargin
+  }
 
   private lazy val dedupClustersSql: String =
     s"""WITH ${clustersCtes("documents")}
+       |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin
+
+  /** One oracle for the CAPPED cluster index's build AND
+    * survivor-folding refresh: both must equal this from-scratch
+    * capped clustering of the full corpus (refresh-equals-rebuild).
+    */
+  private lazy val dedupClustersCappedSql: String =
+    s"""WITH ${clustersCtes("documents", capped = true)}
        |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin
 
   /** Oracle of the e2e curation composite: Gopher gate → keep-best
@@ -2298,6 +2360,10 @@ object Extensions {
     // same-answer-rewrite rule)
     "dedup_clusters_indexed" -> dedupClustersSql,
     "dedup_clusters_refreshed" -> dedupClustersSql,
+    // build and survivor-folding refresh share the one capped oracle:
+    // refresh-equals-rebuild is the contract under test
+    "dedup_clusters_capped" -> dedupClustersCappedSql,
+    "dedup_clusters_capped_refreshed" -> dedupClustersCappedSql,
     "pipe_split_leakage_safe" -> leakageSafeSplitSql,
     "pipe_e2e_curation" -> e2eCurationSql,
 

@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.operators.{Dedup, PipelineOps}
+import graft.plans.TableIO
+
+/** The CAPPED cluster index (VERDICT r15 item 1): on a dense corpus
+  * the exact index gave EITHER incremental refresh OR bounded work —
+  * never both. Persisting the per-bucket cap SURVIVORS as index state
+  * gives both: top-cap under a static total order is a semilattice
+  * (top-cap(A ∪ B) = top-cap(top-cap(A) ∪ B)), so folding a delta's
+  * band rows against the frozen survivors reproduces the from-scratch
+  * capped rebuild bit-for-bit, while pair volume stays ≤ buckets×cap².
+  */
+class CappedClusterIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Boilerplate-heavy corpus (the DedupScaleSmoke regime): half the
+    * docs are EXACT copies of one template, so its MinHash buckets run
+    * n/2 deep — far past cap 8, the shape whose exact band join is
+    * quadratic and where the old index had no bounded path.
+    */
+  private def denseDocs(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map { id =>
+      val body =
+        if (id % 2 == 0)
+          "boilerplate template body alpha beta gamma delta epsilon zeta"
+        else s"unique filler text number $id with trailing entropy word$id"
+      (id, body)
+    }.toDF("doc_id", "text")
+  }
+
+  private def labelsOf(root: String): Seq[(Long, Long)] = {
+    val out = PipelineOps.readClusterIndex(spark, root, "corp", "clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    CacheScope.drain()
+    out
+  }
+
+  private def survivorsOf(root: String): Seq[(Long, Int, String)] = {
+    val out = graft.plans.Mor.read(spark, root, "corp", "clusters_surv")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSeq.sorted
+    CacheScope.drain()
+    out
+  }
+
+  test("dense corpus: survivor-folding refresh is bit-identical to a " +
+      "from-scratch capped rebuild, with bounded survivor state") {
+    val ids = (0L until 600L)
+    val docs = denseDocs(ids)
+    val batch1 = docs.filter(col("doc_id") < 400)
+    val batch2 = docs.filter(col("doc_id") >= 400)
+
+    val rebuildRoot = Files.createTempDirectory("graft-clcap-a-").toString
+    PipelineOps.buildClusterIndexCapped(spark, docs, rebuildRoot, "corp",
+      "clusters")
+    CacheScope.drain()
+
+    val refreshRoot = Files.createTempDirectory("graft-clcap-b-").toString
+    PipelineOps.buildClusterIndexCapped(spark, batch1, refreshRoot, "corp",
+      "clusters")
+    CacheScope.drain()
+    val preRefresh = survivorsOf(refreshRoot)
+    PipelineOps.refreshClusterIndexCapped(spark, batch2, refreshRoot,
+      "corp", "clusters")
+    CacheScope.drain()
+
+    assert(labelsOf(refreshRoot) == labelsOf(rebuildRoot))
+    // the SURVIVOR state converged too (labels only happening to match
+    // over diverged survivor sets would be a latent bug)
+    val s = survivorsOf(refreshRoot)
+    assert(s == survivorsOf(rebuildRoot) && s.nonEmpty)
+    // bounded state: no bucket holds more than cap survivors, even
+    // though the template bucket's true membership is 300 deep
+    val maxDepth = s.groupBy(r => (r._2, r._3)).values.map(_.size).max
+    assert(maxDepth <= 8, s"bucket depth $maxDepth exceeds cap 8")
+    // the fold EVICTED at least one frozen survivor (a delta doc
+    // out-ranked it) — the interesting semilattice case, not a plain
+    // append; this is what the exact index's delta contract could
+    // never reproduce for capped pairs
+    val survIds = s.map(_._1).toSet
+    assert(preRefresh.exists(r => !survIds.contains(r._1)),
+      "refresh exercised no eviction — fixture too sparse to test the fold")
+  }
+
+  /** Genuinely sparse corpus: duplicate groups of exactly 2 whose
+    * vocabulary is group-suffixed THROUGHOUT (no shared shingles
+    * across groups — a shared prefix alone makes LSH bands collide
+    * cross-group and buckets run past the cap), so every band bucket
+    * is at most 2 deep.
+    */
+  private def sparseDocs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val id = i.toLong
+      val g = i / 3
+      val body =
+        if (i % 3 < 2)
+          s"shared$g corpus$g body$g alpha$g beta$g gamma$g delta$g zeta$g"
+        else s"unique filler text number $i with trailing entropy word$i"
+      (id, body)
+    }.toDF("doc_id", "text")
+  }
+
+  test("sparse corpus (every bucket at or under cap): capped index " +
+      "labels equal the exact index's") {
+    val docs = sparseDocs(60)
+    val exactRoot = Files.createTempDirectory("graft-clcap-c-").toString
+    PipelineOps.buildClusterIndex(spark, docs, exactRoot, "corp", "clusters")
+    CacheScope.drain()
+    val cappedRoot = Files.createTempDirectory("graft-clcap-d-").toString
+    PipelineOps.buildClusterIndexCapped(spark, docs, cappedRoot, "corp",
+      "clusters")
+    CacheScope.drain()
+    val l = labelsOf(cappedRoot)
+    assert(l == labelsOf(exactRoot) && l.nonEmpty)
+  }
+
+  test("refresh RELABELS pre-existing rows via a replacing commit " +
+      "with the overwrite marker") {
+    import spark.implicits._
+    val base = Seq(
+      (10L, "same exact body tokens one two three four five six"),
+      (11L, "same exact body tokens one two three four five six"),
+      (20L, "unrelated filler content omega psi chi phi upsilon tau"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (5L, "same exact body tokens one two three four five six"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-clcap-e-").toString
+    PipelineOps.buildClusterIndexCapped(spark, base, root, "corp",
+      "clusters")
+    CacheScope.drain()
+    assert(labelsOf(root) == Seq((10L, 10L), (11L, 10L)))
+    val vBuild = TableIO.currentVersion(root, "corp", "clusters")
+
+    PipelineOps.refreshClusterIndexCapped(spark, delta, root, "corp",
+      "clusters")
+    CacheScope.drain()
+    assert(labelsOf(root) == Seq((5L, 5L), (10L, 5L), (11L, 5L)))
+    val vNow = TableIO.currentVersion(root, "corp", "clusters")
+    assert(vNow == vBuild + 1)
+    assert(TableIO.replaceOperation(root, "corp", "clusters", vNow)
+      .contains("overwrite"))
+  }
+
+  test("a second capped build refuses; refreshing an EXACT index via " +
+      "the capped fold refuses (cap is index state, not a knob)") {
+    val root = Files.createTempDirectory("graft-clcap-f-").toString
+    val docs = denseDocs(0L until 24L)
+    PipelineOps.buildClusterIndexCapped(spark, docs, root, "corp",
+      "clusters")
+    CacheScope.drain()
+    val e = intercept[IllegalArgumentException](
+      PipelineOps.buildClusterIndexCapped(spark, docs, root, "corp",
+        "clusters"))
+    assert(e.getMessage.contains("refreshClusterIndexCapped"))
+    CacheScope.drain()
+
+    val exactRoot = Files.createTempDirectory("graft-clcap-g-").toString
+    PipelineOps.buildClusterIndex(spark, sparseDocs(24), exactRoot,
+      "corp", "clusters")
+    CacheScope.drain()
+    val e2 = intercept[IllegalArgumentException](
+      PipelineOps.refreshClusterIndexCapped(spark, docs, exactRoot,
+        "corp", "clusters"))
+    assert(e2.getMessage.contains("not a capped cluster index"))
+    CacheScope.drain()
+  }
+
+  test("the EXACT build refuses a dense corpus loudly, naming the " +
+      "capped path and the measured volume (VERDICT r15 item 8)") {
+    val root = Files.createTempDirectory("graft-clcap-h-").toString
+    val e = intercept[IllegalArgumentException](
+      PipelineOps.buildClusterIndex(spark, denseDocs(0L until 600L),
+        root, "corp", "clusters"))
+    assert(e.getMessage.contains("buildClusterIndexCapped"))
+    assert(e.getMessage.contains("candidate volume"))
+    CacheScope.drain()
+    // the refusal left nothing behind: no half-built index blocks a
+    // later capped build at the same root
+    PipelineOps.buildClusterIndexCapped(spark, denseDocs(0L until 600L),
+      root, "corp", "clusters")
+    CacheScope.drain()
+    assert(labelsOf(root).nonEmpty)
+  }
+}
