@@ -281,21 +281,17 @@ object Dedup {
     * deep and the band self-join's pair volume sum(|bucket|²) goes
     * quadratic — the same measured phenomenon as the embedding side.
     * Each (band, key) bucket keeps at most `cap` members, ranked by
-    * the same deterministic Knuth multiplicative hash the embedding
-    * cap uses (one convention, one oracle shape); the key needs no
-    * hash term because a document occupies exactly one bucket per
-    * band. HONEST LIMIT of the additive band salt (same on the
-    * embedding side): it only reorders members across bands via the
-    * mod-2³² wraparound, so a clone group (identical signatures) keeps
-    * largely the SAME cap survivors in every band. For cluster dedup
-    * that is the benign direction — a consistent survivor subset
-    * still forms one connected component that marks the clone cluster
-    * for representative-based dropping — but it is part of why
-    * per-PAIR recall collapses on deep buckets
-    * (`ann_recall_eval_capped`); pair volume stays bounded at
-    * buckets × cap², and buckets at or under the cap are untouched,
-    * so on sane corpora the result equals [[pairsFromSigs]] exactly
-    * (spec-pinned).
+    * the same deterministic multiplicative per-band Knuth mix the
+    * embedding cap uses (one convention — `Similarity.capBuckets` —
+    * one oracle shape); the key needs no hash term because a document
+    * occupies exactly one bucket per band. The band mixing INSIDE the
+    * multiplication (r16 SaltProbe adoption) makes each band cap an
+    * independent survivor subset of a clone group, so the bands' union
+    * covers up to bands× more true pairs than the r15 additive salt
+    * did (measured ×2.2–×5.4) at identical bounded work; pair volume
+    * stays bounded at buckets × cap², and buckets at or under the cap
+    * are untouched, so on sane corpora the result equals
+    * [[pairsFromSigs]] exactly (spec-pinned).
     */
   def pairsFromSigsCapped(sig: DataFrame, cap: Int = 8): DataFrame = {
     // shared Knuth rank primitive (one Scala copy of the constants);

@@ -1257,18 +1257,19 @@ object Similarity {
     * The production mitigation is a candidate BUDGET: each (band, key)
     * bucket keeps at most `cap` members, so pair volume is bounded by
     * buckets x cap² — linear in the corpus. Which members survive is a
-    * deterministic pseudo-random choice (rank by a Knuth
-    * multiplicative hash of (vec_id, band, key)), unbiased by id
-    * locality AND oracle-replayable. HONEST LIMIT (found by the r15
-    * ledger): the band/key salt is ADDITIVE, so it reorders a bucket's
-    * members across bands only via the mod-2³² wraparound — a clone
-    * group (identical vectors, hence identical buckets in every band)
-    * keeps largely the same cap survivors in all bands, which is part
-    * of why per-pair recall collapses ~(cap/depth)² on deep buckets
-    * (`ann_recall_eval_capped`); the measured fix is re-banding
-    * (`ann_recall_eval_rebanded`), not a different salt — survivors
-    * rotating per band would scatter a clone cluster into
-    * per-band fragments without bounding depth. Buckets at or under
+    * deterministic pseudo-random choice (rank by the multiplicative
+    * per-band Knuth mix of (vec_id, band, key) — [[capBuckets]]),
+    * unbiased by id locality AND oracle-replayable. The r15 ledger
+    * found the then-ADDITIVE salt kept the SAME survivors in every
+    * band for a clone group (identical vectors → identical buckets in
+    * all bands), wasting the bands' union coverage; the r16 A/B
+    * (tools/SaltProbe) measured the multiplicative mix — each band
+    * capping an independent survivor subset — at ×2.2–×5.4 the pair
+    * recall at identical bounded work, and it was adopted. Deep
+    * buckets still lose recall ~(bands·cap²/depth²)
+    * (`ann_recall_eval_capped`); past that, the fix is re-banding
+    * (`ann_recall_eval_rebanded`) — more bits per band bound the depth
+    * itself, and the two compose. Buckets at or under
     * the cap are untouched — on a corpus with sane bucket occupancy
     * the result equals [[knnJoin]]'s exactly (spec-pinned). Spark 4
     * pushes the rank limit into WindowGroupLimit before the window
@@ -1327,22 +1328,37 @@ object Similarity {
     * text `Dedup.pairsFromSigsCapped`) and their SQL twins replay
     * (r15 review: the constants lived in four places that must stay
     * bit-identical). `bands` is an (idCol, band, key) relation; at
-    * most `cap` rows survive per (band, key), ranked by
-    * (id mod 2^31) * 2654435761 + band * 40503 + keyTerm, mod 2^32.
-    * The id pre-reduction keeps the product inside Int64 for ids
-    * >= ~3.5e9 — exactly the huge-corpus regime the cap exists for
-    * (ANSI would throw; non-ANSI would silently diverge from the
-    * oracle); it is an identity below 2^31, and the oracles mirror it.
-    * `keyTerm` is the per-bucket salt contribution of the key column
-    * (zero where a row occupies exactly one bucket per band, so the
-    * band term already salts).
+    * most `cap` rows survive per (band, key), ranked by the
+    * MULTIPLICATIVE per-band mix
+    *   ((id mod 2^31 + band·40503 + keyTerm) mod 2^31) · 2654435761,
+    *   mod 2^32.
+    * Mixing band/key INSIDE the multiplication gives every (band, key)
+    * bucket an independent id permutation — adopted in r16 after the
+    * measured A/B (tools/SaltProbe, dense clone corpora at depths
+    * 30/125): the previous ADDITIVE salt (id·A + band·c + keyTerm)
+    * only shifted one global permutation, so a clone group kept the
+    * SAME cap survivors in every band and union pair coverage stayed
+    * ~cap² however many bands ran; rotating the survivor subset per
+    * band lifted capped pair recall ×2.2 (16x4 @ depth 30), ×2.6
+    * (16x4 @ 125), ×4.0 (8x8 @ 30), ×5.4 (8x8 @ 125) at IDENTICAL
+    * bounded work (the buckets × cap² volume bound is
+    * salt-independent), and it composes with the re-banding
+    * mitigation. The inner mod-2^31 reduction keeps the product inside
+    * Int64 at any id (ANSI would throw; non-ANSI would silently
+    * diverge from the oracle); all operands stay positive, so DuckDB's
+    * `%` equals Spark's pmod, and the rank stays a STATIC pure
+    * function of (id, band, key) — the semilattice property the capped
+    * cluster index's survivor-folding refresh depends on. `keyTerm` is
+    * the key column's salt contribution (zero where a row occupies
+    * exactly one bucket per band, so the band term already rotates).
     */
   private[operators] def capBuckets(bands: DataFrame, idCol: String,
       cap: Int, keyTerm: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketHash = pmod(
-      pmod(col(idCol), lit(2147483648L)) * lit(2654435761L)
-        + col("band") * lit(40503L) + keyTerm,
+      pmod(pmod(col(idCol), lit(2147483648L))
+          + col("band") * lit(40503L) + keyTerm,
+        lit(2147483648L)) * lit(2654435761L),
       lit(4294967296L))
     bands.withColumn("bn", row_number().over(
       Window.partitionBy("band", "key").orderBy(
@@ -1421,20 +1437,23 @@ object Similarity {
       .orderBy("cap")
   }
 
-  /** The MITIGATION the cap's recall collapse calls for, measured —
-    * [[recallEvalCapped]] shows a fixed cap on deep buckets destroys
-    * pair recall (cap 8 keeps 0.5% of the dense corpus's near-dup
-    * pairs: survival per bucket is ~(cap/|bucket|)², and the
-    * adversarial corpus runs buckets ~100+ deep at 16x4-bit banding).
-    * The production response is NOT a bigger cap (work grows cap²) but
-    * RE-BANDING: more sign bits per band shrink buckets geometrically
-    * (r 4→8 divides expected occupancy by 16), bringing depth back
-    * under the cap — exactly the re-parameterization
-    * [[bandCandidateStats]] exists to trigger. This eval measures all
+  /** The MITIGATION the cap's recall loss calls for, measured —
+    * [[recallEvalCapped]] shows a fixed cap on deep buckets loses
+    * pair recall (post-r16-salt: cap 8 keeps 0.56 of the default
+    * 10-copy dense corpus's near-dup pairs, and the loss steepens
+    * ~bands·cap²/depth² as buckets deepen — 0.0055 at 125-deep in the
+    * SaltProbe regime). The production response is NOT a bigger cap
+    * (work grows cap²) but RE-BANDING: more sign bits per band shrink
+    * buckets geometrically (r 4→8 divides expected occupancy by 16),
+    * bringing depth back under the cap — exactly the
+    * re-parameterization [[bandCandidateStats]] exists to trigger, and
+    * it COMPOSES with the rotating per-band cap (measured here at 0.97
+    * recall on the default corpus, up from 0.58 under the r15 additive
+    * salt). This eval measures all
     * three configurations against the TRUE near-dup pair set (exact
     * all-pairs cosine >= tau over the dense corpus): the exact 16x4
-    * banded join (LSH loss alone), the capped 16x4 join (the
-    * collapse), and the re-banded 8x8 capped join (the recovery).
+    * banded join (LSH loss alone), the capped 16x4 join (the loss),
+    * and the re-banded 8x8 capped join (the recovery).
     * Every config's output pairs pass the same tau filter, so each is
     * a subset of truth and recall is again a ratio of agreed counts.
     *

@@ -832,15 +832,17 @@ object Extensions {
   }.mkString(" UNION ALL ")
 
   /** DuckDB twin of Dedup.pairsFromSigsCapped's bucket cap over the
-    * minhash `bands` CTE — the (doc_id, band) Knuth rank (no key term:
-    * one bucket per band per doc), cap 8.
+    * minhash `bands` CTE — the (doc_id, band) multiplicative Knuth
+    * rank (no key term: one bucket per band per doc), cap 8. The band
+    * mixes INSIDE the multiplication (r16 SaltProbe adoption) so each
+    * band caps an independent survivor subset.
     */
   private lazy val minhashCappedCteSql: String =
     s"""capped AS (SELECT doc_id, band, bkey FROM (
        |    SELECT doc_id, band, bkey, row_number() OVER (
        |        PARTITION BY band, bkey ORDER BY
-       |          ((doc_id % 2147483648) * 2654435761 + band * 40503)
-       |            % 4294967296 ASC, doc_id ASC) AS bn
+       |          (((doc_id % 2147483648 + band * 40503) % 2147483648)
+       |            * 2654435761) % 4294967296 ASC, doc_id ASC) AS bn
        |    FROM bands) WHERE bn <= 8)""".stripMargin
 
   private val simhashBitsSql = (0 until 32).map { i =>
@@ -893,11 +895,13 @@ object Extensions {
 
   /** The dense-bucket-cap CTE prefix shared by the capped join and
     * capped histogram oracles: each (band, bkey) bucket keeps its 8
-    * lowest members by the same per-bucket Knuth multiplicative hash
-    * the engine ranks on (vec_id pre-reduced mod 2^31 so the product
-    * cannot overflow Int64; all-positive operands, so DuckDB's % ==
-    * Spark's pmod). One copy: the hash constants and the cap must
-    * match `Similarity.cappedCandidates` exactly.
+    * lowest members by the same MULTIPLICATIVE per-band Knuth rank the
+    * engine uses (band/key mixed inside the multiplication — r16
+    * SaltProbe adoption — so each bucket caps an independent id
+    * permutation; vec_id pre-reduced mod 2^31 so the product cannot
+    * overflow Int64; all-positive operands, so DuckDB's % == Spark's
+    * pmod). One copy: the hash constants and the cap must match
+    * `Similarity.capBuckets` exactly.
     */
   /** One bucket-capped CTE (named `name`, cap parameterized) over a
     * `bands` CTE — the recall eval instantiates it at several caps in
@@ -908,8 +912,8 @@ object Extensions {
     s"""$name AS (SELECT vec_id, band, bkey FROM (
        |    SELECT vec_id, band, bkey, row_number() OVER (
        |        PARTITION BY band, bkey ORDER BY
-       |          ((vec_id % 2147483648) * 2654435761
-       |            + band * 40503 + bkey * 69069)
+       |          (((vec_id % 2147483648 + band * 40503 + bkey * 69069)
+       |            % 2147483648) * 2654435761)
        |            % 4294967296 ASC, vec_id ASC) AS bn
        |    FROM $src) WHERE bn <= $cap)""".stripMargin
 
