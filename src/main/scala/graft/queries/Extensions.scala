@@ -230,7 +230,10 @@ object Extensions {
         incoming = d.filter(col("doc_id") % 2 === 0),
         existing = d.filter(col("doc_id") % 4 === 0))
     }),
-    "dedup_semantic" -> ((s, dir) => Dedup.semantic(rdEmbeddings(s, dir))),
+    // corpus-scaled k (r16): k = max(8, n div 256) keeps expected
+    // cluster size — and so total within-cluster pair volume — linear
+    // in the corpus; the oracle replays the same integer arithmetic
+    "dedup_semantic" -> ((s, dir) => Dedup.semanticAuto(rdEmbeddings(s, dir))),
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimate(rd(s, dir, "documents"))),
     "ann_topk" -> ((s, dir) => Similarity.bruteTopK(rdEmbeddings(s, dir))),
@@ -1976,12 +1979,16 @@ object Extensions {
 
     // SemDeDup: the same k-means replay, then within-cluster pairwise
     // cosine — a vector is a dup if a lower-id cluster-mate is within
-    // tau; census per cluster
+    // tau; census per cluster. The seed-count subquery replays
+    // semanticAuto's corpus-scaled k = max(8, n div 256) — the same
+    // integer arithmetic the engine routes on (r16)
     "dedup_semantic" ->
       s"""WITH dims AS (
          |  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS e
          |  FROM embeddings, range(0, 64) t(i)),
-         |c0 AS (SELECT vec_id AS cid, pos, e AS c FROM dims WHERE vec_id < 8),
+         |c0 AS (SELECT vec_id AS cid, pos, e AS c FROM dims
+         |       WHERE vec_id < (SELECT greatest(8, count(*) // 256)
+         |                       FROM embeddings)),
          |a1 AS (${assignSql("c0")}),
          |c1 AS (${updateSql("a1")}),
          |a2 AS (${assignSql("c1")}),

@@ -803,6 +803,35 @@ class OperatorsSpec extends AnyFunSuite {
       "within-cluster self-join lost its block-shard keys")
   }
 
+  test("semanticAuto scales k with the corpus so pair volume stays " +
+      "~n x targetClusterSize, and equals fixed-k under the floor") {
+    // under the floor (n < kMin*target): bit-identical to semantic(k=8)
+    val small = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 7 + j) % 11 - 5) * 0.1f)))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.semanticAuto(small, targetClusterSize = 16).collect().toSeq
+      == Dedup.semantic(small, kClusters = 8).collect().toSeq)
+    // dense regime: n=1024, target=64 -> k = max(8, 16) = 16, and the
+    // measured within-cluster candidate volume sum(|cluster|^2) stays
+    // within a small factor of n*target (fixed k=8 would be ~2x it on
+    // this spread-out fixture, and the gap widens linearly with n)
+    val n = 1024
+    val big = (0 until n).map(i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 31 + j * 17) % 97 - 48) * 0.02f)))
+      .toDF("vec_id", "embedding")
+    val k = math.max(8L, n / 64L).toInt
+    assert(k == 16)
+    val sizes = graft.operators.Similarity.kmeansAssign(big, k)
+      .groupBy("cid").count().collect().map(_.getLong(1))
+    assert(sizes.sum == n)
+    val pairVolume = sizes.map(s => s * s).sum
+    assert(pairVolume <= 4L * n * 64,
+      s"pair volume $pairVolume exceeds 4x n*targetClusterSize")
+    // the routed operator produces exactly the k-cluster census
+    assert(Dedup.semanticAuto(big, targetClusterSize = 64).collect().toSeq
+      == Dedup.semantic(big, kClusters = k).collect().toSeq)
+  }
+
   test("langId predicts marker languages with fixed tie precedence") {
     val d = Seq(
       (1L, "the cat sat on the mat", "en"),
