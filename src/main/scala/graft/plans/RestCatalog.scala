@@ -163,6 +163,17 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
     putLog.iterator().asScala.toSeq
   }
 
+  /** Uploader tag (the `X-Graft-Uploader` header) of each PUT, in
+    * arrival order — lets a spec prove uploads came from MULTIPLE
+    * executor tasks (RestUpload), not a driver-sequential loop.
+    */
+  private val uploaderLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def putUploaders: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    uploaderLog.iterator().asScala.toSeq
+  }
+
   override def close(): Unit = server.stop(0)
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -333,8 +344,12 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             written
           } finally java.nio.file.Files.deleteIfExists(tmp)
-          if (putLogCount.incrementAndGet() <= FileLogCap)
+          if (putLogCount.incrementAndGet() <= FileLogCap) {
             putLog.add((rel, n))
+            uploaderLog.add(Option(
+              ex.getRequestHeaders.getFirst("X-Graft-Uploader"))
+              .getOrElse("unknown"))
+          }
           reply(200, s"""{"path":"$rel","size":$n}""")
         case ("POST", List("namespaces", ns0, "tables", t0, "commit")) =>
           val ns = RestJson.requireIdent(ns0, "namespace")
@@ -430,10 +445,12 @@ final class RestCatalogClient(baseUri: String) {
     * object in memory). `putObject(bytes)` stays for the in-memory
     * fixtures specs synthesize.
     */
-  def putFile(relPath: String, file: java.nio.file.Path): Unit = {
+  def putFile(relPath: String, file: java.nio.file.Path,
+      uploader: String = "driver"): Unit = {
     val req = HttpRequest.newBuilder(
       URI.create(s"$baseUri/files/$relPath"))
       .header("Content-Type", "application/octet-stream")
+      .header("X-Graft-Uploader", uploader)
       .PUT(HttpRequest.BodyPublishers.ofFile(file)).build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
@@ -498,5 +515,42 @@ final class RestCatalogClient(baseUri: String) {
       require(code == 200, s"commit($ns.$table) failed $code: $resp")
       Right(RestJson.field(resp, "version").get.toLong)
     }
+  }
+}
+
+/** EXECUTOR-SIDE object-store upload (VERDICT r15 item 5): the tasks
+  * upload the staged files, not the driver. `gen_rest_write`
+  * previously streamed each PUT body but still looped file-by-file on
+  * the driver — at 100 TB the driver becomes the wire bottleneck
+  * (every byte of every parquet file funnels through one host's NIC).
+  * Real engines upload from the executors that hold the files; this
+  * helper is that shape: the staged rel-paths are distributed over
+  * `parallelism` tasks, each task opens its own HTTP client and PUTs
+  * its slice, and the per-task upload counts come back so the caller
+  * can assert completeness (putRequests == fileCount stays the
+  * self-check). An RDD is the right tool here — per-partition
+  * imperative IO with no relational semantics — and each PUT carries
+  * an `X-Graft-Uploader: task-N` tag so a spec can prove >1 concurrent
+  * uploader did the work. Upload-before-commit ordering is the
+  * caller's contract (run this, then CAS-commit the manifest).
+  */
+object RestUpload {
+  def putFiles(spark: org.apache.spark.sql.SparkSession, baseUri: String,
+      stagedTableDir: String, putPrefix: String, rels: Seq[String],
+      parallelism: Int = 8): Map[String, Long] = {
+    if (rels.isEmpty) return Map.empty
+    val slices = math.max(1, math.min(parallelism, rels.size))
+    spark.sparkContext.parallelize(rels, slices).mapPartitions { it =>
+      val client = new RestCatalogClient(baseUri)
+      val tag = s"task-${org.apache.spark.TaskContext.getPartitionId()}"
+      var n = 0L
+      it.foreach { rel =>
+        client.putFile(s"$putPrefix/$rel",
+          java.nio.file.Paths.get(stagedTableDir).resolve(rel),
+          uploader = tag)
+        n += 1
+      }
+      Iterator.single(tag -> n)
+    }.collect().toMap
   }
 }

@@ -57,13 +57,18 @@ object Generated {
   private def restPrepare(s: SparkSession, c2: GenConfig,
       client: graft.plans.RestCatalogClient,
       writeFile: (String, DataFrame, String, Long, Long,
-        Map[String, (Long, Long)]) => graft.plans.ManifestEntry): Unit = {
+        Map[String, (Long, Long)]) => graft.plans.ManifestEntry,
+      beforeCommit: () => Unit = () => ()): Unit = {
     import graft.sources.{FixSchemaGen, FixSchemaGenerator}
     client.createNamespace(c2.namespace)
     client.createTable(c2.namespace, c2.tableName,
       FixSchemaGenerator.schema)
     val rpf = c2.data.rowsPerFile
     def casCommit(entries: Seq[graft.plans.ManifestEntry]): Unit = {
+      // the phase's staged files must be durable in the object store
+      // BEFORE the commit references them (upload-then-commit — the
+      // reference's S3 ordering); the hook runs the upload step
+      beforeCommit()
       // load → commit with expected version: the optimistic loop
       // a real REST-catalog writer runs
       val (v, _, _) = client.loadTable(c2.namespace, c2.tableName)
@@ -130,13 +135,19 @@ object Generated {
     * references them — the producer half of the reference's S3 config
     * (`/root/reference/src/main.rs:137-158`: each writer sends its
     * file through the catalog's FileIO to object storage, and only the
-    * returned metadata enters the append transaction). The build
-    * self-checks that every committed file's bytes travelled the PUT
-    * route; [[RestCatalogSpec]] pins the route's atomic-publish,
-    * traversal-guard, and read-back semantics directly.
+    * returned metadata enters the append transaction). Uploads run
+    * EXECUTOR-SIDE (VERDICT r15 item 5, via [[graft.plans.RestUpload]]):
+    * each phase's staged files fan out over parallel tasks — streamed
+    * PUT bodies, one HTTP client per task — instead of a
+    * driver-sequential loop that would bottleneck every byte through
+    * one host at 100 TB. The build self-checks that every committed
+    * file's bytes travelled the PUT route AND that more than one task
+    * did the uploading; [[RestCatalogSpec]] pins the route's
+    * atomic-publish, traversal-guard, read-back, and multi-uploader
+    * semantics directly.
     */
   private def restWriteRoot(s: SparkSession, dir: String): String = {
-    import graft.plans.{RestCatalogClient, RestCatalogServer}
+    import graft.plans.{RestCatalogClient, RestCatalogServer, RestUpload}
     import graft.sources.FixSchemaGenerator
     val c2 = cfg.copy(tableName = "t1_restw")
     GeneratedTables.ensureCustom(dir + "#restw") { root =>
@@ -149,22 +160,32 @@ object Generated {
         TableIO.createNamespace(scratch.toString, c2.namespace)
         TableIO.createTableIfNotExists(scratch.toString, c2.namespace,
           c2.tableName, FixSchemaGenerator.schema)
+        val stagedDir = TableIO.tableDir(scratch.toString, c2.namespace,
+          c2.tableName).toString
+        val staged = scala.collection.mutable.ListBuffer.empty[String]
         restPrepare(s, c2, client, (rel, df, content, seq, n, bounds) => {
           val e = TableIO.writeExactFile(s, scratch.toString, c2.namespace,
             c2.tableName, rel, df, content, seq, n, bounds = bounds)
-          // STREAMED upload (VERDICT r14 item 4): the staged file's
-          // bytes feed the PUT body in bounded chunks — a 1 GB parquet
-          // upload no longer buffers whole in driver heap
-          client.putFile(s"${c2.namespace}/${c2.tableName}/$rel",
-            TableIO.tableDir(scratch.toString, c2.namespace,
-              c2.tableName).resolve(rel))
+          staged += rel
           e
+        }, beforeCommit = () => {
+          // the phase's staged files upload from executor TASKS (each
+          // streams its PUT bodies) before the commit references them
+          val rels = staged.toList
+          staged.clear()
+          val byTask = RestUpload.putFiles(s, server.uri, stagedDir,
+            s"${c2.namespace}/${c2.tableName}", rels)
+          require(byTask.values.sum == rels.size,
+            s"uploaded ${byTask.values.sum} of ${rels.size} staged files")
         })
         // the claim this query makes is only true if every committed
-        // file's bytes actually arrived via the PUT route — assert it
+        // file's bytes actually arrived via the PUT route — assert it,
+        // and that the uploads really fanned out over multiple tasks
         val puts = server.putRequests
         require(puts.size == totalFileCount && puts.forall(_._2 > 0L),
           s"expected $totalFileCount PUT uploads, saw ${puts.size}")
+        require(server.putUploaders.distinct.size > 1,
+          "uploads did not fan out: a single task PUT every file")
       } finally {
         server.close()
         TableIO.deleteRecursively(scratch)

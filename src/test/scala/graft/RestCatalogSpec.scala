@@ -431,6 +431,42 @@ class RestCatalogSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("RestUpload fans staged files out over MULTIPLE executor tasks " +
+      "(VERDICT r15 item 5): >1 uploader tag, byte-identical landing") {
+    val root = Files.createTempDirectory("graft-rest-up-").toString
+    val staged = Files.createTempDirectory("graft-rest-stage-")
+    val server = new RestCatalogServer(root)
+    try {
+      val rels = (0 until 6).map(i => s"data/part-$i.bin")
+      val bodies = rels.map { rel =>
+        val p = staged.resolve(rel)
+        Files.createDirectories(p.getParent)
+        val b = rel.getBytes("UTF-8") ++ Array.fill(64)(rel.length.toByte)
+        Files.write(p, b)
+        rel -> b.toSeq
+      }.toMap
+      val byTask = graft.plans.RestUpload.putFiles(SparkTestSession.spark,
+        server.uri, staged.toString, "corp/t", rels, parallelism = 4)
+      // every staged file uploaded, counted per task
+      assert(byTask.values.sum == rels.size.toLong)
+      // the work really fanned out: more than one task PUT files (the
+      // driver-sequential loop this replaces would tag every PUT the
+      // same)
+      assert(server.putUploaders.distinct.size > 1,
+        s"uploaders: ${server.putUploaders.distinct}")
+      assert(server.putRequests.size == rels.size)
+      // byte-identical landing under the atomic-publish route
+      rels.foreach { rel =>
+        val landed = Files.readAllBytes(
+          java.nio.file.Paths.get(root, "corp", "t").resolve(rel))
+        assert(landed.toSeq == bodies(rel), s"$rel bytes diverged")
+      }
+    } finally {
+      server.close()
+      graft.plans.TableIO.deleteRecursively(staged)
+    }
+  }
+
   test("operations on a missing table surface as explicit HTTP errors") {
     val root = Files.createTempDirectory("graft-rest-err-").toString
     val server = new RestCatalogServer(root)
