@@ -471,8 +471,11 @@ object Extensions {
     // drive vocab sizing and mixture weighting
     "pipe_fertility" -> ((s, dir) =>
       PipelineOps.vocabFertility(rd(s, dir, "documents"))),
+    // auto-width prefix sum (r16): bucket width ~ sqrt(id range), so
+    // both window levels stay O(sqrt n) rows per task at any corpus
+    // size; the decomposition is exact, so the oracle is unchanged
     "pipe_weighted_sample" -> ((s, dir) =>
-      PipelineOps.weightedSample(rd(s, dir, "documents"))),
+      PipelineOps.weightedSampleAuto(rd(s, dir, "documents"))),
     "dedup_containment" -> ((s, dir) =>
       graft.operators.Dedup.containment(rd(s, dir, "documents"))),
     "text_topk_ngrams" -> ((s, dir) => PipelineOps.topNgrams(rd(s, dir, "documents"))),

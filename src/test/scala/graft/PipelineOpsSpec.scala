@@ -237,6 +237,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.size == (total / step).toInt)
   }
 
+  test("weightedSampleAuto: width ~ sqrt(id range) bounds BOTH window " +
+      "levels at O(sqrt n) rows per task, result unchanged") {
+    // adversarial row count: 40k dense ids — at the fixed width 512
+    // the offset window is a single 79-bucket task (fine), but at 10⁹
+    // docs it would be a 2M-row single task; auto-width keeps both
+    // levels at ~sqrt(n) whatever the corpus size
+    val n = 40000L
+    val big = spark.range(n).selectExpr("id AS doc_id",
+      "(id % 97 + 1) AS n_chars")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val auto = rows(PipelineOps.weightedSampleAuto(big, k = 50))
+    // the decomposition is exact for ANY width: auto == fixed-512
+    assert(auto == rows(PipelineOps.weightedSample(big, k = 50)))
+    assert(auto.nonEmpty)
+    // the picked width and the implied level sizes: ceil(sqrt(40000))
+    // = 200 -> 200 buckets of <= 200 rows; no window frame exceeds
+    // 2*sqrt(n) rows
+    val width = math.ceil(math.sqrt((n - 1 + 1).toDouble)).toLong
+    assert(width == 200L)
+    val bucketRows = big.selectExpr(s"doc_id div $width AS b")
+      .groupBy("b").count().collect().map(_.getLong(1))
+    val bound = 2L * math.ceil(math.sqrt(n.toDouble)).toLong
+    assert(bucketRows.length <= bound, s"${bucketRows.length} buckets")
+    assert(bucketRows.max <= bound, s"deepest bucket ${bucketRows.max}")
+  }
+
   test("containment flags a quoted sub-document that Jaccard misses") {
     // small doc = 8 words; big doc = small quoted inside 60 words of
     // unrelated wrapper -> containment of small ~= 1.0, Jaccard << 0.8
