@@ -1404,15 +1404,24 @@ object Similarity {
     */
   /** The synthesized ADVERSARIALLY dense eval corpus both capped-recall
     * evals share (one Scala copy — the SQL oracles hardcode its twin
-    * `vec_id * copies + c ... WHERE vec_id % stride = 0`, so the
-    * synthesis must not fork): every `stride`-th vector replicated
-    * `copies` times under fresh ids. Cached under CacheScope (read by
-    * several passes per eval), drained by the consuming harness.
+    * `vec_id * copies + c ... WHERE vec_id % stride = 0 AND vec_id <
+    * MaxEvalBaseId`, so the synthesis must not fork): every `stride`-th
+    * vector replicated `copies` times under fresh ids. The base-id
+    * bound makes the "bounded adversarial sample" claim REAL (ADVICE
+    * r15): these evals pay exact/all-pairs ground-truth generation, so
+    * on a large embeddings table the sample must not grow with the
+    * corpus — at most MaxEvalBaseId/stride base vectors enter,
+    * whatever the table holds (an identity at the test SFs, whose
+    * vec_ids all sit under the bound). Cached under CacheScope (read
+    * by several passes per eval), drained by the consuming harness.
     */
+  val MaxEvalBaseId = 4096L
+
   private def denseEvalCorpus(emb: DataFrame, copies: Int,
       stride: Int): DataFrame =
     graft.CacheScope.cached(
-      emb.filter(pmod(col("vec_id"), lit(stride.toLong)) === 0L)
+      emb.filter(pmod(col("vec_id"), lit(stride.toLong)) === 0L &&
+          col("vec_id") < lit(MaxEvalBaseId))
         .select(col("vec_id"), col("embedding"),
           explode(array((0 until copies).map(lit): _*)).as("c"))
         .select((col("vec_id") * copies + col("c")).as("vec_id"),

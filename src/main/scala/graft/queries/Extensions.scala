@@ -275,7 +275,10 @@ object Extensions {
     // near-dup pair recall of the capped candidate set vs the exact
     // banded join, on a synthesized ADVERSARIALLY dense corpus (every
     // 10th vector x10 identical copies — the sf1 scale-up shape that
-    // made the exact join quadratic), at cap 4 / 8 / 16
+    // made the exact join quadratic), at cap 4 / 8 / 16. The sample is
+    // BOUNDED (base vec_id < 4096, replayed by the oracle): ground
+    // truth is exact/all-pairs, so the eval must never scale with the
+    // corpus — on a big table it reads a fixed adversarial slice
     "ann_recall_eval_capped" -> ((s, dir) =>
       Similarity.recallEvalCapped(rdEmbeddings(s, dir))),
     // ...and the mitigation, measured against TRUE near-dup pairs:
@@ -1738,7 +1741,8 @@ object Extensions {
         .mkString("\n      UNION ALL ")
       s"""WITH dense AS (
          |  SELECT vec_id * 10 + c AS vec_id, embedding
-         |  FROM embeddings, range(0, 10) t(c) WHERE vec_id % 10 = 0),
+         |  FROM embeddings, range(0, 10) t(c)
+         |  WHERE vec_id % 10 = 0 AND vec_id < 4096),
          |bands AS (${embBandsSqlOver("dense")}),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM dense),
          |ex AS (SELECT n AS n_exact_pairs FROM (${pairCountSql("bands")})),
@@ -1765,7 +1769,8 @@ object Extensions {
            |  WHERE ${cosSql("x.v", "y.v")} >= 0.4""".stripMargin
       s"""WITH dense AS (
          |  SELECT vec_id * 10 + c AS vec_id, embedding
-         |  FROM embeddings, range(0, 10) t(c) WHERE vec_id % 10 = 0),
+         |  FROM embeddings, range(0, 10) t(c)
+         |  WHERE vec_id % 10 = 0 AND vec_id < 4096),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM dense),
          |tr AS (SELECT count(*) AS n_true_pairs
          |       FROM e x JOIN e y ON x.vec_id < y.vec_id
