@@ -169,6 +169,39 @@ object DedupScaleSmoke {
       s"auto router did not take the capped path: $autoFull vs $capFull")
     println(s"[dedupscale] boilerplate: exact@${nb / 10}=$exSlice pairs, " +
       s"capped@${nb / 10}=$capSlice, capped@$nb=$capFull (auto agrees)")
+    // ---- capped-survivor CLUSTER INDEX lifecycle (r16) on the same
+    // boilerplate corpus: the production artifact whose dense-corpus
+    // path this family exists for. Build on the first 2/3, fold the
+    // last 1/3 in as a delta, and require the refreshed labels equal a
+    // from-scratch capped build of the full corpus BIT-FOR-BIT (the
+    // semilattice fold contract) — at corpus scale, not spec scale.
+    // The exact buildClusterIndex would refuse this corpus outright
+    // (its band buckets run ~nb/1000 deep).
+    import graft.operators.PipelineOps
+    val base3 = boiler.filter(s"doc_id % 3 != 0")
+    val delta3 = boiler.filter(s"doc_id % 3 = 0")
+    val iroot = Files.createTempDirectory("graft-clidx-").toString
+    timed(s"buildClusterIndexCapped ${nb * 2 / 3} boilerplate docs")(
+      PipelineOps.buildClusterIndexCapped(spark, base3, iroot, "corp",
+        "clusters"))
+    timed(s"refreshClusterIndexCapped ${nb / 3} delta docs")(
+      PipelineOps.refreshClusterIndexCapped(spark, delta3, iroot, "corp",
+        "clusters"))
+    val iroot2 = Files.createTempDirectory("graft-clidx2-").toString
+    timed(s"buildClusterIndexCapped $nb docs (from-scratch reference)")(
+      PipelineOps.buildClusterIndexCapped(spark, boiler, iroot2, "corp",
+        "clusters"))
+    val refreshed = PipelineOps.readClusterIndex(spark, iroot, "corp",
+      "clusters")
+    val scratch = PipelineOps.readClusterIndex(spark, iroot2, "corp",
+      "clusters")
+    val diverged = timed("refresh-equals-rebuild check")(
+      refreshed.exceptAll(scratch).count() +
+        scratch.exceptAll(refreshed).count())
+    require(diverged == 0L,
+      s"capped index refresh diverged from rebuild on $diverged label rows")
+    println(s"[dedupscale] capped cluster index: refresh == rebuild on " +
+      s"$nb docs (${refreshed.count()} labels)")
     println("[dedupscale] OK")
     spark.stop()
   }
