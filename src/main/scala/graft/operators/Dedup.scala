@@ -299,11 +299,7 @@ object Dedup {
     // the band term already salts the survivor choice
     val capped = graft.CacheScope.cached(Similarity.capBuckets(
       sigBands(sig), "doc_id", cap, lit(0L)))
-    capped.toDF("doc_a", "band", "key")
-      .repartition(col("band"), col("key"))
-      .join(capped.toDF("doc_b", "band", "key"), Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    Similarity.pairsAmongCapped(capped, "doc_a", "doc_b", unordered = true)
   }
 
   /** [[minhashLsh]] over the bucket-capped candidate set. */

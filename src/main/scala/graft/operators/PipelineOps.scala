@@ -1019,11 +1019,7 @@ object PipelineOps {
       graft.plans.Mor.read(spark, root, ns, s"${table}_surv")
         .select("doc_id", "band", "key"))
     val pairs = graft.CacheScope.cached(
-      surv.toDF("doc_a", "band", "key")
-        .repartition(col("band"), col("key"))
-        .join(surv.toDF("doc_b", "band", "key"), Seq("band", "key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct())
+      Similarity.pairsAmongCapped(surv, "doc_a", "doc_b", unordered = true))
     publishLabels(spark, root, ns, table, labelPropagation(pairs, iters),
       replace)
   }
@@ -1109,15 +1105,27 @@ object PipelineOps {
     * ceil(sqrt(idRange)) balances the two levels: the per-bucket
     * windows AND the offset window each see O(√idRange) rows, so no
     * single task ever holds more than the square root of the id space
-    * whatever the corpus size. One max() guard aggregate picks the
-    * width; the decomposition is exact for ANY width, so the result —
-    * and the single-window oracle — are unchanged (spec-pinned).
+    * whatever the corpus size. idRange is max−min+1, NOT max+1 (r16
+    * review): an offset id space (snowflake-style ids starting at
+    * ~10¹²) would otherwise yield a width of ~10⁶ that collapses the
+    * corpus into a couple of giant buckets — the exact straggler this
+    * function removes. One min/max guard aggregate picks the width;
+    * the decomposition is exact for ANY width, so the result — and
+    * the single-window oracle — are unchanged (spec-pinned).
     */
-  def weightedSampleAuto(docs: DataFrame, k: Int = 50): DataFrame = {
-    val mx = docs.agg(max("doc_id")).head()
-    val width = if (mx.isNullAt(0)) 1L
-      else math.max(1L, math.ceil(math.sqrt((mx.getLong(0) + 1).toDouble)).toLong)
-    weightedSample(docs, k, width)
+  def weightedSampleAuto(docs: DataFrame, k: Int = 50): DataFrame =
+    weightedSample(docs, k, autoBucketWidth(docs))
+
+  /** The one guard aggregate behind [[weightedSampleAuto]], exposed so
+    * the spec can pin the picked width itself (the sampled rows are
+    * width-invariant, so equality checks alone can't catch a bad
+    * width).
+    */
+  private[graft] def autoBucketWidth(docs: DataFrame): Long = {
+    val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+    if (mm.isNullAt(0)) 1L
+    else math.max(1L, math.ceil(math.sqrt(
+      (mm.getLong(1) - mm.getLong(0) + 1).toDouble)).toLong)
   }
 
   /** Oracle twin of [[weightedSample]]: the single-window cumulative

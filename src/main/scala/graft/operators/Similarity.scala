@@ -1316,11 +1316,30 @@ object Similarity {
     // the consuming harness
     val capped = graft.CacheScope.cached(capBuckets(
       bandKeys(emb, bands, r), "vec_id", cap, col("key") * lit(69069L)))
-    capped.toDF("vec_a", "band", "key")
-      .repartition(col("band"), col("key"))
-      .join(capped.toDF("vec_b", "band", "key"), Seq("band", "key"))
-      .filter(col("vec_a") =!= col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+    pairsAmongCapped(capped, "vec_a", "vec_b", unordered = false)
+  }
+
+  /** THE capped-survivor pair self-join — one Scala copy of the join
+    * convention (repartition on (band, key), self-join, distinct)
+    * every capped family reads: embedding [[cappedCandidates]]
+    * (ordered pairs, both directions, for kNN scoring), text
+    * `Dedup.pairsFromSigsCapped` and the capped cluster index's
+    * relabel (unordered a<b pairs). `capped` is an already-capped
+    * (id, band, key) relation — first column is the id, whatever its
+    * name. The r15 review consolidated the rank constants into
+    * [[capBuckets]] for the same reason: these sites are contractually
+    * bit-identical, so the shape must live once.
+    */
+  private[operators] def pairsAmongCapped(capped: DataFrame, aCol: String,
+      bCol: String, unordered: Boolean): DataFrame = {
+    val a = capped.toDF(aCol, "band", "key")
+    val b = capped.toDF(bCol, "band", "key")
+    val cond = if (unordered) col(aCol) < col(bCol)
+      else col(aCol) =!= col(bCol)
+    a.repartition(col("band"), col("key"))
+      .join(b, Seq("band", "key"))
+      .filter(cond)
+      .select(aCol, bCol).distinct()
   }
 
   /** THE per-bucket cap primitive — one Scala copy of the Knuth rank

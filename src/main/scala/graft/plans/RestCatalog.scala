@@ -155,23 +155,23 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
     * byte count). Lets a spec prove a producer's parquet bytes really
     * travelled over HTTP PUTs, not local file IO.
     */
-  private val putLog =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+  private val putLog = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, Long, String)]()
   private val putLogCount = new java.util.concurrent.atomic.AtomicInteger(0)
   def putRequests: Seq[(String, Long)] = {
     import scala.jdk.CollectionConverters._
-    putLog.iterator().asScala.toSeq
+    putLog.iterator().asScala.map(e => (e._1, e._2)).toSeq
   }
 
-  /** Uploader tag (the `X-Graft-Uploader` header) of each PUT, in
-    * arrival order — lets a spec prove uploads came from MULTIPLE
-    * executor tasks (RestUpload), not a driver-sequential loop.
+  /** Uploader tag (the `X-Graft-Uploader` header) of each PUT — one
+    * queue entry with its path/bytes (concurrent executor PUTs would
+    * interleave two separate queues, breaking the per-PUT
+    * correspondence; r16 review). Lets a spec prove uploads came from
+    * MULTIPLE executor tasks (RestUpload), not a driver loop.
     */
-  private val uploaderLog =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
   def putUploaders: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    uploaderLog.iterator().asScala.toSeq
+    putLog.iterator().asScala.map(_._3).toSeq
   }
 
   override def close(): Unit = server.stop(0)
@@ -345,10 +345,9 @@ final class RestCatalogServer(root: String) extends AutoCloseable {
             written
           } finally java.nio.file.Files.deleteIfExists(tmp)
           if (putLogCount.incrementAndGet() <= FileLogCap) {
-            putLog.add((rel, n))
-            uploaderLog.add(Option(
+            putLog.add((rel, n, Option(
               ex.getRequestHeaders.getFirst("X-Graft-Uploader"))
-              .getOrElse("unknown"))
+              .getOrElse("unknown")))
           }
           reply(200, s"""{"path":"$rel","size":$n}""")
         case ("POST", List("namespaces", ns0, "tables", t0, "commit")) =>

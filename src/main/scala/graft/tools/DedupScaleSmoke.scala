@@ -184,13 +184,16 @@ object DedupScaleSmoke {
     timed(s"buildClusterIndexCapped ${nb * 2 / 3} boilerplate docs")(
       PipelineOps.buildClusterIndexCapped(spark, base3, iroot, "corp",
         "clusters"))
+    graft.CacheScope.drain()
     timed(s"refreshClusterIndexCapped ${nb / 3} delta docs")(
       PipelineOps.refreshClusterIndexCapped(spark, delta3, iroot, "corp",
         "clusters"))
+    graft.CacheScope.drain()
     val iroot2 = Files.createTempDirectory("graft-clidx2-").toString
     timed(s"buildClusterIndexCapped $nb docs (from-scratch reference)")(
       PipelineOps.buildClusterIndexCapped(spark, boiler, iroot2, "corp",
         "clusters"))
+    graft.CacheScope.drain()
     val refreshed = PipelineOps.readClusterIndex(spark, iroot, "corp",
       "clusters")
     val scratch = PipelineOps.readClusterIndex(spark, iroot2, "corp",

@@ -84,8 +84,13 @@ object SaltProbe {
 
     Seq(30, 125).foreach { copies =>
       val stride = 10
+      // bounded base sample, mirroring Similarity.denseEvalCorpus's
+      // MaxEvalBaseId (r16 review): the all-pairs ground truth below
+      // must never scale with the embeddings table this probe is
+      // pointed at
       val dense = graft.CacheScope.cached(
-        emb.filter(pmod(col("vec_id"), lit(stride.toLong)) === 0L)
+        emb.filter(pmod(col("vec_id"), lit(stride.toLong)) === 0L &&
+            col("vec_id") < lit(graft.operators.Similarity.MaxEvalBaseId))
           .select(col("vec_id"), col("embedding"),
             explode(array((0 until copies).map(lit): _*)).as("c"))
           .select((col("vec_id") * copies + col("c")).as("vec_id"),

@@ -262,6 +262,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     val bound = 2L * math.ceil(math.sqrt(n.toDouble)).toLong
     assert(bucketRows.length <= bound, s"${bucketRows.length} buckets")
     assert(bucketRows.max <= bound, s"deepest bucket ${bucketRows.max}")
+    // OFFSET id space (r16 review): snowflake-style ids starting at
+    // 10^12 must get the same sqrt(RANGE) width — a width derived from
+    // max(id) alone would be ~10^6 and collapse the corpus into 1-2
+    // giant buckets, recreating the single-task straggler
+    val off = 1000000000000L
+    val shifted = spark.range(off, off + n).selectExpr("id AS doc_id",
+      "(id % 97 + 1) AS n_chars")
+    val autoShift = rows(PipelineOps.weightedSampleAuto(shifted, k = 50))
+    assert(autoShift == rows(PipelineOps.weightedSample(shifted, k = 50)))
+    // the picked width must come from the RANGE (= 200), not from
+    // max(id) (~10^6): the sampled rows are width-invariant, so only
+    // the width itself can witness the fix
+    assert(PipelineOps.autoBucketWidth(shifted) == 200L)
+    assert(PipelineOps.autoBucketWidth(big) == 200L)
   }
 
   test("containment flags a quoted sub-document that Jaccard misses") {
