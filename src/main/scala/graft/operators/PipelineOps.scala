@@ -1006,6 +1006,50 @@ object PipelineOps {
       replace = true)
   }
 
+  /** The density-ROUTED cluster-index entry point — the persisted-
+    * artifact completion of the `Dedup.minhashLshAuto` pattern (r16):
+    * where [[buildClusterIndex]] REFUSES a dense corpus, this routes.
+    * One guard aggregate over the corpus's band-bucket stats picks the
+    * branch by the SAME integer rule the exact build's refusal and the
+    * text router use: exact index (full recall; signature + pair
+    * state) while the exact band join's measured candidate volume is
+    * within [[ClusterIndexGuardCapSlack]]× the capped bound, capped-
+    * survivor index ([[buildClusterIndexCapped]]) past it. The
+    * committed index is self-describing — cluster-cap.json marks the
+    * capped branch — so [[refreshClusterIndexAuto]] dispatches every
+    * later delta to the refresh whose contract matches the state, and
+    * a consumer never needs to remember which way a corpus routed.
+    * The oracle replays the identical routing comparison, so testdata
+    * regeneration cannot desynchronize route and oracle.
+    */
+  def buildClusterIndexAuto(spark: SparkSession, docs: DataFrame,
+      root: String, ns: String, table: String, cap: Int = 8,
+      iters: Int = ClusterIters): Unit = {
+    // the chosen build re-derives its own cached signature relation
+    // over the identical plan, which Spark's cache manager resolves to
+    // this entry — the corpus-scale shingle pass still runs once
+    val sigsIn = graft.CacheScope.cached(Dedup.minhashSignatures(docs))
+    val (exactVolume, bandRows) = Dedup.sigBandVolume(sigsIn)
+    if (exactVolume <= bandRows * ClusterIndexGuardCapSlack)
+      buildClusterIndex(spark, docs, root, ns, table, iters)
+    else buildClusterIndexCapped(spark, docs, root, ns, table, cap, iters)
+  }
+
+  /** Fold a delta into an auto-built index: dispatches on the
+    * committed state itself (cluster-cap.json ⇒ the capped survivor
+    * fold; otherwise the exact signature/pair append) — same disjoint-
+    * doc_ids contract as both underlying refreshes.
+    */
+  def refreshClusterIndexAuto(spark: SparkSession, delta: DataFrame,
+      root: String, ns: String, table: String,
+      iters: Int = ClusterIters): Unit = {
+    val capFile = graft.plans.TableIO.tableDir(root, ns, s"${table}_surv")
+      .resolve("cluster-cap.json")
+    if (java.nio.file.Files.isRegularFile(capFile))
+      refreshClusterIndexCapped(spark, delta, root, ns, table, iters)
+    else refreshClusterIndex(spark, delta, root, ns, table, iters)
+  }
+
   /** Labels from the committed survivor snapshot: survivor self-join
     * on (band, key) — pair volume ≤ buckets × cap² by construction —
     * then the same fixed-round propagation and publish as the exact

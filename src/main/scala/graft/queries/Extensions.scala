@@ -573,6 +573,53 @@ object Extensions {
       PipelineOps.readClusterIndex(s, r, "corp", "clusters")
         .orderBy("doc_id")
     }),
+    // the density-ROUTED index entry point (r16): one guard aggregate
+    // picks exact or capped; the oracle replays the routing comparison
+    // itself, so testdata regeneration cannot desynchronize route and
+    // oracle (the testdata corpus routes EXACT — bit-equal to
+    // dedup_clusters — while the rule is under SQL test)
+    "dedup_clusters_auto" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#clidxauto") {
+        root =>
+          PipelineOps.buildClusterIndexAuto(s, rd(s, dir, "documents"),
+            root, "corp", "clusters")
+      }
+      PipelineOps.readClusterIndex(s, r, "corp", "clusters")
+        .orderBy("doc_id")
+    }),
+    // the auto REFRESH dispatch under the same oracle: built on
+    // two-thirds, the last third folded in via refreshClusterIndexAuto
+    // — which must read the committed state's own branch marker and
+    // land on the matching refresh contract
+    "dedup_clusters_auto_refreshed" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#clidxautor") {
+        root =>
+          import org.apache.spark.sql.functions.col
+          import graft.plans.{Mor, TableIO}
+          val d = rd(s, dir, "documents")
+          val ns = "corp"
+          val base = d.filter(col("doc_id") % 3 =!= 0)
+          TableIO.createNamespace(root, ns)
+          TableIO.createTableIfNotExists(root, ns, "docs", base.schema)
+          TableIO.commit(root, ns, "docs", Seq(TableIO.writeExactFile(s,
+            root, ns, "docs", "data/d0.parquet", base, "data",
+            TableIO.nextSeq(root, ns, "docs"))))
+          PipelineOps.buildClusterIndexAuto(s,
+            Mor.read(s, root, ns, "docs"), root, ns, "clusters")
+          val late = d.filter(col("doc_id") % 3 === 0)
+          TableIO.commit(root, ns, "docs", Seq(TableIO.writeExactFile(s,
+            root, ns, "docs", "data/d1.parquet", late, "data",
+            TableIO.nextSeq(root, ns, "docs"))))
+          val delta = Mor.readChanges(s, root, ns, "docs", 1L, 2L)
+            .filter(col("_change_type") === "insert")
+            .drop("_change_type")
+          PipelineOps.refreshClusterIndexAuto(s, delta, root, ns,
+            "clusters")
+          ()
+      }
+      PipelineOps.readClusterIndex(s, r, "corp", "clusters")
+        .orderBy("doc_id")
+    }),
     // derived view over the INDEX labels (was: a second full
     // reclustering per the r11 verdict) — same oracle, same answer
     "dedup_cluster_stats" -> ((s, dir) => {
@@ -1280,19 +1327,45 @@ object Extensions {
     * survivor-folding refresh must equal this from-scratch capped
     * clustering of the full corpus.
     */
-  private def clustersCtes(base: String, capped: Boolean = false): String = {
+  private def clustersCtes(base: String, capped: Boolean = false,
+      routed: Boolean = false, guardWhere: String = ""): String = {
     val pairSrc = if (capped) "capped" else "bands"
-    val capCte = if (capped) s"$minhashCappedCteSql,\n" else ""
+    val capCte = if (capped || routed) s"$minhashCappedCteSql,\n" else ""
+    // routed: replay the engine's density routing (the
+    // ClusterIndexGuardCapSlack=64 integer rule) at the PAIRS level —
+    // exact band join while bp <= br*64, capped survivors past it —
+    // then one propagation chain over whichever pair set the guard
+    // picked, exactly as buildClusterIndexAuto does. guardWhere
+    // restricts the stats to the corpus the engine ROUTED ON (the
+    // build-time base for the refresh query — the branch is index
+    // state, not re-decided per delta).
+    val pairsCte = if (routed)
+      s"""st AS (SELECT CAST(COALESCE(sum(cnt * cnt), 0) AS BIGINT) AS bp,
+         |            CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS br
+         |     FROM (SELECT band, bkey, count(*) AS cnt
+         |           FROM bands $guardWhere GROUP BY 1, 2)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE (SELECT bp <= br * 64 FROM st)
+         |  UNION ALL
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE (SELECT bp > br * 64 FROM st)),""".stripMargin
+    else
+      s"""pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM $pairSrc a JOIN $pairSrc b
+         |            ON a.band = b.band AND a.bkey = b.bkey
+         |           AND a.doc_id < b.doc_id),""".stripMargin
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $base),
          |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
          |        FROM t WHERE len(w) >= 4),
          |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
          |sig AS (SELECT doc_id, $minhashSigCols FROM h GROUP BY doc_id),
          |bands AS ($bandsSql),
-         |${capCte}pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM $pairSrc a JOIN $pairSrc b
-         |            ON a.band = b.band AND a.bkey = b.bkey
-         |           AND a.doc_id < b.doc_id),
+         |$capCte$pairsCte
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |l0 AS (SELECT DISTINCT src AS doc_id, src AS lab FROM edges),
@@ -1320,6 +1393,26 @@ object Extensions {
     */
   private lazy val dedupClustersCappedSql: String =
     s"""WITH ${clustersCtes("documents", capped = true)}
+       |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin
+
+  /** One oracle for the density-ROUTED cluster index's build AND
+    * refresh: the routing comparison itself (exact pairs while
+    * bp ≤ br×64, capped survivors past it) is replayed in SQL, then
+    * one propagation chain runs over whichever pair set the guard
+    * picked — route, state, and refresh contract all under test.
+    */
+  private lazy val dedupClustersAutoSql: String =
+    s"""WITH ${clustersCtes("documents", routed = true)}
+       |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin
+
+  /** The refresh twin replays the guard over the BUILD-time base
+    * corpus (doc_id % 3 <> 0 — the branch is index state, never
+    * re-decided by a delta) while propagating over the full corpus's
+    * pairs from that branch.
+    */
+  private lazy val dedupClustersAutoRefreshedSql: String =
+    s"""WITH ${clustersCtes("documents", routed = true,
+          guardWhere = "WHERE doc_id % 3 <> 0")}
        |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin
 
   /** Oracle of the e2e curation composite: Gopher gate → keep-best
@@ -2383,6 +2476,8 @@ object Extensions {
     // refresh-equals-rebuild is the contract under test
     "dedup_clusters_capped" -> dedupClustersCappedSql,
     "dedup_clusters_capped_refreshed" -> dedupClustersCappedSql,
+    "dedup_clusters_auto" -> dedupClustersAutoSql,
+    "dedup_clusters_auto_refreshed" -> dedupClustersAutoRefreshedSql,
     "pipe_split_leakage_safe" -> leakageSafeSplitSql,
     "pipe_e2e_curation" -> e2eCurationSql,
 

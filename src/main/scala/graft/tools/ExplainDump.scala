@@ -37,7 +37,8 @@ object ExplainDump {
       "dedup_embedding_capped"),
     15 -> Seq("ann_recall_eval_capped", "ann_recall_eval_rebanded",
       "dedup_embedding_auto", "dedup_minhash_capped", "dedup_minhash_auto"),
-    16 -> Seq("dedup_clusters_capped", "dedup_clusters_capped_refreshed"))
+    16 -> Seq("dedup_clusters_capped", "dedup_clusters_capped_refreshed",
+      "dedup_clusters_auto", "dedup_clusters_auto_refreshed"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -122,7 +123,8 @@ object ExplainDump {
       "dedup_embedding_capped", "ann_recall_eval_capped",
       "ann_recall_eval_rebanded", "dedup_embedding_auto",
       "dedup_minhash_capped", "dedup_minhash_auto",
-      "dedup_clusters_capped", "dedup_clusters_capped_refreshed")
+      "dedup_clusters_capped", "dedup_clusters_capped_refreshed",
+      "dedup_clusters_auto", "dedup_clusters_auto_refreshed")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {

@@ -188,4 +188,61 @@ class CappedClusterIndexSpec extends AnyFunSuite {
     CacheScope.drain()
     assert(labelsOf(root).nonEmpty)
   }
+
+  test("auto build ROUTES on density (dense -> capped state, sparse -> " +
+      "exact state) and auto refresh dispatches on the committed branch") {
+    // dense corpus: auto must land on the capped branch — survivor
+    // table + cluster-cap.json present, labels == the capped build's
+    val dense = denseDocs(0L until 600L)
+    val dAuto = Files.createTempDirectory("graft-clauto-a-").toString
+    PipelineOps.buildClusterIndexAuto(spark, dense, dAuto, "corp",
+      "clusters")
+    CacheScope.drain()
+    assert(PipelineOps.readClusterCap(dAuto, "corp", "clusters") == 8)
+    val dCapped = Files.createTempDirectory("graft-clauto-b-").toString
+    PipelineOps.buildClusterIndexCapped(spark, dense, dCapped, "corp",
+      "clusters")
+    CacheScope.drain()
+    assert(labelsOf(dAuto) == labelsOf(dCapped))
+
+    // sparse corpus: auto must land on the exact branch — signature +
+    // pair state (no cap marker), labels == the exact build's
+    val sparse = sparseDocs(60)
+    val sAuto = Files.createTempDirectory("graft-clauto-c-").toString
+    PipelineOps.buildClusterIndexAuto(spark, sparse, sAuto, "corp",
+      "clusters")
+    CacheScope.drain()
+    intercept[IllegalArgumentException](
+      PipelineOps.readClusterCap(sAuto, "corp", "clusters"))
+    val sExact = Files.createTempDirectory("graft-clauto-d-").toString
+    PipelineOps.buildClusterIndex(spark, sparse, sExact, "corp",
+      "clusters")
+    CacheScope.drain()
+    assert(labelsOf(sAuto) == labelsOf(sExact))
+
+    // auto refresh reads each index's OWN branch marker: the dense
+    // root folds through the capped survivor path, the sparse root
+    // appends through the exact path — both end bit-equal to a
+    // from-scratch build of the union corpus on their branch
+    val denseDelta = denseDocs(600L until 900L)
+    PipelineOps.refreshClusterIndexAuto(spark, denseDelta, dAuto, "corp",
+      "clusters")
+    CacheScope.drain()
+    val dFull = Files.createTempDirectory("graft-clauto-e-").toString
+    PipelineOps.buildClusterIndexCapped(spark, denseDocs(0L until 900L),
+      dFull, "corp", "clusters")
+    CacheScope.drain()
+    assert(labelsOf(dAuto) == labelsOf(dFull))
+
+    import spark.implicits._
+    val sparseDelta = Seq((1000L,
+      "shared0 corpus0 body0 alpha0 beta0 gamma0 delta0 zeta0"))
+      .toDF("doc_id", "text")
+    PipelineOps.refreshClusterIndexAuto(spark, sparseDelta, sAuto, "corp",
+      "clusters")
+    CacheScope.drain()
+    val sFullLabels = labelsOf(sAuto)
+    assert(sFullLabels.contains((1000L, 0L)),
+      s"delta doc must join group-0's cluster: $sFullLabels")
+  }
 }
