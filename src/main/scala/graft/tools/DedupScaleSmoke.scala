@@ -100,7 +100,7 @@ object DedupScaleSmoke {
     val sigIndex = graft.plans.Mor.read(spark, nroot, "corp", "sig")
     val guard = timed(s"crossBandStats batch $b vs $n-doc index (guard)")(
       Dedup.crossBandStatsFromSigs(
-        Dedup.minhashSignatures(batchDf), sigIndex).head)
+        Dedup.minhashSignatures(batchDf), sigIndex).head())
     println(s"[dedupscale]   guard: cand_pairs=${guard.getLong(0)} " +
       s"hot_buckets=${guard.getLong(1)} max_bucket_pairs=${guard.getLong(2)}")
     val nearProbe = timed(s"probeNearIndexed batch $b (indexed)")(
@@ -169,17 +169,31 @@ object DedupScaleSmoke {
       s"auto router did not take the capped path: $autoFull vs $capFull")
     println(s"[dedupscale] boilerplate: exact@${nb / 10}=$exSlice pairs, " +
       s"capped@${nb / 10}=$capSlice, capped@$nb=$capFull (auto agrees)")
-    // ---- capped-survivor CLUSTER INDEX lifecycle (r16) on the same
-    // boilerplate corpus: the production artifact whose dense-corpus
-    // path this family exists for. Build on the first 2/3, fold the
-    // last 1/3 in as a delta, and require the refreshed labels equal a
-    // from-scratch capped build of the full corpus BIT-FOR-BIT (the
-    // semilattice fold contract) — at corpus scale, not spec scale.
-    // The exact buildClusterIndex would refuse this corpus outright
-    // (its band buckets run ~nb/1000 deep).
+    // ---- capped-survivor CLUSTER INDEX lifecycle (r16) on a
+    // boilerplate-heavy corpus with REALISTIC document length (~50
+    // words — the 8-word bodies above make the corpus-wide shingle
+    // pass unrealistically cheap, hiding the refresh economics): the
+    // production artifact whose dense-corpus path this family exists
+    // for. Build on the first 2/3, fold the last 1/3 in as a delta,
+    // and require the refreshed labels equal a from-scratch capped
+    // build of the full corpus BIT-FOR-BIT (the semilattice fold
+    // contract) — at corpus scale, not spec scale. The exact
+    // buildClusterIndex would refuse this corpus outright (its band
+    // buckets run ~nb/1000 deep).
     import graft.operators.PipelineOps
-    val base3 = boiler.filter(s"doc_id % 3 != 0")
-    val delta3 = boiler.filter(s"doc_id % 3 = 0")
+    spark.range(nb).selectExpr("id AS doc_id",
+        """CASE WHEN id % 10 = 0
+          |  THEN concat('boilerplate template number ', id % 1000, ' ',
+          |    concat_ws(' ', transform(sequence(0, 39),
+          |      i -> concat('tmpl', (id % 1000) * 40 + i))))
+          |  ELSE concat('unique document ', id, ' ',
+          |    concat_ws(' ', transform(sequence(0, 39),
+          |      i -> concat('w', id * 40 + i))))
+          |END AS text""".stripMargin)
+      .write.parquet(s"$dir/boilerlong")
+    val boilerLong = spark.read.parquet(s"$dir/boilerlong")
+    val base3 = boilerLong.filter(s"doc_id % 3 != 0")
+    val delta3 = boilerLong.filter(s"doc_id % 3 = 0")
     val iroot = Files.createTempDirectory("graft-clidx-").toString
     timed(s"buildClusterIndexCapped ${nb * 2 / 3} boilerplate docs")(
       PipelineOps.buildClusterIndexCapped(spark, base3, iroot, "corp",
@@ -191,7 +205,7 @@ object DedupScaleSmoke {
     graft.CacheScope.drain()
     val iroot2 = Files.createTempDirectory("graft-clidx2-").toString
     timed(s"buildClusterIndexCapped $nb docs (from-scratch reference)")(
-      PipelineOps.buildClusterIndexCapped(spark, boiler, iroot2, "corp",
+      PipelineOps.buildClusterIndexCapped(spark, boilerLong, iroot2, "corp",
         "clusters"))
     graft.CacheScope.drain()
     val refreshed = PipelineOps.readClusterIndex(spark, iroot, "corp",
@@ -205,6 +219,20 @@ object DedupScaleSmoke {
       s"capped index refresh diverged from rebuild on $diverged label rows")
     println(s"[dedupscale] capped cluster index: refresh == rebuild on " +
       s"$nb docs (${refreshed.count()} labels)")
+    // the steady-state economics: a SMALL delta (1% of the corpus)
+    // against the full index. Refresh pays the delta's shingle pass +
+    // the index-sized relabel; a rebuild would pay the CORPUS-wide
+    // shingle pass + the same relabel — the gap is the avoided
+    // full-corpus signature cost, which grows with the corpus while
+    // the delta's stays fixed.
+    val small = spark.range(10 * nb, 10 * nb + nb / 100).selectExpr(
+      "id AS doc_id",
+      "concat('fresh crawl document ', id, ' new body words') AS text")
+    timed(s"refreshClusterIndexCapped ${nb / 100} delta vs $nb-doc index " +
+      "(steady state)")(
+      PipelineOps.refreshClusterIndexCapped(spark, small, iroot2, "corp",
+        "clusters"))
+    graft.CacheScope.drain()
     println("[dedupscale] OK")
     spark.stop()
   }
