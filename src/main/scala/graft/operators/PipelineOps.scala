@@ -803,12 +803,7 @@ object PipelineOps {
     */
   def buildClusterIndex(spark: SparkSession, docs: DataFrame, root: String,
       ns: String, table: String, iters: Int = ClusterIters): Unit = {
-    import graft.plans.{PartitionSpec, Partitioning, TableIO}
-    require(TableIO.currentVersion(root, ns, table) == 0L &&
-        TableIO.currentVersion(root, ns, s"${table}_sig") == 0L,
-      s"$ns.$table already holds a committed cluster index — fold new " +
-        "docs in with refreshClusterIndex, or drop the index tables to " +
-        "rebuild")
+    requireNoExactIndex(root, ns, table)
     // cached: the guard aggregate and the committed write both read
     // the signature pass (the corpus-scale shingle+rehash cost)
     val sigsIn = graft.CacheScope.cached(Dedup.minhashSignatures(docs))
@@ -820,6 +815,25 @@ object PipelineOps {
         s"$ClusterIndexGuardCapSlack) — build a bounded-work index with " +
         "buildClusterIndexCapped, or exact-dedup the boilerplate first " +
         "(Dedup.exact) to restore shallow buckets")
+    buildExactIndexFromSigs(spark, sigsIn, root, ns, table, iters)
+  }
+
+  private def requireNoExactIndex(root: String, ns: String, table: String,
+      refreshHint: String = "refreshClusterIndex"): Unit =
+    require(graft.plans.TableIO.currentVersion(root, ns, table) == 0L &&
+        graft.plans.TableIO.currentVersion(root, ns, s"${table}_sig") == 0L,
+      s"$ns.$table already holds a committed cluster index — fold new " +
+        s"docs in with $refreshHint, or drop the index tables to rebuild")
+
+  /** The exact build's commit phase, guard already passed — shared by
+    * [[buildClusterIndex]] and [[buildClusterIndexAuto]]'s exact
+    * branch so the corpus-wide guard aggregate runs exactly once per
+    * build (r16 review).
+    */
+  private def buildExactIndexFromSigs(spark: SparkSession,
+      sigsIn: DataFrame, root: String, ns: String, table: String,
+      iters: Int): Unit = {
+    import graft.plans.{PartitionSpec, Partitioning}
     Partitioning.preparePartitioned(spark, root, ns, s"${table}_sig",
       sigsIn, PartitionSpec("bucket", "doc_id", 8))
     val sigs = graft.plans.Mor.read(spark, root, ns, s"${table}_sig")
@@ -1025,13 +1039,15 @@ object PipelineOps {
   def buildClusterIndexAuto(spark: SparkSession, docs: DataFrame,
       root: String, ns: String, table: String, cap: Int = 8,
       iters: Int = ClusterIters): Unit = {
-    // the chosen build re-derives its own cached signature relation
-    // over the identical plan, which Spark's cache manager resolves to
-    // this entry — the corpus-scale shingle pass still runs once
+    // already-built refusal BEFORE the corpus-sized work (r16 review):
+    // either branch's own require would also catch it, but only after
+    // paying the signature pass + guard aggregate
+    requireNoExactIndex(root, ns, table, "refreshClusterIndexAuto")
     val sigsIn = graft.CacheScope.cached(Dedup.minhashSignatures(docs))
     val (exactVolume, bandRows) = Dedup.sigBandVolume(sigsIn)
     if (exactVolume <= bandRows * ClusterIndexGuardCapSlack)
-      buildClusterIndex(spark, docs, root, ns, table, iters)
+      // guard already passed — commit phase only, no second aggregate
+      buildExactIndexFromSigs(spark, sigsIn, root, ns, table, iters)
     else buildClusterIndexCapped(spark, docs, root, ns, table, cap, iters)
   }
 
