@@ -89,6 +89,18 @@ object PipeScaleSmoke {
     println(s"[pipescale] docs with duplicated spans: $nsp")
     timed("temperatureMix")(PipelineOps.temperatureMix(docs).collect())
     timed("gateSweep")(PipelineOps.gateSweep(docs).collect())
+    // r16: auto-width weighted sample — both prefix-sum window levels
+    // O(sqrt n) rows per task at this corpus size; the offset-id run
+    // (snowflake regime, ids starting at 10^12) must pick the same
+    // range-based width, not a max(id)-derived ~10^6 one (r16 review)
+    val ws = timed("weightedSampleAuto")(
+      PipelineOps.weightedSampleAuto(docs).collect())
+    val offsetDocs = docs.withColumn("doc_id",
+      col("doc_id") + lit(1000000000000L))
+    val wsOff = timed("weightedSampleAuto (offset ids)")(
+      PipelineOps.weightedSampleAuto(offsetDocs).collect())
+    require(ws.length == wsOff.length && ws.nonEmpty,
+      s"offset ids changed the sample size: ${ws.length} vs ${wsOff.length}")
     println("[pipescale] OK")
     spark.stop()
   }
