@@ -962,7 +962,19 @@ object PipelineOps {
     */
   def buildClusterIndexCapped(spark: SparkSession, docs: DataFrame,
       root: String, ns: String, table: String, cap: Int = 8,
-      iters: Int = ClusterIters): Unit = {
+      iters: Int = ClusterIters): Unit =
+    buildCappedIndexFromSigs(spark, Dedup.minhashSignatures(docs), root,
+      ns, table, cap, iters)
+
+  /** The capped build over an already-computed signature relation —
+    * [[buildClusterIndexAuto]]'s capped branch hands its cached guard
+    * signatures here EXPLICITLY (r16 advice: reuse via CacheManager
+    * plan-matching was fragile to any divergence in how the two plans
+    * were built), the twin of [[buildExactIndexFromSigs]].
+    */
+  private def buildCappedIndexFromSigs(spark: SparkSession,
+      sigsIn: DataFrame, root: String, ns: String, table: String,
+      cap: Int, iters: Int): Unit = {
     import graft.plans.{PartitionSpec, Partitioning, TableIO}
     require(cap >= 1, s"cap must be >= 1, got $cap")
     require(TableIO.currentVersion(root, ns, table) == 0L &&
@@ -971,7 +983,7 @@ object PipelineOps {
         "docs in with refreshClusterIndexCapped, or drop the index " +
         "tables to rebuild")
     val surv = Similarity.capBuckets(
-      Dedup.sigBands(Dedup.minhashSignatures(docs)), "doc_id", cap, lit(0L))
+      Dedup.sigBands(sigsIn), "doc_id", cap, lit(0L))
       .select("doc_id", "band", "key")
     Partitioning.preparePartitioned(spark, root, ns, s"${table}_surv",
       surv, PartitionSpec("bucket", "doc_id", 8))
@@ -1041,27 +1053,54 @@ object PipelineOps {
       iters: Int = ClusterIters): Unit = {
     // already-built refusal BEFORE the corpus-sized work (r16 review):
     // either branch's own require would also catch it, but only after
-    // paying the signature pass + guard aggregate
+    // paying the signature pass + guard aggregate. The auto build also
+    // refuses over a committed SURVIVOR table (r16 advice): an
+    // interrupted capped build can leave _surv committed with no label
+    // snapshot, and an exact build over that orphan would create MIXED
+    // state (exact sig/pairs beside a stale capped marker) that the
+    // auto refresh could then misroute on.
     requireNoExactIndex(root, ns, table, "refreshClusterIndexAuto")
+    require(graft.plans.TableIO.currentVersion(root, ns,
+        s"${table}_surv") == 0L,
+      s"$ns.${table}_surv already holds committed capped-index state " +
+        "(an interrupted capped build?) — drop the index tables before " +
+        "rebuilding")
     val sigsIn = graft.CacheScope.cached(Dedup.minhashSignatures(docs))
     val (exactVolume, bandRows) = Dedup.sigBandVolume(sigsIn)
     if (exactVolume <= bandRows * ClusterIndexGuardCapSlack)
-      // guard already passed — commit phase only, no second aggregate
+      // guard already passed — commit phase only, no second aggregate;
+      // both branches explicitly consume the one cached signature pass
       buildExactIndexFromSigs(spark, sigsIn, root, ns, table, iters)
-    else buildClusterIndexCapped(spark, docs, root, ns, table, cap, iters)
+    else buildCappedIndexFromSigs(spark, sigsIn, root, ns, table, cap,
+      iters)
   }
 
   /** Fold a delta into an auto-built index: dispatches on the
     * committed state itself (cluster-cap.json ⇒ the capped survivor
     * fold; otherwise the exact signature/pair append) — same disjoint-
-    * doc_ids contract as both underlying refreshes.
+    * doc_ids contract as both underlying refreshes. The marker is
+    * cross-checked against the committed table versions (r16 advice):
+    * a capped marker without committed survivors, or committed exact
+    * signatures beside a capped marker, is mixed state from an
+    * interrupted build — fail loudly instead of refreshing orphaned
+    * state.
     */
   def refreshClusterIndexAuto(spark: SparkSession, delta: DataFrame,
       root: String, ns: String, table: String,
       iters: Int = ClusterIters): Unit = {
-    val capFile = graft.plans.TableIO.tableDir(root, ns, s"${table}_surv")
+    import graft.plans.TableIO
+    val capFile = TableIO.tableDir(root, ns, s"${table}_surv")
       .resolve("cluster-cap.json")
-    if (java.nio.file.Files.isRegularFile(capFile))
+    val hasMarker = java.nio.file.Files.isRegularFile(capFile)
+    val survV = TableIO.currentVersion(root, ns, s"${table}_surv")
+    val sigV = TableIO.currentVersion(root, ns, s"${table}_sig")
+    require(!(hasMarker && (survV == 0L || sigV > 0L)) &&
+        !(!hasMarker && survV > 0L),
+      s"$ns.$table is in MIXED cluster-index state (capped marker: " +
+        s"$hasMarker, surv version: $survV, sig version: $sigV) — an " +
+        "interrupted build left inconsistent tables; drop the index " +
+        "tables and rebuild")
+    if (hasMarker)
       refreshClusterIndexCapped(spark, delta, root, ns, table, iters)
     else refreshClusterIndex(spark, delta, root, ns, table, iters)
   }
@@ -1099,7 +1138,11 @@ object PipelineOps {
     * them sequentially. Pure arithmetic over per-source row numbers
     * plus one tiny broadcast of the source ranking — no global sort,
     * no unpartitioned window (the position IS the sort key; a sink
-    * that needs physical order range-partitions on it).
+    * that needs physical order range-partitions on it). Interleaves
+    * the WHOLE corpus: any presentation bound (the query registry's
+    * top-100, a preview head) belongs to the consumer, not the
+    * operator (r16 verdict nit — the bound used to live here, making
+    * the library function silently a top-100).
     */
   def interleave(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1113,7 +1156,6 @@ object PipelineOps {
     rn.join(broadcast(srcRank), "source")
       .select(col("doc_id"), col("source"),
         ((col("rn") - 1) * lit(n) + col("src_rank")).as("pos"))
-      .filter(col("pos") <= 100)
       .orderBy("pos")
   }
 

@@ -534,11 +534,20 @@ final class RestCatalogClient(baseUri: String) {
   * caller's contract (run this, then CAS-commit the manifest).
   */
 object RestUpload {
+  /** `parallelism <= 0` (the default) scales the fan-out with the
+    * cluster: min(#files, defaultParallelism) upload tasks (r16
+    * verdict item 4 — a fixed 8 under-used a large cluster on a
+    * many-thousand-file phase, in the one function whose whole point
+    * is wire fan-out). Explicit values remain for tests that pin a
+    * specific task count.
+    */
   def putFiles(spark: org.apache.spark.sql.SparkSession, baseUri: String,
       stagedTableDir: String, putPrefix: String, rels: Seq[String],
-      parallelism: Int = 8): Map[String, Long] = {
+      parallelism: Int = 0): Map[String, Long] = {
     if (rels.isEmpty) return Map.empty
-    val slices = math.max(1, math.min(parallelism, rels.size))
+    val p = if (parallelism > 0) parallelism
+      else spark.sparkContext.defaultParallelism
+    val slices = math.max(1, math.min(p, rels.size))
     spark.sparkContext.parallelize(rels, slices).mapPartitions { it =>
       val client = new RestCatalogClient(baseUri)
       val tag = s"task-${org.apache.spark.TaskContext.getPartitionId()}"

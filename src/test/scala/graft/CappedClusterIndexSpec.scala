@@ -245,4 +245,40 @@ class CappedClusterIndexSpec extends AnyFunSuite {
     assert(sFullLabels.contains((1000L, 0L)),
       s"delta doc must join group-0's cluster: $sFullLabels")
   }
+
+  test("MIXED index state fails loudly (r16 advice): an orphaned " +
+      "survivor table blocks the auto build, and a stale capped marker " +
+      "beside exact state blocks the auto refresh") {
+    import spark.implicits._
+    val docs = sparseDocs(24)
+    // simulate an interrupted capped build: _surv committed (labels
+    // never reached) — the auto build must refuse instead of committing
+    // an exact index beside the orphan
+    val root = Files.createTempDirectory("graft-clmix-a-").toString
+    val surv = Seq((1L, 0, "k")).toDF("doc_id", "band", "key")
+    graft.plans.Partitioning.preparePartitioned(spark, root, "corp",
+      "clusters_surv", surv, graft.plans.PartitionSpec("bucket", "doc_id", 8))
+    val e = intercept[IllegalArgumentException](
+      PipelineOps.buildClusterIndexAuto(spark, docs, root, "corp",
+        "clusters"))
+    assert(e.getMessage.contains("interrupted"), e.getMessage)
+    CacheScope.drain()
+
+    // a capped MARKER with no committed survivors (the other half of
+    // the interruption window) routes NO refresh — loud mixed-state
+    // failure, not a capped refresh of nonexistent state
+    val root2 = Files.createTempDirectory("graft-clmix-b-").toString
+    PipelineOps.buildClusterIndex(spark, docs, root2, "corp", "clusters")
+    CacheScope.drain()
+    val capFile = TableIO.tableDir(root2, "corp", "clusters_surv")
+      .resolve("cluster-cap.json")
+    Files.createDirectories(capFile.getParent)
+    Files.writeString(capFile, """{"cap":8}""")
+    val e2 = intercept[IllegalArgumentException](
+      PipelineOps.refreshClusterIndexAuto(spark,
+        Seq((2000L, "some fresh text body")).toDF("doc_id", "text"),
+        root2, "corp", "clusters"))
+    assert(e2.getMessage.contains("MIXED"), e2.getMessage)
+    CacheScope.drain()
+  }
 }

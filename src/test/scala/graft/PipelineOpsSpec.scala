@@ -16,6 +16,24 @@ class PipelineOpsSpec extends AnyFunSuite {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("interleave covers the WHOLE corpus with dense round-robin " +
+      "positions (the top-100 bound lives in the query, not here)") {
+    // 3 sources x 70 docs = 210 positions — past the registry's 100,
+    // which used to be baked into the operator (r16 verdict nit)
+    val d = (0 until 210).map(i => (i.toLong, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val got = PipelineOps.interleave(d).collect()
+    assert(got.length == 210, s"operator truncated to ${got.length} rows")
+    // positions are exactly 1..210 (dense, no gaps)
+    assert(got.map(_.getLong(2)).sorted.toSeq == (1L to 210L))
+    // round-robin: position i carries source rank ((i-1) % n_sources)+1
+    got.foreach { r =>
+      val pos = r.getLong(2)
+      val expSrc = s"src${((pos - 1) % 3)}"
+      assert(r.getString(1) == expSrc, s"pos $pos got ${r.getString(1)}")
+    }
+  }
+
   test("shuffleShards emits a complete permutation with dense positions") {
     val got = PipelineOps.shuffleShards(docs).cache()
     assert(got.count() == docs.count())

@@ -467,6 +467,46 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("RestUpload's default fan-out tracks the staged file count " +
+      "(r16 verdict item 4): many files -> many upload tasks, few -> few") {
+    val root = Files.createTempDirectory("graft-rest-fan-").toString
+    val staged = Files.createTempDirectory("graft-rest-fanstage-")
+    val server = new RestCatalogServer(root)
+    try {
+      val spark = SparkTestSession.spark
+      val defPar = spark.sparkContext.defaultParallelism
+      // a many-file phase: more staged files than default parallelism —
+      // the fan-out must reach defaultParallelism tasks, not a fixed 8
+      val many = (0 until defPar * 2).map(i => s"data/many-$i.bin")
+      many.foreach { rel =>
+        val p = staged.resolve(rel)
+        Files.createDirectories(p.getParent)
+        Files.write(p, rel.getBytes("UTF-8"))
+      }
+      val byTask = graft.plans.RestUpload.putFiles(spark, server.uri,
+        staged.toString, "corp/many", many)
+      assert(byTask.values.sum == many.size.toLong)
+      assert(byTask.size == defPar,
+        s"expected $defPar upload tasks for ${many.size} files, " +
+          s"got ${byTask.size}")
+      // a small phase never over-slices: 3 files -> exactly 3 tasks
+      val few = (0 until 3).map(i => s"data/few-$i.bin")
+      few.foreach { rel =>
+        val p = staged.resolve(rel)
+        Files.createDirectories(p.getParent)
+        Files.write(p, rel.getBytes("UTF-8"))
+      }
+      val byTaskFew = graft.plans.RestUpload.putFiles(spark, server.uri,
+        staged.toString, "corp/few", few)
+      assert(byTaskFew.values.sum == few.size.toLong)
+      assert(byTaskFew.size == few.size,
+        s"expected ${few.size} tasks, got ${byTaskFew.size}")
+    } finally {
+      server.close()
+      graft.plans.TableIO.deleteRecursively(staged)
+    }
+  }
+
   test("operations on a missing table surface as explicit HTTP errors") {
     val root = Files.createTempDirectory("graft-rest-err-").toString
     val server = new RestCatalogServer(root)
