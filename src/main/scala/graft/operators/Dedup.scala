@@ -265,8 +265,8 @@ object Dedup {
     * keys (a union of per-band selects would recompute the whole
     * signature pipeline once per band — 4x the work).
     */
-  def pairsFromSigs(sig: DataFrame): DataFrame = {
-    val bands = sigBands(sig)
+  def pairsFromSigs(sig: DataFrame, nBands: Int = 4): DataFrame = {
+    val bands = sigBands(sig, nBands)
     val a = bands.toDF("doc_a", "band", "key")
     val b = bands.toDF("doc_b", "band", "key")
     a.join(b, Seq("band", "key"))
@@ -293,18 +293,24 @@ object Dedup {
     * are untouched, so on sane corpora the result equals
     * [[pairsFromSigs]] exactly (spec-pinned).
     */
-  def pairsFromSigsCapped(sig: DataFrame, cap: Int = 8): DataFrame = {
+  def pairsFromSigsCapped(sig: DataFrame, cap: Int = 8,
+      nBands: Int = 4): DataFrame = {
     // shared Knuth rank primitive (one Scala copy of the constants);
     // keyTerm zero — a doc occupies exactly one bucket per band, so
     // the band term already salts the survivor choice
     val capped = graft.CacheScope.cached(Similarity.capBuckets(
-      sigBands(sig), "doc_id", cap, lit(0L)))
+      sigBands(sig, nBands), "doc_id", cap, lit(0L)))
     Similarity.pairsAmongCapped(capped, "doc_a", "doc_b", unordered = true)
   }
 
-  /** [[minhashLsh]] over the bucket-capped candidate set. */
-  def minhashLshCapped(docs: DataFrame, n: Int = 4, cap: Int = 8): DataFrame =
-    pairsFromSigsCapped(minhashSignatures(docs, n), cap)
+  /** [[minhashLsh]] over the bucket-capped candidate set, at the
+    * given banding (4×4 by default; 2×8 is the re-banded shape the
+    * adaptive router picks when re-banding measurably shrinks the
+    * buckets).
+    */
+  def minhashLshCapped(docs: DataFrame, n: Int = 4, cap: Int = 8,
+      nBands: Int = 4): DataFrame =
+    pairsFromSigsCapped(minhashSignatures(docs, n), cap, nBands)
       .orderBy("doc_a", "doc_b")
 
   /** The DENSITY-ROUTED text near-dup entry point — the MinHash twin
@@ -313,27 +319,65 @@ object Dedup {
     * depths, one constant-size guard aggregate), the capped join's is
     * at most band_rows × cap; route exact within `slack`× that bound
     * (full recall while it costs no more than a few capped passes),
-    * cap past it. Deterministic function of the data — the oracle
-    * replays the identical integer comparison gating both branches.
+    * cap past it. Since r17 the capped branch is BAND-SHAPE-AWARE
+    * (see [[lshPairsAutoFromSigs]]): a second guard aggregate at the
+    * re-banded 2×8 shape decides whether re-banding actually shrinks
+    * the buckets before the cap applies. Deterministic function of
+    * the data — the oracle replays the identical integer comparisons
+    * gating all three branches.
     */
   def minhashLshAuto(docs: DataFrame, n: Int = 4, cap: Int = 8,
-      slack: Int = 8): DataFrame = {
-    val sig = graft.CacheScope.cached(minhashSignatures(docs, n))
+      slack: Int = 8, rebandGain: Int = RebandGain): DataFrame =
+    lshPairsAutoFromSigs(graft.CacheScope.cached(minhashSignatures(docs, n)),
+      cap, slack, rebandGain).orderBy("doc_a", "doc_b")
+
+  /** The shape-pick factor both capped families share (r17,
+    * VERDICT r16 item 1): within the capped branch, RE-BAND to half
+    * the bands × double the rows iff the measured re-banded candidate
+    * volume is at most 1/`RebandGain` of the current shape's — i.e.
+    * iff more bits per band actually shrink the buckets. The r17
+    * BandShapeProbe measurement behind the threshold: bucket depth
+    * driven by sign-collisions of DISTINCT items collapses ~16× under
+    * re-banding (volume ratio ~0.15 on the adversarial dense
+    * embedding corpora — exactly where the r16 ledger measured the
+    * 0.56→0.97 recall recovery), while depth driven by IDENTICAL
+    * items (text template clones: identical signatures collide at ANY
+    * band width) leaves the ratio at exactly 0.5 — there re-banding
+    * would only halve the independent per-band cap draws and LOSE
+    * recall, so the router must stay. Gain 4 separates the two
+    * regimes with a 2× margin on each side.
+    */
+  val RebandGain = 4
+
+  /** [[minhashLshAuto]]'s routing core over an already-computed
+    * signature relation — three branches, all gated by constant-size
+    * integer guard aggregates the oracle replays: exact 4×4 while the
+    * exact volume is within slack× the capped bound; else capped,
+    * re-banded to 2×8 iff re-banding shrinks the candidate volume by
+    * ≥ rebandGain (see [[RebandGain]]).
+    */
+  private[graft] def lshPairsAutoFromSigs(sig: DataFrame, cap: Int = 8,
+      slack: Int = 8, rebandGain: Int = RebandGain): DataFrame = {
     val (exactVolume, bandRows) = sigBandVolume(sig)
-    val pairs = if (exactVolume <= bandRows * cap * slack) pairsFromSigs(sig)
+    if (exactVolume <= bandRows * cap * slack) pairsFromSigs(sig)
+    else {
+      val (rebandVolume, _) = sigBandVolume(sig, nBands = 2)
+      if (rebandVolume * rebandGain <= exactVolume)
+        pairsFromSigsCapped(sig, cap, nBands = 2)
       else pairsFromSigsCapped(sig, cap)
-    pairs.orderBy("doc_a", "doc_b")
+    }
   }
 
   /** The router/guard aggregate over a signature relation:
-    * (exact band join candidate volume = Σ|bucket|², total band rows).
-    * One constant-size aggregate — the same integer evidence
-    * [[minhashLshAuto]] routes on and the persisted cluster index's
-    * pre-launch density guard refuses on
+    * (exact band join candidate volume = Σ|bucket|², total band rows)
+    * at the given banding. One constant-size aggregate — the same
+    * integer evidence [[minhashLshAuto]] routes on and the persisted
+    * cluster index's pre-launch density guard refuses on
     * (PipelineOps.buildClusterIndex).
     */
-  private[operators] def sigBandVolume(sig: DataFrame): (Long, Long) = {
-    val st = sigBands(sig)
+  private[operators] def sigBandVolume(sig: DataFrame,
+      nBands: Int = 4): (Long, Long) = {
+    val st = sigBands(sig, nBands)
       .groupBy("band", "key").agg(count(lit(1)).as("cnt"))
       .agg(sum(col("cnt") * col("cnt")).as("bp"), sum(col("cnt")).as("br"))
       .head()
@@ -573,14 +617,18 @@ object Dedup {
   }
 
   /** (doc_id, band, key) rows of a 16-component signature relation —
-    * the 4×4 banding both the candidate join and the volume guard
-    * below derive keys from. `private[operators]`: the capped cluster
-    * index (PipelineOps) persists these rows' per-bucket cap survivors
-    * as index state.
+    * the banding both the candidate join and the volume guard below
+    * derive keys from: `nBands` bands of 16/nBands rows each (4×4 by
+    * default; the shape-aware router's re-banded branch uses 2×8).
+    * `private[graft]`: the capped cluster index (PipelineOps)
+    * persists these rows' per-bucket cap survivors as index state.
     */
-  private[operators] def sigBands(sig: DataFrame): DataFrame = {
-    val bandArray = array((0 until 4).map { bnd =>
-      concat_ws(":", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*)
+  private[graft] def sigBands(sig: DataFrame, nBands: Int = 4): DataFrame = {
+    require(16 % nBands == 0, s"nBands must divide 16, got $nBands")
+    val rowsPer = 16 / nBands
+    val bandArray = array((0 until nBands).map { bnd =>
+      concat_ws(":", (0 until rowsPer).map(r =>
+        col(s"s${bnd * rowsPer + r}")): _*)
     }: _*)
     sig.select(col("doc_id"), posexplode(bandArray).as(Seq("band", "key")))
   }
@@ -907,19 +955,40 @@ object Dedup {
     * the gate. On corpora where every bucket is at or under the cap
     * the two branches coincide exactly (spec-pinned), so the router
     * only ever trades recall where the exact path is already
-    * quadratic; if the cap's measured recall collapse matters
-    * (`ann_recall_eval_capped`: ~(cap/depth)² per bucket), the fix is
-    * re-banding (`ann_recall_eval_rebanded`), not a bigger slack.
+    * quadratic; the cap's measured recall collapse
+    * (`ann_recall_eval_capped`: ~(cap/depth)² per bucket) is why the
+    * capped branch is BAND-SHAPE-AWARE since r17 (VERDICT r16 item
+    * 1): a second constant-size guard aggregate at the re-banded
+    * shape (bands/2 × r·2 — 16×4 → 8×8) measures whether more bits
+    * per band actually shrink the buckets, and the router re-bands
+    * iff the re-banded candidate volume is ≤ 1/rebandGain of the
+    * current shape's ([[RebandGain]] — the measured separation
+    * between sign-collision density, ratio ~0.15, where re-banding
+    * recovered 0.56→0.97 recall at identical bounded work, and
+    * identical-clone density, ratio 0.5 exactly, where re-banding
+    * only halves the independent cap draws). All three branches and
+    * both comparisons are deterministic functions of the data,
+    * replayed by the oracle.
     */
   def embeddingCosineAuto(emb: DataFrame, tau: Double = 0.4,
       bands: Int = 16, r: Int = 4, cap: Int = 8,
-      slack: Int = 8): DataFrame = {
+      slack: Int = 8, rebandGain: Int = RebandGain): DataFrame = {
     val st = Similarity.bandStatsRaw(emb, bands, r).head()
     // empty corpus: sums are null — trivially exact (no candidates)
     val exactVolume = if (st.isNullAt(0)) 0L else st.getLong(0)
     val cappedBound = if (st.isNullAt(1)) 0L else st.getLong(1) * cap * slack
     if (exactVolume <= cappedBound) embeddingCosine(emb, tau, bands, r)
-    else embeddingCosineCapped(emb, tau, bands, r, cap)
+    else if (bands < 2 || bands % 2 != 0)
+      // no halved shape exists (single-band configurations in specs/
+      // calibration runs): cap at the current shape
+      embeddingCosineCapped(emb, tau, bands, r, cap)
+    else {
+      val st2 = Similarity.bandStatsRaw(emb, bands / 2, r * 2).head()
+      val rebandVolume = if (st2.isNullAt(0)) 0L else st2.getLong(0)
+      if (rebandVolume * rebandGain <= exactVolume)
+        embeddingCosineCapped(emb, tau, bands / 2, r * 2, cap)
+      else embeddingCosineCapped(emb, tau, bands, r, cap)
+    }
   }
 
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv

@@ -928,29 +928,37 @@ object PipelineOps {
   // bucket — the measured loss and its re-banding mitigation live in
   // the ann_recall_eval_capped / _rebanded ledger rows.
 
-  /** The cap is INDEX state, not a per-call knob: chosen at build,
-    * recorded next to the survivor table, replayed by every refresh —
-    * a refresh under a different cap would silently break the
-    * refresh-equals-rebuild contract.
+  /** The cap AND the band shape are INDEX state, not per-call knobs:
+    * chosen at build, recorded next to the survivor table, replayed
+    * by every refresh — a refresh under a different cap or banding
+    * would silently break the refresh-equals-rebuild contract (the
+    * survivor rows' (band, key) space is defined by the shape).
     */
   private def writeClusterCap(root: String, ns: String, table: String,
-      cap: Int): Unit =
+      cap: Int, nBands: Int): Unit =
     java.nio.file.Files.writeString(
       graft.plans.TableIO.tableDir(root, ns, s"${table}_surv")
         .resolve("cluster-cap.json"),
-      s"""{"cap":$cap}""")
+      s"""{"cap":$cap,"bands":$nBands}""")
 
+  /** (cap, nBands) of a committed capped index. Pre-r17 marker files
+    * carry no "bands" field — those indexes were all built at the
+    * then-only 4×4 shape.
+    */
   private[graft] def readClusterCap(root: String, ns: String,
-      table: String): Int = {
+      table: String): (Int, Int) = {
     val f = graft.plans.TableIO.tableDir(root, ns, s"${table}_surv")
       .resolve("cluster-cap.json")
     require(java.nio.file.Files.isRegularFile(f),
       s"$ns.${table}_surv has no cluster-cap.json — not a capped cluster " +
         "index (exact indexes refresh via refreshClusterIndex)")
     val body = java.nio.file.Files.readString(f)
-    """"cap":(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+    val cap = """"cap":(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(
         s"bad cluster-cap.json: $body"))
+    val nBands = """"bands":(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toInt).getOrElse(4)
+    (cap, nBands)
   }
 
   /** Build the CAPPED cluster index from scratch: per-bucket cap
@@ -962,19 +970,20 @@ object PipelineOps {
     */
   def buildClusterIndexCapped(spark: SparkSession, docs: DataFrame,
       root: String, ns: String, table: String, cap: Int = 8,
-      iters: Int = ClusterIters): Unit =
+      iters: Int = ClusterIters, nBands: Int = 4): Unit =
     buildCappedIndexFromSigs(spark, Dedup.minhashSignatures(docs), root,
-      ns, table, cap, iters)
+      ns, table, cap, nBands, iters)
 
   /** The capped build over an already-computed signature relation —
     * [[buildClusterIndexAuto]]'s capped branch hands its cached guard
     * signatures here EXPLICITLY (r16 advice: reuse via CacheManager
     * plan-matching was fragile to any divergence in how the two plans
-    * were built), the twin of [[buildExactIndexFromSigs]].
+    * were built), the twin of [[buildExactIndexFromSigs]]. `nBands`
+    * becomes index state (see [[readClusterCap]]).
     */
   private def buildCappedIndexFromSigs(spark: SparkSession,
       sigsIn: DataFrame, root: String, ns: String, table: String,
-      cap: Int, iters: Int): Unit = {
+      cap: Int, nBands: Int, iters: Int): Unit = {
     import graft.plans.{PartitionSpec, Partitioning, TableIO}
     require(cap >= 1, s"cap must be >= 1, got $cap")
     require(TableIO.currentVersion(root, ns, table) == 0L &&
@@ -983,11 +992,11 @@ object PipelineOps {
         "docs in with refreshClusterIndexCapped, or drop the index " +
         "tables to rebuild")
     val surv = Similarity.capBuckets(
-      Dedup.sigBands(sigsIn), "doc_id", cap, lit(0L))
+      Dedup.sigBands(sigsIn, nBands), "doc_id", cap, lit(0L))
       .select("doc_id", "band", "key")
     Partitioning.preparePartitioned(spark, root, ns, s"${table}_surv",
       surv, PartitionSpec("bucket", "doc_id", 8))
-    writeClusterCap(root, ns, table, cap)
+    writeClusterCap(root, ns, table, cap, nBands)
     relabelClusterIndexCapped(spark, root, ns, table, iters,
       replace = false)
   }
@@ -1004,32 +1013,182 @@ object PipelineOps {
       root: String, ns: String, table: String,
       iters: Int = ClusterIters): Unit = {
     import graft.plans.{Partitioning, TableIO}
-    val cap = readClusterCap(root, ns, table)
+    // cap AND band shape come from the index itself — a delta banded
+    // at a different shape could never fold into the survivor space
+    val (cap, nBands) = readClusterCap(root, ns, table)
     // cached: read by the touched-bucket semi-join key set and the
     // re-cap union — one shingle pass over the delta, not two
     val deltaBands = graft.CacheScope.cached(
-      Dedup.sigBands(Dedup.minhashSignatures(delta))
+      Dedup.sigBands(Dedup.minhashSignatures(delta), nBands)
         .select("doc_id", "band", "key"))
     val old = graft.plans.Mor.read(spark, root, ns, s"${table}_surv")
       .select("doc_id", "band", "key")
     val touchedKeys = deltaBands.select("band", "key").distinct()
-    // untouched buckets: no delta member — frozen survivors verbatim
-    val untouched = old.join(touchedKeys, Seq("band", "key"), "left_anti")
+    // touched-bucket OLD survivors, materialized (delta-bucket-sized):
+    // read three ways below (re-cap union, survivor diff, scoped
+    // relabel adjacency) and the checkpoint also cuts the
+    // shingle-pipeline plan out of everything downstream
     val touched = old.join(touchedKeys, Seq("band", "key"), "left_semi")
+      .localCheckpoint()
     val recapped = Similarity.capBuckets(
       touched.unionByName(deltaBands), "doc_id", cap, lit(0L))
       .select("doc_id", "band", "key")
-    val surv = untouched.unionByName(recapped)
+      .localCheckpoint()
+    // SIZE-ROUTED refresh (r17): both branches commit bit-identical
+    // readable state, so the route is pure economics, decided from
+    // numbers already in hand (two checkpointed row counts + the
+    // manifest's metadata record counts — no extra scan).
+    //  - DELTA branch (small deltas — the steady state): survivor
+    //    state maintained by DELTA COMMIT — append the rows the
+    //    re-cap ADDED, equality-delete the rows it EVICTED (both
+    //    delta-bucket-sized), one CAS commit at one sequence.
+    //    Eq-deletes apply to strictly-lower sequences (Mor.read's
+    //    Iceberg-v2 gate), so same-commit appends are untouched and
+    //    the folded read equals a full rewrite row-for-row.
+    //    (doc_id, band, key) is a key — a doc holds one key per band
+    //    — so the anti-joins are exact set differences. Labels then
+    //    relabel component-scoped. Delete files accumulate one per
+    //    refresh; Maintenance.compact folds them. Removed the r16
+    //    index-sized floor: 13.4s → 8.1s at the 1M-doc smoke's
+    //    1%-delta, and the gap grows with the index:delta ratio.
+    //  - FULL branch (bulk deltas): when the changed-bucket volume is
+    //    within [[FullRefreshFactor]]× of the whole index, the scoped
+    //    machinery costs more than it saves (measured: the 1/3-corpus
+    //    delta ran 31.8s scoped vs ~20s full) — rewrite the snapshot
+    //    and relabel everything, exactly the r16 path.
+    val keys3 = Seq("doc_id", "band", "key")
+    val indexRows = TableIO.readManifest(root, ns, s"${table}_surv")
+      .filter(_.content == "data").map(_.recordCount).sum
+    val changedRows = touched.count() + deltaBands.count()
     val spec = Partitioning.readSpec(root, ns, s"${table}_surv").getOrElse(
       throw new IllegalStateException(
         s"$ns.${table}_surv has no partition spec"))
-    val entries = Partitioning.writePartitioned(spark, root, ns,
-      s"${table}_surv", surv, spec,
-      seq = TableIO.nextSeq(root, ns, s"${table}_surv"))
-    TableIO.commitReplacing(root, ns, s"${table}_surv", entries,
-      operation = Some("overwrite"))
-    relabelClusterIndexCapped(spark, root, ns, table, iters,
-      replace = true)
+    if (changedRows * FullRefreshFactor >= indexRows) {
+      val untouched = old.join(touchedKeys, Seq("band", "key"), "left_anti")
+      val surv = untouched.unionByName(recapped)
+      val entries = Partitioning.writePartitioned(spark, root, ns,
+        s"${table}_surv", surv, spec,
+        seq = TableIO.nextSeq(root, ns, s"${table}_surv"))
+      TableIO.commitReplacing(root, ns, s"${table}_surv", entries,
+        operation = Some("overwrite"))
+      relabelClusterIndexCapped(spark, root, ns, table, iters,
+        replace = true)
+    } else {
+      val adds = recapped.join(touched, keys3, "left_anti")
+      val removes = touched.join(recapped, keys3, "left_anti")
+      val seq = TableIO.nextSeq(root, ns, s"${table}_surv")
+      val dataEntries = Partitioning.writePartitioned(spark, root, ns,
+        s"${table}_surv", adds, spec, seq = seq)
+      val delEntries =
+        if (removes.isEmpty) Nil
+        else Seq(TableIO.writeExactFile(spark, root, ns, s"${table}_surv",
+          s"data/eqdel-$seq.parquet", removes, "eq_delete", seq))
+      val entries = dataEntries ++ delEntries
+      if (entries.nonEmpty)
+        TableIO.commit(root, ns, s"${table}_surv", entries)
+      relabelClusterIndexCappedScoped(spark, root, ns, table, iters,
+        deltaBands, touched)
+    }
+  }
+
+  /** The size route's threshold: the delta branch runs only while the
+    * changed-bucket row volume (old touched survivors + delta band
+    * rows) is under 1/8 of the index — past that, scoped bookkeeping
+    * costs more than the full rewrite it avoids (measured on the
+    * 1M-doc smoke's 1/3-corpus delta).
+    */
+  val FullRefreshFactor = 8L
+
+  /** COMPONENT-SCOPED relabel for the capped refresh (r17, VERDICT
+    * r16 item 2): the full relabel re-ran the survivor self-join and
+    * re-propagated over ALL pairs per refresh — an index-sized ~13s
+    * floor that made small-delta refreshes no cheaper than rebuilds.
+    * Labels under the fixed-`iters` propagation are LOCAL:
+    * label(v) = min doc_id within `iters` hops of v, so a label can
+    * change only for docs within `iters` hops of a changed edge, and
+    * every changed edge (added OR removed by eviction) has both
+    * endpoints among the TOUCHED buckets' members (old survivors +
+    * delta docs — the seeds). The scoped relabel therefore:
+    *   1. expands the seed set 2·iters hops through the bucket
+    *      adjacency (new survivors ∪ old touched rows, so paths
+    *      through removed edges are also covered) — every edge on any
+    *      ≤iters-hop path from the relabel set lies inside this ball;
+    *   2. recomputes the pair join and propagation ONLY among ball
+    *      members (delta-sized, not index-sized);
+    *   3. keeps every label row outside ball(seeds, iters) VERBATIM
+    *      from the committed snapshot.
+    * Bit-identical to the from-scratch relabel by the locality
+    * argument (spec-pinned by CappedClusterIndexSpec and both
+    * DedupScaleSmoke refresh-equals-rebuild checks); the refresh's
+    * propagation cost drops from index-sized to ball-sized.
+    */
+  private def relabelClusterIndexCappedScoped(spark: SparkSession,
+      root: String, ns: String, table: String, iters: Int,
+      deltaBands: DataFrame, touchedOld: DataFrame): Unit = {
+    val surv = graft.CacheScope.cached(
+      graft.plans.Mor.read(spark, root, ns, s"${table}_surv")
+        .select("doc_id", "band", "key"))
+    // The hop loop below would otherwise embed the shingle-pipeline +
+    // Mor-scan plans of its inputs into an ever-growing logical tree
+    // that Catalyst re-analyzes and re-optimizes per hop — measured
+    // 3s → 4s → 15s → 243s per hop on a 600-doc fixture (caching does
+    // NOT truncate logical-plan work; only the physical plan reads the
+    // cache). The delta-sized inputs and the ball itself are therefore
+    // checkpointed — legitimate HERE, unlike in query operators: a
+    // refresh is a TERMINAL maintenance op whose output is committed
+    // files, so no downstream consumer plan loses auditability, and
+    // the checkpointed relations are delta/ball-sized, far below the
+    // index (the index-sized `surv` stays a lazy scan). `touchedOld`
+    // arrives already checkpointed by the caller.
+    val touchedM = touchedOld
+    val seeds = deltaBands.select("doc_id")
+      .union(touchedM.select("doc_id")).distinct()
+    // Adjacency: docs sharing a (band, key) bucket — in the NEW
+    // survivor set (added edges) or the old touched rows (removed
+    // edges). SINGLETON buckets cannot carry an edge, so the new-side
+    // adjacency keeps only multi-member-bucket rows — bounded by
+    // buckets × cap, typically a sliver of the index (on the 1M-doc
+    // boilerplate smoke: ~3k rows of 4M) — and is checkpointed ONCE;
+    // the first cut semi-joined the full index relation twice per hop
+    // (12 index-sized scans), which cost more than the index-sized
+    // relabel it replaced. Docs whose buckets are all singletons drop
+    // out of the ball harmlessly: they have no pairs in either graph,
+    // hence no label row on any path (their old rows, if touched,
+    // ride touchedM).
+    val multiKeys = surv.groupBy("band", "key")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select("band", "key")
+    val adjCore = surv.join(multiKeys, Seq("band", "key"), "left_semi")
+      .localCheckpoint()
+    val adj = adjCore.unionByName(touchedM)
+    // each hop references the PREVIOUS ball exactly once — bucket
+    // adjacency is reflexive for any doc with adjacency rows (a doc
+    // occupies its own buckets), so the expansion is monotone without
+    // a union. (Evicted delta docs drop out of the ball: they have no
+    // edges in either graph and no label row on any path.) The
+    // per-hop eager checkpoint keeps every hop's plan constant-sized.
+    var ball = seeds.localCheckpoint()
+    var relabelSet = ball
+    for (h <- 1 to 2 * iters) {
+      val keys = adj.join(ball, Seq("doc_id"), "left_semi")
+        .select("band", "key").distinct()
+      ball = adj.join(keys, Seq("band", "key"), "left_semi")
+        .select("doc_id").distinct().localCheckpoint()
+      if (h == iters) relabelSet = ball
+    }
+    val ballM = ball
+    val relabelM = relabelSet
+    // pairs can only arise in multi-member buckets — the pair join
+    // reads the small adjacency core, not the index relation
+    val ballSurv = adjCore.join(ballM, Seq("doc_id"), "left_semi")
+    val pairs = graft.CacheScope.cached(
+      Similarity.pairsAmongCapped(ballSurv, "doc_a", "doc_b",
+        unordered = true))
+    val fresh = labelPropagation(pairs, iters)
+    val oldLabels = graft.plans.Mor.read(spark, root, ns, table)
+    val labels = oldLabels.join(relabelM, Seq("doc_id"), "left_anti")
+      .unionByName(fresh.join(relabelM, Seq("doc_id"), "left_semi"))
+    publishLabels(spark, root, ns, table, labels, replace = true)
   }
 
   /** The density-ROUTED cluster-index entry point — the persisted-
@@ -1071,8 +1230,19 @@ object PipelineOps {
       // guard already passed — commit phase only, no second aggregate;
       // both branches explicitly consume the one cached signature pass
       buildExactIndexFromSigs(spark, sigsIn, root, ns, table, iters)
-    else buildCappedIndexFromSigs(spark, sigsIn, root, ns, table, cap,
-      iters)
+    else {
+      // capped branch: shape-aware like the pair routers (r17) — one
+      // more constant-size aggregate at the re-banded 2×8 shape;
+      // re-band iff it shrinks the candidate volume by ≥ RebandGain
+      // (identical-clone corpora sit at exactly 0.5 and stay 4×4).
+      // The picked shape is committed as index state, so refreshes
+      // replay it without re-deciding.
+      val (rebandVolume, _) = Dedup.sigBandVolume(sigsIn, nBands = 2)
+      val nBands = if (rebandVolume * Dedup.RebandGain <= exactVolume) 2
+        else 4
+      buildCappedIndexFromSigs(spark, sigsIn, root, ns, table, cap,
+        nBands, iters)
+    }
   }
 
   /** Fold a delta into an auto-built index: dispatches on the
@@ -1130,6 +1300,135 @@ object PipelineOps {
   def readClusterIndex(spark: SparkSession, root: String, ns: String,
       table: String): DataFrame =
     graft.plans.Mor.read(spark, root, ns, table)
+
+  /** LABEL-level recall ledger for the capped cluster index (r17,
+    * VERDICT r16 item 3) — the pair-level cap loss
+    * (`ann_recall_eval_capped`) COMPOUNDS through the 3 propagation
+    * rounds and, more brutally, through survivor eviction: a clone
+    * group deeper than ~bands×cap keeps only its cap survivors in any
+    * bucket, and evicted docs have NO capped pairs at all, hence no
+    * label row — so a 300-deep group's true same-label pairs collapse
+    * to the survivors' clique. This eval MEASURES that end-product
+    * loss: on an adversarially dense text corpus (`copies` clones of
+    * every `stride`-th document under fresh ids, base ids bounded by
+    * `Similarity.MaxEvalBaseId` so the eval never scales with the
+    * corpus), ground truth is the EXACT index's labels
+    * (4×4 banding, full pair join — affordable on the bounded
+    * sample), and each (banding, cap) config's capped labels are
+    * scored by the fraction of true same-label pairs they keep
+    * together. Counting is all grouped-integer arithmetic — true
+    * pairs = Σ g(g−1)/2 over exact-label group sizes, kept pairs =
+    * Σ c(c−1)/2 over (exact-label, capped-label) cell sizes, with
+    * unlabeled docs sentineled to a per-doc value so they never pair
+    * — no pair enumeration, and the oracle replays it exactly.
+    * Expected shape of the results (the honest text-side story the
+    * r17 BandShapeProbe measured): clone groups collide at ANY band
+    * width, so the re-banded 2×8 configs can only do WORSE than 4×4
+    * here (half the independent cap draws) — which is exactly why
+    * the shape-aware router refuses to re-band on clone-dense text.
+    */
+  def clusterLabelRecallEval(docs: DataFrame, caps: Seq[Int] = Seq(4, 8, 16),
+      copies: Int = 10, stride: Int = 10,
+      iters: Int = ClusterIters): DataFrame = {
+    import docs.sparkSession.implicits._
+    val dense = graft.CacheScope.cached(
+      docs.filter(pmod(col("doc_id"), lit(stride.toLong)) === 0L &&
+          col("doc_id") < lit(Similarity.MaxEvalBaseId))
+        .select(col("doc_id"), col("text"),
+          explode(array((0 until copies).map(lit): _*)).as("c"))
+        .select((col("doc_id") * copies + col("c")).as("doc_id"),
+          col("text")))
+    val sig = graft.CacheScope.cached(Dedup.minhashSignatures(dense))
+    // ONE config-tagged pair relation — truth plus all 6 capped
+    // configs — so the whole eval pays ONE 3-round propagation, not
+    // 7 (the first cut ran 7 chains and cost 44s of pure per-job
+    // scheduling overhead on a 500-doc corpus). Per banding, one
+    // ranked window pass scores every cap at once: a pair survives
+    // cap c iff min over shared buckets of max(bn_a, bn_b) <= c,
+    // which is exactly membership in pairsFromSigsCapped(sig, c, nb)
+    // (both sides ranked within cap in some common bucket).
+    val capMax = caps.max
+    val cappedPairs = Seq(4, 2).map { nb =>
+      val ranked = Similarity.rankBuckets(
+        Dedup.sigBands(sig, nb), "doc_id", lit(0L))
+        .filter(col("bn") <= capMax)
+        .select("doc_id", "band", "key", "bn")
+      val a = ranked.toDF("doc_a", "band", "key", "bn_a")
+      val b = ranked.toDF("doc_b", "band", "key", "bn_b")
+      a.repartition(col("band"), col("key")).join(b, Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(min(greatest(col("bn_a"), col("bn_b"))).as("mm"))
+        .select(col("doc_a"), col("doc_b"),
+          explode(array(caps.map(lit): _*)).as("cap"))
+        .filter(col("mm") <= col("cap"))
+        .select(lit(s"${nb}x${16 / nb}").as("banding"), col("cap"),
+          col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _)
+    val truthPairs = Dedup.pairsFromSigs(sig)
+      .select(lit("truth").as("banding"), lit(0).as("cap"),
+        col("doc_a"), col("doc_b"))
+    val pairs = truthPairs.unionByName(cappedPairs)
+    // min-label propagation, partitioned by config — the same fixed
+    // rounds as labelPropagation, over every config at once
+    val edges = graft.CacheScope.cached(
+      pairs.select(col("banding"), col("cap"),
+          col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("banding"), col("cap"),
+          col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = edges.select(col("banding"), col("cap"),
+        col("src").as("doc_id")).distinct()
+      .withColumn("lab", col("doc_id"))
+    for (_ <- 1 to iters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"),
+          Seq("banding", "cap", "dst"))
+        .groupBy("banding", "cap", "src")
+        .agg(min("lab").as("nlab"))
+        .withColumnRenamed("src", "doc_id")
+      // each round references the previous round's labels TWICE; the
+      // per-round cache keeps the final DAG linear in rounds instead
+      // of 2^rounds recomputations (measured: 33s -> ~10s on the
+      // 500-doc eval corpus — this loop is label-propagation over a
+      // 7-config-tagged edge relation, so the blowup is 7x bigger
+      // than in labelPropagation, which gets away without it)
+      labels = graft.CacheScope.cached(
+        labels.join(viaNeighbor, Seq("banding", "cap", "doc_id"))
+          .select(col("banding"), col("cap"), col("doc_id"),
+            least(col("lab"), col("nlab")).as("lab")))
+    }
+    val labC = graft.CacheScope.cached(labels)
+    val truthLab = labC.filter(col("banding") === "truth")
+      .select(col("doc_id"), col("lab").as("cluster"))
+    // Σ g(g-1) is even, so halving after the exact long sum is exact
+    val nTrue = truthLab.groupBy("cluster").agg(count(lit(1)).as("g"))
+      .agg(coalesce(sum(col("g") * (col("g") - 1)), lit(0L)).as("tp2"))
+      .select((col("tp2") / 2).cast("long").as("n_true_pairs"))
+    val configsDf = (for (nb <- Seq(4, 2); cap <- caps)
+      yield (s"${nb}x${16 / nb}", cap)).toDF("banding", "cap")
+    val cells = truthLab.crossJoin(configsDf)
+      .join(labC.withColumnRenamed("lab", "clab"),
+        Seq("banding", "cap", "doc_id"), "left")
+      .select(col("banding"), col("cap"), col("cluster"),
+        // docs the capped index never labeled must never pair:
+        // sentinel below any real label (labels are doc_ids >= 0)
+        coalesce(col("clab"), -(col("doc_id") + 1)).as("clab"))
+      .groupBy("banding", "cap", "cluster", "clab")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("banding", "cap")
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("sp2"))
+    configsDf.join(cells, Seq("banding", "cap"), "left")
+      .select(col("banding"), col("cap"),
+        (coalesce(col("sp2"), lit(0L)) / 2).cast("long")
+          .as("n_same_label"))
+      .crossJoin(broadcast(nTrue))
+      .select(col("banding"), col("cap"), col("n_true_pairs"),
+        col("n_same_label"),
+        when(col("n_true_pairs") === 0, lit(null).cast("double"))
+          .otherwise(col("n_same_label").cast("double")
+            / col("n_true_pairs")).as("label_recall"))
+      .orderBy("banding", "cap")
+  }
 
   /** Deterministic round-robin interleave of corpus sources — the
     * training-order step after per-source curation: document i of each

@@ -115,11 +115,25 @@ object Extensions {
     // side; the cap bounds pair volume at buckets x cap^2
     "dedup_minhash_capped" -> ((s, dir) =>
       Dedup.minhashLshCapped(rd(s, dir, "documents"))),
+    // the RE-BANDED capped twin (r17): 2 bands x 8 rows — the shape
+    // the adaptive router picks when re-banding measurably shrinks
+    // the buckets (it does not on identical-clone corpora, where the
+    // router stays at 4x4 — see BandShapeProbe)
+    "dedup_minhash_rebanded" -> ((s, dir) =>
+      Dedup.minhashLshCapped(rd(s, dir, "documents"), nBands = 2)),
     // ...and the density-routed text entry point: the guard aggregate
-    // picks exact within 8x the capped bound, capped past it; the
-    // oracle replays the same integer decision
+    // picks exact within 8x the capped bound, capped past it — and
+    // since r17 a second guard picks the band SHAPE inside the capped
+    // branch; the oracle replays all three integer decisions
     "dedup_minhash_auto" -> ((s, dir) =>
       Dedup.minhashLshAuto(rd(s, dir, "documents"))),
+    // label-level recall ledger for the capped cluster index (r17):
+    // on an adversarially dense text corpus, the fraction of the
+    // exact index's same-label pairs each (banding, cap) capped
+    // config keeps together — the end-product loss after eviction
+    // and 3 propagation rounds, not just the pair-level loss
+    "dedup_clusters_recall_eval" -> ((s, dir) =>
+      PipelineOps.clusterLabelRecallEval(rd(s, dir, "documents"))),
     // banding-quality evaluation: LSH candidate pairs scored against
     // the exact-Jaccard ground truth (the ann_recall_eval pattern for
     // the dedup family) — candidate recall says how much real
@@ -151,11 +165,18 @@ object Extensions {
     // whose sign-LSH buckets run deep
     "dedup_embedding_capped" -> ((s, dir) =>
       Dedup.embeddingCosineCapped(rdEmbeddings(s, dir))),
+    // the RE-BANDED capped twin (r17): 8 bands x 8 sign bits — the
+    // shape the adaptive router picks on sign-collision-dense corpora
+    // (measured: ~6.5x smaller candidate volume, 0.56->0.97 recall at
+    // identical bounded work on the r16 ledger corpus)
+    "dedup_embedding_rebanded" -> ((s, dir) =>
+      Dedup.embeddingCosineCapped(rdEmbeddings(s, dir), bands = 8, r = 8)),
     // the density-ROUTED production entry point (r15): a one-aggregate
     // guard picks exact (full recall) while the exact candidate volume
-    // is within 8x the capped bound, capped past that; the oracle
-    // replays the same integer decision, so route and gate cannot
-    // silently diverge
+    // is within 8x the capped bound, capped past that — and since r17
+    // a second guard picks the band SHAPE inside the capped branch;
+    // the oracle replays the same integer decisions, so route and
+    // gate cannot silently diverge
     "dedup_embedding_auto" -> ((s, dir) =>
       Dedup.embeddingCosineAuto(rdEmbeddings(s, dir))),
     "dedup_edit_distance" -> ((s, dir) =>
@@ -287,6 +308,12 @@ object Extensions {
     // band-stats guard prescribes: more bits -> 16x shallower buckets)
     "ann_recall_eval_rebanded" -> ((s, dir) =>
       Similarity.recallEvalRebanded(rdEmbeddings(s, dir))),
+    // ...and what the r17 ADAPTIVE ROUTER actually delivers on a
+    // corpus dense enough to take the capped branch (30 clones): the
+    // routed row must coincide with the guard-picked fixed config —
+    // the oracle replays both guard comparisons
+    "ann_recall_eval_routed" -> ((s, dir) =>
+      Similarity.recallEvalRouted(rdEmbeddings(s, dir))),
     "ann_ivf_trained" -> ((s, dir) =>
       Similarity.ivfTrainedTopK(rdEmbeddings(s, dir))),
     "ann_knn_join" -> ((s, dir) => Similarity.knnJoin(rdEmbeddings(s, dir))),
@@ -889,24 +916,90 @@ object Extensions {
       s"min((h * $a + $b) % 1000000007) AS s$j"
     }.mkString(", ")
 
-  private val bandsSql = (0 until 4).map { bnd =>
-    val key = (0 until 4).map(r => s"s${bnd * 4 + r}").mkString(" || ':' || ")
-    s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
-  }.mkString(" UNION ALL ")
+  /** MinHash banding of the 16-component `sig` CTE at `nBands` bands
+    * of 16/nBands rows each — the SQL twin of `Dedup.sigBands`. 4×4
+    * is the production default; the shape-aware router's re-banded
+    * branch uses 2×8.
+    */
+  private def bandsSqlAt(nBands: Int): String = {
+    val rowsPer = 16 / nBands
+    (0 until nBands).map { bnd =>
+      val key = (0 until rowsPer).map(r => s"s${bnd * rowsPer + r}")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+  }
 
-  /** DuckDB twin of Dedup.pairsFromSigsCapped's bucket cap over the
-    * minhash `bands` CTE — the (doc_id, band) multiplicative Knuth
+  private lazy val bandsSql = bandsSqlAt(4)
+
+  /** DuckDB twin of Dedup.pairsFromSigsCapped's bucket cap over a
+    * minhash band CTE — the (doc_id, band) multiplicative Knuth
     * rank (no key term: one bucket per band per doc), cap 8. The band
     * mixes INSIDE the multiplication (r16 SaltProbe adoption) so each
-    * band caps an independent survivor subset.
+    * band caps an independent survivor subset. Parameterized over the
+    * source band CTE so the shape-aware oracles can cap the re-banded
+    * 2×8 rows with the identical rank.
     */
-  private lazy val minhashCappedCteSql: String =
-    s"""capped AS (SELECT doc_id, band, bkey FROM (
+  private def minhashCappedCteOver(name: String,
+      src: String = "bands", cap: Int = 8): String =
+    s"""$name AS (SELECT doc_id, band, bkey FROM (
        |    SELECT doc_id, band, bkey, row_number() OVER (
        |        PARTITION BY band, bkey ORDER BY
        |          (((doc_id % 2147483648 + band * 40503) % 2147483648)
        |            * 2654435761) % 4294967296 ASC, doc_id ASC) AS bn
-       |    FROM bands) WHERE bn <= 8)""".stripMargin
+       |    FROM $src) WHERE bn <= $cap)""".stripMargin
+
+  /** The MinHash signature CTE chain (through `sig`) over an
+    * arbitrary (doc_id, text) relation — the label-recall eval builds
+    * signatures of a synthesized dense corpus, everything else of the
+    * base table.
+    */
+  private def minhashSigCtesOver(base: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $base),
+       |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+       |        FROM t WHERE len(w) >= 4),
+       |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
+       |sig AS (SELECT doc_id, $minhashSigCols FROM h GROUP BY doc_id)""".stripMargin
+
+  /** One 3-round min-label propagation chain (edges → l0..l3) over a
+    * pairs CTE, all names prefixed — the label-recall eval runs one
+    * chain per (banding, cap) config in a single query.
+    */
+  private def labelChainCtes(p: String, pairsCte: String): String =
+    s"""${p}edges AS (SELECT doc_a AS src, doc_b AS dst FROM $pairsCte
+       |          UNION ALL SELECT doc_b, doc_a FROM $pairsCte),
+       |${p}l0 AS (SELECT DISTINCT src AS doc_id, src AS lab FROM ${p}edges),
+       |${p}n1 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
+       |       FROM ${p}edges e JOIN ${p}l0 l ON l.doc_id = e.dst GROUP BY e.src),
+       |${p}l1 AS (SELECT l.doc_id, least(l.lab, n.nlab) AS lab
+       |       FROM ${p}l0 l JOIN ${p}n1 n USING (doc_id)),
+       |${p}n2 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
+       |       FROM ${p}edges e JOIN ${p}l1 l ON l.doc_id = e.dst GROUP BY e.src),
+       |${p}l2 AS (SELECT l.doc_id, least(l.lab, n.nlab) AS lab
+       |       FROM ${p}l1 l JOIN ${p}n2 n USING (doc_id)),
+       |${p}n3 AS (SELECT e.src AS doc_id, min(l.lab) AS nlab
+       |       FROM ${p}edges e JOIN ${p}l2 l ON l.doc_id = e.dst GROUP BY e.src),
+       |${p}l3 AS (SELECT l.doc_id, least(l.lab, n.nlab) AS lab
+       |       FROM ${p}l2 l JOIN ${p}n3 n USING (doc_id))""".stripMargin
+
+  private lazy val minhashCappedCteSql: String = minhashCappedCteOver("capped")
+
+  /** The shape-aware router's guard stats as one CTE — the SQL twin
+    * of the two constant-size aggregates the r17 routers read: bp/br
+    * at the production banding (`src4`) and bp2 at the re-banded
+    * shape (`src2`). `where` restricts both to the corpus the engine
+    * routed on (the build-time base for index-refresh oracles).
+    */
+  private def routerStatsCte(src4: String = "bands",
+      src2: String = "bands2", where: String = ""): String =
+    s"""st AS (SELECT s4.bp, s4.br, s2.bp2 FROM
+       |  (SELECT CAST(COALESCE(sum(cnt * cnt), 0) AS BIGINT) AS bp,
+       |          CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS br
+       |   FROM (SELECT band, bkey, count(*) AS cnt
+       |         FROM $src4 $where GROUP BY 1, 2)) s4,
+       |  (SELECT CAST(COALESCE(sum(cnt * cnt), 0) AS BIGINT) AS bp2
+       |   FROM (SELECT band, bkey, count(*) AS cnt
+       |         FROM $src2 $where GROUP BY 1, 2)) s2)""".stripMargin
 
   private val simhashBitsSql = (0 until 32).map { i =>
     s"(CASE WHEN 2 * list_sum(list_transform(hs, v -> (v >> $i) % 2)) > len(hs) THEN ${1L << i} ELSE 0 END)"
@@ -1337,20 +1430,24 @@ object Extensions {
   private def clustersCtes(base: String, capped: Boolean = false,
       routed: Boolean = false, guardWhere: String = ""): String = {
     val pairSrc = if (capped) "capped" else "bands"
-    val capCte = if (capped || routed) s"$minhashCappedCteSql,\n" else ""
+    val capCte = if (capped) s"$minhashCappedCteSql,\n"
+      else if (routed)
+        s"""$minhashCappedCteSql,
+           |bands2 AS (${bandsSqlAt(2)}),
+           |${minhashCappedCteOver("capped2", "bands2")},\n""".stripMargin
+      else ""
     // routed: replay the engine's density routing (the
-    // ClusterIndexGuardCapSlack=64 integer rule) at the PAIRS level —
-    // exact band join while bp <= br*64, capped survivors past it —
-    // then one propagation chain over whichever pair set the guard
-    // picked, exactly as buildClusterIndexAuto does. guardWhere
-    // restricts the stats to the corpus the engine ROUTED ON (the
-    // build-time base for the refresh query — the branch is index
-    // state, not re-decided per delta).
+    // ClusterIndexGuardCapSlack=64 integer rule, plus the r17
+    // shape-pick — re-band to 2×8 iff bp2 x gain <= bp) at the PAIRS
+    // level — exact band join while bp <= br*64, capped survivors at
+    // the picked shape past it — then one propagation chain over
+    // whichever pair set the guards picked, exactly as
+    // buildClusterIndexAuto does. guardWhere restricts the stats to
+    // the corpus the engine ROUTED ON (the build-time base for the
+    // refresh query — branch AND shape are index state, not
+    // re-decided per delta).
     val pairsCte = if (routed)
-      s"""st AS (SELECT CAST(COALESCE(sum(cnt * cnt), 0) AS BIGINT) AS bp,
-         |            CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS br
-         |     FROM (SELECT band, bkey, count(*) AS cnt
-         |           FROM bands $guardWhere GROUP BY 1, 2)),
+      s"""${routerStatsCte(where = guardWhere)},
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
@@ -1360,7 +1457,12 @@ object Extensions {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM capped a JOIN capped b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE (SELECT bp > br * 64 FROM st)),""".stripMargin
+         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 > bp FROM st)
+         |  UNION ALL
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped2 a JOIN capped2 b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 <= bp FROM st)),""".stripMargin
     else
       s"""pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM $pairSrc a JOIN $pairSrc b
@@ -1421,6 +1523,58 @@ object Extensions {
     s"""WITH ${clustersCtes("documents", routed = true,
           guardWhere = "WHERE doc_id % 3 <> 0")}
        |SELECT doc_id, lab AS cluster FROM l3 ORDER BY doc_id""".stripMargin
+
+  /** Oracle of the LABEL-level recall ledger (r17): the dense corpus
+    * synthesized in SQL, the exact index's labels as truth, and one
+    * capped propagation chain per (banding, cap) config — all counts
+    * grouped-integer (true pairs = Σ g(g−1)//2 over exact-label group
+    * sizes; kept pairs = Σ c(c−1)//2 over (exact, capped) label cell
+    * sizes, unlabeled docs sentineled per-doc so they never pair).
+    */
+  private lazy val clusterLabelRecallSql: String = {
+    val configs = for (nb <- Seq(4, 2); cap <- Seq(4, 8, 16))
+      yield (nb, cap)
+    val cfgCtes = configs.map { case (nb, cap) =>
+      val p = s"c${nb}_${cap}_"
+      val src = if (nb == 4) "bands" else "bands2"
+      s"""${minhashCappedCteOver(s"${p}surv", src, cap)},
+         |${p}pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ${p}surv a JOIN ${p}surv b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |${labelChainCtes(p, s"${p}pairs")},
+         |${p}cnt AS (SELECT CAST(COALESCE(sum(cc * (cc - 1)), 0) // 2
+         |    AS BIGINT) AS n_same FROM (
+         |  SELECT count(*) AS cc FROM (
+         |    SELECT tl.lab AS tlab,
+         |      COALESCE(cl.lab, -(tl.doc_id + 1)) AS clab
+         |    FROM t_l3 tl LEFT JOIN ${p}l3 cl ON cl.doc_id = tl.doc_id)
+         |  GROUP BY tlab, clab))""".stripMargin
+    }.mkString(",\n")
+    val cfgRows = configs.map { case (nb, cap) =>
+      s"SELECT '${nb}x${16 / nb}' AS banding, $cap AS cap, n_same " +
+        s"FROM c${nb}_${cap}_cnt"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH dense AS (
+       |  SELECT doc_id * 10 + c AS doc_id, text
+       |  FROM documents, range(0, 10) t2(c)
+       |  WHERE doc_id % 10 = 0 AND doc_id < 4096),
+       |${minhashSigCtesOver("dense")},
+       |bands AS ($bandsSql),
+       |bands2 AS (${bandsSqlAt(2)}),
+       |tpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |${labelChainCtes("t_", "tpairs")},
+       |tcnt AS (SELECT CAST(COALESCE(sum(g * (g - 1)), 0) // 2 AS BIGINT)
+       |    AS n_true_pairs
+       |  FROM (SELECT lab, count(*) AS g FROM t_l3 GROUP BY 1)),
+       |$cfgCtes
+       |SELECT banding, cap, n_true_pairs, n_same AS n_same_label,
+       |  CASE WHEN n_true_pairs = 0 THEN NULL
+       |       ELSE CAST(n_same AS DOUBLE) / n_true_pairs END AS label_recall
+       |FROM ($cfgRows) s, tcnt
+       |ORDER BY banding, cap""".stripMargin
+  }
 
   /** Oracle of the e2e curation composite: Gopher gate → keep-best
     * exact dedup → cluster-keyed split, each stage the SAME SQL its
@@ -1578,16 +1732,26 @@ object Extensions {
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // the text density router's oracle replays the routing decision —
-    // both branches gated by the same integer comparison the engine
-    // makes over the band-bucket stats
+    // the re-banded capped twin: identical rank over the 2x8 banding
+    "dedup_minhash_rebanded" ->
+      s"""WITH $minhashCtesSql,
+         |bands2 AS (${bandsSqlAt(2)}),
+         |${minhashCappedCteOver("capped2", "bands2")}
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM capped2 a JOIN capped2 b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the text density router's oracle replays the routing decisions —
+    // all THREE branches (r17: exact / capped 4×4 / re-banded capped
+    // 2×8) gated by the same integer comparisons the engine makes
+    // over the two constant-size band-bucket stats
     "dedup_minhash_auto" ->
       s"""WITH $minhashCtesSql,
          |$minhashCappedCteSql,
-         |st AS (SELECT CAST(COALESCE(sum(cnt * cnt), 0) AS BIGINT) AS bp,
-         |              CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS br
-         |       FROM (SELECT band, bkey, count(*) AS cnt
-         |             FROM bands GROUP BY 1, 2))
+         |bands2 AS (${bandsSqlAt(2)}),
+         |${minhashCappedCteOver("capped2", "bands2")},
+         |${routerStatsCte()}
          |SELECT doc_a, doc_b FROM (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
@@ -1597,7 +1761,12 @@ object Extensions {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM capped a JOIN capped b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE (SELECT bp > br * 64 FROM st))
+         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 > bp FROM st)
+         |  UNION ALL
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped2 a JOIN capped2 b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 <= bp FROM st))
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // LSH candidates scored against exact-Jaccard ground truth: both
@@ -1750,17 +1919,18 @@ object Extensions {
          |WHERE ${cosSql("x.v", "y.v")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    // the density router's oracle REPLAYS the routing decision: both
-    // branches computed, the same integer comparison the engine makes
-    // (exact volume = sum cnt², capped bound = rows x cap x slack)
-    // gates which branch emits rows — testdata regeneration cannot
-    // silently desynchronize route and oracle
+    // the density router's oracle REPLAYS the routing decisions: all
+    // THREE branches computed (r17: exact 16×4 / capped 16×4 /
+    // re-banded capped 8×8), the same integer comparisons the engine
+    // makes (exact volume = sum cnt², capped bound = rows x cap x
+    // slack, re-band iff bp8 x gain <= bp16) gate which branch emits
+    // rows — testdata regeneration cannot silently desynchronize
+    // route and oracle
     "dedup_embedding_auto" ->
       s"""WITH $cappedBandsSql,
-         |st AS (SELECT CAST(COALESCE(sum(cnt * cnt), 0) AS BIGINT) AS bp,
-         |              CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS br
-         |       FROM (SELECT band, bkey, count(*) AS cnt
-         |             FROM bands GROUP BY 1, 2)),
+         |bands2 AS (${embBandsSqlOver("embeddings", 8, 8)}),
+         |${cappedCteOver("capped2", 8, "bands2")},
+         |${routerStatsCte()},
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |exact_cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM bands a JOIN bands b
@@ -1768,6 +1938,10 @@ object Extensions {
          |          AND a.vec_id < b.vec_id),
          |capped_cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM capped a JOIN capped b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.vec_id < b.vec_id),
+         |capped2_cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM capped2 a JOIN capped2 b
          |           ON a.band = b.band AND a.bkey = b.bkey
          |          AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b FROM (
@@ -1781,7 +1955,13 @@ object Extensions {
          |  FROM capped_cand JOIN e x ON x.vec_id = vec_a
          |                   JOIN e y ON y.vec_id = vec_b
          |  WHERE ${cosSql("x.v", "y.v")} >= 0.4
-         |    AND (SELECT bp > br * 64 FROM st))
+         |    AND (SELECT bp > br * 64 AND bp2 * 4 > bp FROM st)
+         |  UNION ALL
+         |  SELECT vec_a, vec_b
+         |  FROM capped2_cand JOIN e x ON x.vec_id = vec_a
+         |                    JOIN e y ON y.vec_id = vec_b
+         |  WHERE ${cosSql("x.v", "y.v")} >= 0.4
+         |    AND (SELECT bp > br * 64 AND bp2 * 4 <= bp FROM st))
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     // the capped twin: identical tail over the bucket-capped candidates
@@ -1789,6 +1969,21 @@ object Extensions {
       s"""WITH $cappedBandsSql,
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM capped a JOIN capped b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.vec_id < b.vec_id),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_a, vec_b
+         |FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b
+         |WHERE ${cosSql("x.v", "y.v")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // the re-banded capped twin: identical rank and tail over the
+    // 8x8 sign banding
+    "dedup_embedding_rebanded" ->
+      s"""WITH bands2 AS (${embBandsSqlOver("embeddings", 8, 8)}),
+         |${cappedCteOver("capped2", 8, "bands2")},
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM capped2 a JOIN capped2 b
          |           ON a.band = b.band AND a.bkey = b.bkey
          |          AND a.vec_id < b.vec_id),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -1888,6 +2083,55 @@ object Extensions {
          |FROM (SELECT 'banded_16x4' AS config, n FROM p_banded
          |      UNION ALL SELECT 'capped_16x4_c8', n FROM p_capped
          |      UNION ALL SELECT 'rebanded_8x8_c8', n FROM p_rebanded) s, tr
+         |ORDER BY config""".stripMargin
+    },
+
+    // what the ADAPTIVE ROUTER delivers (r17): a 30-clone dense
+    // corpus (dense enough for the capped branch), both fixed capped
+    // shapes, and the routed result — whose branch is decided by the
+    // SAME two guard comparisons the engine makes, replayed here, so
+    // a router that stops routing (or picks the measured-worse shape)
+    // hash-mismatches. Ground truth is the exact 16x4 banded near-dup
+    // pair set: every config's pairs are a subset (an 8x8 band key
+    // concatenates two adjacent 4-bit keys, so an 8x8 collision
+    // implies a 16x4 collision), making recall a ratio of counts.
+    "ann_recall_eval_routed" -> {
+      val pairCountSql = (rel: String) =>
+        s"""SELECT count(*) AS n FROM (
+           |    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |    FROM $rel a JOIN $rel b
+           |      ON a.band = b.band AND a.bkey = b.bkey
+           |     AND a.vec_id < b.vec_id) cand
+           |  JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b
+           |  WHERE ${cosSql("x.v", "y.v")} >= 0.4""".stripMargin
+      s"""WITH dense AS (
+         |  SELECT vec_id * 30 + c AS vec_id, embedding
+         |  FROM embeddings, range(0, 30) t(c)
+         |  WHERE vec_id % 10 = 0 AND vec_id < 4096),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM dense),
+         |bands AS (${embBandsSqlOver("dense")}),
+         |bands2 AS (${embBandsSqlOver("dense", 8, 8)}),
+         |${cappedCteOver("cap16x4", 8)},
+         |${cappedCteOver("cap8x8", 8, "bands2")},
+         |${routerStatsCte()},
+         |tr AS (SELECT n AS n_banded_pairs FROM (${pairCountSql("bands")})),
+         |p_capped AS (${pairCountSql("cap16x4")}),
+         |p_rebanded AS (${pairCountSql("cap8x8")}),
+         |p_routed AS (
+         |  SELECT n_banded_pairs AS n FROM tr
+         |  WHERE (SELECT bp <= br * 64 FROM st)
+         |  UNION ALL
+         |  SELECT n FROM p_capped
+         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 > bp FROM st)
+         |  UNION ALL
+         |  SELECT n FROM p_rebanded
+         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 <= bp FROM st))
+         |SELECT config, n_banded_pairs, n AS n_pairs,
+         |  CASE WHEN n_banded_pairs = 0 THEN NULL
+         |       ELSE CAST(n AS DOUBLE) / n_banded_pairs END AS pair_recall
+         |FROM (SELECT 'capped_16x4_c8' AS config, n FROM p_capped
+         |      UNION ALL SELECT 'rebanded_8x8_c8', n FROM p_rebanded
+         |      UNION ALL SELECT 'routed', n FROM p_routed) s, tr
          |ORDER BY config""".stripMargin
     },
 
@@ -2485,6 +2729,7 @@ object Extensions {
     "dedup_clusters_capped_refreshed" -> dedupClustersCappedSql,
     "dedup_clusters_auto" -> dedupClustersAutoSql,
     "dedup_clusters_auto_refreshed" -> dedupClustersAutoRefreshedSql,
+    "dedup_clusters_recall_eval" -> clusterLabelRecallSql,
     "pipe_split_leakage_safe" -> leakageSafeSplitSql,
     "pipe_e2e_curation" -> e2eCurationSql,
 

@@ -38,7 +38,9 @@ object ExplainDump {
     15 -> Seq("ann_recall_eval_capped", "ann_recall_eval_rebanded",
       "dedup_embedding_auto", "dedup_minhash_capped", "dedup_minhash_auto"),
     16 -> Seq("dedup_clusters_capped", "dedup_clusters_capped_refreshed",
-      "dedup_clusters_auto", "dedup_clusters_auto_refreshed"))
+      "dedup_clusters_auto", "dedup_clusters_auto_refreshed"),
+    17 -> Seq("dedup_minhash_rebanded", "dedup_embedding_rebanded",
+      "ann_recall_eval_routed", "dedup_clusters_recall_eval"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -124,7 +126,9 @@ object ExplainDump {
       "ann_recall_eval_rebanded", "dedup_embedding_auto",
       "dedup_minhash_capped", "dedup_minhash_auto",
       "dedup_clusters_capped", "dedup_clusters_capped_refreshed",
-      "dedup_clusters_auto", "dedup_clusters_auto_refreshed")
+      "dedup_clusters_auto", "dedup_clusters_auto_refreshed",
+      "dedup_minhash_rebanded", "dedup_embedding_rebanded",
+      "ann_recall_eval_routed", "dedup_clusters_recall_eval")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {

@@ -198,7 +198,10 @@ class CappedClusterIndexSpec extends AnyFunSuite {
     PipelineOps.buildClusterIndexAuto(spark, dense, dAuto, "corp",
       "clusters")
     CacheScope.drain()
-    assert(PipelineOps.readClusterCap(dAuto, "corp", "clusters") == 8)
+    // the dense spec corpus is IDENTICAL-clone dense (template copies
+    // collide at any band width), so the shape-aware capped branch
+    // must stay at 4×4 — re-banding would only halve the cap draws
+    assert(PipelineOps.readClusterCap(dAuto, "corp", "clusters") == ((8, 4)))
     val dCapped = Files.createTempDirectory("graft-clauto-b-").toString
     PipelineOps.buildClusterIndexCapped(spark, dense, dCapped, "corp",
       "clusters")
@@ -244,6 +247,82 @@ class CappedClusterIndexSpec extends AnyFunSuite {
     val sFullLabels = labelsOf(sAuto)
     assert(sFullLabels.contains((1000L, 0L)),
       s"delta doc must join group-0's cluster: $sFullLabels")
+  }
+
+  test("band shape is INDEX STATE (r17): a 2x8-shape capped index " +
+      "records its banding, refreshes fold at that shape, and the " +
+      "result equals a from-scratch 2x8 rebuild bit-for-bit") {
+    val ids = (0L until 600L)
+    val docs = denseDocs(ids)
+    val rebuildRoot = Files.createTempDirectory("graft-cl28-a-").toString
+    PipelineOps.buildClusterIndexCapped(spark, docs, rebuildRoot, "corp",
+      "clusters", nBands = 2)
+    CacheScope.drain()
+    assert(PipelineOps.readClusterCap(rebuildRoot, "corp", "clusters")
+      == ((8, 2)))
+    // survivor rows live in the 2-band key space
+    val bands = survivorsOf(rebuildRoot).map(_._2).distinct.sorted
+    assert(bands == Seq(0, 1), s"2x8 survivors carry bands $bands")
+
+    val refreshRoot = Files.createTempDirectory("graft-cl28-b-").toString
+    PipelineOps.buildClusterIndexCapped(spark,
+      docs.filter(col("doc_id") < 400), refreshRoot, "corp", "clusters",
+      nBands = 2)
+    CacheScope.drain()
+    // the refresh reads the shape from the committed index — no shape
+    // argument anywhere — and must reproduce the 2x8 rebuild exactly
+    PipelineOps.refreshClusterIndexCapped(spark,
+      docs.filter(col("doc_id") >= 400), refreshRoot, "corp", "clusters")
+    CacheScope.drain()
+    assert(labelsOf(refreshRoot) == labelsOf(rebuildRoot))
+    assert(survivorsOf(refreshRoot) == survivorsOf(rebuildRoot))
+  }
+
+  test("small-delta refresh takes the DELTA branch (r17): appends + " +
+      "eq-deletes in one commit, component-scoped relabel, and the " +
+      "result still equals a from-scratch rebuild bit-for-bit") {
+    import spark.implicits._
+    def corpus(ids: Seq[Long]) = ids.map { id =>
+      val body =
+        if (id < 40 || (id >= 2000 && id < 2020))
+          "deep template group body alpha beta gamma delta epsilon zeta"
+        else s"unique filler text number $id with trailing entropy word$id"
+      (id, body)
+    }.toDF("doc_id", "text")
+    // base: one 40-deep clone group + 1960 unique docs -> ~7.9k
+    // survivor rows; delta: 20 MORE clones of the same group (re-cap
+    // eviction pressure) + 40 unique -> changed rows ~270, well under
+    // index/8: the size route must pick the delta branch
+    val base = corpus(0L until 2000L)
+    val delta = corpus(2000L until 2060L)
+    val root = Files.createTempDirectory("graft-cldelta-a-").toString
+    PipelineOps.buildClusterIndexCapped(spark, base, root, "corp",
+      "clusters")
+    CacheScope.drain()
+    val vBuild = TableIO.currentVersion(root, "corp", "clusters_surv")
+    PipelineOps.refreshClusterIndexCapped(spark, delta, root, "corp",
+      "clusters")
+    CacheScope.drain()
+    // the delta branch committed ONE new survivor version carrying an
+    // eq-delete entry (evicted survivors) next to delta-sized appends
+    // — not a replacing rewrite of the whole snapshot
+    val vNow = TableIO.currentVersion(root, "corp", "clusters_surv")
+    assert(vNow == vBuild + 1)
+    val manifest = TableIO.readManifest(root, "corp", "clusters_surv")
+    assert(manifest.exists(_.content == "eq_delete"),
+      "no eq-delete entry — the delta branch did not run (or the " +
+        "fixture exercised no eviction)")
+    val appended = manifest.filter(e => e.content == "data" &&
+      e.seq == manifest.map(_.seq).max).map(_.recordCount).sum
+    assert(appended > 0 && appended < 1000,
+      s"delta-sized append expected, wrote $appended rows")
+    // ...and the folded state equals a from-scratch capped build
+    val root2 = Files.createTempDirectory("graft-cldelta-b-").toString
+    PipelineOps.buildClusterIndexCapped(spark,
+      base.unionByName(delta), root2, "corp", "clusters")
+    CacheScope.drain()
+    assert(labelsOf(root) == labelsOf(root2))
+    assert(survivorsOf(root) == survivorsOf(root2))
   }
 
   test("MIXED index state fails loudly (r16 advice): an orphaned " +

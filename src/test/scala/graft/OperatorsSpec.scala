@@ -173,6 +173,80 @@ class OperatorsSpec extends AnyFunSuite {
     graft.CacheScope.drain() // capped route registers caches
   }
 
+  test("shape-aware embedding router (r17): sign-collision density " +
+      "re-bands to 8x8, identical-clone density stays 16x4, sparse " +
+      "stays exact — all at the production shape") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    // SIGN-COLLISION dense: 256 distinct 64-dim vectors; within every
+    // 8-dim group the first 4 dims are fixed-positive (so all 256
+    // collide in every EVEN 16x4 band) and the last 4 dims carry the
+    // same 4 sign bits of (i % 16) (so 8x8 buckets split 16 ways).
+    // Guard arithmetic: bp16 ≈ 8·256² + 8·16·16² = 557056 over
+    // br16·cap·slack = 4096·64 = 262144 -> capped branch; bp2 =
+    // 8·16·16² = 32768, ×4 ≤ bp16 -> re-band.
+    val signDense = (0 until 256).map { i =>
+      val v = Array.tabulate(64) { d =>
+        val inGroup = d % 8
+        val sign =
+          if (inGroup < 4) 1f
+          else if (((i % 16) >> (inGroup - 4) & 1) == 1) 1f else -1f
+        sign * (1f + i / 10000f)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val autoSign = pairs(Dedup.embeddingCosineAuto(signDense))
+    assert(autoSign == pairs(Dedup.embeddingCosineCapped(signDense,
+      bands = 8, r = 8)), "sign-collision density must re-band to 8x8")
+    assert(autoSign != pairs(Dedup.embeddingCosineCapped(signDense,
+      bands = 16, r = 4)), "fixture too weak: both shapes coincide")
+    // IDENTICAL-CLONE dense: 300 copies of one vector occupy the same
+    // bucket at EVERY band width (bp2/bp16 = 0.5 exactly), so
+    // re-banding would only halve the independent per-band cap draws
+    // — the router must stay at 16x4
+    val cloneDense = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(64)(d => if (d % 3 == 0) 1f else -1f))
+    }.toDF("vec_id", "embedding")
+    val autoClone = pairs(Dedup.embeddingCosineAuto(cloneDense))
+    assert(autoClone == pairs(Dedup.embeddingCosineCapped(cloneDense,
+      bands = 16, r = 4)), "clone density must stay at 16x4")
+    assert(autoClone != pairs(Dedup.embeddingCosineCapped(cloneDense,
+      bands = 8, r = 8)), "fixture too weak: both shapes coincide")
+    // sparse 64-dim corpus: bit-identical to the exact join, as before
+    val sparse = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        if ((d * 31 + i * 7) % 3 == 0) 1f else -1f))
+    }.toDF("vec_id", "embedding")
+    assert(pairs(Dedup.embeddingCosineAuto(sparse)) ==
+      pairs(Dedup.embeddingCosine(sparse)))
+    graft.CacheScope.drain()
+  }
+
+  test("shape-aware text router (r17): spurious partial-signature " +
+      "collisions re-band to 2x8; identical clones stay 4x4") {
+    // synthetic signature relation: 1000 docs share s0..s3 (ONE
+    // 1000-deep 4x4 band-0 bucket; estimated Jaccard ~4/16 — NOT
+    // near-dups) and differ everywhere else. bp4 = 1000² + 3000 over
+    // br4·64 = 256000 -> capped; at 2x8 every key is distinct
+    // (bp2 = 2000, ×4 ≤ bp4) -> re-band, which correctly suppresses
+    // the spurious pairs entirely.
+    val spurious = (0 until 1000).map { i =>
+      (i.toLong, 1L, 2L, 3L, 4L,
+        i * 100L + 4, i * 100L + 5, i * 100L + 6, i * 100L + 7,
+        i * 100L + 8, i * 100L + 9, i * 100L + 10, i * 100L + 11,
+        i * 100L + 12, i * 100L + 13, i * 100L + 14, i * 100L + 15)
+    }.toDF("doc_id" +: (0 until 16).map(j => s"s$j"): _*)
+    assert(Dedup.lshPairsAutoFromSigs(spurious).isEmpty,
+      "re-banded 2x8 must suppress the 4-component spurious collisions")
+    assert(!Dedup.pairsFromSigsCapped(spurious, 8, 4).isEmpty,
+      "fixture too weak: 4x4 capped finds no pairs either")
+    graft.CacheScope.drain()
+    // identical clones: every band bucket is equally deep at both
+    // shapes (bp2/bp4 = 0.5 exactly) -> stays 4x4; covered end-to-end
+    // by the boilerplate-cluster test below and the auto cluster
+    // index spec (readClusterCap == (8, 4) on the dense corpus)
+  }
+
   test("text-side cap + router: under-cap corpora are exact; a " +
       "boilerplate cluster routes capped with bounded pairs") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -223,6 +297,96 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
     assert(rows.last._4 == 1.0)
     assert(rows.head._4 < 1.0, "cap=2 on a 16-deep bucket cannot be exact")
+  }
+
+  test("routed recall eval (r17): the routed row coincides with the " +
+      "guard-picked re-banded config and never under-performs the " +
+      "fixed 16x4 cap") {
+    // base table whose synthesized 30-clone eval corpus mirrors the
+    // real ledger regime: 80 DIVERSE-sign base vectors on ids
+    // 0,10,..,790 (the eval keeps vec_id % 10 == 0, < 4096), signs
+    // pseudo-random per (base, dim). Cloned x30, the 4-bit 16x4
+    // buckets mix several clone groups (~150 deep) while 8x8 buckets
+    // isolate single groups (~30 deep) — the measured shape where
+    // re-banding recovers the capped recall
+    val base = (0 until 80).map { i =>
+      val bits = new java.util.Random(i * 1000003L + 17).nextLong()
+      val v = Array.tabulate(64) { d =>
+        (if (((bits >> d) & 1L) == 1L) 1f else -1f) * (1f + i / 10000f)
+      }
+      (i.toLong * 10, v)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.recallEvalRouted(base).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    graft.CacheScope.drain()
+    assert(rows.map(_._1).toSeq ==
+      Seq("capped_16x4_c8", "rebanded_8x8_c8", "routed"))
+    val byCfg = rows.map(r => r._1 -> r).toMap
+    // the router took the re-banded branch on this corpus
+    assert(byCfg("routed")._3 == byCfg("rebanded_8x8_c8")._3,
+      s"routed must equal the re-banded config here: $rows")
+    // ...and that branch is the measured-better one
+    assert(byCfg("routed")._4 >= byCfg("capped_16x4_c8")._4,
+      s"routed recall under-performs the fixed 16x4 cap: $rows")
+    rows.foreach { case (cfg, nb, np, rec) =>
+      assert(np <= nb && rec > 0.0 && rec <= 1.0, s"$cfg: $np of $nb")
+    }
+  }
+
+  test("cluster label recall eval (r17): grouped-integer counting, " +
+      "recall monotone in cap, exact at cap >= clone depth, and 4x4 " +
+      "never behind 2x8 on a clone corpus") {
+    import graft.operators.PipelineOps
+    // 40 base docs on ids 0,10,..,390 with fully group-suffixed
+    // vocabulary (no cross-group shingles), so the eval's 10-clone
+    // corpus has clone groups of exactly 10 per band bucket
+    val base = docs((0 until 40).map { i =>
+      (i.toLong * 10,
+        s"unique$i corpus$i body$i alpha$i beta$i gamma$i delta$i zeta$i")
+    }: _*)
+    val rows = PipelineOps.clusterLabelRecallEval(base).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+    graft.CacheScope.drain()
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq(("2x8", 4), ("2x8", 8), ("2x8", 16),
+        ("4x4", 4), ("4x4", 8), ("4x4", 16)))
+    val nTrue = rows.head._3
+    // 40 clone groups of 10: 40 * C(10,2) true same-label pairs
+    assert(nTrue == 40L * 45, s"expected 1800 true pairs, got $nTrue")
+    rows.foreach { case (b, c, nt, ns, rec) =>
+      assert(nt == nTrue && ns <= nt && rec >= 0.0 && rec <= 1.0,
+        s"$b cap=$c: $ns of $nt")
+    }
+    val byCfg = rows.map(r => ((r._1, r._2), r._5)).toMap
+    // cap >= clone depth keeps every within-bucket pair -> the capped
+    // labels equal the exact ones at either banding
+    assert(byCfg(("4x4", 16)) == 1.0 && byCfg(("2x8", 16)) == 1.0)
+    // monotone in cap within each banding
+    for (b <- Seq("2x8", "4x4"))
+      assert(byCfg((b, 4)) <= byCfg((b, 8)) &&
+        byCfg((b, 8)) <= byCfg((b, 16)), s"$b not monotone")
+    // on identical clones, 2x8's survivor cliques are a subset of
+    // 4x4's (same per-band ranks, half the bands) -> never better
+    for (c <- Seq(4, 8, 16))
+      assert(byCfg(("2x8", c)) <= byCfg(("4x4", c)), s"cap=$c")
+    // at depth 10 the rotating salt's 4x4 survivor windows cover every
+    // clone group even at cap 4 (label recall 1.0 — connectivity needs
+    // far fewer pairs than the pair ledger keeps); the LOSS regime
+    // needs groups deeper than bands x cap: at 30 clones, cap 4 has at
+    // most 16 survivor slots per group, so >= 14 docs per group carry
+    // no label at all and label recall must drop below 1
+    val deep = PipelineOps.clusterLabelRecallEval(base, copies = 30)
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+    graft.CacheScope.drain()
+    val deepBy = deep.map(r => ((r._1, r._2), r._3)).toMap
+    assert(deepBy(("4x4", 4)) < 1.0 && deepBy(("2x8", 4)) < 1.0,
+      s"30-deep groups must lose label recall at cap 4: ${deep.toSeq}")
+    for (b <- Seq("2x8", "4x4"))
+      assert(deepBy((b, 4)) <= deepBy((b, 8)) &&
+        deepBy((b, 8)) <= deepBy((b, 16)), s"$b not monotone at depth 30")
   }
 
   test("persisted bloom index: incremental refresh folds bit-identical " +
