@@ -729,15 +729,26 @@ object PipelineOps {
     // undirected: both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // SELF-LOOPS make each round a single aggregation: min over
+    // N(v) ∪ {v} equals least(own label, min over neighbors), so the
+    // round references the previous labels ONCE (r17). The previous
+    // least()-formulation referenced them twice — which both nested
+    // the logical plan 2^iters deep AND re-executed each round's join
+    // 2^(iters−k) times at runtime (intermediates are deliberately
+    // uncached; only `pairs` is, by the caller).
+    // no distinct on the self-loops: duplicates are harmless under
+    // min (idempotent) and the dedup shuffle would cost more than the
+    // ≤2x row inflation it avoids
+    val withSelf = edges.union(
+      edges.select(col("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lab", col("doc_id"))
     for (_ <- 1 to iters) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min("lab").as("nlab"))
-      labels = labels.join(viaNeighbor, "doc_id")
-        .select(col("doc_id"), least(col("lab"), col("nlab")).as("lab"))
+      labels = withSelf
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("lab", "dlab"), "dst")
+        .groupBy("src").agg(min("dlab").as("lab"))
+        .withColumnRenamed("src", "doc_id")
     }
     labels.select(col("doc_id"), col("lab").as("cluster"))
   }
@@ -1355,7 +1366,9 @@ object PipelineOps {
         .select("doc_id", "band", "key", "bn")
       val a = ranked.toDF("doc_a", "band", "key", "bn_a")
       val b = ranked.toDF("doc_b", "band", "key", "bn_b")
-      a.repartition(col("band"), col("key")).join(b, Seq("band", "key"))
+      // no explicit repartition: the eval corpus is bounded (base ids
+      // under MaxEvalBaseId), so AQE's defaults beat an extra shuffle
+      a.join(b, Seq("band", "key"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(min(greatest(col("bn_a"), col("bn_b"))).as("mm"))
@@ -1370,32 +1383,33 @@ object PipelineOps {
         col("doc_a"), col("doc_b"))
     val pairs = truthPairs.unionByName(cappedPairs)
     // min-label propagation, partitioned by config — the same fixed
-    // rounds as labelPropagation, over every config at once
+    // rounds as labelPropagation, over every config at once, in its
+    // self-loop single-reference form (see labelPropagation: one
+    // reference to the previous labels per round keeps the plan AND
+    // the execution linear in rounds — the least()-formulation over
+    // this 7-config edge relation cost ~30s of replanning and round
+    // re-execution)
     val edges = graft.CacheScope.cached(
       pairs.select(col("banding"), col("cap"),
           col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("banding"), col("cap"),
           col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // no distinct on the self-loops — harmless dupes under min, one
+    // fewer shuffle (see labelPropagation)
+    val withSelf = edges.union(edges
+      .select(col("banding"), col("cap"), col("src"),
+        col("src").as("dst")))
     var labels = edges.select(col("banding"), col("cap"),
         col("src").as("doc_id")).distinct()
       .withColumn("lab", col("doc_id"))
     for (_ <- 1 to iters) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"),
+      labels = withSelf
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("lab", "dlab"),
           Seq("banding", "cap", "dst"))
         .groupBy("banding", "cap", "src")
-        .agg(min("lab").as("nlab"))
+        .agg(min("dlab").as("lab"))
         .withColumnRenamed("src", "doc_id")
-      // each round references the previous round's labels TWICE; the
-      // per-round cache keeps the final DAG linear in rounds instead
-      // of 2^rounds recomputations (measured: 33s -> ~10s on the
-      // 500-doc eval corpus — this loop is label-propagation over a
-      // 7-config-tagged edge relation, so the blowup is 7x bigger
-      // than in labelPropagation, which gets away without it)
-      labels = graft.CacheScope.cached(
-        labels.join(viaNeighbor, Seq("banding", "cap", "doc_id"))
-          .select(col("banding"), col("cap"), col("doc_id"),
-            least(col("lab"), col("nlab")).as("lab")))
     }
     val labC = graft.CacheScope.cached(labels)
     val truthLab = labC.filter(col("banding") === "truth")

@@ -323,6 +323,12 @@ class CappedClusterIndexSpec extends AnyFunSuite {
     CacheScope.drain()
     assert(labelsOf(root) == labelsOf(root2))
     assert(survivorsOf(root) == survivorsOf(root2))
+    // long-lived-index maintenance: compaction folds the accumulated
+    // eq-delete files away without changing the survivor state
+    graft.plans.Maintenance.compact(spark, root, "corp", "clusters_surv")
+    assert(!TableIO.readManifest(root, "corp", "clusters_surv")
+      .exists(_.content == "eq_delete"))
+    assert(survivorsOf(root) == survivorsOf(root2))
   }
 
   test("MIXED index state fails loudly (r16 advice): an orphaned " +
