@@ -1068,8 +1068,16 @@ object PipelineOps {
     //    delta ran 31.8s scoped vs ~20s full) — rewrite the snapshot
     //    and relabel everything, exactly the r16 path.
     val keys3 = Seq("doc_id", "band", "key")
-    val indexRows = TableIO.readManifest(root, ns, s"${table}_surv")
-      .filter(_.content == "data").map(_.recordCount).sum
+    // LIVE rows, not raw data rows (r17 review): every eq-delete row
+    // kills exactly one committed survivor row (removes ⊆ old by
+    // construction), so the live count is the manifest difference —
+    // summing only data recordCounts would overstate a churn-heavy
+    // index by its total historical evictions and let the route
+    // drift ever further from the measured ~1/8 crossover.
+    val survManifest = TableIO.readManifest(root, ns, s"${table}_surv")
+    val indexRows =
+      survManifest.filter(_.content == "data").map(_.recordCount).sum -
+        survManifest.filter(_.content == "eq_delete").map(_.recordCount).sum
     val changedRows = touched.count() + deltaBands.count()
     val spec = Partitioning.readSpec(root, ns, s"${table}_surv").getOrElse(
       throw new IllegalStateException(
@@ -1097,10 +1105,22 @@ object PipelineOps {
       val entries = dataEntries ++ delEntries
       if (entries.nonEmpty)
         TableIO.commit(root, ns, s"${table}_surv", entries)
+      // bound the read amplification the delta commits accumulate
+      // (one eq-delete anti-join per refresh on every survivor read):
+      // past the threshold, fold everything back into plain data
+      // files — index-sized work amortized over that many refreshes
+      if (survManifest.count(_.content == "eq_delete") + delEntries.size
+          >= MaxSurvDeleteFiles)
+        graft.plans.Maintenance.compact(spark, root, ns, s"${table}_surv")
       relabelClusterIndexCappedScoped(spark, root, ns, table, iters,
         deltaBands, touched)
     }
   }
+
+  /** Auto-compaction threshold for the survivor table's accumulated
+    * eq-delete files (one per delta refresh).
+    */
+  val MaxSurvDeleteFiles = 8
 
   /** The size route's threshold: the delta branch runs only while the
     * changed-bucket row volume (old touched survivors + delta band

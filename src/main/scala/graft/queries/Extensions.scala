@@ -871,14 +871,13 @@ object Extensions {
        |  AND (${rollSql("'c' || CAST(doc_id AS VARCHAR)")} % 100) < 50""".stripMargin
 
   /** The MinHash signature/banding CTE chain, shared by the LSH pair
-    * oracle and the edit-distance verification oracle.
+    * oracle and the edit-distance verification oracle — defined over
+    * [[minhashSigCtesOver]] so the shingle/signature chain lives ONCE
+    * (r17 review: a hardcoded second copy here could silently fork
+    * from the label-recall eval's parameterized one).
     */
   private lazy val minhashCtesSql =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |shl AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
-       |        FROM t WHERE len(w) >= 4),
-       |h AS (SELECT doc_id, ${rollSql("sh")} AS h FROM shl),
-       |sig AS (SELECT doc_id, $minhashSigCols FROM h GROUP BY doc_id),
+    s"""${minhashSigCtesOver("documents")},
        |bands AS ($bandsSql)""".stripMargin
 
   /** DuckDB twin of TextHash.rollingHash applied to expression `e`. */

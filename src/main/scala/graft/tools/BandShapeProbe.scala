@@ -39,15 +39,6 @@ object BandShapeProbe {
       if (st.isNullAt(2)) 0L else st.getLong(2))
   }
 
-  private def sigBandsAt(sig: DataFrame, bands: Int): DataFrame = {
-    val rowsPer = 16 / bands
-    val bandArray = array((0 until bands).map { bnd =>
-      concat_ws(":", (0 until rowsPer).map(r =>
-        col(s"s${bnd * rowsPer + r}")): _*)
-    }: _*)
-    sig.select(col("doc_id"), posexplode(bandArray).as(Seq("band", "key")))
-  }
-
   private def report(name: String, shape: String, s: (Long, Long, Long),
       cap: Int = 8): Unit = {
     val (bp, br, mx) = s
@@ -69,7 +60,7 @@ object BandShapeProbe {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def dense(copies: Int, stride: Int): DataFrame =
       emb.filter(pmod(col("vec_id"), lit(stride.toLong)) === 0L &&
-          col("vec_id") < lit(4096L))
+          col("vec_id") < lit(graft.operators.Similarity.MaxEvalBaseId))
         .select(col("vec_id"), col("embedding"),
           explode(array((0 until copies).map(lit): _*)).as("c"))
         .select((col("vec_id") * copies + col("c")).as("vec_id"),
@@ -113,8 +104,11 @@ object BandShapeProbe {
     for ((nm, df) <- textCorpora) {
       val sig = graft.operators.Dedup.minhashSignatures(df).cache()
       sig.count()
-      report(s"text/$nm", "4x4", stats(sigBandsAt(sig, 4)))
-      report(s"text/$nm", "2x8", stats(sigBandsAt(sig, 2)))
+      // the REAL banding the routers read — not a probe-local copy
+      // (r17 review: a hand copy could calibrate thresholds against
+      // stale code if the layout ever changes)
+      report(s"text/$nm", "4x4", stats(graft.operators.Dedup.sigBands(sig, 4)))
+      report(s"text/$nm", "2x8", stats(graft.operators.Dedup.sigBands(sig, 2)))
       sig.unpersist()
     }
     spark.stop()

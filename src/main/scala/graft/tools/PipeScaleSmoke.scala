@@ -73,7 +73,11 @@ object PipeScaleSmoke {
       .collect())
     timed("dataCard")(PipelineOps.dataCard(docs).collect())
     timed("tokenBudget")(PipelineOps.tokenBudget(docs).collect())
-    timed("interleave")(PipelineOps.interleave(docs).collect())
+    // the operator is unbounded since r17 (the top-100 lives in the
+    // query registry) — collecting the full interleaved corpus would
+    // time driver-side row collection, not the operator; count() keeps
+    // the full distributed computation in the timing
+    timed("interleave")(PipelineOps.interleave(docs).count())
     // round-9 additions: linear classifier scan, per-source window cap
     // (WindowGroupLimit), keep-best aggregate, Gopher rule scan
     timed("classifierScore")(

@@ -1,8 +1,9 @@
-package graft.operators
+package graft.tools
 
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.operators.PipelineOps
 
 /** Quick timing/equality probe for the r17 component-scoped capped
   * relabel on the CappedClusterIndexSpec fixture (600 docs, one
