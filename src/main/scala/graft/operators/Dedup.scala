@@ -326,8 +326,8 @@ object Dedup {
     * the data — the oracle replays the identical integer comparisons
     * gating all three branches.
     */
-  def minhashLshAuto(docs: DataFrame, n: Int = 4, cap: Int = 8,
-      slack: Int = 8, rebandGain: Int = RebandGain): DataFrame =
+  def minhashLshAuto(docs: DataFrame, n: Int = 4, cap: Int = DefaultCap,
+      slack: Int = DefaultSlack, rebandGain: Int = RebandGain): DataFrame =
     lshPairsAutoFromSigs(graft.CacheScope.cached(minhashSignatures(docs, n)),
       cap, slack, rebandGain).orderBy("doc_a", "doc_b")
 
@@ -349,6 +349,15 @@ object Dedup {
     */
   val RebandGain = 4
 
+  /** Default per-bucket cap and exact-route slack both density-routed
+    * pair families share — NAMED (r17 advice) so the SQL oracles
+    * interpolate `DefaultCap * DefaultSlack` instead of a bare `64`:
+    * a constant change or a non-default invocation must fail the
+    * oracle loudly, never desynchronize it silently.
+    */
+  val DefaultCap = 8
+  val DefaultSlack = 8
+
   /** [[minhashLshAuto]]'s routing core over an already-computed
     * signature relation — three branches, all gated by constant-size
     * integer guard aggregates the oracle replays: exact 4×4 while the
@@ -356,16 +365,16 @@ object Dedup {
     * re-banded to 2×8 iff re-banding shrinks the candidate volume by
     * ≥ rebandGain (see [[RebandGain]]).
     */
-  private[graft] def lshPairsAutoFromSigs(sig: DataFrame, cap: Int = 8,
-      slack: Int = 8, rebandGain: Int = RebandGain): DataFrame = {
-    val (exactVolume, bandRows) = sigBandVolume(sig)
+  private[graft] def lshPairsAutoFromSigs(sig: DataFrame, cap: Int = DefaultCap,
+      slack: Int = DefaultSlack, rebandGain: Int = RebandGain): DataFrame = {
+    // ONE dual-shape guard job (r17 verdict item 4) — both shapes'
+    // volumes from a single pass over the signature relation; the
+    // routing comparisons are unchanged
+    val (exactVolume, bandRows, rebandVolume) = sigBandVolumeDual(sig)
     if (exactVolume <= bandRows * cap * slack) pairsFromSigs(sig)
-    else {
-      val (rebandVolume, _) = sigBandVolume(sig, nBands = 2)
-      if (rebandVolume * rebandGain <= exactVolume)
-        pairsFromSigsCapped(sig, cap, nBands = 2)
-      else pairsFromSigsCapped(sig, cap)
-    }
+    else if (rebandVolume * rebandGain <= exactVolume)
+      pairsFromSigsCapped(sig, cap, nBands = 2)
+    else pairsFromSigsCapped(sig, cap)
   }
 
   /** The router/guard aggregate over a signature relation:
@@ -383,6 +392,37 @@ object Dedup {
       .head()
     (if (st.isNullAt(0)) 0L else st.getLong(0),
       if (st.isNullAt(1)) 0L else st.getLong(1))
+  }
+
+  /** BOTH band shapes' guard volumes in ONE aggregate pass — the text
+    * twin of `Similarity.bandStatsDual` (r17 verdict item 4: the
+    * shape-aware routers paid a second full signature pass at the
+    * re-banded 2×8 shape whenever the first guard routed capped).
+    * Each doc emits its four 4×4 keys AND its two 2×8 keys in one
+    * select; `pos` 0–3 are the 4×4 bands, 4–5 the 2×8 bands, so one
+    * grouped count plus a 2-row rollup yields both shapes' stats.
+    * Per-shape bucket counts are bit-identical to [[sigBandVolume]]'s
+    * (same concat_ws keys), so every routing comparison — and its
+    * oracle replay — is unchanged. Returns
+    * (exact_volume@4×4, band_rows@4×4, reband_volume@2×8).
+    */
+  private[graft] def sigBandVolumeDual(sig: DataFrame): (Long, Long, Long) = {
+    val keys4 = (0 until 4).map { bnd =>
+      concat_ws(":", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*)
+    }
+    val keys2 = (0 until 2).map { bnd =>
+      concat_ws(":", (0 until 8).map(r => col(s"s${bnd * 8 + r}")): _*)
+    }
+    val st = sig.select(posexplode(array(keys4 ++ keys2: _*))
+        .as(Seq("pos", "key")))
+      .groupBy("pos", "key").agg(count(lit(1)).as("cnt"))
+      .groupBy((col("pos") < 4).as("is_cur"))
+      .agg(sum(col("cnt") * col("cnt")).as("bp"), sum(col("cnt")).as("br"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (bp, br) = st.getOrElse(true, (0L, 0L))
+    val (bp2, _) = st.getOrElse(false, (0L, 0L))
+    (bp, br, bp2)
   }
 
   /** The candidate pairs involving at least one DELTA document: band
@@ -958,9 +998,11 @@ object Dedup {
     * quadratic; the cap's measured recall collapse
     * (`ann_recall_eval_capped`: ~(cap/depth)² per bucket) is why the
     * capped branch is BAND-SHAPE-AWARE since r17 (VERDICT r16 item
-    * 1): a second constant-size guard aggregate at the re-banded
-    * shape (bands/2 × r·2 — 16×4 → 8×8) measures whether more bits
-    * per band actually shrink the buckets, and the router re-bands
+    * 1): the guard also measures the re-banded shape's volume
+    * (bands/2 × r·2 — 16×4 → 8×8; since r18 BOTH shapes come from
+    * one dual-shape aggregate pass, `Similarity.bandStatsDual`) —
+    * whether more bits per band actually shrink the buckets — and
+    * the router re-bands
     * iff the re-banded candidate volume is ≤ 1/rebandGain of the
     * current shape's ([[RebandGain]] — the measured separation
     * between sign-collision density, ratio ~0.15, where re-banding
@@ -971,21 +1013,26 @@ object Dedup {
     * replayed by the oracle.
     */
   def embeddingCosineAuto(emb: DataFrame, tau: Double = 0.4,
-      bands: Int = 16, r: Int = 4, cap: Int = 8,
-      slack: Int = 8, rebandGain: Int = RebandGain): DataFrame = {
-    val st = Similarity.bandStatsRaw(emb, bands, r).head()
-    // empty corpus: sums are null — trivially exact (no candidates)
-    val exactVolume = if (st.isNullAt(0)) 0L else st.getLong(0)
-    val cappedBound = if (st.isNullAt(1)) 0L else st.getLong(1) * cap * slack
-    if (exactVolume <= cappedBound) embeddingCosine(emb, tau, bands, r)
-    else if (bands < 2 || bands % 2 != 0)
+      bands: Int = 16, r: Int = 4, cap: Int = DefaultCap,
+      slack: Int = DefaultSlack, rebandGain: Int = RebandGain): DataFrame = {
+    if (bands < 2 || bands % 2 != 0) {
       // no halved shape exists (single-band configurations in specs/
-      // calibration runs): cap at the current shape
-      embeddingCosineCapped(emb, tau, bands, r, cap)
-    else {
-      val st2 = Similarity.bandStatsRaw(emb, bands / 2, r * 2).head()
-      val rebandVolume = if (st2.isNullAt(0)) 0L else st2.getLong(0)
-      if (rebandVolume * rebandGain <= exactVolume)
+      // calibration runs): one single-shape guard, cap at the current
+      // shape past the bound
+      val st = Similarity.bandStatsRaw(emb, bands, r).head()
+      val exactVolume = if (st.isNullAt(0)) 0L else st.getLong(0)
+      val cappedBound = if (st.isNullAt(1)) 0L else st.getLong(1) * cap * slack
+      if (exactVolume <= cappedBound) embeddingCosine(emb, tau, bands, r)
+      else embeddingCosineCapped(emb, tau, bands, r, cap)
+    } else {
+      // ONE dual-shape guard job (r17 verdict item 4: the dense path
+      // previously paid a second full aggregate at the re-banded
+      // shape) — same three integers, same comparisons, one pass
+      val (exactVolume, bandRows, rebandVolume) =
+        Similarity.bandStatsDual(emb, bands, r)
+      if (exactVolume <= bandRows * cap * slack)
+        embeddingCosine(emb, tau, bands, r)
+      else if (rebandVolume * rebandGain <= exactVolume)
         embeddingCosineCapped(emb, tau, bands / 2, r * 2, cap)
       else embeddingCosineCapped(emb, tau, bands, r, cap)
     }

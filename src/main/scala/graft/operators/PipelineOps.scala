@@ -908,14 +908,155 @@ object PipelineOps {
     }
   }
 
+  /** DELTA label publish (r18, VERDICT r17 item 1): the scoped relabel
+    * computes exactly the changed rows, so the label table gets the
+    * same MOR maintenance the survivor table got in r17 — append the
+    * ball's fresh label rows + ONE eq-delete file (doc_id-keyed) for
+    * the relabel set, in one CAS commit at one sequence. The
+    * strictly-lower-seq gate makes the folded read equal the old
+    * full-replace row-for-row: every pre-refresh row of a relabeled
+    * doc dies, every same-commit append survives, every row outside
+    * the relabel set is untouched — which is precisely
+    * `old ∖ relabel ∪ fresh⋂relabel`, the r17 replace expression.
+    * This removes the last index-sized write from the steady-state
+    * refresh (the replace re-wrote ALL labels per delta). Delete
+    * files accumulate one per refresh and fold away past
+    * [[MaxSurvDeleteFiles]], same policy as the survivors.
+    */
+  private def publishLabelsDelta(spark: SparkSession, root: String,
+      ns: String, table: String, fresh: DataFrame,
+      relabel: DataFrame): Unit = {
+    import graft.plans.{Maintenance, Partitioning, TableIO}
+    val spec = Partitioning.readSpec(root, ns, table).getOrElse(
+      throw new IllegalStateException(s"$ns.$table has no partition spec"))
+    val seq = TableIO.nextSeq(root, ns, table)
+    val dataEntries =
+      if (fresh.isEmpty) Nil
+      else Partitioning.writePartitioned(spark, root, ns, table, fresh,
+        spec, seq = seq)
+    val delEntries =
+      if (relabel.isEmpty) Nil
+      else Seq(TableIO.writeExactFile(spark, root, ns, table,
+        s"data/eqdel-$seq.parquet", relabel.select("doc_id"),
+        "eq_delete", seq))
+    val entries = dataEntries ++ delEntries
+    if (entries.nonEmpty) TableIO.commit(root, ns, table, entries)
+    if (TableIO.readManifest(root, ns, table)
+        .count(_.content == "eq_delete") >= MaxSurvDeleteFiles)
+      Maintenance.compact(spark, root, ns, table)
+  }
+
+  /** The capped index's bucket-ADJACENCY state `{t}_adj` (r18, VERDICT
+    * r17 item 2): the multi-member-bucket survivor rows — exactly the
+    * relation the scoped relabel used to re-derive per refresh with a
+    * full-index groupBy (`multiKeys`) plus a full-index semi-join. A
+    * bucket's multi-member status changes ONLY when the bucket's
+    * membership changes, and a delta refresh changes membership only
+    * in the touched buckets, so the adjacency is delta-maintainable by
+    * the same MOR commit the survivors use: append the touched
+    * buckets' new ≥2-member rows + one (band, key)-keyed eq-delete
+    * file for ALL touched buckets. The steady-state refresh thereafter
+    * reads adjacency as committed state — no full-index exchange
+    * anywhere in its plan.
+    */
+  private def adjFromSurv(surv: DataFrame): DataFrame = {
+    val multiKeys = surv.groupBy("band", "key")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select("band", "key")
+    surv.join(multiKeys, Seq("band", "key"), "left_semi")
+  }
+
+  /** Full rebuild of the adjacency state from the committed survivors
+    * — the build path and the bulk/fallback refresh paths (the delta
+    * path maintains it incrementally in [[refreshClusterIndexCapped]]).
+    */
+  private def commitAdjFull(spark: SparkSession, root: String, ns: String,
+      table: String): Unit = {
+    import graft.plans.{PartitionSpec, Partitioning, TableIO}
+    val adj = adjFromSurv(
+      graft.plans.Mor.read(spark, root, ns, s"${table}_surv")
+        .select("doc_id", "band", "key"))
+    if (TableIO.currentVersion(root, ns, s"${table}_adj") == 0L)
+      Partitioning.preparePartitioned(spark, root, ns, s"${table}_adj",
+        adj, PartitionSpec("bucket", "doc_id", 8))
+    else {
+      val spec = Partitioning.readSpec(root, ns, s"${table}_adj").getOrElse(
+        throw new IllegalStateException(
+          s"$ns.${table}_adj has no partition spec"))
+      val entries = Partitioning.writePartitioned(spark, root, ns,
+        s"${table}_adj", adj, spec,
+        seq = TableIO.nextSeq(root, ns, s"${table}_adj"))
+      TableIO.commitReplacing(root, ns, s"${table}_adj", entries,
+        operation = Some("overwrite"))
+    }
+  }
+
+  /** The refresh-atomicity token (r17 ADVICE, medium): a capped-index
+    * refresh commits THREE tables in sequence (survivors, adjacency,
+    * labels) — individually atomic, jointly not. A crash between
+    * commits leaves them out of step, and the r17 scoped relabel
+    * would have preserved the stale label rows outside the next
+    * delta's ball VERBATIM — a silent, persistent refresh-vs-rebuild
+    * divergence. Every completed build/refresh therefore records the
+    * three table versions next to cluster-cap.json; the next refresh
+    * takes the delta-maintenance branch ONLY if the live versions
+    * still match. On any mismatch (interrupted refresh, external
+    * compaction, legacy pre-r18 index) it falls back to rebuilding
+    * the adjacency and relabeling in full from the committed
+    * survivors — always correct, since the survivor fold itself is a
+    * pure semilattice function of committed state.
+    */
+  private def writeClusterSync(root: String, ns: String,
+      table: String): Unit = {
+    import graft.plans.TableIO
+    val sv = TableIO.currentVersion(root, ns, s"${table}_surv")
+    val av = TableIO.currentVersion(root, ns, s"${table}_adj")
+    val lv = TableIO.currentVersion(root, ns, table)
+    java.nio.file.Files.writeString(
+      graft.plans.TableIO.tableDir(root, ns, s"${table}_surv")
+        .resolve("cluster-sync.json"),
+      s"""{"surv":$sv,"adj":$av,"labels":$lv}""")
+  }
+
+  /** True iff the three index tables' live versions match the last
+    * completed publish's token — the delta branch's precondition.
+    */
+  private def clusterInSync(root: String, ns: String,
+      table: String): Boolean = {
+    import graft.plans.TableIO
+    val f = TableIO.tableDir(root, ns, s"${table}_surv")
+      .resolve("cluster-sync.json")
+    java.nio.file.Files.isRegularFile(f) && {
+      val body = java.nio.file.Files.readString(f)
+      def recorded(k: String): Option[Long] =
+        s""""$k":(\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+      recorded("surv").contains(
+        TableIO.currentVersion(root, ns, s"${table}_surv")) &&
+        recorded("adj").contains(
+          TableIO.currentVersion(root, ns, s"${table}_adj")) &&
+        recorded("labels").contains(TableIO.currentVersion(root, ns, table))
+    }
+  }
+
   // --- CAPPED cluster index: the dense-corpus scale path (r16) ----------
   // VERDICT r15 item 1: the exact index above gives dense corpora
   // EITHER incremental refresh OR bounded work, never both. The capped
   // index gives both by persisting the per-bucket CAP SURVIVORS as
   // index state instead of full signatures:
   //
-  //   {t}_surv (doc_id, band, key)  bucket(doc_id, 8)  REPLACED per refresh
-  //   {t}      (doc_id, cluster)    bucket(doc_id, 8)  REPLACED per refresh
+  //   {t}_surv (doc_id, band, key)  bucket(doc_id, 8)  delta-committed
+  //   {t}_adj  (doc_id, band, key)  bucket(doc_id, 8)  delta-committed
+  //            (the ≥2-member-bucket survivor rows — the scoped
+  //             relabel's adjacency, r18)
+  //   {t}      (doc_id, cluster)    bucket(doc_id, 8)  delta-committed
+  //
+  // plus two marker files beside {t}_surv: cluster-cap.json (cap and
+  // band shape — index state, not knobs) and cluster-sync.json (the
+  // three table versions at the last completed publish — the
+  // refresh-atomicity token). Small deltas maintain all three tables
+  // by MOR delta commits (appends + one eq-delete file, auto-compacted
+  // past MaxSurvDeleteFiles); bulk deltas and out-of-step state take
+  // the full-rewrite path.
   //
   // Why survivors are sufficient state: capBuckets keeps the top-`cap`
   // rows per (band, key) under a STATIC total order (the Knuth rank is
@@ -1008,8 +1149,12 @@ object PipelineOps {
     Partitioning.preparePartitioned(spark, root, ns, s"${table}_surv",
       surv, PartitionSpec("bucket", "doc_id", 8))
     writeClusterCap(root, ns, table, cap, nBands)
-    relabelClusterIndexCapped(spark, root, ns, table, iters,
-      replace = false)
+    // adjacency state from the COMMITTED survivors (not a recompute of
+    // the shingle pipeline) — the one index-sized groupBy, paid at
+    // build where it belongs, so no refresh ever re-derives it
+    commitAdjFull(spark, root, ns, table)
+    relabelClusterIndexCapped(spark, root, ns, table, iters)
+    writeClusterSync(root, ns, table)
   }
 
   /** Fold a delta corpus (disjoint doc_ids — same contract as
@@ -1082,6 +1227,12 @@ object PipelineOps {
     val spec = Partitioning.readSpec(root, ns, s"${table}_surv").getOrElse(
       throw new IllegalStateException(
         s"$ns.${table}_surv has no partition spec"))
+    // refresh-atomicity check (r17 ADVICE): read BEFORE any commit —
+    // the token records the versions the last COMPLETED publish left
+    // behind, so any mismatch means interrupted maintenance, external
+    // compaction, or a legacy index; the scoped machinery would then
+    // be folding against out-of-step state
+    val inSync = clusterInSync(root, ns, table)
     if (changedRows * FullRefreshFactor >= indexRows) {
       val untouched = old.join(touchedKeys, Seq("band", "key"), "left_anti")
       val surv = untouched.unionByName(recapped)
@@ -1090,8 +1241,8 @@ object PipelineOps {
         seq = TableIO.nextSeq(root, ns, s"${table}_surv"))
       TableIO.commitReplacing(root, ns, s"${table}_surv", entries,
         operation = Some("overwrite"))
-      relabelClusterIndexCapped(spark, root, ns, table, iters,
-        replace = true)
+      commitAdjFull(spark, root, ns, table)
+      relabelClusterIndexCapped(spark, root, ns, table, iters)
     } else {
       val adds = recapped.join(touched, keys3, "left_anti")
       val removes = touched.join(recapped, keys3, "left_anti")
@@ -1112,9 +1263,38 @@ object PipelineOps {
       if (survManifest.count(_.content == "eq_delete") + delEntries.size
           >= MaxSurvDeleteFiles)
         graft.plans.Maintenance.compact(spark, root, ns, s"${table}_surv")
-      relabelClusterIndexCappedScoped(spark, root, ns, table, iters,
-        deltaBands, touched)
+      if (inSync) {
+        // adjacency delta: the touched buckets' NEW ≥2-member rows
+        // replace their old rows (one (band, key)-keyed eq-delete) —
+        // delta-bucket-sized compute and commit, like the survivors
+        val adjAdds = adjFromSurv(recapped)
+        val adjSeq = TableIO.nextSeq(root, ns, s"${table}_adj")
+        val adjSpec = Partitioning.readSpec(root, ns, s"${table}_adj")
+          .getOrElse(throw new IllegalStateException(
+            s"$ns.${table}_adj has no partition spec"))
+        val adjData =
+          if (adjAdds.isEmpty) Nil
+          else Partitioning.writePartitioned(spark, root, ns,
+            s"${table}_adj", adjAdds, adjSpec, seq = adjSeq)
+        val adjDel = Seq(TableIO.writeExactFile(spark, root, ns,
+          s"${table}_adj", s"data/eqdel-$adjSeq.parquet",
+          touchedKeys, "eq_delete", adjSeq))
+        TableIO.commit(root, ns, s"${table}_adj", adjData ++ adjDel)
+        if (TableIO.readManifest(root, ns, s"${table}_adj")
+            .count(_.content == "eq_delete") >= MaxSurvDeleteFiles)
+          graft.plans.Maintenance.compact(spark, root, ns, s"${table}_adj")
+        relabelClusterIndexCappedScoped(spark, root, ns, table, iters,
+          deltaBands, touched)
+      } else {
+        // out-of-step state: the survivor fold above is still exact
+        // (pure function of committed survivors), but adjacency and
+        // labels cannot be trusted for scoped maintenance — rebuild
+        // both in full from the committed survivors
+        commitAdjFull(spark, root, ns, table)
+        relabelClusterIndexCapped(spark, root, ns, table, iters)
+      }
     }
+    writeClusterSync(root, ns, table)
   }
 
   /** Auto-compaction threshold for the survivor table's accumulated
@@ -1156,9 +1336,6 @@ object PipelineOps {
   private def relabelClusterIndexCappedScoped(spark: SparkSession,
       root: String, ns: String, table: String, iters: Int,
       deltaBands: DataFrame, touchedOld: DataFrame): Unit = {
-    val surv = graft.CacheScope.cached(
-      graft.plans.Mor.read(spark, root, ns, s"${table}_surv")
-        .select("doc_id", "band", "key"))
     // The hop loop below would otherwise embed the shingle-pipeline +
     // Mor-scan plans of its inputs into an ever-growing logical tree
     // that Catalyst re-analyzes and re-optimizes per hop — measured
@@ -1169,8 +1346,7 @@ object PipelineOps {
     // refresh is a TERMINAL maintenance op whose output is committed
     // files, so no downstream consumer plan loses auditability, and
     // the checkpointed relations are delta/ball-sized, far below the
-    // index (the index-sized `surv` stays a lazy scan). `touchedOld`
-    // arrives already checkpointed by the caller.
+    // index. `touchedOld` arrives already checkpointed by the caller.
     val touchedM = touchedOld
     val seeds = deltaBands.select("doc_id")
       .union(touchedM.select("doc_id")).distinct()
@@ -1179,17 +1355,17 @@ object PipelineOps {
     // edges). SINGLETON buckets cannot carry an edge, so the new-side
     // adjacency keeps only multi-member-bucket rows — bounded by
     // buckets × cap, typically a sliver of the index (on the 1M-doc
-    // boilerplate smoke: ~3k rows of 4M) — and is checkpointed ONCE;
-    // the first cut semi-joined the full index relation twice per hop
-    // (12 index-sized scans), which cost more than the index-sized
-    // relabel it replaced. Docs whose buckets are all singletons drop
-    // out of the ball harmlessly: they have no pairs in either graph,
-    // hence no label row on any path (their old rows, if touched,
-    // ride touchedM).
-    val multiKeys = surv.groupBy("band", "key")
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-      .select("band", "key")
-    val adjCore = surv.join(multiKeys, Seq("band", "key"), "left_semi")
+    // boilerplate smoke: ~3k rows of 4M). Since r18 it is COMMITTED
+    // INDEX STATE ({t}_adj, delta-maintained by the caller's MOR
+    // commit), read here as files — the r17 version re-derived it per
+    // refresh with a full-index groupBy + semi-join, the last
+    // index-sized exchange in the steady-state refresh (VERDICT r17
+    // item 2). Docs whose buckets are all singletons are absent from
+    // the adjacency and drop out of the ball harmlessly: they have no
+    // pairs in either graph, hence no label row on any path (their
+    // old rows, if touched, ride touchedM).
+    val adjCore = graft.plans.Mor.read(spark, root, ns, s"${table}_adj")
+      .select("doc_id", "band", "key")
       .localCheckpoint()
     val adj = adjCore.unionByName(touchedM)
     // each hop references the PREVIOUS ball exactly once — bucket
@@ -1216,10 +1392,12 @@ object PipelineOps {
       Similarity.pairsAmongCapped(ballSurv, "doc_a", "doc_b",
         unordered = true))
     val fresh = labelPropagation(pairs, iters)
-    val oldLabels = graft.plans.Mor.read(spark, root, ns, table)
-    val labels = oldLabels.join(relabelM, Seq("doc_id"), "left_anti")
-      .unionByName(fresh.join(relabelM, Seq("doc_id"), "left_semi"))
-    publishLabels(spark, root, ns, table, labels, replace = true)
+    // delta label commit (r18): fresh ball labels appended, relabel-set
+    // doc_ids eq-deleted, one commit — the old labels are never read,
+    // let alone rewritten (the r17 version read ALL old labels,
+    // anti-joined the ball, and full-replaced the snapshot)
+    publishLabelsDelta(spark, root, ns, table,
+      fresh.join(relabelM, Seq("doc_id"), "left_semi"), relabelM)
   }
 
   /** The density-ROUTED cluster-index entry point — the persisted-
@@ -1256,19 +1434,21 @@ object PipelineOps {
         "(an interrupted capped build?) — drop the index tables before " +
         "rebuilding")
     val sigsIn = graft.CacheScope.cached(Dedup.minhashSignatures(docs))
-    val (exactVolume, bandRows) = Dedup.sigBandVolume(sigsIn)
+    // ONE dual-shape guard job (r18): both shapes' volumes from a
+    // single pass over the cached signatures — previously the capped
+    // branch paid a second full aggregate at the re-banded 2×8 shape
+    val (exactVolume, bandRows, rebandVolume) =
+      Dedup.sigBandVolumeDual(sigsIn)
     if (exactVolume <= bandRows * ClusterIndexGuardCapSlack)
       // guard already passed — commit phase only, no second aggregate;
       // both branches explicitly consume the one cached signature pass
       buildExactIndexFromSigs(spark, sigsIn, root, ns, table, iters)
     else {
-      // capped branch: shape-aware like the pair routers (r17) — one
-      // more constant-size aggregate at the re-banded 2×8 shape;
+      // capped branch: shape-aware like the pair routers (r17) —
       // re-band iff it shrinks the candidate volume by ≥ RebandGain
       // (identical-clone corpora sit at exactly 0.5 and stay 4×4).
       // The picked shape is committed as index state, so refreshes
       // replay it without re-deciding.
-      val (rebandVolume, _) = Dedup.sigBandVolume(sigsIn, nBands = 2)
       val nBands = if (rebandVolume * Dedup.RebandGain <= exactVolume) 2
         else 4
       buildCappedIndexFromSigs(spark, sigsIn, root, ns, table, cap,
@@ -1314,12 +1494,17 @@ object PipelineOps {
     * covers build and refresh alike.
     */
   private def relabelClusterIndexCapped(spark: SparkSession, root: String,
-      ns: String, table: String, iters: Int, replace: Boolean): Unit = {
+      ns: String, table: String, iters: Int): Unit = {
     val surv = graft.CacheScope.cached(
       graft.plans.Mor.read(spark, root, ns, s"${table}_surv")
         .select("doc_id", "band", "key"))
     val pairs = graft.CacheScope.cached(
       Similarity.pairsAmongCapped(surv, "doc_a", "doc_b", unordered = true))
+    // initial commit when no label snapshot exists yet (build, or the
+    // out-of-step fallback healing an interrupted build), replacing
+    // commit otherwise — decided from the committed state, not a flag,
+    // so the fallback can never hit a replace-without-spec failure
+    val replace = graft.plans.TableIO.currentVersion(root, ns, table) > 0L
     publishLabels(spark, root, ns, table, labelPropagation(pairs, iters),
       replace)
   }
@@ -1358,8 +1543,25 @@ object PipelineOps {
     * here (half the independent cap draws) — which is exactly why
     * the shape-aware router refuses to re-band on clone-dense text.
     */
-  def clusterLabelRecallEval(docs: DataFrame, caps: Seq[Int] = Seq(4, 8, 16),
-      copies: Int = 10, stride: Int = 10,
+  /** The eval's default knobs — NAMED (r17 advice) so the oracle SQL
+    * interpolates them instead of hardcoding its own copies. `copies`
+    * dieted 10 → 5 in r18 (VERDICT r17 item 3: the eval was the
+    * suite's heaviest query at 23–28s): the 6 ledger rows and their
+    * story are unchanged — at clone depth 5, like depth 10, every
+    * config sits at recall 1.0 because connectivity needs far fewer
+    * pairs than bands×cap keeps; the LOSS regime needs groups deeper
+    * than bands×cap, which the spec pins with its explicit 30-deep
+    * fixture — while the synthesized corpus, its truth pair join
+    * (quadratic in clone depth), and the 7-config propagation all
+    * shrink.
+    */
+  val LabelRecallCopies = 5
+  val LabelRecallStride = 10
+  val LabelRecallCaps: Seq[Int] = Seq(4, 8, 16)
+
+  def clusterLabelRecallEval(docs: DataFrame,
+      caps: Seq[Int] = LabelRecallCaps,
+      copies: Int = LabelRecallCopies, stride: Int = LabelRecallStride,
       iters: Int = ClusterIters): DataFrame = {
     import docs.sparkSession.implicits._
     val dense = graft.CacheScope.cached(
@@ -1434,10 +1636,12 @@ object PipelineOps {
     val labC = graft.CacheScope.cached(labels)
     val truthLab = labC.filter(col("banding") === "truth")
       .select(col("doc_id"), col("lab").as("cluster"))
-    // Σ g(g-1) is even, so halving after the exact long sum is exact
+    // Σ g(g-1) is even; halve with INTEGER `div` (r17 advice: `/` is
+    // double division in Spark — exact only below 2^53, whereas the
+    // DuckDB oracle's `// 2` is integer at any magnitude)
     val nTrue = truthLab.groupBy("cluster").agg(count(lit(1)).as("g"))
       .agg(coalesce(sum(col("g") * (col("g") - 1)), lit(0L)).as("tp2"))
-      .select((col("tp2") / 2).cast("long").as("n_true_pairs"))
+      .select(expr("tp2 div 2").as("n_true_pairs"))
     val configsDf = (for (nb <- Seq(4, 2); cap <- caps)
       yield (s"${nb}x${16 / nb}", cap)).toDF("banding", "cap")
     val cells = truthLab.crossJoin(configsDf)
@@ -1453,8 +1657,7 @@ object PipelineOps {
       .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("sp2"))
     configsDf.join(cells, Seq("banding", "cap"), "left")
       .select(col("banding"), col("cap"),
-        (coalesce(col("sp2"), lit(0L)) / 2).cast("long")
-          .as("n_same_label"))
+        expr("coalesce(sp2, 0L) div 2").as("n_same_label"))
       .crossJoin(broadcast(nTrue))
       .select(col("banding"), col("cap"), col("n_true_pairs"),
         col("n_same_label"),

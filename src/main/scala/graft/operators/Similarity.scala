@@ -1567,9 +1567,12 @@ object Similarity {
 
   /** Narrow (vec_id, band, key) sign-LSH band rows — the shared
     * candidate-generation primitive for [[knnJoin]] and the guard
-    * below.
+    * below. `private[graft]`: tools/BandShapeProbe calibrates the
+    * shape-router thresholds against THIS banding (r17 advice: a
+    * probe-local copy of the key layout could silently calibrate
+    * against stale code, exactly like the text side's sigBands).
     */
-  private def bandKeys(emb: DataFrame, bands: Int, r: Int): DataFrame = {
+  private[graft] def bandKeys(emb: DataFrame, bands: Int, r: Int): DataFrame = {
     val keyCols = (0 until bands).map { bnd =>
       (0 until r).map { i =>
         when(try_element_at(col("embedding"), lit(bnd * r + i + 1)) > 0f,
@@ -1607,6 +1610,46 @@ object Similarity {
       .agg(sum(col("cnt") * col("cnt")).as("band_pairs"),
         sum(col("cnt")).as("band_rows"),
         max(col("cnt")).as("max_bucket"))
+
+  /** BOTH band shapes' guard volumes in ONE aggregate pass (r17
+    * verdict item 4: the shape-aware router paid a second full
+    * embedding scan + aggregate at the re-banded shape whenever the
+    * first guard routed capped). Each vector emits its `bands`
+    * current-shape rows AND its `bands/2` re-banded rows in one
+    * select — `pos` encodes (shape, band), so one grouped count plus
+    * a 2-row rollup replaces two full passes. Bucket counts per shape
+    * are bit-identical to [[bandStatsRaw]]'s (same sign-bit keys),
+    * so the routing comparison is unchanged and the oracle's two
+    * stats CTEs replay it exactly. Returns
+    * (band_pairs, band_rows, reband_pairs); requires `bands` even.
+    */
+  private[operators] def bandStatsDual(emb: DataFrame, bands: Int,
+      r: Int): (Long, Long, Long) = {
+    require(bands >= 2 && bands % 2 == 0,
+      s"dual-shape guard needs an even band count, got $bands")
+    val cur = (0 until bands).map { bnd =>
+      (0 until r).map { i =>
+        when(try_element_at(col("embedding"), lit(bnd * r + i + 1)) > 0f,
+          1L << i).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val reb = (0 until bands / 2).map { bnd =>
+      (0 until 2 * r).map { i =>
+        when(try_element_at(col("embedding"), lit(bnd * 2 * r + i + 1)) > 0f,
+          1L << i).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val rows = emb.select(
+      posexplode(array(cur ++ reb: _*)).as(Seq("pos", "key")))
+    val st = rows.groupBy("pos", "key").agg(count(lit(1)).as("cnt"))
+      .groupBy((col("pos") < bands).as("is_cur"))
+      .agg(sum(col("cnt") * col("cnt")).as("bp"), sum(col("cnt")).as("br"))
+      .collect().map(r0 => r0.getBoolean(0) -> (r0.getLong(1), r0.getLong(2)))
+      .toMap
+    val (bp, br) = st.getOrElse(true, (0L, 0L))
+    val (bp2, _) = st.getOrElse(false, (0L, 0L))
+    (bp, br, bp2)
+  }
 
   /** Radius (epsilon-neighborhood) search: every corpus vector within
     * cosine >= tau of each query vector, for a SET of queries — the

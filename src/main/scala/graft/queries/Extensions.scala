@@ -607,6 +607,45 @@ object Extensions {
       PipelineOps.readClusterIndex(s, r, "corp", "clusters")
         .orderBy("doc_id")
     }),
+    // the SMALL-delta refresh under the same oracle (r18): a 2% delta
+    // keeps changed-bucket volume under index/8, so the size route
+    // must take the DELTA branch — survivors, the bucket-adjacency
+    // state, and the labels are all maintained by MOR delta commits
+    // (appends + eq-delete files; the labels were full-replaced until
+    // r18) — and the folded read must still equal the from-scratch
+    // capped clustering of the full corpus bit-for-bit. The 1/3-delta
+    // twin above exercises the bulk (full-rewrite) route; together
+    // the two queries put BOTH sides of the size route under the
+    // driver's oracle gate.
+    "dedup_clusters_delta_refreshed" -> ((s, dir) => {
+      val r = graft.plans.GeneratedTables.ensureCustom(dir + "#clidxcapd") {
+        root =>
+          import org.apache.spark.sql.functions.col
+          import graft.plans.{Mor, TableIO}
+          val d = rd(s, dir, "documents")
+          val ns = "corp"
+          val base = d.filter(col("doc_id") % 50 =!= 0)
+          TableIO.createNamespace(root, ns)
+          TableIO.createTableIfNotExists(root, ns, "docs", base.schema)
+          TableIO.commit(root, ns, "docs", Seq(TableIO.writeExactFile(s,
+            root, ns, "docs", "data/d0.parquet", base, "data",
+            TableIO.nextSeq(root, ns, "docs"))))
+          PipelineOps.buildClusterIndexCapped(s,
+            Mor.read(s, root, ns, "docs"), root, ns, "clusters")
+          val late = d.filter(col("doc_id") % 50 === 0)
+          TableIO.commit(root, ns, "docs", Seq(TableIO.writeExactFile(s,
+            root, ns, "docs", "data/d1.parquet", late, "data",
+            TableIO.nextSeq(root, ns, "docs"))))
+          val delta = Mor.readChanges(s, root, ns, "docs", 1L, 2L)
+            .filter(col("_change_type") === "insert")
+            .drop("_change_type")
+          PipelineOps.refreshClusterIndexCapped(s, delta, root, ns,
+            "clusters")
+          ()
+      }
+      PipelineOps.readClusterIndex(s, r, "corp", "clusters")
+        .orderBy("doc_id")
+    }),
     // the density-ROUTED index entry point (r16): one guard aggregate
     // picks exact or capped; the oracle replays the routing comparison
     // itself, so testdata regeneration cannot desynchronize route and
@@ -999,6 +1038,28 @@ object Extensions {
        |  (SELECT CAST(COALESCE(sum(cnt * cnt), 0) AS BIGINT) AS bp2
        |   FROM (SELECT band, bkey, count(*) AS cnt
        |         FROM $src2 $where GROUP BY 1, 2)) s2)""".stripMargin
+
+  /** The three route predicates over [[routerStatsCte]]'s `st`, with
+    * the ENGINE's own constants interpolated — never bare literals
+    * (r17 advice: a `* 4` literal in the SQL while the engine routes
+    * on Dedup.RebandGain desynchronizes silently on any constant
+    * change). `bound` is the exact-branch slack factor: cap×slack for
+    * the pair routers, ClusterIndexGuardCapSlack for the cluster
+    * index — interpolated at each call site from the same named
+    * constant the engine reads.
+    */
+  private def routeExactSql(bound: Long): String =
+    s"(SELECT bp <= br * $bound FROM st)"
+  private def routeCappedSql(bound: Long): String =
+    s"(SELECT bp > br * $bound AND bp2 * ${Dedup.RebandGain} > bp FROM st)"
+  private def routeRebandedSql(bound: Long): String =
+    s"(SELECT bp > br * $bound AND bp2 * ${Dedup.RebandGain} <= bp FROM st)"
+
+  /** cap×slack of the default-parameter pair routers, from the named
+    * engine constants.
+    */
+  private val pairRouteBound: Long =
+    Dedup.DefaultCap.toLong * Dedup.DefaultSlack
 
   private val simhashBitsSql = (0 until 32).map { i =>
     s"(CASE WHEN 2 * list_sum(list_transform(hs, v -> (v >> $i) % 2)) > len(hs) THEN ${1L << i} ELSE 0 END)"
@@ -1451,17 +1512,18 @@ object Extensions {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE (SELECT bp <= br * 64 FROM st)
+         |  WHERE ${routeExactSql(PipelineOps.ClusterIndexGuardCapSlack)}
          |  UNION ALL
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM capped a JOIN capped b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 > bp FROM st)
+         |  WHERE ${routeCappedSql(PipelineOps.ClusterIndexGuardCapSlack)}
          |  UNION ALL
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM capped2 a JOIN capped2 b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 <= bp FROM st)),""".stripMargin
+         |  WHERE ${routeRebandedSql(
+              PipelineOps.ClusterIndexGuardCapSlack)}),""".stripMargin
     else
       s"""pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM $pairSrc a JOIN $pairSrc b
@@ -1531,7 +1593,12 @@ object Extensions {
     * sizes, unlabeled docs sentineled per-doc so they never pair).
     */
   private lazy val clusterLabelRecallSql: String = {
-    val configs = for (nb <- Seq(4, 2); cap <- Seq(4, 8, 16))
+    // the eval's knobs come from the ENGINE's named constants (r17
+    // advice) — a copies/stride/caps change on either side now fails
+    // the oracle loudly instead of desynchronizing silently
+    val copies = PipelineOps.LabelRecallCopies
+    val stride = PipelineOps.LabelRecallStride
+    val configs = for (nb <- Seq(4, 2); cap <- PipelineOps.LabelRecallCaps)
       yield (nb, cap)
     val cfgCtes = configs.map { case (nb, cap) =>
       val p = s"c${nb}_${cap}_"
@@ -1554,9 +1621,10 @@ object Extensions {
         s"FROM c${nb}_${cap}_cnt"
     }.mkString("\n      UNION ALL ")
     s"""WITH dense AS (
-       |  SELECT doc_id * 10 + c AS doc_id, text
-       |  FROM documents, range(0, 10) t2(c)
-       |  WHERE doc_id % 10 = 0 AND doc_id < 4096),
+       |  SELECT doc_id * $copies + c AS doc_id, text
+       |  FROM documents, range(0, $copies) t2(c)
+       |  WHERE doc_id % $stride = 0
+       |    AND doc_id < ${Similarity.MaxEvalBaseId}),
        |${minhashSigCtesOver("dense")},
        |bands AS ($bandsSql),
        |bands2 AS (${bandsSqlAt(2)}),
@@ -1755,17 +1823,17 @@ object Extensions {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE (SELECT bp <= br * 64 FROM st)
+         |  WHERE ${routeExactSql(pairRouteBound)}
          |  UNION ALL
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM capped a JOIN capped b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 > bp FROM st)
+         |  WHERE ${routeCappedSql(pairRouteBound)}
          |  UNION ALL
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM capped2 a JOIN capped2 b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 <= bp FROM st))
+         |  WHERE ${routeRebandedSql(pairRouteBound)})
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // LSH candidates scored against exact-Jaccard ground truth: both
@@ -1948,19 +2016,19 @@ object Extensions {
          |  FROM exact_cand JOIN e x ON x.vec_id = vec_a
          |                  JOIN e y ON y.vec_id = vec_b
          |  WHERE ${cosSql("x.v", "y.v")} >= 0.4
-         |    AND (SELECT bp <= br * 64 FROM st)
+         |    AND ${routeExactSql(pairRouteBound)}
          |  UNION ALL
          |  SELECT vec_a, vec_b
          |  FROM capped_cand JOIN e x ON x.vec_id = vec_a
          |                   JOIN e y ON y.vec_id = vec_b
          |  WHERE ${cosSql("x.v", "y.v")} >= 0.4
-         |    AND (SELECT bp > br * 64 AND bp2 * 4 > bp FROM st)
+         |    AND ${routeCappedSql(pairRouteBound)}
          |  UNION ALL
          |  SELECT vec_a, vec_b
          |  FROM capped2_cand JOIN e x ON x.vec_id = vec_a
          |                    JOIN e y ON y.vec_id = vec_b
          |  WHERE ${cosSql("x.v", "y.v")} >= 0.4
-         |    AND (SELECT bp > br * 64 AND bp2 * 4 <= bp FROM st))
+         |    AND ${routeRebandedSql(pairRouteBound)})
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     // the capped twin: identical tail over the bucket-capped candidates
@@ -2118,13 +2186,13 @@ object Extensions {
          |p_rebanded AS (${pairCountSql("cap8x8")}),
          |p_routed AS (
          |  SELECT n_banded_pairs AS n FROM tr
-         |  WHERE (SELECT bp <= br * 64 FROM st)
+         |  WHERE ${routeExactSql(pairRouteBound)}
          |  UNION ALL
          |  SELECT n FROM p_capped
-         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 > bp FROM st)
+         |  WHERE ${routeCappedSql(pairRouteBound)}
          |  UNION ALL
          |  SELECT n FROM p_rebanded
-         |  WHERE (SELECT bp > br * 64 AND bp2 * 4 <= bp FROM st))
+         |  WHERE ${routeRebandedSql(pairRouteBound)})
          |SELECT config, n_banded_pairs, n AS n_pairs,
          |  CASE WHEN n_banded_pairs = 0 THEN NULL
          |       ELSE CAST(n AS DOUBLE) / n_banded_pairs END AS pair_recall
@@ -2726,6 +2794,9 @@ object Extensions {
     // refresh-equals-rebuild is the contract under test
     "dedup_clusters_capped" -> dedupClustersCappedSql,
     "dedup_clusters_capped_refreshed" -> dedupClustersCappedSql,
+    // the delta-branch refresh answers to the SAME from-scratch oracle
+    // (refresh-equals-rebuild is branch-independent)
+    "dedup_clusters_delta_refreshed" -> dedupClustersCappedSql,
     "dedup_clusters_auto" -> dedupClustersAutoSql,
     "dedup_clusters_auto_refreshed" -> dedupClustersAutoRefreshedSql,
     "dedup_clusters_recall_eval" -> clusterLabelRecallSql,

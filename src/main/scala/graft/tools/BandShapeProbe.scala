@@ -18,16 +18,12 @@ import org.apache.spark.sql.functions._
   * ("4x4") vs 2 bands x 8 rows ("2x8").
   */
 object BandShapeProbe {
-  private def embBands(emb: DataFrame, bands: Int, r: Int): DataFrame = {
-    val keyCols = (0 until bands).map { bnd =>
-      (0 until r).map { i =>
-        when(try_element_at(col("embedding"), lit(bnd * r + i + 1)) > 0f,
-          1L << i).otherwise(0L)
-      }.reduce(_ + _)
-    }
-    emb.select(col("vec_id"),
-      posexplode(array(keyCols: _*)).as(Seq("band", "key")))
-  }
+  // the REAL banding the embedding routers read — not a probe-local
+  // copy (r17 advice: the text side already calls Dedup.sigBands for
+  // exactly this reason; a hand copy of the 16x4/8x8 key layout would
+  // calibrate thresholds against stale code if the layout changed)
+  private def embBands(emb: DataFrame, bands: Int, r: Int): DataFrame =
+    graft.operators.Similarity.bandKeys(emb, bands, r)
 
   /** (bp = sum cnt^2, br = sum cnt, maxBucket) over (band, key). */
   private def stats(bandRows: DataFrame): (Long, Long, Long) = {

@@ -13,6 +13,13 @@ import graft.operators.Dedup
   * exact paths agree row-for-row. Evidence the prefilter's
   * constant-size bloom and the banded near join hold well past the
   * 500-doc correctness corpus. Args: [docsMillions] (default 5).
+  *
+  * Run with docsMillions >= 2: the boilerplate router section's
+  * `require(autoFull == capFull)` asserts the corpus routes CAPPED,
+  * which its bucket depths only reach past ~640k boiler docs
+  * (bp = nb²/1000 vs the exact bound 256·nb) — at docsMillions = 1
+  * (nb = 500k) the guard legitimately routes exact (bp 102M ≤ 128M,
+  * measured) and the require fails BY DESIGN, on any round's code.
   */
 object DedupScaleSmoke {
   def main(args: Array[String]): Unit = {

@@ -40,7 +40,8 @@ object ExplainDump {
     16 -> Seq("dedup_clusters_capped", "dedup_clusters_capped_refreshed",
       "dedup_clusters_auto", "dedup_clusters_auto_refreshed"),
     17 -> Seq("dedup_minhash_rebanded", "dedup_embedding_rebanded",
-      "ann_recall_eval_routed", "dedup_clusters_recall_eval"))
+      "ann_recall_eval_routed", "dedup_clusters_recall_eval"),
+    18 -> Seq("dedup_clusters_delta_refreshed"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -128,7 +129,8 @@ object ExplainDump {
       "dedup_clusters_capped", "dedup_clusters_capped_refreshed",
       "dedup_clusters_auto", "dedup_clusters_auto_refreshed",
       "dedup_minhash_rebanded", "dedup_embedding_rebanded",
-      "ann_recall_eval_routed", "dedup_clusters_recall_eval")
+      "ann_recall_eval_routed", "dedup_clusters_recall_eval",
+      "dedup_clusters_delta_refreshed")
 
   private def runDump(spark: SparkSession, sfDir: String, out: String,
       names: Seq[String]): Unit = {

@@ -331,6 +331,168 @@ class CappedClusterIndexSpec extends AnyFunSuite {
     assert(survivorsOf(root) == survivorsOf(root2))
   }
 
+  /** The delta-branch fixture both r18 tests share: one deep template
+    * group (eviction pressure) plus a unique tail, sliced so each
+    * delta's changed-bucket volume stays under index/8 — the size
+    * route must keep picking the delta branch.
+    */
+  private def deltaCorpus(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map { id =>
+      val body =
+        if (id < 40 || id >= 2000)
+          "deep template group body alpha beta gamma delta epsilon zeta"
+        else s"unique filler text number $id with trailing entropy word$id"
+      (id, body)
+    }.toDF("doc_id", "text")
+  }
+
+  test("r18: the delta branch maintains LABELS and ADJACENCY by MOR " +
+      "delta commits (appends + eq-deletes, no snapshot rewrite), and " +
+      "two successive delta refreshes still equal the rebuild") {
+    val root = Files.createTempDirectory("graft-cldl-a-").toString
+    PipelineOps.buildClusterIndexCapped(spark, deltaCorpus(0L until 2000L),
+      root, "corp", "clusters")
+    CacheScope.drain()
+    val vBuild = TableIO.currentVersion(root, "corp", "clusters")
+    PipelineOps.refreshClusterIndexCapped(spark,
+      deltaCorpus(2000L until 2020L), root, "corp", "clusters")
+    CacheScope.drain()
+    // ONE label commit, and an APPEND commit (no overwrite sidecar):
+    // fresh ball labels + a doc_id-keyed eq-delete file — never a
+    // rewrite of the full snapshot (the r17 replace)
+    val vNow = TableIO.currentVersion(root, "corp", "clusters")
+    assert(vNow == vBuild + 1)
+    assert(TableIO.replaceOperation(root, "corp", "clusters", vNow).isEmpty,
+      "delta refresh must not full-replace the label snapshot")
+    val lm = TableIO.readManifest(root, "corp", "clusters")
+    assert(lm.exists(_.content == "eq_delete"),
+      "no label eq-delete — the relabel set was not delta-committed")
+    val maxSeq = lm.map(_.seq).max
+    val appended = lm.filter(e => e.content == "data" && e.seq == maxSeq)
+      .map(_.recordCount).sum
+    assert(appended > 0 && appended < 1000,
+      s"ball-sized label append expected, wrote $appended rows")
+    // adjacency state invariant: {t}_adj holds EXACTLY the
+    // multi-member-bucket survivor rows after the delta fold
+    val surv = graft.plans.Mor.read(spark, root, "corp", "clusters_surv")
+      .select("doc_id", "band", "key")
+    val multi = surv.join(
+      surv.groupBy("band", "key")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .filter(col("n") >= 2).select("band", "key"),
+      Seq("band", "key"), "left_semi")
+      // USING joins move the join keys first; exceptAll is positional
+      .select("doc_id", "band", "key")
+    val adj = graft.plans.Mor.read(spark, root, "corp", "clusters_adj")
+      .select("doc_id", "band", "key")
+    assert(adj.exceptAll(multi).isEmpty && multi.exceptAll(adj).isEmpty,
+      "clusters_adj diverged from the multi-member-bucket survivor rows")
+    CacheScope.drain()
+
+    // a SECOND delta folds against delta-committed adjacency + labels
+    // (eq-delete files present on every table) — still bit-equal to a
+    // from-scratch rebuild of the union corpus. Its executions are
+    // PLAN-PINNED (VERDICT r17 item 2 "done" criterion): the steady
+    // state must contain (a) no bucket-occupancy aggregate over the
+    // survivor relation — the r17 `multiKeys` full-index groupBy the
+    // committed adjacency state replaced — and (b) no scan of the
+    // committed label snapshot — the r17 full-replace read the delta
+    // label commit replaced.
+    val plans = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      PipelineOps.refreshClusterIndexCapped(spark,
+        deltaCorpus(2020L until 2040L), root, "corp", "clusters")
+      CacheScope.drain()
+      // the listener bus is asynchronous — settle until quiet
+      var last = -1
+      while (plans.synchronized(plans.size) != last) {
+        last = plans.synchronized(plans.size)
+        Thread.sleep(300)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val snap = plans.synchronized(plans.toVector)
+    assert(snap.nonEmpty, "listener captured no refresh executions")
+    val occAgg = """HashAggregate\(keys=\[band#\d+, key#\d+\], functions=\[count""".r
+    snap.foreach { p =>
+      assert(!(p.contains("clusters_surv") &&
+          occAgg.findFirstIn(p).isDefined),
+        "steady-state refresh re-derived bucket occupancy with a " +
+          s"full-index aggregate over the survivors:\n${p.take(3000)}")
+      assert(!p.contains("/clusters/data/part-"),
+        "steady-state refresh scanned the committed label snapshot " +
+          s"(the r17 full-replace read):\n${p.take(3000)}")
+    }
+    val root2 = Files.createTempDirectory("graft-cldl-b-").toString
+    PipelineOps.buildClusterIndexCapped(spark, deltaCorpus(0L until 2040L),
+      root2, "corp", "clusters")
+    CacheScope.drain()
+    assert(labelsOf(root) == labelsOf(root2))
+    assert(survivorsOf(root) == survivorsOf(root2))
+  }
+
+  test("r18: OUT-OF-STEP index state (r17 advice) is detected by the " +
+      "sync token and heals via a full relabel — stale label rows are " +
+      "never preserved by the scoped branch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-clsync-a-").toString
+    PipelineOps.buildClusterIndexCapped(spark, deltaCorpus(0L until 2000L),
+      root, "corp", "clusters")
+    CacheScope.drain()
+    // simulate the crash/tamper window: the label snapshot moves
+    // WITHOUT a completed refresh updating the token — exactly the
+    // state the r17 scoped relabel would have silently folded against
+    val spec = graft.plans.Partitioning.readSpec(root, "corp", "clusters")
+      .getOrElse(fail("labels table has no partition spec"))
+    val garbage = Seq((0L, 424242L)).toDF("doc_id", "cluster")
+    val entries = graft.plans.Partitioning.writePartitioned(spark, root,
+      "corp", "clusters", garbage, spec,
+      seq = TableIO.nextSeq(root, "corp", "clusters"))
+    TableIO.commitReplacing(root, "corp", "clusters", entries,
+      operation = Some("overwrite"))
+    CacheScope.drain()
+
+    // the next delta refresh must refuse the scoped branch (token
+    // mismatch), fully relabel from the committed survivors, and end
+    // bit-equal to the rebuild — no garbage row survives
+    PipelineOps.refreshClusterIndexCapped(spark,
+      deltaCorpus(2000L until 2020L), root, "corp", "clusters")
+    CacheScope.drain()
+    val vAfter = TableIO.currentVersion(root, "corp", "clusters")
+    assert(TableIO.replaceOperation(root, "corp", "clusters", vAfter)
+      .contains("overwrite"),
+      "out-of-step refresh must take the full-relabel fallback")
+    val root2 = Files.createTempDirectory("graft-clsync-b-").toString
+    PipelineOps.buildClusterIndexCapped(spark, deltaCorpus(0L until 2020L),
+      root2, "corp", "clusters")
+    CacheScope.drain()
+    assert(labelsOf(root) == labelsOf(root2))
+    // ...and the healed index is back in step: the NEXT delta may take
+    // the scoped branch again (append commit, no overwrite sidecar)
+    PipelineOps.refreshClusterIndexCapped(spark,
+      deltaCorpus(2020L until 2040L), root, "corp", "clusters")
+    CacheScope.drain()
+    val vNext = TableIO.currentVersion(root, "corp", "clusters")
+    assert(TableIO.replaceOperation(root, "corp", "clusters", vNext).isEmpty,
+      "healed index must resume delta label maintenance")
+    val root3 = Files.createTempDirectory("graft-clsync-c-").toString
+    PipelineOps.buildClusterIndexCapped(spark, deltaCorpus(0L until 2040L),
+      root3, "corp", "clusters")
+    CacheScope.drain()
+    assert(labelsOf(root) == labelsOf(root3))
+  }
+
   test("MIXED index state fails loudly (r16 advice): an orphaned " +
       "survivor table blocks the auto build, and a stale capped marker " +
       "beside exact state blocks the auto refresh") {

@@ -345,7 +345,11 @@ class OperatorsSpec extends AnyFunSuite {
       (i.toLong * 10,
         s"unique$i corpus$i body$i alpha$i beta$i gamma$i delta$i zeta$i")
     }: _*)
-    val rows = PipelineOps.clusterLabelRecallEval(base).collect()
+    // copies = 10 pinned explicitly: the registry default dieted to 5
+    // in r18 (same story, smaller corpus); this spec keeps exercising
+    // the 10-clone shape its assertions below are written for
+    val rows = PipelineOps.clusterLabelRecallEval(base, copies = 10)
+      .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
         if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
     graft.CacheScope.drain()
