@@ -1571,7 +1571,25 @@ object PipelineOps {
           explode(array((0 until copies).map(lit): _*)).as("c"))
         .select((col("doc_id") * copies + col("c")).as("doc_id"),
           col("text")))
-    val sig = graft.CacheScope.cached(Dedup.minhashSignatures(dense))
+    // SINGLE-PARTITION caches + EAGER materialization (r18, the eval's
+    // measured cost anatomy): the corpus is BOUNDED by construction
+    // (base ids under MaxEvalBaseId), but the relation carried the
+    // session's 32 shuffle partitions into every cached scan — and the
+    // plan reads `sig` from ~6 independent branches and `edges` from 6
+    // more (3 rounds × 2 union arms), each an AQE-materialized
+    // exchange of 32 near-empty map tasks. ~70 such exchange jobs ×
+    // ~33 tiny tasks was the wall (sum-of-job-walls ~8× wall clock;
+    // per-task overhead, not data). Caching the bounded relations at
+    // ONE partition makes every downstream stage 1-2 tasks, and the
+    // eager counts populate each cache in dependency order so AQE's
+    // parallel branch materialization never races the unpopulated
+    // cache (measured: those races serialized on the cache's block
+    // locks, re-running the shingle pipeline per branch). The shingle
+    // hashing itself still runs wide — the coalesce sits above
+    // minhashSignatures' internal repartition.
+    val sig = graft.CacheScope.cached(
+      Dedup.minhashSignatures(dense).coalesce(1))
+    sig.count()
     // ONE config-tagged pair relation — truth plus all 6 capped
     // configs — so the whole eval pays ONE 3-round propagation, not
     // 7 (the first cut ran 7 chains and cost 44s of pure per-job
@@ -1615,7 +1633,12 @@ object PipelineOps {
       pairs.select(col("banding"), col("cap"),
           col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("banding"), col("cap"),
-          col("doc_b").as("src"), col("doc_a").as("dst"))))
+          col("doc_b").as("src"), col("doc_a").as("dst")))
+        .coalesce(1))
+    // eager + single-partition for the same reason: every propagation
+    // round reads edges from two plan positions (withSelf's union
+    // arms), ×3 rounds
+    edges.count()
     // no distinct on the self-loops — harmless dupes under min, one
     // fewer shuffle (see labelPropagation)
     val withSelf = edges.union(edges
