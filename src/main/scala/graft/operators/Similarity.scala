@@ -1447,14 +1447,26 @@ object Similarity {
   val MaxEvalBaseId = 4096L
 
   private def denseEvalCorpus(emb: DataFrame, copies: Int,
-      stride: Int): DataFrame =
-    graft.CacheScope.cached(
+      stride: Int): DataFrame = {
+    // single-partition + eager (r18, same anatomy as the label-recall
+    // eval's measured fix): the corpus is bounded by construction, but
+    // it used to carry the session's 32 shuffle partitions into every
+    // consumer branch — and the evals fan out 3-4 config branches that
+    // AQE materializes in parallel, racing the lazily-populated cache.
+    // One partition makes each branch's map stages 1-task (the join
+    // explosions happen on the reduce side, which AQE already sizes by
+    // bytes), and the eager count populates the cache before the race.
+    val dense = graft.CacheScope.cached(
       emb.filter(pmod(col("vec_id"), lit(stride.toLong)) === 0L &&
           col("vec_id") < lit(MaxEvalBaseId))
         .select(col("vec_id"), col("embedding"),
           explode(array((0 until copies).map(lit): _*)).as("c"))
         .select((col("vec_id") * copies + col("c")).as("vec_id"),
-          col("embedding")))
+          col("embedding"))
+        .coalesce(1))
+    dense.count()
+    dense
+  }
 
   def recallEvalCapped(emb: DataFrame, caps: Seq[Int] = Seq(4, 8, 16),
       copies: Int = 10, stride: Int = 10, tau: Double = 0.4,
