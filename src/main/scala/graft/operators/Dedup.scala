@@ -407,13 +407,8 @@ object Dedup {
     * (exact_volume@4×4, band_rows@4×4, reband_volume@2×8).
     */
   private[graft] def sigBandVolumeDual(sig: DataFrame): (Long, Long, Long) = {
-    val keys4 = (0 until 4).map { bnd =>
-      concat_ws(":", (0 until 4).map(r => col(s"s${bnd * 4 + r}")): _*)
-    }
-    val keys2 = (0 until 2).map { bnd =>
-      concat_ws(":", (0 until 8).map(r => col(s"s${bnd * 8 + r}")): _*)
-    }
-    val st = sig.select(posexplode(array(keys4 ++ keys2: _*))
+    val st = sig.select(
+      posexplode(array(sigBandKeyCols(4) ++ sigBandKeyCols(2): _*))
         .as(Seq("pos", "key")))
       .groupBy("pos", "key").agg(count(lit(1)).as("cnt"))
       .groupBy((col("pos") < 4).as("is_cur"))
@@ -663,15 +658,23 @@ object Dedup {
     * `private[graft]`: the capped cluster index (PipelineOps)
     * persists these rows' per-bucket cap survivors as index state.
     */
-  private[graft] def sigBands(sig: DataFrame, nBands: Int = 4): DataFrame = {
+  /** The per-band key expressions over a signature relation — ONE copy
+    * of the concat_ws layout (r18 review: the dual-shape guard had
+    * re-derived it inline, the exact hand-copy hazard the BandShapeProbe
+    * fix removed) shared by [[sigBands]] and [[sigBandVolumeDual]].
+    */
+  private def sigBandKeyCols(nBands: Int): Seq[Column] = {
     require(16 % nBands == 0, s"nBands must divide 16, got $nBands")
     val rowsPer = 16 / nBands
-    val bandArray = array((0 until nBands).map { bnd =>
+    (0 until nBands).map { bnd =>
       concat_ws(":", (0 until rowsPer).map(r =>
         col(s"s${bnd * rowsPer + r}")): _*)
-    }: _*)
-    sig.select(col("doc_id"), posexplode(bandArray).as(Seq("band", "key")))
+    }
   }
+
+  private[graft] def sigBands(sig: DataFrame, nBands: Int = 4): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(array(sigBandKeyCols(nBands): _*)).as(Seq("band", "key")))
 
   /** Candidate-volume guard for the CROSS-corpus band join — the
     * near-dup analogue of [[Similarity.bandCandidateStats]] (ADVICE

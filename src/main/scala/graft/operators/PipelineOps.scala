@@ -925,20 +925,38 @@ object PipelineOps {
     */
   private def publishLabelsDelta(spark: SparkSession, root: String,
       ns: String, table: String, fresh: DataFrame,
-      relabel: DataFrame): Unit = {
+      relabel: DataFrame): Unit =
+    commitMorDelta(spark, root, ns, table, fresh, relabel.select("doc_id"))
+
+  /** ONE copy of the index-maintenance MOR delta commit the three
+    * cluster-index tables share (r18 review: the shape was pasted
+    * three times, with the empty-guards already diverging): append
+    * `adds` under the table's partition spec + one eq-delete file of
+    * `deleteKeys` (whose OWN columns are the equality-identifier set —
+    * full rows for the survivors, doc_id for labels, (band, key) for
+    * the adjacency), all at one sequence in one CAS commit; then fold
+    * accumulated delete files past [[MaxSurvDeleteFiles]]. Both sides
+    * are guarded on emptiness — an empty append avoids a zero-file
+    * partitioned write, an empty delete set avoids committing (and
+    * eventually compacting away) zero-row delete files — so a no-op
+    * delta leaves the table version untouched. Callers must pass
+    * MATERIALIZED (checkpointed/cached) relations: the emptiness probe
+    * and the write each run an action.
+    */
+  private def commitMorDelta(spark: SparkSession, root: String, ns: String,
+      table: String, adds: DataFrame, deleteKeys: DataFrame): Unit = {
     import graft.plans.{Maintenance, Partitioning, TableIO}
     val spec = Partitioning.readSpec(root, ns, table).getOrElse(
       throw new IllegalStateException(s"$ns.$table has no partition spec"))
     val seq = TableIO.nextSeq(root, ns, table)
     val dataEntries =
-      if (fresh.isEmpty) Nil
-      else Partitioning.writePartitioned(spark, root, ns, table, fresh,
+      if (adds.isEmpty) Nil
+      else Partitioning.writePartitioned(spark, root, ns, table, adds,
         spec, seq = seq)
     val delEntries =
-      if (relabel.isEmpty) Nil
+      if (deleteKeys.isEmpty) Nil
       else Seq(TableIO.writeExactFile(spark, root, ns, table,
-        s"data/eqdel-$seq.parquet", relabel.select("doc_id"),
-        "eq_delete", seq))
+        s"data/eqdel-$seq.parquet", deleteKeys, "eq_delete", seq))
     val entries = dataEntries ++ delEntries
     if (entries.nonEmpty) TableIO.commit(root, ns, table, entries)
     if (TableIO.readManifest(root, ns, table)
@@ -1246,53 +1264,35 @@ object PipelineOps {
     } else {
       val adds = recapped.join(touched, keys3, "left_anti")
       val removes = touched.join(recapped, keys3, "left_anti")
-      val seq = TableIO.nextSeq(root, ns, s"${table}_surv")
-      val dataEntries = Partitioning.writePartitioned(spark, root, ns,
-        s"${table}_surv", adds, spec, seq = seq)
-      val delEntries =
-        if (removes.isEmpty) Nil
-        else Seq(TableIO.writeExactFile(spark, root, ns, s"${table}_surv",
-          s"data/eqdel-$seq.parquet", removes, "eq_delete", seq))
-      val entries = dataEntries ++ delEntries
-      if (entries.nonEmpty)
-        TableIO.commit(root, ns, s"${table}_surv", entries)
+      val survChanged = !(adds.isEmpty && removes.isEmpty)
       // bound the read amplification the delta commits accumulate
       // (one eq-delete anti-join per refresh on every survivor read):
-      // past the threshold, fold everything back into plain data
-      // files — index-sized work amortized over that many refreshes
-      if (survManifest.count(_.content == "eq_delete") + delEntries.size
-          >= MaxSurvDeleteFiles)
-        graft.plans.Maintenance.compact(spark, root, ns, s"${table}_surv")
-      if (inSync) {
-        // adjacency delta: the touched buckets' NEW ≥2-member rows
-        // replace their old rows (one (band, key)-keyed eq-delete) —
-        // delta-bucket-sized compute and commit, like the survivors
-        val adjAdds = adjFromSurv(recapped)
-        val adjSeq = TableIO.nextSeq(root, ns, s"${table}_adj")
-        val adjSpec = Partitioning.readSpec(root, ns, s"${table}_adj")
-          .getOrElse(throw new IllegalStateException(
-            s"$ns.${table}_adj has no partition spec"))
-        val adjData =
-          if (adjAdds.isEmpty) Nil
-          else Partitioning.writePartitioned(spark, root, ns,
-            s"${table}_adj", adjAdds, adjSpec, seq = adjSeq)
-        val adjDel = Seq(TableIO.writeExactFile(spark, root, ns,
-          s"${table}_adj", s"data/eqdel-$adjSeq.parquet",
-          touchedKeys, "eq_delete", adjSeq))
-        TableIO.commit(root, ns, s"${table}_adj", adjData ++ adjDel)
-        if (TableIO.readManifest(root, ns, s"${table}_adj")
-            .count(_.content == "eq_delete") >= MaxSurvDeleteFiles)
-          graft.plans.Maintenance.compact(spark, root, ns, s"${table}_adj")
-        relabelClusterIndexCappedScoped(spark, root, ns, table, iters,
-          deltaBands, touched)
-      } else {
+      // past the threshold, commitMorDelta folds everything back into
+      // plain data files — index-sized work amortized over that many
+      // refreshes
+      commitMorDelta(spark, root, ns, s"${table}_surv", adds, removes)
+      if (!inSync) {
         // out-of-step state: the survivor fold above is still exact
         // (pure function of committed survivors), but adjacency and
         // labels cannot be trusted for scoped maintenance — rebuild
         // both in full from the committed survivors
         commitAdjFull(spark, root, ns, table)
         relabelClusterIndexCapped(spark, root, ns, table, iters)
+      } else if (survChanged) {
+        // adjacency delta: the touched buckets' NEW ≥2-member rows
+        // replace their old rows (one (band, key)-keyed eq-delete) —
+        // delta-bucket-sized compute and commit, like the survivors
+        commitMorDelta(spark, root, ns, s"${table}_adj",
+          adjFromSurv(recapped), touchedKeys)
+        relabelClusterIndexCappedScoped(spark, root, ns, table, iters,
+          deltaBands, touched)
       }
+      // survChanged == false with in-step state: the re-cap reproduced
+      // every touched bucket verbatim (an all-evicted or empty delta),
+      // so adjacency and labels already equal the union rebuild's —
+      // skip the no-op commits (r18 review: the adjacency eq-delete
+      // used to commit unconditionally, burning a version + an
+      // eventual compaction per empty refresh)
     }
     writeClusterSync(root, ns, table)
   }
@@ -1391,13 +1391,18 @@ object PipelineOps {
     val pairs = graft.CacheScope.cached(
       Similarity.pairsAmongCapped(ballSurv, "doc_a", "doc_b",
         unordered = true))
-    val fresh = labelPropagation(pairs, iters)
     // delta label commit (r18): fresh ball labels appended, relabel-set
     // doc_ids eq-deleted, one commit — the old labels are never read,
     // let alone rewritten (the r17 version read ALL old labels,
-    // anti-joined the ball, and full-replaced the snapshot)
-    publishLabelsDelta(spark, root, ns, table,
-      fresh.join(relabelM, Seq("doc_id"), "left_semi"), relabelM)
+    // anti-joined the ball, and full-replaced the snapshot). The ball
+    // labels are checkpointed like every other ball-sized intermediate
+    // here (r18 review): the publish probes emptiness AND writes — two
+    // actions — and an unmaterialized `fresh` would re-run the whole
+    // 3-round ball propagation for each.
+    val freshBall = labelPropagation(pairs, iters)
+      .join(relabelM, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    publishLabelsDelta(spark, root, ns, table, freshBall, relabelM)
   }
 
   /** The density-ROUTED cluster-index entry point — the persisted-

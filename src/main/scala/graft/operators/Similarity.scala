@@ -1463,7 +1463,11 @@ object Similarity {
           explode(array((0 until copies).map(lit): _*)).as("c"))
         .select((col("vec_id") * copies + col("c")).as("vec_id"),
           col("embedding"))
-        .coalesce(1))
+        // repartition, NOT coalesce (r18 review): with no exchange
+        // below it, coalesce(1) would propagate to the source and
+        // single-thread the whole embeddings scan + filter; the
+        // repartition shuffles only the bounded filtered rows
+        .repartition(1))
     dense.count()
     dense
   }
@@ -1584,16 +1588,21 @@ object Similarity {
     * probe-local copy of the key layout could silently calibrate
     * against stale code, exactly like the text side's sigBands).
     */
-  private[graft] def bandKeys(emb: DataFrame, bands: Int, r: Int): DataFrame = {
-    val keyCols = (0 until bands).map { bnd =>
+  /** The per-band sign-key expressions — ONE copy of the bit layout
+    * (r18 review: the dual-shape guard had re-derived it inline)
+    * shared by [[bandKeys]], [[bandStatsDual]], and [[rangeSearch]].
+    */
+  private def bandKeyCols(bands: Int, r: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until bands).map { bnd =>
       (0 until r).map { i =>
         when(try_element_at(col("embedding"), lit(bnd * r + i + 1)) > 0f,
           1L << i).otherwise(0L)
       }.reduce(_ + _)
     }
+
+  private[graft] def bandKeys(emb: DataFrame, bands: Int, r: Int): DataFrame =
     emb.select(col("vec_id"),
-      posexplode(array(keyCols: _*)).as(Seq("band", "key")))
-  }
+      posexplode(array(bandKeyCols(bands, r): _*)).as(Seq("band", "key")))
 
   /** Candidate-volume guard (ADVICE r7): per-(band, key) bucket counts
     * plus the implied band-join pair volume, as a TINY aggregate
@@ -1639,20 +1648,10 @@ object Similarity {
       r: Int): (Long, Long, Long) = {
     require(bands >= 2 && bands % 2 == 0,
       s"dual-shape guard needs an even band count, got $bands")
-    val cur = (0 until bands).map { bnd =>
-      (0 until r).map { i =>
-        when(try_element_at(col("embedding"), lit(bnd * r + i + 1)) > 0f,
-          1L << i).otherwise(0L)
-      }.reduce(_ + _)
-    }
-    val reb = (0 until bands / 2).map { bnd =>
-      (0 until 2 * r).map { i =>
-        when(try_element_at(col("embedding"), lit(bnd * 2 * r + i + 1)) > 0f,
-          1L << i).otherwise(0L)
-      }.reduce(_ + _)
-    }
     val rows = emb.select(
-      posexplode(array(cur ++ reb: _*)).as(Seq("pos", "key")))
+      posexplode(array(
+        bandKeyCols(bands, r) ++ bandKeyCols(bands / 2, 2 * r): _*))
+        .as(Seq("pos", "key")))
     val st = rows.groupBy("pos", "key").agg(count(lit(1)).as("cnt"))
       .groupBy((col("pos") < bands).as("is_cur"))
       .agg(sum(col("cnt") * col("cnt")).as("bp"), sum(col("cnt")).as("br"))
@@ -1674,14 +1673,8 @@ object Similarity {
     */
   def rangeSearch(emb: DataFrame, nQueries: Int = 5, tau: Double = 0.25,
       bands: Int = 16, r: Int = 4): DataFrame = {
-    val keyCols = (0 until bands).map { bnd =>
-      (0 until r).map { i =>
-        when(try_element_at(col("embedding"), lit(bnd * r + i + 1)) > 0f,
-          1L << i).otherwise(0L)
-      }.reduce(_ + _)
-    }
     val bandDf = emb.select(col("vec_id"), col("embedding"),
-      posexplode(array(keyCols: _*)).as(Seq("band", "key")))
+      posexplode(array(bandKeyCols(bands, r): _*)).as(Seq("band", "key")))
     val qb = bandDf.filter(col("vec_id") < nQueries)
       .toDF("q_id", "q_emb", "band", "key")
     bandDf.toDF("n_id", "n_emb", "band", "key")

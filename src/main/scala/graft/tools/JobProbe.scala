@@ -23,8 +23,9 @@ object JobProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val descs = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-    var total = 0L
-    var t00 = 0L
+    // listener-bus thread writes, main thread reads after a drain wait
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var t00 = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         starts.put(js.jobId, js.time)
@@ -37,7 +38,7 @@ object JobProbe {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val d = je.time - starts.getOrDefault(je.jobId, je.time)
-        total += d
+        total.addAndGet(d)
         val rel = (starts.getOrDefault(je.jobId, je.time) - t00) / 1000.0
         println(f"[jobprobe] job ${je.jobId}%3d start=$rel%7.2f " +
           f"dur=${d / 1000.0}%7.2fs  ${descs.getOrDefault(je.jobId, "?")}")
@@ -52,8 +53,11 @@ object JobProbe {
     df.agg(bit_xor(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))))
       .collect()
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(1000)
-    println(f"[jobprobe] wall ${wall}%.2fs, sum-of-jobs ${total / 1000.0}%.2fs")
+    // settle until the async listener bus stops delivering job ends
+    var last = -1L
+    while (total.get() != last) { last = total.get(); Thread.sleep(500) }
+    println(f"[jobprobe] wall ${wall}%.2fs, " +
+      f"sum-of-jobs ${total.get() / 1000.0}%.2fs")
     spark.stop()
   }
 }
