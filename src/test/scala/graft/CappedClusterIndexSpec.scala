@@ -442,6 +442,39 @@ class CappedClusterIndexSpec extends AnyFunSuite {
     assert(survivorsOf(root) == survivorsOf(root2))
   }
 
+  test("r18: a NO-OP delta (empty, or fully evicted by the re-cap) " +
+      "commits nothing — no table version moves, labels stay the " +
+      "rebuild's") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-clnoop-a-").toString
+    PipelineOps.buildClusterIndexCapped(spark, deltaCorpus(0L until 2000L),
+      root, "corp", "clusters")
+    CacheScope.drain()
+    val before = labelsOf(root)
+    def versions() = (
+      TableIO.currentVersion(root, "corp", "clusters_surv"),
+      TableIO.currentVersion(root, "corp", "clusters_adj"),
+      TableIO.currentVersion(root, "corp", "clusters"))
+    val v0 = versions()
+    // an EMPTY delta: a change-feed-driven refresher's idle tick —
+    // before the r18 review fix this burned an adjacency eq-delete
+    // version per run and eventually an index-sized compaction
+    PipelineOps.refreshClusterIndexCapped(spark,
+      deltaCorpus(Seq.empty[Long]), root, "corp", "clusters")
+    CacheScope.drain()
+    assert(versions() == v0, s"empty delta moved versions: $v0 -> " +
+      s"${versions()}")
+    assert(labelsOf(root) == before)
+    // ...and the untouched index is still in step: the next real delta
+    // takes the delta branch (append commit, no overwrite sidecar)
+    PipelineOps.refreshClusterIndexCapped(spark,
+      deltaCorpus(2000L until 2020L), root, "corp", "clusters")
+    CacheScope.drain()
+    val vNow = TableIO.currentVersion(root, "corp", "clusters")
+    assert(vNow == v0._3 + 1 &&
+      TableIO.replaceOperation(root, "corp", "clusters", vNow).isEmpty)
+  }
+
   test("r18: OUT-OF-STEP index state (r17 advice) is detected by the " +
       "sync token and heals via a full relabel — stale label rows are " +
       "never preserved by the scoped branch") {
